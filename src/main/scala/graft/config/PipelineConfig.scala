@@ -1,0 +1,139 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** One column of a pipeline's declared data object.
+  *
+  * Mirrors the reference's config schema entries `{name, type, comment}`
+  * (reference: pipelines/tableA/config.json:19-23), which are materialized
+  * as Glue Catalog columns (reference: templates/cds_view_template.py:28-33).
+  * `tpe` is a Hive/Glue type string; we parse it with [[DataType.fromDDL]],
+  * which gives the full Spark type system (decimal, timestamp, array, map,
+  * nested struct) for free.
+  */
+final case class ColumnSpec(name: String, tpe: String, comment: String) {
+  def toStructField: StructField = {
+    val md: Metadata =
+      if (comment.isEmpty) Metadata.empty
+      else new MetadataBuilder().putString("comment", comment).build()
+    StructField(name, DataType.fromDDL(tpe), nullable = true, md)
+  }
+}
+
+/** Declarative spec of one pipeline, parsed from a `config.json`.
+  *
+  * Field-for-field equivalent of the reference's pipeline declaration
+  * (reference: pipelines/tableA/config.json:1-25), with local/URI roots in
+  * place of bare S3 bucket names so the same config drives local-FS tests
+  * and real object stores. The reference resolves configs driver-side from
+  * S3 (reference: glue src/raw_layer_job.py:38-46); we resolve from any
+  * java.nio path.
+  *
+  * Divergence from the reference (documented per SURVEY §2.1): the ledger
+  * table name is honored (the reference hardcodes 'pipeline_table' at
+  * glue src/raw_layer_job.py:195) and no credentials live in configs
+  * (reference hardcodes them at glue src/raw_layer_job.py:117-119) —
+  * JDBC credentials come from the environment at source-construction time.
+  */
+final case class PipelineConfig(
+    template: String,
+    project: String,
+    subject: String,
+    jobSrc: String,
+    ledgerName: String,
+    rawRoot: String,
+    rawFolder: String,
+    cdsView: String,
+    preparedRoot: String,
+    tableName: String,
+    schema: Seq[ColumnSpec]
+) {
+  require(template == PipelineConfig.CdsViewTemplate,
+    s"unknown template '$template' (only '${PipelineConfig.CdsViewTemplate}' is supported)")
+
+  /** Spark schema declared for the cataloged data object. */
+  def structType: StructType = StructType(schema.map(_.toStructField))
+
+  /** Raw-layer prefix for one ingestion run
+    * (reference: glue src/raw_layer_job.py:160). */
+  def rawRunPath(runId: String): String = s"$rawRoot/$rawFolder/$runId"
+
+  /** Stable prepared-layer prefix successive runs append into
+    * (reference: glue src/prepared_layer_job.py:127). */
+  def preparedPath: String = s"$preparedRoot/$rawFolder"
+
+  /** Stack-style display name (reference: app.py:24). */
+  def displayName: String = s"$project-$subject-$jobSrc"
+}
+
+object PipelineConfig {
+  val CdsViewTemplate = "cds_view"
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse a single config.json (reference shape: pipelines/tableA/config.json). */
+  def parse(json: String): PipelineConfig = {
+    val root = mapper.readTree(json)
+    def req(node: JsonNode, field: String): JsonNode = {
+      val n = node.get(field)
+      require(n != null, s"config missing required field '$field'")
+      n
+    }
+    val cfg = req(root, "config")
+    val raw = req(root, "raw")
+    val prepared = req(root, "prepared")
+    val dataObject = req(root, "data_object")
+    val cols = req(dataObject, "schema").elements().asScala.map { c =>
+      ColumnSpec(
+        req(c, "name").asText(),
+        req(c, "type").asText(),
+        Option(c.get("comment")).map(_.asText()).getOrElse(""))
+    }.toSeq
+    PipelineConfig(
+      template = req(root, "template").asText(),
+      project = req(root, "project").asText(),
+      subject = req(root, "subject").asText(),
+      jobSrc = req(cfg, "job_src").asText(),
+      ledgerName = req(cfg, "dynamoTable").asText(),
+      rawRoot = req(raw, "rawBucket").asText(),
+      rawFolder = req(raw, "rawS3Folder").asText(),
+      cdsView = req(raw, "CDSView").asText(),
+      preparedRoot = req(prepared, "preparedBucket").asText(),
+      tableName = req(dataObject, "name").asText(),
+      schema = cols)
+  }
+
+  def load(path: Path): PipelineConfig = parse(Files.readString(path))
+
+  /** Walk a pipelines/ directory and load every {pipeline}/config.json,
+    * dispatching on template (reference: app.py:17-25). Unknown templates
+    * fail fast rather than being silently skipped. */
+  def loadAll(pipelinesDir: Path): Seq[PipelineConfig] = {
+    if (!Files.isDirectory(pipelinesDir)) return Seq.empty
+    Files.list(pipelinesDir).iterator().asScala.toSeq.sortBy(_.toString).flatMap { sub =>
+      val cfg = sub.resolve("config.json")
+      if (Files.isRegularFile(cfg)) Some(load(cfg)) else None
+    }
+  }
+
+  /** Render back to the reference's JSON shape (for tests / round-trips). */
+  def render(c: PipelineConfig): String = {
+    val node = mapper.createObjectNode()
+    node.put("template", c.template).put("project", c.project).put("subject", c.subject)
+    node.putObject("config").put("job_src", c.jobSrc).put("dynamoTable", c.ledgerName)
+    node.putObject("raw").put("rawBucket", c.rawRoot)
+      .put("rawS3Folder", c.rawFolder).put("CDSView", c.cdsView)
+    node.putObject("prepared").put("preparedBucket", c.preparedRoot)
+    val d = node.putObject("data_object")
+    d.put("name", c.tableName)
+    val arr = d.putArray("schema")
+    c.schema.foreach { col =>
+      arr.addObject().put("name", col.name).put("type", col.tpe).put("comment", col.comment)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+}

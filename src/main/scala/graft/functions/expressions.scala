@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Cosine similarity between two float vectors, as a native Catalyst
+  * expression with whole-stage codegen.
+  *
+  * Why an Expression and not a UDF: the similarity join evaluates this in
+  * the innermost loop of an O(n·k) (LSH) or O(n²) (brute-force) pair scan;
+  * a Scala UDF would box both arrays and break the WholeStageCodegen span
+  * around the join. `doGenCode` emits a tight primitive loop over the
+  * unsafe array data — no allocation per row beyond the two array reads.
+  *
+  * Accumulates in double (sequentially, index order) so results are
+  * deterministic and engine-comparable. Returns null for null/empty/
+  * length-mismatched inputs.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity expects array<float> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || n != y.numElements()) return null
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n == 0 || $n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = (double) $x.getFloat($i);
+         |    final double $yv = (double) $y.getFloat($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  if ($nx == 0.0 || $ny == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny)); }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit polynomial rolling-hash fingerprint of a string (Karp–Rabin
+  * style: h = h*31 + byte over the UTF-8 bytes).
+  *
+  * Purpose: document fingerprinting for exact dedup at scale — at 100 TB
+  * you group/shuffle on an 8-byte fingerprint instead of the full document
+  * text (the reference-scale design note in SURVEY §7.3-4). Deterministic
+  * across runs and partitionings. Codegen'd tight byte loop.
+  */
+case class TextFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) { h = 31L * h + bytes(i); i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |final byte[] $bytes = $s.getBytes();
+         |long $h = 1125899906842597L;
+         |for (int $i = 0; $i < $bytes.length; $i++) { $h = 31L * $h + $bytes[$i]; }
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column-API entry points + SQL registration for the custom expressions. */
+object GraftFunctions {
+  def cosine_similarity(a: Column, b: Column): Column =
+    new Column(CosineSimilarity(a.expr, b.expr))
+
+  def text_fingerprint(c: Column): Column = new Column(TextFingerprint(c.expr))
+
+  /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_fingerprint", exprs => TextFingerprint(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.jobs
+
+import graft.config.PipelineConfig
+import graft.ledger.{RunLedger, RunRecord, RunState}
+import org.apache.spark.sql.SparkSession
+
+/** Prepared-layer promotion: each un-promoted raw run is appended to the
+  * stable prepared prefix the catalog table points at, then marked
+  * terminal in the ledger.
+  *
+  * Spark-native equivalent of the reference prepared job
+  * (reference: glue src/prepared_layer_job.py:45-138): scan ledger for
+  * `job_src == X AND State == 'RAW COMPLETED'` (reference :152-155), per
+  * run read `{RawBucket}/{RawFolder}/{partition_key}` (reference :92-96)
+  * and append to `{preparedBucket}/{RawFolder}` (reference :124-129).
+  *
+  * Corrected semantics (SURVEY §2.1 defects): the reference's promotion
+  * update is broken (undefined names, and it re-writes `RAW COMPLETED`, so
+  * every prepared run re-appends all history). We append a terminal
+  * `PREPARED COMPLETED` record per run, and [[RunLedger.pending]] excludes
+  * promoted keys — promotion is exactly-once and `promoteAll` is
+  * idempotent (drain twice ≡ drain once).
+  *
+  * Scale notes: the per-run loop is control-plane iteration (runs are few);
+  * each iteration is one distributed Spark job. The count comes from the
+  * raw run being promoted — parquet footer metadata, no extra data scan.
+  */
+object PreparedLayerJob {
+  val JobName = "prepared_layer_job"
+
+  /** Promote one raw run. Returns the prepared-entry metrics. */
+  def promote(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
+      rawRecord: RunRecord): JobMetrics = {
+    val rawPath = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}/${rawRecord.partition_key}"
+    val df = spark.read.parquet(rawPath)
+    df.write
+      .option("compression", "snappy")
+      .mode("append") // successive runs accumulate under the cataloged prefix
+      .parquet(cfg.preparedPath)
+    val rows = df.count() // footer-metadata count of the promoted run
+    ledger.append(rawRecord.copy(
+      state = RunState.PreparedCompleted,
+      preparedBucket = cfg.preparedRoot,
+      preparedFolder = cfg.rawFolder,
+      preparedJobName = JobName,
+      preparedEntryCount = rows.toString))
+    JobMetrics(rawRecord.partition_key, rows, cfg.preparedPath)
+  }
+
+  /** Promote every pending run for this pipeline (the reference's
+    * per-run loop, glue src/prepared_layer_job.py:48-55). Idempotent. */
+  def promoteAll(spark: SparkSession, cfg: PipelineConfig,
+      ledger: RunLedger): Seq[JobMetrics] =
+    ledger.pending(spark, cfg.jobSrc).map(promote(spark, cfg, ledger, _))
+}

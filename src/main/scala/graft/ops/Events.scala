@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-window analytics over the `events` table (SURVEY §7.3-3).
+  *
+  * The window transforms are written once against a generic DataFrame and
+  * reused by BOTH the batch queries below (graded against the DuckDB
+  * oracle) and the Structured Streaming path in
+  * [[graft.streaming.EventStreams]] — `window()`/`session_window` have
+  * identical semantics in batch and streaming, so the batch oracle also
+  * validates the streaming logic.
+  */
+object Events {
+  import Relational.t
+
+  /** Exact, order-independent sum of a double column (see Relational). */
+  private def dsum(c: org.apache.spark.sql.Column, alias: String) =
+    sum(c.cast("decimal(28,6)")).cast("double").as(alias)
+
+  /** Tumbling 1-hour windows × event_type. Epoch-aligned, so the window
+    * start equals date_trunc('hour') — that's the oracle formulation. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  def evTumbling(spark: SparkSession, dir: String): DataFrame =
+    tumbling(t(spark, dir, "events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  def evTumblingOracle: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 30 minutes — each event lands in
+    * exactly 2 windows. The oracle unnests the same two epoch-aligned
+    * starts per event. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), "sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+
+  def evSliding(spark: SparkSession, dir: String): DataFrame =
+    sliding(t(spark, dir, "events")).orderBy(col("window_start"))
+
+  def evSlidingOracle: String =
+    """SELECT ws AS window_start, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT unnest([
+      |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+      |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes'
+      |  ]) AS ws, value
+      |  FROM events) x
+      |GROUP BY ws
+      |ORDER BY window_start""".stripMargin
+
+  /** Session windows per user: 30-minute inactivity gap. Streaming-native
+    * operator exercised in batch; rows-only graded (DuckDB has no session
+    * windows — the scalatest suite checks gap semantics instead). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), "sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  def evSessions(spark: SparkSession, dir: String): DataFrame =
+    sessions(t(spark, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Per-user event sequencing: previous event type and seconds since it
+    * (lag over an event-time window) — the batch twin of a
+    * mapGroupsWithState sequence feature. Oracle-checked. */
+  def evUserSequence(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("secs_since_prev",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .cast("double") / 1e6)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("prev_type"), round(col("secs_since_prev"), 3).as("secs_since_prev"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  def evUserSequenceOracle: String =
+    """SELECT user_id, event_id, event_type,
+      |  lag(event_type, 1) OVER w AS prev_type,
+      |  round(CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+      |        lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w AS DOUBLE) / 1e6, 3)
+      |    AS secs_since_prev
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |ORDER BY user_id, event_id""".stripMargin
+}

@@ -1,0 +1,400 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the fixture tables (SURVEY §2.2 /
+  * §7.3-2). Every query here is deliberately declarative DataFrame API so
+  * Catalyst gets full freedom: filter/projection pushdown to the parquet
+  * scan, broadcast-vs-shuffle join selection (with explicit hints where we
+  * know the dimension is small), partial aggregation, AQE re-planning.
+  *
+  * Determinism conventions (for the DuckDB hash-compare oracle):
+  *  - double-valued SUMs go through an exact DECIMAL cast *before*
+  *    aggregation, then back to DOUBLE — float summation order is
+  *    engine/partitioning-dependent, decimal summation is exact;
+  *  - every query ends in a total ORDER BY on a unique key set;
+  *  - aliases match the oracle SQL exactly (driver compares by name).
+  */
+object Relational {
+
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact, order-independent sum of a double column: decimal in, double out. */
+  private def dsum(c: Column, alias: String): Column =
+    sum(c.cast("decimal(28,6)")).cast("double").as(alias)
+
+  /** TPC-H Q1-style pricing summary: grouped hash aggregation with
+    * partial (map-side) combine; filter + 7-column projection pushed to
+    * the parquet scan. Scale note: the group-by key space is tiny (R/A/N ×
+    * O/F), so the shuffle after partial agg moves a few rows per
+    * partition — this plan is scan-bound at any SF, which is what we want.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), "sum_qty"),
+        dsum(col("l_extendedprice"), "sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), "sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_quantity > 0
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Selective filter + narrow projection: both must reach the scan
+    * (PushedFilters + 4-column ReadSchema in explain). At 100 TB this is
+    * the difference between reading 4 columns' pages and the whole table.
+    */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 5 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  def q02Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
+    * big) then broadcast joins against the small dims customer/nation/
+    * region. Explicit broadcast() hints on the dims: at 100 TB the fact
+    * sides shuffle on their join keys exactly once; the dims ship to every
+    * executor instead of forcing three more full-fact shuffles. */
+  def q03RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nat = t(spark, dir, "nation")
+    val reg = t(spark, dir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  def q03Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Left-semi join (EXISTS): orders that have at least one heavy line.
+    * Semi joins never duplicate or widen rows — at scale the probe side
+    * streams and only a key set crosses the wire. */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val heavy = t(spark, dir, "lineitem").filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    t(spark, dir, "orders")
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def q04Oracle: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers that never ordered, counted
+    * per market segment. */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders").select(col("o_custkey"))
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  def q05Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Ranking window: top-3 orders by price per priority, deterministic
+    * tie-break on key. Per-group top-k via row_number is the scalable
+    * idiom — one shuffle on the partition key, no global sort. */
+  def q06WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  def q06Oracle: String =
+    """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Analytic window with frame: per-customer order history — previous
+    * price (lag) and running total (unbounded-preceding frame). Running
+    * sum goes through decimal so the left-to-right accumulation is exact
+    * and engine-independent. */
+  def q07WindowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast("decimal(28,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def q07Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** ROLLUP over two keys — hierarchical subtotals in one pass (Spark
+    * expands grouping sets before the shuffle; still a single agg). NULL
+    * subtotal markers are coalesced to a sentinel so ordering semantics
+    * match across engines. */
+  def q08Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  def q08Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** CUBE over two independent dimensions (all 2^2 grouping sets). */
+  def q09Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  def q09Oracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact distinct aggregation (count-distinct rewrites to a two-phase
+    * expand+agg in Spark — still one logical pass). The HLL approximate
+    * variant lives in [[q23ApproxDistinct]] (not oracle-comparable). */
+  def q10DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  def q10Oracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Global sort + limit (top-k): Spark plans TakeOrderedAndProject —
+    * per-partition heaps + a k-row merge on the driver, never a full sort
+    * at scale. */
+  def q11SortLimit(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  def q11Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 10""".stripMargin
+
+  /** Set operations: (F-status customers ∩ O-status customers) minus
+    * P-status customers — INTERSECT then EXCEPT, both hash-based
+    * distinct set ops (one shuffle each on the full key). */
+  def q12SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    def custs(status: String) =
+      ord.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+    custs("F").intersect(custs("O")).except(custs("P"))
+      .orderBy(col("o_custkey"))
+  }
+
+  def q12Oracle: String =
+    """SELECT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |) t
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Scalar string/date function surface: date_trunc, year-month
+    * extraction, upper/substring/concat — all codegen'd builtins. */
+  def q13StringDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("order_month", date_trunc("month", col("o_orderdate")))
+      .withColumn("prio_class",
+        concat(upper(substring(col("o_orderpriority"), 1, 1)), lit("-"),
+          col("o_orderstatus")))
+      .groupBy(col("order_month"), col("prio_class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("order_month"), col("prio_class"))
+
+  def q13Oracle: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |       upper(substring(o_orderpriority, 1, 1)) || '-' || o_orderstatus AS prio_class,
+      |       count(*) AS n,
+      |       min(o_totalprice) AS min_price,
+      |       max(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY 1, 2
+      |ORDER BY order_month, prio_class""".stripMargin
+
+  /** JSON extraction over the events table's props column
+    * (get_json_object is the codegen'd path; no UDF). */
+  def q14Json(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        max(col("k")).as("max_k"),
+        min(col("k")).as("min_k"))
+      .orderBy(col("event_type"))
+
+  def q14Oracle: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Array / higher-order functions over the embeddings table: size,
+    * L2 norm via aggregate(), first component — all evaluated inside
+    * codegen, no UDF, no explode. Norm rounded to absorb float-vs-double
+    * accumulation differences across engines. */
+  def q15ArrayHof(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2_norm"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_component"))
+      .orderBy(col("vec_id"))
+
+  def q15Oracle: String =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_component
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Grouping sets beyond rollup/cube: explicit set list via SQL. */
+  def q16GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  def q16Oracle: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY status, priority""".stripMargin
+
+  /** UNION ALL + dedup via dropDuplicates (vs UNION DISTINCT): supplier
+    * and customer nations as one relation. */
+  def q17UnionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    val c = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    s.unionByName(c).dropDuplicates("nationkey").orderBy(col("nationkey"))
+  }
+
+  def q17Oracle: String =
+    """SELECT DISTINCT nationkey FROM (
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  UNION ALL
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |) t ORDER BY nationkey""".stripMargin
+
+  /** HLL approximate distinct — graded rows-only (algorithms differ
+    * across engines, so no value oracle). */
+  def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.functions.GraftFunctions.cosine_similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §7.3-4 north star).
+  *
+  * Two paths, as the scale contract demands:
+  *  - [[simTopKBruteForce]] — exact cosine top-k, the correctness
+  *    baseline. Query side is broadcast (it's k query vectors, tiny);
+  *    corpus streams through one codegen'd pass: O(|Q|·n), no shuffle of
+  *    the corpus at all. This exact shape works at 100 TB whenever |Q| is
+  *    bounded (the common "dedup this batch against the corpus" case).
+  *  - [[simAnnLsh]] — random-hyperplane LSH: 16-bit signatures from
+  *    deterministic pseudo-random hyperplanes, multi-probe via 8
+  *    independent signature tables, candidates from bucket joins. At
+  *    100 TB the corpus shuffles once per table on a 2-byte key and pair
+  *    scoring happens inside buckets only.
+  */
+object Similarity {
+  import Relational.t
+
+  /** Exact top-10 cosine neighbors for each query vector (vec_id < 5).
+    * Oracle-checked against DuckDB's list_cosine_similarity. */
+  def simTopKBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    e.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def simTopKBruteForceOracle: String =
+    """SELECT query_id, neighbor_id, cos, rank FROM (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(
+      |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+      |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_cosine_similarity(
+      |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+      |        list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+      |      e.vec_id ASC) AS rank
+      |  FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+      |) x WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** 8 × 16-bit random-hyperplane signatures. Hyperplane component for
+    * (table, bit, dim) is hash-derived in [-1, 1) — deterministic across
+    * runs, partitions, and executors (no RNG state; SURVEY §7.5). All
+    * codegen'd higher-order functions, no UDF. */
+  private val signaturesExpr =
+    """transform(sequence(0, 7), tbl ->
+      |  aggregate(sequence(0, 15), 0, (sig, bit) ->
+      |    sig | ((case when
+      |      aggregate(
+      |        zip_with(embedding,
+      |                 transform(sequence(0, size(embedding) - 1),
+      |                           d -> cast(hash(tbl, bit, d) as double) / 2147483648.0),
+      |                 (x, p) -> cast(x as double) * p),
+      |        cast(0.0 as double), (acc, v) -> acc + v) > 0.0
+      |      then 1 else 0 end) << bit)))""".stripMargin
+
+  /** LSH-bucketed approximate top-k: 8 signature tables × 16 random
+    * hyperplane bits; vectors sharing a (table, signature) bucket are
+    * candidates; exact cosine re-scores candidates; top-10 per query.
+    * Rows-only graded (recall is probabilistic by design; the exact
+    * baseline above is the oracle-checked twin). */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val signed = e
+      .withColumn("tables", expr(signaturesExpr))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("tables")).as(Seq("tbl", "sig")))
+    val cand = signed.as("a")
+      .join(signed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .distinct()
+    val scored = cand
+      .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 6))
+      .select(col("id_a"), col("id_b"), col("cos"))
+    // symmetrize, then top-10 per query id
+    val sym = scored.unionByName(scored.select(
+      col("id_b").as("id_a"), col("id_a").as("id_b"), col("cos")))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("id_a").as("query_id"), col("rank"),
+        col("id_b").as("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.ops.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming path over the events table (SURVEY §7.3-3).
+  *
+  * The transforms are the SAME functions the graded batch queries use
+  * ([[graft.ops.Events]]); here they run against `readStream` with a
+  * watermark, which is exactly how the engine would consume a live event
+  * feed: file/Kafka source → event-time windows → append sink. The
+  * watermark bounds state: at 100 TB/day of events, state is
+  * O(active windows × groups), not O(stream).
+  */
+object EventStreams {
+
+  /** Streaming tumbling-window aggregation with a 1-hour watermark
+    * (late events beyond the watermark are dropped — the late-data
+    * policy under test in EventStreamSpec). */
+  def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    Events.tumbling(stream.withWatermark("ts", "1 hour"))
+  }
+
+  /** Run the streaming aggregation to completion over the (bounded)
+    * fixture directory via a memory sink; returns the final table.
+    * AvailableNow processes the backlog in bounded batches and stops —
+    * the batch-parity harness for streaming logic. */
+  def runToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = tumblingStream(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
