@@ -124,12 +124,18 @@ case class TextFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Column-API entry points + SQL registration for the custom expressions. */
+/** Column-API entry points + SQL registration for the custom expressions.
+  * Spark 4.x `Column` wraps a `ColumnNode`, not an `Expression`, so the
+  * classic-API bridge `ExpressionUtils` converts in both directions. */
 object GraftFunctions {
-  def cosine_similarity(a: Column, b: Column): Column =
-    new Column(CosineSimilarity(a.expr, b.expr))
+  import org.apache.spark.sql.classic.ExpressionUtils
 
-  def text_fingerprint(c: Column): Column = new Column(TextFingerprint(c.expr))
+  def cosine_similarity(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def text_fingerprint(c: Column): Column =
+    ExpressionUtils.column(TextFingerprint(ExpressionUtils.expression(c)))
 
   /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

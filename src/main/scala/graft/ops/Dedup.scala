@@ -148,7 +148,7 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws("_",
-            slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).cast("string")).as("bh")))).as("bb"))
+            slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand))).cast("string")).as("bh")))).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
