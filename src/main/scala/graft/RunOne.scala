@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run one named query from [[SparkEntry.queries]] N times
+  * against a given sf dir, print per-run wall seconds (cold + warm), and
+  * optionally the formatted physical plan.
+  *
+  * Usage: runMain graft.RunOne <name> [sfDir] [reps] [explain]
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val explain = args.contains("explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // ad-hoc conf A/B: SPARK_GRAFT_CONF="k=v,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    if (explain) fn(spark, sfDir).explain("formatted")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[runone] $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

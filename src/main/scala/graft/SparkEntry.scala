@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.{ColumnSpec, PipelineConfig}
+import graft.ledger.LocalJsonLedger
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.orchestrate.Orchestrator
+import graft.sources.ParquetSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `entry` is the end-to-end medallion flagship (SURVEY §7.2): config →
+  * raw ingest (audit column + snappy parquet + ledger) → event-ledger
+  * promotion → catalog registration → SQL over the cataloged prepared
+  * table. It exercises SURVEY §2.1 ops #1-9/#13-15 in one pass.
+  *
+  * `queries` / `oracleSql` surface every operator from SURVEY §2.2 and the
+  * LLM-pipeline north star; keys without an oracle entry are rows-only
+  * graded by design (probabilistic/hash-family ops that no ANSI SQL
+  * reproduces — each names its oracle-checked twin in its Scaladoc).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-entry-")
+    val cfg = PipelineConfig(
+      template = PipelineConfig.CdsViewTemplate,
+      project = "graft", subject = "tpch",
+      jobSrc = "lineitem", ledgerName = "pipeline_ledger",
+      rawRoot = s"$tmp/raw", rawFolder = "lineitem", cdsView = "lineitem",
+      preparedRoot = s"$tmp/prepared", tableName = "prepared_lineitem",
+      schema = Seq(
+        ColumnSpec("l_orderkey", "bigint", "order key"),
+        ColumnSpec("l_partkey", "bigint", ""),
+        ColumnSpec("l_suppkey", "bigint", ""),
+        ColumnSpec("l_linenumber", "int", ""),
+        ColumnSpec("l_quantity", "double", ""),
+        ColumnSpec("l_extendedprice", "double", ""),
+        ColumnSpec("l_discount", "double", ""),
+        ColumnSpec("l_tax", "double", ""),
+        ColumnSpec("l_returnflag", "string", ""),
+        ColumnSpec("l_linestatus", "string", ""),
+        ColumnSpec("l_shipdate", "timestamp", "")))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val source = ParquetSource("/root/testdata/sf0.001/lineitem.parquet")
+    val table = Orchestrator.runEndToEnd(
+      spark, cfg, source, ledger, runId = "20260101000000000000")
+    spark.sql(
+      s"""SELECT l_returnflag, ETL_PART_KEY, count(*) AS n_rows,
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+         |FROM $table
+         |GROUP BY l_returnflag, ETL_PART_KEY
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational surface
+    "q01_pricing_summary" -> (Relational.q01PricingSummary _),
+    "q02_filter_pushdown" -> (Relational.q02FilterPushdown _),
+    "q03_revenue_by_nation" -> (Relational.q03RevenueByNation _),
+    "q04_semi_join" -> (Relational.q04SemiJoin _),
+    "q05_anti_join" -> (Relational.q05AntiJoin _),
+    "q06_window_topk" -> (Relational.q06WindowTopK _),
+    "q07_window_analytic" -> (Relational.q07WindowAnalytic _),
+    "q08_rollup" -> (Relational.q08Rollup _),
+    "q09_cube" -> (Relational.q09Cube _),
+    "q10_distinct_agg" -> (Relational.q10DistinctAgg _),
+    "q11_sort_limit" -> (Relational.q11SortLimit _),
+    "q12_set_ops" -> (Relational.q12SetOps _),
+    "q13_string_date" -> (Relational.q13StringDate _),
+    "q14_json" -> (Relational.q14Json _),
+    "q15_array_hof" -> (Relational.q15ArrayHof _),
+    "q16_grouping_sets" -> (Relational.q16GroupingSets _),
+    "q17_union_dedup" -> (Relational.q17UnionDedup _),
+    "q23_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: HLL
+    // §7.3-3 time-window analytics (batch twins of the streaming path)
+    "ev_tumbling" -> (Events.evTumbling _),
+    "ev_sliding" -> (Events.evSliding _),
+    "ev_sessions" -> (Events.evSessions _), // rows-only: no session windows in ANSI SQL
+    "ev_user_sequence" -> (Events.evUserSequence _),
+    // §7.3-4 dedup family
+    "dd_exact" -> (Dedup.ddExact _),
+    "dd_exact_docs" -> (Dedup.ddExactDocs _),
+    "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
+    "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
+    "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
+    // §7.3-4 similarity search
+    "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
+    "sim_ann_lsh" -> (Similarity.simAnnLsh _), // rows-only: probabilistic recall by design
+    // §7.3-4 text analysis
+    "tx_tokens" -> (TextAnalysis.txTokens _),
+    "tx_quality" -> (TextAnalysis.txQuality _),
+    "tx_lang_id" -> (TextAnalysis.txLangId _), // rows-only: heuristic dict
+    "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
+    // §7.3-4 multimodal plumbing (codec is a declared stub)
+    "mm_features" -> (Multimodal.mmFeatures _), // rows-only: stub codec features
+    "mm_bytes_by_modality" -> (Multimodal.mmBytesByModality _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> Relational.q01Oracle,
+    "q02_filter_pushdown" -> Relational.q02Oracle,
+    "q03_revenue_by_nation" -> Relational.q03Oracle,
+    "q04_semi_join" -> Relational.q04Oracle,
+    "q05_anti_join" -> Relational.q05Oracle,
+    "q06_window_topk" -> Relational.q06Oracle,
+    "q07_window_analytic" -> Relational.q07Oracle,
+    "q08_rollup" -> Relational.q08Oracle,
+    "q09_cube" -> Relational.q09Oracle,
+    "q10_distinct_agg" -> Relational.q10Oracle,
+    "q11_sort_limit" -> Relational.q11Oracle,
+    "q12_set_ops" -> Relational.q12Oracle,
+    "q13_string_date" -> Relational.q13Oracle,
+    "q14_json" -> Relational.q14Oracle,
+    "q15_array_hof" -> Relational.q15Oracle,
+    "q16_grouping_sets" -> Relational.q16Oracle,
+    "q17_union_dedup" -> Relational.q17Oracle,
+    "ev_tumbling" -> Events.evTumblingOracle,
+    "ev_sliding" -> Events.evSlidingOracle,
+    "ev_user_sequence" -> Events.evUserSequenceOracle,
+    "dd_exact" -> Dedup.ddExactOracle,
+    "dd_exact_docs" -> Dedup.ddExactDocsOracle,
+    "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
+    "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
+    "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
+    "tx_tokens" -> TextAnalysis.txTokensOracle,
+    "tx_quality" -> TextAnalysis.txQualityOracle,
+    "mm_bytes_by_modality" -> Multimodal.mmBytesByModalityOracle,
+  )
 }

@@ -58,9 +58,14 @@ final case class PipelineConfig(
   /** Spark schema declared for the cataloged data object. */
   def structType: StructType = StructType(schema.map(_.toStructField))
 
-  /** Raw-layer prefix for one ingestion run
-    * (reference: glue src/raw_layer_job.py:160). */
-  def rawRunPath(runId: String): String = s"$rawRoot/$rawFolder/$runId"
+  /** Stable raw-layer prefix; runs land under Hive-style
+    * `ETL_PART_KEY=<runId>` partitions (upgrade over the reference's
+    * opaque run-suffixed paths at glue src/raw_layer_job.py:160 —
+    * Catalyst gets partition pruning on the audit key, SURVEY §4). */
+  def rawTablePath: String = s"$rawRoot/$rawFolder"
+
+  /** One ingestion run's partition directory. */
+  def rawRunPath(runId: String): String = s"$rawTablePath/ETL_PART_KEY=$runId"
 
   /** Stable prepared-layer prefix successive runs append into
     * (reference: glue src/prepared_layer_job.py:127). */

@@ -26,8 +26,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  // input typing enforced via checkInputDataTypes (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so no inputTypes here)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -97,7 +97,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class TextFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"text_fingerprint expects a string input, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     val bytes = v.asInstanceOf[UTF8String].getBytes
@@ -125,17 +133,18 @@ case class TextFingerprint(child: Expression) extends UnaryExpression {
 }
 
 /** Column-API entry points + SQL registration for the custom expressions.
-  * Spark 4.x `Column` wraps a `ColumnNode`, not an `Expression`, so the
-  * classic-API bridge `ExpressionUtils` converts in both directions. */
+  * Spark 4.x `Column` wraps a `ColumnNode`, not an `Expression`; the
+  * converters are `private[sql]`, so they're reached through
+  * [[org.apache.spark.sql.GraftBridge]]. */
 object GraftFunctions {
-  import org.apache.spark.sql.classic.ExpressionUtils
+  import org.apache.spark.sql.GraftBridge
 
   def cosine_similarity(a: Column, b: Column): Column =
-    ExpressionUtils.column(
-      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+    GraftBridge.toCol(
+      CosineSimilarity(GraftBridge.toExpr(a), GraftBridge.toExpr(b)))
 
   def text_fingerprint(c: Column): Column =
-    ExpressionUtils.column(TextFingerprint(ExpressionUtils.expression(c)))
+    GraftBridge.toCol(TextFingerprint(GraftBridge.toExpr(c)))
 
   /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

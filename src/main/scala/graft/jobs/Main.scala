@@ -1,0 +1,74 @@
+package graft.jobs
+
+import graft.config.PipelineConfig
+import graft.ledger.{LocalJsonLedger, RunId}
+import graft.orchestrate.Orchestrator
+import graft.sources.{JdbcSnapshotSource, ParquetSource, SourceReader}
+import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Paths
+
+/** Runnable job entry point (SURVEY §2.1 op #16) — the engine's
+  * equivalent of the reference's Glue job-argument resolution
+  * (reference: glue src/raw_layer_job.py:29-36 /
+  * prepared_layer_job.py:25-32): resolve args → config → run the layer.
+  *
+  * Usage:
+  *   runMain graft.jobs.Main --pipelines-dir <dir> --job_src <name>
+  *     --layer raw|prepared|e2e [--run-id <id>]
+  *
+  * Credentials for JDBC-mode pipelines come from the environment
+  * (GRAFT_JDBC_URL/DRIVER/USER/PASSWORD/SCHEMA), never from config
+  * (divergence from the reference's hardcoded creds, SURVEY §2.1). A
+  * `CDSView` that points at a parquet path selects the offline parquet
+  * source instead.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    def req(k: String): String =
+      opts.getOrElse(k, sys.error(s"missing required argument $k"))
+    val pipelinesDir = Paths.get(req("--pipelines-dir"))
+    val jobSrc = req("--job_src")
+    val layer = opts.getOrElse("--layer", "e2e")
+
+    val cfg = PipelineConfig.loadAll(pipelinesDir).find(_.jobSrc == jobSrc)
+      .getOrElse(sys.error(s"no pipeline with job_src '$jobSrc' under $pipelinesDir"))
+    val runId = opts.getOrElse("--run-id", RunId())
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName(cfg.displayName)
+      .getOrCreate()
+    try {
+      val ledger = new LocalJsonLedger(
+        Paths.get(cfg.rawRoot, "_ledger", cfg.ledgerName))
+      val source: SourceReader =
+        if (cfg.cdsView.endsWith(".parquet")) ParquetSource(cfg.cdsView)
+        else JdbcSnapshotSource(
+          url = sys.env.getOrElse("GRAFT_JDBC_URL", sys.error("GRAFT_JDBC_URL unset for JDBC pipeline")),
+          driver = sys.env.getOrElse("GRAFT_JDBC_DRIVER", "com.mysql.cj.jdbc.Driver"),
+          user = sys.env.getOrElse("GRAFT_JDBC_USER", ""),
+          password = sys.env.getOrElse("GRAFT_JDBC_PASSWORD", ""),
+          dbSchema = sys.env.getOrElse("GRAFT_JDBC_SCHEMA", "test"),
+          view = cfg.cdsView)
+      layer match {
+        case "raw" =>
+          val m = Orchestrator.ingest(spark, cfg, source, ledger, runId)
+          println(s"[raw_layer_job] runId=${m.runId} rows=${m.rows} path=${m.path}")
+        case "prepared" =>
+          val ms = Orchestrator.drain(spark, cfg, ledger)
+          ms.foreach(m => println(s"[prepared_layer_job] promoted runId=${m.runId} rows=${m.rows} -> ${m.path}"))
+          if (ms.isEmpty) println("[prepared_layer_job] nothing pending")
+        case "e2e" =>
+          val table = Orchestrator.runEndToEnd(spark, cfg, source, ledger, runId)
+          println(s"[e2e] runId=$runId table=$table rows=${spark.table(table).count()}")
+        case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e)")
+      }
+    } finally spark.stop()
+  }
+}

@@ -31,8 +31,11 @@ object PreparedLayerJob {
   /** Promote one raw run. Returns the prepared-entry metrics. */
   def promote(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
       rawRecord: RunRecord): JobMetrics = {
-    val rawPath = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}/${rawRecord.partition_key}"
-    val df = spark.read.parquet(rawPath)
+    // The raw layer is Hive-partitioned on ETL_PART_KEY; basePath keeps
+    // the partition column in the promoted rows.
+    val rawTable = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}"
+    val rawPath = s"$rawTable/ETL_PART_KEY=${rawRecord.partition_key}"
+    val df = spark.read.option("basePath", rawTable).parquet(rawPath)
     df.write
       .option("compression", "snappy")
       .mode("append") // successive runs accumulate under the cataloged prefix

@@ -42,10 +42,16 @@ object RawLayerJob {
     val path = cfg.rawRunPath(runId)
     val snapshot = source.read(spark)
       .withColumn("ETL_PART_KEY", lit(runId))
+    // Hive-style partitionBy on the audit key (SURVEY §4): downstream
+    // reads of the stable raw prefix get partition pruning on
+    // ETL_PART_KEY for free. Dynamic overwrite keeps re-running one
+    // runId idempotent without clobbering sibling runs.
     snapshot.write
       .option("compression", "snappy")
-      .mode("overwrite") // re-running the same runId replaces, never duplicates
-      .parquet(path)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ETL_PART_KEY")
+      .mode("overwrite")
+      .parquet(cfg.rawTablePath)
     // Audit count from the written files: footer metadata only, no re-scan
     // of the source (fixes the reference's double-scan, BASELINE.md).
     val rows = spark.read.parquet(path).count()

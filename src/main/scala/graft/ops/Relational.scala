@@ -22,6 +22,16 @@ object Relational {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read
+    * it as raw nanos via the legacy conf and truncate to micros —
+    * identical to DuckDB's ns→µs cast, so oracles stay comparable. */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Exact, order-independent sum of a double column: decimal in, double out. */
   private def dsum(c: Column, alias: String): Column =
     sum(c.cast("decimal(28,6)")).cast("double").as(alias)
@@ -318,7 +328,7 @@ object Relational {
   /** JSON extraction over the events table's props column
     * (get_json_object is the codegen'd path; no UDF). */
   def q14Json(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
+    events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

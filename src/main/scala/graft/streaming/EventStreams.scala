@@ -20,18 +20,29 @@ object EventStreams {
     * (late events beyond the watermark are dropped — the late-data
     * policy under test in EventStreamSpec). */
   def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) — same legacy-conf + µs
+    // truncation as the batch reader (graft.ops.Relational.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // the fixture is a bare file; FileStreamSource needs a directory, so
+    // stream the parent dir with a glob filter selecting just events
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     Events.tumbling(stream.withWatermark("ts", "1 hour"))
   }
 
   /** Run the streaming aggregation to completion over the (bounded)
     * fixture directory via a memory sink; returns the final table.
     * AvailableNow processes the backlog in bounded batches and stops —
-    * the batch-parity harness for streaming logic. */
+    * the batch-parity harness for streaming logic. Complete mode: append
+    * mode would withhold the windows still open at end-of-backlog (their
+    * watermark never passes), which is correct for an unbounded feed but
+    * wrong for a bounded parity check. */
   def runToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
     val q = tumblingStream(spark, dir).writeStream
-      .outputMode("append")
+      .outputMode("complete")
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

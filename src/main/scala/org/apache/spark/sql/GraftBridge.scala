@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column ↔ Expression converters.
+  *
+  * Spark 4.x `Column` wraps a `ColumnNode` rather than an `Expression`;
+  * the classic-API converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, which is `private[sql]`.
+  * Declaring this one-object shim inside `package org.apache.spark.sql`
+  * makes that access legal while keeping all graft code in its own
+  * packages. Used only by [[graft.functions.GraftFunctions]] to surface
+  * custom codegen expressions through the public Column API.
+  */
+object GraftBridge {
+  def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

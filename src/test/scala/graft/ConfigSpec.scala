@@ -1,0 +1,73 @@
+package graft
+
+import graft.config.{ColumnSpec, PipelineConfig}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config parse/validate/render (SURVEY §5-2; reference shape:
+  * pipelines/tableA/config.json). */
+class ConfigSpec extends AnyFunSuite {
+
+  private val refShaped =
+    """{
+      |  "template": "cds_view",
+      |  "project": "proj",
+      |  "subject": "subj",
+      |  "config": {"job_src": "tableA", "dynamoTable": "pipeline_table"},
+      |  "raw": {"rawBucket": "/tmp/raw", "rawS3Folder": "tableA", "CDSView": "table_a_view"},
+      |  "prepared": {"preparedBucket": "/tmp/prepared"},
+      |  "data_object": {
+      |    "name": "table_a",
+      |    "schema": [
+      |      {"name": "id", "type": "bigint", "comment": "pk"},
+      |      {"name": "name", "type": "string", "comment": ""},
+      |      {"name": "ts", "type": "timestamp", "comment": "event time"}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  test("parses the reference config shape") {
+    val c = PipelineConfig.parse(refShaped)
+    assert(c.jobSrc == "tableA")
+    assert(c.ledgerName == "pipeline_table")
+    assert(c.rawRoot == "/tmp/raw" && c.rawFolder == "tableA")
+    assert(c.preparedRoot == "/tmp/prepared" && c.tableName == "table_a")
+    assert(c.displayName == "proj-subj-tableA")
+    assert(c.rawRunPath("r1") == "/tmp/raw/tableA/ETL_PART_KEY=r1")
+    assert(c.preparedPath == "/tmp/prepared/tableA")
+  }
+
+  test("declared Hive type strings become Spark types (DDL parse)") {
+    val st = PipelineConfig.parse(refShaped).structType
+    assert(st.fields.map(_.dataType).toSeq == Seq(LongType, StringType, TimestampType))
+    assert(st("id").metadata.getString("comment") == "pk")
+  }
+
+  test("render → parse round-trips") {
+    val c = PipelineConfig.parse(refShaped)
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+  }
+
+  test("unknown template is rejected (reference dispatches only cds_view)") {
+    val bad = refShaped.replace("\"cds_view\"", "\"not_a_template\"")
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(bad))
+  }
+
+  test("missing required field fails fast") {
+    val bad = refShaped.replace("\"job_src\": \"tableA\", ", "")
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(bad))
+  }
+
+  test("loadAll walks a pipelines dir and skips non-pipeline entries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cfg-")
+    val p1 = dir.resolve("tableA"); java.nio.file.Files.createDirectories(p1)
+    java.nio.file.Files.writeString(p1.resolve("config.json"), refShaped)
+    java.nio.file.Files.createDirectories(dir.resolve("empty-dir"))
+    val all = PipelineConfig.loadAll(dir)
+    assert(all.map(_.jobSrc) == Seq("tableA"))
+  }
+
+  test("column spec with empty comment has no comment metadata") {
+    assert(ColumnSpec("c", "string", "").toStructField.metadata.contains("comment") == false)
+  }
+}

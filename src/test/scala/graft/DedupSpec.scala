@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Dedup semantics on a crafted corpus with planted duplicates —
+  * separate from the DuckDB-oracle checks, this pins the *set* of pairs
+  * each family must find. */
+class DedupSpec extends AnyFunSuite {
+
+  /** Crafted documents table: 1/2 exact dupes, 3/4 near-dupes (one word
+    * changed), 5 unrelated, 6 short unrelated. */
+  private lazy val dir: String = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dedup-")
+    val base = "the quick brown fox jumps over the lazy dog while the cat watches " * 8
+    val docs = Seq(
+      (1L, base, "en", "crafted", base.length.toLong),
+      (2L, base, "en", "crafted", base.length.toLong),
+      (3L, base + "ending one two three", "en", "crafted", (base + "ending one two three").length.toLong),
+      (4L, base + "ending one two four", "en", "crafted", (base + "ending one two four").length.toLong),
+      (5L, "completely different text about spark catalyst optimizer internals and shuffle exchanges in query plans", "en", "crafted", 100L),
+      (6L, "unrelated short snippet", "en", "crafted", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    tmp.toString
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val spark = TestSpark.spark
+    val rows = Dedup.ddExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(1L) == 2L, "docs 1+2 are identical → one group of 2 kept at doc 1")
+    assert(rows.values.count(_ == 1L) == 4)
+    val kept = Dedup.ddExactDocs(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds exact and near pairs, never unrelated ones") {
+    val spark = TestSpark.spark
+    val pairs = Dedup.ddMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dupes must bucket together")
+    assert(pairs.contains((3L, 4L)), "one-word-changed docs must bucket together")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash finds near pairs within hamming 3") {
+    val spark = TestSpark.spark
+    val pairs = Dedup.ddSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("ngram jaccard: exact dupes score 1.0, near dupes ≥ 0.8") {
+    val spark = TestSpark.spark
+    val rows = Dedup.ddNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) == 1.0)
+    assert(rows.get((3L, 4L)).exists(_ >= 0.8))
+    assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("ANN LSH top-k ranks the planted exact dupe first (on fixtures)") {
+    val spark = TestSpark.spark
+    // brute-force exact baseline on the real embeddings fixture
+    val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
+    val top1 = exact.filter("query_id = 0 AND rank = 1").collect()
+    assert(top1.length == 1)
+    // LSH candidates are a subset of real vectors with sane cosine range
+    val ann = Similarity.simAnnLsh(spark, TestSpark.Sf0001).collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall(r => math.abs(r.getDouble(3)) <= 1.000001))
+  }
+}

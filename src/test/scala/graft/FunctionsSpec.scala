@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom codegen expressions: cosine_similarity + text_fingerprint,
+  * through both the Column API (GraftBridge path) and SQL registration. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private def vecDf = {
+    val spark = TestSpark.spark
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal -> 0
+        Row(Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)),   // parallel -> 1
+        Row(Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),  // opposite -> -1
+        Row(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),   // zero norm -> null
+        Row(Seq(1.0f), Seq(1.0f, 1.0f)),         // length mismatch -> null
+        Row(null, Seq(1.0f))),                   // null input -> null
+      schema)
+  }
+
+  test("cosine_similarity: known geometries via the Column API") {
+    val got = vecDf
+      .select(round(GraftFunctions.cosine_similarity(col("a"), col("b")), 6).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(0.0), Some(1.0), Some(-1.0), None, None, None))
+  }
+
+  test("cosine_similarity: interpreted eval agrees with codegen") {
+    val spark = TestSpark.spark
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val got = vecDf
+        .select(round(GraftFunctions.cosine_similarity(col("a"), col("b")), 6).as("c"))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+      assert(got == Seq(Some(0.0), Some(1.0), Some(-1.0), None, None, None))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("text_fingerprint: deterministic, matches the reference rolling hash") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def manual(s: String): Long = {
+      var h = 1125899906842597L
+      s.getBytes("UTF-8").foreach(b => h = 31L * h + b)
+      h
+    }
+    val got = Seq("hello world", "", "hello world", "héllo")
+      .toDF("t").select(GraftFunctions.text_fingerprint(col("t"))).as[Long].collect()
+    assert(got(0) == manual("hello world"))
+    assert(got(1) == manual(""))
+    assert(got(2) == got(0))
+    assert(got(3) == manual("héllo"))
+  }
+
+  test("SQL registration: both functions callable from spark.sql") {
+    val spark = TestSpark.spark
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                         array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       text_fingerprint('abc') AS f""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getLong(1) != 0L)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.config.{ColumnSpec, PipelineConfig}
+import graft.jobs.{PreparedLayerJob, RawLayerJob}
+import graft.ledger.LocalJsonLedger
+import graft.orchestrate.Orchestrator
+import graft.sources.{ParquetSource, SourceReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Medallion invariants (SURVEY §5-2/§5-3): raw job row preservation +
+  * audit column, exactly-once promotion, catalog queryability, failure
+  * policy, end-to-end. */
+class PipelineSpec extends AnyFunSuite {
+
+  private def cfgFor(tmp: Path) = PipelineConfig(
+    template = PipelineConfig.CdsViewTemplate,
+    project = "graft", subject = "test",
+    jobSrc = "lineitem", ledgerName = "pipeline_ledger",
+    rawRoot = s"$tmp/raw", rawFolder = "lineitem", cdsView = "lineitem",
+    preparedRoot = s"$tmp/prepared", tableName = s"t_${tmp.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}",
+    schema = Seq(
+      ColumnSpec("l_orderkey", "bigint", ""), ColumnSpec("l_partkey", "bigint", ""),
+      ColumnSpec("l_suppkey", "bigint", ""), ColumnSpec("l_linenumber", "int", ""),
+      ColumnSpec("l_quantity", "double", ""), ColumnSpec("l_extendedprice", "double", ""),
+      ColumnSpec("l_discount", "double", ""), ColumnSpec("l_tax", "double", ""),
+      ColumnSpec("l_returnflag", "string", ""), ColumnSpec("l_linestatus", "string", ""),
+      ColumnSpec("l_shipdate", "timestamp", "")))
+
+  private val src = ParquetSource(s"${TestSpark.Sf0001}/lineitem.parquet")
+  private def fixtureRows(spark: SparkSession): Long =
+    spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet").count()
+
+  test("raw job preserves rows, stamps ETL_PART_KEY == runId, snappy parquet") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-raw-")
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val cfg = cfgFor(tmp)
+    val m = RawLayerJob.run(spark, cfg, src, ledger, "runA")
+    assert(m.rows == fixtureRows(spark))
+    // the raw layer is Hive-partitioned on the audit key
+    val written = spark.read.parquet(cfg.rawTablePath)
+    assert(written.count() == m.rows)
+    assert(written.filter(col("ETL_PART_KEY") === "runA").count() == m.rows)
+    // ledger records the run as RAW COMPLETED with the audit count
+    val rec = ledger.pending(spark, "lineitem")
+    assert(rec.map(_.partition_key) == Seq("runA"))
+    assert(rec.head.rawEntryCount == m.rows.toString)
+  }
+
+  test("promotion is exactly-once: drain twice ≡ drain once") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-promo-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    val first = Orchestrator.drain(spark, cfg, ledger)
+    assert(first.map(_.runId) == Seq("run1"))
+    val again = Orchestrator.drain(spark, cfg, ledger)
+    assert(again.isEmpty, "second drain must promote nothing")
+    assert(spark.read.parquet(cfg.preparedPath).count() == fixtureRows(spark))
+  }
+
+  test("successive runs append to the prepared prefix (accumulating layer)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-accum-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    RawLayerJob.run(spark, cfg, src, ledger, "run2")
+    Orchestrator.drain(spark, cfg, ledger)
+    val prepared = spark.read.parquet(cfg.preparedPath)
+    assert(prepared.count() == 2 * fixtureRows(spark))
+    assert(prepared.select("ETL_PART_KEY").distinct().count() == 2)
+  }
+
+  test("end-to-end: cataloged table is queryable by name with declared schema") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-e2e-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val table = Orchestrator.runEndToEnd(spark, cfg, src, ledger, "run1")
+    val df = spark.sql(s"SELECT l_returnflag, count(*) AS n FROM $table GROUP BY l_returnflag")
+    assert(df.count() > 0)
+    val cols = spark.table(table).schema.fieldNames.toSeq
+    assert(cols.take(11) == cfgFor(tmp).schema.map(_.name))
+    assert(cols.last == "ETL_PART_KEY")
+  }
+
+  test("failure policy: source failure leaves the ledger untouched") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-fail-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val boom = new SourceReader {
+      override def read(s: SparkSession): DataFrame = throw new RuntimeException("source down")
+    }
+    assertThrows[RuntimeException](RawLayerJob.run(spark, cfg, boom, ledger, "runF"))
+    assert(ledger.records(spark).count() == 0, "failed run must be invisible downstream")
+  }
+
+  test("event-driven watch promotes like a synchronous drain") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-watch-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    val q = Orchestrator.watch(spark, cfg, ledger, s"$tmp/ckpt")
+    q.awaitTermination()
+    assert(spark.read.parquet(cfg.preparedPath).count() == fixtureRows(spark))
+    assert(ledger.pending(spark, "lineitem").isEmpty)
+  }
+}
