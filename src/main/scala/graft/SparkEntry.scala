@@ -76,11 +76,13 @@ object SparkEntry {
     "q15_array_hof" -> (Relational.q15ArrayHof _),
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_union_dedup" -> (Relational.q17UnionDedup _),
+    "q18_asof_join" -> (Relational.q18AsofJoin _),
     "q23_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: HLL
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
     "ev_sessions" -> (Events.evSessions _), // rows-only: no session windows in ANSI SQL
+    "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // rows-only: custom-state streaming op
     "ev_user_sequence" -> (Events.evUserSequence _),
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "q15_array_hof" -> Relational.q15Oracle,
     "q16_grouping_sets" -> Relational.q16Oracle,
     "q17_union_dedup" -> Relational.q17Oracle,
+    "q18_asof_join" -> Relational.q18Oracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,

@@ -119,7 +119,11 @@ object PipelineConfig {
     * fail fast rather than being silently skipped. */
   def loadAll(pipelinesDir: Path): Seq[PipelineConfig] = {
     if (!Files.isDirectory(pipelinesDir)) return Seq.empty
-    Files.list(pipelinesDir).iterator().asScala.toSeq.sortBy(_.toString).flatMap { sub =>
+    val listing = Files.list(pipelinesDir)
+    val subs =
+      try listing.iterator().asScala.toSeq.sortBy(_.toString)
+      finally listing.close() // Files.list holds an fd until closed
+    subs.flatMap { sub =>
       val cfg = sub.resolve("config.json")
       if (Files.isRegularFile(cfg)) Some(load(cfg)) else None
     }

@@ -120,7 +120,10 @@ final class LocalJsonLedger(val dir: Path) extends RunLedger {
 
   override def records(spark: SparkSession): Dataset[RunRecord] = {
     import spark.implicits._
-    val hasAny = Files.list(dir).iterator().asScala.exists(_.toString.endsWith(".json"))
+    val listing = Files.list(dir)
+    val hasAny =
+      try listing.iterator().asScala.exists(_.toString.endsWith(".json"))
+      finally listing.close() // Files.list holds an fd until closed
     if (!hasAny) spark.emptyDataset[RunRecord]
     else spark.read.schema(RunLedger.schema)
       .json(dir.toString + "/*.json").as[RunRecord]

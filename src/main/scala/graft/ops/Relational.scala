@@ -400,6 +400,45 @@ object Relational {
       |  SELECT c_nationkey AS nationkey FROM customer
       |) t ORDER BY nationkey""".stripMargin
 
+  /** As-of join: for every error event, the most recent click by the
+    * same user at or before it (time-series point-in-time lookup — the
+    * join family Spark lacks natively).
+    *
+    * Idiom: union the two tagged streams, ONE shuffle on user_id, and
+    * carry the latest click timestamp forward in event-time order
+    * (last_value ignoreNulls over an unbounded-preceding frame). At
+    * 100 TB this beats a theta-join formulation (which Spark would plan
+    * as a broadcast-nested-loop or a range-exploded join): cost is one
+    * exchange + one in-partition sort, identical to any windowed query.
+    * Ties (click and error in the same microsecond) order the click
+    * first, matching the oracle's `e.ts >= c.cts` inclusive semantics. */
+  def q18AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("is_click"),
+        lit(null).cast("bigint").as("event_id"), col("ts").as("cts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), lit(0).as("is_click"),
+        col("event_id"), lit(null).cast("timestamp").as("cts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("is_click").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_click_ts", last(col("cts"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("last_click_ts"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  def q18Oracle: String =
+    """SELECT e.user_id, e.event_id, e.ts, c.cts AS last_click_ts
+      |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      |                FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id AND e.ts >= c.cts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
   /** HLL approximate distinct — graded rows-only (algorithms differ
     * across engines, so no value oracle). */
   def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =

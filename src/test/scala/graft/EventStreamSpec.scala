@@ -9,6 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * batch twin — window() semantics are identical in both modes. */
 class EventStreamSpec extends AnyFunSuite {
 
+  test("stateful sessionization: closed sessions match batch session_window") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StatefulSessions
+      .evSessionsStateful(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 4).as("s"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Events.evSessions(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events").cast("bigint"), round(col("sum_value"), 4).as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    // every closed streamed session is exactly a batch session
+    val missing = streamed -- batch
+    assert(missing.isEmpty, s"streamed-only sessions: ${missing.take(3)}")
+    // only each user's final (still-open) session may be absent
+    val users = batch.map(_.head).size
+    assert(batch.size - streamed.size <= users)
+  }
+
   test("streaming tumbling windows == batch tumbling windows") {
     val spark = TestSpark.spark
     val streamed = EventStreams.runToMemory(spark, TestSpark.Sf0001, "ev_parity")
