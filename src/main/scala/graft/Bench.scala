@@ -18,9 +18,11 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
-        // per-query caches (dedup signatures etc.) are query-internal;
-        // drop them so queries don't contend for memory across the run
+        // per-query caches and localCheckpoint blocks (dedup signatures
+        // etc.) are query-internal; drop them so queries don't contend
+        // for memory across the run (safe: each rep rebuilds its plan)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         s
       }.min
       name -> sec

@@ -94,6 +94,7 @@ object SparkEntry {
     // §7.3-4 similarity search
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
     "sim_ann_lsh" -> (Similarity.simAnnLsh _), // rows-only: probabilistic recall by design
+    "sim_ann_ivf" -> (Similarity.simAnnIvf _), // rows-only: probabilistic recall by design
     // §7.3-4 text analysis
     "tx_tokens" -> (TextAnalysis.txTokens _),
     "tx_quality" -> (TextAnalysis.txQuality _),

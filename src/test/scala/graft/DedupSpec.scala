@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("IVF ANN: scores are exact cosines; recall overlaps brute force") {
+    val spark = TestSpark.spark
+    val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = Similarity.simAnnIvf(spark, TestSpark.Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // per-query cap of 10 holds
+    assert(ivf.groupBy(_._1._1).forall(_._2.size <= 10))
+    // rescoring is exact: wherever IVF and brute force share a pair, the
+    // cosine is identical
+    val shared = ivf.filter(p => exact.contains(p._1))
+    assert(shared.nonEmpty, "IVF found none of the true top-10 neighbors")
+    assert(shared.forall { case (k, c) => math.abs(exact(k) - c) < 1e-9 })
+    // coarse recall: probing 3 of 10 cells finds a reasonable share
+    assert(shared.size >= ivf.length / 5,
+      s"recall too low: ${shared.size}/${ivf.length}")
+  }
+
   test("ANN LSH top-k ranks the planted exact dupe first (on fixtures)") {
     val spark = TestSpark.spark
     // brute-force exact baseline on the real embeddings fixture
