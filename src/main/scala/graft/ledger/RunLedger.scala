@@ -84,7 +84,7 @@ trait RunLedger {
     val mine = all.filter(_.job_src == jobSrc)
     val promoted = mine.filter(_.state == RunState.PreparedCompleted).map(_.partition_key).toSet
     mine.filter(r => r.state == RunState.RawCompleted && !promoted.contains(r.partition_key))
-      .sortBy(_.partition_key)
+      .sortBy(_.partition_key).toSeq
   }
 }
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * validates the streaming logic.
   */
 object Events {
-  import Relational.t
+  import Relational.events
 
   /** Exact, order-independent sum of a double column (see Relational). */
   private def dsum(c: org.apache.spark.sql.Column, alias: String) =
@@ -29,7 +29,7 @@ object Events {
         col("n"), col("sum_value"))
 
   def evTumbling(spark: SparkSession, dir: String): DataFrame =
-    tumbling(Relational.events(spark, dir))
+    tumbling(events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
   def evTumblingOracle: String =
@@ -50,7 +50,7 @@ object Events {
       .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
 
   def evSliding(spark: SparkSession, dir: String): DataFrame =
-    sliding(Relational.events(spark, dir)).orderBy(col("window_start"))
+    sliding(events(spark, dir)).orderBy(col("window_start"))
 
   def evSlidingOracle: String =
     """SELECT ws AS window_start, count(*) AS n,
@@ -75,7 +75,7 @@ object Events {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
   def evSessions(spark: SparkSession, dir: String): DataFrame =
-    sessions(Relational.events(spark, dir))
+    sessions(events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
   /** Per-user event sequencing: previous event type and seconds since it
@@ -84,7 +84,7 @@ object Events {
   def evUserSequence(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    Relational.events(spark, dir)
+    events(spark, dir)
       .filter(col("user_id") < 50)
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .withColumn("secs_since_prev",

@@ -155,6 +155,7 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+      .toSeq
     // 2. nearest-cell assignment: argmax over codegen'd cosines against
     //    literal centroids (deterministic tie-break on cell id)
     def cellOf(emb: org.apache.spark.sql.Column) =
