@@ -97,12 +97,15 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.simAnnIvf _), // rows-only: probabilistic recall by design
     // §7.3-4 text analysis
     "tx_tokens" -> (TextAnalysis.txTokens _),
+    "tx_tokens_bpe" -> (TextAnalysis.txTokensBpe _),
     "tx_quality" -> (TextAnalysis.txQuality _),
     "tx_lang_id" -> (TextAnalysis.txLangId _), // rows-only: heuristic dict
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
     // §7.3-4 multimodal plumbing (codec is a declared stub)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: stub codec features
     "mm_bytes_by_modality" -> (Multimodal.mmBytesByModality _),
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.mmResize(s, d)), // rows-only: dims from stub codec
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // rows-only: duration from stub codec
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +138,7 @@ object SparkEntry {
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
+    "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,
     "mm_bytes_by_modality" -> Multimodal.mmBytesByModalityOracle,
   )

@@ -105,4 +105,39 @@ object Multimodal {
       |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
       |FROM documents
       |GROUP BY 1 ORDER BY modality""".stripMargin
+
+  /** Target box for [[mmResize]]. */
+  private val MaxW = 336
+  private val MaxH = 336
+
+  /** Resize planning for image media: aspect-preserving fit into a
+    * MaxW×MaxH box (the standard vision-model preprocessing step). The
+    * geometry is REAL (pure arithmetic on the decoded dims); only the
+    * dims themselves come from the STUB codec. Per-row, no shuffle;
+    * payload dropped before output. A real implementation would add the
+    * resampled bytes inside the same mapPartitions as [[mmFeatures]]. */
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    mmFeatures(spark, dir)
+      .filter(col("modality") === "image")
+      .withColumn("scale",
+        least(lit(MaxW) / col("width"), lit(MaxH) / col("height"), lit(1.0)))
+      .select(col("media_id"), col("width"), col("height"),
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("int").as("out_width"),
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("int").as("out_height"))
+      .orderBy(col("media_id"))
+
+  /** Frame-sample planning for time-based media: n evenly spaced sample
+    * offsets across the (stub-decoded) duration, as an exploded
+    * (media_id, frame_idx, offset_ms) table — the shape a video pipeline
+    * feeds to a batched decoder. Codegen'd sequence/explode; one row per
+    * sampled frame; payload never carried. */
+  def mmFrameSample(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame =
+    mmFeatures(spark, dir)
+      .filter(col("duration_ms") > 0)
+      .select(col("media_id"), col("duration_ms"),
+        posexplode(sequence(lit(0), lit(nFrames - 1))).as(Seq("frame_idx", "i")))
+      .select(col("media_id"), col("frame_idx"),
+        floor(col("i") * col("duration_ms") / nFrames +
+          col("duration_ms") / (2 * nFrames)).cast("bigint").as("offset_ms"))
+      .orderBy(col("media_id"), col("frame_idx"))
 }

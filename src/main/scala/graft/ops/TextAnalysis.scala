@@ -35,6 +35,32 @@ object TextAnalysis {
       |        len(string_split(text, ' ')), 4) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish subword-boundary pattern: letter runs, digit runs, or single
+    * non-alphanumeric marks — the pre-tokenizer split a byte-pair encoder
+    * sees (north-star "whitespace + a BPE-ish regex" token counting). */
+  private val BpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Regex token counting (the BPE-ish twin of [[txTokens]]): counts
+    * pre-tokenizer units rather than whitespace words. Codegen'd
+    * regexp_count per row, no shuffle. Oracle-checked (the pattern has
+    * identical semantics in Spark's and DuckDB's regex engines). */
+  def txTokensBpe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(BpeIshPattern)).as("n_bpe_tokens"),
+        size(toks).as("n_ws_tokens"),
+        round(regexp_count(col("text"), lit(BpeIshPattern)).cast("double") /
+          size(toks), 4).as("bpe_per_word"))
+      .orderBy(col("doc_id"))
+
+  def txTokensBpeOracle: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$BpeIshPattern')) AS n_bpe_tokens,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  round(CAST(len(regexp_extract_all(text, '$BpeIshPattern')) AS DOUBLE) /
+       |        len(string_split(text, ' ')), 4) AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   /** Quality scoring: stopword ratio, short/long token ratios, length
