@@ -77,6 +77,9 @@ object SparkEntry {
     "q16_grouping_sets" -> (Relational.q16GroupingSets _),
     "q17_union_dedup" -> (Relational.q17UnionDedup _),
     "q18_asof_join" -> (Relational.q18AsofJoin _),
+    "q19_pivot" -> (Relational.q19Pivot _),
+    "q20_percentiles" -> (Relational.q20Percentiles _),
+    "q21_correlated_subquery" -> (Relational.q21CorrelatedSubquery _),
     "q23_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: HLL
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
@@ -129,6 +132,9 @@ object SparkEntry {
     "q16_grouping_sets" -> Relational.q16Oracle,
     "q17_union_dedup" -> Relational.q17Oracle,
     "q18_asof_join" -> Relational.q18Oracle,
+    "q19_pivot" -> Relational.q19Oracle,
+    "q20_percentiles" -> Relational.q20Oracle,
+    "q21_correlated_subquery" -> Relational.q21Oracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,

@@ -439,6 +439,73 @@ object Relational {
       |  ON e.user_id = c.user_id AND e.ts >= c.cts
       |ORDER BY e.user_id, e.event_id""".stripMargin
 
+  /** Pivot: order counts cross-tabulated status × priority. Spark plans
+    * pivot as a single grouped aggregation with one conditional-agg
+    * column per pivot value (same shape as the manual CASE formulation
+    * the oracle uses) — one shuffle on the group key, pivot values must
+    * be enumerable (they are: 5 priorities). */
+  def q19Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .na.fill(0L, prios)
+      .select(col("o_orderstatus") +: prios.zipWithIndex.map { case (p, i) =>
+        col(p).as(s"p${i + 1}") }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def q19Oracle: String =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+      |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+      |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+      |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Exact percentiles (median/p90/p99) per group — the sort-based
+    * `percentile` aggregate. At scale prefer approx_percentile (t-digest
+    * sketch, map-side mergeable); the exact form is the correctness
+    * anchor and is what the oracle can reproduce deterministically. */
+  def q20Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  def q20Oracle: String =
+    """SELECT l_returnflag,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+      |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Correlated scalar subquery: customers with balance above their
+    * nation's average. Catalyst de-correlates this into an aggregate +
+    * join (visible in the plan as a single shuffle on nationkey) — the
+    * declarative form costs the same as the hand-written join. */
+  def q21CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("cust_q21")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        |FROM cust_q21 o
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_q21 i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def q21Oracle: String =
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+      |FROM customer o
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+      |                   WHERE i.c_nationkey = o.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   /** HLL approximate distinct — graded rows-only (algorithms differ
     * across engines, so no value oracle). */
   def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
