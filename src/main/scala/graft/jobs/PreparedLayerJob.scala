@@ -32,10 +32,16 @@ object PreparedLayerJob {
   def promote(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
       rawRecord: RunRecord): JobMetrics = {
     // The raw layer is Hive-partitioned on ETL_PART_KEY; basePath keeps
-    // the partition column in the promoted rows.
+    // the partition column in the promoted rows. Partition discovery
+    // type-infers the all-digit run id as decimal(20,0) — cast it back
+    // to string or the prepared files disagree with the catalog's
+    // declared `ETL_PART_KEY string` (vectorized reads then fail with
+    // SchemaColumnConvertNotSupportedException).
     val rawTable = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}"
     val rawPath = s"$rawTable/ETL_PART_KEY=${rawRecord.partition_key}"
     val df = spark.read.option("basePath", rawTable).parquet(rawPath)
+      .withColumn("ETL_PART_KEY",
+        org.apache.spark.sql.functions.col("ETL_PART_KEY").cast("string"))
     df.write
       .option("compression", "snappy")
       .mode("append") // successive runs accumulate under the cataloged prefix

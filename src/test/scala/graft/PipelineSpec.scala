@@ -83,8 +83,12 @@ class PipelineSpec extends AnyFunSuite {
     val cfg = cfgFor(tmp)
     val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
     val table = Orchestrator.runEndToEnd(spark, cfg, src, ledger, "run1")
-    val df = spark.sql(s"SELECT l_returnflag, count(*) AS n FROM $table GROUP BY l_returnflag")
+    // group on ETL_PART_KEY too: materializing the audit column catches
+    // partition-type drift between prepared files and the declared schema
+    val df = spark.sql(
+      s"SELECT l_returnflag, ETL_PART_KEY, count(*) AS n FROM $table GROUP BY 1, 2")
     assert(df.count() > 0)
+    assert(df.select("ETL_PART_KEY").distinct().collect().map(_.getString(0)).toSeq == Seq("run1"))
     val cols = spark.table(table).schema.fieldNames.toSeq
     assert(cols.take(11) == cfgFor(tmp).schema.map(_.name))
     assert(cols.last == "ETL_PART_KEY")
