@@ -1,36 +1,115 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Benchmark harness: runs every [[SparkEntry.queries]] entry against
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":…,"queries":{…},…}`.
+  *
+  * Each query runs in its OWN forked JVM ([[BenchChild]]) — round 3
+  * showed ~150 s of cross-query interference inside one shared session
+  * (accumulated temp views/memory tables/codegen caches + GC pressure
+  * put 20–50 s on trivially-planned queries late in the run, e.g. a 51 s
+  * q21 whose plan is <1 s). A fresh JVM per query is the only isolation
+  * that makes the per-query numbers attributable to the plan. The
+  * parent needs no SparkSession at all.
+  *
+  * Failures are NOT swallowed: a query whose child exits nonzero (or
+  * times out) is recorded under `"errors"` with no timing at all, and
+  * the bench itself exits nonzero — a regression that breaks a query can
+  * only make the bench fail, never look faster.
+  */
 object Bench {
+  // mirrors build.sbt's jdk17AddOpens (children bypass sbt's javaOptions)
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_SEC", "600").toLong
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = mutable.LinkedHashMap.empty[String, Double]
+    val errors = mutable.LinkedHashMap.empty[String, String]
+    names.foreach { name =>
+      val cmd = (Seq(javaBin) ++ AddOpens ++ Seq(
+        s"-Xmx$mem",
+        "-Dspark.ui.enabled=false",
+        "-cp", cp, "graft.BenchChild", name, sfDir)).toArray
+      // streams go to temp files: piping would deadlock on a full pipe
+      // buffer (Spark logs to stderr) or hang readAllBytes on a hung child
+      val outF = java.nio.file.Files.createTempFile("bench-", ".out").toFile
+      val errF = java.nio.file.Files.createTempFile("bench-", ".err").toFile
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectOutput(outF)
+      pb.redirectError(errF)
+      val proc = pb.start()
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      val out = java.nio.file.Files.readString(outF.toPath)
+      val err = java.nio.file.Files.readString(errF.toPath)
+      outF.delete(); errF.delete()
+      if (!finished) {
+        proc.destroyForcibly()
+        errors(name) = s"timeout after ${timeoutSec}s"
+      } else if (proc.exitValue() != 0) {
+        errors(name) = err.linesIterator.toSeq.takeRight(3).mkString(" | ")
+          .replaceAll("[\"\\\\]", "'").take(300)
+      } else {
+        out.linesIterator.find(_.startsWith("BENCHCHILD ")) match {
+          case Some(line) => times(name) = line.stripPrefix("BENCHCHILD ").trim.toDouble
+          case None => errors(name) = "child produced no BENCHCHILD line"
+        }
+      }
+      System.err.println(s"[bench] $name " +
+        times.get(name).map(t => f"$t%.2fs").getOrElse(s"FAILED: ${errors.getOrElse(name, "?")}"))
+    }
+    val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    if (errors.nonEmpty) sys.exit(1)
+  }
+}
+
+/** One query in one fresh JVM: builds its own SparkSession, runs the
+  * query `SPARK_GRAFT_BENCH_REPS` times (default 2), prints
+  * `BENCHCHILD <min-seconds>` and exits 0; any failure propagates as a
+  * nonzero exit (the parent records it — never a timing). */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // min-of-3 in one JVM: rep 1 pays JIT/codegen warmup (~3-5 s even on
+    // trivial plans), rep 3 is the plan's honest time
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best-of-2: the sandbox shows tens-of-seconds interference spikes
-      // (same query 2.4s/405s across runs of identical code); min-of-two
-      // is the standard way to report the machine's actual capability
-      val sec = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val s = (System.nanoTime() - t0) / 1e9
-        // per-query caches and localCheckpoint blocks (dedup signatures
-        // etc.) are query-internal; drop them so queries don't contend
-        // for memory across the run (safe: each rep rebuilds its plan)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        s
-      }.min
-      name -> sec
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fn = SparkEntry.queries(name)
+    val secs = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val s = (System.nanoTime() - t0) / 1e9
+      // per-query localCheckpoint blocks are query-internal; drop them so
+      // the next rep starts cold-equivalent
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      s
+    }.min
+    println(s"BENCHCHILD $secs")
     spark.stop()
   }
 }

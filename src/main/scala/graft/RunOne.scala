@@ -19,6 +19,7 @@ object RunOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events fixture is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
     // ad-hoc conf A/B: SPARK_GRAFT_CONF="k=v,k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))

@@ -84,13 +84,14 @@ object SparkEntry {
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
-    "ev_sessions" -> (Events.evSessions _), // rows-only: no session windows in ANSI SQL
-    "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // rows-only: custom-state streaming op
+    "ev_sessions" -> (Events.evSessions _), // oracle: gaps-and-islands ANSI twin
+    "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // rows-only: custom-state streaming op (watermark-gated emission)
     "ev_user_sequence" -> (Events.evUserSequence _),
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
+    "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability diagnostic
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
@@ -104,11 +105,11 @@ object SparkEntry {
     "tx_quality" -> (TextAnalysis.txQuality _),
     "tx_lang_id" -> (TextAnalysis.txLangId _), // rows-only: heuristic dict
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
-    // §7.3-4 multimodal plumbing (codec is a declared stub)
-    "mm_features" -> (Multimodal.mmFeatures _), // rows-only: stub codec features
-    "mm_bytes_by_modality" -> (Multimodal.mmBytesByModality _),
-    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.mmResize(s, d)), // rows-only: dims from stub codec
-    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // rows-only: duration from stub codec
+    // §7.3-4 multimodal (image decode is REAL javax.imageio; audio stub)
+    "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
+    "mm_media_summary" -> (Multimodal.mmMediaSummary _), // oracle: decoded pixel geometry
+    "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.mmResize(s, d)), // oracle: real decoded dims
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // rows-only: duration from audio stub
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,15 +138,18 @@ object SparkEntry {
     "q21_correlated_subquery" -> Relational.q21Oracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
+    "ev_sessions" -> Events.evSessionsOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
+    "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,
-    "mm_bytes_by_modality" -> Multimodal.mmBytesByModalityOracle,
+    "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
+    "mm_resize" -> Multimodal.mmResizeOracle,
   )
 }

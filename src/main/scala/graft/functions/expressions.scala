@@ -132,6 +132,110 @@ case class TextFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Nearest-centroid assignment for IVF indexing: the cell index (row of
+  * `centroids`) whose cosine similarity to the input vector is highest,
+  * ties broken toward the lower index.
+  *
+  * Why an Expression with the centroid matrix as a plan constant: the
+  * k-means assignment step evaluates k cosines per corpus row. The
+  * previous formulation built `greatest()` over k per-centroid struct
+  * literals — generated code grows O(k·dim) expression nodes and blows
+  * past JIT/codegen limits in the hundreds of cells, where real IVF wants
+  * thousands. Here the matrix is ONE referenced object (shipped to
+  * executors once inside the serialized plan, like a broadcast), and the
+  * generated code is a tight k×dim primitive loop — codegen size is
+  * O(1) in k. Returns null for null/empty/unmatchable inputs.
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects an array<float> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val xv = x.getFloat(i).toDouble; nx += xv * xv; i += 1 }
+    if (n == 0 || nx == 0.0) return null
+    var best = -1
+    var bestCos = -2.0
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      if (cen.length == n) {
+        var dot = 0.0; var ny = 0.0; var j = 0
+        while (j < n) {
+          val xv = x.getFloat(j).toDouble; val yv = cen(j).toDouble
+          dot += xv * yv; ny += yv * yv; j += 1
+        }
+        if (ny > 0.0) {
+          val cos = dot / (math.sqrt(nx) * math.sqrt(ny))
+          if (cos > bestCos) { bestCos = cos; best = c }
+        }
+      }
+      c += 1
+    }
+    if (best < 0) null else Integer.valueOf(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, x => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val best = ctx.freshName("best")
+      val bestCos = ctx.freshName("bestCos")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val dot = ctx.freshName("dot")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val cos = ctx.freshName("cos")
+      s"""
+         |final int $n = $x.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xv = (double) $x.getFloat($i); $nx += $xv * $xv;
+         |}
+         |if ($n == 0 || $nx == 0.0) { ${ev.isNull} = true; } else {
+         |  int $best = -1; double $bestCos = -2.0;
+         |  for (int $c = 0; $c < $cents.length; $c++) {
+         |    final float[] $cen = $cents[$c];
+         |    if ($cen.length != $n) continue;
+         |    double $dot = 0.0, $ny = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      final double $xv = (double) $x.getFloat($j);
+         |      final double $yv = (double) $cen[$j];
+         |      $dot += $xv * $yv; $ny += $yv * $yv;
+         |    }
+         |    if ($ny > 0.0) {
+         |      final double $cos = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |      if ($cos > $bestCos) { $bestCos = $cos; $best = $c; }
+         |    }
+         |  }
+         |  if ($best < 0) { ${ev.isNull} = true; } else { ${ev.value} = $best; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points + SQL registration for the custom expressions.
   * Spark 4.x `Column` wraps a `ColumnNode`, not an `Expression`; the
   * converters are `private[sql]`, so they're reached through
@@ -145,6 +249,9 @@ object GraftFunctions {
 
   def text_fingerprint(c: Column): Column =
     GraftBridge.toCol(TextFingerprint(GraftBridge.toExpr(c)))
+
+  def nearest_centroid(c: Column, centroids: Array[Array[Float]]): Column =
+    GraftBridge.toCol(NearestCentroid(GraftBridge.toExpr(c), centroids))
 
   /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -24,10 +24,25 @@ import java.nio.file.Paths
   * source instead.
   */
 object Main {
+  private val Usage =
+    "usage: graft.jobs.Main --pipelines-dir <dir> --job_src <name> [--layer raw|prepared|e2e] [--run-id <id>]"
+
+  /** Fail-fast argument resolution (the reference's `getResolvedOptions`
+    * semantics: a malformed invocation raises instead of silently
+    * shifting later flags — reference glue src/raw_layer_job.py:29-36). */
+  private[jobs] def parseArgs(args: Array[String]): Map[String, String] = {
+    if (args.length % 2 != 0)
+      sys.error(s"unpaired argument '${args.last}'\n$Usage")
+    args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") => k -> v
+      case Array(k, _) => sys.error(s"expected a --flag, got '$k'\n$Usage")
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val opts = parseArgs(args)
     def req(k: String): String =
-      opts.getOrElse(k, sys.error(s"missing required argument $k"))
+      opts.getOrElse(k, sys.error(s"missing required argument $k\n$Usage"))
     val pipelinesDir = Paths.get(req("--pipelines-dir"))
     val jobSrc = req("--job_src")
     val layer = opts.getOrElse("--layer", "e2e")
@@ -41,6 +56,7 @@ object Main {
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events fixture is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")
       .appName(cfg.displayName)
       .getOrCreate()

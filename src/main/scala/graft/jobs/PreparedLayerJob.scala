@@ -33,15 +33,18 @@ object PreparedLayerJob {
       rawRecord: RunRecord): JobMetrics = {
     // The raw layer is Hive-partitioned on ETL_PART_KEY; basePath keeps
     // the partition column in the promoted rows. Partition discovery
-    // type-infers the all-digit run id as decimal(20,0) — cast it back
-    // to string or the prepared files disagree with the catalog's
-    // declared `ETL_PART_KEY string` (vectorized reads then fail with
-    // SchemaColumnConvertNotSupportedException).
+    // would type-infer the all-digit run id (decimal(20,0)), and casting
+    // back corrupts any non-canonical id (leading zeros: '00123'→'123',
+    // silently diverging from the ledger's partition_key). Supplying the
+    // schema explicitly — file schema from the run's own footers plus
+    // `ETL_PART_KEY string` — bypasses inference entirely, so the run id
+    // round-trips as the literal path string.
     val rawTable = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}"
     val rawPath = s"$rawTable/ETL_PART_KEY=${rawRecord.partition_key}"
-    val df = spark.read.option("basePath", rawTable).parquet(rawPath)
-      .withColumn("ETL_PART_KEY",
-        org.apache.spark.sql.functions.col("ETL_PART_KEY").cast("string"))
+    val fileSchema = spark.read.parquet(rawPath).schema // leaf dir: data columns only
+    val df = spark.read.option("basePath", rawTable)
+      .schema(fileSchema.add("ETL_PART_KEY", org.apache.spark.sql.types.StringType))
+      .parquet(rawPath)
     df.write
       .option("compression", "snappy")
       .mode("append") // successive runs accumulate under the cataloged prefix

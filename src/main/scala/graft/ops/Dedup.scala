@@ -83,8 +83,37 @@ object Dedup {
     * 100 TB ultra-hot shingles (stopword 5-grams) are THE skew killer —
     * one shingle in 1M docs makes a 10^12-row join bucket. The capped
     * semantics are part of the operator's spec: the oracle applies the
-    * identical cap, so results stay hash-comparable. */
+    * identical cap, so results stay hash-comparable.
+    *
+    * Coverage-loss caveat: a near-dup pair whose shared shingles ALL
+    * exceed the cap (e.g. boilerplate duplicated across more documents
+    * than the cap) is undetectable by the capped jaccard — that pair's
+    * recall falls to the minhash/simhash families, which have no DF cap.
+    * The loss is OBSERVABLE, not silent: [[ddHotShingles]] is the graded
+    * diagnostic listing exactly which shingles were dropped and their
+    * document frequencies. At production scale the cap should track
+    * corpus size (a DF fraction, e.g. 1e-4·n_docs, re-derived per run
+    * from the same `groupBy(g).count()` that feeds the drop). */
   private val MaxShingleDf = 100
+
+  /** The hot shingles the DF cap drops from [[ddNgramJaccard]]'s inverted
+    * index, with their document frequencies — the observability query for
+    * the cap's coverage loss (a user inspects this to judge whether the
+    * cap is eating real near-dup signal). Oracle-graded. */
+  def ddHotShingles(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .orderBy(col("g"))
+
+  def ddHotShinglesOracle: String =
+    s"""SELECT g, count(*) AS df FROM (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+      |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+      |    FROM documents) u) sh
+      |GROUP BY g HAVING count(*) > $MaxShingleDf
+      |ORDER BY g""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.8) via the
     * inverted-index join: explode distinct shingles, drop hot shingles

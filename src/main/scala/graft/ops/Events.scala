@@ -65,8 +65,12 @@ object Events {
       |ORDER BY window_start""".stripMargin
 
   /** Session windows per user: 30-minute inactivity gap. Streaming-native
-    * operator exercised in batch; rows-only graded (DuckDB has no session
-    * windows — the scalatest suite checks gap semantics instead). */
+    * operator exercised in batch; oracle-graded via the gaps-and-islands
+    * ANSI formulation (lag + cumulative new-session flags — DuckDB has no
+    * session windows, but 30-min-gap sessionization is SQL-expressible).
+    * Spark's merge rule is INCLUSIVE at the boundary (an event exactly
+    * `gap` after the last one extends the session — verified empirically,
+    * 3 events 30 min apart form 1 session), hence the oracle's `<=`. */
   def sessions(events: DataFrame): DataFrame =
     events
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -77,6 +81,30 @@ object Events {
   def evSessions(spark: SparkSession, dir: String): DataFrame =
     sessions(events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
+
+  def evSessionsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              <= INTERVAL '30 minutes'
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM e
+      |), islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       min(ts) AS session_start,
+      |       max(ts) + INTERVAL '30 minutes' AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM islands
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Per-user event sequencing: previous event type and seconds since it
     * (lag over an event-time window) — the batch twin of a

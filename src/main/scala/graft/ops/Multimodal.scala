@@ -7,18 +7,22 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * The Spark-side plumbing here is real and tested — schema, partition
-  * sizing, batch iteration shape — while the actual codec work is STUBBED
-  * with a deterministic fake (this container has no image/audio libs; see
-  * [[FakeCodec]]). Swapping in a real decoder touches only the inside of
-  * [[FakeCodec.decode]].
+  * The IMAGE path is real end-to-end: the media fixture synthesizes
+  * actual PNG payloads (deterministic dims/pixels derived from doc_id)
+  * and [[mmFeatures]] decodes them with the JDK's `javax.imageio` inside
+  * `mapPartitions` — no external deps, and the decoded dimensions are
+  * oracle-checked (the planted dim formulas are SQL-expressible, so
+  * DuckDB independently verifies the encode→decode round trip). The
+  * AUDIO path keeps the clearly-marked [[FakeCodec]] duration stub (no
+  * audio codec ships with the JDK).
   *
   * Scale notes: media blobs dominate row size, so the operators (a) never
   * shuffle the binary payload — metadata is extracted first, payload
-  * dropped before any wide operation; (b) use `mapPartitions` so a real
-  * decoder amortizes model/codec init per partition, the same shape a
-  * vectorized/batched UDF gives you; (c) cap partition input bytes via
-  * `spark.sql.files.maxPartitionBytes` rather than row counts.
+  * dropped before any wide operation; (b) use `mapPartitions` so the
+  * decoder (and, in a real vision pipeline, the model) initializes once
+  * per partition — the same shape a vectorized/batched UDF gives you;
+  * (c) cap partition input bytes via `spark.sql.files.maxPartitionBytes`
+  * rather than row counts.
   */
 object Multimodal {
   import Relational.t
@@ -36,10 +40,47 @@ object Multimodal {
       duration_ms: Int,
       checksum: Long)
 
-  /** STUB codec: deterministic fake decode. A real implementation would
-    * decode image dimensions / audio duration / sample video frames here;
-    * the fake derives them from a stable byte hash so tests are
-    * reproducible. Clearly marked per the north-star instructions. */
+  /** Planted image dims: pure functions of doc_id, mirrored exactly by
+    * the DuckDB oracle — what makes the real decode hash-checkable. */
+  private[ops] def imgWidth(id: Long): Int = (16 + id % 32).toInt
+  private[ops] def imgHeight(id: Long): Int = (16 + id % 27).toInt
+
+  /** REAL image codec over the JDK's `javax.imageio` (PNG — lossless, so
+    * dims and pixels round-trip bit-exact). Stateless and
+    * executor-thread-safe; the ImageIO disk cache is disabled because
+    * decode runs on executor task threads. */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Deterministic PNG: dims + a seed-derived pixel ramp. */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, ((seed * 31 + y.toLong * width + x) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** True decoded (width, height) of an encoded image. */
+    def decodeDims(payload: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      (img.getWidth, img.getHeight)
+    }
+  }
+
+  /** STUB codec for the audio path only (the JDK ships no audio codec;
+    * clearly marked per the north-star instructions): duration derived
+    * from a stable byte hash so tests are reproducible. A real
+    * implementation would parse the container header here. */
   object FakeCodec {
     def checksum(payload: Array[Byte]): Long = {
       var h = 1125899906842597L
@@ -47,75 +88,99 @@ object Multimodal {
       while (i < payload.length) { h = 31L * h + payload(i); i += 1 }
       h
     }
-    /** STUB — not a real decoder. */
-    def decode(r: MediaRecord): MediaFeatures = {
-      val c = checksum(r.payload)
-      MediaFeatures(
-        media_id = r.media_id,
-        modality = r.modality,
-        n_bytes = r.payload.length,
-        width = (math.abs(c) % 1920).toInt + 1,
-        height = (math.abs(c >> 16) % 1080).toInt + 1,
-        duration_ms = if (r.modality == "audio") (math.abs(c >> 32) % 300000).toInt else 0,
-        checksum = c)
-    }
+    /** STUB — not a real decoder (audio only). */
+    def durationMs(payload: Array[Byte]): Int =
+      (math.abs(checksum(payload) >> 32) % 300000).toInt
   }
 
-  /** Synthesize a media table from documents (UTF-8 payload stands in for
-    * an image/audio blob — the *plumbing* under test, not the codec). */
+  /** Synthesize a media table from documents: even doc_ids become REAL
+    * PNG images (planted dims, see [[imgWidth]]/[[imgHeight]]); odd
+    * doc_ids carry their UTF-8 text as a stand-in audio blob. Encoding
+    * happens per-partition (codec init amortized), and at 100 TB this
+    * whole step is a read-side concern — real deployments read
+    * binary-column parquet directly. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id").as("media_id"),
-        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("modality"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MediaRecord]
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (id % 2 == 0)
+            MediaRecord(id, "image", ImageCodec.encodePng(imgWidth(id), imgHeight(id), id))
+          else
+            MediaRecord(id, "audio", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
   }
 
   /** Feature extraction over media partitions: the batched decode path.
-    * `mapPartitions` (not per-row map) so a real codec initializes once
-    * per partition. Returns the typed features frame; payload is dropped
-    * before any downstream shuffle. */
+    * `mapPartitions` (not per-row map) so the codec initializes once per
+    * partition. Image dims come from a REAL `javax.imageio` decode;
+    * audio duration from the declared stub. Payload is dropped before
+    * any downstream shuffle. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .mapPartitions { it =>
-        // real codec would init here, once per partition
-        it.map(FakeCodec.decode)
+        it.map { r =>
+          val (w, h) =
+            if (r.modality == "image") ImageCodec.decodeDims(r.payload) else (0, 0)
+          MediaFeatures(
+            media_id = r.media_id,
+            modality = r.modality,
+            n_bytes = r.payload.length,
+            width = w,
+            height = h,
+            duration_ms = if (r.modality == "audio") FakeCodec.durationMs(r.payload) else 0,
+            checksum = FakeCodec.checksum(r.payload))
+        }
       }
       .toDF()
       .orderBy(col("media_id"))
   }
 
-  /** Aggregate over extracted metadata: bytes per modality. The binary
-    * payload never reaches this shuffle. Oracle-checked on the n_bytes
-    * side (payload length == n_chars for the ASCII fixture text). */
-  def mmBytesByModality(spark: SparkSession, dir: String): DataFrame =
+  /** Aggregate over extracted metadata: per-modality counts and decoded
+    * pixel geometry. The binary payload never reaches this shuffle, and
+    * the pixel totals are computed from the REAL ImageIO decode — the
+    * oracle recomputes them from the planted dim formulas, so a decode
+    * regression hash-mismatches. (Supersedes round-3's
+    * mm_bytes_by_modality, whose byte totals stopped being
+    * SQL-predictable once image payloads became real PNGs.) */
+  def mmMediaSummary(spark: SparkSession, dir: String): DataFrame =
     mmFeatures(spark, dir)
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
-        sum(col("n_bytes")).cast("bigint").as("total_bytes"),
-        max(col("n_bytes")).as("max_bytes"))
+        sum(col("width").cast("bigint") * col("height")).as("total_pixels"),
+        max(col("width")).as("max_width"),
+        max(col("height")).as("max_height"))
       .orderBy(col("modality"))
 
-  def mmBytesByModalityOracle: String =
+  def mmMediaSummaryOracle: String =
     """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
       |  count(*) AS n_media,
-      |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-      |  CAST(max(strlen(text)) AS INTEGER) AS max_bytes
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0
+      |                THEN (16 + doc_id % 32) * (16 + doc_id % 27) ELSE 0 END) AS BIGINT)
+      |    AS total_pixels,
+      |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END) AS INTEGER)
+      |    AS max_width,
+      |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 27 ELSE 0 END) AS INTEGER)
+      |    AS max_height
       |FROM documents
       |GROUP BY 1 ORDER BY modality""".stripMargin
 
-  /** Target box for [[mmResize]]. */
-  private val MaxW = 336
-  private val MaxH = 336
+  /** Target box for [[mmResize]] — below the fixture's max planted dims
+    * so both branches (downscale and pass-through) are exercised. */
+  private val MaxW = 24
+  private val MaxH = 24
 
   /** Resize planning for image media: aspect-preserving fit into a
-    * MaxW×MaxH box (the standard vision-model preprocessing step). The
-    * geometry is REAL (pure arithmetic on the decoded dims); only the
-    * dims themselves come from the STUB codec. Per-row, no shuffle;
-    * payload dropped before output. A real implementation would add the
-    * resampled bytes inside the same mapPartitions as [[mmFeatures]]. */
+    * MaxW×MaxH box (the standard vision-model preprocessing step),
+    * computed from the REAL decoded dims. Per-row, no shuffle; payload
+    * dropped before output. Oracle-checked: DuckDB reproduces the same
+    * geometry from the planted dim formulas, covering the decode AND the
+    * arithmetic. A real implementation would emit the resampled bytes
+    * inside the same mapPartitions as [[mmFeatures]]. */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
     mmFeatures(spark, dir)
       .filter(col("modality") === "image")
@@ -126,11 +191,24 @@ object Multimodal {
         greatest(floor(col("height") * col("scale")), lit(1)).cast("int").as("out_height"))
       .orderBy(col("media_id"))
 
+  def mmResizeOracle: String =
+    s"""SELECT media_id, width, height,
+      |  CAST(greatest(floor(width * s), 1) AS INTEGER) AS out_width,
+      |  CAST(greatest(floor(height * s), 1) AS INTEGER) AS out_height
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |         CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |         CAST(16 + doc_id % 27 AS INTEGER) AS height,
+      |         least($MaxW.0 / (16 + doc_id % 32), $MaxH.0 / (16 + doc_id % 27), 1.0) AS s
+      |  FROM documents WHERE doc_id % 2 = 0) x
+      |ORDER BY media_id""".stripMargin
+
   /** Frame-sample planning for time-based media: n evenly spaced sample
     * offsets across the (stub-decoded) duration, as an exploded
     * (media_id, frame_idx, offset_ms) table — the shape a video pipeline
     * feeds to a batched decoder. Codegen'd sequence/explode; one row per
-    * sampled frame; payload never carried. */
+    * sampled frame; payload never carried. Rows-only graded (duration
+    * comes from the audio stub). */
   def mmFrameSample(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame =
     mmFeatures(spark, dir)
       .filter(col("duration_ms") > 0)

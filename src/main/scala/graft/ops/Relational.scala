@@ -25,9 +25,15 @@ object Relational {
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read
     * it as raw nanos via the legacy conf and truncate to micros —
-    * identical to DuckDB's ns→µs cast, so oracles stay comparable. */
+    * identical to DuckDB's ns→µs cast, so oracles stay comparable.
+    * The conf is set at session build time by every entry point we own
+    * (Bench/Verify/RunOne/Smoke/Main/TestSpark); the guarded set below is
+    * a defensive fallback for caller-supplied sessions only, so the live
+    * session conf isn't re-mutated on every query (racy under concurrent
+    * queries in one session). */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

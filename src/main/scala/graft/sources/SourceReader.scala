@@ -49,7 +49,11 @@ final case class JdbcSnapshotSource(
       .option("url", url)
       .option("user", user)
       .option("password", password)
-      .option("dbtable", s"(select * from $dbSchema.$view) as view")
+      // alias `src` not `view`: the reference's alias (glue
+      // src/raw_layer_job.py:129) is a reserved word in stricter SQL
+      // dialects (Derby, used by the offline round-trip test); the alias
+      // is engine-internal, so portability wins
+      .option("dbtable", s"(select * from $dbSchema.$view) as src")
     val partitioned = partitionColumn match {
       case Some(col) =>
         base.option("partitionColumn", col)

@@ -21,8 +21,10 @@ object EventStreams {
     * policy under test in EventStreamSpec). */
   def tumblingStream(spark: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS) — same legacy-conf + µs
-    // truncation as the batch reader (graft.ops.Relational.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // truncation as the batch reader (graft.ops.Relational.events);
+    // guarded set: the builders we own set this at session build time
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the fixture is a bare file; FileStreamSource needs a directory, so
     // stream the parent dir with a glob filter selecting just events

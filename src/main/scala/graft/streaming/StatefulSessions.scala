@@ -5,21 +5,34 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Custom-state streaming sessionization (SURVEY §2.2 "stateful
-  * streaming"; the `mapGroupsWithState`-class operator the round-1
-  * verdict flagged as missing).
+  * streaming"; the `mapGroupsWithState`-class operator).
   *
   * Semantics match the batch/session_window twin
   * ([[graft.ops.Events.sessions]]): per-user sessions closed by a 30-min
-  * inactivity gap, `session_end = last event + gap`, value sums in event
-  * order. A session is emitted when the event-time watermark passes its
-  * close (EventTimeTimeout) — i.e. exactly when no in-order event can
-  * reopen it.
+  * inactivity gap (inclusive: an event exactly `gap` after the last one
+  * extends the session, matching Spark's `session_window` merge rule),
+  * `session_end = last event + gap`, value sums in event order.
   *
-  * Scale notes: state is one [[SessionState]] (32 bytes) per ACTIVE user
-  * session — O(active users), not O(events); the watermark timeout
-  * guarantees state cleanup, so an unbounded feed cannot accumulate
-  * state. The shuffle partitions by user_id once; everything else is
-  * per-group streaming compute.
+  * Emission is WATERMARK-GATED: a session — whether closed by an observed
+  * gap or still open — is emitted only once the event-time watermark has
+  * passed its close. `flatMapGroupsWithState` does not drop input rows
+  * older than the watermark, so without the gate a late out-of-order
+  * event arriving in a later micro-batch could fall inside an
+  * already-emitted session and produce overlapping sessions in append
+  * output. Gap-closed sessions are therefore buffered in state until the
+  * watermark passes them; input rows older than the watermark are
+  * dropped (standard late-data semantics, and what makes the
+  * emitted-set append-only provable).
+  *
+  * Scale notes: state per user is the open session plus the gap-closed
+  * sessions newer than the watermark — O(sessions per watermark delay),
+  * not O(events); with a 1 s delay that is at most 2 per user on any
+  * real-time feed (the bounded AvailableNow backlog is the worst case:
+  * one batch holds a whole history, emitted when the post-batch
+  * watermark advance triggers the timeout batch). The event-time timeout
+  * guarantees cleanup: state is dropped once every session is emitted.
+  * The shuffle partitions by user_id once; everything else is per-group
+  * streaming compute.
   */
 object StatefulSessions {
 
@@ -32,52 +45,70 @@ object StatefulSessions {
     def ts_us: Long = ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
   }
 
-  /** Open-session state: bounds in epoch micros + running aggregates. */
-  final case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  /** One session's bounds (epoch micros) + running aggregates. */
+  final case class SessionAgg(start_us: Long, last_us: Long, n: Long, sum: Double)
+
+  /** Per-user state: the open session plus gap-closed sessions still
+    * awaiting the watermark. */
+  final case class SessionsState(open: Option[SessionAgg], pending: List[SessionAgg])
 
   /** A closed session (same shape as the batch session_window query). */
   final case class SessionOut(
       user_id: Long, session_start_us: Long, session_end_us: Long,
       n_events: Long, sum_value: Double)
 
-  /** The per-group state transition: fold this batch's events (sorted by
-    * event time) into the open session, emitting every session closed by
-    * a gap; on watermark timeout, emit the final session and drop state. */
+  private def closeUs(s: SessionAgg): Long = s.last_us + GapMicros
+
+  /** The per-group transition: fold this batch's non-late events (event-
+    * time order) into the open session, buffering gap-closed sessions;
+    * then emit every buffered/open session whose close the watermark has
+    * passed. Invoked both with data and on event-time timeout (the
+    * timeout path is the same emission logic with no new events). */
   private[streaming] def transition(
       userId: Long, events: Iterator[UserEvent],
-      state: GroupState[SessionState]): Iterator[SessionOut] = {
-    def close(s: SessionState) =
-      SessionOut(userId, s.start_us, s.last_us + GapMicros, s.n, s.sum)
-    if (!events.hasNext && state.hasTimedOut) {
-      val s = state.get
-      state.remove()
-      Iterator.single(close(s))
-    } else {
-      var out = List.empty[SessionOut]
-      var cur = state.getOption
-      events.toSeq.sortBy(_.ts_us).foreach { e =>
-        cur = cur match {
-          case Some(s) if e.ts_us - s.last_us <= GapMicros =>
-            Some(SessionState(s.start_us, math.max(s.last_us, e.ts_us), s.n + 1, s.sum + e.value))
-          case Some(s) =>
-            out ::= close(s)
-            Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-          case None =>
-            Some(SessionState(e.ts_us, e.ts_us, 1, e.value))
-        }
+      state: GroupState[SessionsState]): Iterator[SessionOut] = {
+    val wmMs = state.getCurrentWatermarkMs()
+    val prev = state.getOption.getOrElse(SessionsState(None, Nil))
+    var open = prev.open
+    var pending = prev.pending
+    // rows at/after the watermark only — flatMapGroupsWithState itself
+    // does not filter late input
+    events.toSeq.filter(_.ts_us / 1000 >= wmMs).sortBy(_.ts_us).foreach { e =>
+      open = open match {
+        case Some(s) if e.ts_us - s.last_us <= GapMicros =>
+          Some(SessionAgg(s.start_us, math.max(s.last_us, e.ts_us), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          pending = s :: pending
+          Some(SessionAgg(e.ts_us, e.ts_us, 1, e.value))
+        case None =>
+          Some(SessionAgg(e.ts_us, e.ts_us, 1, e.value))
       }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp((s.last_us + GapMicros) / 1000) // millis
-      }
-      out.reverse.iterator
     }
+    // watermark gate: close < watermark means no surviving event (all are
+    // >= watermark) can extend or fall inside the session
+    def emittable(s: SessionAgg): Boolean = closeUs(s) / 1000 < wmMs
+    val openDone = open.filter(emittable)
+    val emit = (pending.filter(emittable) ++ openDone).sortBy(_.start_us)
+    val keepPending = pending.filterNot(emittable)
+    val keepOpen = if (openDone.isDefined) None else open
+    if (keepOpen.isEmpty && keepPending.isEmpty) {
+      if (state.exists) state.remove()
+    } else {
+      state.update(SessionsState(keepOpen, keepPending))
+      val nextCloseMs = (keepOpen.toList ++ keepPending).map(closeUs(_) / 1000).min
+      // must be strictly beyond the current watermark
+      state.setTimeoutTimestamp(math.max(nextCloseMs + 1, wmMs + 1))
+    }
+    emit.iterator.map(s => SessionOut(userId, s.start_us, closeUs(s), s.n, s.sum))
   }
 
   /** The streaming sessionization over the events fixture dir. */
   def sessionStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanos fixture gotcha — set defensively iff missing (the session
+    // builders set it at build time; see graft.ops.Relational.events)
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -97,10 +128,15 @@ object StatefulSessions {
   }
 
   /** Run the bounded backlog to completion through a memory sink and
-    * return the emitted (closed) sessions. Each user's final session
-    * stays open at end-of-stream — correct streaming semantics; the
-    * batch twin is the total-session oracle. */
+    * return the emitted sessions. Emission needs the watermark to pass a
+    * session's close, so the final micro-batch (the one AvailableNow runs
+    * after the watermark advances) emits everything except sessions
+    * closing within the watermark delay of the stream's end — correct
+    * append semantics; the batch twin is the total-session oracle. */
   def runToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // fixed sink name, dropped first: repeated invocations (bench reps)
+    // must not accumulate memory-sink tables in the session catalog
+    spark.catalog.dropTempView(name)
     val q = sessionStream(spark, dir).writeStream
       .outputMode("append")
       .format("memory")
@@ -111,9 +147,9 @@ object StatefulSessions {
     spark.table(name)
   }
 
-  /** Batch-graded entry (rows-only): closed sessions from the stateful
-    * streaming path, ordered for determinism. */
+  /** Batch-graded entry (rows-only): watermark-emitted sessions from the
+    * stateful streaming path, ordered for determinism. */
   def evSessionsStateful(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(spark, dir, s"ev_sessions_stateful_${System.nanoTime()}")
+    runToMemory(spark, dir, "ev_sessions_stateful_sink")
       .orderBy(col("user_id"), col("session_start"))
 }

@@ -85,15 +85,18 @@ class DedupSpec extends AnyFunSuite {
       s"recall too low: ${shared.size}/${ivf.length}")
   }
 
-  test("ANN LSH top-k ranks the planted exact dupe first (on fixtures)") {
+  test("ANN LSH recall ≥ 0.5 of brute-force top-10 (multi-probe floor)") {
     val spark = TestSpark.spark
-    // brute-force exact baseline on the real embeddings fixture
-    val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
-    val top1 = exact.filter("query_id = 0 AND rank = 1").collect()
-    assert(top1.length == 1)
-    // LSH candidates are a subset of real vectors with sane cosine range
-    val ann = Similarity.simAnnLsh(spark, TestSpark.Sf0001).collect()
-    assert(ann.nonEmpty)
-    assert(ann.forall(r => math.abs(r.getDouble(3)) <= 1.000001))
+    val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.simAnnLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // scores are exact cosines wherever LSH surfaces a true neighbor,
+    // so recall of the exact top-10 pairs is the one number that matters:
+    // a broken hyperplane/banding change cannot keep this above the floor
+    val recall = (lsh & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, f"LSH recall $recall%.2f fell below the 0.5 floor " +
+      s"(${(lsh & exact).size}/${exact.size} of brute-force top-10 pairs found)")
   }
 }

@@ -94,6 +94,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(cols.last == "ETL_PART_KEY")
   }
 
+  test("promotion preserves non-canonical run ids (leading zeros) in ETL_PART_KEY") {
+    // partition-value type inference would read '00123' as decimal and
+    // re-render it '123'; the schema-specified promoted read must keep
+    // the literal ledger key
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-zeros-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "00123")
+    Orchestrator.drain(spark, cfg, ledger)
+    val keys = spark.read.parquet(cfg.preparedPath)
+      .select("ETL_PART_KEY").distinct().collect().map(_.getString(0)).toSeq
+    assert(keys == Seq("00123"), s"run id corrupted to $keys")
+  }
+
   test("failure policy: source failure leaves the ledger untouched") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-fail-")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{CsvSource, JsonSource, OrcSource, ParquetSource}
+import graft.sources.{CsvSource, JdbcSnapshotSource, JsonSource, OrcSource, ParquetSource}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -45,5 +45,42 @@ class SourcesSpec extends AnyFunSuite {
   test("orc source round-trips") {
     val (tmp, df) = base
     assert(rows(OrcSource(s"$tmp/nation_orc").read(TestSpark.spark)) == rows(df))
+  }
+
+  /** SURVEY §2.1 op #1: the JDBC snapshot source, exercised for real
+    * against embedded Derby (ships in /opt/spark/jars — zero new deps):
+    * total-pushdown subquery read plus the range-partitioned parallel
+    * read the reference leaves on the table. */
+  test("jdbc snapshot source round-trips through embedded Derby incl. partitioned read") {
+    val spark = TestSpark.spark
+    val db = Files.createTempDirectory("graft-derby-").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA TESTDB")
+      st.execute("CREATE TABLE TESTDB.CDS_ACCOUNTS (ID BIGINT NOT NULL, NAME VARCHAR(32), AMT DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO TESTDB.CDS_ACCOUNTS VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"acct_$i"); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val src = JdbcSnapshotSource(url = url,
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      user = "", password = "", dbSchema = "TESTDB", view = "CDS_ACCOUNTS")
+    val df = src.read(spark)
+    assert(df.count() == 100)
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "name", "amt"))
+    assert(df.filter(col("ID") === 7L).select("NAME").collect().map(_.getString(0)).toSeq == Seq("acct_7"))
+
+    // partitioned read: the snapshot splits into range-parallel partitions
+    val part = src.copy(partitionColumn = Some("ID"), numPartitions = 4,
+      lowerBound = Some(1L), upperBound = Some(101L))
+    val pdf = part.read(spark)
+    assert(pdf.rdd.getNumPartitions == 4, "partitionColumn must split the read")
+    assert(pdf.agg(org.apache.spark.sql.functions.sum("ID")).collect()(0).getLong(0) == 5050L)
   }
 }
