@@ -100,16 +100,22 @@ object BenchChild {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    val secs = (1 to reps).map { _ =>
+    // adaptive reps: light queries get the full rep count (JIT warmup
+    // matters at their scale); a query already past the budget is
+    // dominated by real work, not warmup, so stop early
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "45").toDouble
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < reps && (i == 0 || times.sum < budgetSec)) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      val s = (System.nanoTime() - t0) / 1e9
+      times += (System.nanoTime() - t0) / 1e9
       // per-query localCheckpoint blocks are query-internal; drop them so
       // the next rep starts cold-equivalent
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      s
-    }.min
-    println(s"BENCHCHILD $secs")
+      i += 1
+    }
+    println(s"BENCHCHILD ${times.min}")
     spark.stop()
   }
 }

@@ -80,6 +80,7 @@ object SparkEntry {
     "q19_pivot" -> (Relational.q19Pivot _),
     "q20_percentiles" -> (Relational.q20Percentiles _),
     "q21_correlated_subquery" -> (Relational.q21CorrelatedSubquery _),
+    "q22_salted_join" -> (Relational.q22SaltedJoin _), // skew-salting idiom; oracle = plain join
     "q23_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: HLL
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "q19_pivot" -> Relational.q19Oracle,
     "q20_percentiles" -> Relational.q20Oracle,
     "q21_correlated_subquery" -> Relational.q21Oracle,
+    "q22_salted_join" -> Relational.q22Oracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_sessions" -> Events.evSessionsOracle,

@@ -512,6 +512,44 @@ object Relational {
       |                   WHERE i.c_nationkey = o.c_nationkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Salt fan-out for [[q22SaltedJoin]]. */
+  private val SaltBuckets = 8
+
+  /** Skew-safe join via explicit key SALTING, the manual counterpart to
+    * AQE's skew-join splitting: the fact side salts its join key into
+    * [[SaltBuckets]] sub-keys (deterministic hash, not rand() — re-runs
+    * and retried tasks must salt identically), the dimension side
+    * replicates once per salt, and the join runs on (key, salt) so one
+    * hot key's rows spread over SaltBuckets reducers instead of one
+    * straggler. Semantically IDENTICAL to the unsalted join — the oracle
+    * is the plain join — which is exactly the property that makes the
+    * idiom safe to apply mechanically at 100 TB. In production you salt
+    * only the keys AQE's runtime stats flag as hot (replicating the dim
+    * SaltBuckets× for ALL keys is the demo simplification), or let AQE's
+    * skewJoin handle it when runtime re-planning is available. */
+  def q22SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(SaltBuckets)).cast("int"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(lit): _*)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def q22Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** HLL approximate distinct — graded rows-only (algorithms differ
     * across engines, so no value oracle). */
   def q23ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
