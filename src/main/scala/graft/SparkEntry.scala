@@ -86,7 +86,7 @@ object SparkEntry {
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
     "ev_sessions" -> (Events.evSessions _), // oracle: gaps-and-islands ANSI twin
-    "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // rows-only: custom-state streaming op (watermark-gated emission)
+    "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // oracle: islands + watermark-gate ANSI twin
     "ev_user_sequence" -> (Events.evUserSequence _),
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
@@ -141,6 +141,7 @@ object SparkEntry {
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_sessions" -> Events.evSessionsOracle,
+    "ev_sessions_stateful" -> graft.streaming.StatefulSessions.evSessionsStatefulOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,

@@ -147,9 +147,50 @@ object StatefulSessions {
     spark.table(name)
   }
 
-  /** Batch-graded entry (rows-only): watermark-emitted sessions from the
-    * stateful streaming path, ordered for determinism. */
+  /** Batch-graded entry: watermark-emitted sessions from the stateful
+    * streaming path, ordered for determinism. Oracle-graded — the
+    * emitted set is exactly the gaps-and-islands sessions whose close
+    * the final watermark passed, and both the sessionization AND the
+    * watermark gate are ANSI-expressible (see [[evSessionsStatefulOracle]]). */
   def evSessionsStateful(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, dir, "ev_sessions_stateful_sink")
       .orderBy(col("user_id"), col("session_start"))
+
+  /** DuckDB oracle: gaps-and-islands sessionization (inclusive 30-min
+    * gap, same as [[graft.ops.Events.evSessionsOracle]]) filtered by the
+    * emission gate the streaming run applies — a session is emitted iff
+    * `floor(close_us/1000) < wm_ms` where `wm_ms = floor(max_ts_us/1000)
+    * - 1000` (Spark tracks event-time stats in milliseconds and the
+    * stream declares a 1 s watermark delay; the ms truncations mirror
+    * [[transition]]'s arithmetic exactly). */
+  def evSessionsStatefulOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              <= INTERVAL '30 minutes'
+      |         THEN 0 ELSE 1 END AS new_sess
+      |  FROM e
+      |), islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id,
+      |         min(ts) AS session_start,
+      |         max(ts) + INTERVAL '30 minutes' AS session_end,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |  FROM islands GROUP BY user_id, sess
+      |), wm AS (
+      |  SELECT CAST(floor(epoch_us(max(CAST(ts AS TIMESTAMP))) / 1000) AS BIGINT) - 1000 AS wm_ms
+      |  FROM e
+      |)
+      |SELECT user_id, session_start, session_end, n_events,
+      |       round(sum_value, 4) AS sum_value
+      |FROM sess, wm
+      |WHERE CAST(floor(epoch_us(session_end) / 1000) AS BIGINT) < wm_ms
+      |ORDER BY user_id, session_start""".stripMargin
 }

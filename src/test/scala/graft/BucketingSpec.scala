@@ -16,6 +16,17 @@ class BucketingSpec extends AnyFunSuite {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_bkt")
     spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // directory persists — DROP TABLE alone can't clear a stale location
+    Seq("li_bkt", "ord_bkt").foreach { t =>
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.{Relational, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan property assertions: the scale contract of each operator
+  * family, pinned as regression tests. A refactor that silently drops a
+  * pushed filter, loses a broadcast hint, or degrades top-k into a global
+  * sort changes nothing at fixture scale but everything at 100 TB — these
+  * tests make the plan shape part of the spec. */
+class PlanSpec extends AnyFunSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val p = plan(Relational.q02FilterPushdown(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n${p.take(1500)}")
+    assert(p.contains("LessThan(l_quantity") || p.contains("LessThan(`l_quantity"),
+      "the selective predicate must reach the scan")
+    // column pruning: the scan reads the 4 projected columns, not the table
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"),
+      s"scan reads columns the query never uses: $readSchema")
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q03RevenueByNation(TestSpark.spark, TestSpark.Sf0001))
+    // customer, nation, region carry explicit broadcast hints
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast dims in:\n${p.take(1500)}")
+  }
+
+  test("q11: global sort+limit plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.q11SortLimit(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k degraded to a global sort:\n${p.take(1500)}")
+  }
+
+  test("brute-force ANN broadcasts the query side; the corpus never shuffles") {
+    val p = plan(Similarity.simTopKBruteForce(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must not fall back to a cartesian shuffle product")
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan(Relational.q01PricingSummary(TestSpark.spark, TestSpark.Sf0001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate pair in:\n${p.take(1500)}")
+  }
+}
