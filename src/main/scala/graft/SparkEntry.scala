@@ -104,7 +104,7 @@ object SparkEntry {
     "tx_tokens" -> (TextAnalysis.txTokens _),
     "tx_tokens_bpe" -> (TextAnalysis.txTokensBpe _),
     "tx_quality" -> (TextAnalysis.txQuality _),
-    "tx_lang_id" -> (TextAnalysis.txLangId _), // rows-only: heuristic dict
+    "tx_lang_id" -> (TextAnalysis.txLangId _), // oracle: argmax over marker hits is ANSI-expressible
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
     // §7.3-4 multimodal (image decode is REAL javax.imageio; audio stub)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
@@ -152,6 +152,7 @@ object SparkEntry {
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,
+    "tx_lang_id" -> TextAnalysis.txLangIdOracle,
     "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
     "mm_resize" -> Multimodal.mmResizeOracle,
   )

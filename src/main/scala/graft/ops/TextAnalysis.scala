@@ -98,29 +98,54 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Marker-word dict for [[txLangId]] — shared with the oracle so both
+    * sides score identically. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
   /** Language-ID heuristic: score each candidate language by hits against
     * a tiny per-language marker-word dict (n-gram heuristic per the north
     * star; the fixture text is synthetic word soup, so this demonstrates
-    * the mechanics, not linguistics). argmax over a deterministic map —
-    * rows-only graded. */
+    * the mechanics, not linguistics). Deterministic argmax — max (hits,
+    * lang) pair, ties to the lexicographically greatest lang — which is
+    * ANSI-expressible, so this is oracle-graded. */
   def txLangId(spark: SparkSession, dir: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "a", "is", "and", "of"),
-      "es" -> Seq("el", "la", "de", "que", "y"),
-      "fr" -> Seq("le", "la", "et", "les", "des"),
-      "de" -> Seq("der", "die", "und", "das", "ist"),
-      "zh" -> Seq("de", "shi", "le", "zai", "he"))
-    val scores = markers.toSeq.sortBy(_._1).map { case (lang, words) =>
+    val scores = LangMarkers.map { case (lang, words) =>
       struct(
         size(filter(toks, t => t.isin(words: _*))).as("hits"),
         lit(lang).as("lang"))
     }
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        // deterministic argmax: max (hits, lang) pair, ties break on lang
         greatest(scores: _*).getField("lang").as("predicted_lang"),
         greatest(scores: _*).getField("hits").as("marker_hits"))
       .orderBy(col("doc_id"))
+  }
+
+  def txLangIdOracle: String = {
+    val perLang = LangMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, '$lang' AS cand,
+         |    len(list_filter(string_split(text, ' '), t -> t IN ($list))) AS hits
+         |  FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH per_lang AS (
+       |  $perLang
+       |), ranked AS (
+       |  SELECT doc_id, cand, hits,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY hits DESC, cand DESC) AS rk
+       |  FROM per_lang
+       |)
+       |SELECT d.doc_id, d.lang AS labeled_lang,
+       |       r.cand AS predicted_lang,
+       |       CAST(r.hits AS INTEGER) AS marker_hits
+       |FROM documents d JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** 64-bit rolling-hash fingerprint of the normalized text (lowercase,
