@@ -88,6 +88,7 @@ object SparkEntry {
     "ev_sessions" -> (Events.evSessions _), // oracle: gaps-and-islands ANSI twin
     "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // oracle: islands + watermark-gate ANSI twin
     "ev_user_sequence" -> (Events.evUserSequence _),
+    "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -143,6 +144,7 @@ object SparkEntry {
     "ev_sessions" -> Events.evSessionsOracle,
     "ev_sessions_stateful" -> graft.streaming.StatefulSessions.evSessionsStatefulOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,
+    "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,

@@ -30,6 +30,24 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batch.size - streamed.size <= users)
   }
 
+  test("transformWithState profiles == batch per-user aggregates") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.UserProfiles
+      .evUserProfile(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Relational.events(spark, TestSpark.Sf0001)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        max(col("value")).as("max_value"),
+        max(col("ts")).as("last_ts"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling windows == batch tumbling windows") {
     val spark = TestSpark.spark
     val streamed = EventStreams.runToMemory(spark, TestSpark.Sf0001, "ev_parity")
