@@ -110,6 +110,7 @@ object SparkEntry {
     // §7.3-4 multimodal (image decode is REAL javax.imageio; audio stub)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
     "mm_media_summary" -> (Multimodal.mmMediaSummary _), // oracle: decoded pixel geometry
+    "mm_image_stats" -> (Multimodal.mmImageStats _), // oracle: PIXEL-EXACT decode check (channel means)
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.mmResize(s, d)), // oracle: real decoded dims
     "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // rows-only: duration from audio stub
   )
@@ -156,6 +157,7 @@ object SparkEntry {
     "tx_quality" -> TextAnalysis.txQualityOracle,
     "tx_lang_id" -> TextAnalysis.txLangIdOracle,
     "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
+    "mm_image_stats" -> Multimodal.mmImageStatsOracle,
     "mm_resize" -> Multimodal.mmResizeOracle,
   )
 }

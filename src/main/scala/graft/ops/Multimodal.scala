@@ -169,6 +169,62 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1 ORDER BY modality""".stripMargin
 
+  /** Per-channel pixel statistics from the REAL decode: mean R/G/B over
+    * every pixel of every image, computed from `ImageIO.read` +
+    * `getRGB`. The planted pixel formula (see [[ImageCodec.encodePng]])
+    * is integer arithmetic DuckDB can replay with generate_series, so
+    * this oracle checks the decode PIXEL-EXACTLY — a codec that returned
+    * right dims but wrong bytes (stride bugs, channel swaps, color-space
+    * drift) hash-mismatches here. Decode stays inside mapPartitions;
+    * only 4 small columns per image reach the output. */
+  def mmImageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("modality") === "image")
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y)
+              sr += (v >> 16) & 0xFF; sg += (v >> 8) & 0xFF; sb += v & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          (r.media_id, sr / n, sg / n, sb / n)
+        }
+      }
+      .toDF("media_id", "r", "g", "b")
+      .select(col("media_id"),
+        round(col("r"), 4).as("avg_r"),
+        round(col("g"), 4).as("avg_g"),
+        round(col("b"), 4).as("avg_b"))
+      .orderBy(col("media_id"))
+  }
+
+  def mmImageStatsOracle: String =
+    """SELECT media_id,
+      |  round(avg(CAST((v >> 16) & 255 AS DOUBLE)), 4) AS avg_r,
+      |  round(avg(CAST((v >> 8) & 255 AS DOUBLE)), 4) AS avg_g,
+      |  round(avg(CAST(v & 255 AS DOUBLE)), 4) AS avg_b
+      |FROM (
+      |  SELECT d.doc_id AS media_id,
+      |         (d.doc_id * 31 + y.g * (16 + d.doc_id % 32) + x.g) & 16777215 AS v
+      |  FROM documents d
+      |  CROSS JOIN generate_series(0, 41) y(g)
+      |  CROSS JOIN generate_series(0, 46) x(g)
+      |  WHERE d.doc_id % 2 = 0
+      |    AND y.g < 16 + d.doc_id % 27
+      |    AND x.g < 16 + d.doc_id % 32)
+      |GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
+
   /** Target box for [[mmResize]] — below the fixture's max planted dims
     * so both branches (downscale and pass-through) are exercised. */
   private val MaxW = 24
