@@ -236,6 +236,28 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The production wiring for the custom expressions: a
+  * [[org.apache.spark.sql.SparkSessionExtensions]] installer so any
+  * session — spark-submit, Thrift server, notebook — picks them up via
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, with no code
+  * calling [[GraftFunctions.register]] by hand. Injection happens at
+  * session build, so the functions resolve in pure-SQL workloads too. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("text_fingerprint"),
+      new ExpressionInfo(classOf[TextFingerprint].getName, "text_fingerprint"),
+      (exprs: Seq[Expression]) => TextFingerprint(exprs.head)))
+  }
+}
+
 /** Column-API entry points + SQL registration for the custom expressions.
   * Spark 4.x `Column` wraps a `ColumnNode`, not an `Expression`; the
   * converters are `private[sql]`, so they're reached through

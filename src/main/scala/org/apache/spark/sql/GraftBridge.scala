@@ -15,4 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a [[SparkSessionExtensions]]' collected function injections to
+    * a registry — the same `private[sql]` hook the session-state builder
+    * drives at session construction; exposed for testing installers. */
+  def applyExtensionFunctions(
+      ext: SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }

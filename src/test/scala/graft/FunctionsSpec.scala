@@ -59,6 +59,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) == manual("héllo"))
   }
 
+  test("GraftExtensions installer registers the functions a session builder would see") {
+    // spark.sql.extensions is a STATIC conf (applied when the
+    // SparkContext starts), so a sibling test session can't exercise it;
+    // drive the same hook the session-state builder uses instead
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val spark = TestSpark.spark
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val registry = spark.sessionState.functionRegistry.clone()
+    org.apache.spark.sql.GraftBridge.applyExtensionFunctions(ext, registry)
+    assert(registry.functionExists(FunctionIdentifier("cosine_similarity")))
+    assert(registry.functionExists(FunctionIdentifier("text_fingerprint")))
+    // the registered builder produces a working expression
+    val expr = registry.lookupFunction(FunctionIdentifier("text_fingerprint"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("abc")))
+    val got = expr.eval(null).asInstanceOf[Long]
+    var h = 1125899906842597L
+    "abc".getBytes("UTF-8").foreach(b => h = 31L * h + b)
+    assert(got == h)
+  }
+
   test("SQL registration: both functions callable from spark.sql") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
