@@ -94,6 +94,7 @@ object SparkEntry {
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability diagnostic
+    "dd_clusters" -> (Dedup.ddClusters _), // connected components over the near-dup graph
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
     "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
+    "dd_clusters" -> Dedup.ddClustersOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,

@@ -180,6 +180,91 @@ object Dedup {
       |WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Near-dup CLUSTERS from the jaccard pair graph: connected components
+    * via iterative hash-min label propagation — each doc's label is the
+    * smallest doc_id reachable through near-dup pairs, iterated to
+    * fixpoint. This is the step a production dedup pipeline runs after
+    * pair generation (keep one representative per component, not per
+    * pair — A~B and B~C must collapse to ONE cluster even though A~C was
+    * never scored).
+    *
+    * Scale design: hash-min label propagation is the standard
+    * DataFrame-native connected components (no GraphX dependency) — per
+    * iteration one join edges⋈labels + one min-aggregate, both shuffling
+    * only (id, label) pairs; iteration count is bounded by component
+    * diameter (near-dup clusters are shallow — a handful of rounds).
+    * Labels are localCheckpoint'd each round to truncate the growing
+    * loop lineage (same cache-vs-lineage trade as the signature tables;
+    * at production scale use reliable checkpoints). The driver-side loop
+    * is control flow only — each iteration is a distributed job, and the
+    * `changed` count that terminates it is a metadata-scale aggregate.
+    *
+    * Oracle: DuckDB recomputes the identical pair graph, then a
+    * recursive CTE computes reachability and takes min per node —
+    * exact-answer transitive closure, feasible because the graded graph
+    * is small; the Spark path is the one that scales. */
+  def ddClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddNgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("nbr_min"))
+      .select(col("id"), least(col("id"), col("nbr_min")).as("label"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("pid"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(labels("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddClustersOracle: String = {
+    // the pair graph is the capped-jaccard oracle; reachability on top
+    s"""WITH RECURSIVE sh0 AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+      |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+      |    FROM documents) u
+      |), hot AS (
+      |  SELECT g FROM sh0 GROUP BY g HAVING count(*) > $MaxShingleDf
+      |), sh AS (
+      |  SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(r) AS cluster_rep
+      |FROM reach GROUP BY id
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** MinHash signature params: 64 hash functions, 16 bands × 4 rows.
     * With jaccard threshold ~0.8 the S-curve gives hit probability
     * 1-(1-s^4)^16 ≈ 0.9998 at s=0.8. Hash family: h_p(x) =

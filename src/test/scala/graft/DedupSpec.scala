@@ -66,6 +66,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("near-dup clusters: connected components collapse the pair graph") {
+    val spark = TestSpark.spark
+    val rep = Dedup.ddClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep(1L) == rep(2L), "exact dupes must share a cluster")
+    assert(rep(3L) == rep(4L), "near dupes must share a cluster")
+    assert(rep(1L) == 1L, "representative is the component's min doc_id")
+    assert(!rep.contains(5L) && !rep.contains(6L),
+      "docs with no near-dup pairs are not cluster members")
+  }
+
   test("IVF ANN: scores are exact cosines; recall overlaps brute force") {
     val spark = TestSpark.spark
     val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
