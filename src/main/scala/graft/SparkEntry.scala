@@ -89,6 +89,7 @@ object SparkEntry {
     "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // oracle: islands + watermark-gate ANSI twin
     "ev_user_sequence" -> (Events.evUserSequence _),
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
+    "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -147,6 +148,7 @@ object SparkEntry {
     "ev_sessions_stateful" -> graft.streaming.StatefulSessions.evSessionsStatefulOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
+    "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,

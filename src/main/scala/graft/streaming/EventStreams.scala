@@ -52,4 +52,54 @@ object EventStreams {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Streaming DEDUPLICATION under a watermark: the event stream is
+    * deliberately DOUBLED (self-union — the at-least-once delivery a real
+    * feed exhibits) and `dropDuplicatesWithinWatermark` on the event key
+    * collapses it back; per-type counts over the deduped stream must
+    * equal plain batch distinct counts, which is what the oracle checks.
+    *
+    * Scale notes: dedup state is one entry per key within the watermark
+    * horizon — `dropDuplicatesWithinWatermark` evicts state once the
+    * watermark passes a key's event time, so unbounded feeds hold
+    * O(keys per watermark window) state, not O(stream). This is the
+    * streaming face of the exact-dedup family (dd_exact's twin at the
+    * delivery layer). */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("event_type"), col("ts"))
+    stream().unionByName(stream()) // simulated duplicate delivery
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  /** Graded entry: per-type counts after streaming dedup of the doubled
+    * feed. Complete mode for the bounded-backlog parity (see
+    * [[runToMemory]]). Oracle: batch COUNT(DISTINCT event_id). */
+  def evStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ev_stream_dedup_sink"
+    spark.catalog.dropTempView(name)
+    val q = dedupedStream(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("event_type"))
+  }
+
+  def evStreamDedupOracle: String =
+    """SELECT event_type, count(DISTINCT event_id) AS n_unique
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -48,6 +48,19 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup collapses a doubled feed to batch distinct counts") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.evStreamDedup(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Relational.events(spark, TestSpark.Sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("event_id")).as("n_unique"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming tumbling windows == batch tumbling windows") {
     val spark = TestSpark.spark
     val streamed = EventStreams.runToMemory(spark, TestSpark.Sf0001, "ev_parity")
