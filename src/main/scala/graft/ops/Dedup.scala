@@ -61,6 +61,48 @@ object Dedup {
       |  FROM documents) x
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Chunk-level (sub-document) exact dedup: split each document into
+    * non-overlapping 10-word chunks and surface chunks duplicated ACROSS
+    * documents — the chunk-granularity approximation of exact substring
+    * dedup (the training-data "copied span" detector; whole-doc dedup
+    * misses a page that embeds a copied paragraph in fresh text).
+    *
+    * Shape at 100 TB: explode a codegen'd index sequence → slice/join
+    * (all builtins, no interpreted lambda) → ONE shuffle grouping on the
+    * chunk. Map-side partial aggregation collapses each partition's
+    * repeats before the exchange; the production variant shuffles the
+    * 8-byte [[graft.functions.TextFingerprint]] of the chunk instead of
+    * its text (the dd_exact pattern — equivalent modulo 2^-64 collisions),
+    * which this query keeps as text only so DuckDB can grade it.
+    * Tail words past the last full chunk are ignored on both engines. */
+  def ddChunks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 10)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("l")) - 9, lit(10))).as("i"),
+        col("l"))
+      .select(col("doc_id"),
+        array_join(slice(col("l"), col("i"), 10), " ").as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk"))
+
+  def ddChunksOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 10
+      |), chunks AS (
+      |  SELECT doc_id, array_to_string(l[i:i+9], ' ') AS chunk
+      |  FROM (SELECT doc_id, l, unnest(range(1, len(l) - 8, 10)) AS i FROM w)
+      |)
+      |SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+      |       min(doc_id) AS first_doc
+      |FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY chunk""".stripMargin
+
   /** Character 5-gram shingle set per document, distinct, exploded.
     * Shared shingle-generation for jaccard + minhash.
     *
