@@ -99,6 +99,8 @@ object SparkEntry {
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
+    "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
+
     // §7.3-4 similarity search
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
     "sim_ann_lsh" -> (Similarity.simAnnLsh _), // rows-only: probabilistic recall by design
@@ -109,6 +111,10 @@ object SparkEntry {
     "tx_quality" -> (TextAnalysis.txQuality _),
     "tx_lang_id" -> (TextAnalysis.txLangId _), // oracle: argmax over marker hits is ANSI-expressible
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
+    "tx_tfidf" -> (TextAnalysis.txTfidf _), // rational-idf keeps rounding oracle-stable
+    "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
+    "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
+    "tx_domains" -> (TextAnalysis.txDomains _), // URL → domain rollup
     // §7.3-4 multimodal (image decode is REAL javax.imageio; audio stub)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
     "mm_media_summary" -> (Multimodal.mmMediaSummary _), // oracle: decoded pixel geometry
@@ -155,11 +161,16 @@ object SparkEntry {
     "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
     "dd_clusters" -> Dedup.ddClustersOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
+    "dd_chunks" -> Dedup.ddChunksOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,
     "tx_lang_id" -> TextAnalysis.txLangIdOracle,
+    "tx_tfidf" -> TextAnalysis.txTfidfOracle,
+    "tx_repetition" -> TextAnalysis.txRepetitionOracle,
+    "tx_pii_redact" -> TextAnalysis.txPiiRedactOracle,
+    "tx_domains" -> TextAnalysis.txDomainsOracle,
     "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
     "mm_image_stats" -> Multimodal.mmImageStatsOracle,
     "mm_resize" -> Multimodal.mmResizeOracle,

@@ -83,7 +83,7 @@ object Dedup {
         explode(sequence(lit(1), size(col("l")) - 9, lit(10))).as("i"),
         col("l"))
       .select(col("doc_id"),
-        array_join(slice(col("l"), col("i"), 10), " ").as("chunk"))
+        array_join(slice(col("l"), col("i"), lit(10)), " ").as("chunk"))
       .groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"), min(col("doc_id")).as("first_doc"))
