@@ -82,6 +82,9 @@ object SparkEntry {
     "q21_correlated_subquery" -> (Relational.q21CorrelatedSubquery _),
     "q22_salted_join" -> (Relational.q22SaltedJoin _), // skew-salting idiom; oracle = plain join
     "q23_approx_distinct" -> (Relational.q23ApproxDistinct _), // rows-only: HLL
+    "q24_scd_upsert" -> (Relational.q24ScdUpsert _), // CDC latest-record-wins merge
+    "q25_range_join" -> (Relational.q25RangeJoin _), // interval-band non-equi join
+    "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
@@ -90,6 +93,7 @@ object SparkEntry {
     "ev_user_sequence" -> (Events.evUserSequence _),
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
+    "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -100,6 +104,11 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
     "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
+    "dd_contamination" -> (Dedup.ddContamination _), // benchmark 8-gram leakage gate
+    // §7.3-4 sampling / curation
+    "samp_hash" -> (graft.ops.Sampling.sampHash _), // deterministic pushdown-able sample
+    "samp_domain_cap" -> (graft.ops.Sampling.sampDomainCap _), // per-domain cap window
+    "samp_mixture" -> (graft.ops.Sampling.sampMixture _), // weighted mixture rebalance
 
     // §7.3-4 similarity search
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
@@ -111,6 +120,7 @@ object SparkEntry {
     "tx_quality" -> (TextAnalysis.txQuality _),
     "tx_lang_id" -> (TextAnalysis.txLangId _), // oracle: argmax over marker hits is ANSI-expressible
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
+    "tx_vocab" -> (TextAnalysis.txVocab _), // top-k term counts (tokenizer-training prefix)
     "tx_tfidf" -> (TextAnalysis.txTfidf _), // rational-idf keeps rounding oracle-stable
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
@@ -120,7 +130,7 @@ object SparkEntry {
     "mm_media_summary" -> (Multimodal.mmMediaSummary _), // oracle: decoded pixel geometry
     "mm_image_stats" -> (Multimodal.mmImageStats _), // oracle: PIXEL-EXACT decode check (channel means)
     "mm_resize" -> ((s: SparkSession, d: String) => Multimodal.mmResize(s, d)), // oracle: real decoded dims
-    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // rows-only: duration from audio stub
+    "mm_frame_sample" -> ((s: SparkSession, d: String) => Multimodal.mmFrameSample(s, d)), // oracle: real WAV-decoded duration
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,6 +158,12 @@ object SparkEntry {
     "q20_percentiles" -> Relational.q20Oracle,
     "q21_correlated_subquery" -> Relational.q21Oracle,
     "q22_salted_join" -> Relational.q22Oracle,
+    "q24_scd_upsert" -> Relational.q24Oracle,
+    "q25_range_join" -> Relational.q25Oracle,
+    "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
+    "samp_hash" -> graft.ops.Sampling.sampHashOracle,
+    "samp_domain_cap" -> graft.ops.Sampling.sampDomainCapOracle,
+    "samp_mixture" -> graft.ops.Sampling.sampMixtureOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_sessions" -> Events.evSessionsOracle,
@@ -155,6 +171,7 @@ object SparkEntry {
     "ev_user_sequence" -> Events.evUserSequenceOracle,
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
+    "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
@@ -162,11 +179,13 @@ object SparkEntry {
     "dd_clusters" -> Dedup.ddClustersOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "dd_chunks" -> Dedup.ddChunksOracle,
+    "dd_contamination" -> Dedup.ddContaminationOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,
     "tx_lang_id" -> TextAnalysis.txLangIdOracle,
+    "tx_vocab" -> TextAnalysis.txVocabOracle,
     "tx_tfidf" -> TextAnalysis.txTfidfOracle,
     "tx_repetition" -> TextAnalysis.txRepetitionOracle,
     "tx_pii_redact" -> TextAnalysis.txPiiRedactOracle,
@@ -174,5 +193,6 @@ object SparkEntry {
     "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
     "mm_image_stats" -> Multimodal.mmImageStatsOracle,
     "mm_resize" -> Multimodal.mmResizeOracle,
+    "mm_frame_sample" -> Multimodal.mmFrameSampleOracle,
   )
 }

@@ -441,4 +441,58 @@ object Dedup {
       |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
       |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The source treated as the held-out benchmark in [[ddContamination]]. */
+  private val BenchmarkSource = "src1"
+
+  /** Benchmark-contamination check: for every corpus document, the
+    * fraction of its sliding word 8-grams that also appear in a held-out
+    * benchmark set (here: the `src1` documents) — the eval-leakage gate
+    * every pretraining pipeline runs before training.
+    *
+    * Shape at 100 TB: both sides explode to DISTINCT (doc, gram) pairs
+    * — the distinct collapses map-side, so the shuffle carries unique
+    * grams per doc, not every position. The benchmark side is
+    * benchmark-sized (thousands of docs, not the corpus), so its gram
+    * set BROADCASTs and the probe is a map-side semi-join: the corpus
+    * never shuffles at all. Production hashes each gram to 8 bytes
+    * (xxhash64) before the join; text grams are kept here so DuckDB can
+    * grade membership exactly. Oracle-checked. */
+  def ddContamination(spark: SparkSession, dir: String): DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("l")) - 7)).as("i"), col("l"))
+      .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(8)), " ").as("g"))
+      .distinct()
+    val docs = t(spark, dir, "documents")
+    val corpus = grams(docs.filter(col("source") =!= BenchmarkSource))
+    val bench = grams(docs.filter(col("source") === BenchmarkSource))
+      .select(col("g")).distinct()
+    val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    perDoc.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddContaminationOracle: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         array_to_string(l[i:i+7], ' ') AS g
+       |  FROM (SELECT doc_id, source, l, unnest(range(1, len(l) - 6)) AS i
+       |        FROM (SELECT doc_id, source, string_split(text, ' ') AS l
+       |              FROM documents WHERE len(string_split(text, ' ')) >= 8))
+       |), corpus AS (SELECT doc_id, g FROM g WHERE source <> '$BenchmarkSource'),
+       |bench AS (SELECT DISTINCT g FROM g WHERE source = '$BenchmarkSource'),
+       |per_doc AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_hit
+       |         FROM corpus JOIN bench USING (g) GROUP BY doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |       round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS contaminated_frac
+       |FROM per_doc JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

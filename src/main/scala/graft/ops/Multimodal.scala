@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed per-partition in
   * batches.
   *
-  * The IMAGE path is real end-to-end: the media fixture synthesizes
-  * actual PNG payloads (deterministic dims/pixels derived from doc_id)
-  * and [[mmFeatures]] decodes them with the JDK's `javax.imageio` inside
-  * `mapPartitions` — no external deps, and the decoded dimensions are
-  * oracle-checked (the planted dim formulas are SQL-expressible, so
-  * DuckDB independently verifies the encode→decode round trip). The
-  * AUDIO path keeps the clearly-marked [[FakeCodec]] duration stub (no
-  * audio codec ships with the JDK).
+  * BOTH modality paths are real end-to-end, on JDK-only codecs: the
+  * media fixture synthesizes actual PNG payloads (deterministic
+  * dims/pixels derived from doc_id) decoded with `javax.imageio`, and
+  * actual RIFF/WAVE payloads (deterministic duration) whose container
+  * headers are parsed back with `javax.sound.sampled` — no external
+  * deps, and the decoded dimensions/durations are oracle-checked (the
+  * planted formulas are SQL-expressible, so DuckDB independently
+  * verifies each encode→decode round trip).
   *
   * Scale notes: media blobs dominate row size, so the operators (a) never
   * shuffle the binary payload — metadata is extracted first, payload
@@ -77,48 +77,89 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for the audio path only (the JDK ships no audio codec;
-    * clearly marked per the north-star instructions): duration derived
-    * from a stable byte hash so tests are reproducible. A real
-    * implementation would parse the container header here. */
-  object FakeCodec {
-    def checksum(payload: Array[Byte]): Long = {
+  /** Stable payload checksum (plain byte hash — not a codec). */
+  object Checksum {
+    def of(payload: Array[Byte]): Long = {
       var h = 1125899906842597L
       var i = 0
       while (i < payload.length) { h = 31L * h + payload(i); i += 1 }
       h
     }
-    /** STUB — not a real decoder (audio only). */
-    def durationMs(payload: Array[Byte]): Int =
-      (math.abs(checksum(payload) >> 32) % 300000).toInt
   }
+
+  /** REAL audio codec over the JDK's `javax.sound.sampled`: the encoder
+    * writes a spec-compliant RIFF/WAVE container (PCM 16-bit mono,
+    * 8 kHz), and the decoder parses it back with `AudioSystem` — a
+    * genuine container-header round trip with zero external deps (WAV
+    * parsing works headless; only lossy codecs need native libs). */
+  object AudioCodecWav {
+    val SampleRate = 8000
+
+    /** Deterministic PCM WAV: `nSamples` 16-bit mono samples on a
+      * seed-derived ramp. Payload size is exactly 44 + 2·nSamples. */
+    def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1) // PCM
+      bb.putShort(1) // mono
+      bb.putInt(SampleRate)
+      bb.putInt(SampleRate * 2) // byte rate
+      bb.putShort(2) // block align
+      bb.putShort(16) // bits per sample
+      bb.put("data".getBytes); bb.putInt(dataLen)
+      var i = 0
+      while (i < nSamples) {
+        bb.putShort(((seed * 31 + i) & 0x7FFF).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    /** True decoded duration in ms, from the parsed container header
+      * (frame count / frame rate via `AudioSystem`). */
+    def decodeDurationMs(payload: Array[Byte]): Int = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try ((in.getFrameLength * 1000.0 / in.getFormat.getFrameRate).round.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Planted audio duration in ms: a pure function of doc_id, mirrored
+    * by the DuckDB oracle — what makes the real WAV decode
+    * hash-checkable (8 kHz × 16-bit mono ⇒ 8 samples per ms exactly). */
+  private[ops] def audioDurMs(id: Long): Int = (500 + id % 2000).toInt
 
   /** Synthesize a media table from documents: even doc_ids become REAL
     * PNG images (planted dims, see [[imgWidth]]/[[imgHeight]]); odd
-    * doc_ids carry their UTF-8 text as a stand-in audio blob. Encoding
-    * happens per-partition (codec init amortized), and at 100 TB this
-    * whole step is a read-side concern — real deployments read
-    * binary-column parquet directly. */
+    * doc_ids become REAL PCM WAV blobs (planted duration, see
+    * [[audioDurMs]]). Encoding happens per-partition (codec init
+    * amortized), and at 100 TB this whole step is a read-side concern —
+    * real deployments read binary-column parquet directly. */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+      .select(col("doc_id"))
+      .as[Long]
       .mapPartitions { it =>
-        it.map { case (id, text) =>
+        it.map { id =>
           if (id % 2 == 0)
             MediaRecord(id, "image", ImageCodec.encodePng(imgWidth(id), imgHeight(id), id))
           else
-            MediaRecord(id, "audio", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            MediaRecord(id, "audio",
+              AudioCodecWav.encodeWav(audioDurMs(id) * AudioCodecWav.SampleRate / 1000, id))
         }
       }
   }
 
   /** Feature extraction over media partitions: the batched decode path.
     * `mapPartitions` (not per-row map) so the codec initializes once per
-    * partition. Image dims come from a REAL `javax.imageio` decode;
-    * audio duration from the declared stub. Payload is dropped before
-    * any downstream shuffle. */
+    * partition. Image dims come from a REAL `javax.imageio` decode,
+    * audio duration from a REAL `javax.sound.sampled` container parse.
+    * Payload is dropped before any downstream shuffle. */
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
@@ -132,8 +173,9 @@ object Multimodal {
             n_bytes = r.payload.length,
             width = w,
             height = h,
-            duration_ms = if (r.modality == "audio") FakeCodec.durationMs(r.payload) else 0,
-            checksum = FakeCodec.checksum(r.payload))
+            duration_ms =
+              if (r.modality == "audio") AudioCodecWav.decodeDurationMs(r.payload) else 0,
+            checksum = Checksum.of(r.payload))
         }
       }
       .toDF()
@@ -153,7 +195,8 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(col("width").cast("bigint") * col("height")).as("total_pixels"),
         max(col("width")).as("max_width"),
-        max(col("height")).as("max_height"))
+        max(col("height")).as("max_height"),
+        sum(col("duration_ms").cast("bigint")).as("total_duration_ms"))
       .orderBy(col("modality"))
 
   def mmMediaSummaryOracle: String =
@@ -165,7 +208,9 @@ object Multimodal {
       |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE 0 END) AS INTEGER)
       |    AS max_width,
       |  CAST(max(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 27 ELSE 0 END) AS INTEGER)
-      |    AS max_height
+      |    AS max_height,
+      |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 500 + doc_id % 2000 END) AS BIGINT)
+      |    AS total_duration_ms
       |FROM documents
       |GROUP BY 1 ORDER BY modality""".stripMargin
 
@@ -260,11 +305,12 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
 
   /** Frame-sample planning for time-based media: n evenly spaced sample
-    * offsets across the (stub-decoded) duration, as an exploded
+    * offsets across the REAL decoded duration, as an exploded
     * (media_id, frame_idx, offset_ms) table — the shape a video pipeline
     * feeds to a batched decoder. Codegen'd sequence/explode; one row per
-    * sampled frame; payload never carried. Rows-only graded (duration
-    * comes from the audio stub). */
+    * sampled frame; payload never carried. Oracle-checked: DuckDB
+    * replays the planted duration formula, so a WAV header-parse
+    * regression hash-mismatches here. */
   def mmFrameSample(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame =
     mmFeatures(spark, dir)
       .filter(col("duration_ms") > 0)
@@ -274,4 +320,13 @@ object Multimodal {
         floor(col("i") * col("duration_ms") / nFrames +
           col("duration_ms") / (2 * nFrames)).cast("bigint").as("offset_ms"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  def mmFrameSampleOracle: String =
+    """SELECT media_id, frame_idx,
+      |  CAST(floor(i * d / 4 + d / 8) AS BIGINT) AS offset_ms
+      |FROM (
+      |  SELECT doc_id AS media_id, CAST(500 + doc_id % 2000 AS INTEGER) AS d
+      |  FROM documents WHERE doc_id % 2 = 1) a
+      |CROSS JOIN (SELECT g AS frame_idx, g AS i FROM generate_series(0, 3) t(g)) f
+      |ORDER BY media_id, frame_idx""".stripMargin
 }

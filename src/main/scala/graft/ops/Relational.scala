@@ -557,4 +557,85 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
+
+  /** CDC latest-record-wins merge (the MERGE/upsert of a snapshot+feed
+    * ingest): a base snapshot (version 1) unioned with an update feed
+    * (version 2 — derived deterministically here: every 7th order re-
+    * priced +10%), then one window keyed on the primary key keeps the
+    * highest version. ONE shuffle on the key; per-key groups sort a
+    * handful of versions, never the table. At 100 TB the same merge is
+    * often written `groupBy(key).agg(max_by(struct(*), version))` —
+    * aggregation instead of sort-window, enabling partial (map-side)
+    * combine when the feed has many updates per key; the window form is
+    * used here because it also exposes the full version history when
+    * `rn > 1` rows are kept. Oracle-checked. */
+  def q24ScdUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit(1L).as("version"))
+    val updates = t(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") * lit(1.10)).as("o_totalprice"),
+        lit(2L).as("version"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), "total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def q24Oracle: String =
+    """WITH feed AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 1.10 AS o_totalprice,
+      |         2 AS version
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |), merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY version DESC) AS rn
+      |  FROM feed
+      |)
+      |SELECT o_orderstatus, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+      |FROM merged WHERE rn = 1
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Price bands for [[q25RangeJoin]]: [lo, hi) half-open intervals. */
+  private val PriceBands = Seq(
+    ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e12))
+
+  /** Range (interval) join: orders banded against a tiny interval table
+    * on `lo <= price < hi`. The non-equi condition forces a nested-loop
+    * join — and that is the RIGHT physical plan when the interval side
+    * is literal-sized: Spark broadcasts the 3-row table and the "loop"
+    * is 3 codegen'd comparisons per order row, no shuffle at all. When
+    * BOTH sides are large (the genuine interval-join problem), the scale
+    * path is binning: add `bin = floor(price / width)` to both sides,
+    * equi-join on the bin, and post-filter the boundary bins — turning
+    * O(n·m) into a shuffle equi-join. Oracle-checked. */
+  def q25RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = broadcast(PriceBands.toDF("band", "lo", "hi"))
+    t(spark, dir, "orders")
+      .join(bands, col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), "total_price"))
+      .orderBy(col("band"))
+  }
+
+  def q25Oracle: String = {
+    val values = PriceBands
+      .map { case (b, lo, hi) => s"('$b', ${lo}, ${hi})" }.mkString(", ")
+    s"""WITH bands(band, lo, hi) AS (VALUES $values)
+       |SELECT band, count(*) AS n_orders,
+       |       CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+       |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+  }
 }

