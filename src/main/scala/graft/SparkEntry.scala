@@ -85,6 +85,7 @@ object SparkEntry {
     "q24_scd_upsert" -> (Relational.q24ScdUpsert _), // CDC latest-record-wins merge
     "q25_range_join" -> (Relational.q25RangeJoin _), // interval-band non-equi join
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
+    "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "samp_hash" -> (graft.ops.Sampling.sampHash _), // deterministic pushdown-able sample
     "samp_domain_cap" -> (graft.ops.Sampling.sampDomainCap _), // per-domain cap window
     "samp_mixture" -> (graft.ops.Sampling.sampMixture _), // weighted mixture rebalance
+    "cur_pipeline" -> (graft.ops.Sampling.curatePipeline _), // composed sample→dedup→gate→rollup
 
     // §7.3-4 similarity search
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
@@ -161,9 +163,11 @@ object SparkEntry {
     "q24_scd_upsert" -> Relational.q24Oracle,
     "q25_range_join" -> Relational.q25Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
+    "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "samp_hash" -> graft.ops.Sampling.sampHashOracle,
     "samp_domain_cap" -> graft.ops.Sampling.sampDomainCapOracle,
     "samp_mixture" -> graft.ops.Sampling.sampMixtureOracle,
+    "cur_pipeline" -> graft.ops.Sampling.curatePipelineOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_sessions" -> Events.evSessionsOracle,

@@ -57,4 +57,47 @@ object Profiling {
          |  count(DISTINCT $c) AS n_distinct
          |FROM lineitem""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Declarative data-quality constraints over lineitem: each rule is a
+    * boolean SQL predicate; violations are counted in the SAME single
+    * aggregate pass as [[profNumeric]]'s stats (a rule is just one more
+    * conditional-count expression), so N rules cost one scan, zero extra
+    * shuffles. This is the quality-gate shape (Deequ-style) a pipeline
+    * runs before promoting a layer: the output is rule → violation
+    * count → pass/fail, and a scheduler fails the run on any `fail`.
+    * Oracle-checked. */
+  private val Constraints: Seq[(String, String)] = Seq(
+    ("quantity_in_range", "l_quantity >= 1 AND l_quantity <= 50"),
+    ("discount_in_range", "l_discount >= 0.0 AND l_discount <= 0.10"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("tax_below_discount_plus_10pct", "l_tax <= l_discount + 0.10"),
+    ("keys_not_null", "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"),
+    // deliberately tighter than the data (quantity reaches 50): exercises
+    // the violation-counting / fail branch, not just vacuous passes
+    ("quantity_below_50_strict", "l_quantity < 50"))
+
+  def profConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = Constraints.map { case (name, pred) =>
+      sum(when(expr(pred), 0L).otherwise(1L)).as(name)
+    }
+    val one = t(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = Constraints.map { case (name, _) =>
+      struct(lit(name).as("rule"), col("n_rows"),
+        col(name).as("n_violations"),
+        when(col(name) === 0, lit("pass")).otherwise(lit("fail")).as("status"))
+    }
+    one.select(explode(array(entries: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("rule"))
+  }
+
+  def profConstraintsOracle: String =
+    Constraints.map { case (name, pred) =>
+      s"""SELECT '$name' AS rule, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+         |  CASE WHEN sum(CASE WHEN $pred THEN 0 ELSE 1 END) = 0
+         |       THEN 'pass' ELSE 'fail' END AS status
+         |FROM lineitem""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rule")
 }

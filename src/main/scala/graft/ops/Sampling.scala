@@ -33,9 +33,11 @@ object Sampling {
   private val P3 = 122949823L
 
   /** Deterministic 10% corpus sample: accept iff
-    * `(doc_id * P1) mod 1000 < 100`. One codegen'd filter, no shuffle,
-    * no RNG state — the sample is a pure predicate, so it pushes down to
-    * the scan like any other filter and composes with partition pruning.
+    * `(doc_id * P1) mod 1000 < 100`. One codegen'd filter directly above
+    * the scan, no shuffle, no RNG state — the sample is a pure predicate
+    * of the row, so column pruning still reaches the scan (the payload
+    * column is never read; asserted in PlanSpec) and, when the corpus is
+    * partitioned on a sampled-through key, partition pruning composes.
     * Oracle-checked. */
   def sampHash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -109,6 +111,47 @@ object Sampling {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** End-to-end curation pipeline — the composed flagship of the family:
+    * deterministic 50% sample → exact dedup (first doc_id wins per text)
+    * → quality gate (5..1000 tokens) → per-language rollup of what
+    * survived. One chain, three filters, ONE shuffle (the dedup's
+    * group-by-text — production swaps the key for the 8-byte
+    * [[graft.functions.TextFingerprint]]), then a vocabulary-sized agg.
+    * This is the shape a real corpus build runs nightly; every stage is
+    * individually graded elsewhere (samp_hash, dd_exact_docs,
+    * tx_quality), this query grades their COMPOSITION. Oracle-checked. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = t(spark, dir, "documents")
+      .filter(pmod(col("doc_id") * lit(P1), lit(1000L)) < 500)
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id").asc)
+    val deduped = sampled
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    deduped
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 5 && col("n_tokens") <= 1000)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("bigint")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  def curatePipelineOracle: String =
+    s"""WITH sampled AS (
+       |  SELECT * FROM documents WHERE (doc_id * $P1) % 1000 < 500
+       |), deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text
+       |                                 ORDER BY doc_id ASC) AS rn
+       |    FROM sampled) x WHERE rn = 1
+       |), gated AS (
+       |  SELECT lang, len(string_split(text, ' ')) AS n_tokens FROM deduped
+       |  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 1000
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
   def sampMixtureOracle: String = {
     val values = MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")

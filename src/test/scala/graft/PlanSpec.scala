@@ -49,4 +49,34 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate pair in:\n${p.take(1500)}")
   }
+
+  test("q25: literal band table broadcasts; orders never shuffle for the range join") {
+    val p = plan(Relational.q25RangeJoin(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"interval side must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "range join must not fall back to a cartesian shuffle product")
+  }
+
+  test("samp_hash: sample predicate prunes scan columns (no text column read)") {
+    val p = plan(graft.ops.Sampling.sampHash(TestSpark.spark, TestSpark.Sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"sample scan reads the payload column it never returns: $readSchema")
+    // the accept test is a plain filter — no shuffle anywhere in the plan
+    assert(!p.contains("Exchange") || !p.contains("hashpartitioning"),
+      s"deterministic sampling must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("tx_vocab: corpus top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(graft.ops.TextAnalysis.txVocab(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary top-k degraded to a global sort:\n${p.take(1500)}")
+  }
+
+  test("prof_numeric: all column stats come from ONE scan of the table") {
+    val p = plan(graft.ops.Profiling.profNumeric(TestSpark.spark, TestSpark.Sf0001))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"profiling must not rescan per column:\n${p.take(2000)}")
+  }
 }
