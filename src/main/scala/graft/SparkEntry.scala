@@ -123,6 +123,7 @@ object SparkEntry {
     "tx_lang_id" -> (TextAnalysis.txLangId _), // oracle: argmax over marker hits is ANSI-expressible
     "tx_fingerprint" -> (TextAnalysis.txFingerprint _), // rows-only: hash not SQL-portable
     "tx_vocab" -> (TextAnalysis.txVocab _), // top-k term counts (tokenizer-training prefix)
+    "tx_heavy_hitters" -> (TextAnalysis.txHeavyHitters _), // Misra-Gries sketch + exact recount
     "tx_tfidf" -> (TextAnalysis.txTfidf _), // rational-idf keeps rounding oracle-stable
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
@@ -190,6 +191,7 @@ object SparkEntry {
     "tx_quality" -> TextAnalysis.txQualityOracle,
     "tx_lang_id" -> TextAnalysis.txLangIdOracle,
     "tx_vocab" -> TextAnalysis.txVocabOracle,
+    "tx_heavy_hitters" -> TextAnalysis.txHeavyHittersOracle,
     "tx_tfidf" -> TextAnalysis.txTfidfOracle,
     "tx_repetition" -> TextAnalysis.txRepetitionOracle,
     "tx_pii_redact" -> TextAnalysis.txPiiRedactOracle,

@@ -180,6 +180,46 @@ object TextAnalysis {
       |SELECT term, cf, df FROM cf JOIN df USING (term)
       |ORDER BY cf DESC, term ASC LIMIT 100""".stripMargin
 
+  /** Sketch capacity for [[txHeavyHitters]]. */
+  private val HhCapacity = 48
+
+  /** Heavy hitters via the Misra–Gries sketch + exact recount — the
+    * bounded-memory top-k when the vocabulary itself is too large to
+    * shuffle (URLs, n-grams, user ids):
+    *  1. ONE pass aggregates a ≤m-entry sketch per partition and merges
+    *     them (the shuffle carries one sketch per partition, never a
+    *     vocabulary-sized table);
+    *  2. the surviving candidates (≤m strings) BROADCAST back and only
+    *     their exact counts are computed — a second linear pass whose
+    *     aggregate state is m entries, not |vocab|;
+    *  3. the guarantee filter `cf > N/(m+1)` keeps exactly the terms
+    *     Misra–Gries provably retains, which is what makes the output
+    *     deterministic and oracle-checkable despite the sketch being
+    *     approximate: every term over the threshold is guaranteed to be
+    *     a candidate, and sub-threshold candidates are filtered by their
+    *     exact counts on both engines. Oracle-checked; the sketch's
+    *     lower-bound/collapse behavior under adversarial skew is pinned
+    *     in FunctionsSpec. */
+  def txHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents").select(explode(toks).as("term"))
+    val n = tok.count() // control-plane scalar: stream length for the bound
+    val cands = tok
+      .agg(graft.functions.MisraGries.sketch(col("term"), HhCapacity).as("sk"))
+      .select(explode(map_keys(col("sk"))).as("term"))
+    tok.join(broadcast(cands), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .filter(col("cf") > lit(n.toDouble / (HhCapacity + 1)))
+      .orderBy(col("cf").desc, col("term").asc)
+  }
+
+  def txHeavyHittersOracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |), cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
+       |SELECT term, cf FROM cf
+       |WHERE cf > (SELECT count(*) FROM tok) / ${HhCapacity + 1}.0
+       |ORDER BY cf DESC, term ASC""".stripMargin
+
   /** TF-IDF top-3 terms per document. Shape at 100 TB:
     *  - tokenize + explode → (doc_id, term), then ONE shuffle on
     *    (doc_id, term) computes per-doc term frequencies with map-side

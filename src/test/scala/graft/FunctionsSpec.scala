@@ -80,6 +80,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == h)
   }
 
+  test("Misra-Gries sketch: heavy term survives adversarial skew at tiny capacity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 400 occurrences of the heavy term buried in 600 singleton terms;
+    // capacity 8 << 601 distinct terms forces constant collapses
+    val terms = Seq.fill(400)("heavy") ++ (0 until 600).map(i => s"rare_$i")
+    // deterministic interleave so the heavy term isn't one contiguous run
+    val stream = terms.zipWithIndex.sortBy { case (t, i) => (i * 7919) % 1000 }.map(_._1)
+    val sk = stream.toDF("term")
+      .repartition(4) // exercise partial sketches + merge, not one reduce
+      .agg(graft.functions.MisraGries.sketch(col("term"), 8).as("sk"))
+      .as[Map[String, Long]].head()
+    // guarantee: any term with cf > N/(m+1) = 1000/9 ≈ 111 must survive
+    assert(sk.contains("heavy"), s"guaranteed heavy hitter evicted: $sk")
+    assert(sk.size <= 8, s"sketch exceeded capacity: ${sk.size}")
+    // reported count is a lower bound within N/(m+1) of the truth
+    val c = sk("heavy")
+    assert(c <= 400 && c >= 400 - 1000 / 9, s"count bound violated: $c")
+  }
+
   test("SQL registration: both functions callable from spark.sql") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
