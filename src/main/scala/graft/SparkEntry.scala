@@ -99,7 +99,8 @@ object SparkEntry {
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
-    "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability diagnostic
+    "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability: what was dropped
+    "dd_shingle_coverage" -> (Dedup.ddShingleCoverage _), // DF-cap observability: who lost protection
     "dd_clusters" -> (Dedup.ddClusters _), // connected components over the near-dup graph
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
@@ -181,6 +182,7 @@ object SparkEntry {
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
     "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
+    "dd_shingle_coverage" -> Dedup.ddShingleCoverageOracle,
     "dd_clusters" -> Dedup.ddClustersOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "dd_chunks" -> Dedup.ddChunksOracle,

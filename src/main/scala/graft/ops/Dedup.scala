@@ -148,6 +148,50 @@ object Dedup {
       .filter(col("df") > MaxShingleDf)
       .orderBy(col("g"))
 
+  /** Per-document coverage loss from the DF cap: how many of each doc's
+    * shingles survive the hot-shingle drop, flagging docs left UNPROTECTED
+    * (zero surviving shingles ⇒ invisible to the capped jaccard — the
+    * "silent coverage loss" a boilerplate-heavy corpus hits). Together
+    * with [[ddHotShingles]] this makes the cap's loss fully observable:
+    * that query lists what was dropped, this one lists who lost
+    * protection. One aggregate over the (already capped) index left-joined
+    * back to per-doc totals; both vocabulary-sized. Oracle-checked. */
+  def ddShingleCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val all = shingled(spark, dir)
+    val hot = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf).select(col("g"))
+    val total = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val kept = all.join(broadcast(hot), Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    total.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)) === 0).as("unprotected"))
+      .filter(col("n_kept") < col("n_shingles")) // only docs the cap touched
+      .orderBy(col("doc_id"))
+  }
+
+  def ddShingleCoverageOracle: String =
+    s"""WITH sh0 AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+       |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+       |    FROM documents) u
+       |), hot AS (
+       |  SELECT g FROM sh0 GROUP BY g HAVING count(*) > $MaxShingleDf
+       |), total AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM sh0 GROUP BY doc_id
+       |), kept AS (
+       |  SELECT doc_id, count(*) AS n_kept FROM sh0
+       |  WHERE g NOT IN (SELECT g FROM hot) GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.n_shingles,
+       |       coalesce(k.n_kept, 0) AS n_kept,
+       |       coalesce(k.n_kept, 0) = 0 AS unprotected
+       |FROM total t LEFT JOIN kept k USING (doc_id)
+       |WHERE coalesce(k.n_kept, 0) < t.n_shingles
+       |ORDER BY t.doc_id""".stripMargin
+
   def ddHotShinglesOracle: String =
     s"""SELECT g, count(*) AS df FROM (
       |  SELECT DISTINCT doc_id, g FROM (
