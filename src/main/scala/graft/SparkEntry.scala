@@ -92,6 +92,8 @@ object SparkEntry {
     "ev_sessions" -> (Events.evSessions _), // oracle: gaps-and-islands ANSI twin
     "ev_sessions_stateful" -> (graft.streaming.StatefulSessions.evSessionsStateful _), // oracle: islands + watermark-gate ANSI twin
     "ev_user_sequence" -> (Events.evUserSequence _),
+    "ev_funnel" -> (Events.evFunnel _), // ordered signup→view→click funnel
+    "ev_cohorts" -> (Events.evCohorts _), // weekly cohort retention triangle
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
@@ -175,6 +177,8 @@ object SparkEntry {
     "ev_sessions" -> Events.evSessionsOracle,
     "ev_sessions_stateful" -> graft.streaming.StatefulSessions.evSessionsStatefulOracle,
     "ev_user_sequence" -> Events.evUserSequenceOracle,
+    "ev_funnel" -> Events.evFunnelOracle,
+    "ev_cohorts" -> Events.evCohortsOracle,
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,

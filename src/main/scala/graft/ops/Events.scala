@@ -133,4 +133,85 @@ object Events {
       |WHERE user_id < 50
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Ordered funnel: signup → first view AFTER the signup → first click
+    * AFTER that view, per user; output is users surviving each stage.
+    * The ORDER constraint (each stage strictly after the previous) is
+    * what separates a funnel from three independent counts.
+    *
+    * Shape at 100 TB: three per-user min-aggregates (each a map-side
+    * partial collapse to ≤1 row per user per stage) chained by per-user
+    * joins — every shuffle is keyed on user_id and carries one row per
+    * user, so AQE can even reuse the exchange; nothing event-sized
+    * crosses a join. Oracle-checked. */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "click").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val stages = Seq(("1_signup", s1), ("2_view_after_signup", s2),
+      ("3_click_after_view", s3))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  def evFunnelOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |), s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'signup'
+      |  GROUP BY user_id
+      |), s2 AS (
+      |  SELECT ev.user_id, min(ts) AS t2 FROM ev JOIN s1 USING (user_id)
+      |  WHERE event_type = 'view' AND ts > t1 GROUP BY ev.user_id
+      |), s3 AS (
+      |  SELECT ev.user_id, min(ts) AS t3 FROM ev JOIN s2 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t2 GROUP BY ev.user_id
+      |)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT '2_view_after_signup', count(*) FROM s2
+      |UNION ALL
+      |SELECT '3_click_after_view', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  /** Weekly cohort retention: users bucketed by the week of their FIRST
+    * event; each later active week counts them at that week offset — the
+    * retention triangle every growth dashboard draws.
+    *
+    * Shape at 100 TB: first-seen is one per-user min-aggregate; the
+    * activity grid dedups (user, week) map-side before the final
+    * cohort-sized aggregate. Both week truncations are Monday-aligned in
+    * Spark and DuckDB, so the offsets match exactly. Oracle-checked. */
+  def evCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def evCohortsOracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |         date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk FROM events
+      |), first AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id
+      |)
+      |SELECT cohort_week,
+      |       CAST(date_diff('week', cohort_week, wk) AS INTEGER) AS week_offset,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM ev JOIN first USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 }
