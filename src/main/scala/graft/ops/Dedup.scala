@@ -157,7 +157,10 @@ object Dedup {
     * protection. One aggregate over the (already capped) index left-joined
     * back to per-doc totals; both vocabulary-sized. Oracle-checked. */
   def ddShingleCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val all = shingled(spark, dir)
+    // three consumers (hot agg, per-doc totals, anti-join survivors):
+    // materialize the exploded index once instead of rebuilding the
+    // explode+distinct shuffle per consumer (same idiom as ddNgramJaccard)
+    val all = shingled(spark, dir).localCheckpoint()
     val hot = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf).select(col("g"))
     val total = all.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))

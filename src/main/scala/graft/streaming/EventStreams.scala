@@ -118,16 +118,19 @@ object EventStreams {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def stream(kind: String, idAs: String, tsAs: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .filter(col("event_type") === kind)
-        .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
-        .withWatermark(tsAs, "1 hour")
-    val views = stream("view", "view_id", "view_ts")
-    val clicks = stream("click", "click_id", "click_ts")
+    // ONE file-stream source, self-joined: both join sides are filtered
+    // branches of the same stream (supported stream-stream self-join), so
+    // the backlog is scanned once instead of once per side
+    val base = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def side(kind: String, idAs: String, tsAs: String) = base
+      .filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+      .withWatermark(tsAs, "1 hour")
+    val views = side("view", "view_id", "view_ts")
+    val clicks = side("click", "click_id", "click_ts")
       .withColumnRenamed("user_id", "c_user_id")
     views.join(clicks,
       col("user_id") === col("c_user_id") &&
