@@ -119,6 +119,8 @@ object SparkEntry {
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
     "sim_ann_lsh" -> (Similarity.simAnnLsh _), // rows-only: probabilistic recall by design
     "sim_ann_ivf" -> (Similarity.simAnnIvf _), // rows-only: probabilistic recall by design
+    "emb_label_centroids" -> (graft.ops.Embeddings.embLabelCentroids _), // per-class centroid grid
+    "emb_quantize" -> (graft.ops.Embeddings.embQuantize _), // int8 scalar quantization summary
     // §7.3-4 text analysis
     "tx_tokens" -> (TextAnalysis.txTokens _),
     "tx_tokens_bpe" -> (TextAnalysis.txTokensBpe _),
@@ -192,6 +194,8 @@ object SparkEntry {
     "dd_chunks" -> Dedup.ddChunksOracle,
     "dd_contamination" -> Dedup.ddContaminationOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
+    "emb_label_centroids" -> graft.ops.Embeddings.embLabelCentroidsOracle,
+    "emb_quantize" -> graft.ops.Embeddings.embQuantizeOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,

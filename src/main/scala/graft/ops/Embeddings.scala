@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators beyond similarity search (SURVEY §7.3-4
+  * north star): per-group centroid statistics and int8 scalar
+  * quantization — the storage/efficiency half of an embedding pipeline
+  * (the retrieval half lives in [[Similarity]]).
+  *
+  * Cross-engine determinism: element means and quantization codes are
+  * computed on `floor`-quantized integer grids rather than raw float
+  * accumulation. Summing doubles is partition-order-dependent (Spark's
+  * partial aggregates visit rows in shuffle order, DuckDB sequentially),
+  * so a "same numbers, different order" run can differ in the last ulp;
+  * flooring each element onto an integer grid first makes every sum an
+  * exact BIGINT and the whole result bit-stable on BOTH engines. The
+  * float→double widening cast is exact, and the shared double expression
+  * trees evaluate identically.
+  */
+object Embeddings {
+  import Relational.t
+
+  /** Per-label element-wise centroid of the embeddings, on a 1e-6 grid:
+    * the "what does each class center look like" aggregate (and the
+    * batch shape of k-means' assignment-update step — the production
+    * path with typed state is [[graft.functions.VectorCentroid]], which
+    * DedupSpec exercises; this query is its oracle-checkable twin).
+    *
+    * Shape at 100 TB: posexplode fans each vector into (label, pos, x)
+    * rows — all codegen'd — and ONE hash aggregate keyed (label, pos)
+    * with map-side partial sums carries k·dim rows per partition into
+    * the shuffle, never the vectors. Oracle-checked. */
+  def embLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("q")).cast("double") / count(lit(1)) / 1000000.0, 4)
+          .as("centroid_q"))
+      .orderBy(col("label"), col("pos"))
+
+  def embLabelCentroidsOracle: String =
+    """WITH e AS (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1) - 1 AS pos,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      |  FROM embeddings
+      |)
+      |SELECT label, pos, count(*) AS n,
+      |       round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 4) AS centroid_q
+      |FROM e GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  /** Int8 scalar quantization summary per vector: min/max calibration
+    * range and the exact sum of the 0..255 codes — the compression step
+    * that shrinks a float32 embedding store 4× before ANN probing (codes
+    * verify the whole quantization arithmetic; a real pipeline would
+    * materialize the code array itself alongside).
+    *
+    * Shape at 100 TB: one posexplode, ONE shuffle on vec_id; min/max
+    * come from a window over the same partitioning the aggregate uses,
+    * so Spark reuses the exchange. Per-vector state is 3 scalars.
+    * `floor` (not `round`) for the grid: floor has no tie-breaking
+    * semantics to disagree on across engines. Oracle-checked. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("xf").cast("double").as("x"))
+      .withColumn("mn", min(col("x")).over(w))
+      .withColumn("mx", max(col("x")).over(w))
+      .withColumn("code",
+        floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+          .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(round(min(col("mn")), 6).as("cal_min"),
+        round(min(col("mx")), 6).as("cal_max"),
+        sum(col("code")).as("code_sum"))
+      .orderBy(col("vec_id"))
+  }
+
+  def embQuantizeOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, x,
+      |         min(x) OVER (PARTITION BY vec_id) AS mn,
+      |         max(x) OVER (PARTITION BY vec_id) AS mx
+      |  FROM e
+      |)
+      |SELECT vec_id, round(min(mn), 6) AS cal_min, round(min(mx), 6) AS cal_max,
+      |       CAST(sum(CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) AS BIGINT)
+      |         AS code_sum
+      |FROM s GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+}
