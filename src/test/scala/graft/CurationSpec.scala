@@ -99,6 +99,28 @@ class CurationSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("funnel: ordered stages shrink monotonically") {
+    val spark = TestSpark.spark
+    val stages = graft.ops.Events.evFunnel(spark, Sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.size == 3)
+    assert(stages("1_signup") >= stages("2_view_after_signup"))
+    assert(stages("2_view_after_signup") >= stages("3_click_after_view"))
+    assert(stages("1_signup") > 0)
+  }
+
+  test("quantization: codes stay on the 0..255 grid (sum bound per vector)") {
+    val spark = TestSpark.spark
+    val rows = graft.ops.Embeddings.embQuantize(spark, Sf001).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val sum = r.getLong(3)
+      assert(sum >= 0 && sum <= 255L * 64,
+        s"code_sum out of the int8 range for ${r.getLong(0)}: $sum")
+      assert(r.getDouble(1) < r.getDouble(2), "calibration range must be non-degenerate")
+    }
+  }
+
   test("contamination: flags the planted cross-source duplicates only") {
     val spark = TestSpark.spark
     val hits = Dedup.ddContamination(spark, Sf001).collect()
