@@ -638,4 +638,30 @@ object Relational {
        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
        |GROUP BY band ORDER BY band""".stripMargin
   }
+
+  /** Per-group top-k through the NATIVE two-phase operator
+    * ([[graft.plans.TopKPerGroup]]): top-3 orders by price per priority,
+    * deterministic tiebreak on the key. Same semantics as the
+    * `row_number()` window the oracle runs — but the physical plan keeps
+    * bounded heaps before AND after the group shuffle instead of fully
+    * sorting every group, so shuffled bytes are ≤ k·groups·partitions
+    * rows (see the operator's Scaladoc for the 100 TB arithmetic).
+    * Oracle-checked; plan shape pinned in PlanSpec. */
+  def q26TopkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      t(spark, dir, "orders"),
+      group = Seq(col("o_orderpriority")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
+  def q26Oracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 }

@@ -16,6 +16,26 @@ object GraftBridge {
   def toCol(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Eager Column → Expression conversion through the session's
+    * ColumnNode converter. `ExpressionUtils.expression` wraps lazily
+    * (`ColumnNodeExpression`), which custom logical nodes must not leak
+    * into the analyzer — this yields the real expression tree
+    * (UnresolvedAttribute / SortOrder / ...) immediately. */
+  def toExprEager(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`); runs the analyzer, so custom logical nodes built
+    * over unresolved column expressions resolve normally. */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
   /** Apply a [[SparkSessionExtensions]]' collected function injections to
     * a registry — the same `private[sql]` hook the session-state builder
     * drives at session construction; exposed for testing installers. */

@@ -74,6 +74,34 @@ class PlanSpec extends AnyFunSuite {
       s"vocabulary top-k degraded to a global sort:\n${p.take(1500)}")
   }
 
+  test("q26: native top-k plans two heap phases around one exchange, no Sort") {
+    val df = Relational.q26TopkNative(TestSpark.spark, TestSpark.Sf0001)
+    val inner = graft.plans.TopKPerGroup.topK(
+      graft.ops.Relational.t(TestSpark.spark, TestSpark.Sf0001, "orders"),
+      group = Seq(org.apache.spark.sql.functions.col("o_orderpriority")),
+      order = Seq(org.apache.spark.sql.functions.col("o_totalprice").desc,
+        org.apache.spark.sql.functions.col("o_orderkey").asc),
+      k = 3)
+    val p = inner.queryExecution.executedPlan.toString
+    assert("TopKPerGroup ".r.findAllIn(p).size == 2,
+      s"expected partial+final TopKPerGroupExec pair in:\n${p.take(2000)}")
+    assert(p.contains("Exchange hashpartitioning"),
+      s"final phase must cluster on the group key:\n${p.take(2000)}")
+    assert(!p.contains("Sort "), s"native top-k must not sort groups:\n${p.take(2000)}")
+    // and the graded query's results match the window formulation exactly
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      graft.ops.Relational.t(TestSpark.spark, TestSpark.Sf0001, "orders")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(df.collect().map(_.toSeq).toSet == viaWindow)
+  }
+
   test("prof_numeric: all column stats come from ONE scan of the table") {
     val p = plan(graft.ops.Profiling.profNumeric(TestSpark.spark, TestSpark.Sf0001))
     assert("Scan parquet".r.findAllIn(p).size == 1,
