@@ -43,4 +43,13 @@ object GraftBridge {
       ext: SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Materialize an extensions object's collected planner strategies —
+    * the `private[sql]` hook the session builder drives; exposed so the
+    * `spark.sql.extensions` installer path is testable without a fresh
+    * SparkContext (static conf). */
+  def buildPlannerStrategies(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
 }

@@ -102,6 +102,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == viaWindow)
   }
 
+  test("GraftExtensions installs the top-k strategy through spark.sql.extensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.GraftBridge
+      .buildPlannerStrategies(ext, TestSpark.spark)
+    assert(strategies.contains(graft.plans.TopKPerGroup.Strategy),
+      s"extensions installer must register the strategy, got: $strategies")
+  }
+
   test("prof_numeric: all column stats come from ONE scan of the table") {
     val p = plan(graft.ops.Profiling.profNumeric(TestSpark.spark, TestSpark.Sf0001))
     assert("Scan parquet".r.findAllIn(p).size == 1,
