@@ -275,6 +275,12 @@ object GraftFunctions {
   def nearest_centroid(c: Column, centroids: Array[Array[Float]]): Column =
     GraftBridge.toCol(NearestCentroid(GraftBridge.toExpr(c), centroids))
 
+  /** Character n-gram shingles as a generator column (UDTF tier): use in
+    * a select the way `explode` is used — one output row per shingle. */
+  def shingles(c: Column, n: Int): Column =
+    GraftBridge.toCol(ShingleGenerator(GraftBridge.toExpr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -100,6 +100,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(c <= 400 && c >= 400 - 1000 / 9, s"count bound violated: $c")
   }
 
+  test("shingle generator matches the relational explode+substr formulation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefg"), (2L, "abc"), (3L, null.asInstanceOf[String]), (4L, "xxxxx"))
+      .toDF("doc_id", "text")
+    val viaGenerator = docs
+      .select(col("doc_id"), GraftFunctions.shingles(col("text"), 5).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaExplode = docs
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"), col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGenerator.nonEmpty)
+    assert(viaGenerator == viaExplode,
+      s"generator and relational paths drifted:\n$viaGenerator\n$viaExplode")
+    // short and null inputs generate zero rows
+    assert(!viaGenerator.exists(t => t._1 == 2L || t._1 == 3L))
+  }
+
   test("SQL registration: both functions callable from spark.sql") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
