@@ -72,10 +72,20 @@ object Bench {
       System.err.println(s"[bench] $name " +
         times.get(name).map(t => f"$t%.2fs").getOrElse(s"FAILED: ${errors.getOrElse(name, "?")}"))
     }
-    val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // The driver tail-captures only the LAST ~2000 chars of output, and sbt
+    // appends its own "[success] ..." line after ours — a full-precision
+    // 74-query JSON line (~3.5 KB) gets head-truncated and fails to parse
+    // (every BENCH_r1–r5 has parsed:null). Print a 2-decimal compact line
+    // (fits with headroom) and keep full precision in bench_full.json.
+    def fmt(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    val qs = times.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(s"\"$sfDir\"")
+    val fullQs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":$sfNum}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -73,9 +73,12 @@ object Embeddings {
       .select(col("vec_id"), col("xf").cast("double").as("x"))
       .withColumn("mn", min(col("x")).over(w))
       .withColumn("mx", max(col("x")).over(w))
+      // degenerate (constant) vector: mx==mn would be 0/0 — Spark NULL vs
+      // DuckDB NaN, engine-divergent. All codes collapse to 0 by definition.
       .withColumn("code",
-        floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
-          .cast("long"))
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) * lit(255.0) / (col("mx") - col("mn")))
+            .cast("long")))
       .groupBy(col("vec_id"))
       .agg(round(min(col("mn")), 6).as("cal_min"),
         round(min(col("mx")), 6).as("cal_max"),
@@ -93,8 +96,9 @@ object Embeddings {
       |  FROM e
       |)
       |SELECT vec_id, round(min(mn), 6) AS cal_min, round(min(mx), 6) AS cal_max,
-      |       CAST(sum(CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)) AS BIGINT)
-      |         AS code_sum
+      |       CAST(sum(CASE WHEN mx = mn THEN 0
+      |                     ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+      |                END) AS BIGINT) AS code_sum
       |FROM s GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 }

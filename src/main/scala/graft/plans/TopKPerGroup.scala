@@ -34,6 +34,23 @@ import scala.collection.mutable
   * (identical semantics, deterministic tiebreak); PlanSpec pins the
   * two-phase shape (partial below the exchange) and that no Sort node
   * appears.
+  *
+  * MEMORY BOUND (read before pointing this at a new key): the partial
+  * phase holds one k-row heap per DISTINCT GROUP KEY PER TASK in an
+  * on-heap map with no spill path — peak memory is O(k · groups-per-
+  * partition · row-width). That is the right trade for the operator's
+  * target shape (k small, group cardinality ≪ rows: priorities, nations,
+  * domains). For high-cardinality keys (e.g. user_id at 100 TB) the
+  * partial phase degenerates toward holding ~all rows; use the
+  * window+sort formulation there, which spills. Same rule of thumb as
+  * partial aggregation: the combine only pays when groups ≪ rows.
+  *
+  * DETERMINISM: rows equal under `order` are admitted first-come (strict
+  * heap compare) — an incomplete ordering returns a correct but
+  * run-dependent top-k. Callers must end `order` with a unique tiebreak
+  * column (uniqueness isn't statically checkable, so [[topK]] can only
+  * document it; the window formulation needs the same tiebreak for a
+  * deterministic `row_number` anyway).
   */
 object TopKPerGroup {
 

@@ -120,7 +120,15 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // ONE file-stream source, self-joined: both join sides are filtered
     // branches of the same stream (supported stream-stream self-join), so
-    // the backlog is scanned once instead of once per side
+    // the backlog is scanned once instead of once per side.
+    // SINGLE-BATCH ASSUMPTION: batch-parity with the oracle relies on the
+    // whole backlog landing in one micro-batch (one events.parquet file,
+    // AvailableNow's default maxFilesPerTrigger=1000 ≫ 1). If the fixture
+    // ever splits into many files, rows older than the 1-hour watermark
+    // arriving in a later batch would be dropped from join state and the
+    // pair set would shrink nondeterministically — a production feed
+    // must ingest files in event-time order (or widen the watermark to
+    // the feed's real out-of-orderness) for the same guarantee.
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)

@@ -121,6 +121,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("quantization: a constant (degenerate) vector codes to all-zeros, not NULL/NaN") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // real data has flat vectors (zero-padded, dead dims) — mx==mn must
+    // not hit 0/0 (Spark NULL vs DuckDB NaN, engine-divergent)
+    val dir = java.nio.file.Files.createTempDirectory("emb-degenerate-").toString
+    Seq((1L, Array.fill(8)(0.25f)), (2L, Array.tabulate(8)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val byId = graft.ops.Embeddings.embQuantize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(3) == 0L, "constant vector must code to all-zeros")
+    assert(!byId(1L).isNullAt(3), "degenerate range must not produce NULL codes")
+    assert(byId(2L).getLong(3) > 0L)
+  }
+
   test("contamination: flags the planted cross-source duplicates only") {
     val spark = TestSpark.spark
     val hits = Dedup.ddContamination(spark, Sf001).collect()

@@ -63,9 +63,14 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("text"),
       s"sample scan reads the payload column it never returns: $readSchema")
-    // the accept test is a plain filter — no shuffle anywhere in the plan
-    assert(!p.contains("Exchange") || !p.contains("hashpartitioning"),
-      s"deterministic sampling must not shuffle:\n${p.take(1500)}")
+    // the accept test is a plain filter — no hash-partitioned shuffle; the
+    // only allowed Exchange is the single rangepartitioning from the
+    // presentation orderBy (the old disjunct form was vacuously true
+    // whenever the range exchange existed)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"deterministic sampling must not hash-shuffle:\n${p.take(1500)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1,
+      s"more than the one presentation sort exchange:\n${p.take(1500)}")
   }
 
   test("tx_vocab: corpus top-k plans as TakeOrderedAndProject, not a global sort") {
