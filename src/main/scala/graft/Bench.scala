@@ -39,6 +39,7 @@ object Bench {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_SEC", "600").toLong
     val names = SparkEntry.queries.keys.toSeq.sorted
     val times = mutable.LinkedHashMap.empty[String, Double]
+    val repTimes = mutable.LinkedHashMap.empty[String, Seq[Double]]
     val errors = mutable.LinkedHashMap.empty[String, String]
     names.foreach { name =>
       val cmd = (Seq(javaBin) ++ AddOpens ++ Seq(
@@ -68,22 +69,41 @@ object Bench {
           case Some(line) => times(name) = line.stripPrefix("BENCHCHILD ").trim.toDouble
           case None => errors(name) = "child produced no BENCHCHILD line"
         }
+        out.linesIterator.find(_.startsWith("BENCHCHILD_REPS ")).foreach { line =>
+          repTimes(name) = line.stripPrefix("BENCHCHILD_REPS ").trim
+            .split(',').toSeq.filter(_.nonEmpty).map(_.toDouble)
+        }
       }
       System.err.println(s"[bench] $name " +
-        times.get(name).map(t => f"$t%.2fs").getOrElse(s"FAILED: ${errors.getOrElse(name, "?")}"))
+        times.get(name)
+          .map(t => String.format(java.util.Locale.ROOT, "%.2fs", Double.box(t)))
+          .getOrElse(s"FAILED: ${errors.getOrElse(name, "?")}"))
     }
     // The driver tail-captures only the LAST ~2000 chars of output, and sbt
     // appends its own "[success] ..." line after ours — a full-precision
     // 74-query JSON line (~3.5 KB) gets head-truncated and fails to parse
     // (every BENCH_r1–r5 has parsed:null). Print a 2-decimal compact line
     // (fits with headroom) and keep full precision in bench_full.json.
-    def fmt(v: Double): String = if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator (de_DE etc.) would make the one JSON line the
+    // driver parses invalid.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, if (v >= 10) "%.1f" else "%.2f", Double.box(v))
     val qs = times.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = times.values.sum
-    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(s"\"$sfDir\"")
+    // anchored so "sf1." can't yield a bare non-JSON "1."; fallback strips
+    // JSON-breaking chars the same way error strings do
+    val sfNum = "sf([0-9]+(\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir.replaceAll("[\"\\\\]", "'") + "\"")
     val fullQs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    // per-rep samples let a later reader judge run-to-run spread (min alone
+    // can't distinguish a real 2x regression from fork variance on sub-second
+    // queries — the r5→r6 deltas were 1.7–2.4x pure noise)
+    val repsJson = repTimes.map { case (k, vs) => s"\"$k\":[${vs.mkString(",")}]" }
+      .mkString("{", ",", "}")
+    val sfDirJson = "\"" + sfDir.replaceAll("[\"\\\\]", "'") + "\""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"rep_times":$repsJson,"errors":$errJson,"n_failed":${errors.size},"sf":$sfDirJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), full + "\n")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":$sfNum}""")
     if (errors.nonEmpty) sys.exit(1)
@@ -91,16 +111,19 @@ object Bench {
 }
 
 /** One query in one fresh JVM: builds its own SparkSession, runs the
-  * query `SPARK_GRAFT_BENCH_REPS` times (default 2), prints
-  * `BENCHCHILD <min-seconds>` and exits 0; any failure propagates as a
-  * nonzero exit (the parent records it — never a timing). */
+  * query `SPARK_GRAFT_BENCH_REPS` times (default 5), prints
+  * `BENCHCHILD <min-seconds>` plus `BENCHCHILD_REPS <t1,t2,…>` and
+  * exits 0; any failure propagates as a nonzero exit (the parent
+  * records it — never a timing). */
 object BenchChild {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // min-of-3 in one JVM: rep 1 pays JIT/codegen warmup (~3-5 s even on
-    // trivial plans), rep 3 is the plan's honest time
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // min-of-5 in one JVM: rep 1 pays JIT/codegen warmup (~3-5 s even on
+    // trivial plans); 4 post-warmup samples give min() enough draws that
+    // sub-second fork variance (r5→r6 showed 1.7–2.4x on unchanged plans)
+    // can't masquerade as a regression
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -126,6 +149,7 @@ object BenchChild {
       i += 1
     }
     println(s"BENCHCHILD ${times.min}")
+    println(s"BENCHCHILD_REPS ${times.mkString(",")}")
     spark.stop()
   }
 }

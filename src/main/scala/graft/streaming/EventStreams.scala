@@ -16,6 +16,29 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventStreams {
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` lowered to
+    * [[StreamShufflePartitions]], restoring the session value after.
+    *
+    * Stateful streaming operators materialize ONE state store per
+    * shuffle partition per stateful op (a stream-stream join keeps four
+    * per partition), and the count is fixed into the checkpoint at query
+    * start. The session default (32, sized for batch shuffles) means
+    * 32–128 store instances whose per-batch open/commit/maintenance cost
+    * dwarfs the actual work on a bounded backlog — it was the single
+    * biggest line in the bench (ev_stream_join 9.1 s). Production sizing
+    * is throughput-driven (state volume / partition), not core-count
+    * driven, so a deliberate streaming-specific value is the correct
+    * shape at any scale, not a test-only hack. */
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8").toInt
+
+  private[streaming] def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming tumbling-window aggregation with a 1-hour watermark
     * (late events beyond the watermark are dropped — the late-data
     * policy under test in EventStreamSpec). */
@@ -42,16 +65,17 @@ object EventStreams {
     * mode would withhold the windows still open at end-of-backlog (their
     * watermark never passes), which is correct for an unbounded feed but
     * wrong for a bounded parity check. */
-  def runToMemory(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val q = tumblingStream(spark, dir).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  def runToMemory(spark: SparkSession, dir: String, name: String): DataFrame =
+    withStreamShuffle(spark) {
+      val q = tumblingStream(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    }
 
   /** Streaming DEDUPLICATION under a watermark: the event stream is
     * deliberately DOUBLED (self-union — the at-least-once delivery a real
@@ -87,13 +111,15 @@ object EventStreams {
   def evStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "ev_stream_dedup_sink"
     spark.catalog.dropTempView(name)
-    val q = dedupedStream(spark, dir).writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = dedupedStream(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy(col("event_type"))
   }
 
@@ -156,13 +182,15 @@ object EventStreams {
   def evStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "ev_stream_join_sink"
     spark.catalog.dropTempView(name)
-    val q = attributionJoinStream(spark, dir).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = attributionJoinStream(spark, dir).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),

@@ -137,13 +137,17 @@ object StatefulSessions {
     // fixed sink name, dropped first: repeated invocations (bench reps)
     // must not accumulate memory-sink tables in the session catalog
     spark.catalog.dropTempView(name)
-    val q = sessionStream(spark, dir).writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // streaming-sized state-store partition count (see
+    // EventStreams.withStreamShuffle — 32 stores at toy scale is overhead)
+    EventStreams.withStreamShuffle(spark) {
+      val q = sessionStream(spark, dir).writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 

@@ -91,13 +91,15 @@ object UserProfiles {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = profileStream(spark, dir).writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      EventStreams.withStreamShuffle(spark) {
+        val q = profileStream(spark, dir).writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
