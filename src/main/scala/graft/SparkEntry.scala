@@ -108,6 +108,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
+    "dd_embed_lsh" -> (Dedup.ddEmbedLsh _), // rows-only: probabilistic recall; exact twin is dd_embed_cosine
     "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
     "dd_contamination" -> (Dedup.ddContamination _), // benchmark 8-gram leakage gate
     // §7.3-4 sampling / curation
@@ -134,7 +135,8 @@ object SparkEntry {
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
     "tx_domains" -> (TextAnalysis.txDomains _), // URL → domain rollup
-    // §7.3-4 multimodal (image decode is REAL javax.imageio; audio stub)
+    // §7.3-4 multimodal (image decode is REAL javax.imageio; audio decode
+    // is REAL javax.sound.sampled WAV parsing — see Multimodal.scala)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
     "mm_media_summary" -> (Multimodal.mmMediaSummary _), // oracle: decoded pixel geometry
     "mm_image_stats" -> (Multimodal.mmImageStats _), // oracle: PIXEL-EXACT decode check (channel means)

@@ -68,10 +68,8 @@ object Main {
         else JdbcSnapshotSource(
           url = sys.env.getOrElse("GRAFT_JDBC_URL", sys.error("GRAFT_JDBC_URL unset for JDBC pipeline")),
           driver = sys.env.getOrElse("GRAFT_JDBC_DRIVER", "com.mysql.cj.jdbc.Driver"),
-          user = sys.env.getOrElse("GRAFT_JDBC_USER", ""),
-          password = sys.env.getOrElse("GRAFT_JDBC_PASSWORD", ""),
           dbSchema = sys.env.getOrElse("GRAFT_JDBC_SCHEMA", "test"),
-          view = cfg.cdsView)
+          view = cfg.cdsView) // credentials: EnvCredentials default (GRAFT_JDBC_USER/_PASSWORD)
       layer match {
         case "raw" =>
           val m = Orchestrator.ingest(spark, cfg, source, ledger, runId)

@@ -478,6 +478,53 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Embedding near-dup pairs via random-hyperplane LSH — the SCALE path
+    * whose correctness twin is [[ddEmbedCosine]] (which stays an honest
+    * all-pairs join so DuckDB can grade the exact pair set; that shape is
+    * quadratic and dies at 100×, THIS one replaces it at scale).
+    *
+    * Candidates come from a bucket self-join on the same 8-table ×
+    * 8-hyperplane-bit signatures [[Similarity.simAnnLsh]] uses, with
+    * one-side hamming-1 multi-probe: vector a joins vector b (id_a <
+    * id_b) when their signatures in SOME table agree exactly or differ
+    * by one bit (a's probe set covers b's exact signature; the relation
+    * is symmetric, so probing one side loses nothing). Per-table collide
+    * probability at cos 0.4–0.5 is p^8 + 8p^7(1-p) ≈ 0.14–0.20
+    * (p = 1 − θ/π ≈ 0.63–0.67), ≈ 0.7–0.8 over 8 tables — the DedupSpec
+    * recall floor vs the brute twin pins it. Survivors are rescored with
+    * the EXACT codegen'd cosine and the same ≥ 0.4 threshold, so output
+    * pairs are always true pairs (precision 1 by construction); recall
+    * is the only approximation, which is why this is rows-only graded.
+    *
+    * Scale shape: signatures are one codegen'd pass (localCheckpoint'd —
+    * the 64-plane expression tree must not ride along in the join
+    * lineage); the self-join is Σ bucket·(9·bucket) over (tbl, sig)
+    * buckets, never n²; candidates shuffle as (id_a, id_b) pairs only;
+    * embeddings re-join solely for surviving candidates. At 100 TB the
+    * signature table is bucketed at rest on (tbl, sig) and bits scale
+    * with log n to hold bucket sizes flat. */
+  def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sigs = Similarity.bucketed(spark, e).localCheckpoint()
+    val flips = (0 until Similarity.BitsPerTable)
+      .map(b => col("sig").bitwiseXOR(lit(1 << b)))
+    val probes = sigs.select(col("vec_id"), col("tbl"),
+      explode(array(col("sig") +: flips: _*)).as("sig"))
+    val cand = probes.as("a")
+      .join(sigs.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def ddEmbedCosineOracle: String =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_cosine_similarity(

@@ -56,8 +56,8 @@ object Similarity {
       |) x WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
 
-  private val NumTables = 8
-  private val BitsPerTable = 8
+  private[ops] val NumTables = 8
+  private[ops] val BitsPerTable = 8
   private val Dim = 64 // fixture embedding dimensionality
 
   /** Deterministic pseudo-random hyperplane for (table, bit): components
@@ -80,7 +80,7 @@ object Similarity {
     * sign); an earlier formulation folded interpreted `aggregate()`
     * lambdas per (table, bit) — 128 uncompiled folds per row — which
     * dominated the operator's runtime. */
-  private def bucketed(spark: SparkSession, e: org.apache.spark.sql.DataFrame) = {
+  private[ops] def bucketed(spark: SparkSession, e: org.apache.spark.sql.DataFrame) = {
     val tableSigs = (0 until NumTables).map { tbl =>
       val sig = (0 until BitsPerTable).map { bit =>
         when(cosine_similarity(col("embedding"),
@@ -139,16 +139,70 @@ object Similarity {
   /** IVF coarse-quantizer size and Lloyd iteration count. k≈√n is the
     * usual IVF sizing; 32 fits the fixture (1k–10k vectors). */
   private val K = 32
-  private val LloydIters = 2
+  private val LloydIters = 4
 
-  /** Cells probed per query in [[simAnnIvf]]. */
-  private val NProbe = 3
+  /** Cells probed per query in [[simAnnIvf]]. NProbe is THE recall/cost
+    * dial of IVF: candidates scale as NProbe/K of the corpus. The
+    * fixture's near-random 64-d embeddings are IVF's worst case (top-10
+    * neighbors barely beat chance, so they scatter across cells) and
+    * need 12 of 32 cells for the DedupSpec 0.8 recall floor;
+    * production embedding spaces are strongly clustered and reach the
+    * same recall at far lower NProbe/K — tune against a recall probe
+    * set, exactly as the spec does. */
+  private val NProbe = 12
+
+  /** Init-sample size for the k-means++-style seeding (see
+    * [[initCentroids]]); bounded, so the driver-side greedy stays O(1)
+    * regardless of corpus size. */
+  private val InitSample = 512
+
+  /** Deterministic k-means++-style seeding: take a hash-ordered sample
+    * of [[InitSample]] vectors (xxhash64 order — stable across runs and
+    * partitionings, no RNG state), then greedy FARTHEST-POINT selection
+    * in cosine distance: start from the min-hash vector, repeatedly add
+    * the sample vector farthest from its nearest chosen seed (ties on
+    * sample order). Farthest-point is the deterministic cousin of
+    * k-means++'s D²-sampling — same spread guarantee (2-approx to
+    * k-center), none of the randomness — and replaces the old
+    * random-partition init whose seeds all sat near the data mean.
+    * The sample bound makes this legitimately scale-safe: ~512·dim
+    * floats on the driver, same order as the centroid matrix itself. */
+  private[ops] def initCentroids(e: DataFrame): Array[Array[Float]] = {
+    val sample = e.orderBy(xxhash64(col("vec_id")))
+      .limit(InitSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    def cosDist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      1.0 - dot / math.sqrt(na * nb)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    // track each sample point's distance to its nearest chosen seed —
+    // O(sample · K) total, not O(sample · K²)
+    val minDist = sample.map(v => cosDist(chosen.head, v))
+    while (chosen.size < math.min(K, sample.length)) {
+      val next = minDist.indices.maxBy(minDist)
+      chosen += sample(next)
+      var i = 0
+      while (i < sample.length) {
+        val d = cosDist(sample(next), sample(i))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    chosen.toArray
+  }
 
   /** Train the IVF coarse quantizer with Lloyd's k-means over the corpus
     * itself (no labels, no fixture crutches):
     *
-    *  - init: deterministic random partition — cell = xxhash64(vec_id)
-    *    mod K — then one [[graft.functions.VectorCentroid]] pass;
+    *  - init: deterministic farthest-point seeding over a bounded
+    *    hash-ordered sample ([[initCentroids]]);
     *  - iterate: assign every vector to its nearest centroid via the
     *    codegen'd [[graft.functions.NearestCentroid]] expression (a
     *    per-row k×dim loop against ONE referenced matrix object — O(1)
@@ -169,9 +223,7 @@ object Similarity {
         .filter(_._2.nonEmpty)
         .sortBy(_._1)
         .map(_._2)
-    var centroids = toMatrix(
-      e.groupBy(pmod(xxhash64(col("vec_id")), lit(K)).cast("int").as("cell"))
-        .agg(graft.functions.VectorCentroid.centroid(col("embedding")).as("centroid")))
+    var centroids = initCentroids(e)
     (1 to LloydIters).foreach { _ =>
       centroids = toMatrix(
         e.select(nearest_centroid(col("embedding"), centroids).as("cell"), col("embedding"))

@@ -44,6 +44,10 @@ import scala.collection.mutable
   * partial phase degenerates toward holding ~all rows; use the
   * window+sort formulation there, which spills. Same rule of thumb as
   * partial aggregation: the combine only pays when groups ≪ rows.
+  * The bound is ENFORCED: a task that sees more distinct keys than the
+  * `graft.topk.maxGroupsPerTask` session conf allows
+  * ([[DefaultMaxGroupsPerTask]] by default) fails fast with a message
+  * naming the window fallback, instead of OOMing the executor.
   *
   * DETERMINISM: rows equal under `order` are admitted first-come (strict
   * heap compare) — an incomplete ordering returns a correct but
@@ -54,6 +58,19 @@ import scala.collection.mutable
   */
 object TopKPerGroup {
 
+  /** Session conf key for the per-task group-count guard (see
+    * [[DefaultMaxGroupsPerTask]]). */
+  val MaxGroupsConfKey = "graft.topk.maxGroupsPerTask"
+
+  /** Default ceiling on distinct group keys one task may hold heaps for.
+    * The heap map has NO spill path, so a task's peak memory is
+    * O(k · groups-per-task · row-width); 1M groups at k=3 and ~100-byte
+    * rows is ~300 MB — the order of an executor task's fair share. Past
+    * the ceiling the operator fails fast with the window-formulation
+    * hint instead of dying slowly in GC or an executor OOM that takes
+    * the whole stage with it. */
+  val DefaultMaxGroupsPerTask: Int = 1000000
+
   /** Logical node: top `k` rows per `group` under `order` (best-first).
     * Output schema = child's. Expressions resolve through the normal
     * analyzer pass, so callers may hand in unresolved columns. */
@@ -61,6 +78,7 @@ object TopKPerGroup {
       k: Int,
       group: Seq[Expression],
       order: Seq[SortOrder],
+      maxGroupsPerTask: Int,
       child: LogicalPlan) extends UnaryNode {
     override def output: Seq[Attribute] = child.output
     override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
@@ -78,6 +96,7 @@ object TopKPerGroup {
       group: Seq[Expression],
       order: Seq[SortOrder],
       partial: Boolean,
+      maxGroupsPerTask: Int,
       child: SparkPlan) extends UnaryExecNode {
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -92,6 +111,7 @@ object TopKPerGroup {
       val kLocal = k
       val groupLocal = group
       val orderLocal = order
+      val maxGroupsLocal = maxGroupsPerTask
       val childOutput = child.output
       child.execute().mapPartitions { iter =>
         val keyProj = UnsafeProjection.create(groupLocal, childOutput)
@@ -104,6 +124,15 @@ object TopKPerGroup {
           val heap = heaps.get(key) match {
             case Some(h) => h
             case None =>
+              // safety valve: the heap map has no spill path, so a key too
+              // high-cardinality for the combine must fail fast and
+              // actionably, not as a slow executor OOM mid-stage
+              if (heaps.size >= maxGroupsLocal) throw new org.apache.spark.SparkException(
+                s"TopKPerGroup: one task exceeded $maxGroupsLocal distinct group keys " +
+                  "(partial-phase memory is O(k * groups-per-task * row-width), no spill). " +
+                  "This group key is too high-cardinality for the heap formulation - use the " +
+                  "row_number() window form (which spills), raise the " +
+                  s"'$MaxGroupsConfKey' session conf, or repartition so each task sees fewer groups.")
               val h = mutable.PriorityQueue.empty[InternalRow](ord)
               heaps.put(key.copy(), h) // copy: the projection reuses its buffer
               h
@@ -124,9 +153,10 @@ object TopKPerGroup {
     * distribution), final merge. */
   object Strategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroupPlan(k, group, order, child) =>
-        TopKPerGroupExec(k, group, order, partial = false,
-          TopKPerGroupExec(k, group, order, partial = true, planLater(child))) :: Nil
+      case TopKPerGroupPlan(k, group, order, maxGroups, child) =>
+        TopKPerGroupExec(k, group, order, partial = false, maxGroups,
+          TopKPerGroupExec(k, group, order, partial = true, maxGroups,
+            planLater(child))) :: Nil
       case _ => Nil
     }
   }
@@ -149,9 +179,11 @@ object TopKPerGroup {
       case so: SortOrder => so
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     })
+    val maxGroups = spark.conf.getOption(MaxGroupsConfKey)
+      .map(_.toInt).getOrElse(DefaultMaxGroupsPerTask)
     GraftBridge.ofRows(spark,
       TopKPerGroupPlan(k, group.map(GraftBridge.toExprEager(spark, _)),
-        sortOrder, GraftBridge.logicalPlan(df)))
+        sortOrder, maxGroups, GraftBridge.logicalPlan(df)))
   }
 }
 

@@ -14,6 +14,35 @@ trait SourceReader {
   def read(spark: SparkSession): DataFrame
 }
 
+/** Pluggable credential resolution for [[JdbcSnapshotSource]] — the
+  * deployment seam the reference intended but left hardcoded (glue
+  * src/raw_layer_job.py:104-119: a commented-out Secrets Manager lookup
+  * above inline literals). Resolution happens at READ time, not
+  * construction time, so rotated secrets are picked up per run and the
+  * provider — not the secret — is what lives in job wiring. */
+trait CredentialsProvider {
+  /** (user, password), resolved when the read executes. */
+  def resolve(): (String, String)
+}
+
+/** Caller-supplied literals (tests, ad-hoc runs). */
+final case class StaticCredentials(user: String, password: String)
+    extends CredentialsProvider {
+  override def resolve(): (String, String) = (user, password)
+}
+
+/** Environment-backed provider, the offline default: `<prefix>_USER` /
+  * `<prefix>_PASSWORD`, empty when unset (embedded engines like Derby
+  * need none). A Secrets-Manager-backed provider implements the same
+  * one method with a GetSecretValue call — see README "AWS deployment
+  * mapping". */
+final case class EnvCredentials(prefix: String = "GRAFT_JDBC")
+    extends CredentialsProvider {
+  override def resolve(): (String, String) =
+    (sys.env.getOrElse(s"${prefix}_USER", ""),
+      sys.env.getOrElse(s"${prefix}_PASSWORD", ""))
+}
+
 /** JDBC full-snapshot source.
   *
   * Same total-pushdown idiom as the reference — the whole SELECT ships to
@@ -27,23 +56,23 @@ trait SourceReader {
   * partitions, so callers should always supply a partition column for
   * large tables.
   *
-  * Credentials come from the caller/environment, never from config files
-  * (divergence from reference: glue src/raw_layer_job.py:117-119 hardcodes
-  * them; SURVEY §2.1).
+  * Credentials resolve through the [[CredentialsProvider]] seam at read
+  * time — never from config files (divergence from reference: glue
+  * src/raw_layer_job.py:117-119 hardcodes them; SURVEY §2.1).
   */
 final case class JdbcSnapshotSource(
     url: String,
     driver: String,
-    user: String,
-    password: String,
     dbSchema: String,
     view: String,
+    credentials: CredentialsProvider = EnvCredentials(),
     partitionColumn: Option[String] = None,
     numPartitions: Int = 1,
     lowerBound: Option[Long] = None,
     upperBound: Option[Long] = None
 ) extends SourceReader {
   override def read(spark: SparkSession): DataFrame = {
+    val (user, password) = credentials.resolve()
     val base = spark.read.format("jdbc")
       .option("driver", driver)
       .option("url", url)

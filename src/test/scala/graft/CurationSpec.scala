@@ -132,8 +132,10 @@ class CurationSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val byId = graft.ops.Embeddings.embQuantize(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(byId(1L).getLong(3) == 0L, "constant vector must code to all-zeros")
+    // null check FIRST: getLong on a NULL cell would die with an opaque
+    // NPE before the intended "must not produce NULL codes" message fires
     assert(!byId(1L).isNullAt(3), "degenerate range must not produce NULL codes")
+    assert(byId(1L).getLong(3) == 0L, "constant vector must code to all-zeros")
     assert(byId(2L).getLong(3) > 0L)
   }
 

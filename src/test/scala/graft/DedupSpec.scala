@@ -91,9 +91,12 @@ class DedupSpec extends AnyFunSuite {
     val shared = ivf.filter(p => exact.contains(p._1))
     assert(shared.nonEmpty, "IVF found none of the true top-10 neighbors")
     assert(shared.forall { case (k, c) => math.abs(exact(k) - c) < 1e-9 })
-    // coarse recall: probing 3 of 10 cells finds a reasonable share
-    assert(shared.size >= ivf.length / 5,
-      s"recall too low: ${shared.size}/${ivf.length}")
+    // recall floor vs the exact top-10: farthest-point seeding + 4 Lloyd
+    // rounds keeps the 3-of-32-cell probe at 0.8+; a degraded quantizer
+    // (bad init, broken assignment) cannot stay above this
+    val recall = shared.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      f"IVF recall $recall%.2f fell below the 0.8 floor (${shared.size}/${exact.size})")
   }
 
   test("ANN LSH recall ≥ 0.5 of brute-force top-10 (multi-probe floor)") {
@@ -109,5 +112,27 @@ class DedupSpec extends AnyFunSuite {
     val recall = (lsh & exact).size.toDouble / exact.size
     assert(recall >= 0.5, f"LSH recall $recall%.2f fell below the 0.5 floor " +
       s"(${(lsh & exact).size}/${exact.size} of brute-force top-10 pairs found)")
+  }
+
+  test("embedding LSH near-dup: subset of exact pairs, exact scores, recall floor") {
+    val spark = TestSpark.spark
+    val exact = Dedup.ddEmbedCosine(spark, TestSpark.Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.ddEmbedLsh(spark, TestSpark.Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs above the threshold")
+    // precision 1 by construction: every emitted pair is rescored with the
+    // exact cosine and the same threshold, so it must appear in the brute
+    // twin with an identical score
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"LSH emitted a pair the exact twin lacks: $k")
+      assert(math.abs(exact(k) - c) < 1e-9, s"rescored cosine differs for $k")
+    }
+    // recall floor: 8-bit sigs + hamming-1 probe over 8 tables ≈ 0.7+ at
+    // the fixture's cos 0.4–0.5 pairs; a broken hyperplane/probe change
+    // cannot stay above this
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, f"embed-LSH recall $recall%.2f fell below the 0.5 floor " +
+      s"(${lsh.size}/${exact.size} exact pairs found)")
   }
 }

@@ -107,6 +107,30 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.toSeq).toSet == viaWindow)
   }
 
+  test("TopKPerGroup fails fast past the per-task group-count ceiling") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    spark.conf.set(graft.plans.TopKPerGroup.MaxGroupsConfKey, "10")
+    try {
+      // o_orderkey is unique per row — the degenerate high-cardinality key
+      // the heap formulation must refuse, not OOM on
+      val df = graft.plans.TopKPerGroup.topK(
+        Relational.t(spark, TestSpark.Sf0001, "orders"),
+        group = Seq(col("o_orderkey")),
+        order = Seq(col("o_totalprice").desc),
+        k = 1)
+      val ex = intercept[org.apache.spark.SparkException] { df.count() }
+      def messages(t: Throwable): Iterator[String] =
+        Iterator.single(Option(t.getMessage).getOrElse("")) ++
+          Option(t.getCause).iterator.flatMap(messages)
+      assert(messages(ex).exists(m =>
+        m.contains("distinct group keys") && m.contains("row_number()")),
+        s"guard error must name the bound and the window fallback, got: ${ex.getMessage}")
+    } finally spark.conf.unset(graft.plans.TopKPerGroup.MaxGroupsConfKey)
+    // and the default ceiling leaves the graded low-cardinality path intact
+    assert(Relational.q26TopkNative(TestSpark.spark, TestSpark.Sf0001).count() > 0)
+  }
+
   test("GraftExtensions installs the top-k strategy through spark.sql.extensions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
@@ -114,6 +138,22 @@ class PlanSpec extends AnyFunSuite {
       .buildPlannerStrategies(ext, TestSpark.spark)
     assert(strategies.contains(graft.plans.TopKPerGroup.Strategy),
       s"extensions installer must register the strategy, got: $strategies")
+  }
+
+  test("q22: salting replicates the dimension only on the hot-key branch") {
+    // production-shape pin: dim rows after conditional replication =
+    // cold keys × 1 + hot keys × SaltBuckets (NOT all keys × SaltBuckets —
+    // the r6 demo simplification this replaces)
+    val (nDim, nHot, nReplicated) =
+      Relational.q22DimReplication(TestSpark.spark, TestSpark.Sf0001)
+    assert(nHot > 0, "fixture must exercise the hot-key branch")
+    assert(nHot < nDim, "fixture must exercise the cold-key branch")
+    assert(nReplicated == (nDim - nHot) + nHot * Relational.SaltBuckets,
+      s"dim=$nDim hot=$nHot replicated=$nReplicated — replication must be hot-only")
+    // the hot-set membership checks are broadcasts, never shuffled joins
+    val p = plan(Relational.q22SaltedJoin(TestSpark.spark, TestSpark.Sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"hot-key membership must broadcast on both sides:\n${p.take(2000)}")
   }
 
   test("prof_numeric: all column stats come from ONE scan of the table") {

@@ -70,7 +70,8 @@ class SourcesSpec extends AnyFunSuite {
 
     val src = JdbcSnapshotSource(url = url,
       driver = "org.apache.derby.jdbc.EmbeddedDriver",
-      user = "", password = "", dbSchema = "TESTDB", view = "CDS_ACCOUNTS")
+      dbSchema = "TESTDB", view = "CDS_ACCOUNTS",
+      credentials = graft.sources.StaticCredentials("", ""))
     val df = src.read(spark)
     assert(df.count() == 100)
     assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "name", "amt"))
