@@ -111,6 +111,7 @@ object SparkEntry {
     "dd_embed_lsh" -> (Dedup.ddEmbedLsh _), // rows-only: probabilistic recall; exact twin is dd_embed_cosine
     "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
     "dd_contamination" -> (Dedup.ddContamination _), // benchmark 8-gram leakage gate
+    "dd_contamination_bloom" -> (Dedup.ddContaminationBloom _), // bloom-prefiltered scale shape, same output
     // §7.3-4 sampling / curation
     "samp_hash" -> (graft.ops.Sampling.sampHash _), // deterministic pushdown-able sample
     "samp_domain_cap" -> (graft.ops.Sampling.sampDomainCap _), // per-domain cap window
@@ -197,6 +198,9 @@ object SparkEntry {
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "dd_chunks" -> Dedup.ddChunksOracle,
     "dd_contamination" -> Dedup.ddContaminationOracle,
+    // bloom prefilter + exact confirm is output-identical by construction,
+    // so the bloom variant grades against the SAME exact oracle
+    "dd_contamination_bloom" -> Dedup.ddContaminationOracle,
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "emb_label_centroids" -> graft.ops.Embeddings.embLabelCentroidsOracle,
     "emb_quantize" -> graft.ops.Embeddings.embQuantizeOracle,

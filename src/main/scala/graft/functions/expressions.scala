@@ -236,6 +236,48 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Bloom-filter membership probe over a string column, with the filter
+  * carried as a plan constant (same shipping mechanism as
+  * [[NearestCentroid]]'s matrix: serialized once into the plan, sent to
+  * each executor once, referenced from generated code via
+  * `addReferenceObj`).
+  *
+  * Why an Expression and not a UDF: the probe sits on the corpus side of
+  * the contamination gate — every gram of every document passes through
+  * it — so it must stay inside the scan's WholeStageCodegen span. The
+  * generated code is one virtual call on the referenced filter; no
+  * boxing, no UTF8String→String conversion (`mightContainBinary` over
+  * the raw UTF-8 bytes hashes identically to the `putBinary`/`putString`
+  * pair `DataFrameStatFunctions.bloomFilter` uses to build the filter —
+  * FunctionsSpec pins the no-false-negative contract).
+  */
+case class BloomContains(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_might_contain expects a string input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Boolean.valueOf(
+      bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloom", bloom,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, s => s"$bf.mightContainBinary($s.getBytes())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** The production wiring for the custom expressions: a
   * [[org.apache.spark.sql.SparkSessionExtensions]] installer so any
   * session — spark-submit, Thrift server, notebook — picks them up via
@@ -274,6 +316,10 @@ object GraftFunctions {
 
   def nearest_centroid(c: Column, centroids: Array[Array[Float]]): Column =
     GraftBridge.toCol(NearestCentroid(GraftBridge.toExpr(c), centroids))
+
+  def bloom_might_contain(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    GraftBridge.toCol(BloomContains(GraftBridge.toExpr(c), bloom))
 
   /** Character n-gram shingles as a generator column (UDTF tier): use in
     * a select the way `explode` is used — one output row per shingle. */

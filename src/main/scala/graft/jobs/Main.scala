@@ -15,7 +15,7 @@ import java.nio.file.Paths
   *
   * Usage:
   *   runMain graft.jobs.Main --pipelines-dir <dir> --job_src <name>
-  *     --layer raw|prepared|e2e [--run-id <id>]
+  *     --layer raw|prepared|e2e|compact [--run-id <id>] [--target-file-bytes <n>]
   *
   * Credentials for JDBC-mode pipelines come from the environment
   * (GRAFT_JDBC_URL/DRIVER/USER/PASSWORD/SCHEMA), never from config
@@ -25,7 +25,8 @@ import java.nio.file.Paths
   */
 object Main {
   private val Usage =
-    "usage: graft.jobs.Main --pipelines-dir <dir> --job_src <name> [--layer raw|prepared|e2e] [--run-id <id>]"
+    "usage: graft.jobs.Main --pipelines-dir <dir> --job_src <name> " +
+      "[--layer raw|prepared|e2e|compact] [--run-id <id>] [--target-file-bytes <n>]"
 
   /** Fail-fast argument resolution (the reference's `getResolvedOptions`
     * semantics: a malformed invocation raises instead of silently
@@ -81,7 +82,13 @@ object Main {
         case "e2e" =>
           val table = Orchestrator.runEndToEnd(spark, cfg, source, ledger, runId)
           println(s"[e2e] runId=$runId table=$table rows=${spark.table(table).count()}")
-        case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e)")
+        case "compact" =>
+          val targetBytes = opts.get("--target-file-bytes").map(_.toLong)
+            .getOrElse(128L << 20)
+          val m = CompactionJob.run(spark, cfg.preparedPath, targetBytes)
+          println(s"[compaction_job] path=${cfg.preparedPath} files=${m.filesBefore}->${m.filesAfter} " +
+            s"bytes=${m.bytes} rewritten=${m.rewritten}")
+        case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e|compact)")
       }
     } finally spark.stop()
   }

@@ -552,17 +552,21 @@ object Dedup {
     * never shuffles at all. Production hashes each gram to 8 bytes
     * (xxhash64) before the join; text grams are kept here so DuckDB can
     * grade membership exactly. Oracle-checked. */
+  /** DISTINCT (doc_id, sliding-word-8-gram) pairs — shared by both
+    * contamination formulations so their outputs are definitionally
+    * identical (and graded against the same oracle). */
+  private def wordGrams8(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("l"))
+    .filter(size(col("l")) >= 8)
+    .select(col("doc_id"),
+      explode(sequence(lit(1), size(col("l")) - 7)).as("i"), col("l"))
+    .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(8)), " ").as("g"))
+    .distinct()
+
   def ddContamination(spark: SparkSession, dir: String): DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .filter(size(col("l")) >= 8)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("l")) - 7)).as("i"), col("l"))
-      .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(8)), " ").as("g"))
-      .distinct()
     val docs = t(spark, dir, "documents")
-    val corpus = grams(docs.filter(col("source") =!= BenchmarkSource))
-    val bench = grams(docs.filter(col("source") === BenchmarkSource))
+    val corpus = wordGrams8(docs.filter(col("source") =!= BenchmarkSource))
+    val bench = wordGrams8(docs.filter(col("source") === BenchmarkSource))
       .select(col("g")).distinct()
     val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val hits = corpus.join(broadcast(bench), "g")
@@ -589,4 +593,44 @@ object Dedup {
        |       round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS contaminated_frac
        |FROM per_doc JOIN hits USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Bloom-prefiltered contamination gate: same output as
+    * [[ddContamination]] (same [[wordGrams8]] on both sides, same oracle)
+    * but the corpus-side probe goes through a driver-built Bloom filter
+    * first, and only the surviving grams reach the exact-confirm join.
+    *
+    * Why this is the 100 TB shape: the benchmark gram SET can be large —
+    * a 10M-gram benchmark is ~1 GB of strings to broadcast and hash-probe
+    * in dd_contamination. The Bloom filter over the same set at 1% fpp is
+    * ~12 MB (9.6 bits/element, independent of gram length), ships to each
+    * executor once as a plan constant, and the probe is a codegen'd
+    * register-level bit test ([[graft.functions.BloomContains]]) inside
+    * the corpus scan's WholeStageCodegen span — ≥99% of clean grams are
+    * rejected before any join machinery runs. The exact-confirm join then
+    * handles only true hits plus the fpp sliver, so its input is
+    * hits-sized, not corpus-sized; false positives are eliminated there,
+    * which is why this plan is exactly-equal to the unfiltered twin and
+    * hash-graded against the SAME oracle (a bloom hashing mismatch would
+    * surface as false NEGATIVES → missing rows → oracle failure).
+    */
+  def ddContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = wordGrams8(docs.filter(col("source") =!= BenchmarkSource))
+    // one computation of the benchmark gram set feeds the count, the
+    // bloom build, and the confirm join (localCheckpoint cuts the
+    // explode lineage rather than re-deriving it three times)
+    val bench = wordGrams8(docs.filter(col("source") === BenchmarkSource))
+      .select(col("g")).distinct().localCheckpoint()
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter("g", math.max(nBench, 1L), 0.01)
+    val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpus
+      .filter(graft.functions.GraftFunctions.bloom_might_contain(col("g"), bloom))
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    perDoc.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

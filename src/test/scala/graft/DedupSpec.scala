@@ -135,4 +135,17 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, f"embed-LSH recall $recall%.2f fell below the 0.5 floor " +
       s"(${lsh.size}/${exact.size} exact pairs found)")
   }
+
+  test("bloom-prefiltered contamination is row-identical to the exact gate") {
+    // the bloom can only err toward false POSITIVES, and the exact-confirm
+    // join removes those — so the two formulations must agree exactly
+    // (the oracle pins this at sf0.01; this pins it in-suite at sf0.001)
+    val spark = TestSpark.spark
+    val exact = Dedup.ddContamination(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = Dedup.ddContaminationBloom(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty, "fixture must contain contaminated documents")
+    assert(bloomed == exact)
+  }
 }

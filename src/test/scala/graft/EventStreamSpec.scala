@@ -88,6 +88,33 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming dedup is store-agnostic: RocksDB state store == batch distinct") {
+    // HDFSBackedStateStore keeps state on-heap — fine for bounded
+    // backlogs, an OOM at 100 TB state. This pins that the same query
+    // runs unchanged (and correctly) on the spill-capable RocksDB store,
+    // which is the production provider the SCALE.md state-size notes
+    // assume. transformWithState already requires RocksDB
+    // (UserProfiles); this covers the dropDuplicatesWithinWatermark path.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.evStreamDedup(spark, TestSpark.Sf0001)
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.Relational.events(spark, TestSpark.Sf0001)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_unique"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming tumbling windows == batch tumbling windows") {
     val spark = TestSpark.spark
     val streamed = EventStreams.runToMemory(spark, TestSpark.Sf0001, "ev_parity")

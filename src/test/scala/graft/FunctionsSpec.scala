@@ -59,6 +59,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(3) == manual("héllo"))
   }
 
+  test("bloom_might_contain: no false negatives vs stat.bloomFilter, codegen == interpreted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val members = (0 until 2000).map(i => s"gram-$i word-$i")
+    val bloom = members.toDF("g").stat.bloomFilter("g", members.size.toLong, 0.01)
+    val probes = (members ++ (0 until 2000).map(i => s"absent-$i")).toDF("g")
+    def run() = probes
+      .select(col("g"), GraftFunctions.bloom_might_contain(col("g"), bloom).as("hit"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val codegen = run()
+    // the hard contract: every inserted member MUST probe true (a hashing
+    // mismatch between putBinary at build and mightContainBinary at probe
+    // would show up here as a false negative)
+    members.foreach(m => assert(codegen(m), s"false negative for inserted member '$m'"))
+    // fpp sanity: absent keys should mostly miss (1% fpp, 2000 draws)
+    val fp = (0 until 2000).count(i => codegen(s"absent-$i"))
+    assert(fp < 100, s"false-positive rate implausibly high: $fp/2000 at fpp=0.01")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(run() == codegen, "interpreted eval must agree with codegen")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("GraftExtensions installer registers the functions a session builder would see") {
     // spark.sql.extensions is a STATIC conf (applied when the
     // SparkContext starts), so a sibling test session can't exercise it;

@@ -161,4 +161,95 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       s"profiling must not rescan per column:\n${p.take(2000)}")
   }
+
+  test("dd_contamination_bloom: the bloom probe is a Filter below the confirm join") {
+    val p = plan(graft.ops.Dedup.ddContaminationBloom(TestSpark.spark, TestSpark.Sf0001))
+    val probeAt = p.toLowerCase.indexOf("bloomcontains")
+    assert(probeAt >= 0, s"bloom probe missing from the plan:\n${p.take(2000)}")
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, "exact-confirm join must broadcast the benchmark side")
+    // executedPlan prints operators top-down (join above its inputs), so
+    // probe-below-join means the probe's offset is AFTER the join's: the
+    // filter runs in the scan stage, upstream of the join
+    assert(probeAt > joinAt,
+      "bloom probe must sit under the join (map-side, in the corpus scan stage)")
+  }
+
+  /** A raw-layer-shaped Hive-partitioned table for the pruning pins. */
+  private lazy val partitionedRawDir: String = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune-")
+      .resolve("raw").toString
+    (0 until 3).foreach { run =>
+      (0 until 200).map(i => (i.toLong, s"v-$run-$i")).toDF("id", "payload")
+        .withColumn("ETL_PART_KEY",
+          org.apache.spark.sql.functions.lit(s"2026010${run + 1}000000"))
+        .write.partitionBy("ETL_PART_KEY").mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  /** Reads the raw layer the way [[graft.jobs.PreparedLayerJob]] does:
+    * explicit schema, because partition discovery would type-infer the
+    * all-digit run id as bigint — and a bigint partition column defeats
+    * both pins below (the string predicate needs a cast that can't prune,
+    * and the join key needs a cast that blocks DPP). */
+  private def readRaw(spark: org.apache.spark.sql.SparkSession) = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(new StructType()
+        .add("id", LongType).add("payload", StringType)
+        .add("ETL_PART_KEY", StringType))
+      .parquet(partitionedRawDir)
+  }
+
+  test("raw layer: a literal ETL_PART_KEY predicate prunes partitions at planning time") {
+    val spark = TestSpark.spark
+    val df = readRaw(spark)
+      .filter(org.apache.spark.sql.functions.col("ETL_PART_KEY") === "20260102000000")
+    val p = plan(df)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("20260102000000"),
+      s"run-id predicate must land in PartitionFilters, not a data Filter: $pf")
+    // the physical proof: the scan's numFiles metric after execution counts
+    // only the selected partition's files (Dataset.inputFiles can't show
+    // this — it lists the relation's whole file index, pre-pruning)
+    val expected = new java.io.File(s"$partitionedRawDir/ETL_PART_KEY=20260102000000")
+      .listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val totalFiles = new java.io.File(partitionedRawDir).listFiles()
+      .filter(_.isDirectory).map(_.listFiles().length).sum
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val read = scan.metrics("numFiles").value
+    assert(read == expected && read < totalFiles,
+      s"scan read $read files; expected only the $expected files of the selected run (table has $totalFiles)")
+  }
+
+  test("raw layer: joining on ETL_PART_KEY installs dynamic partition pruning") {
+    // the 100 TB promotion/audit shape: fact side is the partitioned raw
+    // table, the run ids to touch come from a (filtered) control-plane
+    // side — DPP must narrow the fact scan to those runs at runtime
+    // instead of scanning every run ever ingested
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fact = readRaw(spark)
+    // the control-plane side must be file-backed: a local in-memory
+    // relation gets its Filter constant-folded into the LocalTableScan,
+    // and DPP's "selective filter on the pruning side" detection needs
+    // the Filter node to survive optimization
+    val runsDir = java.nio.file.Files.createTempDirectory("graft-runs-").toString
+    Seq(("20260102000000", "PENDING"), ("20260103000000", "DONE"))
+      .toDF("run_id", "state").write.mode("overwrite").parquet(runsDir)
+    val runs = spark.read.parquet(runsDir)
+    val q = fact.join(
+      org.apache.spark.sql.functions.broadcast(
+        runs.filter(org.apache.spark.sql.functions.col("state") === "PENDING")),
+      org.apache.spark.sql.functions.col("ETL_PART_KEY") ===
+        org.apache.spark.sql.functions.col("run_id"))
+    val p = plan(q)
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter on the fact scan:\n${p.take(2000)}")
+  }
 }
