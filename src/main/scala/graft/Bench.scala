@@ -135,17 +135,29 @@ object BenchChild {
     val fn = SparkEntry.queries(name)
     // adaptive reps: light queries get the full rep count (JIT warmup
     // matters at their scale); a query already past the budget is
-    // dominated by real work, not warmup, so stop early
+    // dominated by real work, not warmup, so stop early — but NEVER
+    // below 3 reps: this VM shows hypervisor CPU steal spikes that can
+    // inflate a single rep 10-35x (run-to-run evidence in bench_full
+    // rep_times), and with only 2 draws the min can land on two stalled
+    // reps and report a phantom 3x regression. Worst case cost: a 60 s
+    // query runs 3 min, still far inside the 600 s child timeout.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "45").toDouble
+    val minReps = math.min(reps, 3)
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
-    while (i < reps && (i == 0 || times.sum < budgetSec)) {
+    while (i < reps && (i < minReps || times.sum < budgetSec)) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       times += (System.nanoTime() - t0) / 1e9
       // per-query localCheckpoint blocks are query-internal; drop them so
-      // the next rep starts cold-equivalent
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // the next rep starts cold-equivalent. BLOCKING: with async removal
+      // the next rep races the block-manager cleanup for storage memory,
+      // and checkpoint-heavy queries (dd_clusters: one block set per
+      // label-propagation round) measured 3-8x slower on rep 2 than on
+      // rep 3 from that churn alone. A GC settle then keeps rep-boundary
+      // garbage from being collected mid-measurement.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       i += 1
     }
     println(s"BENCHCHILD ${times.min}")

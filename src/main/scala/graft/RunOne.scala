@@ -32,6 +32,10 @@ object RunOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[runone] $name rep=$i rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      // same rep hygiene as BenchChild: blocking drop of query-internal
+      // checkpoint blocks + GC settle, so reps are comparable draws
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     spark.stop()
   }
