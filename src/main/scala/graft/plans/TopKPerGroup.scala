@@ -18,17 +18,20 @@ import scala.collection.mutable
   * ([[graft.plans.GraftExtensions]]).
   *
   * WHY a custom operator: Spark expresses per-group top-k as
-  * `row_number() OVER (PARTITION BY g ORDER BY s) <= k`, whose physical
-  * plan SORTS every group's full contents after the shuffle — O(n log n)
-  * per group in time and O(n) in shuffled bytes. The semantics only need
-  * k rows per group. This operator keeps a bounded k-row heap per group
-  * BEFORE the shuffle (partial phase, the aggregation-style map-side
-  * combine that windows can't do) and merges heaps after it — shuffled
-  * bytes drop from all rows to ≤ k·groups·partitions rows, and no group
-  * is ever fully sorted. At 100 TB with k=3 and thousands of groups,
-  * that is the difference between shuffling the table and shuffling
-  * kilobytes — the same partial/final shape Spark's own
-  * TakeOrderedAndProject uses for GLOBAL top-k, generalized per group.
+  * `row_number() OVER (PARTITION BY g ORDER BY s) <= k`. Since 3.5,
+  * `InferWindowGroupLimit` improves the naive sort-the-world plan to
+  * Sort → WindowGroupLimit(Partial) → shuffle → Sort →
+  * WindowGroupLimit(Final) → Window → Filter: shuffled bytes drop to
+  * ≤ k·groups·partitions, but each input partition is still FULLY
+  * SORTED by (group, order) before the partial limit — O(n log n) per
+  * partition — and sorted again after the shuffle. This operator keeps
+  * a bounded k-row heap per group instead (the aggregation-style
+  * map-side combine): same shuffle bound, but O(n log k) with no sort
+  * on either side of the exchange and no Window/Filter pass at the top.
+  * At 100 TB with k=3, the per-partition full sorts are the dominant
+  * cost the heap formulation deletes — the same partial/final shape
+  * Spark's own TakeOrderedAndProject uses for GLOBAL top-k, generalized
+  * per group.
   *
   * Graded: q26_topk_native hash-matches the window-function oracle
   * (identical semantics, deterministic tiebreak); PlanSpec pins the
@@ -189,8 +192,12 @@ object TopKPerGroup {
 
 /** `spark.sql.extensions`-style installer (for sessions built fresh with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`);
-  * live sessions use [[TopKPerGroup.install]] instead. */
+  * live sessions use [[TopKPerGroup.install]] / [[TopKRewrite.install]]
+  * instead. Fresh sessions get the full ladder: the planner strategy AND
+  * the window-idiom→top-k optimizer rewrite. */
 final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroup.Strategy)
+    ext.injectOptimizerRule(_ => TopKRewrite)
+  }
 }

@@ -52,4 +52,12 @@ object GraftBridge {
       ext: SparkSessionExtensions,
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** Materialize an extensions object's collected optimizer-rule
+    * injections (same testing rationale as [[buildPlannerStrategies]]). */
+  def buildOptimizerRules(
+      ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
 }
