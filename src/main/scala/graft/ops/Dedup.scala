@@ -306,13 +306,19 @@ object Dedup {
       val prop = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(edges("id_a").as("pid"))
         .agg(min(col("label")).as("nbr_label"))
+      // the convergence flag rides ALONG with the propagation join (labels
+      // only ever decrease, so "new < old" is exactly "changed") — one
+      // cheap aggregate over the checkpointed result replaces the extra
+      // label⋈label join + count a separate convergence check would cost,
+      // halving the per-round stage count of the iteration
       val next = labels.join(prop, labels("id") === prop("pid"), "left")
         .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
+      labels = next.select(col("id"), col("label"))
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))

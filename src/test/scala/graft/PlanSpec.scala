@@ -206,6 +206,19 @@ class PlanSpec extends AnyFunSuite {
       s"profiling must not rescan per column:\n${p.take(2000)}")
   }
 
+  test("dd_embed_lsh: candidate generation is a hash bucket join, never a product") {
+    val p = plan(graft.ops.Dedup.ddEmbedLsh(TestSpark.spark, TestSpark.Sf0001))
+    // the (tbl, sig) equi-keys must drive a hash/merge join (the vec_id
+    // inequality rides as a post-join condition); a nested-loop or
+    // cartesian here would mean the quadratic plan the LSH path exists
+    // to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucket self-join degraded to a product:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi bucket join on (tbl, sig):\n${p.take(2000)}")
+  }
+
   test("dd_contamination_bloom: the bloom probe is a Filter below the confirm join") {
     val p = plan(graft.ops.Dedup.ddContaminationBloom(TestSpark.spark, TestSpark.Sf0001))
     val probeAt = p.toLowerCase.indexOf("bloomcontains")
