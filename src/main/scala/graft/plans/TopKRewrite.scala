@@ -61,10 +61,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
         Filter(cond, Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
           part, ord, child, _)))
-        if projectList.forall {
-          case a: AttributeReference => child.outputSet.contains(a)
-          case _ => false
-        } =>
+        if part.nonEmpty && // un-partitioned row_number is GLOBAL top-k:
+          // TakeOrderedAndProject territory (and ClusteredDistribution
+          // rejects an empty clustering) — leave it to Spark
+          projectList.forall {
+            case a: AttributeReference => child.outputSet.contains(a)
+            case _ => false
+          } =>
       val rn = alias.toAttribute
       rankBound(cond, rn) match {
         case Some((k, rest)) if k > 0 && k <= maxK &&

@@ -142,6 +142,16 @@ class PlanSpec extends AnyFunSuite {
       val keptPlan = plan(kept)
       assert(keptPlan.contains("Window") && !keptPlan.contains("TopKPerGroup"),
         s"rank-keeping query must not be rewritten:\n${keptPlan.take(2000)}")
+      // un-partitioned row_number = GLOBAL top-k — out of scope (the heap
+      // operator requires a clustering; Spark's own machinery owns this)
+      val global = orders
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+      assert(!plan(global).contains("TopKPerGroup"),
+        "global (un-partitioned) top-k must not be rewritten")
+      assert(global.count() == 3)
     } finally graft.plans.TopKRewrite.uninstall(spark)
     // uninstalled: back to the stock plan
     assert(plan(idiom()).contains("Window"))
