@@ -216,6 +216,36 @@ class PlanSpec extends AnyFunSuite {
       s"profiling must not rescan per column:\n${p.take(2000)}")
   }
 
+  test("runtime bloom-filter join pruning engages for a selective dim filter") {
+    // the 100 TB shape: fact ⋈ selectively-filtered dim without broadcast
+    // (dim too big) — Spark's runtime row-level filtering should build a
+    // bloom from the filtered dim keys and inject it as a fact-side scan
+    // filter, so most fact rows die before the shuffle. Thresholds are
+    // size-gated (the app side must look big), so the pin lowers the
+    // app-side gate to make fixture-scale behave like production scale.
+    val spark = TestSpark.spark
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = Relational.t(spark, TestSpark.Sf0001, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Relational.t(spark, TestSpark.Sf0001, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"expected an injected runtime bloom filter on the fact side:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dd_embed_lsh: candidate generation is a hash bucket join, never a product") {
     val p = plan(graft.ops.Dedup.ddEmbedLsh(TestSpark.spark, TestSpark.Sf0001))
     // the (tbl, sig) equi-keys must drive a hash/merge join (the vec_id
