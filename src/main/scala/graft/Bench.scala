@@ -111,7 +111,7 @@ object Bench {
 }
 
 /** One query in one fresh JVM: builds its own SparkSession, runs the
-  * query `SPARK_GRAFT_BENCH_REPS` times (default 5), prints
+  * query `SPARK_GRAFT_BENCH_REPS` times (default 7), prints
   * `BENCHCHILD <min-seconds>` plus `BENCHCHILD_REPS <t1,t2,…>` and
   * exits 0; any failure propagates as a nonzero exit (the parent
   * records it — never a timing). */
@@ -119,11 +119,13 @@ object BenchChild {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // min-of-5 in one JVM: rep 1 pays JIT/codegen warmup (~3-5 s even on
-    // trivial plans); 4 post-warmup samples give min() enough draws that
-    // sub-second fork variance (r5→r6 showed 1.7–2.4x on unchanged plans)
-    // can't masquerade as a regression
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // min-of-7 in one JVM: rep 1 pays JIT/codegen warmup (~3-5 s even on
+    // trivial plans); 6 post-warmup samples give min() enough draws that
+    // host-noise stalls (single reps inflate 3-10x on this VM — see
+    // BASELINE.md "Host-noise floor") can't masquerade as a regression.
+    // Only sub-budget (light) queries run all 7; the time budget below
+    // still caps heavy ones at >= 3 draws.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
