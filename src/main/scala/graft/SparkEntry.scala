@@ -136,6 +136,7 @@ object SparkEntry {
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
     "tx_domains" -> (TextAnalysis.txDomains _), // URL → domain rollup
+    "tx_pack_sequences" -> (TextAnalysis.txPackSequences _), // fixed-budget sequence packing (bin accounting)
     // §7.3-4 multimodal (image decode is REAL javax.imageio; audio decode
     // is REAL javax.sound.sampled WAV parsing — see Multimodal.scala)
     "mm_features" -> (Multimodal.mmFeatures _), // rows-only: PNG byte size/checksum not SQL-predictable
@@ -214,6 +215,7 @@ object SparkEntry {
     "tx_repetition" -> TextAnalysis.txRepetitionOracle,
     "tx_pii_redact" -> TextAnalysis.txPiiRedactOracle,
     "tx_domains" -> TextAnalysis.txDomainsOracle,
+    "tx_pack_sequences" -> TextAnalysis.txPackSequencesOracle,
     "mm_media_summary" -> Multimodal.mmMediaSummaryOracle,
     "mm_image_stats" -> Multimodal.mmImageStatsOracle,
     "mm_resize" -> Multimodal.mmResizeOracle,

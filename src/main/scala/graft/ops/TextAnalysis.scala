@@ -396,4 +396,68 @@ object TextAnalysis {
           regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"),
         col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** Tokens per packed training sequence ("context length" of the bins). */
+  private val PackBudget = 512L
+
+  /** Independent packing shards (≫ cores in production — see Scaladoc). */
+  private val PackShards = 8L
+
+  /** Deterministic shard hash prime (same modular idiom as the sampling
+    * family: bit-identical BIGINT arithmetic in both engines). */
+  private val PackPrime = 7368787L
+
+  /** SEQUENCE PACKING: assign every document a (shard, bin) so that
+    * concatenating each shard's documents in doc_id order and cutting the
+    * token stream every [[PackBudget]] tokens yields the training
+    * sequences — the final layout step of an LLM data pipeline, where
+    * curated documents become fixed-length context windows. A document's
+    * bin is where its FIRST token lands (contiguous fill): the writer
+    * that materializes sequences splits boundary-straddling documents
+    * between bin b and b+1, so bins are exactly budget-sized by
+    * construction; this query is the planning/accounting view (how many
+    * docs and tokens start in each bin — the packing efficiency audit).
+    *
+    * Scale shape: ONE shuffle, on the shard key. Each shard's prefix sum
+    * is a single window pass over its own partition; with shards ≫
+    * executor cores (here 8 for the fixture; thousands at 100 TB) the
+    * packing is embarrassingly parallel and no global order exists —
+    * deliberately, because a GLOBAL prefix sum would serialize the
+    * corpus through one partition. The shard hash is the same
+    * deterministic modular arithmetic the sampling family uses, so runs
+    * are reproducible and the DuckDB oracle reproduces the exact bin
+    * assignment (all-integer math, no float drift). Greedy first-fit by
+    * descending length packs ~1-2% tighter but is inherently sequential;
+    * contiguous fill with boundary splits wastes zero tokens, which is
+    * why production packers (and this one) prefer it. */
+  def txPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(col("doc_id") * lit(PackPrime), lit(1000000007L)).mod(PackShards).as("shard"))
+      .withColumn("off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin_id", expr(s"off div $PackBudget"))
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"), col("bin_id"))
+  }
+
+  def txPackSequencesOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |         ((doc_id * $PackPrime) % 1000000007) % $PackShards AS shard
+       |  FROM documents
+       |), o AS (
+       |  SELECT shard, n_tok,
+       |         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id ASC
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS off
+       |  FROM t
+       |)
+       |SELECT shard, CAST(off // $PackBudget AS BIGINT) AS bin_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM o GROUP BY shard, bin_id
+       |ORDER BY shard, bin_id""".stripMargin
 }
