@@ -101,6 +101,7 @@ object SparkEntry {
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
+    "dd_incremental" -> (Dedup.ddIncremental _), // cross-run dedup via accumulated fp index
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability: what was dropped
     "dd_shingle_coverage" -> (Dedup.ddShingleCoverage _), // DF-cap observability: who lost protection
@@ -192,6 +193,7 @@ object SparkEntry {
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
+    "dd_incremental" -> Dedup.ddIncrementalOracle,
     "dd_ngram_jaccard" -> Dedup.ddNgramJaccardOracle,
     "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
     "dd_shingle_coverage" -> Dedup.ddShingleCoverageOracle,

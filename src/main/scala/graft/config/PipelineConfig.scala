@@ -50,7 +50,8 @@ final case class PipelineConfig(
     cdsView: String,
     preparedRoot: String,
     tableName: String,
-    schema: Seq[ColumnSpec]
+    schema: Seq[ColumnSpec],
+    dedupColumn: Option[String] = None
 ) {
   require(template == PipelineConfig.CdsViewTemplate,
     s"unknown template '$template' (only '${PipelineConfig.CdsViewTemplate}' is supported)")
@@ -70,6 +71,13 @@ final case class PipelineConfig(
   /** Stable prepared-layer prefix successive runs append into
     * (reference: glue src/prepared_layer_job.py:127). */
   def preparedPath: String = s"$preparedRoot/$rawFolder"
+
+  /** Persisted fingerprint index for cross-run incremental dedup (only
+    * used when [[dedupColumn]] is set): one 8-byte `fp` per distinct
+    * admitted value, appended to at each promotion. Lives BESIDE the
+    * prepared data prefix — never under it — so the cataloged table's
+    * file listing stays pure data. */
+  def fingerprintIndexPath: String = s"$preparedRoot/${rawFolder}__fpindex"
 
   /** Stack-style display name (reference: app.py:24). */
   def displayName: String = s"$project-$subject-$jobSrc"
@@ -109,7 +117,10 @@ object PipelineConfig {
       cdsView = req(raw, "CDSView").asText(),
       preparedRoot = req(prepared, "preparedBucket").asText(),
       tableName = req(dataObject, "name").asText(),
-      schema = cols)
+      schema = cols,
+      // optional: enables cross-run incremental dedup at promotion time
+      // (an extension — the reference's prepared layer appends blindly)
+      dedupColumn = Option(prepared.get("dedup_column")).map(_.asText()))
   }
 
   def load(path: Path): PipelineConfig = parse(Files.readString(path))
@@ -136,7 +147,8 @@ object PipelineConfig {
     node.putObject("config").put("job_src", c.jobSrc).put("dynamoTable", c.ledgerName)
     node.putObject("raw").put("rawBucket", c.rawRoot)
       .put("rawS3Folder", c.rawFolder).put("CDSView", c.cdsView)
-    node.putObject("prepared").put("preparedBucket", c.preparedRoot)
+    val prep = node.putObject("prepared").put("preparedBucket", c.preparedRoot)
+    c.dedupColumn.foreach(prep.put("dedup_column", _))
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

@@ -45,11 +45,15 @@ object PreparedLayerJob {
     val df = spark.read.option("basePath", rawTable)
       .schema(fileSchema.add("ETL_PART_KEY", org.apache.spark.sql.types.StringType))
       .parquet(rawPath)
-    df.write
-      .option("compression", "snappy")
-      .mode("append") // successive runs accumulate under the cataloged prefix
-      .parquet(cfg.preparedPath)
-    val rows = df.count() // footer-metadata count of the promoted run
+    val rows = cfg.dedupColumn match {
+      case Some(key) => promoteDeduped(spark, cfg, df, key)
+      case None =>
+        df.write
+          .option("compression", "snappy")
+          .mode("append") // successive runs accumulate under the cataloged prefix
+          .parquet(cfg.preparedPath)
+        df.count() // footer-metadata count of the promoted run
+    }
     ledger.append(rawRecord.copy(
       state = RunState.PreparedCompleted,
       preparedBucket = cfg.preparedRoot,
@@ -57,6 +61,44 @@ object PreparedLayerJob {
       preparedJobName = JobName,
       preparedEntryCount = rows.toString))
     JobMetrics(rawRecord.partition_key, rows, cfg.preparedPath)
+  }
+
+  /** Promote one run with cross-run incremental dedup (an extension —
+    * the reference's prepared layer appends blindly, so a re-crawled or
+    * re-delivered row enters the corpus once per run it appears in).
+    *
+    * The run is deduped through [[graft.ops.Dedup.incrementalSurvivors]]
+    * against the persisted fingerprint index at
+    * [[PipelineConfig.fingerprintIndexPath]] (8-byte fingerprints of
+    * every admitted `key` value, one parquet row each — the corpus text
+    * itself is never re-read); survivors are appended to the prepared
+    * prefix and their fingerprints appended to the index.
+    *
+    * Write ordering is a crash-safety invariant: data append FIRST, index
+    * append second. A crash in between loses index entries, so a later
+    * run may re-admit a duplicate (at-least-once, same as the non-deduped
+    * layer) — the reverse order could record fingerprints for rows that
+    * were never written, silently DROPPING future legitimate data. The
+    * survivor set is localCheckpoint'd so the two appends and the count
+    * share one computation. At 100 TB the index is bucketed on `fp` at
+    * rest (exchange-free anti-join side) and the checkpoint becomes a
+    * staging write under a table-format transactional commit. */
+  private def promoteDeduped(spark: SparkSession, cfg: PipelineConfig,
+      df: org.apache.spark.sql.DataFrame, key: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val haveIndex = new java.io.File(cfg.fingerprintIndexPath).exists()
+    val index =
+      if (haveIndex) Some(spark.read.parquet(cfg.fingerprintIndexPath)) else None
+    val survivors = graft.ops.Dedup
+      .incrementalSurvivors(df, col(key), col(key), index)
+      .localCheckpoint()
+    survivors.drop(graft.ops.Dedup.FpCol).write
+      .option("compression", "snappy")
+      .mode("append")
+      .parquet(cfg.preparedPath)
+    survivors.select(col(graft.ops.Dedup.FpCol).as("fp"))
+      .write.mode("append").parquet(cfg.fingerprintIndexPath)
+    survivors.count()
   }
 
   /** Promote every pending run for this pipeline (the reference's

@@ -29,6 +29,17 @@ class DedupSpec extends AnyFunSuite {
     tmp.toString
   }
 
+  test("incremental dedup: a later run's exact dupe dies at the fp index") {
+    val spark = TestSpark.spark
+    val out = Dedup.ddIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // doc 2 (run 2 = 2%3) repeats doc 1's text (run 1) — only the
+    // cross-run fingerprint index can drop it, the in-run window can't
+    assert(out.map(_._2).toSet == Set(1L, 3L, 4L, 5L, 6L))
+    // every survivor is admitted at its ORIGINAL run, never a re-crawl
+    assert(out.forall { case (run, id) => run == id % 3 })
+  }
+
   test("exact dedup groups identical texts, keeps min doc_id") {
     val spark = TestSpark.spark
     val rows = Dedup.ddExact(spark, dir).collect()

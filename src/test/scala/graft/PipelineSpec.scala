@@ -121,6 +121,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledger.records(spark).count() == 0, "failed run must be invisible downstream")
   }
 
+  test("cross-run incremental dedup: a second identical run promotes zero rows") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-dedup-")
+    val cfg = PipelineConfig(
+      template = PipelineConfig.CdsViewTemplate,
+      project = "graft", subject = "test",
+      jobSrc = "documents", ledgerName = "pipeline_ledger",
+      rawRoot = s"$tmp/raw", rawFolder = "documents", cdsView = "documents",
+      preparedRoot = s"$tmp/prepared",
+      tableName = s"d_${tmp.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}",
+      schema = Seq(
+        ColumnSpec("doc_id", "bigint", ""), ColumnSpec("text", "string", ""),
+        ColumnSpec("lang", "string", ""), ColumnSpec("source", "string", ""),
+        ColumnSpec("n_chars", "bigint", "")),
+      dedupColumn = Some("text"))
+    val docSrc = ParquetSource(s"${TestSpark.Sf0001}/documents.parquet")
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val distinctTexts = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("text").distinct().count()
+
+    RawLayerJob.run(spark, cfg, docSrc, ledger, "run1")
+    Orchestrator.drain(spark, cfg, ledger)
+    assert(spark.read.parquet(cfg.preparedPath).count() == distinctTexts)
+    assert(Files.exists(Path.of(cfg.fingerprintIndexPath)),
+      "promotion must persist the fingerprint index")
+
+    // second run re-delivers the same documents: every text is already in
+    // the index, so promotion appends nothing and records a zero count
+    RawLayerJob.run(spark, cfg, docSrc, ledger, "run2")
+    Orchestrator.drain(spark, cfg, ledger)
+    assert(spark.read.parquet(cfg.preparedPath).count() == distinctTexts,
+      "second identical run must not grow the corpus")
+    val run2 = ledger.records(spark).collect()
+      .filter(r => r.partition_key == "run2" && r.state == "PREPARED COMPLETED")
+    assert(run2.map(_.preparedEntryCount).toSeq == Seq("0"))
+    assert(ledger.pending(spark, "documents").isEmpty)
+  }
+
   test("event-driven watch promotes like a synchronous drain") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-watch-")
