@@ -145,9 +145,18 @@ object BenchChild {
     // query runs 3 min, still far inside the 600 s child timeout.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "45").toDouble
     val minReps = math.min(reps, 3)
+    // The 3-rep floor must still respect the parent's kill timeout: a
+    // query slow enough (or stall-inflated enough) that reps already sum
+    // past ~60% of the child timeout records the timings it HAS rather
+    // than dying at the timeout and recording a failure — one honest
+    // draw beats zero. 0.6x leaves headroom for the rep in flight (the
+    // next rep can be as slow as all previous ones combined on a stall).
+    val hardStopSec = 0.6 * sys.env
+      .getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_SEC", "600").toDouble
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     var i = 0
-    while (i < reps && (i < minReps || times.sum < budgetSec)) {
+    while (i < reps && times.sum < hardStopSec &&
+        (i < minReps || times.sum < budgetSec)) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       times += (System.nanoTime() - t0) / 1e9

@@ -85,6 +85,7 @@ object SparkEntry {
     "q24_scd_upsert" -> (Relational.q24ScdUpsert _), // CDC latest-record-wins merge
     "q25_range_join" -> (Relational.q25RangeJoin _), // interval-band non-equi join
     "q26_topk_native" -> (Relational.q26TopkNative _), // custom LogicalPlan+Strategy+Exec top-k
+    "q27_topk_extensions" -> (Relational.q27TopkExtensions _), // spark.sql.extensions ladder, rewrite must fire
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     // §7.3-3 time-window analytics (batch twins of the streaming path)
@@ -175,6 +176,7 @@ object SparkEntry {
     "q24_scd_upsert" -> Relational.q24Oracle,
     "q25_range_join" -> Relational.q25Oracle,
     "q26_topk_native" -> Relational.q26Oracle,
+    "q27_topk_extensions" -> Relational.q27Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "samp_hash" -> graft.ops.Sampling.sampHashOracle,

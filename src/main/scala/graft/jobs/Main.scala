@@ -87,7 +87,7 @@ object Main {
             .getOrElse(128L << 20)
           val m = CompactionJob.run(spark, cfg.preparedPath, targetBytes)
           println(s"[compaction_job] path=${cfg.preparedPath} files=${m.filesBefore}->${m.filesAfter} " +
-            s"bytes=${m.bytes} rewritten=${m.rewritten}")
+            s"bytes=${m.bytes} rows=${m.rows.map(_.toString).getOrElse("-")} rewritten=${m.rewritten}")
         case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e|compact)")
       }
     } finally spark.stop()

@@ -726,4 +726,43 @@ object Relational {
       |  FROM orders) x
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** The stock window top-k idiom exactly as a user would write it — but
+    * run through a session whose optimizer was installed by
+    * [[graft.plans.GraftExtensions]], the `spark.sql.extensions` ladder
+    * (materialized onto the live SparkContext via
+    * `GraftBridge.sessionWithExtensions`, the same `private[sql]`
+    * constructor the session builder drives for a static-conf install).
+    * [[graft.plans.TopKRewrite]] must re-plan the idiom onto the
+    * bounded-heap [[graft.plans.TopKPerGroup]] pair — the `require`
+    * makes the graded row FAIL if the extensions tier stops firing, so
+    * this row grades installer + rule + strategy + operator end-to-end,
+    * while q26 grades the explicit operator API. Top-2 suppliers by
+    * account balance per nation; unique suppkey tiebreak makes the
+    * result deterministic under the heap's first-come tie handling. */
+  def q27TopkExtensions(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val df = t(s, dir, "supplier")
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+      .filter(col("rn") <= 2)
+      .drop("rn")
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_nationkey"), col("s_acctbal").desc, col("s_suppkey"))
+    val p = df.queryExecution.executedPlan.toString
+    require("TopKPerGroup ".r.findAllIn(p).size == 2,
+      s"extensions-installed rewrite did not fire (no heap pair):\n${p.take(1500)}")
+    df
+  }
+
+  def q27Oracle: String =
+    """SELECT s_nationkey, s_suppkey, s_acctbal FROM (
+      |  SELECT s_nationkey, s_suppkey, s_acctbal,
+      |         row_number() OVER (PARTITION BY s_nationkey
+      |           ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+      |  FROM supplier) x
+      |WHERE rn <= 2
+      |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin
 }

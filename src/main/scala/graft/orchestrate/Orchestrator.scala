@@ -2,7 +2,7 @@ package graft.orchestrate
 
 import graft.catalog.CatalogRegistrar
 import graft.config.PipelineConfig
-import graft.jobs.{JobMetrics, PreparedLayerJob, RawLayerJob}
+import graft.jobs.{CompactionJob, CompactionMetrics, JobMetrics, PreparedLayerJob, RawLayerJob}
 import graft.ledger.{LocalJsonLedger, RunLedger, RunState}
 import graft.sources.SourceReader
 import org.apache.spark.sql.SparkSession
@@ -27,12 +27,53 @@ object Orchestrator {
       ledger: RunLedger, runId: String): JobMetrics =
     RawLayerJob.run(spark, cfg, source, ledger, runId)
 
+  /** File-count threshold past which [[drain]]/[[watch]] compact the
+    * prepared prefix after promoting. High enough that it never fires
+    * on a few-run test pipeline; at one promotion per day and a handful
+    * of part files each, a production table crosses it in a few weeks —
+    * exactly the cadence small-file maintenance wants. */
+  val DefaultCompactAfterFiles = 32
+
   /** Synchronously promote everything pending, register the catalog table.
-    * Idempotent: drain twice ≡ drain once. */
-  def drain(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger): Seq[JobMetrics] = {
+    * Idempotent: drain twice ≡ drain once. After promoting, compacts the
+    * prepared prefix (and the fingerprint index, when the pipeline
+    * dedups) once its data-file count passes `compactAfterFiles` — the
+    * scheduled-maintenance half of the append-only layer's contract. */
+  def drain(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
+      compactAfterFiles: Int = DefaultCompactAfterFiles): Seq[JobMetrics] = {
     val promoted = PreparedLayerJob.promoteAll(spark, cfg, ledger)
-    if (promoted.nonEmpty) CatalogRegistrar.register(spark, cfg)
+    if (promoted.nonEmpty) {
+      CatalogRegistrar.register(spark, cfg)
+      maybeCompact(spark, cfg, compactAfterFiles)
+    }
     promoted
+  }
+
+  /** Compact the prepared prefix iff its data-file count exceeds
+    * `maxFiles` (sized from the same file listing the compactor itself
+    * uses); with dedup enabled the fingerprint index — which also grows
+    * a file per promotion — is held to the same bar. Single-writer per
+    * pipeline by construction: [[drain]] is synchronous and [[watch]]'s
+    * foreachBatch serializes batches, so compaction never races a
+    * concurrent append to the same prefix. Returns the metrics of each
+    * rewrite that actually happened, keyed by path. */
+  def maybeCompact(spark: SparkSession, cfg: PipelineConfig,
+      maxFiles: Int = DefaultCompactAfterFiles): Map[String, CompactionMetrics] = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def overThreshold(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hadoopConf)
+      fs.exists(p) && fs.listStatus(p).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } > maxFiles
+    }
+    val targets =
+      Seq(cfg.preparedPath) ++ cfg.dedupColumn.map(_ => cfg.fingerprintIndexPath)
+    targets.filter(overThreshold)
+      .map(dir => dir -> CompactionJob.run(spark, dir))
+      .filter(_._2.rewritten)
+      .toMap
   }
 
   /** Full medallion pass for one pipeline: ingest + drain + catalog.
@@ -63,6 +104,7 @@ object Orchestrator {
         if (!batch.isEmpty) {
           PreparedLayerJob.promoteAll(spark, cfg, ledger)
           CatalogRegistrar.register(spark, cfg)
+          maybeCompact(spark, cfg)
         }
         ()
       }

@@ -56,7 +56,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
   val MaxKConfKey = "graft.topk.rewrite.maxK"
   val DefaultMaxK = 1000
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  /** Runtime kill switch (default on — registering the rule, via
+    * `spark.sql.extensions` or [[install]], is already the opt-in act).
+    * A session that wants row_number's partition-order tie admission on
+    * a NON-unique order key — the one user-visible difference, both
+    * formulations being arbitrary-but-plan-dependent there — can set
+    * this false and keep the rest of the extension ladder. */
+  val EnabledConfKey = "graft.topk.rewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan
+  else plan.transformDown {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(_, _, SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
@@ -100,6 +109,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   private def maxK: Int = org.apache.spark.sql.internal.SQLConf.get
     .getConfString(MaxKConfKey, DefaultMaxK.toString).toInt
+
+  private def enabled: Boolean = org.apache.spark.sql.internal.SQLConf.get
+    .getConfString(EnabledConfKey, "true").toBoolean
 
   /** Splits `cond` into (k, remaining conjuncts): exactly one conjunct
     * must bound the rank attribute from above; vacuous `isnotnull(rn)`

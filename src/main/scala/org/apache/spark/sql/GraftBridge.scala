@@ -53,6 +53,37 @@ object GraftBridge {
       spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     ext.buildPlannerStrategies(spark)
 
+  /** Build a NEW session over the same SparkContext with the given
+    * extensions installed — what `spark.sql.extensions` (a STATIC conf,
+    * applicable only before the first session exists) does at
+    * first-session construction, made available to a live context.
+    *
+    * Goes through the public `Builder.withExtensions` hook; the builder
+    * only constructs a session (rather than returning the current one)
+    * when no active/default session exists, so those slots are cleared
+    * and restored around the call — the parent session stays this JVM's
+    * default. The parent's modifiable session confs (shuffle partitions,
+    * timezone, parquet flags) are copied onto the new session; static
+    * confs are skipped (they live on the shared SparkContext anyway). */
+  def sessionWithExtensions(
+      spark: SparkSession, f: SparkSessionExtensions => Unit): SparkSession = {
+    val prevDefault = classic.SparkSession.getDefaultSession
+    val prevActive = classic.SparkSession.getActiveSession
+    classic.SparkSession.clearDefaultSession()
+    classic.SparkSession.clearActiveSession()
+    val built =
+      try classic.SparkSession.builder().withExtensions(f).getOrCreate()
+      finally {
+        prevDefault.foreach(classic.SparkSession.setDefaultSession)
+        prevActive.foreach(classic.SparkSession.setActiveSession)
+      }
+    spark.conf.getAll.foreach { case (k, v) =>
+      try built.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+    }
+    built
+  }
+
   /** Materialize an extensions object's collected optimizer-rule
     * injections (same testing rationale as [[buildPlannerStrategies]]). */
   def buildOptimizerRules(

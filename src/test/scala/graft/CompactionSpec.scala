@@ -35,7 +35,7 @@ class CompactionSpec extends AnyFunSuite {
     val m = CompactionJob.run(spark, dir, targetFileBytes = 1L << 30)
     assert(m.rewritten && m.filesBefore == 12 && m.filesAfter == 1,
       s"expected 12 -> 1 files, got $m")
-    assert(m.rows == 1200)
+    assert(m.rows.contains(1200L))
     val after = spark.read.parquet(dir).as[(Int, String)].collect().sorted
     assert(after.toSeq == expected.toSeq, "compaction must not change the data")
     assert(partFiles(dir).size == 1)
@@ -77,6 +77,47 @@ class CompactionSpec extends AnyFunSuite {
     // tiny target → required file count >= current count → no rewrite
     val m = CompactionJob.run(spark, dir, targetFileBytes = 1L)
     assert(!m.rewritten)
+    assert(m.rows.isEmpty, "no-op pass reads no data, so it reports no count")
     assert(partFiles(dir).toSet == before, "no-op pass must not touch files")
+  }
+
+  test("recovery: dangling .compact.bak with no layer is restored, then compacted") {
+    val dir = fragmentedLayer()
+    val expected = spark.read.parquet(dir).as[(Int, String)].collect().sorted.toSeq
+    val d = new java.io.File(dir)
+    // simulate a crash between the two swap renames: data only in .bak
+    val bak = new java.io.File(d.getParentFile, s".${d.getName}.compact.bak")
+    assert(d.renameTo(bak))
+    val m = CompactionJob.run(spark, dir, targetFileBytes = 1L << 30)
+    assert(m.rewritten && m.filesAfter == 1)
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().sorted.toSeq == expected,
+      "recovery must restore the pre-crash data before compacting it")
+    assert(!bak.exists())
+  }
+
+  test("recovery: .compact.bak NEXT TO a live layer fails loudly") {
+    val dir = fragmentedLayer()
+    val d = new java.io.File(dir)
+    val bak = new java.io.File(d.getParentFile, s".${d.getName}.compact.bak")
+    assert(bak.mkdirs())
+    val ex = intercept[IllegalStateException](
+      CompactionJob.run(spark, dir, targetFileBytes = 1L << 30))
+    assert(ex.getMessage.contains("resolve manually"))
+    assert(partFiles(dir).size == 12, "ambiguous state must leave the layer untouched")
+    bak.delete()
+  }
+
+  test("recovery: leftover unverified .compact.tmp is discarded, not swapped in") {
+    val dir = fragmentedLayer()
+    val expected = spark.read.parquet(dir).as[(Int, String)].collect().sorted.toSeq
+    val d = new java.io.File(dir)
+    val tmpDir = new java.io.File(d.getParentFile, s".${d.getName}.compact.tmp")
+    assert(tmpDir.mkdirs())
+    // poison content: if recovery swapped tmp in, the read below would differ
+    java.nio.file.Files.writeString(tmpDir.toPath.resolve("garbage"), "not parquet")
+    val m = CompactionJob.run(spark, dir, targetFileBytes = 1L << 30)
+    assert(m.rewritten)
+    assert(spark.read.parquet(dir).as[(Int, String)].collect().sorted.toSeq == expected)
+    assert(!tmpDir.exists())
   }
 }

@@ -76,9 +76,22 @@ class FunctionsSpec extends AnyFunSuite {
     // fpp sanity: absent keys should mostly miss (1% fpp, 2000 draws)
     val fp = (0 until 2000).count(i => codegen(s"absent-$i"))
     assert(fp < 100, s"false-positive rate implausibly high: $fp/2000 at fpp=0.01")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try assert(run() == codegen, "interpreted eval must agree with codegen")
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // the TRUE interpreted leg: disabling whole-stage codegen still
+    // compiles non-whole-stage projections, so call nullSafeEval directly
+    // through Expression.eval on literal inputs — this is the path a
+    // fallback (codegen-failed / interpreted-mode) projection takes
+    val interpreted = (members ++ (0 until 2000).map(i => s"absent-$i")).map { g =>
+      val e = graft.functions.BloomContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(g),
+          org.apache.spark.sql.types.StringType), bloom)
+      g -> e.eval(null).asInstanceOf[Boolean]
+    }.toMap
+    assert(interpreted == codegen, "Expression.eval must agree with codegen")
+    // and null in → null out on the interpreted path
+    assert(graft.functions.BloomContains(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType), bloom).eval(null) == null)
   }
 
   test("GraftExtensions installer registers the functions a session builder would see") {

@@ -121,6 +121,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledger.records(spark).count() == 0, "failed run must be invisible downstream")
   }
 
+  test("drain-triggered compaction: fewer files, identical cataloged results") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-maint-")
+    val cfg = cfgFor(tmp)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    // threshold 2 < the 3+ files three promotions append ⇒ drain compacts
+    Orchestrator.drain(spark, cfg, ledger, compactAfterFiles = 2)
+    def parts = new java.io.File(cfg.preparedPath).listFiles().toSeq
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(parts.size <= 2, s"drain must have compacted, got files: $parts")
+    // the cataloged table reads the compacted layout with nothing lost
+    val t = spark.table(s"${graft.catalog.CatalogRegistrar.Database}.${cfg.tableName}")
+    assert(t.count() == 3 * fixtureRows(spark))
+    assert(t.select("ETL_PART_KEY").distinct().count() == 3)
+    // maintenance is idempotent: an immediate re-check compacts nothing
+    assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
+  }
+
   test("cross-run incremental dedup: a second identical run promotes zero rows") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-dedup-")

@@ -152,6 +152,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan(global).contains("TopKPerGroup"),
         "global (un-partitioned) top-k must not be rewritten")
       assert(global.count() == 3)
+      // runtime kill switch: a session can keep the extension ladder but
+      // opt out of the idiom rewrite (non-unique-order tie admission)
+      spark.conf.set(graft.plans.TopKRewrite.EnabledConfKey, "false")
+      try assert(plan(idiom()).contains("Window") &&
+        !plan(idiom()).contains("TopKPerGroup"),
+        "disabled rewrite must leave the stock window plan")
+      finally spark.conf.unset(graft.plans.TopKRewrite.EnabledConfKey)
+      assert(plan(idiom()).contains("TopKPerGroup"), "re-enabled after unset")
     } finally graft.plans.TopKRewrite.uninstall(spark)
     // uninstalled: back to the stock plan
     assert(plan(idiom()).contains("Window"))
@@ -192,6 +200,32 @@ class PlanSpec extends AnyFunSuite {
       .buildOptimizerRules(ext, TestSpark.spark)
     assert(rules.contains(graft.plans.TopKRewrite),
       s"extensions installer must register the window-idiom rewrite, got: $rules")
+  }
+
+  test("sessionWithExtensions: isolated extensions session, parent untouched") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s2 = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    assert(s2 ne spark)
+    assert(s2.sparkContext eq spark.sparkContext, "must share the context")
+    // the builder call must not have stolen the JVM default-session slot
+    assert(org.apache.spark.sql.classic.SparkSession.getDefaultSession
+      .exists(_ eq spark), "parent must remain the default session")
+    // session confs carried over (Verify/Bench set these on the parent)
+    assert(s2.conf.get("spark.sql.shuffle.partitions") ==
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    def idiom(s: org.apache.spark.sql.SparkSession) =
+      Relational.t(s, TestSpark.Sf0001, "orders")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+        .filter(col("rn") <= 3).drop("rn")
+    // rewrite live on the extensions session, absent from the parent —
+    // installing through s2 must never re-plan the parent's window queries
+    assert(plan(idiom(s2)).contains("TopKPerGroup"))
+    assert(!plan(idiom(spark)).contains("TopKPerGroup"))
   }
 
   test("q22: salting replicates the dimension only on the hot-key branch") {
