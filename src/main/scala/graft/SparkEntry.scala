@@ -103,6 +103,7 @@ object SparkEntry {
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
     "dd_incremental" -> (Dedup.ddIncremental _), // cross-run dedup via accumulated fp index
+    "dd_incremental_near" -> (Dedup.ddIncrementalNear _), // rows-only: cross-run NEAR-dup via minhash sig index
     "dd_ngram_jaccard" -> (Dedup.ddNgramJaccard _),
     "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability: what was dropped
     "dd_shingle_coverage" -> (Dedup.ddShingleCoverage _), // DF-cap observability: who lost protection

@@ -201,7 +201,13 @@ object Dedup {
     * doesn't enter whole-stage codegen and dominated this operator's
     * runtime when rebuilt several times per query). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    shingledOf(t(spark, dir, "documents"))
+
+  /** [[shingled]] over an arbitrary `(doc_id, text, …)` batch — the
+    * incremental entry point ([[incrementalNearSurvivors]]) shingles one
+    * run at a time, not the whole table. */
+  private def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
@@ -467,8 +473,12 @@ object Dedup {
     * (the array formulation was ~10× slower end-to-end). Scale: a doc's
     * shingle rows never leave their input partition before the partial
     * agg, so the shuffle carries exactly one 64-long row per doc. */
-  private def signaturesWide(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingled(spark, dir).select(col("doc_id"), xxhash64(col("g")).as("h"))
+  private def signaturesWide(spark: SparkSession, dir: String): DataFrame =
+    signaturesWideOf(t(spark, dir, "documents"))
+
+  /** [[signaturesWide]] over an arbitrary `(doc_id, text, …)` batch. */
+  private def signaturesWideOf(docs: DataFrame): DataFrame = {
+    val hashed = shingledOf(docs).select(col("doc_id"), xxhash64(col("g")).as("h"))
     val minCols = (0 until NumHashes).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
     hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
@@ -479,35 +489,167 @@ object Dedup {
     * bucket self-join, so cost is Σ bucket² not n²; the estimate is 64
     * codegen'd column equality votes. Rows-only graded (hash family
     * isn't SQL-portable; dd_ngram_jaccard is the oracle-checked twin). */
+  /** (doc_id, band, bh) LSH bucket keys from a wide signature frame:
+    * band hash = xxhash64 of that band's 4 signature columns (codegen'd,
+    * no array slicing). At rest this is the banded index table a
+    * production deployment materializes next to the signature index. */
+  private def bandBuckets(sig: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val bandHashes = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(p => col(s"m$p"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val keep = col("doc_id") +: extra.map(col)
+    sig.select(keep :+ explode(array(bandHashes: _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
+  }
+
+  /** Signature-estimated jaccard for candidate pairs: signatures re-join
+    * only for survivors of candidate generation; the estimate is a
+    * codegen'd sum of 64 column-equality votes. `sigA`/`sigB` may be the
+    * same frame (self-pairs) or different (new run vs index). */
+  private def estimatedJaccard(cand: DataFrame, sigA: DataFrame,
+      sigB: DataFrame): DataFrame = {
+    val matches = (0 until NumHashes)
+      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigA.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sigB.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("est_jaccard", round(matches.cast("double") / NumHashes, 4))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint, not cache: the 64-column agg lineage is huge, and
     // cache ships it in every downstream task closure for recompute —
     // truncating lineage here measured ~20× faster end-to-end.
     val sig = signaturesWide(spark, dir).localCheckpoint()
-    val bandHashes = (0 until Bands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(p => col(s"m$p"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandHashes: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val buckets = bandBuckets(sig)
     val cand = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // re-join signatures only for surviving candidates; the estimate is a
-    // codegen'd sum of 64 column-equality votes
-    val matches = (0 until NumHashes)
-      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand
-      .join(sig.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("est_jaccard", round(matches.cast("double") / NumHashes, 4))
+    estimatedJaccard(cand, sig, sig)
       .filter(col("est_jaccard") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** One round of cross-run incremental NEAR-dup dedup — the minhash
+    * counterpart of [[incrementalSurvivors]]: a new run is deduped
+    * against the accumulated corpus using only the corpus's persisted
+    * 64-hash minhash signatures (64×8 bytes per admitted doc — the text
+    * itself is never re-read), so a re-crawled page with a small edit
+    * dies the same way a byte-identical one dies at the exact index.
+    *
+    * Semantics (deterministic kill-list, the production shape for
+    * incremental web-crawl dedup):
+    *  - a batch doc dies if its signature-estimated jaccard ≥ `threshold`
+    *    against ANY index doc (candidates from the banded bucket join —
+    *    never batch × index);
+    *  - a batch doc dies if est-jaccard ≥ `threshold` against a
+    *    SMALLER-id doc of the same batch (kill-list, no transitive
+    *    closure: b dies on pair (a<b) whether or not a itself survives —
+    *    one pass, order-free, deterministic);
+    *  - docs too short to shingle (< 5 chars) have no signature and
+    *    survive by construction.
+    *
+    * Returns (survivors, survivor signatures); the caller appends the
+    * signatures to the persisted index exactly as the exact-dedup path
+    * appends fingerprints. Scale shape: candidate generation is a bucket
+    * join on (band, bh) — with the index's banded table materialized and
+    * bucketed at rest, the index side is exchange-free (same argument as
+    * the exact fp index, pinned in BucketingSpec); est-jaccard re-joins
+    * signatures only for candidates; the batch never joins the corpus
+    * text. */
+  def incrementalNearSurvivors(batch: DataFrame, index: Option[DataFrame],
+      threshold: Double = 0.5,
+      precomputedSigs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    // production shape: a run's signatures are computed ONCE when the run
+    // lands (one corpus pass at ingestion) and handed to every consumer;
+    // the fallback computes them here for standalone use
+    val sigB = precomputedSigs
+      .getOrElse(signaturesWideOf(batch).localCheckpoint())
+    // ONE reference set covers both kill rules: index docs kill any close
+    // batch doc, batch docs kill close LARGER-id batch docs — tagging the
+    // origin lets a single bucket join + estimate join do both (vs two of
+    // each, which measured ~2× slower per round)
+    val taggedRef = index match {
+      case Some(idx) => idx.withColumn("__idx", lit(true))
+        .unionByName(sigB.withColumn("__idx", lit(false)))
+      case None => sigB.withColumn("__idx", lit(false))
+    }
+    val cand = bandBuckets(taggedRef, Seq("__idx")).as("a")
+      .join(bandBuckets(sigB).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          (col("a.__idx") || col("a.doc_id") < col("b.doc_id")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val killed = estimatedJaccard(cand, taggedRef.drop("__idx"), sigB)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as("doc_id"))
+      .distinct()
+    val keptSigs = sigB.join(killed, Seq("doc_id"), "left_anti")
+    // survivors = rows whose signature survived, plus rows that never had
+    // one (null/short text can't be near anything). Built FROM keptSigs so
+    // a caller that checkpoints the signatures (the persisted-index step)
+    // gets the survivor rows for free instead of re-running the kill joins.
+    val survivors = batch
+      .join(keptSigs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .unionByName(batch.filter(col("text").isNull || length(col("text")) < 5))
+    (survivors, keptSigs)
+  }
+
+  /** Cross-run incremental NEAR-dup dedup, graded: the same three
+    * derived runs as [[ddIncremental]], but each run's re-crawl of the
+    * previous run's every-fifth doc carries a SMALL EDIT (an appended
+    * update notice) — byte-unequal, so the exact fingerprint index
+    * would re-admit it; the minhash signature index must kill it. Runs
+    * are processed in order through [[incrementalNearSurvivors]] with
+    * the signature index accumulated between rounds; re-crawled ids are
+    * offset by +10000 so the (original, edited re-crawl) pair is a
+    * genuine near-dup pair between distinct ids.
+    *
+    * Rows-only graded (minhash estimates aren't SQL-portable — same
+    * standing as dd_minhash_lsh, whose oracle twin dd_ngram_jaccard
+    * grades the underlying jaccard machinery; [[ddIncremental]] grades
+    * the cross-run index machinery exactly); DedupSpec pins the planted
+    * cross-run survivor set. */
+  def ddIncrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val runs = 3
+    val docs = t(spark, dir, "documents").select(
+      pmod(col("doc_id"), lit(runs.toLong)).as("run"),
+      col("doc_id"), col("text"))
+    val recrawls = docs // prior run's every-fifth doc returns, lightly edited
+      .filter(col("run") < (runs - 1) && pmod(col("doc_id"), lit(5L)) === 0)
+      .select((col("run") + 1L).as("run"),
+        (col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" updated edition with minor revisions"))
+          .as("text"))
+    val feed = docs.unionByName(recrawls).localCheckpoint()
+    // signatures for EVERY run in one corpus pass (the production shape:
+    // runs are signed once at ingestion; the dedup rounds only join) —
+    // one shuffle instead of one per round, checkpointed WITH the run
+    // label so each round's slice is a trivial filter over at-rest data
+    val sigWithRun = signaturesWideOf(feed)
+      .join(feed.select(col("doc_id"), col("run")), "doc_id")
+      .localCheckpoint()
+    var index: Option[DataFrame] = None
+    val parts = (0 until runs).map { r =>
+      val batch = feed.filter(col("run") === r)
+      val sigB = sigWithRun.filter(col("run") === r).drop("run")
+      val (_, keptSigs) =
+        incrementalNearSurvivors(batch, index, precomputedSigs = Some(sigB))
+      val sigsAtRest = keptSigs.localCheckpoint() // the persisted index step
+      index = Some(index.map(_.unionByName(sigsAtRest)).getOrElse(sigsAtRest))
+      // survivor rows come off the at-rest index slice — the kill joins ran
+      // exactly once (inside the checkpoint above); every text here is
+      // shingle-able so the no-signature survivor branch is empty
+      batch.join(sigsAtRest.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("run"), col("doc_id"))
+    }
+    parts.reduce(_.unionByName(_)).orderBy(col("run"), col("doc_id"))
   }
 
   /** 64-bit SimHash per document over whitespace tokens: per-bit ±1 votes

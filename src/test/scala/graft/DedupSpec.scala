@@ -40,6 +40,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (run, id) => run == id % 3 })
   }
 
+  test("incremental NEAR-dup: cross-run near copies die at the signature index") {
+    val spark = TestSpark.spark
+    val out = Dedup.ddIncrementalNear(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // runs by doc_id % 3 — run 0: {3, 6}, run 1: {1, 4}, run 2: {2, 5}.
+    // Run 0 admits 3 and 6 (unrelated). Run 1: doc 1 is a near-dup of
+    // ADMITTED doc 3 (same base text, doc 3 adds a short suffix) → the
+    // index kills it, which the EXACT fingerprint index never could;
+    // doc 4 likewise (near 3, and in-batch near 1). Run 2: doc 2 ==
+    // doc 1's text — doc 1 was KILLED, but doc 2 is still near admitted
+    // doc 3 → dies at the index, not in-batch. Doc 5 is unrelated text
+    // and must survive. No re-crawl feeds exist here (no doc_id % 5 == 0
+    // in a non-final run), so this pins pure natural-near-dup behavior.
+    assert(out.map(_._2).toSet == Set(3L, 5L, 6L),
+      s"expected survivors {3,5,6}, got $out")
+    // survivors sit at their own run
+    assert(out.forall { case (run, id) => run == id % 3 })
+  }
+
   test("exact dedup groups identical texts, keeps min doc_id") {
     val spark = TestSpark.spark
     val rows = Dedup.ddExact(spark, dir).collect()
