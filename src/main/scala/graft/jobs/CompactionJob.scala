@@ -53,35 +53,8 @@ object CompactionJob {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(path.getParent, s".${path.getName}.compact.tmp")
-    val bak = new Path(path.getParent, s".${path.getName}.compact.bak")
-    // Crash recovery BEFORE anything else: a prior run that died mid-swap
-    // leaves artifacts this run must not size or rewrite around.
-    //  - bak present, layer absent: died between the two renames — the
-    //    complete pre-compaction data is in bak; restore it and proceed.
-    //  - bak present AND layer present: died after the second rename but
-    //    before the bak delete (layer is the verified rewrite) — OR the
-    //    layer was re-created by a later writer after a mid-swap crash,
-    //    in which case bak holds data the layer does NOT. Indistinguishable
-    //    from here, so fail loudly rather than guess.
-    //  - tmp present: an UNVERIFIED partial rewrite from a dead run —
-    //    source data is intact, so discard it and rewrite fresh.
-    if (fs.exists(bak)) {
-      if (!fs.exists(path)) {
-        if (!fs.rename(bak, path))
-          throw new IllegalStateException(
-            s"compaction recovery failed: could not restore $bak to $path")
-      } else throw new IllegalStateException(
-        s"both $path and $bak exist — a prior compaction died mid-swap and " +
-          "the layer may have diverged from the backup; resolve manually")
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-
-    def dataFiles() = fs.listStatus(path).filter { f =>
-      val n = f.getPath.getName
-      f.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    val before = dataFiles()
+    RewriteSwap.recover(fs, path) // crash artifacts first — see RewriteSwap
+    val before = RewriteSwap.dataFiles(fs, path)
     val bytes = before.map(_.getLen).sum
     val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (before.length <= nOut)
@@ -91,30 +64,13 @@ object CompactionJob {
     // empty-required-schema scan: row counts come from row-group metadata,
     // no column data is decoded
     val rowsBefore = src.count()
-    // rows-written comes from an Observation riding the write job itself
-    // (CollectMetrics below the coalesce) — no second read pass over tmp
-    val obs = new org.apache.spark.sql.Observation(s"graft_compact_${path.getName}")
-    src.observe(obs, org.apache.spark.sql.functions
-        .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .coalesce(nOut).write
-      .option("compression", "snappy")
-      .mode("overwrite")
-      .parquet(tmp.toString)
-    val rowsAfter = obs.get("rows").asInstanceOf[Long]
-    if (rowsAfter != rowsBefore) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        s"compaction row-count mismatch for $dir: $rowsBefore before, $rowsAfter rewritten — aborted, source untouched")
-    }
-    if (!fs.rename(path, bak))
-      throw new IllegalStateException(s"compaction swap failed: could not move $path aside")
-    if (!fs.rename(tmp, path)) {
-      fs.rename(bak, path) // restore — leave the layer exactly as found
-      throw new IllegalStateException(s"compaction swap failed: could not move $tmp into place")
-    }
-    fs.delete(bak, true)
-    CompactionMetrics(before.length, dataFiles().length, bytes, Some(rowsAfter),
-      rewritten = true)
+    // coalesce is a NARROW rewrite: input splits concatenate into nOut
+    // write tasks with no shuffle (`repartition` would move every byte
+    // through an exchange for no layout benefit)
+    val rows = RewriteSwap.writeVerifySwap(spark, fs, path,
+      src.coalesce(nOut), rowsBefore, "compact")
+    CompactionMetrics(before.length, RewriteSwap.dataFiles(fs, path).length,
+      bytes, Some(rows), rewritten = true)
   }
 
   /** Compact a Hive-partitioned layer (e.g. the raw layer's
