@@ -15,7 +15,7 @@ import java.nio.file.Paths
   *
   * Usage:
   *   runMain graft.jobs.Main --pipelines-dir <dir> --job_src <name>
-  *     --layer raw|prepared|e2e|compact|cluster [--run-id <id>]
+  *     --layer raw|prepared|e2e|compact|cluster|zorder [--run-id <id>]
   *     [--target-file-bytes <n>] [--cluster-by <col[,col...]>]
   *
   * Credentials for JDBC-mode pipelines come from the environment
@@ -27,7 +27,7 @@ import java.nio.file.Paths
 object Main {
   private val Usage =
     "usage: graft.jobs.Main --pipelines-dir <dir> --job_src <name> " +
-      "[--layer raw|prepared|e2e|compact|cluster] [--run-id <id>] " +
+      "[--layer raw|prepared|e2e|compact|cluster|zorder] [--run-id <id>] " +
       "[--target-file-bytes <n>] [--cluster-by <col[,col...]>]"
 
   /** Fail-fast argument resolution (the reference's `getResolvedOptions`
@@ -90,16 +90,18 @@ object Main {
           val m = CompactionJob.run(spark, cfg.preparedPath, targetBytes)
           println(s"[compaction_job] path=${cfg.preparedPath} files=${m.filesBefore}->${m.filesAfter} " +
             s"bytes=${m.bytes} rows=${m.rows.map(_.toString).getOrElse("-")} rewritten=${m.rewritten}")
-        case "cluster" =>
+        case "cluster" | "zorder" =>
           val targetBytes = opts.get("--target-file-bytes").map(_.toLong)
             .getOrElse(128L << 20)
           val cols = opts.getOrElse("--cluster-by",
-            sys.error("--layer cluster requires --cluster-by <col[,col...]>"))
+            sys.error(s"--layer $layer requires --cluster-by <col[,col...]>"))
             .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-          val m = LayoutJob.clusterBy(spark, cfg.preparedPath, cols, targetBytes)
-          println(s"[layout_job] path=${cfg.preparedPath} clusterBy=${m.clusterBy.mkString(",")} " +
+          val m =
+            if (layer == "zorder") LayoutJob.zorderBy(spark, cfg.preparedPath, cols, targetBytes)
+            else LayoutJob.clusterBy(spark, cfg.preparedPath, cols, targetBytes)
+          println(s"[layout_job] mode=$layer path=${cfg.preparedPath} clusterBy=${m.clusterBy.mkString(",")} " +
             s"files=${m.filesBefore}->${m.filesAfter} rows=${m.rows}")
-        case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e|compact|cluster)")
+        case other => sys.error(s"unknown --layer '$other' (raw|prepared|e2e|compact|cluster|zorder)")
       }
     } finally spark.stop()
   }

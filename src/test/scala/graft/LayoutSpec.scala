@@ -31,8 +31,8 @@ class LayoutSpec extends AnyFunSuite {
     dir
   }
 
-  /** Per-file [min, max] of int column `k`, straight from the footers. */
-  private def fileRanges(dir: String): Seq[(Int, Int)] = {
+  /** Per-file [min, max] of an int column, straight from the footers. */
+  private def fileRanges(dir: String, column: String = "k"): Seq[(Int, Int)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     new java.io.File(dir).listFiles().toSeq
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
@@ -41,7 +41,7 @@ class LayoutSpec extends AnyFunSuite {
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toString), conf))
         try {
           val stats = r.getFooter.getBlocks.asScala.toSeq.map(
-            _.getColumns.asScala.find(_.getPath.toDotString == "k").get.getStatistics)
+            _.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics)
           (stats.map(_.genericGetMin.asInstanceOf[Number].intValue).min,
             stats.map(_.genericGetMax.asInstanceOf[Number].intValue).max)
         } finally r.close()
@@ -94,5 +94,118 @@ class LayoutSpec extends AnyFunSuite {
         .filter(_.isFile).map(_.length).sum / 4 + 1)
     assert(matchingFiles(4000, 4500) <= 2,
       s"clustered layout must confine a narrow range to few files: ${fileRanges(dir)}")
+  }
+
+  // ---- Z-order (multi-column) clustering -------------------------------
+
+  /** Append-order layer with TWO INDEPENDENT uniform keys (seeded RNG —
+    * two linear-in-i formulas would be perfectly correlated mod the
+    * domain, putting all points on a lattice line): every file spans
+    * ~the full range of both x and y. */
+  private def appendOrderLayer2D(): String = {
+    val dir = Files.createTempDirectory("graft-zorder-").resolve("layer").toString
+    val rnd = new scala.util.Random(42)
+    (0 until 4000)
+      .map(i => (rnd.nextInt(10000), rnd.nextInt(10000), s"payload-$i"))
+      .toDF("x", "y", "payload")
+      .repartition(4)
+      .write.option("compression", "snappy").parquet(dir)
+    dir
+  }
+
+  private def layerBytes(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length).sum
+
+  private def span(r: (Int, Int)): Int = r._2 - r._1
+
+  test("rank_bucket and interleave_bits: codegen and interpreted agree with a pure-Scala reference") {
+    import graft.functions.{InterleaveBits, RankBucket, ZOrderFunctions}
+    import org.apache.spark.sql.functions.col
+    val boundaries = Array(10.0, 20.0, 20.0, 55.5, 90.0) // duplicate on purpose
+    def refBucket(v: Double): Int = boundaries.count(_ <= v)
+    def refInterleave(vals: Seq[Int], bits: Int): Long = {
+      var z = 0L
+      for (c <- vals.indices; i <- 0 until bits)
+        z |= ((vals(c).toLong >>> i) & 1L) << (i * vals.size + c)
+      z
+    }
+    val samples = Seq(-5.0, 10.0, 19.99, 20.0, 55.5, 89.9, 90.0, 1e9)
+    // codegen path: through a DataFrame projection
+    val viaDf = samples.toDF("v")
+      .select(ZOrderFunctions.rank_bucket(col("v"), boundaries).as("b"))
+      .as[Int].collect().toSeq
+    assert(viaDf == samples.map(refBucket), "rank_bucket codegen disagrees with reference")
+    // interpreted path: direct eval
+    val viaEval = samples.map(v => RankBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(v), boundaries)
+      .eval(null).asInstanceOf[Int])
+    assert(viaEval == samples.map(refBucket), "rank_bucket eval disagrees with reference")
+
+    val pairs = Seq((0, 0), (1, 0), (0, 1), (3, 5), (4095, 4095), (7, 4090))
+    val zDf = pairs.toDF("a", "b")
+      .select(ZOrderFunctions.interleave_bits(
+        Seq(col("a"), col("b")), bitsPerCol = 12).as("z"))
+      .as[Long].collect().toSeq
+    assert(zDf == pairs.map(p => refInterleave(Seq(p._1, p._2), 12)),
+      "interleave_bits codegen disagrees with reference")
+    val zEval = pairs.map(p => InterleaveBits(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(p._1),
+      org.apache.spark.sql.catalyst.expressions.Literal(p._2)), 12)
+      .eval(null).asInstanceOf[Long])
+    assert(zEval == pairs.map(p => refInterleave(Seq(p._1, p._2), 12)),
+      "interleave_bits eval disagrees with reference")
+    // out-of-range buckets clamp instead of corrupting neighbors' bits
+    assert(InterleaveBits(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(99999),
+      org.apache.spark.sql.catalyst.expressions.Literal(0)), 12)
+      .eval(null) == refInterleave(Seq(4095, 0), 12))
+  }
+
+  test("zorderBy bounds EVERY dimension per file where lexicographic sort bounds only the first") {
+    // lexicographic contrast: clusterBy(x, y) makes x disjoint but leaves
+    // y spanning ~the full range inside every file — y predicates skip nothing
+    val lexDir = appendOrderLayer2D()
+    val expected = spark.read.parquet(lexDir).as[(Int, Int, String)].collect().sorted.toSeq
+    LayoutJob.clusterBy(spark, lexDir, Seq("x", "y"),
+      targetFileBytes = layerBytes(lexDir) / 4 + 1)
+    val lexY = fileRanges(lexDir, "y")
+    assert(lexY.size >= 2 && lexY.forall(span(_) > 8000),
+      s"lexicographic layout should leave y un-narrowed, got $lexY")
+
+    // z-order: every file is bounded in BOTH x and y (a contiguous z-range
+    // is a bounded region of the plane). Quadrant alignment needs the
+    // range-exchange cuts near the true z-quartiles — sample more than the
+    // default 100 rows/partition so cut error stays ~0.5% of rows.
+    val zDir = appendOrderLayer2D()
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "1000")
+    val m = try LayoutJob.zorderBy(spark, zDir, Seq("x", "y"),
+      targetFileBytes = layerBytes(zDir) / 4 + 1)
+    finally prevSample match {
+      case Some(v) => spark.conf.set(sampleKey, v)
+      case None => spark.conf.unset(sampleKey)
+    }
+    assert(m.rows == 4000 && m.filesBefore == 4)
+    val (zx, zy) = (fileRanges(zDir, "x"), fileRanges(zDir, "y"))
+    assert(zx.size >= 4, s"need >=4 files for quadrant geometry: $zx")
+    assert(zx.forall(span(_) <= 7000) && zy.forall(span(_) <= 7000),
+      s"z-order must bound both dimensions per file, got x=$zx y=$zy")
+
+    // the skipping arithmetic: a narrow predicate on EITHER column alone
+    // now intersects a strict subset of files (was: all of them). The
+    // band sits away from the quadrant midpoint (~5000) so it lies in
+    // one half of that dimension.
+    def matching(rs: Seq[(Int, Int)], lo: Int, hi: Int): Int =
+      rs.count { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+    assert(matching(zx, 2000, 2400) < zx.size, s"x predicate must skip files: $zx")
+    assert(matching(zy, 2000, 2400) < zy.size, s"y predicate must skip files: $zy")
+
+    // identical data, no swap residue
+    assert(spark.read.parquet(zDir).as[(Int, Int, String)].collect().sorted.toSeq == expected)
+    val siblings = new java.io.File(zDir).getParentFile.list().toSeq
+    assert(siblings == Seq("layer"), s"swap left residue: $siblings")
   }
 }
