@@ -24,6 +24,20 @@ final case class ColumnSpec(name: String, tpe: String, comment: String) {
   }
 }
 
+/** Declarative maintenance layout for a pipeline's prepared prefix:
+  * which columns queries range-filter on, and whether to cluster them
+  * lexicographically ([[graft.jobs.LayoutJob.clusterBy]] — skipping on
+  * the leading column) or Z-ordered ([[graft.jobs.LayoutJob.zorderBy]] —
+  * skipping on every column independently). Declared in the config
+  * because the hot predicate columns are a property of the pipeline's
+  * query workload, not of any single run — the orchestrator applies the
+  * policy whenever maintenance fires, with no operator in the loop. */
+final case class LayoutPolicy(columns: Seq[String], zorder: Boolean = false) {
+  require(columns.nonEmpty, "layout policy needs at least one column")
+  require(!zorder || columns.size >= 2,
+    "zorder layout needs at least two columns (use lexicographic for one)")
+}
+
 /** Declarative spec of one pipeline, parsed from a `config.json`.
   *
   * Field-for-field equivalent of the reference's pipeline declaration
@@ -51,10 +65,17 @@ final case class PipelineConfig(
     preparedRoot: String,
     tableName: String,
     schema: Seq[ColumnSpec],
-    dedupColumn: Option[String] = None
+    dedupColumn: Option[String] = None,
+    layout: Option[LayoutPolicy] = None
 ) {
   require(template == PipelineConfig.CdsViewTemplate,
     s"unknown template '$template' (only '${PipelineConfig.CdsViewTemplate}' is supported)")
+  layout.foreach { p =>
+    val known = schema.map(_.name).toSet + "ETL_PART_KEY"
+    val unknown = p.columns.filterNot(known)
+    require(unknown.isEmpty,
+      s"layout columns not in the declared schema: ${unknown.mkString(", ")}")
+  }
 
   /** Spark schema declared for the cataloged data object. */
   def structType: StructType = StructType(schema.map(_.toStructField))
@@ -120,7 +141,20 @@ object PipelineConfig {
       schema = cols,
       // optional: enables cross-run incremental dedup at promotion time
       // (an extension — the reference's prepared layer appends blindly)
-      dedupColumn = Option(prepared.get("dedup_column")).map(_.asText()))
+      dedupColumn = Option(prepared.get("dedup_column")).map(_.asText()),
+      // optional: maintenance clusters the prepared prefix on these
+      // columns; "layout_mode": "zorder" selects the Morton layout
+      layout = Option(prepared.get("cluster_by")).map { n =>
+        LayoutPolicy(
+          n.asText().split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+          zorder = Option(prepared.get("layout_mode")).map(_.asText()) match {
+            case None | Some("cluster") => false
+            case Some("zorder") => true
+            case Some(other) =>
+              throw new IllegalArgumentException(
+                s"unknown layout_mode '$other' (cluster|zorder)")
+          })
+      })
   }
 
   def load(path: Path): PipelineConfig = parse(Files.readString(path))
@@ -149,6 +183,10 @@ object PipelineConfig {
       .put("rawS3Folder", c.rawFolder).put("CDSView", c.cdsView)
     val prep = node.putObject("prepared").put("preparedBucket", c.preparedRoot)
     c.dedupColumn.foreach(prep.put("dedup_column", _))
+    c.layout.foreach { p =>
+      prep.put("cluster_by", p.columns.mkString(","))
+      if (p.zorder) prep.put("layout_mode", "zorder")
+    }
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

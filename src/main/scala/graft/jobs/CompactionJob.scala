@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * data, so it has no row count to report. */
 final case class CompactionMetrics(
     filesBefore: Int, filesAfter: Int, bytes: Long, rows: Option[Long],
-    rewritten: Boolean)
+    rewritten: Boolean) extends MaintenanceMetrics
 
 /** Small-file compaction for the prepared layer.
   *

@@ -4,9 +4,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 
-/** Per-clustering metrics. `rows` is the swap-verified written count. */
+/** Per-clustering metrics. `rows` is the swap-verified written count.
+  * A layout pass always rewrites (clustering can't be detected from a
+  * file listing the way "already compact" can). */
 final case class LayoutMetrics(
     filesBefore: Int, filesAfter: Int, rows: Long, clusterBy: Seq[String])
+    extends MaintenanceMetrics {
+  override def rewritten: Boolean = true
+}
 
 /** Sort-clustering (layout) maintenance for a parquet layer — the
   * data-skipping counterpart of [[CompactionJob]].

@@ -2,7 +2,7 @@ package graft.orchestrate
 
 import graft.catalog.CatalogRegistrar
 import graft.config.PipelineConfig
-import graft.jobs.{CompactionJob, CompactionMetrics, JobMetrics, PreparedLayerJob, RawLayerJob}
+import graft.jobs.{CompactionJob, JobMetrics, LayoutJob, MaintenanceMetrics, PreparedLayerJob, RawLayerJob}
 import graft.ledger.{LocalJsonLedger, RunLedger, RunState}
 import graft.sources.SourceReader
 import org.apache.spark.sql.SparkSession
@@ -35,10 +35,12 @@ object Orchestrator {
   val DefaultCompactAfterFiles = 32
 
   /** Synchronously promote everything pending, register the catalog table.
-    * Idempotent: drain twice ≡ drain once. After promoting, compacts the
-    * prepared prefix (and the fingerprint index, when the pipeline
+    * Idempotent: drain twice ≡ drain once. After promoting, maintains
+    * the prepared prefix (and the fingerprint index, when the pipeline
     * dedups) once its data-file count passes `compactAfterFiles` — the
-    * scheduled-maintenance half of the append-only layer's contract. */
+    * scheduled-maintenance half of the append-only layer's contract:
+    * bin-pack by default, clustering rewrite when the config declares a
+    * layout policy ([[maybeCompact]]). */
   def drain(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
       compactAfterFiles: Int = DefaultCompactAfterFiles): Seq[JobMetrics] = {
     val promoted = PreparedLayerJob.promoteAll(spark, cfg, ledger)
@@ -49,16 +51,24 @@ object Orchestrator {
     promoted
   }
 
-  /** Compact the prepared prefix iff its data-file count exceeds
-    * `maxFiles` (sized from the same file listing the compactor itself
-    * uses); with dedup enabled the fingerprint index — which also grows
-    * a file per promotion — is held to the same bar. Single-writer per
-    * pipeline by construction: [[drain]] is synchronous and [[watch]]'s
-    * foreachBatch serializes batches, so compaction never races a
-    * concurrent append to the same prefix. Returns the metrics of each
-    * rewrite that actually happened, keyed by path. */
+  /** Maintain the prepared prefix iff its data-file count exceeds
+    * `maxFiles` (sized from the same file listing the rewrite itself
+    * uses): a plain bin-pack ([[CompactionJob]]) by default, or — when
+    * the config declares a [[graft.config.LayoutPolicy]] — a clustering
+    * rewrite ([[LayoutJob]]) on the declared columns, which subsumes
+    * compaction (the clustered rewrite also bin-packs to target bytes)
+    * AND restores data skipping that each appended run erodes. With
+    * dedup enabled the fingerprint index — which also grows a file per
+    * promotion — is held to the same bar (always plain compaction: the
+    * index is probed by hash equality, clustering buys it nothing).
+    * Single-writer per pipeline by construction: [[drain]] is
+    * synchronous and [[watch]]'s foreachBatch serializes batches, so
+    * maintenance never races a concurrent append to the same prefix.
+    * Idempotent at the threshold gate: a rewrite leaves ≤ maxFiles
+    * files, so an immediate re-check fires nothing. Returns the metrics
+    * of each rewrite that actually happened, keyed by path. */
   def maybeCompact(spark: SparkSession, cfg: PipelineConfig,
-      maxFiles: Int = DefaultCompactAfterFiles): Map[String, CompactionMetrics] = {
+      maxFiles: Int = DefaultCompactAfterFiles): Map[String, MaintenanceMetrics] = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def overThreshold(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -68,10 +78,17 @@ object Orchestrator {
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       } > maxFiles
     }
-    val targets =
-      Seq(cfg.preparedPath) ++ cfg.dedupColumn.map(_ => cfg.fingerprintIndexPath)
-    targets.filter(overThreshold)
-      .map(dir => dir -> CompactionJob.run(spark, dir))
+    def preparedRewrite(dir: String): MaintenanceMetrics = cfg.layout match {
+      case Some(p) if p.zorder => LayoutJob.zorderBy(spark, dir, p.columns)
+      case Some(p) => LayoutJob.clusterBy(spark, dir, p.columns)
+      case None => CompactionJob.run(spark, dir)
+    }
+    val targets: Seq[(String, String => MaintenanceMetrics)] =
+      Seq(cfg.preparedPath -> (preparedRewrite _)) ++
+        cfg.dedupColumn.map(_ =>
+          cfg.fingerprintIndexPath -> ((d: String) => CompactionJob.run(spark, d)))
+    targets.filter { case (dir, _) => overThreshold(dir) }
+      .map { case (dir, rewrite) => dir -> rewrite(dir) }
       .filter(_._2.rewritten)
       .toMap
   }

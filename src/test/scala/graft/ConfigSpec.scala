@@ -70,4 +70,32 @@ class ConfigSpec extends AnyFunSuite {
   test("column spec with empty comment has no comment metadata") {
     assert(ColumnSpec("c", "string", "").toStructField.metadata.contains("comment") == false)
   }
+
+  test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
+    import graft.config.LayoutPolicy
+    val withLayout = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"cluster_by\": \"id, ts\", \"layout_mode\": \"zorder\"")
+    val c = PipelineConfig.parse(withLayout)
+    assert(c.layout.contains(LayoutPolicy(Seq("id", "ts"), zorder = true)))
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // default mode is lexicographic
+    val lex = PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"cluster_by\": \"id\""))
+    assert(lex.layout.contains(LayoutPolicy(Seq("id"), zorder = false)))
+    assert(PipelineConfig.parse(PipelineConfig.render(lex)) == lex)
+    // a column outside the declared schema fails fast (typo protection:
+    // the policy runs unattended at maintenance time, much later)
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"cluster_by\": \"nope\"")))
+    // zorder needs >= 2 columns; unknown mode is rejected
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"cluster_by\": \"id\", \"layout_mode\": \"zorder\"")))
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"cluster_by\": \"id\", \"layout_mode\": \"hilbert\"")))
+  }
 }

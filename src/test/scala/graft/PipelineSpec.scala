@@ -140,6 +140,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
   }
 
+  test("drain-triggered layout policy: maintenance rewrites the prepared prefix clustered") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-layout-")
+    // the config declares the hot predicate column; the orchestrator
+    // applies the clustering rewrite unattended when maintenance fires
+    val cfg = cfgFor(tmp).copy(layout = Some(graft.config.LayoutPolicy(Seq("l_orderkey"))))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    Orchestrator.drain(spark, cfg, ledger, compactAfterFiles = 2)
+    val parts = new java.io.File(cfg.preparedPath).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(parts.size <= 2, s"layout rewrite must also bin-pack, got ${parts.map(_.getName)}")
+    // nothing lost: all three runs' rows, all three audit keys
+    val t = spark.read.parquet(cfg.preparedPath)
+    assert(t.count() == 3 * fixtureRows(spark))
+    assert(t.select("ETL_PART_KEY").distinct().count() == 3)
+    // clustered: within each written file the cluster column is sorted,
+    // so its row groups carry narrow disjoint min/max stats (the three
+    // appended runs each spanned the full key range before)
+    parts.foreach { f =>
+      val keys = spark.read.parquet(f.toString)
+        .select("l_orderkey").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted),
+        s"${f.getName} not sorted on the declared cluster column")
+    }
+    // threshold gate makes maintenance idempotent: rewrite left <= maxFiles
+    assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
+  }
+
   test("cross-run incremental dedup: a second identical run promotes zero rows") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-dedup-")
