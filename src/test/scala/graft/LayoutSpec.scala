@@ -96,6 +96,37 @@ class LayoutSpec extends AnyFunSuite {
       s"clustered layout must confine a narrow range to few files: ${fileRanges(dir)}")
   }
 
+  test("the engine actually skips: scan-decoded rows collapse after clustering") {
+    // The two tests above prove the footer arithmetic; this one proves
+    // the ENGINE applies it. Parquet pushdown skips row groups (and
+    // pages) whose [min,max] misses the predicate, and the scan node's
+    // numOutputRows metric counts rows the reader DECODED — so on the
+    // append-order layout a narrow range predicate still decodes ~every
+    // row (each row group spans the full range), while on the clustered
+    // layout only the intersecting files'/row-groups' rows decode.
+    import org.apache.spark.sql.functions.col
+    def decodedRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir).filter(col("k").between(4000, 4500))
+      // materialize q itself: count() would plan (and meter) a different
+      // query, leaving q's own scan metrics untouched
+      val result = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      (scan.metrics("numOutputRows").value, result)
+    }
+    val dir = appendOrderLayer()
+    val (decodedBefore, hitsBefore) = decodedRows(dir)
+    assert(decodedBefore == 4000,
+      s"append-order layout must decode every row, got $decodedBefore")
+    LayoutJob.clusterBy(spark, dir, Seq("k"),
+      targetFileBytes = layerBytes(dir) / 4 + 1)
+    val (decodedAfter, hitsAfter) = decodedRows(dir)
+    assert(hitsAfter == hitsBefore, "clustering must not change results")
+    assert(decodedAfter <= 4000 / 2,
+      s"clustered layout must skip at the reader: decoded $decodedAfter of 4000")
+  }
+
   // ---- Z-order (multi-column) clustering -------------------------------
 
   /** Append-order layer with TWO INDEPENDENT uniform keys (seeded RNG —
