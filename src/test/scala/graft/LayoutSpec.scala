@@ -127,6 +127,56 @@ class LayoutSpec extends AnyFunSuite {
       s"clustered layout must skip at the reader: decoded $decodedAfter of 4000")
   }
 
+  test("LayoutAdvisor: observed predicates rank cluster columns and pick the layout") {
+    import graft.config.LayoutPolicy
+    import graft.orchestrate.LayoutAdvisor
+    import org.apache.spark.sql.functions.col
+    val dir = appendOrderLayer2D()
+    val df = spark.read.parquet(dir)
+    val schema = df.schema
+    val advisor = new LayoutAdvisor
+    def observe(q: org.apache.spark.sql.DataFrame): Unit =
+      advisor.record(q.queryExecution.executedPlan)
+
+    // a BETWEEN (two comparisons on one column) is ONE vote
+    observe(df.filter(col("x").between(10, 20)))
+    assert(advisor.predicateCounts.collect { case ((_, "x"), n) => n }.sum == 1)
+
+    // workload dominated by x ⇒ lexicographic on x alone (a distant
+    // second column isn't worth halving x's skipping power for)
+    observe(df.filter(col("x") > 100))
+    observe(df.filter(col("x") === 5))
+    observe(df.filter(col("y") < 50))
+    val root = advisor.predicateCounts.keys.head._1
+    assert(advisor.advise(root, schema).contains(LayoutPolicy(Seq("x"))))
+
+    // y catches up to within 2x ⇒ z-order both range-typed columns
+    observe(df.filter(col("y") <= 7))
+    assert(advisor.advise(root, schema)
+      .contains(LayoutPolicy(Seq("x", "y"), zorder = true)))
+
+    // a string column never enters a z-order (payload equality votes
+    // count, but the layout stays lexicographic if it leads)
+    val advisor2 = new LayoutAdvisor
+    advisor2.record(df.filter(col("payload") === "payload-7").queryExecution.executedPlan)
+    assert(advisor2.advise(root, schema).contains(LayoutPolicy(Seq("payload"))))
+
+    // unknown path ⇒ no advice
+    assert(advisor.advise("/no/such/table", schema).isEmpty)
+
+    // the listener path end-to-end: install on the session, run an
+    // action, poll for the async bus delivery
+    val advisor3 = new LayoutAdvisor().install(spark)
+    try {
+      df.filter(col("x").between(1, 2)).collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (advisor3.predicateCounts.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(advisor3.predicateCounts.exists { case ((_, c), _) => c == "x" },
+        s"listener never saw the scan: ${advisor3.predicateCounts}")
+    } finally spark.listenerManager.unregister(advisor3)
+  }
+
   // ---- Z-order (multi-column) clustering -------------------------------
 
   /** Append-order layer with TWO INDEPENDENT uniform keys (seeded RNG —
