@@ -68,6 +68,65 @@ case class RankBucket(child: Expression, boundaries: Array[Double])
     copy(child = c)
 }
 
+/** [[RankBucket]] for string columns: the number of boundaries
+  * `<=` the value under UTF8String BINARY comparison — the same ordering
+  * Spark's sort and parquet's min/max stats use for strings, so the
+  * bucket ids this produces cluster exactly the ranges string predicates
+  * skip on. Boundaries arrive as Java strings (plan-constant, like the
+  * double[] of [[RankBucket]]) and are converted to UTF8String once per
+  * executor; the per-row probe is an inline binary search of UTF8String
+  * compares in generated code — no per-row conversion, no boxing.
+  */
+case class StringRankBucket(child: Expression, boundaries: Array[String])
+    extends UnaryExpression {
+  require(boundaries.nonEmpty, "StringRankBucket needs at least one boundary")
+
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"string rank_bucket expects a string input, got ${child.dataType}")
+
+  @transient private lazy val utf8: Array[UTF8String] =
+    boundaries.map(UTF8String.fromString)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[UTF8String]
+    var lo = 0; var hi = utf8.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (utf8(mid).compareTo(x) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val arr = ctx.addReferenceObj("boundaries", utf8,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val lo = ctx.freshName("lo")
+      val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid")
+      s"""
+         |int $lo = 0, $hi = $arr.length;
+         |while ($lo < $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($arr[$mid].compareTo($v) <= 0) $lo = $mid + 1; else $hi = $mid;
+         |}
+         |${ev.value} = $lo;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Morton (Z-order) key: bit-interleave `bitsPerCol` low bits of each of
   * the child bucket ids into one long, so sorting by the result clusters
   * rows that are close in EVERY dimension — the multi-column data-skipping
@@ -155,6 +214,9 @@ object ZOrderFunctions {
 
   def rank_bucket(c: Column, boundaries: Array[Double]): Column =
     GraftBridge.toCol(RankBucket(GraftBridge.toExpr(c), boundaries))
+
+  def rank_bucket_str(c: Column, boundaries: Array[String]): Column =
+    GraftBridge.toCol(StringRankBucket(GraftBridge.toExpr(c), boundaries))
 
   def interleave_bits(cols: Seq[Column], bitsPerCol: Int): Column =
     GraftBridge.toCol(InterleaveBits(cols.map(GraftBridge.toExpr), bitsPerCol))

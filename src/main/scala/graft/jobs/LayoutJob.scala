@@ -81,13 +81,21 @@ object LayoutJob {
     *     inline binary search) interleave into one long
     *     ([[graft.functions.InterleaveBits]]) — both codegen'd, so the
     *     key rides the scan's WholeStageCodegen span;
-    *  3. `repartitionByRange` + per-partition sort on the key (the ONE
-    *     range exchange), key dropped before the write, then the same
+    *  3. ONE range exchange, partitioned on the key's top-bits cell id
+    *     with 2× partition over-provisioning — every curve cell becomes
+    *     exactly one output file (cuts can neither split a cell nor
+    *     merge two, so each file's bounding box IS its cell; raw-key
+    *     range cuts would bleed a cell's far corner into the neighboring
+    *     file and blow that file's box to the full domain) — then a
+    *     per-partition sort on the full key (row groups inside each file
+    *     are narrow z-runs), key dropped before the write, the same
     *     verified swap.
     *
-    * Columns must be castable to double (numeric/timestamp); nulls map to
-    * bucket 0 (curve origin). At 100 TB the unit is one partition
-    * directory, like [[CompactionJob.runPartitioned]].
+    * Numeric/timestamp columns rank through one `approxQuantile` pass;
+    * string columns through a deterministic hash-ordered sample sorted
+    * under UTF8String binary order (the ordering parquet string stats
+    * skip on). Nulls map to bucket 0 (curve origin). At 100 TB the unit
+    * is one partition directory, like [[CompactionJob.runPartitioned]].
     */
   def zorderBy(spark: SparkSession, dir: String, cols: Seq[String],
       targetFileBytes: Long = 128L << 20, bitsPerCol: Int = 12): LayoutMetrics = {
@@ -99,13 +107,34 @@ object LayoutJob {
     require(!src.columns.contains(zCol), s"layer already has a $zCol column")
 
     val buckets = 1 << bitsPerCol
+    val schema = src.schema
+    val strCols = cols.filter(c =>
+      schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val numCols = cols.filterNot(strCols.contains)
+    // one pass for ALL numeric columns' candidate cuts; dedupe collapses
+    // the repeats a skewed/low-cardinality column produces
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val doubled = src.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    // one pass for ALL columns' candidate cuts; dedupe collapses the
-    // repeats a skewed/low-cardinality column produces
-    val candidates = doubled.stat
-      .approxQuantile(cols.toArray, probs, 1.0 / (2 * buckets))
-      .map(_.distinct.sorted)
+    val numCand: Map[String, Array[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else numCols.zip(
+        src.select(numCols.map(c => col(c).cast("double").as(c)): _*).stat
+          .approxQuantile(numCols.toArray, probs, 1.0 / (2 * buckets))
+          .map(_.distinct.sorted)).toMap
+    // string cuts: deterministic uniform sample (hash-ordered top-N — a
+    // bounded TakeOrdered, never a full collect), sorted under the SAME
+    // binary comparison Spark's sort and the parquet stats use; the
+    // resample below reduces it to equi-depth interior cuts
+    import org.apache.spark.unsafe.types.UTF8String
+    val strCand: Map[String, Array[String]] = strCols.map { c =>
+      val sample = src.select(col(c)).na.drop()
+        .orderBy(org.apache.spark.sql.functions.xxhash64(col(c)))
+        .limit(8 * buckets)
+        .collect().map(_.getString(0))
+      c -> sample.distinct.sortWith((a, b) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+    }.toMap
+    val candidates: Seq[Array[_]] =
+      cols.map(c => numCand.getOrElse(c, strCand(c)): Array[_])
     candidates.zip(cols).foreach { case (b, c) =>
       require(b.nonEmpty, s"cannot z-order on '$c': no non-null values") }
     // Bucket ids must FILL [0, 2^bits): with fewer distinct cut
@@ -118,21 +147,70 @@ object LayoutJob {
     val effBits = math.min(bitsPerCol,
       candidates.map(c => 63 - java.lang.Long.numberOfLeadingZeros(c.length + 1L)).min).max(1)
     val effBuckets = 1 << effBits
-    val boundaries = candidates.map { c =>
-      if (c.length <= effBuckets - 1) c
-      else (1 until effBuckets).map(j => c(j * c.length / effBuckets)).toArray
-    }
+    // evenly-ranked interior cut indices into a length-n candidate array
+    def cutIdx(n: Int): Array[Int] =
+      if (n <= effBuckets - 1) (0 until n).toArray
+      else (1 until effBuckets).map(j => j * n / effBuckets).toArray
 
-    val bucketCols = cols.zip(boundaries).map { case (c, b) =>
-      graft.functions.ZOrderFunctions.rank_bucket(
-        coalesce(col(c).cast("double"), lit(Double.NegativeInfinity)), b)
+    val bucketCols = cols.map { c =>
+      numCand.get(c) match {
+        case Some(cand) =>
+          graft.functions.ZOrderFunctions.rank_bucket(
+            coalesce(col(c).cast("double"), lit(Double.NegativeInfinity)),
+            cutIdx(cand.length).map(cand))
+        case None =>
+          // null strings bucket to 0: the expression is null-preserving,
+          // the coalesce pins the curve origin like -Inf does for numerics
+          val cand = strCand(c)
+          coalesce(
+            graft.functions.ZOrderFunctions.rank_bucket_str(
+              col(c), cutIdx(cand.length).map(cand)),
+            lit(0))
+      }
     }
+    // Partition on the key's top-bits CELL id, not the raw key: range
+    // cuts sampled over the raw key can land INSIDE a curve cell, and
+    // even a 1% bleed across a cell boundary puts that cell's far-corner
+    // rows into the neighboring file — whose min/max then spans the full
+    // domain and skips nothing. Quantizing the partition column to
+    // ceil(log2(nOut)) leading bits means a cut can only fall AT a cell
+    // boundary (cells are equi-depth by construction, so files stay
+    // balanced); the within-partition sort still uses the full key so
+    // row groups inside each file are narrow z-runs.
+    val cellCol = "__graft_zorder_cell"
+    val totalBits = effBits * cols.size
+    val cellBits = math.min(totalBits,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nOut - 1L))).toInt
+    val numCells = 1 << cellBits
+    // 2x partition over-provisioning: with exactly as many partitions as
+    // cells, the partitioner's greedy equal-weight walk coin-flips at
+    // EVERY boundary (cells are equi-depth by construction, so each
+    // cumulative weight sits exactly on a step) and routinely merges two
+    // adjacent-in-key cells — whose union is no box at all. With 2x
+    // partitions each cell's weight spans two steps, so every sampled
+    // cell id becomes its own bound: a cell can neither split (equal
+    // values never split) nor merge. Surplus partitions stay empty and
+    // write no files.
     val out = src
       .withColumn(zCol, graft.functions.ZOrderFunctions.interleave_bits(bucketCols, effBits))
-      .repartitionByRange(nOut, col(zCol))
+      .withColumn(cellCol,
+        org.apache.spark.sql.functions.shiftright(col(zCol), totalBits - cellBits))
+      .repartitionByRange(2 * numCells, col(cellCol))
       .sortWithinPartitions(zCol)
-      .drop(zCol)
-    val rows = RewriteSwap.writeVerifySwap(spark, fs, path, out, rowsBefore, "layout")
+      .drop(zCol, cellCol)
+    // the boundary sample only has to see every cell id: 1000/partition
+    // over equi-depth cells makes a missed cell vanishingly rare at the
+    // per-maintenance-unit file counts this job targets (RangePartitioner
+    // caps the total draw at 1e6 rows)
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "1000")
+    val rows =
+      try RewriteSwap.writeVerifySwap(spark, fs, path, out, rowsBefore, "layout")
+      finally prevSample match {
+        case Some(v) => spark.conf.set(sampleKey, v)
+        case None => spark.conf.unset(sampleKey)
+      }
     LayoutMetrics(before.length, RewriteSwap.dataFiles(fs, path).length,
       rows, cols)
   }

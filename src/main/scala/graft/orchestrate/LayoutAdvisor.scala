@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Literal}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
-import org.apache.spark.sql.types.{DateType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import java.util.concurrent.ConcurrentHashMap
@@ -86,8 +86,11 @@ final class LayoutAdvisor extends QueryExecutionListener {
     val ranked = predicateCounts.collect {
       case ((p, col), n) if p == rootPath && known(col) => col -> n
     }.toSeq.sortBy { case (col, n) => (-n, col) }
+    // types LayoutJob can rank-bucket AND parquet keeps min/max stats
+    // for: numerics/timestamps via approxQuantile, strings via the
+    // binary-ordered sample (zorderBy's string path)
     def rangeTyped(col: String): Boolean = schema(col).dataType match {
-      case _: NumericType | TimestampType | DateType => true
+      case _: NumericType | TimestampType | DateType | StringType => true
       case _ => false
     }
     ranked match {

@@ -31,6 +31,26 @@ class LayoutSpec extends AnyFunSuite {
     dir
   }
 
+  /** Per-file [min, max] of a string column, from the footers' binary
+    * stats — the ordering string predicates skip on. */
+  private def fileRangesStr(dir: String, column: String): Seq[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toString), conf))
+        try {
+          val stats = r.getFooter.getBlocks.asScala.toSeq.map(
+            _.getColumns.asScala.find(_.getPath.toDotString == column).get.getStatistics)
+          (stats.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8).min,
+            stats.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8).max)
+        } finally r.close()
+      }
+  }
+
   /** Per-file [min, max] of an int column, straight from the footers. */
   private def fileRanges(dir: String, column: String = "k"): Seq[(Int, Int)] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -155,11 +175,14 @@ class LayoutSpec extends AnyFunSuite {
     assert(advisor.advise(root, schema)
       .contains(LayoutPolicy(Seq("x", "y"), zorder = true)))
 
-    // a string column never enters a z-order (payload equality votes
-    // count, but the layout stays lexicographic if it leads)
+    // string columns are z-order candidates too (zorderBy ranks them
+    // via the binary-ordered sample; parquet keeps binary min/max)
     val advisor2 = new LayoutAdvisor
     advisor2.record(df.filter(col("payload") === "payload-7").queryExecution.executedPlan)
     assert(advisor2.advise(root, schema).contains(LayoutPolicy(Seq("payload"))))
+    advisor2.record(df.filter(col("x") > 3).queryExecution.executedPlan)
+    assert(advisor2.advise(root, schema)
+      .contains(LayoutPolicy(Seq("payload", "x"), zorder = true)))
 
     // unknown path ⇒ no advice
     assert(advisor.advise("/no/such/table", schema).isEmpty)
@@ -256,19 +279,12 @@ class LayoutSpec extends AnyFunSuite {
       s"lexicographic layout should leave y un-narrowed, got $lexY")
 
     // z-order: every file is bounded in BOTH x and y (a contiguous z-range
-    // is a bounded region of the plane). Quadrant alignment needs the
-    // range-exchange cuts near the true z-quartiles — sample more than the
-    // default 100 rows/partition so cut error stays ~0.5% of rows.
+    // is a bounded region of the plane). Quadrant alignment is exact by
+    // construction: the exchange partitions on the key's top-bits cell
+    // id, so cuts land only at cell boundaries.
     val zDir = appendOrderLayer2D()
-    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-    val prevSample = spark.conf.getOption(sampleKey)
-    spark.conf.set(sampleKey, "1000")
-    val m = try LayoutJob.zorderBy(spark, zDir, Seq("x", "y"),
+    val m = LayoutJob.zorderBy(spark, zDir, Seq("x", "y"),
       targetFileBytes = layerBytes(zDir) / 4 + 1)
-    finally prevSample match {
-      case Some(v) => spark.conf.set(sampleKey, v)
-      case None => spark.conf.unset(sampleKey)
-    }
     assert(m.rows == 4000 && m.filesBefore == 4)
     val (zx, zy) = (fileRanges(zDir, "x"), fileRanges(zDir, "y"))
     assert(zx.size >= 4, s"need >=4 files for quadrant geometry: $zx")
@@ -288,5 +304,55 @@ class LayoutSpec extends AnyFunSuite {
     assert(spark.read.parquet(zDir).as[(Int, Int, String)].collect().sorted.toSeq == expected)
     val siblings = new java.io.File(zDir).getParentFile.list().toSeq
     assert(siblings == Seq("layer"), s"swap left residue: $siblings")
+  }
+
+  test("string rank_bucket: codegen and interpreted agree with a pure-Scala reference") {
+    import graft.functions.{StringRankBucket, ZOrderFunctions}
+    import org.apache.spark.sql.functions.col
+    val boundaries = Array("b", "dd", "dd", "m", "x") // duplicate on purpose
+    def ref(v: String): Int = boundaries.count(_ <= v)
+    val samples = Seq("", "a", "b", "bb", "dd", "m", "mz", "x", "zz", "é")
+    val viaDf = samples.toDF("v")
+      .select(ZOrderFunctions.rank_bucket_str(col("v"), boundaries).as("b"))
+      .as[Int].collect().toSeq
+    assert(viaDf == samples.map(ref), "string rank_bucket codegen disagrees with reference")
+    val viaEval = samples.map(v => StringRankBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal(v), boundaries)
+      .eval(null).asInstanceOf[Int])
+    assert(viaEval == samples.map(ref), "string rank_bucket eval disagrees with reference")
+    // null stays null (zorderBy coalesces to the curve origin upstream)
+    assert(StringRankBucket(org.apache.spark.sql.catalyst.expressions.Literal(
+      null, org.apache.spark.sql.types.StringType), boundaries).eval(null) == null)
+  }
+
+  test("zorderBy bounds a STRING dimension per file under the stats' binary order") {
+    val dir = Files.createTempDirectory("graft-zstr-").resolve("layer").toString
+    val rnd = new scala.util.Random(7)
+    // zero-padded suffix: lexicographic (binary) order == numeric order
+    // of the suffix, so span arithmetic on the parsed suffix is honest
+    (0 until 4000)
+      .map(i => (rnd.nextInt(10000), f"dom-${rnd.nextInt(10000)}%04d", s"p-$i"))
+      .toDF("x", "s", "payload")
+      .repartition(4)
+      .write.option("compression", "snappy").parquet(dir)
+    val expected = spark.read.parquet(dir).as[(Int, String, String)].collect().sorted.toSeq
+
+    val m = LayoutJob.zorderBy(spark, dir, Seq("x", "s"),
+      targetFileBytes = layerBytes(dir) / 4 + 1)
+    assert(m.rows == 4000 && m.filesBefore == 4)
+
+    val zx = fileRanges(dir, "x")
+    val zs = fileRangesStr(dir, "s").map { case (lo, hi) =>
+      (lo.stripPrefix("dom-").toInt, hi.stripPrefix("dom-").toInt) }
+    assert(zx.size >= 4, s"need >=4 files for quadrant geometry: $zx")
+    assert(zx.forall(span(_) <= 7000) && zs.forall(span(_) <= 7000),
+      s"z-order must bound numeric AND string dims per file, got x=$zx s=$zs")
+    // a narrow predicate on the STRING column alone skips files
+    def matching(rs: Seq[(Int, Int)], lo: Int, hi: Int): Int =
+      rs.count { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+    assert(matching(zs, 2000, 2400) < zs.size, s"string predicate must skip files: $zs")
+    assert(matching(zx, 2000, 2400) < zx.size, s"x predicate must skip files: $zx")
+
+    assert(spark.read.parquet(dir).as[(Int, String, String)].collect().sorted.toSeq == expected)
   }
 }
