@@ -137,6 +137,7 @@ object SparkEntry {
     "tx_heavy_hitters" -> (TextAnalysis.txHeavyHitters _), // Misra-Gries sketch + exact recount
     "tx_tfidf" -> (TextAnalysis.txTfidf _), // rational-idf keeps rounding oracle-stable
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
+    "tx_bigram_lm" -> (TextAnalysis.txBigramLm _), // in-corpus bigram LM typicality score
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
     "tx_domains" -> (TextAnalysis.txDomains _), // URL → domain rollup
     "tx_pack_sequences" -> (TextAnalysis.txPackSequences _), // fixed-budget sequence packing (bin accounting)
@@ -218,6 +219,7 @@ object SparkEntry {
     "tx_heavy_hitters" -> TextAnalysis.txHeavyHittersOracle,
     "tx_tfidf" -> TextAnalysis.txTfidfOracle,
     "tx_repetition" -> TextAnalysis.txRepetitionOracle,
+    "tx_bigram_lm" -> TextAnalysis.txBigramLmOracle,
     "tx_pii_redact" -> TextAnalysis.txPiiRedactOracle,
     "tx_domains" -> TextAnalysis.txDomainsOracle,
     "tx_pack_sequences" -> TextAnalysis.txPackSequencesOracle,

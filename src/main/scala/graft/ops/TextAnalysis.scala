@@ -303,6 +303,71 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** In-corpus bigram language-model score — the CCNet/Gopher-class
+    * "how typical is this document of the corpus?" quality signal. A
+    * bigram LM is trained on the corpus itself (transition count /
+    * prefix count, no smoothing needed: every observed bigram is in its
+    * own training set), and each document is scored by its average
+    * in-corpus transition probability; low scores flag outlier text
+    * (wrong language, boilerplate, garbled extraction) for the curation
+    * gates.
+    *
+    * Cross-engine float discipline: per-bigram probabilities are
+    * quantized to integer micro-probs (`round(1e6·c/prefix)` — one
+    * deterministic double op per LM entry), so the per-document
+    * aggregation is an ORDER-INDEPENDENT integer sum; the only
+    * order-sensitive float op is the final rounded division. Summing raw
+    * IEEE doubles would make the result depend on partition merge order
+    * and could flip the 4-decimal rounding either side of the oracle.
+    *
+    * Scale shape: transition/prefix tables are vocabulary-sized (one
+    * shuffle each, map-side combined); the corpus participates in one
+    * bigram-keyed join (broadcastable when the LM fits, as here) and one
+    * doc-keyed aggregation. The posexplode+lead bigram pass shares
+    * tx_repetition's (doc_id, pos) window shape. At 100 TB the LM table
+    * gets the same DF-cap treatment as the shingle index (head of the
+    * Zipf curve carries the signal) and the join flips from broadcast to
+    * shuffle past the threshold. */
+  def txBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
+    val bigrams = words
+      .withColumn("nxt", lead(col("word"), 1).over(byPos))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("word").as("prev"), col("nxt").as("cur"))
+    val trans = bigrams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cbg"))
+    val prefix = trans.groupBy(col("prev")).agg(sum(col("cbg")).as("cpre"))
+    val lm = trans.join(prefix, "prev")
+      .withColumn("mp",
+        round(lit(1000000.0) * col("cbg") / col("cpre")).cast("long"))
+      .select(col("prev"), col("cur"), col("mp"))
+    bigrams.join(broadcast(lm), Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("mp")).as("sum_mp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_mp").cast("double") / col("n_bigrams"), 2)
+          .as("avg_microprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  def txBigramLmOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+      |       FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM w)),
+      |trans AS (SELECT prev, cur, count(*) AS cbg FROM bg GROUP BY prev, cur),
+      |prefix AS (SELECT prev, CAST(sum(cbg) AS BIGINT) AS cpre
+      |           FROM trans GROUP BY prev),
+      |lm AS (SELECT prev, cur, CAST(round(1000000.0 * cbg / cpre) AS BIGINT) AS mp
+      |       FROM trans JOIN prefix USING (prev)),
+      |ds AS (SELECT doc_id, count(*) AS n_bigrams,
+      |              CAST(sum(mp) AS BIGINT) AS sum_mp
+      |       FROM bg JOIN lm USING (prev, cur) GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  round(CAST(sum_mp AS DOUBLE) / n_bigrams, 2) AS avg_microprob
+      |FROM ds ORDER BY doc_id""".stripMargin
+
   def txRepetitionOracle: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |wc AS (SELECT doc_id, unnest(l) AS word FROM w),
