@@ -88,6 +88,7 @@ object SparkEntry {
     "q27_topk_extensions" -> (Relational.q27TopkExtensions _), // spark.sql.extensions ladder, rewrite must fire
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
+    "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
     // §7.3-3 time-window analytics (batch twins of the streaming path)
     "ev_tumbling" -> (Events.evTumbling _),
     "ev_sliding" -> (Events.evSliding _),
@@ -119,6 +120,7 @@ object SparkEntry {
     "samp_hash" -> (graft.ops.Sampling.sampHash _), // deterministic pushdown-able sample
     "samp_domain_cap" -> (graft.ops.Sampling.sampDomainCap _), // per-domain cap window
     "samp_mixture" -> (graft.ops.Sampling.sampMixture _), // weighted mixture rebalance
+    "samp_split_leakage" -> (graft.ops.Sampling.sampSplitLeakage _), // cluster-aware train/valid/test split
     "cur_pipeline" -> (graft.ops.Sampling.curatePipeline _), // composed sample→dedup→gate→rollup
 
     // §7.3-4 similarity search
@@ -127,6 +129,7 @@ object SparkEntry {
     "sim_ann_ivf" -> (Similarity.simAnnIvf _), // rows-only: probabilistic recall by design
     "emb_label_centroids" -> (graft.ops.Embeddings.embLabelCentroids _), // per-class centroid grid
     "emb_quantize" -> (graft.ops.Embeddings.embQuantize _), // int8 scalar quantization summary
+    "emb_project" -> (graft.ops.Embeddings.embProject _), // JL +/-1 random projection 64->16
     // §7.3-4 text analysis
     "tx_tokens" -> (TextAnalysis.txTokens _),
     "tx_tokens_bpe" -> (TextAnalysis.txTokensBpe _),
@@ -181,9 +184,11 @@ object SparkEntry {
     "q27_topk_extensions" -> Relational.q27Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
+    "prof_drift" -> graft.ops.Profiling.profDriftOracle,
     "samp_hash" -> graft.ops.Sampling.sampHashOracle,
     "samp_domain_cap" -> graft.ops.Sampling.sampDomainCapOracle,
     "samp_mixture" -> graft.ops.Sampling.sampMixtureOracle,
+    "samp_split_leakage" -> graft.ops.Sampling.sampSplitLeakageOracle,
     "cur_pipeline" -> graft.ops.Sampling.curatePipelineOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
@@ -211,6 +216,7 @@ object SparkEntry {
     "sim_topk_brute_force" -> Similarity.simTopKBruteForceOracle,
     "emb_label_centroids" -> graft.ops.Embeddings.embLabelCentroidsOracle,
     "emb_quantize" -> graft.ops.Embeddings.embQuantizeOracle,
+    "emb_project" -> graft.ops.Embeddings.embProjectOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,

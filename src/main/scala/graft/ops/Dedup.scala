@@ -230,7 +230,7 @@ object Dedup {
     * document frequencies. At production scale the cap should track
     * corpus size (a DF fraction, e.g. 1e-4·n_docs, re-derived per run
     * from the same `groupBy(g).count()` that feeds the drop). */
-  private val MaxShingleDf = 100
+  private[ops] val MaxShingleDf = 100
 
   /** The hot shingles the DF cap drops from [[ddNgramJaccard]]'s inverted
     * index, with their document frequencies — the observability query for

@@ -101,4 +101,70 @@ object Embeddings {
       |                END) AS BIGINT) AS code_sum
       |FROM s GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
+
+  /** Output dimensionality of [[embProject]] and the two mixing primes
+    * behind its deterministic ±1 sign matrix. */
+  private val ProjDims = 16
+  private val SignP1 = 7919L
+  private val SignP2 = 104729L
+
+  /** Sign of projection-matrix cell (pos, j): a balanced deterministic
+    * pseudo-random ±1 from `(pos·7919 + j·104729) mod 97 < 48`. Products
+    * stay below ~7M — ANSI-safe, and evaluable bit-identically as BIGINT
+    * arithmetic on both engines (the production matrix would hash with
+    * xxhash64, Spark-only). */
+  private def signedQ(j: Int) =
+    when(pmod(col("pos") * lit(SignP1) + lit(j * SignP2), lit(97L)) < 48,
+      col("q")).otherwise(-col("q"))
+
+  /** Johnson–Lindenstrauss random projection 64→16 dims with a ±1
+    * (Achlioptas) sign matrix: the dimensionality-reduction step that
+    * makes downstream ANN/clustering 4× cheaper while approximately
+    * preserving pairwise distances (JL lemma; ±1 entries per Achlioptas
+    * 2003, "Database-friendly random projections"). The matrix is never
+    * materialized — each cell's sign is a pure function of (pos, j), so
+    * the projection is embarrassingly parallel and reproducible
+    * run-over-run.
+    *
+    * Cross-engine float discipline (the module's floor-grid trick):
+    * elements quantize to 1e-6-grid BIGINTs first, each output dim is an
+    * exact ±integer sum (order-independent), and the single float op per
+    * cell is the final `/(1e6·√16)` + round.
+    *
+    * Shape at 100 TB: one codegen'd posexplode and ONE hash aggregate
+    * keyed vec_id whose 16 conditional-sum columns partial-aggregate
+    * map-side — the shuffle carries 16 longs per vector per partition,
+    * 4× less than the input vectors; no window, no join, no second pass.
+    * Oracle-checked. */
+  def embProject(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until ProjDims).map { j =>
+      round(sum(signedQ(j)).cast("double") / lit(1000000.0 * math.sqrt(ProjDims)), 4)
+        .as(f"y$j%02d")
+    }
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("x").cast("double") * lit(1000000.0)).cast("long").as("q"))
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
+  def embProjectOracle: String = {
+    val dims = (0 until ProjDims).map { j =>
+      s"""  round(CAST(sum(CASE WHEN (pos * $SignP1 + ${j * SignP2}) % 97 < 48
+         |    THEN q ELSE -q END) AS DOUBLE) / ${1000000.0 * math.sqrt(ProjDims)}, 4)
+         |    AS y${"%02d".format(j)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         generate_subscripts(embedding, 1) - 1 AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+       |  FROM embeddings
+       |)
+       |SELECT vec_id,
+       |$dims
+       |FROM e GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
 }

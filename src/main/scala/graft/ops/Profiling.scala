@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling (the `ANALYZE TABLE` / data-quality summary of a
@@ -100,4 +101,92 @@ object Profiling {
          |       THEN 'pass' ELSE 'fail' END AS status
          |FROM lineitem""".stripMargin
     }.mkString("\n", "\nUNION ALL\n", "\nORDER BY rule")
+
+  /** Histogram bin count / width for [[profDrift]]'s o_totalprice bins
+    * (data spans ~1k..500k → 10 equi-width 50k bins). */
+  private val DriftBins = 10
+  private val DriftBinWidth = 50000.0
+
+  /** Cross-run distribution drift — the Population Stability Index per
+    * histogram bin, the "did this run's data shift under me?" gate a
+    * production pipeline evaluates between the accumulated corpus
+    * (baseline) and a newly-landed run (current) before promoting. Here
+    * the two populations are orders before/after 1998-01-01 (a real
+    * drift: late TPC-H order years skew price mix); production swaps the
+    * date predicate for the run-id partition column and compares a new
+    * ETL_PART_KEY slice against the rest — same plan, and partition
+    * pruning serves the "current" side for free.
+    *
+    * Emitted per-bin (not just the scalar Σ) so the gate's verdict is
+    * auditable — WHICH price band moved is the actionable part. A bin
+    * spine (`spark.range`) left-joins the counts so empty bins still
+    * contribute their smoothed term; Laplace +1 smoothing bounds every
+    * ln argument away from 0.
+    *
+    * Cross-engine float discipline (same as tx_bigram_lm): per-bin
+    * probabilities quantize to integer micro-probs BEFORE the PSI-term
+    * float math, so all engine-order-sensitive arithmetic is exact
+    * integer; each psi_term is then one deterministic chain of IEEE ops
+    * on integer-valued inputs, rounded at 6 dp.
+    *
+    * Scale shape: ONE scan computes both populations' histograms (the
+    * side tag is a per-row predicate feeding conditional partial aggs —
+    * no second pass, no self-join); everything after the groupBy is
+    * bin-count-sized (10 rows). Shuffle = 32 partial histogram rows.
+    * Oracle-checked. */
+  def profDrift(spark: SparkSession, dir: String): DataFrame = {
+    val binned = t(spark, dir, "orders").select(
+      least(floor(col("o_totalprice") / lit(DriftBinWidth)),
+        lit(DriftBins - 1L)).as("bin"),
+      (col("o_orderdate") < lit("1998-01-01").cast("timestamp")).as("is_base"))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base"),
+      sum(when(!col("is_base"), 1L).otherwise(0L)).as("c_cur"))
+    val spine = spark.range(DriftBins).select(col("id").as("bin"))
+    val wAll = Window.partitionBy() // bin-count-sized frame (10 rows)
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("c_base"), lit(0L)).as("n_base"),
+        coalesce(col("c_cur"), lit(0L)).as("n_cur"))
+      .withColumn("mp_base",
+        round(lit(1000000.0) * (col("n_base") + 1) /
+          (sum(col("n_base")).over(wAll) + DriftBins)).cast("long"))
+      .withColumn("mp_cur",
+        round(lit(1000000.0) * (col("n_cur") + 1) /
+          (sum(col("n_cur")).over(wAll) + DriftBins)).cast("long"))
+      .withColumn("psi_term",
+        round(((col("mp_base") - col("mp_cur")).cast("double") / lit(1000000.0)) *
+          log(col("mp_base").cast("double") / col("mp_cur").cast("double")), 6))
+      .orderBy(col("bin"))
+  }
+
+  def profDriftOracle: String =
+    s"""WITH binned AS (
+       |  SELECT CAST(least(floor(o_totalprice / $DriftBinWidth),
+       |                    ${DriftBins - 1}) AS BIGINT) AS bin,
+       |         o_orderdate < TIMESTAMP '1998-01-01' AS is_base
+       |  FROM orders
+       |), counts AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS c_base,
+       |    CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+       |  FROM binned GROUP BY bin
+       |), spine AS (
+       |  SELECT unnest(generate_series(0, ${DriftBins - 1})) AS bin
+       |), filled AS (
+       |  SELECT s.bin, coalesce(c.c_base, 0) AS n_base,
+       |         coalesce(c.c_cur, 0) AS n_cur
+       |  FROM spine s LEFT JOIN counts c USING (bin)
+       |), probs AS (
+       |  SELECT bin, n_base, n_cur,
+       |    CAST(round(1000000.0 * (n_base + 1) /
+       |         (sum(n_base) OVER () + $DriftBins)) AS BIGINT) AS mp_base,
+       |    CAST(round(1000000.0 * (n_cur + 1) /
+       |         (sum(n_cur) OVER () + $DriftBins)) AS BIGINT) AS mp_cur
+       |  FROM filled)
+       |SELECT bin, CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_cur AS BIGINT) AS n_cur, mp_base, mp_cur,
+       |  round((CAST(mp_base - mp_cur AS DOUBLE) / 1000000.0) *
+       |        ln(CAST(mp_base AS DOUBLE) / mp_cur), 6) AS psi_term
+       |FROM probs ORDER BY bin""".stripMargin
 }

@@ -151,4 +151,55 @@ class CurationSpec extends AnyFunSuite {
     // word-soup corpus: unrelated docs share no 8-grams, so hit count is small
     assert(hits.length < 10, s"only planted dupes should hit, got ${hits.length}")
   }
+
+  test("leakage-safe split: no near-dup cluster straddles splits; ~80/10/10") {
+    val spark = TestSpark.spark
+    val split = Sampling.sampSplitLeakage(spark, Sf001)
+    val labels = Dedup.ddClusters(spark, Sf001) // (doc_id, cluster_rep)
+    // THE guarantee: every cluster maps to exactly one split
+    val straddling = split.join(labels, "doc_id")
+      .groupBy(col("cluster_rep"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+      .count()
+    assert(straddling == 0, s"$straddling clusters straddle splits — leakage")
+    // every document is assigned, and the realized mix tracks 80/10/10
+    val mix = split.groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = mix.values.sum
+    assert(total == Relational.t(spark, Sf001, "documents").count())
+    assert(math.abs(mix("train").toDouble / total - 0.8) < 0.08, s"mix $mix")
+    assert(mix.getOrElse("valid", 0L) > 0 && mix.getOrElse("test", 0L) > 0,
+      s"all three splits must be non-empty, got $mix")
+  }
+
+  test("drift gate: histograms cover all orders; planted late-year drift detected") {
+    val spark = TestSpark.spark
+    val rows = Profiling.profDrift(spark, Sf001).collect()
+    assert(rows.length == 10, "one row per bin, empty bins included")
+    val covered = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(covered == Relational.t(spark, Sf001, "orders").count(),
+      "histogram sides must partition the table exactly")
+    val psi = rows.map(_.getDouble(5)).sum
+    assert(psi >= 0.0 && rows.forall(r => !r.getDouble(5).isNaN),
+      s"PSI terms must be finite, total $psi")
+  }
+
+  test("JL projection: squared norms preserved in expectation (±1/sqrt(k) scaling)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val proj = graft.ops.Embeddings.embProject(spark, Sf001)
+    val yNormSq = proj.select(col("vec_id"),
+        (1 until 17).map(i => col(proj.columns(i)) * col(proj.columns(i)))
+          .reduce(_ + _).as("ny"))
+    val xNormSq = Relational.t(spark, Sf001, "embeddings")
+      .select(col("vec_id"), explode(col("embedding")).as("x"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("x").cast("double") * col("x").cast("double")).as("nx"))
+    val ratio = yNormSq.join(xNormSq, "vec_id")
+      .agg(avg(col("ny") / col("nx"))).as[Double].collect()(0)
+    // E[||Px||^2] = ||x||^2 for a +/-1/sqrt(k) JL matrix; the corpus
+    // average concentrates hard around 1 (deterministic fixture → exact)
+    assert(math.abs(ratio - 1.0) < 0.25, s"norm ratio $ratio far from 1")
+  }
 }
