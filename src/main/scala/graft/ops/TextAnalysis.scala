@@ -525,4 +525,85 @@ object TextAnalysis {
        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM o GROUP BY shard, bin_id
        |ORDER BY shard, bin_id""".stripMargin
+
+  /** Merge rounds for the graded [[txBpeTrain]] run. */
+  private val BpeTrainMerges = 30
+
+  /** End-of-word sentinel symbol (original BPE formulation, Sennrich et
+    * al. 2016 "Neural Machine Translation of Rare Words with Subword
+    * Units"): lets a merged unit distinguish word-final from word-internal
+    * occurrences. */
+  private val WordEnd = "</w>"
+
+  /** BPE tokenizer TRAINING — learn the merge table from the corpus
+    * (tx_tokens_bpe APPLIES a fixed segmentation; this learns one). The
+    * classic algorithm: start from characters, repeatedly merge the
+    * most-frequent adjacent symbol pair. The distributed-shape insight
+    * is that BPE trains on the WORD HISTOGRAM, not the corpus: after one
+    * corpus pass builds (word, count) — the same vocabulary-sized
+    * aggregate tx_vocab grades — every one of the K iterations touches
+    * only the vocab table. At 100 TB the corpus is petabytes but the
+    * distinct-word table is millions of rows: iterations are
+    * control-plane-cheap, and the argmax per round is a 1-row collect
+    * (a scalar, same standing as dd_clusters' convergence flag).
+    *
+    * The pair-explode uses an interpreted HOF lambda and the merge step
+    * a Scala UDF — deliberately: both run on the VOCAB-sized table, not
+    * the corpus, where the no-interpreted-code-in-hot-paths rule binds
+    * (the corpus-sized pass is the stock split+explode+count). Each
+    * round localCheckpoints the re-written vocab so round N+1's plan
+    * doesn't replay rounds 1..N's UDFs.
+    *
+    * Greedy left-to-right merge semantics within a word (overlapping
+    * occurrences consume left-first: `a a a a` + merge (a,a) →
+    * `aa aa`), ties on pair frequency broken lexicographically — both
+    * pinned by TokenizerSpec's independent pure-Scala reproduction.
+    * Rows-only graded (an iterative argmax loop is not expressible as
+    * one DuckDB query); the histogram pass's oracle twin is tx_vocab. */
+  def txBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrain(spark, t(spark, dir, "documents"), BpeTrainMerges)
+
+  def bpeTrain(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
+    // ONE corpus-sized pass; everything below is vocabulary-sized
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("word"), ""), array(lit(WordEnd))).as("syms"),
+        col("cnt"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    var done = merges <= 0
+    while (!done) {
+      val top = vocab
+        .select(col("cnt"), explode(expr(
+          "transform(slice(syms, 1, size(syms)-1), (s, i) -> struct(s AS l, syms[i+1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((rank, l, r, f))
+        val applyMerge = udf { syms: Seq[String] =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toSeq
+        }
+        vocab = vocab.withColumn("syms", applyMerge(col("syms"))).localCheckpoint()
+        rank += 1
+        if (rank >= merges) done = true
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "freq").orderBy(col("rank"))
+  }
 }
