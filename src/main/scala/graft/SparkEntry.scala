@@ -86,6 +86,7 @@ object SparkEntry {
     "q25_range_join" -> (Relational.q25RangeJoin _), // interval-band non-equi join
     "q26_topk_native" -> (Relational.q26TopkNative _), // custom LogicalPlan+Strategy+Exec top-k
     "q27_topk_extensions" -> (Relational.q27TopkExtensions _), // spark.sql.extensions ladder, rewrite must fire
+    "q28_unpivot" -> (Relational.q28Unpivot _), // native unpivot melt (Expand, one scan)
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -183,6 +184,7 @@ object SparkEntry {
     "q25_range_join" -> Relational.q25Oracle,
     "q26_topk_native" -> Relational.q26Oracle,
     "q27_topk_extensions" -> Relational.q27Oracle,
+    "q28_unpivot" -> Relational.q28Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

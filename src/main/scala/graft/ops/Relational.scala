@@ -765,4 +765,37 @@ object Relational {
       |  FROM supplier) x
       |WHERE rn <= 2
       |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin
+
+  /** UNPIVOT (wide→tall melt): the charge components of a deterministic
+    * 1% order slice as (key, measure, val) rows — the inverse of q19's
+    * pivot, completing the reshape pair. Uses the native
+    * `Dataset.unpivot` API, which Catalyst plans as a single `Expand`
+    * over ONE scan (each input row fans to 3 output rows in-task — the
+    * same operator rollup/cube build on) — no join, no self-union, and
+    * the only shuffle is the presentation sort. The melt multiplies rows
+    * by the measure count, so at 100 TB the slice predicate (pushed to
+    * the scan) comes FIRST — melting then filtering would triple the
+    * scan's output for rows about to die. Oracle-checked (DuckDB twin is
+    * the manual UNION ALL melt). */
+  def q28Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(100L)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+
+  def q28Oracle: String =
+    """WITH slice AS (
+      |  SELECT * FROM lineitem WHERE l_orderkey % 100 = 0
+      |)
+      |SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM slice
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM slice
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM slice
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin
 }

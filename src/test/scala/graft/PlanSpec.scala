@@ -250,6 +250,25 @@ class PlanSpec extends AnyFunSuite {
       s"profiling must not rescan per column:\n${p.take(2000)}")
   }
 
+  test("prof_drift: both populations' histograms come from ONE scan, pruned") {
+    val p = plan(graft.ops.Profiling.profDrift(TestSpark.spark, TestSpark.Sf0001))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the side tag must not become a second scan or self-join:\n${p.take(2000)}")
+    assert(p.contains("o_totalprice") && !p.contains("o_custkey"),
+      "drift reads only the binned column + date tag")
+  }
+
+  test("emb_project: one vec_id aggregate, no window, no join on the data path") {
+    val p = plan(graft.ops.Embeddings.embProject(TestSpark.spark, TestSpark.Sf0001))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"projection is explode + ONE keyed agg, nothing else:\n${p.take(2000)}")
+    // map-side combine: the 16 conditional sums partial-aggregate before
+    // the vec_id exchange, so the shuffle carries 16 longs per vector
+    assert(p.contains("partial_sum") && p.contains("Exchange hashpartitioning(vec_id"),
+      s"16 conditional sums must partial-aggregate map-side:\n${p.take(2000)}")
+  }
+
   test("runtime bloom-filter join pruning engages for a selective dim filter") {
     // the 100 TB shape: fact ⋈ selectively-filtered dim without broadcast
     // (dim too big) — Spark's runtime row-level filtering should build a
