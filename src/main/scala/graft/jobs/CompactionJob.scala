@@ -43,7 +43,10 @@ final case class CompactionMetrics(
   * rename is copy and non-atomic, which is why production deployments put
   * a table format's transaction log (Iceberg/Delta-style) or a Hive
   * metastore partition-location flip in front of the same rewrite —
-  * README's production-deployment section names the seam.
+  * [[graft.table.SnapshotLog]] implements that protocol (atomic manifest
+  * CAS, time travel, listing-free planning; `SnapshotLog.compact` is
+  * this same coalesce rewrite committed with NO swap window) for tables
+  * that opt into the log layout.
   */
 object CompactionJob {
   val JobName = "compaction_job"

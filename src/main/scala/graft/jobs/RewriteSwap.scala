@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with a `.bak` safety copy. The local-FS directory rename stands in
   * for an atomic metadata commit; on object stores production puts a
   * table format's transaction log (Iceberg/Delta-style) or a metastore
-  * partition-location flip in front of the same rewrite.
+  * partition-location flip in front of the same rewrite —
+  * [[graft.table.SnapshotLog]] implements that protocol (manifest CAS,
+  * no swap window at all) for tables that opt into the log layout; this
+  * swap remains the path for bare directories the cataloged contract
+  * pins in place.
   */
 private[jobs] object RewriteSwap {
 

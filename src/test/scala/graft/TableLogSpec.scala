@@ -1,0 +1,126 @@
+package graft
+
+import graft.table.{CommitConflictException, Snapshot, SnapshotLog}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** SnapshotLog contract: atomic versioned commits, time travel,
+  * crash-artifact immunity, the manifest CAS under contention, rewrite
+  * conflict semantics, compaction through the log, and vacuum. */
+class TableLogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-log-").resolve("t").toString
+
+  private def rowsOf(log: SnapshotLog, v: Long = -1L): Seq[(Int, String)] =
+    log.read(v).as[(Int, String)].collect().toSeq.sorted
+
+  private def mkRows(run: Int, n: Int): Seq[(Int, String)] =
+    (0 until n).map(i => (run * 1000 + i, s"row-$run-$i"))
+
+  test("appends commit as ordered versions; time travel reads each as committed") {
+    val log = SnapshotLog(spark, freshTable())
+    assert(log.currentVersion() == 0)
+    val s1 = log.append(mkRows(0, 40).toDF("id", "payload").repartition(2))
+    val s2 = log.append(mkRows(1, 25).toDF("id", "payload").repartition(2))
+    assert((s1.version, s2.version) == (1L, 2L) && s2.parent == 1L)
+    assert(s1.rows == 40 && s2.rows == 65, "snapshot rows are totals, not deltas")
+    assert(rowsOf(log) == (mkRows(0, 40) ++ mkRows(1, 25)).sorted)
+    assert(rowsOf(log, v = 1) == mkRows(0, 40).sorted,
+      "old version must read exactly as committed after later appends")
+  }
+
+  test("half-finished commits are invisible: staged manifests and orphan data files ignored") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir)
+    log.append(mkRows(0, 30).toDF("id", "payload"))
+    // a writer that died mid-commit: staged manifest + a data file no
+    // manifest names + a dead staging dir
+    val logDir = new java.io.File(dir, SnapshotLog.LogDirName)
+    Files.writeString(logDir.toPath.resolve(".tmp-deadbeef.json"), "{corrupt")
+    val orphan = new java.io.File(dir, s"${SnapshotLog.DataDirName}/orphan-part-0.parquet")
+    mkRows(9, 5).toDF("id", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(orphan.getParent + "/.orphan-tmp")
+    Files.move(
+      new java.io.File(orphan.getParent + "/.orphan-tmp").listFiles()
+        .filter(_.getName.startsWith("part-")).head.toPath,
+      orphan.toPath)
+    assert(log.currentVersion() == 1)
+    assert(rowsOf(log) == mkRows(0, 30).sorted,
+      "reader must see only manifest-named files")
+  }
+
+  test("manifest CAS: an occupied version slot forces a retry onto the next slot") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir)
+    log.append(mkRows(0, 20).toDF("id", "payload"))
+    // occupy v2 out-of-band, as a concurrent writer would
+    val other = SnapshotLog(spark, dir)
+    val s2 = other.append(mkRows(1, 10).toDF("id", "payload"))
+    assert(s2.version == 2)
+    val s3 = log.append(mkRows(2, 15).toDF("id", "payload"))
+    assert(s3.version == 3 && s3.rows == 45,
+      s"append must land after the concurrent commit: $s3")
+    assert(rowsOf(log) == (mkRows(0, 20) ++ mkRows(1, 10) ++ mkRows(2, 15)).sorted)
+  }
+
+  test("rewrite aborts on concurrent commit, leaving every version intact") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir)
+    log.append(mkRows(0, 30).toDF("id", "payload").repartition(4))
+    val ex = intercept[CommitConflictException] {
+      log.rewrite("compact") { df =>
+        // a concurrent append lands between the rewrite's read and publish
+        SnapshotLog(spark, dir).append(mkRows(1, 10).toDF("id", "payload"))
+        df.coalesce(1)
+      }
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(log.currentVersion() == 2, "the append must have won")
+    assert(rowsOf(log) == (mkRows(0, 30) ++ mkRows(1, 10)).sorted)
+    // and the rerun against the new current succeeds
+    val s3 = log.rewrite("compact")(_.coalesce(1))
+    assert(s3.version == 3 && s3.rows == 40)
+  }
+
+  test("rewrite verifies rows before commit; a row-losing transform aborts") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(mkRows(0, 30).toDF("id", "payload"))
+    val ex = intercept[IllegalStateException] {
+      log.rewrite("bad")(_.limit(10))
+    }
+    assert(ex.getMessage.contains("row-count mismatch"))
+    assert(log.currentVersion() == 1 && rowsOf(log) == mkRows(0, 30).sorted,
+      "failed rewrite must leave the table untouched")
+  }
+
+  test("compaction through the log: fewer files, same rows, old version still readable") {
+    val log = SnapshotLog(spark, freshTable())
+    (0 until 3).foreach(r =>
+      log.append(mkRows(r, 40).toDF("id", "payload").repartition(4)))
+    val before = log.snapshot()
+    assert(before.files.size == 12)
+    val Some(c) = log.compact(targetFileBytes = 1L << 30): @unchecked
+    assert(c.op == "compact" && c.files.size == 1 && c.rows == 120)
+    assert(rowsOf(log) == (0 until 3).flatMap(mkRows(_, 40)).sorted)
+    assert(rowsOf(log, v = before.version) == rowsOf(log, v = c.version),
+      "pre-compaction snapshot must read identically mid-retention")
+    assert(log.compact(targetFileBytes = 1L << 30).isEmpty,
+      "already-compact table must be a no-op")
+  }
+
+  test("vacuum drops expired versions' files but never a retained snapshot's") {
+    val log = SnapshotLog(spark, freshTable())
+    (0 until 3).foreach(r =>
+      log.append(mkRows(r, 40).toDF("id", "payload").repartition(4)))
+    log.compact(targetFileBytes = 1L << 30) // v4: 1 live file, 12 dead after horizon
+    val deleted = log.vacuum(keepLast = 1, graceMs = 0L)
+    assert(deleted == 12, s"expected the 12 pre-compaction files swept, got $deleted")
+    assert(rowsOf(log) == (0 until 3).flatMap(mkRows(_, 40)).sorted,
+      "live snapshot must survive vacuum")
+    intercept[IllegalArgumentException](log.read(1))
+  }
+}
