@@ -215,6 +215,24 @@ object LayoutJob {
       rows, cols)
   }
 
+  /** [[clusterBy]] for a log-backed table ([[graft.table.SnapshotLog]]):
+    * the same range-partitioned sort rewrite, committed as a `cluster`
+    * manifest — no swap window, readers of the prior version are
+    * undisturbed mid-rewrite, and output sizing comes from the
+    * manifest's byte total (zero file listing). The z-order transform
+    * composes through `log.rewrite` the same way; at 100 TB the unit
+    * stays one partition's table, as for the directory path. */
+  def clusterByLog(log: graft.table.SnapshotLog, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): graft.table.Snapshot = {
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val bytes = log.snapshot().bytes
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    log.rewrite("cluster")(_
+      .repartitionByRange(nOut, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*))
+  }
+
   private def prepare(spark: SparkSession, dir: String,
       targetFileBytes: Long): (Path, org.apache.hadoop.fs.FileSystem, Array[org.apache.hadoop.fs.FileStatus], Int) = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")

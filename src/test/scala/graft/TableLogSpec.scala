@@ -112,6 +112,57 @@ class TableLogSpec extends AnyFunSuite {
       "already-compact table must be a no-op")
   }
 
+  test("concurrent appenders all land: the manifest CAS serializes, none are lost") {
+    val dir = freshTable()
+    SnapshotLog(spark, dir).append(mkRows(99, 1).toDF("id", "payload"))
+    val threads = 4
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { t =>
+      new Thread(() =>
+        try {
+          val log = SnapshotLog(spark, dir)
+          (0 until perThread).foreach(r =>
+            log.append(mkRows(t * 10 + r, 5).toDF("id", "payload")))
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+    val log = SnapshotLog(spark, dir)
+    assert(log.currentVersion() == 1 + threads * perThread,
+      "every append must occupy its own version slot")
+    val expected = (mkRows(99, 1) ++ (for {
+      t <- 0 until threads; r <- 0 until perThread; row <- mkRows(t * 10 + r, 5)
+    } yield row)).sorted
+    assert(rowsOf(log) == expected, "no append may be lost or duplicated")
+  }
+
+  test("log-backed clustering: per-file key ranges are disjoint after the rewrite") {
+    val log = SnapshotLog(spark, freshTable())
+    // three shuffled appends: every file spans nearly the full id range
+    val r = new scala.util.Random(7)
+    (0 until 3).foreach { run =>
+      log.append(r.shuffle((0 until 400).toList)
+        .map(i => (i, s"p-$run-$i")).toDF("id", "payload").repartition(2))
+    }
+    val bytes = log.snapshot().bytes
+    val s = graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+      targetFileBytes = math.max(1L, bytes / 3))
+    assert(s.op == "cluster" && s.files.size >= 2, s"want a multi-file layout: $s")
+    val ranges = s.files.map { f =>
+      val one = spark.read.parquet(new java.io.File(log.tableDir,
+        s"${SnapshotLog.DataDirName}/$f").toString)
+      val mm = one.agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id")).head()
+      (mm.getInt(0), mm.getInt(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"file ranges overlap after clustering: $ranges")
+      case _ =>
+    }
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
