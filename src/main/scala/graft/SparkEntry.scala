@@ -98,6 +98,7 @@ object SparkEntry {
     "ev_user_sequence" -> (Events.evUserSequence _),
     "ev_funnel" -> (Events.evFunnel _), // ordered signup→view→click funnel
     "ev_cohorts" -> (Events.evCohorts _), // weekly cohort retention triangle
+    "ev_anomaly" -> (Events.evAnomaly _), // trailing z-score rate anomaly per event type
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
@@ -131,6 +132,7 @@ object SparkEntry {
     "emb_label_centroids" -> (graft.ops.Embeddings.embLabelCentroids _), // per-class centroid grid
     "emb_quantize" -> (graft.ops.Embeddings.embQuantize _), // int8 scalar quantization summary
     "emb_project" -> (graft.ops.Embeddings.embProject _), // JL +/-1 random projection 64->16
+    "emb_gram" -> (graft.ops.Embeddings.embGram _), // upper-triangle Gram matrix (PCA/whitening input)
     // §7.3-4 text analysis
     "tx_tokens" -> (TextAnalysis.txTokens _),
     "tx_tokens_bpe" -> (TextAnalysis.txTokensBpe _),
@@ -200,6 +202,7 @@ object SparkEntry {
     "ev_user_sequence" -> Events.evUserSequenceOracle,
     "ev_funnel" -> Events.evFunnelOracle,
     "ev_cohorts" -> Events.evCohortsOracle,
+    "ev_anomaly" -> Events.evAnomalyOracle,
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
@@ -220,6 +223,7 @@ object SparkEntry {
     "emb_label_centroids" -> graft.ops.Embeddings.embLabelCentroidsOracle,
     "emb_quantize" -> graft.ops.Embeddings.embQuantizeOracle,
     "emb_project" -> graft.ops.Embeddings.embProjectOracle,
+    "emb_gram" -> graft.ops.Embeddings.embGramOracle,
     "tx_tokens" -> TextAnalysis.txTokensOracle,
     "tx_tokens_bpe" -> TextAnalysis.txTokensBpeOracle,
     "tx_quality" -> TextAnalysis.txQualityOracle,

@@ -150,6 +150,55 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
+  /** Upper-triangle Gram matrix of the embedding corpus: G(i,j) =
+    * Σ_vec v[i]·v[j] — the one aggregate PCA whitening, covariance
+    * estimation, and low-rank analysis all start from (center with the
+    * [[embLabelCentroids]]-style mean vector to get covariance). dim=64
+    * → 2080 output cells regardless of corpus size.
+    *
+    * Cross-engine float discipline: elements quantize to the 1e-6 grid,
+    * each cell sums exact BIGINT products (|q|≤1e6 ⇒ |q·q|≤1e12 — a
+    * corpus of ~10⁶ vectors stays inside BIGINT; past that, scale the
+    * grid or sum DECIMAL(38,0)), one final /1e12 + round.
+    *
+    * Shape at 100 TB: the dim² fan-out happens INSIDE the scan stage
+    * (two chained codegen'd generators + a pushed j≥i filter — CPU
+    * amplification, zero I/O amplification), and the ONE hash aggregate
+    * keyed (i,j) partial-aggregates map-side, so the shuffle carries at
+    * most 2080 rows per partition — corpus size never crosses the
+    * exchange. The typed-Aggregator alternative (a dim×dim buffer per
+    * partition, à la [[graft.functions.VectorCentroid]]) trades the
+    * fan-out for kryo buffers; the explode form stays whole-stage
+    * codegen'd end to end. Oracle-checked. */
+  def embGram(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")),
+        col("embedding"))
+      .select(col("vec_id"), col("i"),
+        floor(col("xi").cast("double") * lit(1000000.0)).cast("long").as("qi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("qi") * floor(col("xj").cast("double") * lit(1000000.0)).cast("long"))
+          .as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p")).cast("double") / lit(1.0e12), 6).as("gram"))
+      .orderBy(col("i"), col("j"))
+
+  def embGramOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         generate_subscripts(embedding, 1) - 1 AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      |  FROM embeddings
+      |)
+      |SELECT a.i AS i, b.i AS j, count(*) AS n,
+      |       round(CAST(sum(a.q * b.q) AS DOUBLE) / 1e12, 6) AS gram
+      |FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |GROUP BY 1, 2
+      |ORDER BY i, j""".stripMargin
+
   def embProjectOracle: String = {
     val dims = (0 until ProjDims).map { j =>
       s"""  round(CAST(sum(CASE WHEN (pos * $SignP1 + ${j * SignP2}) % 97 < 48

@@ -214,4 +214,75 @@ object Events {
       |       count(DISTINCT user_id) AS n_users
       |FROM ev JOIN first USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Event-rate anomaly detection: per event type, flag hourly buckets
+    * whose count deviates from the trailing-8-bucket mean by more than
+    * 3σ — the ingestion-monitoring operator that catches a stuck
+    * producer (rate collapse) or a runaway retry loop (spike) before it
+    * poisons a training snapshot.
+    *
+    * Cross-engine float discipline: the trailing mean/variance come from
+    * INTEGER frame sums (Σc, Σc²) — `var = (k·Σc² − (Σc)²)/k²` — so
+    * both engines do identical exact BIGINT arithmetic until one final
+    * division/sqrt; a windowed `stddev()` would accumulate doubles in
+    * engine-specific order. Only warm buckets (full 8-bucket history)
+    * emit; a constant-rate history (var = 0) yields a NULL z on both
+    * engines.
+    *
+    * Buckets with zero events produce no row, so the frame spans the 8
+    * previous OBSERVED buckets; production densifies against a calendar
+    * spine (a `sequence()` range join — control-plane-sized) when
+    * true-zero detection matters.
+    *
+    * Shape at 100 TB: one tumbling pre-aggregate (map-side combine to
+    * ≤ types × buckets rows), then ordered frames PARTITIONED BY
+    * event_type — keys parallelize, per-key state is the O(8) frame;
+    * nothing corpus-sized crosses the exchange. Oracle-checked. */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("bucket")).rowsBetween(-8, -1)
+    events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("k", count(col("cnt")).over(frame))
+      .withColumn("s", sum(col("cnt")).over(frame))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(frame))
+      .where(col("k") === 8)
+      .withColumn("varx",
+        (col("k") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("k") * col("k")).cast("double"))
+      .select(col("event_type"), col("bucket"), col("cnt"),
+        when(col("varx") > 0,
+          round((col("cnt").cast("double") - col("s").cast("double") / col("k")) /
+            sqrt(col("varx")), 4)).as("z"))
+      .withColumn("is_spike", coalesce(abs(col("z")) > 3.0, lit(false)))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  def evAnomalyOracle: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), f AS (
+      |  SELECT event_type, bucket, cnt,
+      |         count(cnt) OVER w AS k,
+      |         sum(cnt)   OVER w AS s,
+      |         sum(cnt * cnt) OVER w AS ss
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |               ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, bucket, cnt,
+      |       CASE WHEN (k*ss - s*s) > 0 THEN
+      |         round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE)/k) /
+      |               sqrt(CAST(k*ss - s*s AS DOUBLE)/(k*k)), 4)
+      |       END AS z,
+      |       coalesce(abs(CASE WHEN (k*ss - s*s) > 0 THEN
+      |         round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE)/k) /
+      |               sqrt(CAST(k*ss - s*s AS DOUBLE)/(k*k)), 4)
+      |       END) > 3.0, false) AS is_spike
+      |FROM f WHERE k = 8
+      |ORDER BY event_type, bucket""".stripMargin
 }
