@@ -2,20 +2,39 @@ package graft.table
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 
 import java.nio.file.{FileAlreadyExistsException, Files, Paths}
 import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** A data file's [min, max] for one stats column, as recorded in the
+  * manifest. Numeric ranges compare as doubles, string ranges as text;
+  * a column without a usable range for a file simply has no entry (the
+  * file is then never pruned — absence is always safe). */
+final case class ColRange(numeric: Boolean, lo: String, hi: String) {
+  def intersects(qLo: Any, qHi: Any): Boolean =
+    if (numeric) {
+      def d(a: Any) = a match { case n: Number => n.doubleValue
+        case other => other.toString.toDouble }
+      lo.toDouble <= d(qHi) && hi.toDouble >= d(qLo)
+    } else lo <= qHi.toString && hi >= qLo.toString
+}
 
 /** One committed table version: the complete live file set plus the
   * audit fields needed to verify and reason about it. `rows`/`bytes` are
   * totals for the whole snapshot, not deltas — a reader can verify any
   * version in isolation. `files` are names relative to the table's
   * `data/` directory; data files are immutable and never renamed after
-  * commit, so a snapshot is valid for as long as its manifest exists. */
+  * commit, so a snapshot is valid for as long as its manifest exists.
+  * `stats` maps file name → stats-column ranges for tables that declare
+  * `statsColumns` — the planning-time pruning index. */
 final case class Snapshot(version: Long, op: String, parent: Long,
-    rows: Long, bytes: Long, files: Seq[String])
+    rows: Long, bytes: Long, files: Seq[String],
+    stats: Map[String, Map[String, ColRange]] = Map.empty)
 
 /** A commit lost the optimistic-concurrency race and cannot be safely
   * retried at this layer (rewrites — the table changed under the job).
@@ -65,6 +84,14 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *    the object-store LIST crawl (the dominant planning cost on S3-like
   *    stores, and RewriteSwap's per-run `dataFiles` listing) with one
   *    GET.
+  *  - '''Manifest-level data skipping.''' Tables that declare
+  *    `statsColumns` record each data file's column [min, max] in the
+  *    manifest at commit time (lifted from the footers the write just
+  *    produced), and [[readBetween]] prunes files BEFORE any of them
+  *    opens — the query-time half of the clustering story
+  *    ([[graft.jobs.LayoutJob]] makes per-file ranges disjoint; the
+  *    manifest makes the skip decision free of listing AND footer
+  *    reads).
   *
   * Maintenance composes cleanly: [[compact]] is a `coalesce` rewrite
   * committed as a `replace` manifest — readers of the old version are
@@ -81,7 +108,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * not on data writes. [[vacuum]] keeps a version horizon and a
   * modification-time grace so in-flight stages are never swept.
   */
-final class SnapshotLog(spark: SparkSession, val tableDir: String) {
+final class SnapshotLog(spark: SparkSession, val tableDir: String,
+    statsColumns: Seq[String] = Nil) {
   import SnapshotLog._
 
   private val root = new Path(tableDir)
@@ -115,9 +143,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
     val node = try mapper.readTree(in) finally in.close()
     val files = (0 until node.get("files").size())
       .map(node.get("files").get(_).asText())
+    val stats = Option(node.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> ColRange(ce.getValue.get("n").asBoolean(),
+            ce.getValue.get("lo").asText(), ce.getValue.get("hi").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, ColRange]])
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
-      node.get("bytes").asLong(), files)
+      node.get("bytes").asLong(), files, stats)
   }
 
   /** All retained versions, oldest first. */
@@ -138,6 +174,31 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
     spark.read.parquet(s.files.map(f => new Path(dataDir, f).toString): _*)
   }
 
+  /** Manifest-pruned range read: keep only files whose recorded
+    * `column` range intersects [lo, hi] — planning-time skipping that
+    * costs ONE manifest GET, no listing and no footer reads (the
+    * query-time half of the clustering story: [[graft.jobs.LayoutJob]]
+    * makes per-file ranges disjoint, this makes the skip decision before
+    * any file opens). Files without a recorded range are always kept, so
+    * pruning is never unsound; the residual predicate still applies —
+    * semantics are exactly `read().where(column between lo and hi)`.
+    * Production generalizes the intersect test over a predicate tree;
+    * one range predicate demonstrates the plumbing. */
+  def readBetween(column: String, lo: Any, hi: Any,
+      version: Long = -1L): DataFrame = {
+    val s = snapshot(version)
+    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    val kept = s.files.filter(f =>
+      s.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+    if (kept.isEmpty)
+      // every file pruned: empty result, schema from one footer
+      spark.read.parquet(new Path(dataDir, s.files.head).toString)
+        .where(lit(false))
+    else
+      spark.read.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+        .where(col(column).between(lit(lo), lit(hi)))
+  }
+
   /** Append `df` as a new version. Safe under concurrent appenders:
     * stage once, then retry the manifest CAS against the fresh parent —
     * appends commute, the staged files stay valid across retries. */
@@ -151,7 +212,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
         else snapshot(parent)
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
-        base.files ++ staged.files)
+        base.files ++ staged.files, base.stats ++ staged.stats)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -176,7 +237,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
           s"${staged.rows} rewritten — aborted, table untouched")
     }
     val next = Snapshot(base.version + 1, op, base.version,
-      staged.rows, staged.bytes, staged.files)
+      staged.rows, staged.bytes, staged.files, staged.stats)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -227,12 +288,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
 
   // ---- internals ----------------------------------------------------
 
-  private final case class Staged(files: Seq[String], rows: Long, bytes: Long)
+  private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
+      stats: Map[String, Map[String, ColRange]])
 
   /** Write `df` to a scratch dir, count rows via an `Observation` riding
     * the write job (no second read), then move the part files into
     * `data/` under commit-unique names. Files in `data/` are inert until
-    * a manifest names them. */
+    * a manifest names them. When the table declares `statsColumns`,
+    * each staged file's column ranges are lifted from the parquet
+    * footers the write just produced (metadata-only, O(staged files)
+    * per commit — the one-time cost that buys listing-and-footer-free
+    * pruned reads forever after). */
   private def stage(df: DataFrame): Staged = {
     val commitId = UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s"$StagePrefix$commitId")
@@ -248,11 +314,47 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
         val name = s"$commitId-${f.getPath.getName}"
         if (!fs.rename(f.getPath, new Path(dataDir, name)))
           throw new IllegalStateException(s"could not stage ${f.getPath} into $dataDir")
-        name -> f.getLen
+        (name, f.getLen, footerRanges(new Path(dataDir, name)))
       }
     fs.delete(scratch, true)
-    Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum)
+    Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
+      moved.collect { case (n, _, st) if st.nonEmpty => n -> st }.toMap)
   }
+
+  /** [min, max] per stats column from one file's parquet footer. A
+    * column whose chunks lack usable stats (or a non-numeric/non-string
+    * type) gets no entry — the file then never prunes on it. String
+    * mins/maxes compare as UTF-8 text, the same ordering the footer
+    * stats and Spark's sort use. */
+  private def footerRanges(file: Path): Map[String, ColRange] =
+    if (statsColumns.isEmpty) Map.empty
+    else {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file,
+        spark.sparkContext.hadoopConfiguration))
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        statsColumns.flatMap { c =>
+          val chunks = blocks.flatMap(
+            _.getColumns.asScala.filter(_.getPath.toDotString == c))
+          val sts = chunks.map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+          if (chunks.isEmpty || sts.size != chunks.size) None
+          else sts.head.genericGetMin match {
+            case _: Number =>
+              Some(c -> ColRange(numeric = true,
+                sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min.toString,
+                sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max.toString))
+            case _: org.apache.parquet.io.api.Binary =>
+              Some(c -> ColRange(numeric = false,
+                sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8).min,
+                sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8).max))
+            case _ => None
+          }
+        }.toMap
+      } finally r.close()
+    }
 
   /** Drop staged files after a failed commit — they were never named by
     * a manifest, so this is cleanup, not rollback. */
@@ -267,6 +369,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String) {
       .put("rows", s.rows).put("bytes", s.bytes)
     val arr = node.putArray("files")
     s.files.foreach(arr.add)
+    if (s.stats.nonEmpty) {
+      val sn = node.putObject("stats")
+      s.stats.foreach { case (f, cols) =>
+        val fn = sn.putObject(f)
+        cols.foreach { case (c, cr) =>
+          fn.putObject(c).put("n", cr.numeric).put("lo", cr.lo).put("hi", cr.hi)
+        }
+      }
+    }
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
@@ -297,6 +408,7 @@ object SnapshotLog {
   private val MaxCommitAttempts = 20
   private val ManifestName = """v(\d{20})\.json""".r
 
-  def apply(spark: SparkSession, tableDir: String): SnapshotLog =
-    new SnapshotLog(spark, tableDir)
+  def apply(spark: SparkSession, tableDir: String,
+      statsColumns: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns)
 }

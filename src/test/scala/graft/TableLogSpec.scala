@@ -163,6 +163,40 @@ class TableLogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest stats prune reads at planning time: clustered range read opens one file") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val r = new scala.util.Random(11)
+    (0 until 3).foreach { run =>
+      log.append(r.shuffle((0 until 600).toList)
+        .map(i => (i, s"p-$run-$i")).toDF("id", "payload").repartition(2))
+    }
+    val expected = (0 until 3).flatMap(run =>
+      (0 to 50).map(i => (i, s"p-$run-$i"))).sorted
+
+    // append-order layout: every file spans ~the full id range — stats
+    // exist but can prune nothing
+    val before = log.snapshot()
+    assert(before.stats.size == 6 && before.stats.values.forall(_.contains("id")))
+    val unclustered = log.readBetween("id", 0, 50)
+    assert(unclustered.as[(Int, String)].collect().toSeq.sorted == expected)
+    assert(unclustered.inputFiles.length == 6, "overlapping ranges keep every file")
+
+    val s = graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+      targetFileBytes = math.max(1L, before.bytes / 3))
+    assert(s.files.size >= 3 && s.stats.size == s.files.size,
+      s"rewrite must re-derive stats for its files: $s")
+    val pruned = log.readBetween("id", 0, 50)
+    assert(pruned.as[(Int, String)].collect().toSeq.sorted == expected,
+      "pruned read must return exactly the predicate's rows")
+    assert(pruned.inputFiles.length == 1,
+      s"disjoint ranges + manifest stats must open ONE file, " +
+        s"opened ${pruned.inputFiles.length} of ${s.files.size}")
+    // a range outside every file's bounds reads nothing and opens nothing extra
+    val empty = log.readBetween("id", 10000, 20000)
+    assert(empty.count() == 0)
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
