@@ -31,10 +31,16 @@ final case class ColRange(numeric: Boolean, lo: String, hi: String) {
   * `data/` directory; data files are immutable and never renamed after
   * commit, so a snapshot is valid for as long as its manifest exists.
   * `stats` maps file name → stats-column ranges for tables that declare
-  * `statsColumns` — the planning-time pruning index. */
+  * `statsColumns` — the planning-time pruning index. `schemaJson` is the
+  * snapshot's merged read schema (Spark `StructType.json`); readers pass
+  * it to the scan instead of inferring from footers. `txns` records the
+  * highest committed batch id per streaming writer — the exactly-once
+  * watermark [[SnapshotLog.appendStream]] checks on micro-batch replay. */
 final case class Snapshot(version: Long, op: String, parent: Long,
     rows: Long, bytes: Long, files: Seq[String],
-    stats: Map[String, Map[String, ColRange]] = Map.empty)
+    stats: Map[String, Map[String, ColRange]] = Map.empty,
+    schemaJson: String = "",
+    txns: Map[String, Long] = Map.empty)
 
 /** A commit lost the optimistic-concurrency race and cannot be safely
   * retried at this layer (rewrites — the table changed under the job).
@@ -84,6 +90,16 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *    the object-store LIST crawl (the dominant planning cost on S3-like
   *    stores, and RewriteSwap's per-run `dataFiles` listing) with one
   *    GET.
+  *  - '''Schema evolution.''' The merged read schema lives in the
+  *    manifest; appends may add columns (widening-only — a type change
+  *    aborts), and every version reads under ITS schema with older
+  *    files supplying null for later columns, no `mergeSchema` footer
+  *    crawl.
+  *  - '''Exactly-once streaming ingestion.''' [[appendStream]] records
+  *    the highest committed micro-batch id per writer in the manifest
+  *    (the `txns` watermark), so `foreachBatch` replay after a stream
+  *    restart commits nothing twice — the idempotence check rides the
+  *    same CAS as the commit itself.
   *  - '''Manifest-level data skipping.''' Tables that declare
   *    `statsColumns` record each data file's column [min, max] in the
   *    manifest at commit time (lifted from the footers the write just
@@ -151,9 +167,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, ColRange]])
+    val schemaJson = Option(node.get("schema")).map(_.asText()).getOrElse("")
+    val txns = Option(node.get("txns")).map { tn =>
+      tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
-      node.get("bytes").asLong(), files, stats)
+      node.get("bytes").asLong(), files, stats, schemaJson, txns)
   }
 
   /** All retained versions, oldest first. */
@@ -167,12 +187,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }.toSeq.sorted.map(snapshot)
 
   /** Read a committed version (latest when omitted) — planning touches
-    * one manifest, never a directory listing. */
+    * one manifest, never a directory listing, and the scan schema comes
+    * from the manifest too: files written before a column was added
+    * read it as null (schema-on-read), with zero `mergeSchema` footer
+    * crawling. */
   def read(version: Long = -1L): DataFrame = {
     val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    spark.read.parquet(s.files.map(f => new Path(dataDir, f).toString): _*)
+    reader(s).parquet(s.files.map(f => new Path(dataDir, f).toString): _*)
   }
+
+  private def reader(s: Snapshot) =
+    if (s.schemaJson.isEmpty) spark.read
+    else spark.read.schema(org.apache.spark.sql.types.DataType
+      .fromJson(s.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Manifest-pruned range read: keep only files whose recorded
     * `column` range intersects [lo, hi] — planning-time skipping that
@@ -191,17 +219,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val kept = s.files.filter(f =>
       s.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
     if (kept.isEmpty)
-      // every file pruned: empty result, schema from one footer
-      spark.read.parquet(new Path(dataDir, s.files.head).toString)
+      // every file pruned: empty result, schema from the manifest (or
+      // one footer for a pre-schema manifest)
+      reader(s).parquet(new Path(dataDir, s.files.head).toString)
         .where(lit(false))
     else
-      spark.read.parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+      reader(s).parquet(kept.map(f => new Path(dataDir, f).toString): _*)
         .where(col(column).between(lit(lo), lit(hi)))
   }
 
   /** Append `df` as a new version. Safe under concurrent appenders:
     * stage once, then retry the manifest CAS against the fresh parent —
-    * appends commute, the staged files stay valid across retries. */
+    * appends commute, the staged files stay valid across retries.
+    *
+    * Schema evolution: an append may ADD columns (they join the merged
+    * read schema; older files read them as null) but may not change an
+    * existing column's type — that aborts before anything commits.
+    * Columns absent from this append but present in the table read as
+    * null from the new files the same way. */
   def append(df: DataFrame): Snapshot = {
     val staged = stage(df)
     var attempts = 0
@@ -210,9 +245,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val base =
         if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
         else snapshot(parent)
+      val merged =
+        try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+        catch { case e: IllegalStateException => discard(staged); throw e }
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
-        base.files ++ staged.files, base.stats ++ staged.stats)
+        base.files ++ staged.files, base.stats ++ staged.stats,
+        merged, base.txns)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -220,6 +259,47 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     throw new CommitConflictException(
       s"append to $tableDir lost the commit race $MaxCommitAttempts times")
   }
+
+  /** Exactly-once micro-batch append for Structured Streaming's
+    * `foreachBatch`: the manifest records the highest committed batch id
+    * per `appId`, and a replayed batch (same or lower id — exactly what
+    * a restarted stream re-delivers) is detected INSIDE the commit loop
+    * and skipped without committing, so the check and the commit cannot
+    * race. Returns None for a skipped replay. Usage:
+    * {{{ ds.writeStream.foreachBatch(log.streamSink("ingest")).start() }}} */
+  def appendStream(df: DataFrame, appId: String, batchId: Long): Option[Snapshot] = {
+    val cur = currentVersion()
+    if (cur > 0 && snapshot(cur).txns.get(appId).exists(_ >= batchId))
+      return None // replay detected before staging any data
+    val staged = stage(df)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val parent = currentVersion()
+      val base =
+        if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+        else snapshot(parent)
+      if (base.txns.get(appId).exists(_ >= batchId)) {
+        discard(staged) // lost the race to our own replay twin
+        return None
+      }
+      val merged =
+        try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+        catch { case e: IllegalStateException => discard(staged); throw e }
+      val next = Snapshot(parent + 1, "append", parent,
+        base.rows + staged.rows, base.bytes + staged.bytes,
+        base.files ++ staged.files, base.stats ++ staged.stats,
+        merged, base.txns + (appId -> batchId))
+      if (tryCommit(next)) return Some(next)
+      attempts += 1
+    }
+    discard(staged)
+    throw new CommitConflictException(
+      s"stream append to $tableDir lost the commit race $MaxCommitAttempts times")
+  }
+
+  /** [[appendStream]] curried for `DataStreamWriter.foreachBatch`. */
+  def streamSink(appId: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { appendStream(df, appId, batchId); () }
 
   /** Row-preserving full rewrite (compaction, re-clustering): transform
     * the CURRENT snapshot, verify rows-written == rows-before from an
@@ -237,7 +317,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           s"${staged.rows} rewritten — aborted, table untouched")
     }
     val next = Snapshot(base.version + 1, op, base.version,
-      staged.rows, staged.bytes, staged.files, staged.stats)
+      staged.rows, staged.bytes, staged.files, staged.stats,
+      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -289,7 +370,33 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   // ---- internals ----------------------------------------------------
 
   private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
-      stats: Map[String, Map[String, ColRange]])
+      stats: Map[String, Map[String, ColRange]], schemaJson: String)
+
+  /** Widening-only schema merge: incoming columns must keep an existing
+    * column's type (`sameType` — nullability-insensitive); genuinely new
+    * columns append to the read schema as nullable. Anything else is a
+    * broken contract and aborts the commit. */
+  private def mergeSchemaJson(baseJson: String, incomingJson: String): String = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    if (baseJson.isEmpty) return incomingJson
+    if (incomingJson.isEmpty || baseJson == incomingJson) return baseJson
+    val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
+    val inc = DataType.fromJson(incomingJson).asInstanceOf[StructType]
+    val byName = base.fields.map(f => f.name -> f).toMap
+    inc.fields.foreach { f =>
+      byName.get(f.name).foreach { b =>
+        // `.sql` is the nullability-free public type rendering (sameType
+        // is private[sql])
+        if (b.dataType.sql != f.dataType.sql)
+          throw new IllegalStateException(
+            s"schema evolution of $tableDir cannot change column '${f.name}' " +
+              s"from ${b.dataType.simpleString} to ${f.dataType.simpleString}")
+      }
+    }
+    val added = inc.fields.filterNot(f => byName.contains(f.name))
+      .map(f => StructField(f.name, f.dataType, nullable = true))
+    StructType(base.fields ++ added).json
+  }
 
   /** Write `df` to a scratch dir, count rows via an `Observation` riding
     * the write job (no second read), then move the part files into
@@ -318,7 +425,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       }
     fs.delete(scratch, true)
     Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
-      moved.collect { case (n, _, st) if st.nonEmpty => n -> st }.toMap)
+      moved.collect { case (n, _, st) if st.nonEmpty => n -> st }.toMap,
+      df.schema.json)
   }
 
   /** [min, max] per stats column from one file's parquet footer. A
@@ -377,6 +485,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           fn.putObject(c).put("n", cr.numeric).put("lo", cr.lo).put("hi", cr.hi)
         }
       }
+    }
+    if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
+    if (s.txns.nonEmpty) {
+      val tn = node.putObject("txns")
+      s.txns.foreach { case (a, b) => tn.put(a, b) }
     }
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, true)

@@ -197,6 +197,65 @@ class TableLogSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("schema evolution: added columns widen the read schema, type changes abort") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(Seq((1, "a")).toDF("id", "payload"))
+    log.append(Seq((2, "b", 0.5)).toDF("id", "payload", "score"))
+    val df = log.read()
+    assert(df.columns.toSeq == Seq("id", "payload", "score"))
+    val byId = df.select("id", "score").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(byId == Map(1 -> None, 2 -> Some(0.5)),
+      "pre-evolution files must read the new column as null")
+    assert(log.read(1).columns.toSeq == Seq("id", "payload"),
+      "time travel reads under the version's own schema")
+    val ex = intercept[IllegalStateException] {
+      log.append(Seq(("x", "c")).toDF("id", "payload"))
+    }
+    assert(ex.getMessage.contains("cannot change column 'id'"))
+    assert(log.currentVersion() == 2, "failed evolution must not commit")
+  }
+
+  test("exactly-once streaming appends: replayed micro-batches commit nothing") {
+    val log = SnapshotLog(spark, freshTable())
+    assert(log.appendStream(mkRows(0, 10).toDF("id", "payload"), "ingest", 0L).isDefined)
+    assert(log.appendStream(mkRows(0, 10).toDF("id", "payload"), "ingest", 0L).isEmpty,
+      "an immediate replay of the same batch must be skipped")
+    assert(log.appendStream(mkRows(1, 10).toDF("id", "payload"), "ingest", 1L).isDefined)
+    assert(log.appendStream(mkRows(0, 10).toDF("id", "payload"), "ingest", 0L).isEmpty,
+      "a late replay of an old batch must be skipped")
+    // an independent writer's batch ids don't collide with ingest's
+    assert(log.appendStream(mkRows(2, 10).toDF("id", "payload"), "backfill", 0L).isDefined)
+    assert(log.currentVersion() == 3)
+    assert(log.snapshot().txns == Map("ingest" -> 1L, "backfill" -> 0L))
+    assert(rowsOf(log) == (0 until 3).flatMap(mkRows(_, 10)).sorted,
+      "every batch exactly once")
+  }
+
+  test("foreachBatch through the log: a bounded stream lands exactly once") {
+    val src = Files.createTempDirectory("graft-log-src-").toString
+    mkRows(5, 60).toDF("id", "payload").repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val log = SnapshotLog(spark, freshTable())
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch(log.streamSink("e2e"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-log-ckpt-").toString)
+      .start()
+    q.awaitTermination(120000)
+    assert(rowsOf(log) == mkRows(5, 60).sorted)
+    assert(log.snapshot().txns.contains("e2e"))
+    // the stream's own replay path: re-delivering the committed batch id
+    // through the sink function commits nothing
+    val v = log.currentVersion()
+    log.streamSink("e2e")(mkRows(5, 60).toDF("id", "payload"), 0L)
+    assert(log.currentVersion() == v && rowsOf(log) == mkRows(5, 60).sorted)
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
