@@ -99,6 +99,7 @@ object SparkEntry {
     "ev_funnel" -> (Events.evFunnel _), // ordered signup→view→click funnel
     "ev_cohorts" -> (Events.evCohorts _), // weekly cohort retention triangle
     "ev_anomaly" -> (Events.evAnomaly _), // trailing z-score rate anomaly per event type
+    "ev_gapfill" -> (Events.evGapfill _), // calendar-spine hourly densification (true zeros)
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
@@ -203,6 +204,7 @@ object SparkEntry {
     "ev_funnel" -> Events.evFunnelOracle,
     "ev_cohorts" -> Events.evCohortsOracle,
     "ev_anomaly" -> Events.evAnomalyOracle,
+    "ev_gapfill" -> Events.evGapfillOracle,
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,

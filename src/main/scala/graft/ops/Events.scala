@@ -260,6 +260,47 @@ object Events {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Calendar densification: hourly event counts over a generated
+    * complete hour spine, zero-filled — the step that turns "no row" into
+    * "count 0" so downstream gates ([[evAnomaly]]'s trailing frames,
+    * SLA monitors) can tell a silent producer from a missing bucket.
+    *
+    * Shape at 100 TB: the ONLY corpus-sized work is the one map-side-
+    * combined hourly aggregate; the spine comes from a single-row
+    * min/max aggregate expanded with `sequence()` (calendar-sized — ~9k
+    * rows/year), and the zero-fill join is spine ⋈ hourly-counts, both
+    * control-plane-sized however large the corpus. Spark broadcasts the
+    * 1-row bounds implicitly; nothing re-scans. Oracle-checked. */
+  def evGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      .select(explode(sequence(col("t0"), col("t1"),
+        expr("interval 1 hour"))).as("bucket"))
+    spine.join(hourly, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  def evGapfillOracle: String =
+    """WITH b AS (
+      |  SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS t0,
+      |         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events
+      |), spine AS (
+      |  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket FROM b
+      |), hourly AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, count(*) AS cnt
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT s.bucket, CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt
+      |FROM spine s LEFT JOIN hourly h USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   def evAnomalyOracle: String =
     """WITH b AS (
       |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
