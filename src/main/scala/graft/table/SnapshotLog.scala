@@ -327,6 +327,45 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Copy-on-write range delete: drop rows with `column` in [lo, hi],
+    * rewriting ONLY the files whose recorded range intersects the
+    * predicate (files without a recorded range rewrite too — absence is
+    * conservative); every other file carries over BY NAME. The manifest
+    * stats make the blast radius proportional to the data that can
+    * match, not to the table: on a clustered table a narrow delete
+    * rewrites one file while the rest of the corpus is untouched bytes
+    * AND untouched metadata. Commits as op `delete` with `rows`
+    * decreasing by the deleted count; a concurrent commit aborts, like
+    * [[rewrite]]. Returns None when no file can contain a match —
+    * nothing commits. Prior versions still read the deleted rows (time
+    * travel is the undo), until [[vacuum]] passes the horizon. */
+  def deleteBetween(column: String, lo: Any, hi: Any): Option[Snapshot] = {
+    val base = snapshot()
+    val (touched, untouched) = base.files.partition(f =>
+      base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+    if (touched.isEmpty) return None
+    val touchedPaths = touched.map(f => new Path(dataDir, f))
+    val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
+    val touchedDf = reader(base).parquet(touchedPaths.map(_.toString): _*)
+    // footer-metadata count (zero-column scan) — the deleted-row count
+    // needs the touched total, never a data read
+    val touchedRows = touchedDf.count()
+    val staged = stage(
+      touchedDf.where(!col(column).between(lit(lo), lit(hi))))
+    val next = Snapshot(base.version + 1, "delete", base.version,
+      base.rows - (touchedRows - staged.rows),
+      base.bytes - touchedBytes + staged.bytes,
+      untouched ++ staged.files,
+      (base.stats -- touched) ++ staged.stats,
+      base.schemaJson, base.txns)
+    if (!tryCommit(next)) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
+    }
+    Some(next)
+  }
+
   /** Bin-pack the live set back to ~`targetFileBytes` files via a
     * narrow `coalesce` (no shuffle), committed as a rewrite. `None` when
     * already compact — the scheduled form must be a cheap no-op. */

@@ -256,6 +256,34 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.currentVersion() == v && rowsOf(log) == mkRows(5, 60).sorted)
   }
 
+  test("copy-on-write delete rewrites only stats-intersecting files") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val r = new scala.util.Random(13)
+    (0 until 3).foreach { run =>
+      log.append(r.shuffle((0 until 600).toList)
+        .map(i => (i, s"p-$run-$i")).toDF("id", "payload").repartition(2))
+    }
+    val clustered = graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+      targetFileBytes = math.max(1L, log.snapshot().bytes / 3))
+    assert(clustered.files.size >= 3)
+
+    val Some(d) = log.deleteBetween("id", 0, 50): @unchecked
+    assert(d.op == "delete" && d.rows == clustered.rows - 3 * 51,
+      s"every copy of ids 0..50 must go: $d")
+    val carried = clustered.files.filter(d.files.contains)
+    assert(carried.size == clustered.files.size - 1,
+      s"only the one intersecting file may be rewritten " +
+        s"(carried ${carried.size} of ${clustered.files.size})")
+    val remaining = rowsOf(log)
+    assert(remaining == (0 until 3).flatMap(run =>
+      (51 until 600).map(i => (i, s"p-$run-$i"))).sorted)
+    assert(rowsOf(log, v = clustered.version).count(_._1 <= 50) == 3 * 51,
+      "time travel must still read the deleted rows")
+    assert(log.deleteBetween("id", 10000, 20000).isEmpty,
+      "a range no file can contain must not commit")
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
