@@ -1,7 +1,7 @@
 package graft.jobs
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 /** Per-clustering metrics. `rows` is the swap-verified written count.
@@ -103,6 +103,20 @@ object LayoutJob {
     val (path, fs, before, nOut) = prepare(spark, dir, targetFileBytes)
     val src = spark.read.parquet(dir)
     val rowsBefore = src.count()
+    val out = zorderOut(spark, src, cols, nOut, bitsPerCol)
+    val rows = withRangeSample(spark) {
+      RewriteSwap.writeVerifySwap(spark, fs, path, out, rowsBefore, "layout")
+    }
+    LayoutMetrics(before.length, RewriteSwap.dataFiles(fs, path).length,
+      rows, cols)
+  }
+
+  /** [[zorderBy]] / [[zorderByLog]] shared transform: equi-depth rank
+    * cuts, codegen'd Morton key + top-bits cell id, ONE range exchange
+    * on the cell id (2x over-provisioned), full-key in-partition sort,
+    * key dropped before the write. */
+  private def zorderOut(spark: SparkSession, src: DataFrame, cols: Seq[String],
+      nOut: Int, bitsPerCol: Int): DataFrame = {
     val zCol = "__graft_zorder_key"
     require(!src.columns.contains(zCol), s"layer already has a $zCol column")
 
@@ -191,28 +205,47 @@ object LayoutJob {
     // cell id becomes its own bound: a cell can neither split (equal
     // values never split) nor merge. Surplus partitions stay empty and
     // write no files.
-    val out = src
+    src
       .withColumn(zCol, graft.functions.ZOrderFunctions.interleave_bits(bucketCols, effBits))
       .withColumn(cellCol,
         org.apache.spark.sql.functions.shiftright(col(zCol), totalBits - cellBits))
       .repartitionByRange(2 * numCells, col(cellCol))
       .sortWithinPartitions(zCol)
       .drop(zCol, cellCol)
-    // the boundary sample only has to see every cell id: 1000/partition
-    // over equi-depth cells makes a missed cell vanishingly rare at the
-    // per-maintenance-unit file counts this job targets (RangePartitioner
-    // caps the total draw at 1e6 rows)
+  }
+
+  /** Scoped bump of the range-exchange boundary sample: 1000 draws per
+    * partition over equi-depth cells makes a missed cell id vanishingly
+    * rare at the per-maintenance-unit file counts these jobs target
+    * (RangePartitioner caps the total draw at 1e6 rows). Restores the
+    * previous value even on failure. */
+  private def withRangeSample[T](spark: SparkSession)(body: => T): T = {
     val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
-    val prevSample = spark.conf.getOption(sampleKey)
+    val prev = spark.conf.getOption(sampleKey)
     spark.conf.set(sampleKey, "1000")
-    val rows =
-      try RewriteSwap.writeVerifySwap(spark, fs, path, out, rowsBefore, "layout")
-      finally prevSample match {
-        case Some(v) => spark.conf.set(sampleKey, v)
-        case None => spark.conf.unset(sampleKey)
-      }
-    LayoutMetrics(before.length, RewriteSwap.dataFiles(fs, path).length,
-      rows, cols)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(sampleKey, v)
+      case None => spark.conf.unset(sampleKey)
+    }
+  }
+
+  /** [[zorderBy]] for a log-backed table: the same Morton-curve rewrite
+    * committed as a `zorder` manifest — no swap window, sizing from the
+    * manifest's byte total, and with `statsColumns` covering the curve
+    * columns the committed per-file stats bound EVERY clustered
+    * dimension, so [[graft.table.SnapshotLog.readBetween]] prunes on
+    * ANY of them from the manifest alone. */
+  def zorderByLog(log: graft.table.SnapshotLog, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20,
+      bitsPerCol: Int = 12): graft.table.Snapshot = {
+    require(cols.size >= 2, "zorderBy needs at least two columns (use clusterBy for one)")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val spark = log.session
+    val bytes = log.snapshot().bytes
+    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    withRangeSample(spark) {
+      log.rewrite("zorder")(df => zorderOut(spark, df, cols, nOut, bitsPerCol))
+    }
   }
 
   /** [[clusterBy]] for a log-backed table ([[graft.table.SnapshotLog]]):

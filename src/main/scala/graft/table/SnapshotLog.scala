@@ -128,6 +128,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     statsColumns: Seq[String] = Nil) {
   import SnapshotLog._
 
+  /** The owning session, for jobs that compose transforms through this
+    * log ([[graft.jobs.LayoutJob.zorderByLog]]). */
+  private[graft] def session: SparkSession = spark
+
   private val root = new Path(tableDir)
   private val fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -364,6 +368,57 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
     }
     Some(next)
+  }
+
+  /** Copy-on-write MERGE (upsert) by key: rows of `updates` replace
+    * same-key rows and insert where the key is new. `updates` must be
+    * key-unique — it is exactly the shape the SCD latest-record-wins
+    * merge ([[graft.ops.Relational]] q24) emits, which is the intended
+    * feed: q24 computes the merged view, this applies it transactionally.
+    *
+    * Stats-targeted like [[deleteBetween]]: only files whose recorded
+    * key range intersects the updates' [min, max] key envelope rewrite
+    * (matched rows dropped via a broadcast-sized anti-join, then the
+    * updates union in); every other file carries over by name. A
+    * clustered table + a narrow update batch ⇒ one file rewrites.
+    * Production planning routes update rows to files per-key rather
+    * than by envelope — the envelope is the conservative simplification
+    * (correct always, minimal only when updates cluster). Insert-only
+    * batches (envelope beyond every file) stage straight to an append.
+    * Conflicts abort, prior versions keep the pre-merge rows. */
+  def mergeByKey(updates: DataFrame, column: String): Snapshot = {
+    val base = snapshot()
+    val bounds = updates.agg(
+      org.apache.spark.sql.functions.min(col(column)),
+      org.apache.spark.sql.functions.max(col(column))).head()
+    require(!bounds.isNullAt(0), "updates must have at least one non-null key")
+    val (lo, hi) = (bounds.get(0), bounds.get(1))
+    val (touched, untouched) = base.files.partition(f =>
+      base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+    val (touchedRows, stagedDf) =
+      if (touched.isEmpty) (0L, updates)
+      else {
+        val touchedDf = reader(base)
+          .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
+        val survivors = touchedDf.join(
+          updates.select(col(column)).distinct(), Seq(column), "left_anti")
+        (touchedDf.count(), survivors.unionByName(updates))
+      }
+    val touchedBytes =
+      touched.map(f => fs.getFileStatus(new Path(dataDir, f)).getLen).sum
+    val staged = stage(stagedDf)
+    val next = Snapshot(base.version + 1, "merge", base.version,
+      base.rows - touchedRows + staged.rows,
+      base.bytes - touchedBytes + staged.bytes,
+      untouched ++ staged.files,
+      (base.stats -- touched) ++ staged.stats,
+      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns)
+    if (!tryCommit(next)) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"merge on $tableDir: concurrent commit since v${base.version}; rerun")
+    }
+    next
   }
 
   /** Bin-pack the live set back to ~`targetFileBytes` files via a

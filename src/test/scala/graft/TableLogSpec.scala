@@ -256,6 +256,30 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.currentVersion() == v && rowsOf(log) == mkRows(5, 60).sorted)
   }
 
+  test("z-order through the log: manifest stats prune on EITHER curve dimension") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("x", "y"))
+    val r = new scala.util.Random(17)
+    // 40x40 grid, shuffled: append-order files span both dimensions fully
+    log.append(r.shuffle((for (x <- 0 until 40; y <- 0 until 40)
+      yield (x, y, s"c-$x-$y")).toList)
+      .toDF("x", "y", "payload").repartition(4))
+    val before = log.snapshot()
+    val s = graft.jobs.LayoutJob.zorderByLog(log, Seq("x", "y"),
+      targetFileBytes = math.max(1L, before.bytes / 4), bitsPerCol = 6)
+    assert(s.op == "zorder" && s.files.size >= 4, s"want a multi-file layout: $s")
+    assert(s.stats.values.forall(m => m.contains("x") && m.contains("y")))
+    // a narrow slice on EACH dimension alone must skip files from the
+    // manifest — the multi-column property lexicographic sort can't give
+    Seq("x", "y").foreach { c =>
+      val pruned = log.readBetween(c, 0, 4)
+      assert(pruned.inputFiles.length < s.files.size,
+        s"slice on $c alone must prune: opened ${pruned.inputFiles.length} " +
+          s"of ${s.files.size}")
+      assert(pruned.count() == 5 * 40, s"slice on $c must keep exact rows")
+    }
+  }
+
   test("copy-on-write delete rewrites only stats-intersecting files") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
@@ -282,6 +306,40 @@ class TableLogSpec extends AnyFunSuite {
       "time travel must still read the deleted rows")
     assert(log.deleteBetween("id", 10000, 20000).isEmpty,
       "a range no file can contain must not commit")
+  }
+
+  test("merge by key: updates rewrite one clustered file, inserts append") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val r = new scala.util.Random(19)
+    (0 until 3).foreach { run =>
+      log.append(r.shuffle((0 until 600).toList)
+        .map(i => (i, s"p-$run-$i")).toDF("id", "payload").repartition(2))
+    }
+    val clustered = graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+      targetFileBytes = math.max(1L, log.snapshot().bytes / 3))
+
+    // narrow update batch confined to the lowest file's range
+    val m1 = log.mergeByKey(
+      (10 to 14).map(i => (i, s"UPDATED-$i")).toDF("id", "payload"), "id")
+    assert(m1.op == "merge" && m1.rows == clustered.rows - 3 * 5 + 5,
+      s"three copies of each key collapse to the update row: $m1")
+    val carried = clustered.files.filter(m1.files.contains)
+    assert(carried.size == clustered.files.size - 1,
+      s"only the intersecting file may rewrite " +
+        s"(carried ${carried.size} of ${clustered.files.size})")
+    val after = rowsOf(log)
+    assert((10 to 14).forall(i => after.contains((i, s"UPDATED-$i"))))
+    assert(!after.exists { case (i, p) => (10 to 14).contains(i) && p.startsWith("p-") },
+      "no stale copy of an updated key may survive")
+
+    // insert-only batch beyond every file's range: pure append
+    val m2 = log.mergeByKey(
+      Seq((10000, "NEW-a"), (10001, "NEW-b")).toDF("id", "payload"), "id")
+    assert(m2.rows == m1.rows + 2)
+    assert(m1.files.forall(m2.files.contains),
+      "insert-only merge must carry every existing file")
+    assert(rowsOf(log).count(_._1 >= 10000) == 2)
   }
 
   test("vacuum drops expired versions' files but never a retained snapshot's") {
