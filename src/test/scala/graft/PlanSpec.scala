@@ -402,4 +402,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("dynamicpruning"),
       s"expected a dynamicpruning partition filter on the fact scan:\n${p.take(2000)}")
   }
+
+  test("emb_gram: dim² fan-out stays below a map-side partial aggregate") {
+    val p = plan(graft.ops.Embeddings.embGram(TestSpark.spark, TestSpark.Sf0001))
+    // two chained generators produce the (i, j) pairs inside the scan stage
+    assert("Generate".r.findAllIn(p).size >= 2,
+      s"expected two generators for the pair fan-out:\n${p.take(1500)}")
+    // partial+final pair: the exchange carries aggregated (i,j) cells,
+    // never the generated pair stream
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate in:\n${p.take(1500)}")
+    // below the BOTTOM (partial) aggregate sit the generators and the
+    // scan with no exchange between — the pair stream never shuffles
+    val belowPartial = p.substring(p.lastIndexOf("HashAggregate") + 1)
+    assert(belowPartial.contains("Generate") && !belowPartial.contains("Exchange"),
+      s"the generated pairs must partial-aggregate before any exchange:\n" +
+        s"${belowPartial.take(800)}")
+  }
+
+  test("ev_gapfill: the spine join is broadcast — nothing corpus-sized shuffles for it") {
+    val p = plan(graft.ops.Events.evGapfill(TestSpark.spark, TestSpark.Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"calendar-spine zero-fill must broadcast a control-plane side:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join here would shuffle both sides of a calendar-sized join")
+  }
 }

@@ -352,5 +352,10 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == (0 until 3).flatMap(mkRows(_, 40)).sorted,
       "live snapshot must survive vacuum")
     intercept[IllegalArgumentException](log.read(1))
+    // dead staging dirs (a crashed writer's leftovers) are swept too
+    val stagedDir = new java.io.File(log.tableDir, "_staged-deadbeef")
+    assert(stagedDir.mkdirs())
+    log.vacuum(keepLast = 1, graceMs = 0L)
+    assert(!stagedDir.exists(), "vacuum must sweep dead staging directories")
   }
 }
