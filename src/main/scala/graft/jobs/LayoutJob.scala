@@ -239,10 +239,9 @@ object LayoutJob {
       targetFileBytes: Long = 128L << 20,
       bitsPerCol: Int = 12): graft.table.Snapshot = {
     require(cols.size >= 2, "zorderBy needs at least two columns (use clusterBy for one)")
-    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val spark = log.session
-    val bytes = log.snapshot().bytes
-    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val nOut = graft.table.SnapshotLog.packedFileCount(
+      log.snapshot().bytes, targetFileBytes)
     withRangeSample(spark) {
       log.rewrite("zorder")(df => zorderOut(spark, df, cols, nOut, bitsPerCol))
     }
@@ -258,9 +257,8 @@ object LayoutJob {
   def clusterByLog(log: graft.table.SnapshotLog, cols: Seq[String],
       targetFileBytes: Long = 128L << 20): graft.table.Snapshot = {
     require(cols.nonEmpty, "clusterBy needs at least one column")
-    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
-    val bytes = log.snapshot().bytes
-    val nOut = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val nOut = graft.table.SnapshotLog.packedFileCount(
+      log.snapshot().bytes, targetFileBytes)
     log.rewrite("cluster")(_
       .repartitionByRange(nOut, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*))

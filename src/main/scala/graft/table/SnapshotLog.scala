@@ -17,11 +17,31 @@ import scala.jdk.CollectionConverters._
   * file is then never pruned — absence is always safe). */
 final case class ColRange(numeric: Boolean, lo: String, hi: String) {
   def intersects(qLo: Any, qHi: Any): Boolean =
-    if (numeric) {
-      def d(a: Any) = a match { case n: Number => n.doubleValue
-        case other => other.toString.toDouble }
-      lo.toDouble <= d(qHi) && hi.toDouble >= d(qLo)
-    } else lo <= qHi.toString && hi >= qLo.toString
+    if (numeric) lo.toDouble <= ColRange.num(qHi) && hi.toDouble >= ColRange.num(qLo)
+    else {
+      // compare under UTF8String's unsigned-byte order — the ordering
+      // the footer stats were aggregated in and Spark's sort uses. Java
+      // String.compareTo (UTF-16 code units) disagrees for supplementary
+      // characters, which would make pruning unsound.
+      import org.apache.spark.unsafe.types.UTF8String
+      def u(s: String) = UTF8String.fromString(s)
+      u(lo).compareTo(u(qHi.toString)) <= 0 && u(hi).compareTo(u(qLo.toString)) >= 0
+    }
+}
+
+object ColRange {
+  /** A query bound as the double the numeric footer stats are recorded
+    * in: timestamps are epoch micros (parquet TIMESTAMP_MICROS), dates
+    * epoch days (parquet DATE). Anything else must parse as a number. */
+  private[table] def num(a: Any): Double = a match {
+    case n: Number              => n.doubleValue
+    case t: java.sql.Timestamp  =>
+      t.toInstant.getEpochSecond * 1e6 + t.toInstant.getNano / 1e3
+    case t: java.time.Instant   => t.getEpochSecond * 1e6 + t.getNano / 1e3
+    case d: java.sql.Date       => d.toLocalDate.toEpochDay.toDouble
+    case d: java.time.LocalDate => d.toEpochDay.toDouble
+    case other                  => other.toString.toDouble
+  }
 }
 
 /** One committed table version: the complete live file set plus the
@@ -320,9 +340,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"$op row-count mismatch for $tableDir: ${base.rows} before, " +
           s"${staged.rows} rewritten — aborted, table untouched")
     }
+    val merged =
+      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+      catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, op, base.version,
       staged.rows, staged.bytes, staged.files, staged.stats,
-      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns)
+      merged, base.txns)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -354,8 +377,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // footer-metadata count (zero-column scan) — the deleted-row count
     // needs the touched total, never a data read
     val touchedRows = touchedDf.count()
-    val staged = stage(
-      touchedDf.where(!col(column).between(lit(lo), lit(hi))))
+    // NULL keys never match a range delete (SQL DELETE semantics):
+    // !between is NULL for NULL inputs, which a bare filter would DROP
+    val staged = stage(touchedDf.where(
+      col(column).isNull || !col(column).between(lit(lo), lit(hi))))
     val next = Snapshot(base.version + 1, "delete", base.version,
       base.rows - (touchedRows - staged.rows),
       base.bytes - touchedBytes + staged.bytes,
@@ -388,7 +413,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * Conflicts abort, prior versions keep the pre-merge rows. */
   def mergeByKey(updates: DataFrame, column: String): Snapshot = {
     val base = snapshot()
-    val bounds = updates.agg(
+    // materialize the batch once: it feeds the bounds aggregate, the
+    // anti-join and the staged union — recomputing an expensive (or
+    // non-deterministic) update source three times could even disagree
+    // with its own bounds
+    val u = updates.localCheckpoint(true)
+    val bounds = u.agg(
       org.apache.spark.sql.functions.min(col(column)),
       org.apache.spark.sql.functions.max(col(column))).head()
     require(!bounds.isNullAt(0), "updates must have at least one non-null key")
@@ -396,23 +426,26 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val (touched, untouched) = base.files.partition(f =>
       base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
     val (touchedRows, stagedDf) =
-      if (touched.isEmpty) (0L, updates)
+      if (touched.isEmpty) (0L, u)
       else {
         val touchedDf = reader(base)
           .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
         val survivors = touchedDf.join(
-          updates.select(col(column)).distinct(), Seq(column), "left_anti")
-        (touchedDf.count(), survivors.unionByName(updates))
+          u.select(col(column)).distinct(), Seq(column), "left_anti")
+        (touchedDf.count(), survivors.unionByName(u))
       }
     val touchedBytes =
       touched.map(f => fs.getFileStatus(new Path(dataDir, f)).getLen).sum
     val staged = stage(stagedDf)
+    val merged =
+      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+      catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, "merge", base.version,
       base.rows - touchedRows + staged.rows,
       base.bytes - touchedBytes + staged.bytes,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
-      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns)
+      merged, base.txns)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -425,9 +458,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * narrow `coalesce` (no shuffle), committed as a rewrite. `None` when
     * already compact — the scheduled form must be a cheap no-op. */
   def compact(targetFileBytes: Long = 128L << 20): Option[Snapshot] = {
-    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val cur = snapshot()
-    val nOut = math.max(1L, (cur.bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val nOut = SnapshotLog.packedFileCount(cur.bytes, targetFileBytes)
     if (cur.files.length <= nOut) None
     else Some(rewrite("compact")(_.coalesce(nOut)))
   }
@@ -445,7 +477,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (cur == 0) return 0
     val keepFrom = math.max(1L, cur - keepLast + 1)
     (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
-    val live = (keepFrom to cur).flatMap(v => snapshot(v).files).toSet
+    // a version inside the horizon may already be gone from an earlier,
+    // TIGHTER vacuum — skip it rather than crash the wider one
+    val live = (keepFrom to cur)
+      .filter(v => fs.exists(manifestPath(v)))
+      .flatMap(v => snapshot(v).files).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { f =>
@@ -524,13 +560,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   }
 
   /** [min, max] per stats column from one file's parquet footer. A
-    * column whose chunks lack usable stats (or a non-numeric/non-string
-    * type) gets no entry — the file then never prunes on it. String
-    * mins/maxes compare as UTF-8 text, the same ordering the footer
-    * stats and Spark's sort use. */
+    * column whose chunks lack usable stats (or whose type the range
+    * machinery doesn't model) gets no entry — the file then never prunes
+    * on it. Binary stats are accepted ONLY for string-annotated columns
+    * (an INT96 timestamp's 12-byte min/max would otherwise be recorded
+    * as garbage text and make pruning unsound), and string mins/maxes
+    * aggregate under UTF8String's unsigned-byte order — the order the
+    * per-chunk stats themselves are in. */
   private def footerRanges(file: Path): Map[String, ColRange] =
     if (statsColumns.isEmpty) Map.empty
     else {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.spark.unsafe.types.UTF8String
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(file,
         spark.sparkContext.hadoopConfiguration))
       try {
@@ -540,18 +581,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             _.getColumns.asScala.filter(_.getPath.toDotString == c))
           val sts = chunks.map(_.getStatistics)
             .filter(s => s != null && s.hasNonNullValue)
+          val isString = chunks.headOption.exists(
+            _.getPrimitiveType.getLogicalTypeAnnotation
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
           if (chunks.isEmpty || sts.size != chunks.size) None
           else sts.head.genericGetMin match {
             case _: Number =>
               Some(c -> ColRange(numeric = true,
                 sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min.toString,
                 sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max.toString))
-            case _: org.apache.parquet.io.api.Binary =>
+            case _: org.apache.parquet.io.api.Binary if isString =>
+              def u(ss: Seq[String]) = ss.map(UTF8String.fromString)
               Some(c -> ColRange(numeric = false,
-                sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8).min,
-                sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8).max))
+                u(sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)).min.toString,
+                u(sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)).max.toString))
             case _ => None
           }
         }.toMap
@@ -600,8 +645,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def atomicPublish(tmp: Path, dst: Path): Boolean =
     if (fs.getScheme == "file") {
       val (t, d) = (Paths.get(tmp.toUri.getPath), Paths.get(dst.toUri.getPath))
-      try { Files.createLink(d, t); Files.delete(t); true }
-      catch { case _: FileAlreadyExistsException => Files.deleteIfExists(t); false }
+      // tmp cleanup goes through the Hadoop FS so the checksum sibling
+      // (ChecksumFileSystem's .crc) is swept with it — a NIO delete
+      // would leak one crc file per commit forever
+      try { Files.createLink(d, t); fs.delete(tmp, false); true }
+      catch { case _: FileAlreadyExistsException => fs.delete(tmp, false); false }
     } else {
       if (fs.exists(dst)) { fs.delete(tmp, false); false }
       else fs.rename(tmp, dst)
@@ -614,6 +662,13 @@ object SnapshotLog {
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
   private val ManifestName = """v(\d{20})\.json""".r
+
+  /** Output-file count that bin-packs `bytes` into ~`targetFileBytes`
+    * files — the one sizing rule every layout/compaction job shares. */
+  def packedFileCount(bytes: Long, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+  }
 
   def apply(spark: SparkSession, tableDir: String,
       statsColumns: Seq[String] = Nil): SnapshotLog =

@@ -342,6 +342,28 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log).count(_._1 >= 10000) == 2)
   }
 
+  test("range delete keeps NULL-keyed rows (SQL DELETE semantics)") {
+    val log = SnapshotLog(spark, freshTable())
+    val rows: Seq[(Option[Int], String)] =
+      Seq((Some(1), "a"), (None, "null-row"), (Some(50), "b"), (Some(99), "c"))
+    log.append(rows.toDF("id", "payload"))
+    val Some(d) = log.deleteBetween("id", 0, 60): @unchecked
+    assert(d.rows == 2, s"ids 1 and 50 go, NULL and 99 stay: $d")
+    val left = log.read().select("payload").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("c", "null-row"),
+      "a NULL key does not match a range predicate and must survive")
+  }
+
+  test("vacuum widening after a tighter pass skips already-swept versions") {
+    val log = SnapshotLog(spark, freshTable())
+    (0 until 4).foreach(r => log.append(mkRows(r, 10).toDF("id", "payload")))
+    log.vacuum(keepLast = 1, graceMs = 0L)
+    // the wider horizon references versions the tight pass already
+    // dropped — it must skip them, not crash
+    log.vacuum(keepLast = 3, graceMs = 0L)
+    assert(rowsOf(log) == (0 until 4).flatMap(mkRows(_, 10)).sorted)
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
