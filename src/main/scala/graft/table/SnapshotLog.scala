@@ -540,9 +540,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val commitId = UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s"$StagePrefix$commitId")
     val obs = new Observation(s"graft_log_stage_$commitId")
-    df.observe(obs, count(lit(1)).as("rows"))
+    // Time columns write as TIMESTAMP_MICROS: Spark's INT96 default
+    // (deprecated) carries no usable footer min/max, which would leave
+    // time columns permanently unprunable. Session-scoped conf — there
+    // is no per-write option; a concurrent non-log write racing this
+    // set/restore at worst lands INT96, whose ABSENT stats are safe by
+    // design (the file is just never pruned).
+    val hasTs = df.schema.exists(
+      _.dataType == org.apache.spark.sql.types.TimestampType)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = if (hasTs) Some(spark.conf.get(tsKey, "INT96")) else None
+    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.observe(obs, count(lit(1)).as("rows"))
       .write.option("compression", "snappy")
       .mode("overwrite").parquet(scratch.toString)
+    finally prevTs.foreach(spark.conf.set(tsKey, _))
     val rows = obs.get("rows").asInstanceOf[Long]
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(scratch)

@@ -342,6 +342,29 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log).count(_._1 >= 10000) == 2)
   }
 
+  test("timestamp stats: manifest pruning and typed bounds work on a time column") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("ts"))
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val r = new scala.util.Random(23)
+    log.append(r.shuffle((0 until 600).toList)
+      .map(i => (java.sql.Timestamp.from(base.plusSeconds(i * 3600L)), s"e-$i"))
+      .toDF("ts", "payload").repartition(4))
+    graft.jobs.LayoutJob.clusterByLog(log, Seq("ts"),
+      targetFileBytes = math.max(1L, log.snapshot().bytes / 3))
+    val s = log.snapshot()
+    assert(s.files.size >= 3)
+    assume(s.stats.nonEmpty && s.stats.values.forall(_.contains("ts")),
+      "parquet wrote no numeric timestamp stats (INT96 legacy mode?)")
+    val lo = java.sql.Timestamp.from(base)
+    val hi = java.sql.Timestamp.from(base.plusSeconds(49L * 3600))
+    val pruned = log.readBetween("ts", lo, hi)
+    assert(pruned.count() == 50, "typed bounds must select exactly the range")
+    assert(pruned.inputFiles.length < s.files.size,
+      s"a narrow time slice must prune: opened ${pruned.inputFiles.length} " +
+        s"of ${s.files.size}")
+  }
+
   test("range delete keeps NULL-keyed rows (SQL DELETE semantics)") {
     val log = SnapshotLog(spark, freshTable())
     val rows: Seq[(Option[Int], String)] =
