@@ -387,6 +387,52 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == (0 until 4).flatMap(mkRows(_, 10)).sorted)
   }
 
+  test("randomized op interleaving matches an in-memory model at every step") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    val rnd = new scala.util.Random(29)
+    var model: Map[Int, String] = (0 until 300).map(i => i -> s"v0-$i").toMap
+    log.append(model.toSeq.toDF("id", "payload").repartition(3))
+    var remembered = List.empty[(Long, Map[Int, String])]
+
+    def check(where: String): Unit = {
+      val got = log.read().as[(Int, String)].collect().toMap
+      assert(got == model, s"table diverged from model after $where " +
+        s"(missing=${(model.keySet -- got.keySet).take(5)}, " +
+        s"extra=${(got.keySet -- model.keySet).take(5)})")
+    }
+
+    (1 to 18).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val keys = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(400)).distinct
+          val batch = keys.map(k => k -> s"v$step-$k")
+          log.mergeByKey(batch.toDF("id", "payload"), "id")
+          model ++= batch
+          check(s"merge@$step")
+        case 1 =>
+          val lo = rnd.nextInt(400)
+          val hi = lo + rnd.nextInt(50)
+          log.deleteBetween("id", lo, hi)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          check(s"delete[$lo,$hi]@$step")
+        case 2 =>
+          log.compact(targetFileBytes = 1L << (14 + rnd.nextInt(3)))
+          check(s"compact@$step")
+        case 3 =>
+          graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+            targetFileBytes = math.max(1L, log.snapshot().bytes / 3))
+          check(s"cluster@$step")
+        case 4 =>
+          remembered ::= (log.currentVersion(), model)
+      }
+    }
+    // time travel: every remembered version still reads as it was then
+    remembered.take(3).foreach { case (v, m) =>
+      val got = log.read(v).as[(Int, String)].collect().toMap
+      assert(got == m, s"time travel to v$v diverged")
+    }
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
