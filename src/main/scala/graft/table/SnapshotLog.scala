@@ -454,6 +454,29 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Roll the table back to a retained `version` as a NEW commit: the
+    * old file set is re-published at the top of the log (op `restore`),
+    * so history stays intact, concurrent writers see the rollback
+    * through the same CAS as any commit, and nothing is copied — data
+    * files are immutable, the restore is one manifest write. This is
+    * the undo for a bad delete/merge/append while the horizon holds;
+    * `txns` carries FORWARD from the current version (a restore must
+    * not resurrect already-committed stream batches). */
+  def restore(version: Long): Snapshot = {
+    val target = snapshot(version)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val cur = snapshot()
+      val next = Snapshot(cur.version + 1, "restore", cur.version,
+        target.rows, target.bytes, target.files, target.stats,
+        target.schemaJson, cur.txns)
+      if (tryCommit(next)) return next
+      attempts += 1
+    }
+    throw new CommitConflictException(
+      s"restore of $tableDir to v$version lost the commit race $MaxCommitAttempts times")
+  }
+
   /** Bin-pack the live set back to ~`targetFileBytes` files via a
     * narrow `coalesce` (no shuffle), committed as a rewrite. `None` when
     * already compact — the scheduled form must be a cheap no-op. */

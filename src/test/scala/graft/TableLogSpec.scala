@@ -387,6 +387,22 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == (0 until 4).flatMap(mkRows(_, 10)).sorted)
   }
 
+  test("restore republishes an old version as a new commit, history intact") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(mkRows(0, 30).toDF("id", "payload"))
+    log.append(mkRows(1, 30).toDF("id", "payload"))
+    log.deleteBetween("id", 0, 5000) // the bad op: wipes everything
+    assert(log.read().count() == 0)
+    val r = log.restore(2)
+    assert(r.op == "restore" && r.version == 4 && r.rows == 60,
+      s"restore must be a NEW commit on top: $r")
+    assert(rowsOf(log) == (mkRows(0, 30) ++ mkRows(1, 30)).sorted)
+    // history kept: the bad version still reads (until vacuum)
+    assert(log.read(3).count() == 0)
+    // restore costs no data copy: the restored files ARE version 2's
+    assert(r.files == log.snapshot(2).files)
+  }
+
   test("randomized op interleaving matches an in-memory model at every step") {
     val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
     val rnd = new scala.util.Random(29)
