@@ -461,20 +461,23 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * files are immutable, the restore is one manifest write. This is
     * the undo for a bad delete/merge/append while the horizon holds;
     * `txns` carries FORWARD from the current version (a restore must
-    * not resurrect already-committed stream batches). */
+    * not resurrect already-committed stream batches). A concurrent
+    * commit ABORTS the restore, like [[rewrite]] — a restore replaces
+    * the whole table, so retrying past a commit it hasn't seen would
+    * silently drop that commit's rows (while the carried txns watermark
+    * still marks its stream batch committed — unrecoverable by replay). */
   def restore(version: Long): Snapshot = {
+    require(version >= 1, s"restore needs a committed version, got $version")
     val target = snapshot(version)
-    var attempts = 0
-    while (attempts < MaxCommitAttempts) {
-      val cur = snapshot()
-      val next = Snapshot(cur.version + 1, "restore", cur.version,
-        target.rows, target.bytes, target.files, target.stats,
-        target.schemaJson, cur.txns)
-      if (tryCommit(next)) return next
-      attempts += 1
-    }
-    throw new CommitConflictException(
-      s"restore of $tableDir to v$version lost the commit race $MaxCommitAttempts times")
+    val cur = snapshot()
+    val next = Snapshot(cur.version + 1, "restore", cur.version,
+      target.rows, target.bytes, target.files, target.stats,
+      target.schemaJson, cur.txns)
+    if (!tryCommit(next))
+      throw new CommitConflictException(
+        s"restore of $tableDir to v$version: concurrent commit since " +
+          s"v${cur.version}; re-examine the new current state and rerun")
+    next
   }
 
   /** Bin-pack the live set back to ~`targetFileBytes` files via a
@@ -565,19 +568,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val obs = new Observation(s"graft_log_stage_$commitId")
     // Time columns write as TIMESTAMP_MICROS: Spark's INT96 default
     // (deprecated) carries no usable footer min/max, which would leave
-    // time columns permanently unprunable. Session-scoped conf — there
-    // is no per-write option; a concurrent non-log write racing this
-    // set/restore at worst lands INT96, whose ABSENT stats are safe by
-    // design (the file is just never pruned).
-    val hasTs = df.schema.exists(
-      _.dataType == org.apache.spark.sql.types.TimestampType)
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = if (hasTs) Some(spark.conf.get(tsKey, "INT96")) else None
-    if (hasTs) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.observe(obs, count(lit(1)).as("rows"))
+    // time columns permanently unprunable. There is no per-write option
+    // and mutating the shared session conf would race concurrent
+    // appends (a supported pattern) and leak the setting to non-log
+    // writes — so the write executes under a conf-isolated session
+    // CLONE (shared context, copied state) with the plan rebound.
+    val writeDf =
+      if (!hasTimestamp(df.schema)) df
+      else {
+        val iso = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+        iso.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        org.apache.spark.sql.GraftBridge.ofRows(iso,
+          org.apache.spark.sql.GraftBridge.logicalPlan(df))
+      }
+    writeDf.observe(obs, count(lit(1)).as("rows"))
       .write.option("compression", "snappy")
       .mode("overwrite").parquet(scratch.toString)
-    finally prevTs.foreach(spark.conf.set(tsKey, _))
     val rows = obs.get("rows").asInstanceOf[Long]
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(scratch)
@@ -637,6 +643,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         }.toMap
       } finally r.close()
     }
+
+  /** True if a timestamp lurks anywhere in the type — including inside
+    * structs/arrays/maps, whose nested time columns are addressable in
+    * `statsColumns` via dotted paths. */
+  private def hasTimestamp(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampType => true
+      case s: StructType => s.fields.exists(f => hasTimestamp(f.dataType))
+      case a: ArrayType  => hasTimestamp(a.elementType)
+      case m: MapType    => hasTimestamp(m.keyType) || hasTimestamp(m.valueType)
+      case _             => false
+    }
+  }
 
   /** Drop staged files after a failed commit — they were never named by
     * a manifest, so this is cleanup, not rollback. */

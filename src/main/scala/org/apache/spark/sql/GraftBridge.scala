@@ -36,6 +36,14 @@ object GraftBridge {
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** Clone a session — shared SparkContext, COPIED session state
+    * (runtime conf, temp views, registered functions). `cloneSession`
+    * is `private[sql]`; exposed so a job can execute an existing plan
+    * under an isolated conf (pair with [[logicalPlan]] + [[ofRows]])
+    * without mutating the caller's session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
   /** Apply a [[SparkSessionExtensions]]' collected function injections to
     * a registry — the same `private[sql]` hook the session-state builder
     * drives at session construction; exposed for testing installers. */

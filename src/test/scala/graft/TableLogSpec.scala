@@ -354,8 +354,10 @@ class TableLogSpec extends AnyFunSuite {
       targetFileBytes = math.max(1L, log.snapshot().bytes / 3))
     val s = log.snapshot()
     assert(s.files.size >= 3)
-    assume(s.stats.nonEmpty && s.stats.values.forall(_.contains("ts")),
-      "parquet wrote no numeric timestamp stats (INT96 legacy mode?)")
+    // assert, not assume: stage() deterministically forces
+    // TIMESTAMP_MICROS, so missing time stats is a feature regression
+    assert(s.stats.nonEmpty && s.stats.values.forall(_.contains("ts")),
+      "time columns must carry numeric footer stats (TIMESTAMP_MICROS staging broken?)")
     val lo = java.sql.Timestamp.from(base)
     val hi = java.sql.Timestamp.from(base.plusSeconds(49L * 3600))
     val pruned = log.readBetween("ts", lo, hi)
