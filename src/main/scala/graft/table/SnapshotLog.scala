@@ -252,6 +252,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         .where(col(column).between(lit(lo), lit(hi)))
   }
 
+  /** [[readBetween]] generalized to a conjunction: a file survives only
+    * if EVERY predicate's recorded range intersects it. On a z-ordered
+    * table the per-dimension prunings compose — an (x, y) box opens
+    * just the curve cells the box crosses, the read-side payoff of
+    * [[graft.jobs.LayoutJob.zorderByLog]] bounding every dimension. */
+  def readWhere(preds: (String, Any, Any)*): DataFrame = {
+    require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
+    val s = snapshot()
+    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    val kept = s.files.filter(f => preds.forall { case (c, lo, hi) =>
+      s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi))
+    })
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    if (kept.isEmpty)
+      reader(s).parquet(new Path(dataDir, s.files.head).toString)
+        .where(lit(false))
+    else
+      reader(s).parquet(kept.map(f => new Path(dataDir, f).toString): _*)
+        .where(residual)
+  }
+
   /** Append `df` as a new version. Safe under concurrent appenders:
     * stage once, then retry the manifest CAS against the fresh parent —
     * appends commute, the staged files stay valid across retries.

@@ -278,6 +278,22 @@ class TableLogSpec extends AnyFunSuite {
           s"of ${s.files.size}")
       assert(pruned.count() == 5 * 40, s"slice on $c must keep exact rows")
     }
+    // and the conjunction composes: an (x, y) box opens at most what
+    // either single-dimension slice does
+    val box = log.readWhere(("x", 0, 4), ("y", 0, 4))
+    assert(box.count() == 25, "box must keep exactly the 5x5 corner")
+    val singleDim = Seq("x", "y").map(c => log.readBetween(c, 0, 4).inputFiles.length)
+    assert(box.inputFiles.length <= singleDim.min,
+      s"conjunctive pruning must not open more than either slice: " +
+        s"box=${box.inputFiles.length} singles=$singleDim of ${s.files.size}")
+  }
+
+  test("appending an empty batch is a harmless version bump") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(mkRows(0, 10).toDF("id", "payload"))
+    val s = log.append(spark.emptyDataset[(Int, String)].toDF("id", "payload"))
+    assert(s.rows == 10 && s.version == 2)
+    assert(rowsOf(log) == mkRows(0, 10).sorted)
   }
 
   test("copy-on-write delete rewrites only stats-intersecting files") {
