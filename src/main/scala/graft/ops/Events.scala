@@ -245,9 +245,13 @@ object Events {
     events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      // pre-project the square: windowing over a DERIVED expression
+      // splits into a second Window operator (extracted projection);
+      // over plain attributes all three functions fuse into one pass
+      .withColumn("cnt2", col("cnt") * col("cnt"))
       .withColumn("k", count(col("cnt")).over(frame))
       .withColumn("s", sum(col("cnt")).over(frame))
-      .withColumn("ss", sum(col("cnt") * col("cnt")).over(frame))
+      .withColumn("ss", sum(col("cnt2")).over(frame))
       .where(col("k") === 8)
       .withColumn("varx",
         (col("k") * col("ss") - col("s") * col("s")).cast("double") /
