@@ -388,10 +388,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * [[rewrite]]. Returns None when no file can contain a match —
     * nothing commits. Prior versions still read the deleted rows (time
     * travel is the undo), until [[vacuum]] passes the horizon. */
-  def deleteBetween(column: String, lo: Any, hi: Any): Option[Snapshot] = {
+  def deleteBetween(column: String, lo: Any, hi: Any): Option[Snapshot] =
+    deleteWhere((column, lo, hi))
+
+  /** [[deleteBetween]] generalized to a conjunction — the write-path
+    * twin of [[readWhere]]: a row is deleted iff EVERY predicate holds,
+    * and a file rewrites only if EVERY predicate's recorded range
+    * intersects it. On a z-ordered table a box delete (e.g. one user's
+    * rows in one time slice) rewrites just the curve cells the box
+    * crosses. NULL-keyed rows never match (SQL DELETE semantics). */
+  def deleteWhere(preds: (String, Any, Any)*): Option[Snapshot] = {
+    require(preds.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
     val (touched, untouched) = base.files.partition(f =>
-      base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+      preds.forall { case (c, lo, hi) =>
+        base.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) })
     if (touched.isEmpty) return None
     val touchedPaths = touched.map(f => new Path(dataDir, f))
     val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
@@ -399,10 +410,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // footer-metadata count (zero-column scan) — the deleted-row count
     // needs the touched total, never a data read
     val touchedRows = touchedDf.count()
-    // NULL keys never match a range delete (SQL DELETE semantics):
-    // !between is NULL for NULL inputs, which a bare filter would DROP
-    val staged = stage(touchedDf.where(
-      col(column).isNull || !col(column).between(lit(lo), lit(hi))))
+    // a row is deleted iff every predicate matches; NULL keys never
+    // match (between is NULL for NULL inputs, and the survivor filter
+    // keeps NULL explicitly — a bare negation would DROP those rows)
+    val matches = preds.map { case (c, lo, hi) =>
+      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    val staged = stage(touchedDf.where(!matches))
     val next = Snapshot(base.version + 1, "delete", base.version,
       base.rows - (touchedRows - staged.rows),
       base.bytes - touchedBytes + staged.bytes,

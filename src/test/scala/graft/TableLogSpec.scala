@@ -288,6 +288,33 @@ class TableLogSpec extends AnyFunSuite {
         s"box=${box.inputFiles.length} singles=$singleDim of ${s.files.size}")
   }
 
+  test("box delete on a z-ordered table rewrites only the crossed curve cells") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("x", "y"))
+    val r = new scala.util.Random(31)
+    log.append(r.shuffle((for (x <- 0 until 40; y <- 0 until 40)
+      yield (x, y, s"c-$x-$y")).toList)
+      .toDF("x", "y", "payload").repartition(4))
+    val s = graft.jobs.LayoutJob.zorderByLog(log, Seq("x", "y"),
+      targetFileBytes = math.max(1L, log.snapshot().bytes / 4), bitsPerCol = 6)
+    val Some(d) = log.deleteWhere(("x", 0, 4), ("y", 0, 4)): @unchecked
+    assert(d.rows == 1600 - 25, s"exactly the 5x5 corner goes: $d")
+    val carried = s.files.count(d.files.contains)
+    assert(s.files.size - carried < s.files.size,
+      s"sanity: some file rewritten")
+    // the box crosses at most as many cells as either 1-D slice touches
+    val sliceTouches = Seq("x", "y").map(c =>
+      s.files.count(f => s.stats(f)(c).intersects(0, 4)))
+    assert(s.files.size - carried <= sliceTouches.min,
+      s"box delete must rewrite no more files than either slice touches: " +
+        s"rewrote ${s.files.size - carried}, slices touch $sliceTouches")
+    val left = log.read()
+    assert(left.count() == 1600 - 25)
+    assert(left.where(
+      org.apache.spark.sql.functions.col("x") <= 4 &&
+        org.apache.spark.sql.functions.col("y") <= 4).count() == 0)
+  }
+
   test("appending an empty batch is a harmless version bump") {
     val log = SnapshotLog(spark, freshTable())
     log.append(mkRows(0, 10).toDF("id", "payload"))
