@@ -237,29 +237,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * Production generalizes the intersect test over a predicate tree;
     * one range predicate demonstrates the plumbing. */
   def readBetween(column: String, lo: Any, hi: Any,
-      version: Long = -1L): DataFrame = {
-    val s = snapshot(version)
-    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    val kept = s.files.filter(f =>
-      s.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
-    if (kept.isEmpty)
-      // every file pruned: empty result, schema from the manifest (or
-      // one footer for a pre-schema manifest)
-      reader(s).parquet(new Path(dataDir, s.files.head).toString)
-        .where(lit(false))
-    else
-      reader(s).parquet(kept.map(f => new Path(dataDir, f).toString): _*)
-        .where(col(column).between(lit(lo), lit(hi)))
-  }
+      version: Long = -1L): DataFrame =
+    readWhere(version, (column, lo, hi))
 
   /** [[readBetween]] generalized to a conjunction: a file survives only
     * if EVERY predicate's recorded range intersects it. On a z-ordered
     * table the per-dimension prunings compose — an (x, y) box opens
     * just the curve cells the box crosses, the read-side payoff of
     * [[graft.jobs.LayoutJob.zorderByLog]] bounding every dimension. */
-  def readWhere(preds: (String, Any, Any)*): DataFrame = {
+  def readWhere(preds: (String, Any, Any)*): DataFrame =
+    readWhere(-1L, preds: _*)
+
+  /** [[readWhere]] against a retained `version` (latest when -1). */
+  def readWhere(version: Long, preds: (String, Any, Any)*): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
-    val s = snapshot()
+    val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
     val kept = s.files.filter(f => preds.forall { case (c, lo, hi) =>
       s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi))
@@ -267,6 +259,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val residual = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (kept.isEmpty)
+      // every file pruned: empty result, schema from the manifest (or
+      // one footer for a pre-schema manifest)
       reader(s).parquet(new Path(dataDir, s.files.head).toString)
         .where(lit(false))
     else

@@ -300,8 +300,7 @@ class TableLogSpec extends AnyFunSuite {
     val Some(d) = log.deleteWhere(("x", 0, 4), ("y", 0, 4)): @unchecked
     assert(d.rows == 1600 - 25, s"exactly the 5x5 corner goes: $d")
     val carried = s.files.count(d.files.contains)
-    assert(s.files.size - carried < s.files.size,
-      s"sanity: some file rewritten")
+    assert(carried > 0, "pruning must carry at least one file over by name")
     // the box crosses at most as many cells as either 1-D slice touches
     val sliceTouches = Seq("x", "y").map(c =>
       s.files.count(f => s.stats(f)(c).intersects(0, 4)))
