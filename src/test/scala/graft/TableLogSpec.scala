@@ -491,6 +491,13 @@ class TableLogSpec extends AnyFunSuite {
       val got = log.read(v).as[(Int, String)].collect().toMap
       assert(got == m, s"time travel to v$v diverged")
     }
+    // and restore closes the loop: rolling back to a remembered version
+    // reproduces the model of that moment as the CURRENT table
+    remembered.headOption.foreach { case (v, m) =>
+      log.restore(v)
+      val got = log.read().as[(Int, String)].collect().toMap
+      assert(got == m, s"restore to v$v must reproduce the remembered state")
+    }
   }
 
   test("vacuum drops expired versions' files but never a retained snapshot's") {
