@@ -146,8 +146,10 @@ case class StringRankBucket(child: Expression, boundaries: Array[String])
 case class InterleaveBits(children: Seq[Expression], bitsPerCol: Int)
     extends Expression {
   require(children.nonEmpty, "InterleaveBits needs at least one input")
-  require(bitsPerCol > 0 && bitsPerCol * children.size <= 63,
-    s"bitsPerCol=$bitsPerCol × ${children.size} cols must fit in 63 bits")
+  // <= 30: inputs are Int bucket ids, and the Int mask (1 << bits) - 1
+  // overflows past 30 — a wider single-column key is meaningless anyway
+  require(bitsPerCol > 0 && bitsPerCol <= 30 && bitsPerCol * children.size <= 63,
+    s"bitsPerCol=$bitsPerCol must be in [1, 30] and × ${children.size} cols fit in 63 bits")
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)

@@ -86,7 +86,12 @@ object PreparedLayerJob {
   private def promoteDeduped(spark: SparkSession, cfg: PipelineConfig,
       df: org.apache.spark.sql.DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.col
-    val haveIndex = new java.io.File(cfg.fingerprintIndexPath).exists()
+    // Hadoop FS existence check, not java.io.File: preparedRoot may be
+    // HDFS/S3 in production, where a local-File check is always false and
+    // would silently skip the index (re-admitting every duplicate).
+    val idxPath = new org.apache.hadoop.fs.Path(cfg.fingerprintIndexPath)
+    val haveIndex = idxPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(idxPath)
     val index =
       if (haveIndex) Some(spark.read.parquet(cfg.fingerprintIndexPath)) else None
     val survivors = graft.ops.Dedup

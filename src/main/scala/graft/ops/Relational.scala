@@ -22,20 +22,34 @@ object Relational {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read as a timestamp (PARQUET_TYPE_ILLEGAL). Read
-    * it as raw nanos via the legacy conf and truncate to micros —
-    * identical to DuckDB's ns→µs cast, so oracles stay comparable.
-    * The conf is set at session build time by every entry point we own
-    * (Bench/Verify/RunOne/Smoke/Main/TestSpark); the guarded set below is
-    * a defensive fallback for caller-supplied sessions only, so the live
-    * session conf isn't re-mutated on every query (racy under concurrent
-    * queries in one session). */
+  /** Normalize an events frame's `ts` to TimestampType microseconds,
+    * adapting to whatever physical type the fixture carries:
+    *  - TIMESTAMP(NANOS) fixtures read as raw nanos (LongType, under
+    *    `spark.sql.legacy.parquet.nanosAsLong` — Spark 4 otherwise
+    *    refuses nanos with PARQUET_TYPE_ILLEGAL) → truncate to µs,
+    *    identical to DuckDB's ns→µs cast;
+    *  - TIMESTAMP(MICROS) fixtures infer as TIMESTAMP_NTZ (unadjusted)
+    *    or TIMESTAMP → cast, a µs-identity under the UTC session every
+    *    entry point pins (`spark.sql.session.timeZone`). */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** The events table with `ts` normalized to µs TimestampType (see
+    * [[normalizeEventTs]]). The nanosAsLong conf is set at session build
+    * time by every entry point we own (Bench/Verify/RunOne/Smoke/Main/
+    * TestSpark); the guarded set below is a defensive fallback for
+    * caller-supplied sessions only, so the live session conf isn't
+    * re-mutated on every query (racy under concurrent queries in one
+    * session). */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Exact, order-independent sum of a double column: decimal in, double out. */

@@ -54,7 +54,7 @@ object EventStreams {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.ops.Relational.normalizeEventTs)
     Events.tumbling(stream.withWatermark("ts", "1 hour"))
   }
 
@@ -96,7 +96,7 @@ object EventStreams {
     def stream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.ops.Relational.normalizeEventTs)
       .select(col("event_id"), col("event_type"), col("ts"))
     stream().unionByName(stream()) // simulated duplicate delivery
       .withWatermark("ts", "1 hour")
@@ -158,7 +158,7 @@ object EventStreams {
     val base = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.ops.Relational.normalizeEventTs)
     def side(kind: String, idAs: String, tsAs: String) = base
       .filter(col("event_type") === kind)
       .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))

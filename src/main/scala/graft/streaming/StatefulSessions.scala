@@ -113,7 +113,7 @@ object StatefulSessions {
     val typed = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.ops.Relational.normalizeEventTs)
       .withWatermark("ts", "1 second")
       .select(col("user_id"), col("ts"), col("value"))
       .as[UserEvent]

@@ -72,7 +72,7 @@ object UserProfiles {
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.ops.Relational.normalizeEventTs)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)

@@ -17,7 +17,12 @@ import scala.jdk.CollectionConverters._
   * file is then never pruned — absence is always safe). */
 final case class ColRange(numeric: Boolean, lo: String, hi: String) {
   def intersects(qLo: Any, qHi: Any): Boolean =
-    if (numeric) lo.toDouble <= ColRange.num(qHi) && hi.toDouble >= ColRange.num(qLo)
+    if (numeric)
+      // exact decimal compare: integral stats are recorded as exact
+      // longs, and a double compare would round a BIGINT min past 2^53
+      // up across a query bound — unsoundly pruning a file that holds
+      // matching rows
+      BigDecimal(lo) <= ColRange.num(qHi) && BigDecimal(hi) >= ColRange.num(qLo)
     else {
       // compare under UTF8String's unsigned-byte order — the ordering
       // the footer stats were aggregated in and Spark's sort uses. Java
@@ -30,17 +35,26 @@ final case class ColRange(numeric: Boolean, lo: String, hi: String) {
 }
 
 object ColRange {
-  /** A query bound as the double the numeric footer stats are recorded
+  /** A query bound in the unit the numeric footer stats are recorded
     * in: timestamps are epoch micros (parquet TIMESTAMP_MICROS), dates
-    * epoch days (parquet DATE). Anything else must parse as a number. */
-  private[table] def num(a: Any): Double = a match {
-    case n: Number              => n.doubleValue
+    * epoch days (parquet DATE). Exact decimal arithmetic — integral
+    * bounds never round, so a BIGINT beyond 2^53 compares correctly. */
+  private[table] def num(a: Any): BigDecimal = a match {
+    case n: java.lang.Long      => BigDecimal(n.longValue)
+    case n: Integer             => BigDecimal(n.longValue)
+    case n: java.lang.Short     => BigDecimal(n.longValue)
+    case n: java.lang.Byte      => BigDecimal(n.longValue)
+    case n: java.math.BigDecimal => BigDecimal(n)
+    case n: BigDecimal          => n
+    case n: Number              => BigDecimal(n.doubleValue)
     case t: java.sql.Timestamp  =>
-      t.toInstant.getEpochSecond * 1e6 + t.toInstant.getNano / 1e3
-    case t: java.time.Instant   => t.getEpochSecond * 1e6 + t.getNano / 1e3
-    case d: java.sql.Date       => d.toLocalDate.toEpochDay.toDouble
-    case d: java.time.LocalDate => d.toEpochDay.toDouble
-    case other                  => other.toString.toDouble
+      BigDecimal(t.toInstant.getEpochSecond) * 1000000 +
+        t.toInstant.getNano / 1000
+    case t: java.time.Instant   =>
+      BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000
+    case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
+    case other                  => BigDecimal(other.toString)
   }
 }
 
@@ -447,6 +461,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // non-deterministic) update source three times could even disagree
     // with its own bounds
     val u = updates.localCheckpoint(true)
+    // checkpointed blocks are released on every exit path — a long-lived
+    // session running many merges must not accumulate executor storage
+    try mergeByKeyImpl(u, base, column)
+    finally u.unpersist()
+  }
+
+  private def mergeByKeyImpl(u: DataFrame, base: Snapshot,
+      column: String): Snapshot = {
     val bounds = u.agg(
       org.apache.spark.sql.functions.min(col(column)),
       org.apache.spark.sql.functions.max(col(column))).head()
@@ -657,9 +679,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           if (chunks.isEmpty || sts.size != chunks.size) None
           else sts.head.genericGetMin match {
             case _: Number =>
+              // integral stats record EXACT (a BIGINT min rounded through
+              // a double can cross a query bound past 2^53 and prune a
+              // matching file); floats record their shortest round-trip
+              def exact(n: Number): BigDecimal = n match {
+                case l: java.lang.Long => BigDecimal(l.longValue)
+                case i: Integer        => BigDecimal(i.longValue)
+                case o                 => BigDecimal(o.doubleValue)
+              }
               Some(c -> ColRange(numeric = true,
-                sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue).min.toString,
-                sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue).max.toString))
+                sts.map(s => exact(s.genericGetMin.asInstanceOf[Number])).min.toString,
+                sts.map(s => exact(s.genericGetMax.asInstanceOf[Number])).max.toString))
             case _: org.apache.parquet.io.api.Binary if isString =>
               def u(ss: Seq[String]) = ss.map(UTF8String.fromString)
               Some(c -> ColRange(numeric = false,

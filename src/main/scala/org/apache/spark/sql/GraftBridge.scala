@@ -75,22 +75,28 @@ object GraftBridge {
     * confs are skipped (they live on the shared SparkContext anyway). */
   def sessionWithExtensions(
       spark: SparkSession, f: SparkSessionExtensions => Unit): SparkSession = {
-    val prevDefault = classic.SparkSession.getDefaultSession
-    val prevActive = classic.SparkSession.getActiveSession
-    classic.SparkSession.clearDefaultSession()
-    classic.SparkSession.clearActiveSession()
-    val built =
+    // the clear/build/restore window mutates the JVM-global session
+    // slots; serialize it so a concurrent builder()/getActiveSession on
+    // another thread of a shared driver can't observe the cleared state
+    val built = sessionSlotLock.synchronized {
+      val prevDefault = classic.SparkSession.getDefaultSession
+      val prevActive = classic.SparkSession.getActiveSession
+      classic.SparkSession.clearDefaultSession()
+      classic.SparkSession.clearActiveSession()
       try classic.SparkSession.builder().withExtensions(f).getOrCreate()
       finally {
         prevDefault.foreach(classic.SparkSession.setDefaultSession)
         prevActive.foreach(classic.SparkSession.setActiveSession)
       }
+    }
     spark.conf.getAll.foreach { case (k, v) =>
       try built.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
     }
     built
   }
+
+  private val sessionSlotLock = new Object
 
   /** Materialize an extensions object's collected optimizer-rule
     * injections (same testing rationale as [[buildPlannerStrategies]]). */
