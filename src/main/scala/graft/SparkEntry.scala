@@ -32,6 +32,10 @@ object SparkEntry {
       jobSrc = "lineitem", ledgerName = "pipeline_ledger",
       rawRoot = s"$tmp/raw", rawFolder = "lineitem", cdsView = "lineitem",
       preparedRoot = s"$tmp/prepared", tableName = "prepared_lineitem",
+      // the flagship pipeline runs on the transaction-log table format:
+      // promotion commits atomically through the log (exactly-once via
+      // the run-id txn), the catalog view reads the committed snapshot
+      tableFormat = PipelineConfig.FormatLog,
       schema = Seq(
         ColumnSpec("l_orderkey", "bigint", "order key"),
         ColumnSpec("l_partkey", "bigint", ""),
@@ -87,6 +91,7 @@ object SparkEntry {
     "q26_topk_native" -> (Relational.q26TopkNative _), // custom LogicalPlan+Strategy+Exec top-k
     "q27_topk_extensions" -> (Relational.q27TopkExtensions _), // spark.sql.extensions ladder, rewrite must fire
     "q28_unpivot" -> (Relational.q28Unpivot _), // native unpivot melt (Expand, one scan)
+    "q29_log_pruned_scan" -> (Relational.q29LogPrunedScan _), // SnapshotLog readWhere manifest pruning
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -188,6 +193,7 @@ object SparkEntry {
     "q26_topk_native" -> Relational.q26Oracle,
     "q27_topk_extensions" -> Relational.q27Oracle,
     "q28_unpivot" -> Relational.q28Oracle,
+    "q29_log_pruned_scan" -> Relational.q29Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -66,10 +66,14 @@ final case class PipelineConfig(
     tableName: String,
     schema: Seq[ColumnSpec],
     dedupColumn: Option[String] = None,
-    layout: Option[LayoutPolicy] = None
+    layout: Option[LayoutPolicy] = None,
+    tableFormat: String = PipelineConfig.FormatDir
 ) {
   require(template == PipelineConfig.CdsViewTemplate,
     s"unknown template '$template' (only '${PipelineConfig.CdsViewTemplate}' is supported)")
+  require(tableFormat == PipelineConfig.FormatDir ||
+      tableFormat == PipelineConfig.FormatLog,
+    s"unknown table_format '$tableFormat' (${PipelineConfig.FormatDir}|${PipelineConfig.FormatLog})")
   layout.foreach { p =>
     val known = schema.map(_.name).toSet + "ETL_PART_KEY"
     val unknown = p.columns.filterNot(known)
@@ -100,12 +104,31 @@ final case class PipelineConfig(
     * file listing stays pure data. */
   def fingerprintIndexPath: String = s"$preparedRoot/${rawFolder}__fpindex"
 
+  /** True when the prepared layer is a [[graft.table.SnapshotLog]]-backed
+    * table (config `prepared.table_format: "log"`) rather than the
+    * reference's bare append directory: promotion commits each run
+    * through the log (exactly-once via the run-id txn watermark),
+    * planning is listing-free, and maintenance is a swap-window-free
+    * `replace` commit. */
+  def useLog: Boolean = tableFormat == PipelineConfig.FormatLog
+
+  /** Stats columns the log-backed table records per-file [min, max] for
+    * in its manifests: the declared layout columns (the columns queries
+    * range-filter on — exactly what clustering makes disjoint and
+    * manifest pruning then skips by). */
+  def statsColumns: Seq[String] = layout.map(_.columns).getOrElse(Nil)
+
   /** Stack-style display name (reference: app.py:24). */
   def displayName: String = s"$project-$subject-$jobSrc"
 }
 
 object PipelineConfig {
   val CdsViewTemplate = "cds_view"
+  /** Prepared layer is a bare append directory (the reference's shape,
+    * glue src/prepared_layer_job.py:116-130) — the default. */
+  val FormatDir = "dir"
+  /** Prepared layer is a transaction-log table ([[graft.table.SnapshotLog]]). */
+  val FormatLog = "log"
 
   private val mapper = new ObjectMapper()
 
@@ -154,7 +177,13 @@ object PipelineConfig {
               throw new IllegalArgumentException(
                 s"unknown layout_mode '$other' (cluster|zorder)")
           })
-      })
+      },
+      // optional: "log" switches the prepared layer to the
+      // transaction-log table format (default: the reference's bare
+      // append directory)
+      tableFormat = Option(prepared.get("table_format")).map(_.asText())
+        .getOrElse(FormatDir)
+    )
   }
 
   def load(path: Path): PipelineConfig = parse(Files.readString(path))
@@ -182,6 +211,7 @@ object PipelineConfig {
     node.putObject("raw").put("rawBucket", c.rawRoot)
       .put("rawS3Folder", c.rawFolder).put("CDSView", c.cdsView)
     val prep = node.putObject("prepared").put("preparedBucket", c.preparedRoot)
+    if (c.tableFormat != FormatDir) prep.put("table_format", c.tableFormat)
     c.dedupColumn.foreach(prep.put("dedup_column", _))
     c.layout.foreach { p =>
       prep.put("cluster_by", p.columns.mkString(","))

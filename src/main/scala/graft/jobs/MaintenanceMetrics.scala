@@ -12,3 +12,13 @@ trait MaintenanceMetrics {
     * touched nothing (compaction's idempotent no-op). */
   def rewritten: Boolean
 }
+
+/** Metrics of a maintenance rewrite committed through the transaction
+  * log ([[graft.table.SnapshotLog]]) — only constructed when a rewrite
+  * actually committed (a no-op compact returns None upstream), so
+  * `rewritten` is always true. `op` is the committed manifest op
+  * (`compact` | `cluster` | `zorder`). */
+final case class LogMaintenanceMetrics(filesBefore: Int, filesAfter: Int,
+    rows: Long, op: String) extends MaintenanceMetrics {
+  override def rewritten: Boolean = true
+}

@@ -39,14 +39,19 @@ object PreparedLayerJob {
     // schema explicitly — file schema from the run's own footers plus
     // `ETL_PART_KEY string` — bypasses inference entirely, so the run id
     // round-trips as the literal path string.
-    val rawTable = s"${rawRecord.rawBucket}/${rawRecord.rawFolder}"
-    val rawPath = s"$rawTable/ETL_PART_KEY=${rawRecord.partition_key}"
-    val fileSchema = spark.read.parquet(rawPath).schema // leaf dir: data columns only
-    val df = spark.read.option("basePath", rawTable)
-      .schema(fileSchema.add("ETL_PART_KEY", org.apache.spark.sql.types.StringType))
-      .parquet(rawPath)
+    val df = rawRunDf(spark,
+      s"${rawRecord.rawBucket}/${rawRecord.rawFolder}", rawRecord.partition_key)
     val rows = cfg.dedupColumn match {
-      case Some(key) => promoteDeduped(spark, cfg, df, key)
+      case Some(key) => promoteDeduped(spark, cfg, df, key, rawRecord.partition_key)
+      case None if cfg.useLog =>
+        // log-backed prepared layer: the run commits atomically, keyed
+        // on its run id — a drain that crashed between this commit and
+        // the ledger append below cannot re-append the run on rerun
+        // (the txn watermark detects the replay); the bare directory
+        // only gets at-least-once from the ledger's pending scan
+        graft.table.PreparedTable.log(spark, cfg)
+          .appendRun(df, runTxnKey(rawRecord.partition_key))
+        df.count() // footer-metadata count of the promoted run
       case None =>
         df.write
           .option("compression", "snappy")
@@ -83,8 +88,24 @@ object PreparedLayerJob {
     * share one computation. At 100 TB the index is bucketed on `fp` at
     * rest (exchange-free anti-join side) and the checkpoint becomes a
     * staging write under a table-format transactional commit. */
+  /** The `txns` idempotence token for one promotion run in the
+    * log-backed prepared table. */
+  private[graft] def runTxnKey(runId: String): String = s"promote:$runId"
+
+  /** One raw run as the frame promotion appends: leaf-directory read
+    * with the audit key re-materialized as a literal string column (see
+    * the partition-inference note on [[promote]]). */
+  private[graft] def rawRunDf(spark: SparkSession, rawTable: String,
+      runId: String): org.apache.spark.sql.DataFrame = {
+    val rawPath = s"$rawTable/ETL_PART_KEY=$runId"
+    val fileSchema = spark.read.parquet(rawPath).schema // leaf dir: data columns only
+    spark.read.option("basePath", rawTable)
+      .schema(fileSchema.add("ETL_PART_KEY", org.apache.spark.sql.types.StringType))
+      .parquet(rawPath)
+  }
+
   private def promoteDeduped(spark: SparkSession, cfg: PipelineConfig,
-      df: org.apache.spark.sql.DataFrame, key: String): Long = {
+      df: org.apache.spark.sql.DataFrame, key: String, runId: String): Long = {
     import org.apache.spark.sql.functions.col
     // Hadoop FS existence check, not java.io.File: preparedRoot may be
     // HDFS/S3 in production, where a local-File check is always false and
@@ -97,10 +118,17 @@ object PreparedLayerJob {
     val survivors = graft.ops.Dedup
       .incrementalSurvivors(df, col(key), col(key), index)
       .localCheckpoint()
-    survivors.drop(graft.ops.Dedup.FpCol).write
-      .option("compression", "snappy")
-      .mode("append")
-      .parquet(cfg.preparedPath)
+    if (cfg.useLog)
+      // survivors commit atomically, run-id keyed (see promote); the
+      // fingerprint index stays a plain bucketable directory — it is an
+      // index probed by hash equality, not the cataloged table
+      graft.table.PreparedTable.log(spark, cfg)
+        .appendRun(survivors.drop(graft.ops.Dedup.FpCol), runTxnKey(runId))
+    else
+      survivors.drop(graft.ops.Dedup.FpCol).write
+        .option("compression", "snappy")
+        .mode("append")
+        .parquet(cfg.preparedPath)
     survivors.select(col(graft.ops.Dedup.FpCol).as("fp"))
       .write.mode("append").parquet(cfg.fingerprintIndexPath)
     survivors.count()

@@ -101,6 +101,46 @@ object Relational {
       |FROM lineitem WHERE l_quantity < 5 AND l_discount > 0.05
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Log-table pruned scan: materialize lineitem as a
+    * [[graft.table.SnapshotLog]] table clustered on `l_shipdate` (its
+    * stats column), then answer a one-year revenue query through
+    * [[graft.table.SnapshotLog.readWhere]] — planning drops
+    * non-intersecting files from ONE manifest GET (no directory
+    * listing, no footer reads). `readWhere` is by contract exactly
+    * `read().where(between)`, which is what the oracle checks against
+    * the plain table. Scale: on a clustered 7-year corpus the one-year
+    * scan opens ~1/7 of the files, decided driver-side before any file
+    * opens — at 100 TB the difference between a ~14 TB and a 100 TB
+    * read. The build step (append + cluster rewrite) is the one-time
+    * maintenance cost the read amortizes; it is included here so the
+    * graded query is self-contained. */
+  def q29LogPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q29-log-").toString
+    val log = graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("l_shipdate"))
+    log.append(t(spark, dir, "lineitem"))
+    // small target bytes so even sf0.01 yields a multi-file clustered
+    // table and the manifest prune is exercised for real
+    graft.jobs.LayoutJob.clusterByLog(log, Seq("l_shipdate"),
+      targetFileBytes = 256L << 10)
+    val lo = java.time.LocalDateTime.of(1997, 1, 1, 0, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 12, 31, 23, 59, 59)
+    log.readWhere(("l_shipdate", lo, hi))
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q29Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+      |                     AND TIMESTAMP '1997-12-31 23:59:59'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

@@ -2,7 +2,7 @@ package graft.orchestrate
 
 import graft.catalog.CatalogRegistrar
 import graft.config.PipelineConfig
-import graft.jobs.{CompactionJob, JobMetrics, LayoutJob, MaintenanceMetrics, PreparedLayerJob, RawLayerJob}
+import graft.jobs.{CompactionJob, JobMetrics, LayoutJob, LogMaintenanceMetrics, MaintenanceMetrics, PreparedLayerJob, RawLayerJob}
 import graft.ledger.{LocalJsonLedger, RunLedger, RunState}
 import graft.sources.SourceReader
 import org.apache.spark.sql.SparkSession
@@ -45,8 +45,11 @@ object Orchestrator {
       compactAfterFiles: Int = DefaultCompactAfterFiles): Seq[JobMetrics] = {
     val promoted = PreparedLayerJob.promoteAll(spark, cfg, ledger)
     if (promoted.nonEmpty) {
-      CatalogRegistrar.register(spark, cfg)
+      // maintenance BEFORE registration: a log-backed catalog view pins
+      // the current snapshot's file set, so it must be built after any
+      // rewrite commits (for the directory format the order is moot)
       maybeCompact(spark, cfg, compactAfterFiles)
+      CatalogRegistrar.register(spark, cfg)
     }
     promoted
   }
@@ -78,19 +81,43 @@ object Orchestrator {
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       } > maxFiles
     }
-    def preparedRewrite(dir: String): MaintenanceMetrics = cfg.layout match {
-      case Some(p) if p.zorder => LayoutJob.zorderBy(spark, dir, p.columns)
-      case Some(p) => LayoutJob.clusterBy(spark, dir, p.columns)
-      case None => CompactionJob.run(spark, dir)
-    }
-    val targets: Seq[(String, String => MaintenanceMetrics)] =
-      Seq(cfg.preparedPath -> (preparedRewrite _)) ++
-        cfg.dedupColumn.map(_ =>
-          cfg.fingerprintIndexPath -> ((d: String) => CompactionJob.run(spark, d)))
-    targets.filter { case (dir, _) => overThreshold(dir) }
-      .map { case (dir, rewrite) => dir -> rewrite(dir) }
+    // prepared prefix: log-routed maintenance when the pipeline is
+    // log-backed (the threshold reads the MANIFEST's live-file count —
+    // no listing — and the rewrite commits as a `replace`, no swap
+    // window); verified-swap jobs on the bare directory otherwise
+    val prepared: Option[(String, MaintenanceMetrics)] =
+      if (cfg.useLog) {
+        val log = graft.table.PreparedTable.log(spark, cfg)
+        if (log.currentVersion() == 0) None
+        else {
+          val before = log.snapshot().files.length
+          if (before <= maxFiles) None
+          else {
+            val committed = cfg.layout match {
+              case Some(p) if p.zorder => Some(LayoutJob.zorderByLog(log, p.columns))
+              case Some(p) => Some(LayoutJob.clusterByLog(log, p.columns))
+              case None => log.compact()
+            }
+            committed.map(s => cfg.preparedPath ->
+              LogMaintenanceMetrics(before, s.files.length, s.rows, s.op))
+          }
+        }
+      } else if (overThreshold(cfg.preparedPath)) {
+        val m: MaintenanceMetrics = cfg.layout match {
+          case Some(p) if p.zorder => LayoutJob.zorderBy(spark, cfg.preparedPath, p.columns)
+          case Some(p) => LayoutJob.clusterBy(spark, cfg.preparedPath, p.columns)
+          case None => CompactionJob.run(spark, cfg.preparedPath)
+        }
+        Some(cfg.preparedPath -> m).filter(_._2.rewritten)
+      } else None
+    // the fingerprint index also grows a file per promotion; it is
+    // probed by hash equality, so plain compaction regardless of format
+    val fpIndex: Option[(String, MaintenanceMetrics)] = cfg.dedupColumn
+      .filter(_ => overThreshold(cfg.fingerprintIndexPath))
+      .map(_ => cfg.fingerprintIndexPath ->
+        (CompactionJob.run(spark, cfg.fingerprintIndexPath): MaintenanceMetrics))
       .filter(_._2.rewritten)
-      .toMap
+    (prepared.toSeq ++ fpIndex.toSeq).toMap
   }
 
   /** Full medallion pass for one pipeline: ingest + drain + catalog.
@@ -120,8 +147,8 @@ object Orchestrator {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           PreparedLayerJob.promoteAll(spark, cfg, ledger)
+          maybeCompact(spark, cfg) // before register: the log view pins a snapshot
           CatalogRegistrar.register(spark, cfg)
-          maybeCompact(spark, cfg)
         }
         ()
       }

@@ -52,6 +52,9 @@ object ColRange {
         t.toInstant.getNano / 1000
     case t: java.time.Instant   =>
       BigDecimal(t.getEpochSecond) * 1000000 + t.getNano / 1000
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: timezone-less micros
+      val i = t.toInstant(java.time.ZoneOffset.UTC)
+      BigDecimal(i.getEpochSecond) * 1000000 + i.getNano / 1000
     case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => BigDecimal(d.toEpochDay)
     case other                  => BigDecimal(other.toString)
@@ -354,6 +357,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   /** [[appendStream]] curried for `DataStreamWriter.foreachBatch`. */
   def streamSink(appId: String): (DataFrame, Long) => Unit =
     (df, batchId) => { appendStream(df, appId, batchId); () }
+
+  /** Exactly-once batch append keyed on an arbitrary idempotence token
+    * (a promotion's run id): the token rides the same `txns` watermark
+    * as streaming batch ids, so a promotion that crashed AFTER its data
+    * commit but BEFORE its ledger update cannot re-append the run when
+    * the drain reruns — the replay is detected inside the commit loop
+    * and returns None. This is the log-backed prepared layer's
+    * exactly-once contract; the bare-directory path only gets
+    * at-least-once from the ledger's pending scan. */
+  def appendRun(df: DataFrame, runKey: String): Option[Snapshot] =
+    appendStream(df, runKey, 0L)
 
   /** Row-preserving full rewrite (compaction, re-clustering): transform
     * the CURRENT snapshot, verify rows-written == rows-before from an

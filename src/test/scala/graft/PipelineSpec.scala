@@ -208,6 +208,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(ledger.pending(spark, "documents").isEmpty)
   }
 
+  test("log-backed prepared layer: e2e promotion, maintenance, catalog through the snapshot log") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-e2e-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog,
+      layout = Some(graft.config.LayoutPolicy(Seq("l_orderkey"))))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    Orchestrator.drain(spark, cfg, ledger, compactAfterFiles = 2)
+    val log = graft.table.PreparedTable.log(spark, cfg)
+    // three atomic appends, then the threshold-triggered clustering
+    // rewrite committed through the log (no swap window)
+    assert(log.history().map(_.op) == Seq("append", "append", "append", "cluster"))
+    assert(log.snapshot().files.length <= 2, "clustered rewrite must bin-pack")
+    // snapshot read: all rows, all audit keys, run ids intact
+    val t = log.read()
+    assert(t.count() == 3 * fixtureRows(spark))
+    assert(t.select("ETL_PART_KEY").distinct().count() == 3)
+    // the cataloged name reads the committed snapshot (a view pinned to
+    // the manifest's file set, not a directory listing)
+    val viaCatalog = spark.table(s"${graft.catalog.CatalogRegistrar.Database}.${cfg.tableName}")
+    assert(viaCatalog.count() == 3 * fixtureRows(spark))
+    assert(viaCatalog.schema.fieldNames.contains("ETL_PART_KEY"))
+    // drain twice ≡ drain once, through the log too
+    assert(Orchestrator.drain(spark, cfg, ledger).isEmpty)
+    assert(log.read().count() == 3 * fixtureRows(spark))
+    // maintenance gate is idempotent on the manifest's live-file count
+    assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
+  }
+
+  test("log-backed promotion is exactly-once across a drain crash (run-id txn replay)") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-crash-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    // simulate the crash window the bare directory cannot close: the
+    // run's data commit succeeded, the ledger append did not — the run
+    // is still `pending`, so the rerun WILL try to promote it again
+    val df = PreparedLayerJob.rawRunDf(spark, cfg.rawTablePath, "run1")
+    graft.table.PreparedTable.log(spark, cfg)
+      .appendRun(df, PreparedLayerJob.runTxnKey("run1"))
+    assert(ledger.pending(spark, "lineitem").nonEmpty)
+    Orchestrator.drain(spark, cfg, ledger)
+    val log = graft.table.PreparedTable.log(spark, cfg)
+    assert(log.read().count() == fixtureRows(spark),
+      "crashed-then-rerun promotion must commit the run exactly once")
+    assert(log.currentVersion() == 1, "the replayed run must not commit a second version")
+    assert(ledger.pending(spark, "lineitem").isEmpty)
+  }
+
   test("event-driven watch promotes like a synchronous drain") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-watch-")
