@@ -79,6 +79,10 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     schemaJson: String = "",
     txns: Map[String, Long] = Map.empty)
 
+/** One version's contribution to the change feed ([[SnapshotLog.changes]]):
+  * the committed op and the files this version added over its parent. */
+final case class VersionDelta(version: Long, op: String, addedFiles: Seq[String])
+
 /** A commit lost the optimistic-concurrency race and cannot be safely
   * retried at this layer (rewrites — the table changed under the job).
   * Appends retry internally and only throw after exhausting attempts. */
@@ -283,6 +287,62 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     else
       reader(s).parquet(kept.map(f => new Path(dataDir, f).toString): _*)
         .where(residual)
+  }
+
+  /** Per-version change summary for [[readChanges]]: the version's op
+    * and the files it ADDED relative to its parent (staged files for an
+    * append; the rewritten output for compaction/clustering/delete/
+    * merge; empty for a restore, which re-publishes old files). */
+  def changes(fromVersion: Long, toVersion: Long = -1L): Seq[VersionDelta] = {
+    val to = if (toVersion < 0) currentVersion() else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"changes needs 0 <= from <= to, got [$fromVersion, $to]")
+    ((fromVersion + 1) to to).map { v =>
+      val s = snapshot(v)
+      val parentFiles =
+        if (s.parent == 0) Set.empty[String] else snapshot(s.parent).files.toSet
+      VersionDelta(v, s.op, s.files.filterNot(parentFiles))
+    }
+  }
+
+  /** Change feed: the rows APPENDED after `fromVersion` (exclusive) up
+    * to `toVersion` (inclusive, latest when -1) — what an incremental
+    * consumer (cross-run dedup, a downstream training job) reads
+    * instead of diffing directory listings. The log already knows
+    * exactly which files each version added, so the feed costs one
+    * manifest read per version and opens ONLY delta files — O(new data),
+    * never O(table).
+    *
+    * Semantics (at-commit-time, like a CDC insert feed):
+    *  - `append` versions contribute their staged files — exactly the
+    *    rows that run added;
+    *  - row-preserving rewrites (`compact`/`cluster`/`zorder`) and
+    *    `restore` contribute nothing: the table changed physically, not
+    *    logically — the feed across a compaction is identity;
+    *  - `delete`/`merge` versions contribute nothing here (their staged
+    *    files MIX surviving old rows with the rewrite — row-level
+    *    attribution needs the key-tombstone feed, not file names);
+    *    consumers that must react to them see the op via [[changes]].
+    *
+    * Historical delta files are read by name even if a later rewrite
+    * replaced them in the live set — immutability makes that exact; the
+    * [[vacuum]] horizon bounds how far back a consumer may fall behind,
+    * the same contract as production table formats' CDF retention. */
+  def readChanges(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion < 0) currentVersion() else toVersion
+    val s = snapshot(to)
+    val appendFiles = changes(fromVersion, to)
+      .filter(_.op == "append").flatMap(_.addedFiles)
+    if (appendFiles.nonEmpty)
+      reader(s).parquet(appendFiles.map(f => new Path(dataDir, f).toString): _*)
+    else if (s.schemaJson.nonEmpty) // empty delta, schema from the manifest
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else {
+      require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+      reader(s).parquet(new Path(dataDir, s.files.head).toString).where(lit(false))
+    }
   }
 
   /** Append `df` as a new version. Safe under concurrent appenders:

@@ -314,6 +314,38 @@ class TableLogSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("y") <= 4).count() == 0)
   }
 
+  test("change feed: append deltas only, identity across compaction, deletes surface as their op") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(mkRows(0, 30).toDF("id", "payload"))             // v1
+    log.append(mkRows(1, 20).toDF("id", "payload"))             // v2
+    // append delta: the feed from v1 is exactly run 1's rows
+    assert(log.readChanges(1).as[(Int, String)].collect().toSeq.sorted
+      == mkRows(1, 20).sorted)
+    // full feed from the origin is the whole table
+    assert(log.readChanges(0).count() == 50)
+    val v2 = log.currentVersion()
+    val compacted = log.compact(targetFileBytes = 1L << 30)
+    if (compacted.isDefined) {
+      // post-compaction identity: physically everything changed,
+      // logically nothing did — the feed across it is empty, and a
+      // consumer at v1 still sees only run 1's rows (read from the
+      // historical delta files by name, not from the live set)
+      assert(log.readChanges(v2).count() == 0)
+      assert(log.changes(v2).map(_.op) == Seq("compact"))
+      assert(log.readChanges(1, v2).as[(Int, String)].collect().toSeq.sorted
+        == mkRows(1, 20).sorted)
+    }
+    // delete: the feed contributes no rows, the op is visible
+    val before = log.currentVersion()
+    assert(log.deleteBetween("id", 0, 9).isDefined)
+    assert(log.readChanges(before).count() == 0)
+    assert(log.changes(before).map(_.op) == Seq("delete"))
+    // empty range: schema intact, zero rows
+    val head = log.currentVersion()
+    val empty = log.readChanges(head)
+    assert(empty.columns.toSeq == Seq("id", "payload") && empty.count() == 0)
+  }
+
   test("appending an empty batch is a harmless version bump") {
     val log = SnapshotLog(spark, freshTable())
     log.append(mkRows(0, 10).toDF("id", "payload"))
