@@ -7,7 +7,6 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -77,7 +76,17 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     rows: Long, bytes: Long, files: Seq[String],
     stats: Map[String, Map[String, ColRange]] = Map.empty,
     schemaJson: String = "",
-    txns: Map[String, Long] = Map.empty)
+    txns: Map[String, Long] = Map.empty,
+    tombstones: Seq[Tombstone] = Nil)
+
+/** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
+  * `file` holds the deleted key values for `column` (one row each,
+  * under `column`'s name); `appliesTo` scopes the tombstone to the data
+  * files live AT DELETE TIME, so a later append may re-insert a deleted
+  * key without the old tombstone swallowing the new row — the same
+  * sequencing rule as production equality deletes. O(files-at-delete)
+  * manifest entries, the same order as the stats map. */
+final case class Tombstone(file: String, column: String, appliesTo: Seq[String])
 
 /** One version's contribution to the change feed ([[SnapshotLog.changes]]):
   * the committed op and the files this version added over its parent. */
@@ -166,7 +175,7 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * modification-time grace so in-flight stages are never swept.
   */
 final class SnapshotLog(spark: SparkSession, val tableDir: String,
-    statsColumns: Seq[String] = Nil) {
+    statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -180,28 +189,31 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private val dataDir = new Path(root, DataDirName)
   private val mapper = new ObjectMapper()
 
-  private def manifestPath(v: Long) = new Path(logDir, f"v$v%020d.json")
+  /** All manifest I/O — the metadata plane — goes through this seam;
+    * the default is the filesystem's own atomic create-if-absent, and
+    * an object-store deployment swaps in a conditional-put store
+    * ([[InMemoryCommitStore]] proves the contract in TableLogSpec). */
+  private val store: CommitStore = store0.getOrElse(new FsCommitStore(fs, logDir))
+
+  private def manifestName(v: Long) = f"v$v%020d.json"
 
   /** Latest committed version; 0 means no commit yet. Staged manifests
     * (`.tmp-*`) and foreign files are ignored — only a fully published
     * `v<digits>.json` counts, so a half-written commit is invisible. */
   def currentVersion(): Long =
-    if (!fs.exists(logDir)) 0L
-    else fs.listStatus(logDir).iterator.flatMap { s =>
-      s.getPath.getName match {
-        case ManifestName(d) => Some(d.toLong)
-        case _               => None
-      }
+    store.list().flatMap {
+      case ManifestName(d) => Some(d.toLong)
+      case _               => None
     }.foldLeft(0L)(math.max)
 
   /** The committed manifest at `version` (latest when omitted). */
   def snapshot(version: Long = -1L): Snapshot = {
     val v = if (version < 0) currentVersion() else version
     require(v >= 1, s"table $tableDir has no committed snapshot")
-    val p = manifestPath(v)
-    require(fs.exists(p), s"version $v of $tableDir is missing (vacuumed?)")
-    val in = fs.open(p)
-    val node = try mapper.readTree(in) finally in.close()
+    val bytes = store.get(manifestName(v)).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of $tableDir is missing (vacuumed?)"))
+    val node = mapper.readTree(bytes)
     val files = (0 until node.get("files").size())
       .map(node.get("files").get(_).asText())
     val stats = Option(node.get("stats")).map { sn =>
@@ -216,20 +228,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val txns = Option(node.get("txns")).map { tn =>
       tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val tombstones = Option(node.get("tombstones")).map { tn =>
+      (0 until tn.size()).map { i =>
+        val t = tn.get(i)
+        Tombstone(t.get("file").asText(), t.get("column").asText(),
+          (0 until t.get("applies").size()).map(t.get("applies").get(_).asText()))
+      }.toSeq
+    }.getOrElse(Nil)
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
-      node.get("bytes").asLong(), files, stats, schemaJson, txns)
+      node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones)
   }
 
   /** All retained versions, oldest first. */
   def history(): Seq[Snapshot] =
-    if (!fs.exists(logDir)) Seq.empty
-    else fs.listStatus(logDir).iterator.flatMap { s =>
-      s.getPath.getName match {
-        case ManifestName(d) => Some(d.toLong)
-        case _               => None
-      }
-    }.toSeq.sorted.map(snapshot)
+    store.list().flatMap {
+      case ManifestName(d) => Some(d.toLong)
+      case _               => None
+    }.sorted.map(snapshot(_))
 
   /** Read a committed version (latest when omitted) — planning touches
     * one manifest, never a directory listing, and the scan schema comes
@@ -239,13 +255,36 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def read(version: Long = -1L): DataFrame = {
     val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    reader(s).parquet(s.files.map(f => new Path(dataDir, f).toString): _*)
+    scan(s, s.files)
   }
 
   private def reader(s: Snapshot) =
     if (s.schemaJson.isEmpty) spark.read
     else spark.read.schema(org.apache.spark.sql.types.DataType
       .fromJson(s.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Scan `files` of snapshot `s`, applying any key tombstones that
+    * cover them. Files sharing a tombstone-coverage set scan as one
+    * group with one anti-join per tombstone (broadcast-sized: a sparse
+    * key list); files appended after a delete carry no coverage and
+    * scan clean — in the common shape (one MoR delete, then appends)
+    * that is two groups and ONE anti-join over the old files only. */
+  private def scan(s: Snapshot, files: Seq[String]): DataFrame = {
+    def plain(fs: Seq[String]) =
+      reader(s).parquet(fs.map(f => new Path(dataDir, f).toString): _*)
+    if (s.tombstones.isEmpty) plain(files)
+    else {
+      val covered = s.tombstones.map(t => t -> t.appliesTo.toSet)
+      files.groupBy(f => covered.collect { case (t, c) if c(f) => t })
+        .map { case (ts, group) =>
+          ts.foldLeft(plain(group)) { (df, t) =>
+            val keys = spark.read
+              .parquet(new Path(dataDir, t.file).toString)
+            df.join(keys, Seq(t.column), "left_anti")
+          }
+        }.reduce(_ unionByName _)
+    }
+  }
 
   /** Manifest-pruned range read: keep only files whose recorded
     * `column` range intersects [lo, hi] — planning-time skipping that
@@ -285,8 +324,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       reader(s).parquet(new Path(dataDir, s.files.head).toString)
         .where(lit(false))
     else
-      reader(s).parquet(kept.map(f => new Path(dataDir, f).toString): _*)
-        .where(residual)
+      scan(s, kept).where(residual)
   }
 
   /** Per-version change summary for [[readChanges]]: the version's op
@@ -368,7 +406,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns)
+        merged, base.txns, base.tombstones)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -405,7 +443,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns + (appId -> batchId))
+        merged, base.txns + (appId -> batchId), base.tombstones)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -437,11 +475,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * the caller reruns against the new current. */
   def rewrite(op: String)(transform: DataFrame => DataFrame): Snapshot = {
     val base = snapshot()
+    // the rewrite consumes the tombstone-applied read, so it MATERIALIZES
+    // any pending key tombstones; expected rows are then the logical
+    // count (one extra counting pass — only ever paid when tombstones
+    // are pending), not the physical manifest total
+    val expectedRows =
+      if (base.tombstones.isEmpty) base.rows else read(base.version).count()
     val staged = stage(transform(read(base.version)))
-    if (staged.rows != base.rows) {
+    if (staged.rows != expectedRows) {
       discard(staged)
       throw new IllegalStateException(
-        s"$op row-count mismatch for $tableDir: ${base.rows} before, " +
+        s"$op row-count mismatch for $tableDir: $expectedRows before, " +
           s"${staged.rows} rewritten — aborted, table untouched")
     }
     val merged =
@@ -482,6 +526,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def deleteWhere(preds: (String, Any, Any)*): Option[Snapshot] = {
     require(preds.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a copy-on-write delete (its per-file row accounting assumes " +
+        "physical rows are logical rows)")
     val (touched, untouched) = base.files.partition(f =>
       preds.forall { case (c, lo, hi) =>
         base.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) })
@@ -530,6 +578,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * Conflicts abort, prior versions keep the pre-merge rows. */
   def mergeByKey(updates: DataFrame, column: String): Snapshot = {
     val base = snapshot()
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a copy-on-write merge (rewriting covered files raw would " +
+        "resurrect tombstoned rows)")
     // materialize the batch once: it feeds the bounds aggregate, the
     // anti-join and the staged union — recomputing an expensive (or
     // non-deterministic) update source three times could even disagree
@@ -579,6 +631,43 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Merge-on-read sparse-key delete: commit a TOMBSTONE file of the
+    * deleted `column` values instead of rewriting data — O(keys), not
+    * O(table). A scattered-key delete (GDPR-style by doc_id) through
+    * [[deleteWhere]] would rewrite every stats-crossed file — at 100 TB
+    * effectively the whole table; this commits in seconds regardless of
+    * table size. Reads apply the tombstones as a broadcast-sized
+    * anti-join scoped to the files live at delete time (a later append
+    * may re-insert a deleted key — the old tombstone does not swallow
+    * the new row); [[compact]] MATERIALIZES pending tombstones into a
+    * clean rewrite and drops them from the manifest. `rows` stays the
+    * PHYSICAL file total while tombstones are pending (the logical
+    * count needs a data read by construction — exactly the cost this
+    * operation defers); copy-on-write delete/merge refuse to run until
+    * materialization so their exact row accounting stays exact. Time
+    * travel is precise throughout: a version before the delete reads
+    * the rows, after reads without them, and restore carries the
+    * version's own tombstone set. Returns None for an empty key set. */
+  def deleteKeys(column: String, keys: DataFrame): Option[Snapshot] = {
+    val base = snapshot()
+    // one file per tombstone: a sparse key list is broadcast-sized by
+    // assumption, so the coalesce is a no-op-cheap narrow plan
+    val k = keys.select(keys.columns.head).toDF(column)
+      .na.drop().distinct().coalesce(1)
+    val staged = stage(k)
+    if (staged.rows == 0) { discard(staged); return None }
+    val next = Snapshot(base.version + 1, "delete_keys", base.version,
+      base.rows, base.bytes, base.files, base.stats,
+      base.schemaJson, base.txns,
+      base.tombstones :+ Tombstone(staged.files.head, column, base.files))
+    if (!tryCommit(next)) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"delete_keys on $tableDir: concurrent commit since v${base.version}; rerun")
+    }
+    Some(next)
+  }
+
   /** Roll the table back to a retained `version` as a NEW commit: the
     * old file set is re-published at the top of the log (op `restore`),
     * so history stays intact, concurrent writers see the rollback
@@ -597,7 +686,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val cur = snapshot()
     val next = Snapshot(cur.version + 1, "restore", cur.version,
       target.rows, target.bytes, target.files, target.stats,
-      target.schemaJson, cur.txns)
+      target.schemaJson, cur.txns, target.tombstones)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -611,7 +700,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def compact(targetFileBytes: Long = 128L << 20): Option[Snapshot] = {
     val cur = snapshot()
     val nOut = SnapshotLog.packedFileCount(cur.bytes, targetFileBytes)
-    if (cur.files.length <= nOut) None
+    // pending key tombstones force the rewrite even when file counts are
+    // fine: compaction is where merge-on-read deletes materialize
+    if (cur.files.length <= nOut && cur.tombstones.isEmpty) None
     else Some(rewrite("compact")(_.coalesce(nOut)))
   }
 
@@ -627,12 +718,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val cur = currentVersion()
     if (cur == 0) return 0
     val keepFrom = math.max(1L, cur - keepLast + 1)
-    (1L until keepFrom).foreach(v => fs.delete(manifestPath(v), false))
+    (1L until keepFrom).foreach(v => store.delete(manifestName(v)))
     // a version inside the horizon may already be gone from an earlier,
     // TIGHTER vacuum — skip it rather than crash the wider one
     val live = (keepFrom to cur)
-      .filter(v => fs.exists(manifestPath(v)))
-      .flatMap(v => snapshot(v).files).toSet
+      .filter(v => store.exists(manifestName(v)))
+      .flatMap { v =>
+        val s = snapshot(v)
+        s.files ++ s.tombstones.map(_.file) // tombstones are live metadata
+      }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { f =>
@@ -798,7 +892,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   /** Publish `s` at its version slot; false iff the slot was taken. */
   private def tryCommit(s: Snapshot): Boolean = {
-    fs.mkdirs(logDir)
     val node = mapper.createObjectNode()
     node.put("version", s.version).put("op", s.op).put("parent", s.parent)
       .put("rows", s.rows).put("bytes", s.bytes)
@@ -818,30 +911,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val tn = node.putObject("txns")
       s.txns.foreach { case (a, b) => tn.put(a, b) }
     }
-    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}.json")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    atomicPublish(tmp, manifestPath(s.version))
-  }
-
-  /** The per-store atomicity seam. Local FS: `link(2)` via
-    * `Files.createLink` — atomic create-if-absent (POSIX `rename(2)`
-    * would silently REPLACE an existing manifest, destroying the CAS).
-    * Other FSs: Hadoop contract rename (HDFS fails on existing
-    * destination). Object stores without atomic rename plug a
-    * conditional put (`If-None-Match: *`) in here. */
-  private def atomicPublish(tmp: Path, dst: Path): Boolean =
-    if (fs.getScheme == "file") {
-      val (t, d) = (Paths.get(tmp.toUri.getPath), Paths.get(dst.toUri.getPath))
-      // tmp cleanup goes through the Hadoop FS so the checksum sibling
-      // (ChecksumFileSystem's .crc) is swept with it — a NIO delete
-      // would leak one crc file per commit forever
-      try { Files.createLink(d, t); fs.delete(tmp, false); true }
-      catch { case _: FileAlreadyExistsException => fs.delete(tmp, false); false }
-    } else {
-      if (fs.exists(dst)) { fs.delete(tmp, false); false }
-      else fs.rename(tmp, dst)
+    if (s.tombstones.nonEmpty) {
+      val ta = node.putArray("tombstones")
+      s.tombstones.foreach { t =>
+        val tn = ta.addObject()
+        tn.put("file", t.file).put("column", t.column)
+        val ap = tn.putArray("applies")
+        t.appliesTo.foreach(ap.add)
+      }
     }
+    store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
+  }
 }
 
 object SnapshotLog {
@@ -861,4 +941,11 @@ object SnapshotLog {
   def apply(spark: SparkSession, tableDir: String,
       statsColumns: Seq[String] = Nil): SnapshotLog =
     new SnapshotLog(spark, tableDir, statsColumns)
+
+  /** A log whose manifests live in `store` — the object-store
+    * deployment shape ([[CommitStore]]); data files stay on `tableDir`'s
+    * filesystem. */
+  def apply(spark: SparkSession, tableDir: String,
+      statsColumns: Seq[String], store: CommitStore): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, Some(store))
 }

@@ -137,6 +137,65 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == expected, "no append may be lost or duplicated")
   }
 
+  test("conditional-put store: the full contention matrix holds on the object-store seam") {
+    import graft.table.InMemoryCommitStore
+    // ONE shared store plays the object store; every thread gets its own
+    // SnapshotLog over it, like N writers against one S3 bucket. The
+    // conditional put is the only atomicity the protocol receives.
+    val dir = freshTable()
+    val mock = new InMemoryCommitStore
+    def logOn() = SnapshotLog(spark, dir, Nil, mock)
+    logOn().append(mkRows(99, 1).toDF("id", "payload"))
+    assert(logOn().currentVersion() == 1, "manifests live in the store, not the FS")
+    assert(!new java.io.File(dir, SnapshotLog.LogDirName).exists(),
+      "no filesystem manifest may exist — the store is the metadata plane")
+
+    // CAS slot contention: occupy the next slot out-of-band; a fresh
+    // append must lose that slot and land on the one after
+    mock.putIfAbsent("v" + "0" * 18 + "02.json",
+      mock.get("v" + "0" * 18 + "01.json").get)
+    val s = logOn().append(mkRows(98, 2).toDF("id", "payload"))
+    assert(s.version == 3, "occupied slot must force the retry path")
+
+    // 4-thread stress: every append lands exactly once
+    val threads = 4
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { t =>
+      new Thread(() =>
+        try {
+          val log = logOn()
+          (0 until perThread).foreach(r =>
+            log.append(mkRows(t * 10 + r, 5).toDF("id", "payload")))
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+    assert(logOn().currentVersion() == 3 + threads * perThread)
+    // the forged v2 slot holds a copy of v1's manifest, which names the
+    // SAME file — the live set unions by name, so nothing duplicates
+    val expected = (mkRows(99, 1) ++ mkRows(98, 2) ++ (for {
+      t <- 0 until threads; r <- 0 until perThread; row <- mkRows(t * 10 + r, 5)
+    } yield row)).sorted
+    assert(rowsOf(logOn()) == expected, "no append may be lost or duplicated")
+
+    // rewrite conflict: a commit landing between the rewrite's read and
+    // its publish aborts through the store's CAS, like on the FS
+    val ex = intercept[CommitConflictException] {
+      logOn().rewrite("compact") { df =>
+        logOn().append(mkRows(97, 2).toDF("id", "payload"))
+        df.coalesce(1)
+      }
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+
+    // exactly-once stream replay rides the same store
+    val s1 = logOn().appendStream(mkRows(50, 3).toDF("id", "payload"), "app", 7L)
+    assert(s1.isDefined)
+    assert(logOn().appendStream(mkRows(50, 3).toDF("id", "payload"), "app", 7L).isEmpty,
+      "replayed batch must be skipped via the store-held txn watermark")
+  }
+
   test("log-backed clustering: per-file key ranges are disjoint after the rewrite") {
     val log = SnapshotLog(spark, freshTable())
     // three shuffled appends: every file spans nearly the full id range
@@ -344,6 +403,47 @@ class TableLogSpec extends AnyFunSuite {
     val head = log.currentVersion()
     val empty = log.readChanges(head)
     assert(empty.columns.toSeq == Seq("id", "payload") && empty.count() == 0)
+  }
+
+  test("merge-on-read delete: sparse keys commit without rewriting data; compaction materializes") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 40).toDF("id", "payload").repartition(2)) // v1
+    val before = log.snapshot()
+    // scattered keys that cross both files — a CoW delete would rewrite
+    // the whole table; the MoR delete commits one tiny key file
+    val keys = Seq(1, 15, 33)
+    val s = log.deleteKeys("id", keys.toDF("id")).get
+    assert(s.files == before.files, "no data file may be rewritten")
+    assert(s.op == "delete_keys" && s.tombstones.size == 1)
+    // reads apply the tombstones; time travel before the delete is exact
+    assert(rowsOf(log) == mkRows(0, 40).filterNot(r => keys.contains(r._1)).sorted)
+    assert(rowsOf(log, v = 1) == mkRows(0, 40).sorted)
+    // pruned reads compose with tombstone application
+    assert(log.readWhere(("id", 0, 20)).as[(Int, String)].collect().toSeq.sorted
+      == mkRows(0, 40).filter(r => r._1 <= 20 && !keys.contains(r._1)).sorted)
+    // vacuum must never sweep a retained manifest's tombstone file
+    log.vacuum(keepLast = 1, graceMs = 0)
+    assert(rowsOf(log) == mkRows(0, 40).filterNot(r => keys.contains(r._1)).sorted)
+    // a re-inserted key is NOT swallowed: tombstones cover only the
+    // files live at delete time
+    log.append(Seq((1, "reborn")).toDF("id", "payload")) // v3
+    assert(log.read().where($"id" === 1).as[(Int, String)].collect().toSeq
+      == Seq((1, "reborn")))
+    // CoW delete/merge refuse to run over pending tombstones
+    assertThrows[IllegalArgumentException](log.deleteBetween("id", 0, 2))
+    assertThrows[IllegalArgumentException](
+      log.mergeByKey(Seq((2, "upd")).toDF("id", "payload"), "id"))
+    // compaction materializes the tombstones and drops them
+    val compacted = log.compact(targetFileBytes = 1L << 30).get
+    assert(compacted.tombstones.isEmpty)
+    assert(compacted.rows == 40 - keys.size + 1, "rows become the logical count")
+    assert(rowsOf(log) ==
+      (mkRows(0, 40).filterNot(r => keys.contains(r._1)) :+ ((1, "reborn"))).sorted)
+    // the pre-compaction MoR version still reads its own truth
+    assert(rowsOf(log, v = 3).count(_ == ((1, "reborn"))) == 1)
+    assert(!rowsOf(log, v = 3).contains((15, "row-0-15")))
+    // materialized: CoW delete works again
+    assert(log.deleteBetween("id", 0, 0).isDefined)
   }
 
   test("appending an empty batch is a harmless version bump") {
