@@ -151,6 +151,7 @@ object SparkEntry {
     "tx_repetition" -> (TextAnalysis.txRepetition _), // Gopher-style repetition gates
     "tx_bigram_lm" -> (TextAnalysis.txBigramLm _), // in-corpus bigram LM typicality score
     "tx_bpe_train" -> (TextAnalysis.txBpeTrain _), // learn BPE merges from the word histogram
+    "tx_tokenize_bpe_learned" -> (TextAnalysis.txTokenizeBpeLearned _), // apply the learned merges corpus-wide; twin: TokenizerSpec parity
     "tx_pii_redact" -> (TextAnalysis.txPiiRedact _), // regex redaction over planted PII
     "tx_domains" -> (TextAnalysis.txDomains _), // URL → domain rollup
     "tx_pack_sequences" -> (TextAnalysis.txPackSequences _), // fixed-budget sequence packing (bin accounting)

@@ -527,7 +527,7 @@ object TextAnalysis {
        |ORDER BY shard, bin_id""".stripMargin
 
   /** Merge rounds for the graded [[txBpeTrain]] run. */
-  private val BpeTrainMerges = 30
+  private[graft] val BpeTrainMerges = 30
 
   /** End-of-word sentinel symbol (original BPE formulation, Sennrich et
     * al. 2016 "Neural Machine Translation of Rare Words with Subword
@@ -605,5 +605,60 @@ object TextAnalysis {
       }
     }
     learned.toSeq.toDF("rank", "left", "right", "freq").orderBy(col("rank"))
+  }
+
+  /** Tokenize the corpus with the LEARNED tokenizer — the missing half
+    * of [[txBpeTrain]] (which learns a merge table nothing applied): a
+    * real pretraining pipeline trains the tokenizer, then tokenizes the
+    * corpus with it. Per document: subword count under the learned
+    * merges, word count, and subwords-per-word (the compression the
+    * merges bought).
+    *
+    * Distributed shape — the same histogram insight as training, applied
+    * to inference: merges apply per DISTINCT WORD, so the per-word loop
+    * (greedy left-to-right merge application in rank order — exactly the
+    * trainer's semantics, so a trained word reproduces its training
+    * segmentation) runs on the VOCAB-sized table only; the corpus-sized
+    * passes are a stock explode and a broadcast join of word →
+    * subword-count back onto the exploded words. At 100 TB the corpus
+    * never meets interpreted code: the UDF touches millions of distinct
+    * words, not billions of rows, and the 30-entry merge table is a
+    * broadcast constant. (Production vocab past broadcast range swaps
+    * the broadcast join for a shuffle join on `word`; shape unchanged.)
+    *
+    * Rows-only graded (greedy iterative merges are not ANSI-expressible);
+    * the independent twin is TokenizerSpec's pure-Scala tokenizer,
+    * parity asserted corpus-wide per doc. */
+  def txTokenizeBpeLearned(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges: Array[(String, String)] = bpeTrain(spark, docs, BpeTrainMerges)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))) // 30 rows: control plane
+    val bc = spark.sparkContext.broadcast(merges)
+    val subwordCount = udf { w: String =>
+      var syms: Array[String] = (w.map(_.toString) :+ WordEnd).toArray
+      bc.value.foreach { case (l, r) =>
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length
+    }
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocabSizes = words.select(col("word")).distinct()
+      .withColumn("n_sub_w", subwordCount(col("word"))) // vocab-sized UDF
+    words.join(broadcast(vocabSizes), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sub_w")).as("n_subwords"), count(lit(1)).as("n_words"))
+      .withColumn("subwords_per_word",
+        round(col("n_subwords").cast("double") / col("n_words"), 4))
+      .orderBy(col("doc_id"))
   }
 }

@@ -87,4 +87,48 @@ class TokenizerSpec extends AnyFunSuite {
       s"merge tables diverge: got ${got.take(5)}... want ${want.take(5)}...")
     assert(got.length == 20, s"fixture corpus supports 20 merges, got ${got.length}")
   }
+
+  /** From-scratch tokenizer: apply `merges` to one word, greedy
+    * left-to-right per merge, merges in rank order. */
+  private def refTokenize(w: String, merges: Seq[(String, String)]): Int = {
+    var syms: Vector[String] = w.map(_.toString).toVector :+ WordEnd
+    merges.foreach { case (l, r) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms.length
+  }
+
+  test("learned-merge tokenization: per-doc subword counts equal the reference corpus-wide") {
+    val spark = TestSpark.spark
+    val docs = graft.ops.Relational.t(spark, TestSpark.Sf0001, "documents")
+    // independent path: reference-train the merge table on the word
+    // histogram, then reference-tokenize every document driver-side
+    val hist = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = refBpe(hist, TextAnalysis.BpeTrainMerges).map(m => (m._2, m._3))
+    val expected = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).split(" ").filter(_.nonEmpty)
+      r.getLong(0) -> ((words.map(refTokenize(_, merges)).map(_.toLong).sum,
+        words.length.toLong))
+    }.toMap
+    // distributed path: the graded op
+    val got = TextAnalysis.txTokenizeBpeLearned(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet, "per-doc coverage must be total")
+    assert(got == expected,
+      "distributed learned-merge tokenization must equal the pure-Scala reference")
+    // the merges actually compress: fewer subwords than characters
+    val anyDoc = docs.select(col("doc_id"), col("text")).head()
+    assert(got(anyDoc.getLong(0))._1 <
+      anyDoc.getString(1).replace(" ", "").length + anyDoc.getString(1).split(" ").count(_.nonEmpty))
+  }
 }
