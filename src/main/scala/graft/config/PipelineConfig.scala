@@ -118,6 +118,13 @@ final case class PipelineConfig(
     * manifest pruning then skips by). */
   def statsColumns: Seq[String] = layout.map(_.columns).getOrElse(Nil)
 
+  /** Persisted near-dup cluster labels for leakage-safe splitting
+    * ([[graft.ops.Sampling.splitFromLabels]]): `(doc_id, cluster_rep)`
+    * computed once per corpus build, joined at split time instead of
+    * re-running the connected-components closure. Beside the prepared
+    * prefix, like the fingerprint index. */
+  def clusterLabelsPath: String = s"$preparedRoot/${rawFolder}__labels"
+
   /** Stack-style display name (reference: app.py:24). */
   def displayName: String = s"$project-$subject-$jobSrc"
 }

@@ -196,9 +196,26 @@ object Sampling {
     * corpus-sized shuffles beyond the labeling. Oracle-checked
     * (recursive-CTE closure, the dd_clusters oracle, plus the coalesce
     * join). */
-  def sampSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"))
-    val labels = Dedup.ddClusters(spark, dir) // (doc_id, cluster_rep)
+  def sampSplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitFromLabels(t(spark, dir, "documents").select(col("doc_id")),
+      Dedup.ddClusters(spark, dir)) // closure inline: graded queries are self-contained
+
+  /** The split proper, factored out as the PRODUCTION path: assign
+    * train/valid/test from an AT-REST label table — the fingerprint-index
+    * pattern ([[graft.jobs.PreparedLayerJob]]) applied to clustering:
+    * compute [[Dedup.ddClusters]] once per corpus build, persist
+    * `(doc_id, cluster_rep)` beside the prepared data
+    * ([[graft.config.PipelineConfig.clusterLabelsPath]]), and every
+    * split consumer joins the persisted table instead of re-running the
+    * closure. New docs absent from the label table are singletons and
+    * split on their own id — identical assignment to what a re-clustered
+    * split would give them unless they near-dup an existing cluster,
+    * which the next label refresh repairs. The join is doc_id-keyed
+    * (exchange-free when corpus and labels are bucketed on doc_id,
+    * broadcastable while cluster membership is sparse); the assignment
+    * is the codegen'd modular-hash CASE. Deterministic: re-runs and
+    * incremental runs agree on every previously-seen doc. */
+  def splitFromLabels(docs: DataFrame, labels: DataFrame): DataFrame =
     docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("split_key"))
@@ -208,7 +225,6 @@ object Sampling {
           .when(col("bucket") < 900, lit("valid"))
           .otherwise(lit("test")).as("split"))
       .orderBy(col("doc_id"))
-  }
 
   def sampSplitLeakageOracle: String =
     s"""WITH RECURSIVE sh0 AS (

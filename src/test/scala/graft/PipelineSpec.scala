@@ -304,6 +304,61 @@ class PipelineSpec extends AnyFunSuite {
       fixture.select("text").distinct().count() + 5)
   }
 
+  test("split-from-persisted-labels: run 2 splits consistently without recomputing the closure") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-labels-")
+    val cfg = PipelineConfig(
+      template = PipelineConfig.CdsViewTemplate,
+      project = "graft", subject = "test",
+      jobSrc = "documents", ledgerName = "pipeline_ledger",
+      rawRoot = s"$tmp/raw", rawFolder = "documents", cdsView = "documents",
+      preparedRoot = s"$tmp/prepared",
+      tableName = s"s_${tmp.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}",
+      schema = Seq(
+        ColumnSpec("doc_id", "bigint", ""), ColumnSpec("text", "string", ""),
+        ColumnSpec("lang", "string", ""), ColumnSpec("source", "string", ""),
+        ColumnSpec("n_chars", "bigint", "")))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg,
+      ParquetSource(s"${TestSpark.Sf0001}/documents.parquet"), ledger, "run1")
+    Orchestrator.drain(spark, cfg, ledger)
+    // corpus build complete: run the closure ONCE, persist the labels
+    // beside the prepared data (the fingerprint-index pattern)
+    graft.ops.Dedup.ddClusters(spark, TestSpark.Sf0001)
+      .write.parquet(cfg.clusterLabelsPath)
+    val labels = spark.read.parquet(cfg.clusterLabelsPath)
+    val corpus1 = spark.read.parquet(cfg.preparedPath).select("doc_id")
+    val split1 = graft.ops.Sampling.splitFromLabels(corpus1, labels)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+
+    // run 2 delivers five new docs; the split joins the AT-REST labels —
+    // no ddClusters call anywhere on this path
+    val fresh = (1 to 5).map(i =>
+      (900000L + i, s"persisted label split doc $i", "en", "synthetic", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val run2Path = tmp.resolve("run2src").toString
+    fresh.write.parquet(run2Path)
+    RawLayerJob.run(spark, cfg, ParquetSource(run2Path), ledger, "run2")
+    Orchestrator.drain(spark, cfg, ledger)
+    val corpus2 = spark.read.parquet(cfg.preparedPath).select("doc_id")
+    val split2df = graft.ops.Sampling.splitFromLabels(corpus2, labels)
+    val split2 = split2df.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+
+    assert(split2.size == split1.size + 5)
+    // consistency: every run-1 doc keeps its assignment
+    assert(split1.forall { case (id, s) => split2(id) == s },
+      "persisted-label split must be stable across corpus growth")
+    // leakage safety: every multi-member cluster lands in ONE split
+    val byCluster = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).filter(_._2.length > 1)
+    assert(byCluster.nonEmpty, "fixture must contain non-trivial clusters")
+    byCluster.foreach { case (rep, members) =>
+      val splits = members.map(m => split2(m._1)).distinct
+      assert(splits.length == 1, s"cluster $rep straddles splits: $splits")
+    }
+  }
+
   test("event-driven watch promotes like a synchronous drain") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-watch-")
