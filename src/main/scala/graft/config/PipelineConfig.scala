@@ -67,8 +67,11 @@ final case class PipelineConfig(
     schema: Seq[ColumnSpec],
     dedupColumn: Option[String] = None,
     layout: Option[LayoutPolicy] = None,
-    tableFormat: String = PipelineConfig.FormatDir
+    tableFormat: String = PipelineConfig.FormatDir,
+    layoutAdvised: Boolean = false
 ) {
+  require(!(layoutAdvised && layout.isDefined),
+    "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
   require(template == PipelineConfig.CdsViewTemplate,
     s"unknown template '$template' (only '${PipelineConfig.CdsViewTemplate}' is supported)")
   require(tableFormat == PipelineConfig.FormatDir ||
@@ -189,7 +192,13 @@ object PipelineConfig {
       // transaction-log table format (default: the reference's bare
       // append directory)
       tableFormat = Option(prepared.get("table_format")).map(_.asText())
-        .getOrElse(FormatDir)
+        .getOrElse(FormatDir),
+      // optional: layout_mode "advised" WITHOUT a cluster_by lets the
+      // orchestrator adopt the LayoutAdvisor's recommendation when
+      // maintenance fires; any declared cluster_by always wins (and
+      // combining it with "advised" is rejected in the layout parse)
+      layoutAdvised = prepared.get("cluster_by") == null &&
+        Option(prepared.get("layout_mode")).map(_.asText()).contains("advised")
     )
   }
 
@@ -224,6 +233,7 @@ object PipelineConfig {
       prep.put("cluster_by", p.columns.mkString(","))
       if (p.zorder) prep.put("layout_mode", "zorder")
     }
+    if (c.layoutAdvised) prep.put("layout_mode", "advised")
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

@@ -56,7 +56,16 @@ final class LayoutAdvisor extends QueryExecutionListener {
     * same tally without a live listener. */
   def record(plan: SparkPlan): Unit =
     scans(plan).foreach { s =>
-      val root = s.relation.location.rootPaths.headOption.map(_.toString).getOrElse("")
+      val roots = s.relation.location.rootPaths
+      // scans fed an explicit FILE list (a log table's snapshot read, a
+      // pinned-manifest catalog view) tally under their common parent —
+      // the table's data directory — so per-table counts aggregate
+      // across snapshots; directory-rooted scans key by the directory
+      val root = roots.headOption.map { p =>
+        if (roots.lengthCompare(1) > 0 || p.getName.endsWith(".parquet"))
+          p.getParent.toString
+        else p.toString
+      }.getOrElse("")
       val cols = s.dataFilters.flatMap(_.collect {
         case c: BinaryComparison => (c.left, c.right) match {
           case (a: AttributeReference, _: Literal) => Some(a.name)

@@ -42,13 +42,14 @@ object Orchestrator {
     * bin-pack by default, clustering rewrite when the config declares a
     * layout policy ([[maybeCompact]]). */
   def drain(spark: SparkSession, cfg: PipelineConfig, ledger: RunLedger,
-      compactAfterFiles: Int = DefaultCompactAfterFiles): Seq[JobMetrics] = {
+      compactAfterFiles: Int = DefaultCompactAfterFiles,
+      advisor: Option[LayoutAdvisor] = None): Seq[JobMetrics] = {
     val promoted = PreparedLayerJob.promoteAll(spark, cfg, ledger)
     if (promoted.nonEmpty) {
       // maintenance BEFORE registration: a log-backed catalog view pins
       // the current snapshot's file set, so it must be built after any
       // rewrite commits (for the directory format the order is moot)
-      maybeCompact(spark, cfg, compactAfterFiles)
+      maybeCompact(spark, cfg, compactAfterFiles, advisor)
       CatalogRegistrar.register(spark, cfg)
     }
     promoted
@@ -71,7 +72,8 @@ object Orchestrator {
     * files, so an immediate re-check fires nothing. Returns the metrics
     * of each rewrite that actually happened, keyed by path. */
   def maybeCompact(spark: SparkSession, cfg: PipelineConfig,
-      maxFiles: Int = DefaultCompactAfterFiles): Map[String, MaintenanceMetrics] = {
+      maxFiles: Int = DefaultCompactAfterFiles,
+      advisor: Option[LayoutAdvisor] = None): Map[String, MaintenanceMetrics] = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def overThreshold(dir: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(dir)
@@ -81,6 +83,19 @@ object Orchestrator {
         f.isFile && !n.startsWith("_") && !n.startsWith(".")
       } > maxFiles
     }
+    // Effective layout policy: the declared one ALWAYS wins; a pipeline
+    // in `layout_mode: "advised"` with no declaration adopts the
+    // telemetry advisor's recommendation, keyed by the qualified path
+    // the scan listener tallied (the data directory). Falls back to
+    // plain bin-packing when there is no advice yet — maintenance never
+    // blocks on telemetry.
+    def policyFor(scanRoot: String,
+        schema: => org.apache.spark.sql.types.StructType) =
+      cfg.layout.orElse {
+        if (cfg.layoutAdvised)
+          advisor.flatMap(_.advise(qualify(spark, scanRoot), schema))
+        else None
+      }
     // prepared prefix: log-routed maintenance when the pipeline is
     // log-backed (the threshold reads the MANIFEST's live-file count —
     // no listing — and the rewrite commits as a `replace`, no swap
@@ -93,7 +108,10 @@ object Orchestrator {
           val before = log.snapshot().files.length
           if (before <= maxFiles) None
           else {
-            val committed = cfg.layout match {
+            // log scans are explicit file lists, tallied under data/
+            val committed = policyFor(
+              s"${cfg.preparedPath}/${graft.table.SnapshotLog.DataDirName}",
+              log.read().schema) match {
               case Some(p) if p.zorder => Some(LayoutJob.zorderByLog(log, p.columns))
               case Some(p) => Some(LayoutJob.clusterByLog(log, p.columns))
               case None => log.compact()
@@ -103,7 +121,8 @@ object Orchestrator {
           }
         }
       } else if (overThreshold(cfg.preparedPath)) {
-        val m: MaintenanceMetrics = cfg.layout match {
+        val m: MaintenanceMetrics = policyFor(cfg.preparedPath,
+          spark.read.parquet(cfg.preparedPath).schema) match {
           case Some(p) if p.zorder => LayoutJob.zorderBy(spark, cfg.preparedPath, p.columns)
           case Some(p) => LayoutJob.clusterBy(spark, cfg.preparedPath, p.columns)
           case None => CompactionJob.run(spark, cfg.preparedPath)
@@ -118,6 +137,14 @@ object Orchestrator {
         (CompactionJob.run(spark, cfg.fingerprintIndexPath): MaintenanceMetrics))
       .filter(_._2.rewritten)
     (prepared.toSeq ++ fpIndex.toSeq).toMap
+  }
+
+  /** A path in the fully-qualified form the scan listener records
+    * (`FileSourceScanExec` root paths are qualified, e.g. `file:/…`). */
+  private def qualify(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
   }
 
   /** Full medallion pass for one pipeline: ingest + drain + catalog.
@@ -135,7 +162,8 @@ object Orchestrator {
     * tracking), and `promoteAll` is itself idempotent, so replays are safe.
     */
   def watch(spark: SparkSession, cfg: PipelineConfig, ledger: LocalJsonLedger,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      advisor: Option[LayoutAdvisor] = None): StreamingQuery = {
     val inserts = spark.readStream
       .schema(graft.ledger.RunLedger.schema)
       .json(ledger.dir.toString)
@@ -147,7 +175,8 @@ object Orchestrator {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           PreparedLayerJob.promoteAll(spark, cfg, ledger)
-          maybeCompact(spark, cfg) // before register: the log view pins a snapshot
+          // before register: the log view pins a snapshot
+          maybeCompact(spark, cfg, advisor = advisor)
           CatalogRegistrar.register(spark, cfg)
         }
         ()

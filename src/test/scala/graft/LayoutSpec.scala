@@ -200,6 +200,76 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(advisor3)
   }
 
+  test("advised layout mode: maintenance adopts the advisor's policy; declared always wins") {
+    import graft.config.{ColumnSpec, PipelineConfig}
+    import graft.jobs.{LayoutMetrics, RawLayerJob}
+    import graft.ledger.LocalJsonLedger
+    import graft.orchestrate.{LayoutAdvisor, Orchestrator}
+    import graft.sources.ParquetSource
+    import org.apache.spark.sql.functions.col
+
+    def pipeline(tmp: java.nio.file.Path,
+        layout: Option[graft.config.LayoutPolicy], advised: Boolean) = PipelineConfig(
+      template = PipelineConfig.CdsViewTemplate,
+      project = "graft", subject = "test",
+      jobSrc = "lineitem", ledgerName = "pipeline_ledger",
+      rawRoot = s"$tmp/raw", rawFolder = "lineitem", cdsView = "lineitem",
+      preparedRoot = s"$tmp/prepared",
+      tableName = s"a_${tmp.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}",
+      schema = Seq(
+        ColumnSpec("l_orderkey", "bigint", ""), ColumnSpec("l_partkey", "bigint", ""),
+        ColumnSpec("l_suppkey", "bigint", ""), ColumnSpec("l_linenumber", "int", ""),
+        ColumnSpec("l_quantity", "double", ""), ColumnSpec("l_extendedprice", "double", ""),
+        ColumnSpec("l_discount", "double", ""), ColumnSpec("l_tax", "double", ""),
+        ColumnSpec("l_returnflag", "string", ""), ColumnSpec("l_linestatus", "string", ""),
+        ColumnSpec("l_shipdate", "timestamp", "")),
+      layout = layout, layoutAdvised = advised)
+    val src = ParquetSource(s"${TestSpark.Sf0001}/lineitem.parquet")
+
+    // no declared policy, advised mode: the skewed workload's hot
+    // predicate column becomes the adopted clustering
+    val tmp1 = Files.createTempDirectory("graft-advised-")
+    val cfg1 = pipeline(tmp1, None, advised = true)
+    val ledger1 = new LocalJsonLedger(tmp1.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg1, src, ledger1, s"run$i"))
+    Orchestrator.drain(spark, cfg1, ledger1) // promote only (default threshold)
+    val advisor = new LayoutAdvisor
+    val prepared = spark.read.parquet(cfg1.preparedPath)
+    (1 to 3).foreach(i => advisor.record(
+      prepared.filter(col("l_orderkey") > i * 100L).queryExecution.executedPlan))
+    val m1 = Orchestrator.maybeCompact(spark, cfg1, maxFiles = 2, advisor = Some(advisor))
+    assert(m1.keySet == Set(cfg1.preparedPath))
+    assert(m1.values.head.asInstanceOf[LayoutMetrics].clusterBy == Seq("l_orderkey"),
+      "maintenance must adopt the advisor's recommendation")
+    // and the rewrite genuinely clustered: per-file key ranges disjoint
+    val ranges = fileRanges(cfg1.preparedPath, "l_orderkey")
+    ranges.sorted.sliding(2).filter(_.size == 2).foreach { w =>
+      assert(w(0)._2 <= w(1)._1, s"overlapping ranges after advised clustering: $ranges")
+    }
+
+    // declared policy present: the SAME advice is ignored
+    val tmp2 = Files.createTempDirectory("graft-declared-")
+    val cfg2 = pipeline(tmp2,
+      Some(graft.config.LayoutPolicy(Seq("l_partkey"))), advised = false)
+    val ledger2 = new LocalJsonLedger(tmp2.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg2, src, ledger2, s"run$i"))
+    Orchestrator.drain(spark, cfg2, ledger2)
+    val m2 = Orchestrator.maybeCompact(spark, cfg2, maxFiles = 2, advisor = Some(advisor))
+    assert(m2.values.head.asInstanceOf[LayoutMetrics].clusterBy == Seq("l_partkey"),
+      "a declared policy must always win over advice")
+
+    // advised mode with NO advice yet: plain bin-pack, never blocked
+    val tmp3 = Files.createTempDirectory("graft-noadvice-")
+    val cfg3 = pipeline(tmp3, None, advised = true)
+    val ledger3 = new LocalJsonLedger(tmp3.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg3, src, ledger3, s"run$i"))
+    Orchestrator.drain(spark, cfg3, ledger3)
+    val m3 = Orchestrator.maybeCompact(spark, cfg3, maxFiles = 2,
+      advisor = Some(new LayoutAdvisor))
+    assert(m3.nonEmpty && !m3.values.head.isInstanceOf[LayoutMetrics],
+      "no advice yet must fall back to plain compaction")
+  }
+
   // ---- Z-order (multi-column) clustering -------------------------------
 
   /** Append-order layer with TWO INDEPENDENT uniform keys (seeded RNG —
