@@ -92,6 +92,7 @@ object SparkEntry {
     "q27_topk_extensions" -> (Relational.q27TopkExtensions _), // spark.sql.extensions ladder, rewrite must fire
     "q28_unpivot" -> (Relational.q28Unpivot _), // native unpivot melt (Expand, one scan)
     "q29_log_pruned_scan" -> (Relational.q29LogPrunedScan _), // SnapshotLog readWhere manifest pruning
+    "q30_log_metadata_count" -> (Relational.q30LogMetadataCount _), // manifest-answered counts (countRows/countWhere)
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -195,6 +196,7 @@ object SparkEntry {
     "q27_topk_extensions" -> Relational.q27Oracle,
     "q28_unpivot" -> Relational.q28Oracle,
     "q29_log_pruned_scan" -> Relational.q29Oracle,
+    "q30_log_metadata_count" -> Relational.q30Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

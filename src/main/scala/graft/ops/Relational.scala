@@ -141,6 +141,34 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Manifest-answered counts over a log table ([[graft.table.SnapshotLog]]
+    * countRows / countWhere): the full count comes from ONE manifest GET
+    * (zero files open), and the range count opens only the files the
+    * range genuinely straddles — interior files of the clustered table
+    * contribute their recorded row counts from metadata. At 100 TB this
+    * is a dashboard count answering in manifest latency instead of a
+    * row-group crawl. The oracle is the plain SQL count pair, so the
+    * whole rows/fileRows accounting chain (stage → append → cluster
+    * rewrite) is hash-graded. */
+  def q30LogMetadataCount(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q30-log-").toString
+    val log = graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("l_shipdate"))
+    log.append(t(spark, dir, "lineitem"))
+    graft.jobs.LayoutJob.clusterByLog(log, Seq("l_shipdate"),
+      targetFileBytes = 256L << 10)
+    val lo = java.time.LocalDateTime.of(1995, 1, 1, 0, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 12, 31, 23, 59, 59)
+    spark.range(1).select(
+      lit(log.countRows()).as("cnt_total"),
+      lit(log.countWhere(("l_shipdate", lo, hi))).as("cnt_range"))
+  }
+
+  def q30Oracle: String =
+    """SELECT (SELECT count(*) FROM lineitem) AS cnt_total,
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+      |                             AND TIMESTAMP '1997-12-31 23:59:59') AS cnt_range""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

@@ -13,8 +13,13 @@ import scala.jdk.CollectionConverters._
 /** A data file's [min, max] for one stats column, as recorded in the
   * manifest. Numeric ranges compare as doubles, string ranges as text;
   * a column without a usable range for a file simply has no entry (the
-  * file is then never pruned — absence is always safe). */
-final case class ColRange(numeric: Boolean, lo: String, hi: String) {
+  * file is then never pruned — absence is always safe). `nulls` is the
+  * file's NULL count for the column when the footer recorded one, -1
+  * when unknown (including manifests written before the field existed) —
+  * metadata-only counting ([[SnapshotLog.countWhere]]) requires a KNOWN
+  * zero, since min/max say nothing about NULL rows. */
+final case class ColRange(numeric: Boolean, lo: String, hi: String,
+    nulls: Long = -1L) {
   def intersects(qLo: Any, qHi: Any): Boolean =
     if (numeric)
       // exact decimal compare: integral stats are recorded as exact
@@ -30,6 +35,21 @@ final case class ColRange(numeric: Boolean, lo: String, hi: String) {
       import org.apache.spark.unsafe.types.UTF8String
       def u(s: String) = UTF8String.fromString(s)
       u(lo).compareTo(u(qHi.toString)) <= 0 && u(hi).compareTo(u(qLo.toString)) >= 0
+    }
+
+  /** True iff EVERY row of the file satisfies `column BETWEEN qLo AND
+    * qHi`: the whole recorded [lo, hi] sits inside the query bounds AND
+    * the file provably holds no NULLs for the column (a NULL row fails
+    * BETWEEN, so an unknown null count forbids the metadata shortcut). */
+  def containedIn(qLo: Any, qHi: Any): Boolean =
+    nulls == 0L && {
+      if (numeric)
+        ColRange.num(qLo) <= BigDecimal(lo) && BigDecimal(hi) <= ColRange.num(qHi)
+      else {
+        import org.apache.spark.unsafe.types.UTF8String
+        def u(s: String) = UTF8String.fromString(s)
+        u(qLo.toString).compareTo(u(lo)) <= 0 && u(hi).compareTo(u(qHi.toString)) <= 0
+      }
     }
 }
 
@@ -71,13 +91,18 @@ object ColRange {
   * snapshot's merged read schema (Spark `StructType.json`); readers pass
   * it to the scan instead of inferring from footers. `txns` records the
   * highest committed batch id per streaming writer — the exactly-once
-  * watermark [[SnapshotLog.appendStream]] checks on micro-batch replay. */
+  * watermark [[SnapshotLog.appendStream]] checks on micro-batch replay.
+  * `fileRows` maps file name → that file's exact row count (recorded
+  * alongside `stats` from the same footer open) — the index that lets
+  * [[SnapshotLog.countWhere]] answer counts over fully-contained files
+  * without opening them. */
 final case class Snapshot(version: Long, op: String, parent: Long,
     rows: Long, bytes: Long, files: Seq[String],
     stats: Map[String, Map[String, ColRange]] = Map.empty,
     schemaJson: String = "",
     txns: Map[String, Long] = Map.empty,
-    tombstones: Seq[Tombstone] = Nil)
+    tombstones: Seq[Tombstone] = Nil,
+    fileRows: Map[String, Long] = Map.empty)
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -220,10 +245,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       sn.properties().asScala.map { e =>
         e.getKey -> e.getValue.properties().asScala.map { ce =>
           ce.getKey -> ColRange(ce.getValue.get("n").asBoolean(),
-            ce.getValue.get("lo").asText(), ce.getValue.get("hi").asText())
+            ce.getValue.get("lo").asText(), ce.getValue.get("hi").asText(),
+            // absent in manifests written before the field: unknown (-1)
+            Option(ce.getValue.get("z")).map(_.asLong()).getOrElse(-1L))
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, ColRange]])
+    val fileRows = Option(node.get("fileRows")).map { fn =>
+      fn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     val schemaJson = Option(node.get("schema")).map(_.asText()).getOrElse("")
     val txns = Option(node.get("txns")).map { tn =>
       tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
@@ -237,7 +267,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }.getOrElse(Nil)
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
-      node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones)
+      node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
+      fileRows)
   }
 
   /** All retained versions, oldest first. */
@@ -327,6 +358,54 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       scan(s, kept).where(residual)
   }
 
+  /** Exact `count(*)` of a committed version from ONE manifest GET —
+    * zero data files open, zero footers. The manifest's `rows` total is
+    * maintained exactly through every commit path; the only state where
+    * physical rows differ from logical rows is pending key tombstones
+    * ([[deleteKeys]] defers exactly that count by design), so the count
+    * falls back to the tombstone-applied scan there. At 100 TB this is
+    * the difference between a dashboard query answering in manifest
+    * latency and a full-table row-group metadata crawl. */
+  def countRows(version: Long = -1L): Long = {
+    val s = snapshot(version)
+    if (s.tombstones.isEmpty) s.rows else scan(s, s.files).count()
+  }
+
+  /** Exact `count(*) WHERE <conjunction of ranges>` answered as far as
+    * possible from the manifest: files whose recorded ranges miss a
+    * predicate contribute ZERO; files fully CONTAINED by every predicate
+    * (range inside the bounds, null count provably zero) contribute
+    * their recorded row count without being opened; only files the
+    * bounds genuinely straddle are scanned, with the residual predicate
+    * applied. Semantics are exactly `read().where(...).count()`.
+    *
+    * On a clustered table a wide selective range is answered almost
+    * entirely from metadata — the boundary files alone scan. This is
+    * the counting twin of [[readWhere]]: clustering makes per-file
+    * ranges disjoint, the manifest makes interior files countable
+    * without I/O. Pending key tombstones fall back to the full
+    * tombstone-applied filter count (correct, just not metadata-only). */
+  def countWhere(preds: (String, Any, Any)*): Long = {
+    require(preds.nonEmpty, "countWhere needs at least one (column, lo, hi)")
+    val s = snapshot()
+    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    val residual = preds.map { case (c, lo, hi) =>
+      col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    if (s.tombstones.nonEmpty)
+      return scan(s, s.files).where(residual).count()
+    val kept = s.files.filter(f => preds.forall { case (c, lo, hi) =>
+      s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi))
+    })
+    val (contained, straddling) = kept.partition { f =>
+      s.fileRows.contains(f) && preds.forall { case (c, lo, hi) =>
+        s.stats.get(f).flatMap(_.get(c)).exists(_.containedIn(lo, hi))
+      }
+    }
+    val metadataRows = contained.map(s.fileRows).sum
+    if (straddling.isEmpty) metadataRows
+    else metadataRows + scan(s, straddling).where(residual).count()
+  }
+
   /** Per-version change summary for [[readChanges]]: the version's op
     * and the files it ADDED relative to its parent (staged files for an
     * append; the rewritten output for compaction/clustering/delete/
@@ -406,7 +485,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns, base.tombstones)
+        merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -443,7 +522,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns + (appId -> batchId), base.tombstones)
+        merged, base.txns + (appId -> batchId), base.tombstones,
+        base.fileRows ++ staged.fileRows)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -493,7 +573,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, op, base.version,
       staged.rows, staged.bytes, staged.files, staged.stats,
-      merged, base.txns)
+      merged, base.txns, Nil, staged.fileRows)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -537,9 +617,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val touchedPaths = touched.map(f => new Path(dataDir, f))
     val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
     val touchedDf = reader(base).parquet(touchedPaths.map(_.toString): _*)
-    // footer-metadata count (zero-column scan) — the deleted-row count
-    // needs the touched total, never a data read
-    val touchedRows = touchedDf.count()
+    // the deleted-row accounting needs the touched total: straight from
+    // the manifest's per-file rows when recorded (no job at all), else a
+    // footer-metadata count (zero-column scan) — never a data read
+    val touchedRows =
+      if (touched.forall(base.fileRows.contains)) touched.map(base.fileRows).sum
+      else touchedDf.count()
     // a row is deleted iff every predicate matches; NULL keys never
     // match (between is NULL for NULL inputs, and the survivor filter
     // keeps NULL explicitly — a bare negation would DROP those rows)
@@ -551,7 +634,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.bytes - touchedBytes + staged.bytes,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
-      base.schemaJson, base.txns)
+      base.schemaJson, base.txns, Nil,
+      (base.fileRows -- touched) ++ staged.fileRows)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -609,7 +693,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
         val survivors = touchedDf.join(
           u.select(col(column)).distinct(), Seq(column), "left_anti")
-        (touchedDf.count(), survivors.unionByName(u))
+        val tRows =
+          if (touched.forall(base.fileRows.contains)) touched.map(base.fileRows).sum
+          else touchedDf.count()
+        (tRows, survivors.unionByName(u))
       }
     val touchedBytes =
       touched.map(f => fs.getFileStatus(new Path(dataDir, f)).getLen).sum
@@ -622,7 +709,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.bytes - touchedBytes + staged.bytes,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
-      merged, base.txns)
+      merged, base.txns, Nil,
+      (base.fileRows -- touched) ++ staged.fileRows)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -647,9 +735,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * materialization so their exact row accounting stays exact. Time
     * travel is precise throughout: a version before the delete reads
     * the rows, after reads without them, and restore carries the
-    * version's own tombstone set. Returns None for an empty key set. */
-  def deleteKeys(column: String, keys: DataFrame): Option[Snapshot] = {
+    * version's own tombstone set. Returns None for an empty key set.
+    *
+    * `txn` makes the delete exactly-once under replay, the same
+    * `(appId, batchId)` watermark contract as [[appendStream]]: an
+    * already-committed batch id returns None without staging — how
+    * [[LogMirror]] guarantees a rerun never re-applies a propagated
+    * key delete. */
+  def deleteKeys(column: String, keys: DataFrame,
+      txn: Option[(String, Long)] = None): Option[Snapshot] = {
     val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return None // replay detected — nothing stages, nothing commits
     // one file per tombstone: a sparse key list is broadcast-sized by
     // assumption, so the coalesce is a no-op-cheap narrow plan
     val k = keys.select(keys.columns.head).toDF(column)
@@ -658,8 +755,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (staged.rows == 0) { discard(staged); return None }
     val next = Snapshot(base.version + 1, "delete_keys", base.version,
       base.rows, base.bytes, base.files, base.stats,
-      base.schemaJson, base.txns,
-      base.tombstones :+ Tombstone(staged.files.head, column, base.files))
+      base.schemaJson,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
+      base.tombstones :+ Tombstone(staged.files.head, column, base.files),
+      base.fileRows)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -686,7 +785,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val cur = snapshot()
     val next = Snapshot(cur.version + 1, "restore", cur.version,
       target.rows, target.bytes, target.files, target.stats,
-      target.schemaJson, cur.txns, target.tombstones)
+      target.schemaJson, cur.txns, target.tombstones, target.fileRows)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -745,7 +844,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   // ---- internals ----------------------------------------------------
 
   private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
-      stats: Map[String, Map[String, ColRange]], schemaJson: String)
+      stats: Map[String, Map[String, ColRange]], schemaJson: String,
+      fileRows: Map[String, Long])
 
   /** Widening-only schema merge: incoming columns must keep an existing
     * column's type (`sameType` — nullability-insensitive); genuinely new
@@ -811,24 +911,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val name = s"$commitId-${f.getPath.getName}"
         if (!fs.rename(f.getPath, new Path(dataDir, name)))
           throw new IllegalStateException(s"could not stage ${f.getPath} into $dataDir")
-        (name, f.getLen, footerRanges(new Path(dataDir, name)))
+        val (fRows, fStats) = footerInfo(new Path(dataDir, name))
+        (name, f.getLen, fStats, fRows)
       }
     fs.delete(scratch, true)
     Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
-      moved.collect { case (n, _, st) if st.nonEmpty => n -> st }.toMap,
-      df.schema.json)
+      moved.collect { case (n, _, st, _) if st.nonEmpty => n -> st }.toMap,
+      df.schema.json,
+      moved.collect { case (n, _, _, fr) if fr >= 0 => n -> fr }.toMap)
   }
 
-  /** [min, max] per stats column from one file's parquet footer. A
-    * column whose chunks lack usable stats (or whose type the range
-    * machinery doesn't model) gets no entry — the file then never prunes
-    * on it. Binary stats are accepted ONLY for string-annotated columns
-    * (an INT96 timestamp's 12-byte min/max would otherwise be recorded
-    * as garbage text and make pruning unsound), and string mins/maxes
-    * aggregate under UTF8String's unsigned-byte order — the order the
-    * per-chunk stats themselves are in. */
-  private def footerRanges(file: Path): Map[String, ColRange] =
-    if (statsColumns.isEmpty) Map.empty
+  /** Per-file footer metadata, one open: the exact row count (sum of
+    * the footer's block counts — feeds `Snapshot.fileRows`) and [min,
+    * max] per stats column. A column whose chunks lack usable stats (or
+    * whose type the range machinery doesn't model) gets no range entry —
+    * the file then never prunes on it. Binary stats are accepted ONLY
+    * for string-annotated columns (an INT96 timestamp's 12-byte min/max
+    * would otherwise be recorded as garbage text and make pruning
+    * unsound), and string mins/maxes aggregate under UTF8String's
+    * unsigned-byte order — the order the per-chunk stats themselves are
+    * in. Each range carries the column's NULL count when every chunk
+    * recorded one (-1 otherwise) — [[countWhere]]'s metadata shortcut
+    * demands a provable zero. Returns (-1, empty) for tables with no
+    * stats columns: no footer opens, and absence of `fileRows` simply
+    * routes counts through a scan. */
+  private def footerInfo(file: Path): (Long, Map[String, ColRange]) =
+    if (statsColumns.isEmpty) (-1L, Map.empty)
     else {
       import org.apache.parquet.schema.LogicalTypeAnnotation
       import org.apache.spark.unsafe.types.UTF8String
@@ -836,7 +944,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         spark.sparkContext.hadoopConfiguration))
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
-        statsColumns.flatMap { c =>
+        val fileRowCount = blocks.map(_.getRowCount).sum
+        val ranges = statsColumns.flatMap { c =>
           val chunks = blocks.flatMap(
             _.getColumns.asScala.filter(_.getPath.toDotString == c))
           val sts = chunks.map(_.getStatistics)
@@ -844,6 +953,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           val isString = chunks.headOption.exists(
             _.getPrimitiveType.getLogicalTypeAnnotation
               .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          val nulls =
+            if (chunks.exists(ch => ch.getStatistics == null ||
+                !ch.getStatistics.isNumNullsSet)) -1L
+            else chunks.map(_.getStatistics.getNumNulls).sum
           if (chunks.isEmpty || sts.size != chunks.size) None
           else sts.head.genericGetMin match {
             case _: Number =>
@@ -857,17 +970,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
               }
               Some(c -> ColRange(numeric = true,
                 sts.map(s => exact(s.genericGetMin.asInstanceOf[Number])).min.toString,
-                sts.map(s => exact(s.genericGetMax.asInstanceOf[Number])).max.toString))
+                sts.map(s => exact(s.genericGetMax.asInstanceOf[Number])).max.toString,
+                nulls))
             case _: org.apache.parquet.io.api.Binary if isString =>
               def u(ss: Seq[String]) = ss.map(UTF8String.fromString)
               Some(c -> ColRange(numeric = false,
                 u(sts.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
                   .toStringUsingUTF8)).min.toString,
                 u(sts.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
-                  .toStringUsingUTF8)).max.toString))
+                  .toStringUsingUTF8)).max.toString,
+                nulls))
             case _ => None
           }
         }.toMap
+        (fileRowCount, ranges)
       } finally r.close()
     }
 
@@ -902,9 +1018,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s.stats.foreach { case (f, cols) =>
         val fn = sn.putObject(f)
         cols.foreach { case (c, cr) =>
-          fn.putObject(c).put("n", cr.numeric).put("lo", cr.lo).put("hi", cr.hi)
+          val cn = fn.putObject(c)
+          cn.put("n", cr.numeric).put("lo", cr.lo).put("hi", cr.hi)
+          if (cr.nulls >= 0) cn.put("z", cr.nulls)
         }
       }
+    }
+    if (s.fileRows.nonEmpty) {
+      val fn = node.putObject("fileRows")
+      s.fileRows.foreach { case (f, n) => fn.put(f, n) }
     }
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
     if (s.txns.nonEmpty) {

@@ -648,4 +648,119 @@ class TableLogSpec extends AnyFunSuite {
     log.vacuum(keepLast = 1, graceMs = 0L)
     assert(!stagedDir.exists(), "vacuum must sweep dead staging directories")
   }
+
+  test("manifest-answered counts: interior files contribute rows without being opened") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val r = new scala.util.Random(13)
+    (0 until 3).foreach { run =>
+      log.append(r.shuffle((0 until 600).toList)
+        .map(i => (i, s"p-$run-$i")).toDF("id", "payload").repartition(2))
+    }
+    assert(log.countRows() == 1800, "full count comes straight off the manifest")
+    val bytes = log.snapshot().bytes
+    val s = graft.jobs.LayoutJob.clusterByLog(log, Seq("id"),
+      targetFileBytes = math.max(1L, bytes / 5))
+    assert(s.files.size >= 4, s"want a multi-file clustered layout: $s")
+    assert(s.fileRows.keySet == s.files.toSet,
+      "every rewritten file must carry a recorded row count")
+    assert(s.fileRows.values.sum == 1800)
+    // exact against the scan on an arbitrary straddling range
+    assert(log.countWhere(("id", 100, 437)) ==
+      log.read().where($"id".between(100, 437)).count())
+    // metadata-only proof: a range exactly covering the interior files
+    // still answers — correctly — after those files are GONE from disk
+    val sorted = s.files.sortBy(f => s.stats(f)("id").lo.toInt)
+    val interior = sorted.drop(1).dropRight(1)
+    val lo = s.stats(interior.head)("id").lo.toInt
+    val hi = s.stats(interior.last)("id").hi.toInt
+    val expected = interior.map(s.fileRows).sum
+    interior.foreach { f =>
+      assert(new java.io.File(dir, s"${SnapshotLog.DataDirName}/$f").delete())
+    }
+    assert(log.countWhere(("id", lo, hi)) == expected,
+      "interior files must count from the manifest alone — no data I/O")
+  }
+
+  test("countWhere stays exact when the stats column holds NULLs") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    val withNulls: Seq[(Option[Int], String)] =
+      (0 until 50).map(i => (Some(i), s"a-$i")) ++
+        Seq((None, "null-1"), (None, "null-2"))
+    log.append(withNulls.toDF("id", "payload").coalesce(1))
+    // the file's [0, 49] range sits fully inside the bounds, but the two
+    // NULL rows make the metadata shortcut unsound for it — the recorded
+    // null count forces the scan, and BETWEEN's NULL semantics hold
+    assert(log.countWhere(("id", -100, 100)) == 50)
+    assert(log.countRows() == 52)
+  }
+
+  test("countRows under pending key tombstones falls back to the logical count") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(mkRows(0, 30).toDF("id", "payload"))
+    log.deleteKeys("id", Seq(3, 7, 11).map(i => i).toDF("id"))
+    assert(log.snapshot().rows == 30, "physical manifest total is untouched")
+    assert(log.countRows() == 30 - 3, "count must apply pending tombstones")
+  }
+
+  test("q30: manifest counts match the direct scan, timestamp stats column") {
+    val row = graft.ops.Relational.q30LogMetadataCount(spark, TestSpark.Sf0001).head()
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+    val lo = java.time.LocalDateTime.of(1995, 1, 1, 0, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 12, 31, 23, 59, 59)
+    assert(row.getLong(0) == li.count())
+    assert(row.getLong(1) ==
+      li.where(org.apache.spark.sql.functions.col("l_shipdate")
+        .between(org.apache.spark.sql.functions.lit(lo),
+          org.apache.spark.sql.functions.lit(hi))).count())
+  }
+
+  test("mirror: change-feed replication is incremental and exactly-once") {
+    import graft.table.LogMirror
+    val src = SnapshotLog(spark, freshTable())
+    val dst = SnapshotLog(spark, freshTable())
+    src.append(mkRows(0, 40).toDF("id", "payload").repartition(2))
+    src.append(mkRows(1, 25).toDF("id", "payload"))
+    assert(LogMirror.mirror(src, dst, "lane") == 2)
+    assert(rowsOf(dst) == rowsOf(src))
+    // rerun: the destination's txns watermark is the cursor — no-op
+    val v = dst.currentVersion()
+    assert(LogMirror.mirror(src, dst, "lane") == 0)
+    assert(dst.currentVersion() == v, "a re-run must commit nothing")
+    // compaction at the source is physical-only: nothing ships
+    assert(src.compact().isDefined)
+    LogMirror.mirror(src, dst, "lane")
+    assert(dst.currentVersion() == v, "compaction must not produce replica rows")
+    assert(rowsOf(dst) == rowsOf(src))
+    // appends after the compaction apply incrementally
+    src.append(mkRows(2, 10).toDF("id", "payload"))
+    LogMirror.mirror(src, dst, "lane")
+    assert(rowsOf(dst) == rowsOf(src) && dst.snapshot().rows == 75)
+  }
+
+  test("mirror propagates key deletes without shipping data; rewrites are refused") {
+    import graft.table.LogMirror
+    val src = SnapshotLog(spark, freshTable())
+    val dst = SnapshotLog(spark, freshTable())
+    src.append(mkRows(0, 40).toDF("id", "payload").repartition(2))
+    LogMirror.mirror(src, dst, "gdpr-lane")
+    src.deleteKeys("id", Seq(3, 5, 17).map(i => i).toDF("id"))
+    LogMirror.mirror(src, dst, "gdpr-lane")
+    assert(rowsOf(dst) == rowsOf(src),
+      "the key delete must reach the replica as a tombstone, not a rewrite")
+    assert(rowsOf(dst).size == 37)
+    // the delete rode the txns watermark: a rerun re-applies nothing
+    val atDelete = dst.currentVersion()
+    LogMirror.mirror(src, dst, "gdpr-lane")
+    assert(dst.currentVersion() == atDelete,
+      "a rerun must not commit a duplicate tombstone")
+    // a copy-on-write delete cannot be expressed as a change feed
+    assert(src.compact().isDefined) // materialize tombstones first
+    LogMirror.mirror(src, dst, "gdpr-lane")
+    assert(src.deleteBetween("id", 0, 10).isDefined)
+    val ex = intercept[IllegalStateException] {
+      LogMirror.mirror(src, dst, "gdpr-lane")
+    }
+    assert(ex.getMessage.contains("resync"), ex.getMessage)
+  }
 }
