@@ -169,6 +169,38 @@ object Relational {
       |        WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
       |                             AND TIMESTAMP '1997-12-31 23:59:59') AS cnt_range""".stripMargin
 
+  private val q31Keys = Seq(1L, 7L, 32L, 33L, 34L, 35L, 36L, 37L, 38L, 39L,
+    65L, 66L, 97L, 129L, 161L)
+
+  /** Bloom-gated point lookup over a log table ([[graft.table.SnapshotLog]]
+    * readKeys): the table is written hash-scattered (every file spans
+    * ~the whole l_orderkey range, so min/max stats can skip nothing) and
+    * the per-file key blooms in the manifest decide which files can hold
+    * each key BEFORE any file opens. The oracle is the plain `IN` query,
+    * so the no-false-negative contract is hash-graded: a bloom that ever
+    * dropped a matching file would miss rows. At 100 TB this is the
+    * needle-in-haystack fetch (one order's lines, one user's events)
+    * opening a handful of files instead of the table. */
+  def q31LogKeyLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q31-log-").toString
+    val log = graft.table.SnapshotLog(spark, tmp,
+      statsColumns = Seq("l_orderkey"), bloomColumns = Seq("l_orderkey"))
+    log.append(t(spark, dir, "lineitem").repartition(8))
+    log.readKeys("l_orderkey", q31Keys)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      // the fixture's (orderkey, linenumber) is not unique — order on
+      // every projected column so the sort is total
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+  }
+
+  def q31Oracle: String =
+    s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey IN (${q31Keys.mkString(", ")})
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

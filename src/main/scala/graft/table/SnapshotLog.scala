@@ -95,14 +95,17 @@ object ColRange {
   * `fileRows` maps file name → that file's exact row count (recorded
   * alongside `stats` from the same footer open) — the index that lets
   * [[SnapshotLog.countWhere]] answer counts over fully-contained files
-  * without opening them. */
+  * without opening them. `blooms` maps file name → bloom column →
+  * base64 [[FileBlooms]] filter — point-lookup skipping for tables that
+  * declare `bloomColumns`. */
 final case class Snapshot(version: Long, op: String, parent: Long,
     rows: Long, bytes: Long, files: Seq[String],
     stats: Map[String, Map[String, ColRange]] = Map.empty,
     schemaJson: String = "",
     txns: Map[String, Long] = Map.empty,
     tombstones: Seq[Tombstone] = Nil,
-    fileRows: Map[String, Long] = Map.empty)
+    fileRows: Map[String, Long] = Map.empty,
+    blooms: Map[String, Map[String, String]] = Map.empty)
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -200,7 +203,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * modification-time grace so in-flight stages are never swept.
   */
 final class SnapshotLog(spark: SparkSession, val tableDir: String,
-    statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None) {
+    statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None,
+    bloomColumns: Seq[String] = Nil) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -254,6 +258,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val fileRows = Option(node.get("fileRows")).map { fn =>
       fn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val blooms = Option(node.get("blooms")).map { bn =>
+      bn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala
+          .map(ce => ce.getKey -> ce.getValue.asText()).toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
     val schemaJson = Option(node.get("schema")).map(_.asText()).getOrElse("")
     val txns = Option(node.get("txns")).map { tn =>
       tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
@@ -268,7 +278,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
       node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-      fileRows)
+      fileRows, blooms)
   }
 
   /** All retained versions, oldest first. */
@@ -406,6 +416,50 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     else metadataRows + scan(s, straddling).where(residual).count()
   }
 
+  /** Point-lookup read: `read().where(column IN (keys…))`, opening
+    * only the files that can actually hold one of the keys. Two
+    * metadata gates compose, both from ONE manifest GET: the range
+    * stats (a key outside a file's [min, max] can't be inside), and the
+    * per-file key blooms for tables that declare `bloomColumns` — the
+    * gate that matters on the layouts range stats can't help with
+    * (append-ordered or hash-shuffled files span ~the whole key range).
+    * No false negatives by construction; a bloom false positive costs
+    * one extra file scan, never a wrong row. At 100 TB this is a
+    * needle-in-haystack fetch (one doc by id, one user's events)
+    * opening a handful of files instead of the table. */
+  def readKeys(column: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, "readKeys needs at least one key")
+    val s = snapshot()
+    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    val kept = keyCandidates(s, column, keys)
+    val pred = col(column).isInCollection(keys)
+    if (kept.isEmpty)
+      reader(s).parquet(new Path(dataDir, s.files.head).toString)
+        .where(lit(false))
+    else scan(s, kept).where(pred)
+  }
+
+  /** The files of `s` that could hold any of `keys` on `column`, per
+    * range stats + blooms (absence of either never prunes). */
+  private def keyCandidates(s: Snapshot, column: String,
+      keys: Seq[Any]): Seq[String] = {
+    val dt = schemaType(s, column)
+    s.files.filter { f =>
+      s.stats.get(f).flatMap(_.get(column))
+        .forall(r => keys.exists(k => r.intersects(k, k))) &&
+        FileBlooms.mightContainAny(s.blooms, f, column, keys, dt)
+    }
+  }
+
+  /** `column`'s declared type in the snapshot's read schema, if the
+    * manifest carries one. */
+  private def schemaType(s: Snapshot,
+      column: String): Option[org.apache.spark.sql.types.DataType] =
+    if (s.schemaJson.isEmpty) None
+    else org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.find(_.name == column).map(_.dataType)
+
   /** Per-version change summary for [[readChanges]]: the version's op
     * and the files it ADDED relative to its parent (staged files for an
     * append; the rewritten output for compaction/clustering/delete/
@@ -485,7 +539,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows)
+        merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
+        base.blooms ++ staged.blooms)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -523,7 +578,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns + (appId -> batchId), base.tombstones,
-        base.fileRows ++ staged.fileRows)
+        base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -573,7 +628,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, op, base.version,
       staged.rows, staged.bytes, staged.files, staged.stats,
-      merged, base.txns, Nil, staged.fileRows)
+      merged, base.txns, Nil, staged.fileRows, staged.blooms)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -635,7 +690,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
       base.schemaJson, base.txns, Nil,
-      (base.fileRows -- touched) ++ staged.fileRows)
+      (base.fileRows -- touched) ++ staged.fileRows,
+      (base.blooms -- touched) ++ staged.blooms)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -710,7 +766,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
       merged, base.txns, Nil,
-      (base.fileRows -- touched) ++ staged.fileRows)
+      (base.fileRows -- touched) ++ staged.fileRows,
+      (base.blooms -- touched) ++ staged.blooms)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -753,12 +810,33 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .na.drop().distinct().coalesce(1)
     val staged = stage(k)
     if (staged.rows == 0) { discard(staged); return None }
+    // tombstone blast radius: scope `appliesTo` to the files that can
+    // actually hold a deleted key (range stats + blooms — the same
+    // gates as readKeys), read back from the STAGED key file so the
+    // scoping and the tombstone can never disagree on the key set.
+    // Readers then anti-join only candidate file groups, and compaction
+    // materializes against the same narrow set. Without metadata every
+    // live file is covered — correct, just maximally conservative.
+    val applies =
+      if (base.stats.isEmpty && base.blooms.isEmpty) base.files
+      else {
+        val vals = spark.read
+          .parquet(new Path(dataDir, staged.files.head).toString)
+          .collect().map(_.get(0)).toSeq // broadcast-sized by contract
+        keyCandidates(base, column, vals)
+      }
+    if (applies.isEmpty) {
+      // no live file can hold any of the keys: deleting them is a
+      // provable no-op — commit nothing (idempotent under replay too)
+      discard(staged)
+      return None
+    }
     val next = Snapshot(base.version + 1, "delete_keys", base.version,
       base.rows, base.bytes, base.files, base.stats,
       base.schemaJson,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
-      base.tombstones :+ Tombstone(staged.files.head, column, base.files),
-      base.fileRows)
+      base.tombstones :+ Tombstone(staged.files.head, column, applies),
+      base.fileRows, base.blooms)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -785,7 +863,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val cur = snapshot()
     val next = Snapshot(cur.version + 1, "restore", cur.version,
       target.rows, target.bytes, target.files, target.stats,
-      target.schemaJson, cur.txns, target.tombstones, target.fileRows)
+      target.schemaJson, cur.txns, target.tombstones, target.fileRows,
+      target.blooms)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -845,7 +924,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
       stats: Map[String, Map[String, ColRange]], schemaJson: String,
-      fileRows: Map[String, Long])
+      fileRows: Map[String, Long], blooms: Map[String, Map[String, String]])
 
   /** Widening-only schema merge: incoming columns must keep an existing
     * column's type (`sameType` — nullability-insensitive); genuinely new
@@ -915,10 +994,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         (name, f.getLen, fStats, fRows)
       }
     fs.delete(scratch, true)
+    // per-file key blooms for tables that declare them: ONE extra job
+    // over just the staged files' bloom columns (narrow scan, partial
+    // bitmaps map-side) — the point-lookup half of the skipping story,
+    // paid once per commit like the footer stats
+    val stagedBlooms =
+      if (bloomColumns.isEmpty || moved.isEmpty) Map.empty[String, Map[String, String]]
+      else FileBlooms.build(spark,
+        moved.map(m => new Path(dataDir, m._1).toString).toSeq, bloomColumns,
+        expectedItems = rows / moved.length + 64)
     Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
       moved.collect { case (n, _, st, _) if st.nonEmpty => n -> st }.toMap,
       df.schema.json,
-      moved.collect { case (n, _, _, fr) if fr >= 0 => n -> fr }.toMap)
+      moved.collect { case (n, _, _, fr) if fr >= 0 => n -> fr }.toMap,
+      stagedBlooms)
   }
 
   /** Per-file footer metadata, one open: the exact row count (sum of
@@ -1028,6 +1117,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val fn = node.putObject("fileRows")
       s.fileRows.foreach { case (f, n) => fn.put(f, n) }
     }
+    if (s.blooms.nonEmpty) {
+      val bn = node.putObject("blooms")
+      s.blooms.foreach { case (f, cols) =>
+        val fn = bn.putObject(f)
+        cols.foreach { case (c, b64) => fn.put(c, b64) }
+      }
+    }
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
     if (s.txns.nonEmpty) {
       val tn = node.putObject("txns")
@@ -1070,4 +1166,11 @@ object SnapshotLog {
   def apply(spark: SparkSession, tableDir: String,
       statsColumns: Seq[String], store: CommitStore): SnapshotLog =
     new SnapshotLog(spark, tableDir, statsColumns, Some(store))
+
+  /** A log that also maintains per-file key blooms on `bloomColumns`
+    * ([[FileBlooms]]) — point-lookup file skipping for keys the layout
+    * doesn't cluster on. */
+  def apply(spark: SparkSession, tableDir: String,
+      statsColumns: Seq[String], bloomColumns: Seq[String]): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, None, bloomColumns)
 }

@@ -703,6 +703,57 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.countRows() == 30 - 3, "count must apply pending tombstones")
   }
 
+  test("key blooms: point lookups open only candidate files on an unclustered layout") {
+    val log = SnapshotLog(spark, freshTable(),
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    // one hash-scattered append: every file holds ids from across the
+    // whole range, so range stats can prune NOTHING — the bloom is the
+    // only gate that can skip files for a point lookup
+    log.append((0 until 4000).map(i => (i, s"p-$i")).toDF("id", "payload")
+      .repartition(8))
+    val s = log.snapshot()
+    assert(s.files.size == 8, s"want 8 scattered files: ${s.files.size}")
+    assert(s.blooms.keySet == s.files.toSet && s.blooms.values.forall(_.contains("id")),
+      "every staged file must carry an id bloom")
+    assert(log.readBetween("id", 1234, 1234).inputFiles.length == 8,
+      "sanity: range stats alone cannot skip on this layout")
+    val lookup = log.readKeys("id", Seq(1234))
+    assert(lookup.as[(Int, String)].collect().toSeq == Seq((1234, "p-1234")))
+    assert(lookup.inputFiles.length <= 3,
+      s"bloom must prune to the key's file (+rare false positives), " +
+        s"opened ${lookup.inputFiles.length} of 8")
+    assert(log.readKeys("id", Seq(999999)).count() == 0,
+      "an absent key reads empty")
+    assert(log.readKeys("id", Seq(10, 2000, 3999)).count() == 3)
+  }
+
+  test("key blooms scope tombstones; absent-key deletes are provable no-ops") {
+    val log = SnapshotLog(spark, freshTable(),
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    log.append((0 until 4000).map(i => (i, s"p-$i")).toDF("id", "payload")
+      .repartition(8))
+    // keys nowhere in the table: the bloom gate proves the delete is a
+    // no-op before anything commits
+    assert(log.deleteKeys("id", Seq(999999).toDF("id")).isEmpty)
+    assert(log.snapshot().tombstones.isEmpty)
+    // a real sparse delete covers only the files that can hold the keys
+    assert(log.deleteKeys("id", Seq(7, 1900).toDF("id")).isDefined)
+    val t = log.snapshot().tombstones.head
+    assert(t.appliesTo.nonEmpty && t.appliesTo.size <= 4,
+      s"tombstone must cover candidate files only, got ${t.appliesTo.size} of 8")
+    assert(log.countRows() == 3998)
+    assert(log.readKeys("id", Seq(7, 1900)).count() == 0,
+      "tombstoned keys must not read back through the candidate files")
+    // compaction materializes; blooms are rebuilt for the rewritten files
+    assert(log.compact().isDefined)
+    val after = log.snapshot()
+    assert(after.tombstones.isEmpty && after.rows == 3998)
+    assert(after.blooms.keySet == after.files.toSet,
+      "the rewrite must re-derive blooms for its output files")
+    assert(log.readKeys("id", Seq(1900)).count() == 0)
+    assert(log.readKeys("id", Seq(1901)).count() == 1)
+  }
+
   test("q30: manifest counts match the direct scan, timestamp stats column") {
     val row = graft.ops.Relational.q30LogMetadataCount(spark, TestSpark.Sf0001).head()
     val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
@@ -713,6 +764,19 @@ class TableLogSpec extends AnyFunSuite {
       li.where(org.apache.spark.sql.functions.col("l_shipdate")
         .between(org.apache.spark.sql.functions.lit(lo),
           org.apache.spark.sql.functions.lit(hi))).count())
+  }
+
+  test("q31: bloom point lookup matches the direct IN scan at sf0.001") {
+    val got = graft.ops.Relational.q31LogKeyLookup(spark, TestSpark.Sf0001)
+      .collect().toSeq
+    val keys = (Seq(1L, 7L, 32L, 33L, 34L, 35L, 36L, 37L, 38L, 39L,
+      65L, 66L, 97L, 129L, 161L))
+    val want = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .where(org.apache.spark.sql.functions.col("l_orderkey").isInCollection(keys))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .collect().toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("mirror: change-feed replication is incremental and exactly-once") {
