@@ -114,7 +114,11 @@ object Orchestrator {
               log.read().schema) match {
               case Some(p) if p.zorder => Some(LayoutJob.zorderByLog(log, p.columns))
               case Some(p) => Some(LayoutJob.clusterByLog(log, p.columns))
-              case None => log.compact()
+              // no layout policy: incremental bin-pack — only the
+              // undersized backlog rewrites, well-sized files carry by
+              // name (falls back to the full rewrite only to materialize
+              // pending key tombstones)
+              case None => log.compactSmall()
             }
             committed.map(s => cfg.preparedPath ->
               LogMaintenanceMetrics(before, s.files.length, s.rows, s.op))

@@ -97,7 +97,9 @@ object ColRange {
   * [[SnapshotLog.countWhere]] answer counts over fully-contained files
   * without opening them. `blooms` maps file name → bloom column →
   * base64 [[FileBlooms]] filter — point-lookup skipping for tables that
-  * declare `bloomColumns`. */
+  * declare `bloomColumns`. `fileBytes` maps file name → on-disk size —
+  * what lets [[SnapshotLog.compactSmall]] pick its rewrite set without
+  * a single file-status call. */
 final case class Snapshot(version: Long, op: String, parent: Long,
     rows: Long, bytes: Long, files: Seq[String],
     stats: Map[String, Map[String, ColRange]] = Map.empty,
@@ -105,7 +107,8 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     txns: Map[String, Long] = Map.empty,
     tombstones: Seq[Tombstone] = Nil,
     fileRows: Map[String, Long] = Map.empty,
-    blooms: Map[String, Map[String, String]] = Map.empty)
+    blooms: Map[String, Map[String, String]] = Map.empty,
+    fileBytes: Map[String, Long] = Map.empty)
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -264,6 +267,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           .map(ce => ce.getKey -> ce.getValue.asText()).toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, String]])
+    val fileBytes = Option(node.get("fileBytes")).map { fn =>
+      fn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     val schemaJson = Option(node.get("schema")).map(_.asText()).getOrElse("")
     val txns = Option(node.get("txns")).map { tn =>
       tn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
@@ -278,7 +284,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
       node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-      fileRows, blooms)
+      fileRows, blooms, fileBytes)
   }
 
   /** All retained versions, oldest first. */
@@ -540,7 +546,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
-        base.blooms ++ staged.blooms)
+        base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -578,7 +584,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns + (appId -> batchId), base.tombstones,
-        base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms)
+        base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms,
+        base.fileBytes ++ staged.fileBytes)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -628,7 +635,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, op, base.version,
       staged.rows, staged.bytes, staged.files, staged.stats,
-      merged, base.txns, Nil, staged.fileRows, staged.blooms)
+      merged, base.txns, Nil, staged.fileRows, staged.blooms,
+      staged.fileBytes)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -691,7 +699,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.stats -- touched) ++ staged.stats,
       base.schemaJson, base.txns, Nil,
       (base.fileRows -- touched) ++ staged.fileRows,
-      (base.blooms -- touched) ++ staged.blooms)
+      (base.blooms -- touched) ++ staged.blooms,
+      (base.fileBytes -- touched) ++ staged.fileBytes)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -767,7 +776,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.stats -- touched) ++ staged.stats,
       merged, base.txns, Nil,
       (base.fileRows -- touched) ++ staged.fileRows,
-      (base.blooms -- touched) ++ staged.blooms)
+      (base.blooms -- touched) ++ staged.blooms,
+      (base.fileBytes -- touched) ++ staged.fileBytes)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -836,7 +846,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.schemaJson,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
-      base.fileRows, base.blooms)
+      base.fileRows, base.blooms, base.fileBytes)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -864,7 +874,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val next = Snapshot(cur.version + 1, "restore", cur.version,
       target.rows, target.bytes, target.files, target.stats,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
-      target.blooms)
+      target.blooms, target.fileBytes)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -882,6 +892,57 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // fine: compaction is where merge-on-read deletes materialize
     if (cur.files.length <= nOut && cur.tombstones.isEmpty) None
     else Some(rewrite("compact")(_.coalesce(nOut)))
+  }
+
+  /** Incremental compaction: bin-pack ONLY the undersized files
+    * (< `targetFileBytes` / 2) and carry every well-sized file by name —
+    * at 100 TB the difference between an O(small-file backlog)
+    * maintenance pass and [[compact]]'s full-table rewrite (production
+    * compaction is always incremental; the full rewrite is the
+    * materialization/emergency path). The rewrite set is chosen from the
+    * manifest's recorded per-file sizes — zero file-status calls — and
+    * row-verified against the recorded per-file counts before the
+    * commit. `None` when fewer than two undersized files exist (the
+    * scheduled no-op), a delegate to [[compact]] when key tombstones are
+    * pending (materialization must cover every covered file). Commits as
+    * op `compact`; a concurrent commit aborts, like any rewrite. */
+  def compactSmall(targetFileBytes: Long = 128L << 20): Option[Snapshot] = {
+    val base = snapshot()
+    if (base.tombstones.nonEmpty) return compact(targetFileBytes)
+    val sized = base.files.map(f => f -> base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)) // pre-field manifests
+    val (small, large) = sized.partition(_._2 < targetFileBytes / 2)
+    val smallFiles = small.map(_._1)
+    val smallBytes = small.map(_._2).sum
+    val nOut = SnapshotLog.packedFileCount(smallBytes, targetFileBytes)
+    if (small.size <= 1 || small.size <= nOut) return None
+    val df = reader(base)
+      .parquet(smallFiles.map(f => new Path(dataDir, f).toString): _*)
+    val expectedRows =
+      if (smallFiles.forall(base.fileRows.contains)) smallFiles.map(base.fileRows).sum
+      else df.count()
+    val staged = stage(df.coalesce(nOut))
+    if (staged.rows != expectedRows) {
+      discard(staged)
+      throw new IllegalStateException(
+        s"compactSmall row-count mismatch for $tableDir: $expectedRows in " +
+          s"the undersized set, ${staged.rows} rewritten — aborted")
+    }
+    val next = Snapshot(base.version + 1, "compact", base.version,
+      base.rows, base.bytes - smallBytes + staged.bytes,
+      large.map(_._1) ++ staged.files,
+      (base.stats -- smallFiles) ++ staged.stats,
+      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns, Nil,
+      (base.fileRows -- smallFiles) ++ staged.fileRows,
+      (base.blooms -- smallFiles) ++ staged.blooms,
+      (base.fileBytes -- smallFiles) ++ staged.fileBytes)
+    if (!tryCommit(next)) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"compactSmall of $tableDir: concurrent commit since " +
+          s"v${base.version}; rerun")
+    }
+    Some(next)
   }
 
   /** Garbage-collect: drop manifests older than the last `keepLast`
@@ -924,7 +985,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
       stats: Map[String, Map[String, ColRange]], schemaJson: String,
-      fileRows: Map[String, Long], blooms: Map[String, Map[String, String]])
+      fileRows: Map[String, Long], blooms: Map[String, Map[String, String]],
+      fileBytes: Map[String, Long])
 
   /** Widening-only schema merge: incoming columns must keep an existing
     * column's type (`sameType` — nullability-insensitive); genuinely new
@@ -1007,7 +1069,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       moved.collect { case (n, _, st, _) if st.nonEmpty => n -> st }.toMap,
       df.schema.json,
       moved.collect { case (n, _, _, fr) if fr >= 0 => n -> fr }.toMap,
-      stagedBlooms)
+      stagedBlooms,
+      moved.map(m => m._1 -> m._2).toMap)
   }
 
   /** Per-file footer metadata, one open: the exact row count (sum of
@@ -1123,6 +1186,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val fn = bn.putObject(f)
         cols.foreach { case (c, b64) => fn.put(c, b64) }
       }
+    }
+    if (s.fileBytes.nonEmpty) {
+      val fn = node.putObject("fileBytes")
+      s.fileBytes.foreach { case (f, n) => fn.put(f, n) }
     }
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
     if (s.txns.nonEmpty) {

@@ -754,6 +754,35 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.readKeys("id", Seq(1901)).count() == 1)
   }
 
+  test("compactSmall rewrites only the undersized backlog; big files carry by name") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append((0 until 20000).map(i => (i, s"big-$i-payload-$i"))
+      .toDF("id", "payload").coalesce(1))
+    val bigFile = log.snapshot().files.head
+    val bigBytes = log.snapshot().fileBytes(bigFile)
+    (0 until 4).foreach { r =>
+      log.append((20000 + r * 100 until 20000 + (r + 1) * 100)
+        .map(i => (i, s"s-$i")).toDF("id", "payload").coalesce(1))
+    }
+    val before = log.snapshot()
+    assert(before.files.size == 5)
+    // target sized so the first file is well-sized and the appends are
+    // the undersized backlog
+    val s = log.compactSmall(targetFileBytes = bigBytes).get
+    assert(s.files.contains(bigFile),
+      "the well-sized file must carry by name, not rewrite")
+    assert(s.files.size == 2, s"the backlog must pack into one file: ${s.files}")
+    assert(s.rows == before.rows && s.op == "compact")
+    assert(s.fileRows.keySet == s.files.toSet &&
+      s.fileBytes.keySet == s.files.toSet && s.stats.keySet == s.files.toSet,
+      "per-file metadata must cover exactly the live set after the rewrite")
+    assert(log.read().count() == 20400)
+    assert(log.readBetween("id", 20000, 20399).count() == 400,
+      "the rewritten slice must read back pruned and complete")
+    assert(log.compactSmall(targetFileBytes = bigBytes).isEmpty,
+      "a second pass must be the scheduled no-op")
+  }
+
   test("q30: manifest counts match the direct scan, timestamp stats column") {
     val row = graft.ops.Relational.q30LogMetadataCount(spark, TestSpark.Sf0001).head()
     val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
