@@ -123,6 +123,7 @@ object SparkEntry {
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
     "dd_embed_lsh" -> (Dedup.ddEmbedLsh _), // rows-only: probabilistic recall; exact twin is dd_embed_cosine
+    "dd_semantic" -> (Dedup.ddSemantic _), // rows-only: SemDeDup cluster-then-dedup; k-means not ANSI-expressible; twin: dd_embed_cosine + DedupSpec precision pin
     "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
     "dd_contamination" -> (Dedup.ddContamination _), // benchmark 8-gram leakage gate
     "dd_contamination_bloom" -> (Dedup.ddContaminationBloom _), // bloom-prefiltered scale shape, same output

@@ -68,7 +68,8 @@ final case class PipelineConfig(
     dedupColumn: Option[String] = None,
     layout: Option[LayoutPolicy] = None,
     tableFormat: String = PipelineConfig.FormatDir,
-    layoutAdvised: Boolean = false
+    layoutAdvised: Boolean = false,
+    bloomColumns: Seq[String] = Nil
 ) {
   require(!(layoutAdvised && layout.isDefined),
     "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
@@ -82,6 +83,12 @@ final case class PipelineConfig(
     val unknown = p.columns.filterNot(known)
     require(unknown.isEmpty,
       s"layout columns not in the declared schema: ${unknown.mkString(", ")}")
+  }
+  locally {
+    val known = schema.map(_.name).toSet + "ETL_PART_KEY"
+    val unknown = bloomColumns.filterNot(known)
+    require(unknown.isEmpty,
+      s"bloom columns not in the declared schema: ${unknown.mkString(", ")}")
   }
 
   /** Spark schema declared for the cataloged data object. */
@@ -198,7 +205,12 @@ object PipelineConfig {
       // maintenance fires; any declared cluster_by always wins (and
       // combining it with "advised" is rejected in the layout parse)
       layoutAdvised = prepared.get("cluster_by") == null &&
-        Option(prepared.get("layout_mode")).map(_.asText()).contains("advised")
+        Option(prepared.get("layout_mode")).map(_.asText()).contains("advised"),
+      // optional: log-backed tables keep a per-file key bloom on these
+      // columns — point-lookup file skipping (graft.table.FileBlooms)
+      bloomColumns = Option(prepared.get("bloom_columns")).map(
+        _.asText().split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
     )
   }
 
@@ -234,6 +246,8 @@ object PipelineConfig {
       if (p.zorder) prep.put("layout_mode", "zorder")
     }
     if (c.layoutAdvised) prep.put("layout_mode", "advised")
+    if (c.bloomColumns.nonEmpty)
+      prep.put("bloom_columns", c.bloomColumns.mkString(","))
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.GraftFunctions.{cosine_similarity, text_fingerprint}
+import graft.functions.GraftFunctions.{cosine_similarity, nearest_centroid, text_fingerprint}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -773,6 +773,59 @@ object Dedup {
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cosine threshold shared by the embedding dedup family (calibrated
+    * to the fixture distribution — max pair cosine ≈ 0.51). */
+  private val EmbedCosThreshold = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    * — the cluster-then-dedup curation method): k-means the embedding
+    * space into K cells (the SAME label-free Lloyd trainer the IVF index
+    * uses), then run the exact pairwise cosine ONLY within each cell —
+    * a pair in different cells is never compared, by design. The larger
+    * id of every within-cell pair at ≥ [[EmbedCosThreshold]] dies;
+    * survivors emit with their cell label (the byproduct: a semantic
+    * clustering of the surviving corpus).
+    *
+    * Why this exists next to [[ddEmbedLsh]]: LSH finds pairs by hash
+    * collision — recall decays smoothly with distance and the candidate
+    * count follows bucket occupancy; SemDeDup bounds the TOTAL work
+    * structurally — Σ cell² instead of n², with K scaled to hold cell
+    * sizes flat (n/K ≈ constant ⇒ linear total work at any corpus
+    * size), at the cost of missing pairs the quantizer separates. Both
+    * rescore with the exact codegen'd cosine, so precision is 1 by
+    * construction either way — DedupSpec pins exactly that against the
+    * brute twin, plus planted-duplicate collapse and determinism.
+    *
+    * Scale shape: centroids are a K×dim plan constant; assignment is one
+    * codegen'd map pass; the self-join shuffles on `cell` (Σ cell², the
+    * SemDeDup contract); kills shuffle as bare ids. Rows-only graded
+    * (k-means is not ANSI-expressible); [[ddEmbedCosine]] is the
+    * oracle-checked twin for the pair semantics at the same threshold. */
+  def ddSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticSurvivors(
+      t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** [[ddSemantic]] on an arbitrary (vec_id, embedding) frame — the
+    * seam DedupSpec drives with planted duplicates. */
+  private[graft] def semanticSurvivors(e: DataFrame): DataFrame = {
+    val centroids = Similarity.trainIvfCentroids(e)
+    // checkpoint: the assignment feeds both sides of the self-join and
+    // the survivor anti-join — the k×dim centroid expression tree must
+    // not ride along in every branch of that lineage
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      nearest_centroid(col("embedding"), centroids).as("cell"))
+      .localCheckpoint()
+    val kills = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine_similarity(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= EmbedCosThreshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(kills, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
   }
 
   def ddEmbedCosineOracle: String =

@@ -2,10 +2,10 @@ package graft.orchestrate
 
 import graft.config.LayoutPolicy
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, EqualTo, In, InSet, Literal}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
-import org.apache.spark.sql.types.{DateType, NumericType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import java.util.concurrent.ConcurrentHashMap
@@ -39,6 +39,9 @@ import scala.jdk.CollectionConverters._
   */
 final class LayoutAdvisor extends QueryExecutionListener {
   private val counts = new ConcurrentHashMap[(String, String), java.lang.Long]()
+  // equality/IN probes tallied separately: a point lookup wants a BLOOM,
+  // not a sort order — range clustering serves it only on the leader
+  private val eqCounts = new ConcurrentHashMap[(String, String), java.lang.Long]()
 
   def install(spark: SparkSession): this.type = {
     spark.listenerManager.register(this)
@@ -74,6 +77,17 @@ final class LayoutAdvisor extends QueryExecutionListener {
         }
       }.flatten).toSet
       cols.foreach(c => counts.merge((root, c), 1L, (a, b) => a + b))
+      val eqCols = s.dataFilters.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, _: Literal) => Some(a.name)
+        case EqualTo(_: Literal, a: AttributeReference) => Some(a.name)
+        case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+          Some(a.name)
+        case i: InSet => i.child match {
+          case a: AttributeReference => Some(a.name)
+          case _ => None
+        }
+      }.flatten).toSet
+      eqCols.foreach(c => eqCounts.merge((root, c), 1L, (a, b) => a + b))
     }
 
   /** AQE wraps stages; descend to the real scans wherever they sit. */
@@ -109,5 +123,27 @@ final class LayoutAdvisor extends QueryExecutionListener {
         Some(LayoutPolicy(Seq(c1, c2), zorder = true))
       case (c1, _) +: _ => Some(LayoutPolicy(Seq(c1)))
     }
+  }
+
+  /** Recommend bloom columns for `rootPath`: the columns the workload
+    * probes by EQUALITY or IN — point lookups — that the advised layout
+    * does not already serve (the cluster columns get range-stat
+    * skipping; a bloom there is redundant) and that blooms can index
+    * (integral or string — [[graft.table.FileBlooms]]'s contract). At
+    * most two, ranked by probe count: each bloom costs a narrow scan
+    * per commit, so the advisor only nominates what the workload
+    * actually hits. */
+  def adviseBlooms(rootPath: String, schema: StructType): Seq[String] = {
+    val known = schema.fieldNames.toSet
+    val layoutCols = advise(rootPath, schema).map(_.columns.toSet)
+      .getOrElse(Set.empty[String])
+    def bloomTyped(c: String): Boolean = schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    eqCounts.asScala.collect {
+      case ((p, c), n) if p == rootPath && known(c) && bloomTyped(c) &&
+        !layoutCols(c) => c -> n.longValue()
+    }.toSeq.sortBy { case (c, n) => (-n, c) }.take(2).map(_._1)
   }
 }

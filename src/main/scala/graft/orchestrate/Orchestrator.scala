@@ -102,16 +102,34 @@ object Orchestrator {
     // window); verified-swap jobs on the bare directory otherwise
     val prepared: Option[(String, MaintenanceMetrics)] =
       if (cfg.useLog) {
-        val log = graft.table.PreparedTable.log(spark, cfg)
-        if (log.currentVersion() == 0) None
+        val probe = graft.table.PreparedTable.log(spark, cfg)
+        if (probe.currentVersion() == 0) None
         else {
-          val before = log.snapshot().files.length
+          val before = probe.snapshot().files.length
           if (before <= maxFiles) None
           else {
             // log scans are explicit file lists, tallied under data/
-            val committed = policyFor(
-              s"${cfg.preparedPath}/${graft.table.SnapshotLog.DataDirName}",
-              log.read().schema) match {
+            val scanRoot =
+              s"${cfg.preparedPath}/${graft.table.SnapshotLog.DataDirName}"
+            val schema = probe.read().schema
+            val policy = policyFor(scanRoot, schema)
+            // advised mode also adopts the advisor's BLOOM nominations,
+            // and an advised cluster policy doubles as the manifest
+            // stats columns (a declared layout already does, via
+            // cfg.statsColumns): the maintenance rewrite re-stages
+            // every file, so building the log with them indexes the
+            // whole table in one pass; declared lists always win
+            val advisedBlooms =
+              if (cfg.layoutAdvised && cfg.bloomColumns.isEmpty)
+                advisor.map(_.adviseBlooms(qualify(spark, scanRoot), schema))
+                  .getOrElse(Nil)
+              else Nil
+            val advisedStats =
+              if (cfg.statsColumns.isEmpty) policy.map(_.columns).getOrElse(Nil)
+              else Nil
+            val log = graft.table.PreparedTable.log(spark, cfg,
+              advisedBlooms, advisedStats)
+            val committed = policy match {
               case Some(p) if p.zorder => Some(LayoutJob.zorderByLog(log, p.columns))
               case Some(p) => Some(LayoutJob.clusterByLog(log, p.columns))
               // no layout policy: incremental bin-pack — only the

@@ -17,9 +17,17 @@ object PreparedTable {
     * `cfg.useLog`). Stats columns are the declared layout columns, so
     * the manifests record per-file ranges for exactly the columns
     * maintenance clusters — the pruning and the clustering halves of the
-    * data-skipping story stay in lockstep. */
-  def log(spark: SparkSession, cfg: PipelineConfig): SnapshotLog =
-    SnapshotLog(spark, cfg.preparedPath, cfg.statsColumns)
+    * data-skipping story stay in lockstep. Bloom columns come from the
+    * config (`prepared.bloom_columns`); the `extra*` seams are the
+    * orchestrator's route for ADVISED columns (telemetry-nominated
+    * stats and blooms) — a maintenance rewrite built with them indexes
+    * the whole table retroactively, since every file re-stages. */
+  def log(spark: SparkSession, cfg: PipelineConfig,
+      extraBloomColumns: Seq[String] = Nil,
+      extraStatsColumns: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, cfg.preparedPath,
+      (cfg.statsColumns ++ extraStatsColumns).distinct, None,
+      (cfg.bloomColumns ++ extraBloomColumns).distinct)
 
   /** Read the prepared table under the configured format: ONE manifest
     * GET for log tables (no directory listing, schema from the

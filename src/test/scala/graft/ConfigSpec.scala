@@ -71,6 +71,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(ColumnSpec("c", "string", "").toStructField.metadata.contains("comment") == false)
   }
 
+  test("bloom_columns: parses, round-trips, validates against the schema") {
+    val withBlooms = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"bloom_columns\": \"id\"")
+    val c = PipelineConfig.parse(withBlooms)
+    assert(c.bloomColumns == Seq("id"))
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // a column outside the declared schema fails fast
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"bloom_columns\": \"nope\"")))
+  }
+
   test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
     import graft.config.LayoutPolicy
     val withLayout = refShaped.replace(

@@ -166,6 +166,45 @@ class DedupSpec extends AnyFunSuite {
       s"(${lsh.size}/${exact.size} exact pairs found)")
   }
 
+  test("semantic dedup: planted duplicates collapse, kills are true pairs, deterministic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // planted corpus: three exact copies of one vector, two distinct
+    // orthogonal-ish vectors — copies MUST co-cluster (identical input,
+    // deterministic assignment) and collapse to the lowest id
+    val base = (0 until 64).map(i => if (i == 0) 1f else 0f)
+    val other = (0 until 64).map(i => if (i == 1) 1f else 0f)
+    val third = (0 until 64).map(i => if (i == 2) 1f else 0f)
+    val planted = Seq(
+      (10L, base), (11L, base), (12L, base), (20L, other), (30L, third)
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticSurvivors(planted).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.contains(10L) && !survivors.contains(11L) &&
+      !survivors.contains(12L),
+      s"exact copies must collapse to the lowest id: $survivors")
+    assert(survivors.contains(20L) && survivors.contains(30L),
+      s"orthogonal vectors must survive: $survivors")
+
+    // fixture corpus: every kill must be justified by a true >= 0.4 pair
+    // in the brute twin (precision 1 — the quantizer only LIMITS which
+    // pairs are compared, never invents similarity)
+    val exactKilled = Dedup.ddEmbedCosine(spark, TestSpark.Sf0001).collect()
+      .map(_.getLong(1)).toSet // id_b of every true pair
+    val all = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id").as[Long].collect().toSet
+    val sem1 = Dedup.ddSemantic(spark, TestSpark.Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val killed = all -- sem1
+    assert(killed.subsetOf(exactKilled),
+      s"semantic kills must be true pairs; extra: ${killed -- exactKilled}")
+    // determinism: seeding, Lloyd rounds and assignment are all
+    // deterministic — a second run reproduces the survivor set exactly
+    val sem2 = Dedup.ddSemantic(spark, TestSpark.Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(sem1 == sem2, "semantic dedup must be run-to-run deterministic")
+  }
+
   test("bloom-prefiltered contamination is row-identical to the exact gate") {
     // the bloom can only err toward false POSITIVES, and the exact-confirm
     // join removes those — so the two formulations must agree exactly

@@ -200,6 +200,85 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(advisor3)
   }
 
+  test("adviseBlooms: equality probes nominate blooms; advised log maintenance adopts them") {
+    import graft.config.{ColumnSpec, LayoutPolicy, PipelineConfig}
+    import graft.jobs.RawLayerJob
+    import graft.ledger.LocalJsonLedger
+    import graft.orchestrate.{LayoutAdvisor, Orchestrator}
+    import graft.sources.ParquetSource
+    import graft.table.PreparedTable
+    import org.apache.spark.sql.functions.col
+
+    // nomination rules: range workload picks the layout leader; the
+    // equality/IN-probed columns OFF the layout become bloom nominees
+    val dir = appendOrderLayer2D()
+    val df = spark.read.parquet(dir)
+    val schema = df.schema
+    val advisor = new LayoutAdvisor
+    def observe(q: org.apache.spark.sql.DataFrame): Unit =
+      advisor.record(q.queryExecution.executedPlan)
+    observe(df.filter(col("x").between(10, 20)))
+    observe(df.filter(col("x") > 100))
+    observe(df.filter(col("x") < 7))
+    observe(df.filter(col("x") >= 9000))
+    observe(df.filter(col("payload") === "payload-7"))
+    observe(df.filter(col("payload").isin("a", "b", "c")))
+    observe(df.filter(col("y") === 5))
+    val root = advisor.predicateCounts.keys.head._1
+    assert(advisor.advise(root, schema).contains(LayoutPolicy(Seq("x"))))
+    assert(advisor.adviseBlooms(root, schema) == Seq("payload", "y"),
+      "equality-probed columns off the layout, ranked by probe count")
+    // a layout column never doubles as a bloom (range stats serve it)
+    observe(df.filter(col("x") === 5))
+    assert(!advisor.adviseBlooms(root, schema).contains("x"))
+    assert(advisor.adviseBlooms("/no/such/table", schema).isEmpty)
+
+    // e2e: a log-backed advised pipeline whose workload mixes a range
+    // column with a point-lookup column — maintenance clusters on the
+    // range leader, records its manifest stats, AND blooms the lookup
+    // column, all in the one rewrite
+    val tmp = Files.createTempDirectory("graft-advisedbloom-")
+    val cfg = PipelineConfig(
+      template = PipelineConfig.CdsViewTemplate,
+      project = "graft", subject = "test",
+      jobSrc = "lineitem", ledgerName = "pipeline_ledger",
+      rawRoot = s"$tmp/raw", rawFolder = "lineitem", cdsView = "lineitem",
+      preparedRoot = s"$tmp/prepared",
+      tableName = s"ab_${tmp.getFileName.toString.replaceAll("[^a-zA-Z0-9]", "")}",
+      schema = Seq(
+        ColumnSpec("l_orderkey", "bigint", ""), ColumnSpec("l_partkey", "bigint", ""),
+        ColumnSpec("l_suppkey", "bigint", ""), ColumnSpec("l_linenumber", "int", ""),
+        ColumnSpec("l_quantity", "double", ""), ColumnSpec("l_extendedprice", "double", ""),
+        ColumnSpec("l_discount", "double", ""), ColumnSpec("l_tax", "double", ""),
+        ColumnSpec("l_returnflag", "string", ""), ColumnSpec("l_linestatus", "string", ""),
+        ColumnSpec("l_shipdate", "timestamp", "")),
+      layoutAdvised = true, tableFormat = PipelineConfig.FormatLog)
+    val src = ParquetSource(s"${TestSpark.Sf0001}/lineitem.parquet")
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    (1 to 3).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    Orchestrator.drain(spark, cfg, ledger) // promote (default threshold)
+    val adv2 = new LayoutAdvisor
+    val prepared = PreparedTable.read(spark, cfg)
+    (1 to 5).foreach(i => adv2.record(prepared
+      .filter(col("l_partkey") > i * 50L).queryExecution.executedPlan))
+    (1 to 2).foreach(i => adv2.record(prepared
+      .filter(col("l_orderkey") === i * 7L).queryExecution.executedPlan))
+    val m = Orchestrator.maybeCompact(spark, cfg, maxFiles = 2, advisor = Some(adv2))
+    assert(m.nonEmpty, "maintenance must fire past the file threshold")
+    val snap = PreparedTable.log(spark, cfg).snapshot()
+    assert(snap.op == "cluster", s"advised range leader must cluster: ${snap.op}")
+    assert(snap.stats.nonEmpty && snap.stats.values.forall(_.contains("l_partkey")),
+      "the advised cluster column must get manifest stats in the same pass")
+    assert(snap.blooms.nonEmpty &&
+      snap.blooms.values.forall(_.contains("l_orderkey")),
+      "the advised bloom column must be indexed in the same pass")
+    // and the blooms work through a PLAIN log handle (probing reads the
+    // manifest, not the constructor's bloomColumns)
+    val hits = PreparedTable.log(spark, cfg).readKeys("l_orderkey", Seq(7L))
+    assert(hits.count() ==
+      prepared.filter(col("l_orderkey") === 7L).count())
+  }
+
   test("advised layout mode: maintenance adopts the advisor's policy; declared always wins") {
     import graft.config.{ColumnSpec, PipelineConfig}
     import graft.jobs.{LayoutMetrics, RawLayerJob}
