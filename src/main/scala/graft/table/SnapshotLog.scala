@@ -715,16 +715,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * merge ([[graft.ops.Relational]] q24) emits, which is the intended
     * feed: q24 computes the merged view, this applies it transactionally.
     *
-    * Stats-targeted like [[deleteBetween]]: only files whose recorded
-    * key range intersects the updates' [min, max] key envelope rewrite
-    * (matched rows dropped via a broadcast-sized anti-join, then the
-    * updates union in); every other file carries over by name. A
-    * clustered table + a narrow update batch ⇒ one file rewrites.
-    * Production planning routes update rows to files per-key rather
-    * than by envelope — the envelope is the conservative simplification
-    * (correct always, minimal only when updates cluster). Insert-only
-    * batches (envelope beyond every file) stage straight to an append.
-    * Conflicts abort, prior versions keep the pre-merge rows. */
+    * Stats-targeted like [[deleteBetween]], with PER-KEY routing for
+    * bounded batches: when the update batch has at most
+    * [[SnapshotLog.MergeRouteKeyCap]] distinct keys, each file rewrites
+    * only if it can actually hold ONE OF THE KEYS (range stats + blooms,
+    * the same gates as [[readKeys]]) — a scattered two-key update on a
+    * clustered table rewrites two files, not every file the [min, max]
+    * envelope spans. Larger batches fall back to the envelope (correct
+    * always, minimal when updates cluster; collecting an unbounded key
+    * set driver-side would not scale, and a batch that big touches most
+    * files anyway). Matched rows drop via a broadcast-sized anti-join,
+    * then the updates union in; every other file carries over by name.
+    * Insert-only batches (keys beyond every file) stage straight to an
+    * append. Conflicts abort, prior versions keep the pre-merge rows. */
   def mergeByKey(updates: DataFrame, column: String): Snapshot = {
     val base = snapshot()
     require(base.tombstones.isEmpty,
@@ -746,11 +749,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       column: String): Snapshot = {
     val bounds = u.agg(
       org.apache.spark.sql.functions.min(col(column)),
-      org.apache.spark.sql.functions.max(col(column))).head()
+      org.apache.spark.sql.functions.max(col(column)),
+      org.apache.spark.sql.functions.count_distinct(col(column))).head()
     require(!bounds.isNullAt(0), "updates must have at least one non-null key")
     val (lo, hi) = (bounds.get(0), bounds.get(1))
-    val (touched, untouched) = base.files.partition(f =>
-      base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+    val (touched, untouched) =
+      if (bounds.getLong(2) <= MergeRouteKeyCap &&
+          (base.stats.nonEmpty || base.blooms.nonEmpty)) {
+        // per-key routing: a file rewrites only if SOME key can be in it
+        val keys = u.select(col(column)).distinct()
+          .collect().map(_.get(0)).toSeq // bounded by the cap
+        val cand = keyCandidates(base, column, keys).toSet
+        base.files.partition(cand)
+      } else base.files.partition(f =>
+        base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
     val (touchedRows, stagedDf) =
       if (touched.isEmpty) (0L, u)
       else {
@@ -1214,6 +1226,13 @@ object SnapshotLog {
   val DataDirName = "data"
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
+
+  /** Distinct-key ceiling under which [[SnapshotLog.mergeByKey]] routes
+    * the rewrite set per key (collecting the keys driver-side) instead
+    * of by [min, max] envelope. CDC-sized batches stay under it; a
+    * batch over it touches most files regardless, so the envelope loses
+    * little. */
+  val MergeRouteKeyCap = 100000L
   private val ManifestName = """v(\d{20})\.json""".r
 
   /** Output-file count that bin-packs `bytes` into ~`targetFileBytes`

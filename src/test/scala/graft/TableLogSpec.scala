@@ -514,6 +514,20 @@ class TableLogSpec extends AnyFunSuite {
     assert(m1.files.forall(m2.files.contains),
       "insert-only merge must carry every existing file")
     assert(rowsOf(log).count(_._1 >= 10000) == 2)
+
+    // per-key routing: a SCATTERED two-key batch spans nearly the whole
+    // id range, so the [min, max] envelope would rewrite every clustered
+    // file — routing by key rewrites only the two files that hold them
+    val before = log.snapshot()
+    val m3 = log.mergeByKey(
+      Seq((5, "SCAT-lo"), (595, "SCAT-hi")).toDF("id", "payload"), "id")
+    val carried3 = before.files.count(m3.files.contains)
+    assert(carried3 >= before.files.size - 2,
+      s"a two-key scattered merge must rewrite at most two files " +
+        s"(carried $carried3 of ${before.files.size})")
+    val after3 = rowsOf(log)
+    assert(after3.contains((5, "SCAT-lo")) && after3.contains((595, "SCAT-hi")))
+    assert(!after3.exists { case (i, p) => (i == 5 || i == 595) && p.startsWith("p-") })
   }
 
   test("timestamp stats: manifest pruning and typed bounds work on a time column") {
