@@ -60,8 +60,8 @@ object CatalogRegistrar {
     * a view and vice versa, and a pipeline may switch table_format
     * between registrations. */
   private def dropExisting(spark: SparkSession, fqn: String, name: String): Unit =
-    if (spark.catalog.tableExists(Database, name)) {
-      if (spark.catalog.getTable(Database, name).tableType == "VIEW")
+    if (spark.catalog.tableExists(fqn)) {
+      if (spark.catalog.getTable(fqn).tableType == "VIEW")
         spark.sql(s"DROP VIEW IF EXISTS $fqn")
       else
         spark.sql(s"DROP TABLE IF EXISTS $fqn")
