@@ -125,6 +125,7 @@ object SparkEntry {
     "dd_embed_lsh" -> (Dedup.ddEmbedLsh _), // rows-only: probabilistic recall; exact twin is dd_embed_cosine
     "dd_semantic" -> (Dedup.ddSemantic _), // rows-only: SemDeDup cluster-then-dedup; k-means not ANSI-expressible; twin: dd_embed_cosine + DedupSpec precision pin
     "dd_chunks" -> (Dedup.ddChunks _), // sub-document (chunk-level) exact dedup
+    "dd_boilerplate" -> (Dedup.ddBoilerplate _), // strip cross-doc repeated chunks, rebuild text
     "dd_contamination" -> (Dedup.ddContamination _), // benchmark 8-gram leakage gate
     "dd_contamination_bloom" -> (Dedup.ddContaminationBloom _), // bloom-prefiltered scale shape, same output
     // §7.3-4 sampling / curation
@@ -132,6 +133,7 @@ object SparkEntry {
     "samp_domain_cap" -> (graft.ops.Sampling.sampDomainCap _), // per-domain cap window
     "samp_mixture" -> (graft.ops.Sampling.sampMixture _), // weighted mixture rebalance
     "samp_split_leakage" -> (graft.ops.Sampling.sampSplitLeakage _), // cluster-aware train/valid/test split
+    "samp_stratified" -> (graft.ops.Sampling.sampStratified _), // exact per-stratum rate sample
     "cur_pipeline" -> (graft.ops.Sampling.curatePipeline _), // composed sample→dedup→gate→rollup
 
     // §7.3-4 similarity search
@@ -207,6 +209,7 @@ object SparkEntry {
     "samp_domain_cap" -> graft.ops.Sampling.sampDomainCapOracle,
     "samp_mixture" -> graft.ops.Sampling.sampMixtureOracle,
     "samp_split_leakage" -> graft.ops.Sampling.sampSplitLeakageOracle,
+    "samp_stratified" -> graft.ops.Sampling.sampStratifiedOracle,
     "cur_pipeline" -> graft.ops.Sampling.curatePipelineOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
@@ -229,6 +232,7 @@ object SparkEntry {
     "dd_clusters" -> Dedup.ddClustersOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "dd_chunks" -> Dedup.ddChunksOracle,
+    "dd_boilerplate" -> Dedup.ddBoilerplateOracle,
     "dd_contamination" -> Dedup.ddContaminationOracle,
     // bloom prefilter + exact confirm is output-identical by construction,
     // so the bloom variant grades against the SAME exact oracle

@@ -191,6 +191,86 @@ object Dedup {
       |FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
       |ORDER BY chunk""".stripMargin
 
+  /** A chunk seen in at least this many DISTINCT documents is corpus
+    * boilerplate for [[ddBoilerplate]]. */
+  private[graft] val BoilerplateDocFloor = 2
+
+  /** Boilerplate strip — the RECONSTRUCTIVE half of sub-document dedup:
+    * where [[ddChunks]] only *reports* cross-document repeated chunks,
+    * this rewrites every document with its boilerplate chunks removed
+    * (the RefinedWeb/CCNet-style cleanup: navigation bars, license
+    * footers, cookie banners repeat verbatim across pages and would
+    * otherwise be massively over-represented in the training mix).
+    * Chunking is non-overlapping 10-word spans INCLUDING the short tail
+    * span (reconstruction must not drop words, unlike ddChunks' report
+    * which ignores tails); a chunk appearing in >= [[BoilerplateDocFloor]]
+    * distinct docs is stripped from ALL of them. Emits per doc the chunk
+    * accounting and the rebuilt text, so the oracle hash-grades the
+    * entire split→count→strip→reassemble chain.
+    *
+    * Shape at 100 TB: the chunk histogram is ONE shuffle keyed by the
+    * chunk (production shuffles the 8-byte
+    * [[graft.functions.TextFingerprint]], text kept here so DuckDB can
+    * grade); the hot set (chunks crossing the floor) is vocabulary-sized
+    * — navigation bars, not the corpus — so the strip is a BROADCAST
+    * anti-join in the scan stage, never a corpus-sized join; reassembly
+    * is one shuffle regrouping kept chunks by doc_id with a per-doc
+    * bounded sort (document length, not partition size). Nothing
+    * corpus-sized crosses the driver. */
+  def ddBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateOf(t(spark, dir, "documents"))
+
+  private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("l")), lit(10))).as("i"),
+        col("l"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("l"), col("i"), lit(10)), " ").as("chunk"))
+    val hot = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= BoilerplateDocFloor)
+      .select(col("chunk"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val kept = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("i"), col("chunk"))).as("cs"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(expr("transform(array_sort(cs), s -> s.chunk)"), " ")
+          .as("clean_text"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  def ddBoilerplateOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), chunks AS (
+       |  SELECT doc_id, i, array_to_string(l[i:i+9], ' ') AS chunk
+       |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1, 10)) AS i FROM w)
+       |), hot AS (
+       |  SELECT chunk FROM chunks
+       |  GROUP BY chunk HAVING count(DISTINCT doc_id) >= $BoilerplateDocFloor
+       |), totals AS (
+       |  SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id
+       |), kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(chunk, ' ' ORDER BY i) AS clean_text
+       |  FROM chunks WHERE chunk NOT IN (SELECT chunk FROM hot)
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, t.n_chunks,
+       |       t.n_chunks - coalesce(k.n_kept, 0) AS n_removed,
+       |       coalesce(k.clean_text, '') AS clean_text
+       |FROM totals t LEFT JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Character 5-gram shingle set per document, distinct, exploded.
     * Shared shingle-generation for jaccard + minhash.
     *

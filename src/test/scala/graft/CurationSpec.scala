@@ -34,6 +34,25 @@ class CurationSpec extends AnyFunSuite {
     assert(perSource.forall(_.getLong(1) == 15))
   }
 
+  test("stratified sample: exactly ceil(n_s/5) per stratum, deterministic") {
+    val spark = TestSpark.spark
+    val strata = Relational.t(spark, Sf001, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Sampling.sampStratified(spark, Sf001)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == strata.keySet, "every stratum must be represented")
+    got.foreach { case (k, n) =>
+      assert(n == (strata(k) + 4) / 5,
+        s"stratum $k: got $n, want exact ceil(${strata(k)}/5)")
+    }
+    // determinism: the sampled ids, not just the counts, reproduce
+    val ids1 = Sampling.sampStratified(spark, Sf001).collect().map(_.getLong(4)).toSeq
+    val ids2 = Sampling.sampStratified(spark, Sf001).collect().map(_.getLong(4)).toSeq
+    assert(ids1 == ids2)
+  }
+
   test("mixture rebalance: realized mix tracks the target weights") {
     val spark = TestSpark.spark
     val mix = Sampling.sampMixture(spark, Sf001)

@@ -217,4 +217,29 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture must contain contaminated documents")
     assert(bloomed == exact)
   }
+
+  test("boilerplate strip: cross-doc repeated chunks removed, unique text intact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // exactly one 10-word chunk shared by docs 1, 2 and 4 (the planted
+    // "navigation bar"); everything else is unique per doc
+    val boiler = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, s"$boiler one two three"),
+      (3L, "totally unique words that repeat nowhere else at all"),
+      (4L, boiler) // all boilerplate: must survive as an empty doc, not vanish
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every doc must be accounted for")
+    assert(out(1L) == ((2L, 1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    assert(out(2L) == ((2L, 1L, "one two three")),
+      "tail chunk shorter than 10 words must be kept verbatim")
+    assert(out(3L) == ((1L, 0L, "totally unique words that repeat nowhere else at all")),
+      "a doc with no boilerplate reconstructs exactly")
+    assert(out(4L) == ((1L, 1L, "")),
+      "an all-boilerplate doc keeps its accounting with empty text")
+  }
 }
