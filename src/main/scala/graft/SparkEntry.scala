@@ -110,6 +110,7 @@ object SparkEntry {
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
+    "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
+    "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_incremental" -> Dedup.ddIncrementalOracle,

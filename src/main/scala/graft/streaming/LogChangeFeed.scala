@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.table.SnapshotLog
+import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over a [[SnapshotLog]] table's change
+  * feed — `spark.readStream.format(...).option("path", table).load()`
+  * turns every committed append into a micro-batch, the way production
+  * table formats expose CDF streaming reads. Downstream incremental
+  * consumers (cross-run dedup, a continuously-training ingest job, the
+  * [[graft.table.LogMirror]] replication shape) become ordinary
+  * streaming queries with checkpointed progress instead of hand-rolled
+  * cursor loops.
+  *
+  * Offsets ARE log versions: `getOffset` reports the table's current
+  * version, and `getBatch(start, end)` returns exactly
+  * [[SnapshotLog.readChanges]] over `(start, end]` — appended files by
+  * name, O(new data) per batch, never O(table). Version-as-offset makes
+  * recovery exact: after a crash the engine replays `(checkpointed,
+  * current]` and immutable delta files reproduce the batch bit-for-bit.
+  * The [[SnapshotLog.vacuum]] version horizon bounds how far behind a
+  * checkpoint may fall — the CDF retention contract.
+  *
+  * Change-commit policy (the insert-only feed contract): row-preserving
+  * rewrites (`compact`/`cluster`/`zorder`/`restore`) ship nothing and
+  * are skipped silently; row-REMOVING commits (`delete`/`merge`/
+  * `delete_keys`) FAIL the stream by default — silently skipping them
+  * would let a consumer believe it saw every change. Opting in with
+  * `option("skipChangeCommits", "true")` streams past them (the
+  * downstream owns reconciliation), mirroring production CDF readers.
+  *
+  * The schema is pinned at stream start (the engine's contract);
+  * widening evolution mid-stream is invisible until restart — each
+  * batch projects onto the pinned columns, which widening-only
+  * evolution guarantees still exist.
+  *
+  * Implemented as a V1 `Source` deliberately: `getBatch` can hand back
+  * a driver-planned DataFrame (the manifest decides the file list), so
+  * the read path reuses the log's pruned parquet scan unchanged instead
+  * of reimplementing a DSv2 `PartitionReader`. The V1 API is what
+  * Spark's own FileStreamSource runs on.
+  */
+final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
+    skipChangeCommits: Boolean) extends Source {
+
+  private def log = SnapshotLog(spark, tableDir)
+
+  /** Commits that remove or rewrite rows — a gap in an insert-only feed. */
+  private val ChangeOps = Set("delete", "merge", "delete_keys")
+
+  override val schema: StructType = LogChangeFeed.tableSchema(spark, tableDir)
+
+  override def getOffset: Option[Offset] = {
+    val v = log.currentVersion()
+    if (v <= 0) None else Some(LongOffset(v))
+  }
+
+  /** Offsets round-trip through checkpoint JSON as plain numbers;
+    * `json.toLong` covers live [[LongOffset]]s and the serialized form
+    * the engine hands back after a restart alike. */
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val to = versionOf(end)
+    val l = log
+    if (!skipChangeCommits) {
+      val changing = l.changes(from, to).filter(d => ChangeOps(d.op))
+      if (changing.nonEmpty) throw new IllegalStateException(
+        s"change feed of $tableDir is insert-only but version " +
+          s"${changing.head.version} is a '${changing.head.op}'; resync the " +
+          "consumer from a full read, or set skipChangeCommits=true to " +
+          "stream past row-removing commits")
+    }
+    // project onto the pinned stream schema: widening evolution after
+    // stream start may have added columns this stream never declared
+    val delta = l.readChanges(from, to).select(schema.map(f => col(f.name)): _*)
+    GraftBridge.asStreamingFrame(spark, delta)
+  }
+
+  override def stop(): Unit = ()
+}
+
+class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-log-changes"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      LogChangeFeed.tableSchema(ctx.sparkSession, LogChangeFeed.path(parameters))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new LogChangeFeedSource(ctx.sparkSession, LogChangeFeed.path(parameters),
+      parameters.get("skipChangeCommits").exists(_.toBoolean))
+}
+
+object LogChangeFeed {
+  private[streaming] def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (the log table dir) is required"))
+
+  /** The table's committed read schema (requires >= 1 version). */
+  private[streaming] def tableSchema(spark: SparkSession, tableDir: String): StructType = {
+    val log = SnapshotLog(spark, tableDir)
+    require(log.currentVersion() > 0,
+      s"$tableDir has no committed version to stream from")
+    log.read().schema
+  }
+
+  /** `readStream` over `tableDir`'s change feed — the reader-side
+    * convenience mirroring [[SnapshotLog.readChanges]]. */
+  def readChangesStream(spark: SparkSession, tableDir: String,
+      skipChangeCommits: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[LogChangeFeedProvider].getName)
+      .option("path", tableDir)
+      .option("skipChangeCommits", skipChangeCommits.toString)
+      .load()
+
+  /** Once-per-JVM feed fixture for [[evLogChangefeed]]: the events
+    * table committed as THREE appends (split on `user_id % 3`) with a
+    * compaction between the second and third — so the graded stream
+    * crosses a multi-version history including a rewrite that must
+    * ship nothing. Memoized like the q29–q31 log fixtures: the table
+    * build is one-time; the graded query is the feed read. */
+  private val feedFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def eventsFeedTable(spark: SparkSession, dir: String): String =
+    feedFixtures.computeIfAbsent(dir, _ => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-feed-events-").resolve("t").toString
+      val events = graft.ops.Relational.events(spark, dir)
+      val log = SnapshotLog(spark, table)
+      (0 until 3).foreach { slice =>
+        log.append(events.where(pmod(col("user_id"), lit(3L)) === slice))
+        if (slice == 1) log.rewrite("compact")(_.coalesce(1))
+      }
+      table
+    })
+
+  /** Graded entry: per-type event stats computed by STREAMING the log
+    * table's change feed — three appended versions arrive as
+    * micro-batches (the mid-history compaction ships nothing), so the
+    * feed's exactly-once file accounting is what the oracle hash-checks:
+    * a missed version, a double-shipped file, or a rewrite leaking into
+    * the feed all change the counts. Oracle: the same aggregate over the
+    * plain events table (the three slices partition it). */
+  def evLogChangefeed(spark: SparkSession, dir: String): DataFrame = {
+    val table = eventsFeedTable(spark, dir)
+    val name = "ev_log_changefeed_sink"
+    spark.catalog.dropTempView(name)
+    val q = readChangesStream(spark, table).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  def evLogChangefeedOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+}

@@ -24,6 +24,19 @@ object GraftBridge {
   def toExprEager(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming=true`)
+    * for a V1 [[org.apache.spark.sql.execution.streaming.Source]]'s
+    * `getBatch`: MicroBatchExecution asserts the returned plan is
+    * streaming, and the blessed construction
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`, the
+    * one FileStreamSource uses) is `private[sql]`. The wrapped RDD is
+    * the batch plan's physical RDD — planned now, executed when the
+    * micro-batch runs. */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`); runs the analyzer, so custom logical nodes built
     * over unresolved column expressions resolve normally. */

@@ -1,0 +1,119 @@
+package graft
+
+import graft.streaming.LogChangeFeed
+import graft.table.SnapshotLog
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+/** Streaming change-feed source over the SnapshotLog ([[LogChangeFeed]]):
+  * appends arrive as micro-batches exactly once, row-preserving rewrites
+  * ship nothing, row-removing commits fail the insert-only contract (or
+  * are skipped when opted in), and a checkpoint restart resumes at the
+  * committed version. */
+class LogStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def mkRows(run: Int, n: Int): Seq[(Int, String)] =
+    (0 until n).map(i => (run * 1000 + i, s"row-$run-$i"))
+
+  /** Runs the feed into a collector via foreachBatch (checkpointed, so
+    * restart semantics are the real engine's), returning (query, seen). */
+  private def startFeed(table: String, checkpoint: String,
+      skipChangeCommits: Boolean = false) = {
+    val seen = new ConcurrentLinkedQueue[(Int, String)]()
+    val q = LogChangeFeed.readChangesStream(spark, table, skipChangeCommits)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    (q, seen)
+  }
+
+  private def drained(seen: ConcurrentLinkedQueue[(Int, String)]): Seq[(Int, String)] = {
+    val out = Seq.newBuilder[(Int, String)]
+    seen.forEach(t => out += t)
+    out.result().sorted
+  }
+
+  test("appends stream as micro-batches exactly once; compaction ships nothing") {
+    val table = freshDir("graft-feed-") + "/t"
+    val log = SnapshotLog(spark, table)
+    log.append(mkRows(0, 20).toDF("id", "payload").repartition(2))
+    val (q, seen) = startFeed(table, freshDir("graft-feed-ckpt-"))
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == mkRows(0, 20).sorted, "the initial backlog must arrive")
+      log.append(mkRows(1, 15).toDF("id", "payload"))
+      log.append(mkRows(2, 10).toDF("id", "payload"))
+      q.processAllAvailable()
+      assert(drained(seen) == (mkRows(0, 20) ++ mkRows(1, 15) ++ mkRows(2, 10)).sorted,
+        "each append must arrive exactly once")
+      // physical rewrite: the table changed on disk, not logically —
+      // the feed across it must be identity
+      log.rewrite("compact")(_.coalesce(1))
+      log.append(mkRows(3, 5).toDF("id", "payload"))
+      q.processAllAvailable()
+      assert(drained(seen) ==
+        (mkRows(0, 20) ++ mkRows(1, 15) ++ mkRows(2, 10) ++ mkRows(3, 5)).sorted,
+        "compaction must contribute nothing; the post-compaction append must flow")
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes at the committed version, not the beginning") {
+    val table = freshDir("graft-feed-") + "/t"
+    val ckpt = freshDir("graft-feed-ckpt-")
+    val log = SnapshotLog(spark, table)
+    log.append(mkRows(0, 12).toDF("id", "payload"))
+    val (q1, seen1) = startFeed(table, ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(drained(seen1) == mkRows(0, 12).sorted)
+    } finally q1.stop()
+    // progress lives in the checkpoint: a NEW query over the SAME
+    // checkpoint must replay nothing it already committed
+    log.append(mkRows(1, 7).toDF("id", "payload"))
+    val (q2, seen2) = startFeed(table, ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(drained(seen2) == mkRows(1, 7).sorted,
+        s"restart must deliver only the new version, got ${drained(seen2)}")
+    } finally q2.stop()
+  }
+
+  test("row-removing commit fails the insert-only feed; skipChangeCommits streams past") {
+    val table = freshDir("graft-feed-") + "/t"
+    val log = SnapshotLog(spark, table,
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))
+    val (q, seen) = startFeed(table, freshDir("graft-feed-ckpt-"))
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == mkRows(0, 10).sorted)
+      log.deleteKeys("id", Seq(3, 4).toDF("id"))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("insert-only")),
+        s"expected the insert-only contract error, got: ${chain(ex)}")
+    } finally q.stop()
+    // opting in skips the delete version but keeps every append —
+    // including ones committed after it
+    log.append(mkRows(1, 6).toDF("id", "payload"))
+    val (q2, seen2) = startFeed(table, freshDir("graft-feed-ckpt-"),
+      skipChangeCommits = true)
+    try {
+      q2.processAllAvailable()
+      assert(drained(seen2) == (mkRows(0, 10) ++ mkRows(1, 6)).sorted,
+        "skipChangeCommits must deliver all appends and only appends")
+    } finally q2.stop()
+  }
+}

@@ -312,6 +312,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi bucket join on (tbl, sig):\n${p.take(2000)}")
   }
 
+  test("dd_boilerplate: the hot-set strip is a broadcast anti-join, never a shuffle") {
+    val p = plan(graft.ops.Dedup.ddBoilerplate(TestSpark.spark, TestSpark.Sf0001))
+    // the boilerplate set is vocabulary-sized (chunks crossing the doc
+    // floor), so the strip must ship IT to the chunks, not shuffle the
+    // corpus-sized chunk stream against it
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-set strip must be a broadcast anti-join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"strip degraded to a product:\n${p.take(2000)}")
+  }
+
+  test("samp_stratified: rank and stratum size share ONE stratum-keyed exchange") {
+    val p = plan(graft.ops.Sampling.sampStratified(TestSpark.spark, TestSpark.Sf0001))
+    // both window functions partition on (lang, source): Catalyst must
+    // stack the Window nodes over a single hash exchange — a second
+    // corpus-sized exchange would double the operator's shuffle cost
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one stratum-keyed exchange:\n${p.take(2000)}")
+  }
+
   test("dd_contamination_bloom: the bloom probe is a Filter below the confirm join") {
     val p = plan(graft.ops.Dedup.ddContaminationBloom(TestSpark.spark, TestSpark.Sf0001))
     val probeAt = p.toLowerCase.indexOf("bloomcontains")
