@@ -135,6 +135,7 @@ object SparkEntry {
     "samp_mixture" -> (graft.ops.Sampling.sampMixture _), // weighted mixture rebalance
     "samp_split_leakage" -> (graft.ops.Sampling.sampSplitLeakage _), // cluster-aware train/valid/test split
     "samp_stratified" -> (graft.ops.Sampling.sampStratified _), // exact per-stratum rate sample
+    "samp_shard_shuffle" -> (graft.ops.Sampling.sampShardShuffle _), // deterministic training-shard shuffle
     "cur_pipeline" -> (graft.ops.Sampling.curatePipeline _), // composed sample→dedup→gate→rollup
 
     // §7.3-4 similarity search
@@ -211,6 +212,7 @@ object SparkEntry {
     "samp_mixture" -> graft.ops.Sampling.sampMixtureOracle,
     "samp_split_leakage" -> graft.ops.Sampling.sampSplitLeakageOracle,
     "samp_stratified" -> graft.ops.Sampling.sampStratifiedOracle,
+    "samp_shard_shuffle" -> graft.ops.Sampling.sampShardShuffleOracle,
     "cur_pipeline" -> graft.ops.Sampling.curatePipelineOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,

@@ -210,6 +210,52 @@ object Sampling {
        |WHERE rk <= (n_s + 4) // 5
        |ORDER BY lang, source, rk""".stripMargin
 
+  /** Primes for the shard-shuffle streams: shard assignment and
+    * within-shard ordering must be independent, or shard files would
+    * correlate with the order inside them. */
+  private val P6 = 32452843L
+  private val P7 = 49979687L
+
+  /** Training shards for [[sampShardShuffle]]. */
+  private[graft] val ShuffleShards = 8
+
+  /** Deterministic global shuffle into training shards — the ingestion
+    * layout step of a corpus build (webdataset/tf.data shape): every
+    * document lands in one of [[ShuffleShards]] shard files at a
+    * pseudo-random position, so a trainer streaming shards sees a mix
+    * decorrelated from source, language and ingestion time (a corpus
+    * written in crawl order trains on one domain for hours — the
+    * classic accidental curriculum). Companion of
+    * [[graft.ops.TextAnalysis.txPackSequences]]: packing fills token
+    * budgets, the shuffle decides global order. Deterministic by
+    * construction (two independent modular-hash streams), so a re-run
+    * reproduces byte-identical shards and a resumed training job sees
+    * the same order.
+    *
+    * Shape at 100 TB: ONE exchange keyed by the shard, then a
+    * within-shard sort that IS the shard file's write order (shards ≫
+    * executors keeps sorts partition-local and spill-friendly; no
+    * global sort — a total order across shards is exactly what the
+    * trainer does NOT need). Oracle-checked. */
+  def sampShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(pmod(col("doc_id") * lit(P7), lit(1000000007L)).asc, col("doc_id").asc)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id") * lit(P6), lit(ShuffleShards.toLong)).as("shard"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  def sampShardShuffleOracle: String =
+    s"""SELECT shard, pos, doc_id, lang FROM (
+       |  SELECT doc_id, lang, (doc_id * $P6) % $ShuffleShards AS shard,
+       |         row_number() OVER (PARTITION BY (doc_id * $P6) % $ShuffleShards
+       |           ORDER BY (doc_id * $P7) % 1000000007 ASC, doc_id ASC) AS pos
+       |  FROM documents) x
+       |ORDER BY shard, pos""".stripMargin
+
   /** Prime for the split-assignment hash stream (independent of P1–P3 so
     * splitting composes with sampling without correlation). */
   private val P4 = 179424673L

@@ -53,6 +53,24 @@ class CurationSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("shard shuffle: every shard is a decorrelated mix with dense positions") {
+    val spark = TestSpark.spark
+    val rows = Sampling.sampShardShuffle(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet == (0L until 8L).toSet, "all shards must be populated")
+    byShard.foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length),
+        s"shard $s positions must be dense 1..n")
+      assert(rs.map(_._4).distinct.length >= 3,
+        s"shard $s must mix languages, not mirror an input stratum")
+    }
+    val again = Sampling.sampShardShuffle(spark, Sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq == again.toSeq,
+      "a re-run must reproduce the identical shard layout")
+  }
+
   test("mixture rebalance: realized mix tracks the target weights") {
     val spark = TestSpark.spark
     val mix = Sampling.sampMixture(spark, Sf001)

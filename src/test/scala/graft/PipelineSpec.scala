@@ -237,6 +237,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
   }
 
+  test("log-backed prepared layer: a downstream stream sees each promoted run exactly once") {
+    // the training-job consumer shape: promotions land as log versions,
+    // and a checkpointed streaming query over the prepared table's
+    // change feed receives each run's rows as a micro-batch — no ledger
+    // polling, no directory diffing on the consumer side
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-feed-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    Orchestrator.drain(spark, cfg, ledger)
+    val tableDir = graft.table.PreparedTable.log(spark, cfg).tableDir
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def snapshotSeen: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      seen.forEach((k, v) => b += k -> v)
+      b.result()
+    }
+    val q = graft.streaming.LogChangeFeed.readChangesStream(spark, tableDir)
+      .writeStream
+      .option("checkpointLocation", tmp.resolve("feed-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.groupBy(col("ETL_PART_KEY")).count().collect().foreach(r =>
+          seen.merge(r.getString(0), r.getLong(1), (a, c) => a + c))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(snapshotSeen == Map("run1" -> fixtureRows(spark)),
+        s"first promotion must arrive whole, got $snapshotSeen")
+      RawLayerJob.run(spark, cfg, src, ledger, "run2")
+      Orchestrator.drain(spark, cfg, ledger)
+      q.processAllAvailable()
+      assert(snapshotSeen == Map(
+        "run1" -> fixtureRows(spark), "run2" -> fixtureRows(spark)),
+        s"second promotion must arrive exactly once, run1 must not re-ship: $snapshotSeen")
+    } finally q.stop()
+  }
+
   test("log-backed promotion is exactly-once across a drain crash (run-id txn replay)") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-log-crash-")
