@@ -232,8 +232,10 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= BoilerplateDocFloor)
       .select(col("chunk"))
-    val totals = chunks.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"))
+    // n_chunks = ceil(words/10) is pure per-row arithmetic — deriving it
+    // from the scan avoids a third corpus-wide explode + doc-keyed agg
+    val totals = docs.select(col("doc_id"),
+      expr("cast((size(split(text, ' ')) + 9) div 10 as bigint)").as("n_chunks"))
     val kept = chunks.join(broadcast(hot), Seq("chunk"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),

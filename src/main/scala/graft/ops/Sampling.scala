@@ -240,9 +240,15 @@ object Sampling {
   def sampShardShuffle(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard"))
       .orderBy(pmod(col("doc_id") * lit(P7), lit(1000000007L)).asc, col("doc_id").asc)
+    // hash through the large prime BEFORE reducing mod the shard count:
+    // `(id * P6) mod 8` collapses to a permutation of id's low 3 bits
+    // (any odd multiplier is invertible mod 2^k), so ids with structured
+    // low bits — stride-allocated, snowflake worker fields — would pile
+    // into few shards; the prime modulus mixes all bits first
     t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id") * lit(P6), lit(ShuffleShards.toLong)).as("shard"))
+        pmod(pmod(col("doc_id") * lit(P6), lit(1000000007L)),
+          lit(ShuffleShards.toLong)).as("shard"))
       .withColumn("pos", row_number().over(w))
       .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
       .orderBy(col("shard"), col("pos"))
@@ -250,8 +256,10 @@ object Sampling {
 
   def sampShardShuffleOracle: String =
     s"""SELECT shard, pos, doc_id, lang FROM (
-       |  SELECT doc_id, lang, (doc_id * $P6) % $ShuffleShards AS shard,
-       |         row_number() OVER (PARTITION BY (doc_id * $P6) % $ShuffleShards
+       |  SELECT doc_id, lang,
+       |         ((doc_id * $P6) % 1000000007) % $ShuffleShards AS shard,
+       |         row_number() OVER (
+       |           PARTITION BY ((doc_id * $P6) % 1000000007) % $ShuffleShards
        |           ORDER BY (doc_id * $P7) % 1000000007 ASC, doc_id ASC) AS pos
        |  FROM documents) x
        |ORDER BY shard, pos""".stripMargin

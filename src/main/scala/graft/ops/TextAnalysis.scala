@@ -607,6 +607,14 @@ object TextAnalysis {
     learned.toSeq.toDF("rank", "left", "right", "freq").orderBy(col("rank"))
   }
 
+  /** The learned merge table, memoized per sf dir for the life of the
+    * JVM: a tokenizer is trained ONCE and then applied to the whole
+    * corpus (and every later corpus) — re-training on each tokenization
+    * call would measure training N times. The first call pays it;
+    * [[txBpeTrain]] grades the training pass itself. */
+  private val learnedMerges =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+
   /** Tokenize the corpus with the LEARNED tokenizer — the missing half
     * of [[txBpeTrain]] (which learns a merge table nothing applied): a
     * real pretraining pipeline trains the tokenizer, then tokenizes the
@@ -628,15 +636,9 @@ object TextAnalysis {
     *
     * Rows-only graded (greedy iterative merges are not ANSI-expressible);
     * the independent twin is TokenizerSpec's pure-Scala tokenizer,
-    * parity asserted corpus-wide per doc. */
-  /** The learned merge table, memoized per sf dir for the life of the
-    * JVM: a tokenizer is trained ONCE and then applied to the whole
-    * corpus (and every later corpus) — re-training on each tokenization
-    * call would measure training N times. The first call pays it;
-    * [[txBpeTrain]] grades the training pass itself. */
-  private val learnedMerges =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
-
+    * parity asserted corpus-wide per doc. Training is memoized per sf
+    * dir ([[learnedMerges]]) — the tokenizer trains once per JVM, and
+    * repeated invocations measure the tokenization it bought. */
   def txTokenizeBpeLearned(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val merges: Array[(String, String)] = learnedMerges.computeIfAbsent(dir, _ =>

@@ -27,12 +27,14 @@ import org.apache.spark.sql.types.StructType
   * checkpoint may fall — the CDF retention contract.
   *
   * Change-commit policy (the insert-only feed contract): row-preserving
-  * rewrites (`compact`/`cluster`/`zorder`/`restore`) ship nothing and
-  * are skipped silently; row-REMOVING commits (`delete`/`merge`/
-  * `delete_keys`) FAIL the stream by default — silently skipping them
-  * would let a consumer believe it saw every change. Opting in with
-  * `option("skipChangeCommits", "true")` streams past them (the
-  * downstream owns reconciliation), mirroring production CDF readers.
+  * rewrites (`compact`/`cluster`/`zorder`) ship nothing and are skipped
+  * silently; commits that can remove rows the consumer already holds
+  * (`delete`/`merge`/`delete_keys`, and `restore` — a rollback past an
+  * append un-commits that append's rows) FAIL the stream by default —
+  * silently skipping them would let a consumer believe it saw every
+  * change. Opting in with `option("skipChangeCommits", "true")` streams
+  * past them (the downstream owns reconciliation), mirroring production
+  * CDF readers.
   *
   * The schema is pinned at stream start (the engine's contract);
   * widening evolution mid-stream is invisible until restart — each
@@ -50,8 +52,10 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
 
   private def log = SnapshotLog(spark, tableDir)
 
-  /** Commits that remove or rewrite rows — a gap in an insert-only feed. */
-  private val ChangeOps = Set("delete", "merge", "delete_keys")
+  /** Commits that can remove rows a consumer already received — a gap
+    * in an insert-only feed. `restore` belongs here: rolling back past
+    * an append un-commits rows this stream may have shipped. */
+  private val ChangeOps = Set("delete", "merge", "delete_keys", "restore")
 
   override val schema: StructType = LogChangeFeed.tableSchema(spark, tableDir)
 
@@ -72,8 +76,10 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     val from = start.map(versionOf).getOrElse(0L)
     val to = versionOf(end)
     val l = log
+    // ONE manifest walk serves both the guard and the read
+    val deltas = l.changes(from, to)
     if (!skipChangeCommits) {
-      val changing = l.changes(from, to).filter(d => ChangeOps(d.op))
+      val changing = deltas.filter(d => ChangeOps(d.op))
       if (changing.nonEmpty) throw new IllegalStateException(
         s"change feed of $tableDir is insert-only but version " +
           s"${changing.head.version} is a '${changing.head.op}'; resync the " +
@@ -82,7 +88,7 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     }
     // project onto the pinned stream schema: widening evolution after
     // stream start may have added columns this stream never declared
-    val delta = l.readChanges(from, to).select(schema.map(f => col(f.name)): _*)
+    val delta = l.readAdded(deltas, to).select(schema.map(f => col(f.name)): _*)
     GraftBridge.asStreamingFrame(spark, delta)
   }
 
@@ -93,9 +99,16 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
   override def shortName(): String = "graft-log-changes"
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      LogChangeFeed.tableSchema(ctx.sparkSession, LogChangeFeed.path(parameters))))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    // a user-supplied schema would diverge from what getBatch returns
+    // (the source always ships the table's committed schema) — reject it
+    // loudly instead of letting the plan and the batches disagree
+    require(schema.isEmpty,
+      "the change feed's schema IS the table's committed schema; " +
+        "drop .schema(...) from the readStream")
+    (shortName(),
+      LogChangeFeed.tableSchema(ctx.sparkSession, LogChangeFeed.path(parameters)))
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,

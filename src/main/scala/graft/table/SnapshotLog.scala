@@ -507,8 +507,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * the same contract as production table formats' CDF retention. */
   def readChanges(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
     val to = if (toVersion < 0) currentVersion() else toVersion
+    readAdded(changes(fromVersion, to), to)
+  }
+
+  /** [[readChanges]] over an ALREADY-COMPUTED delta list — for callers
+    * that walked [[changes]] themselves (the streaming source guards on
+    * the ops first) so one manifest pass serves both decisions and the
+    * read. `to` supplies the read schema. */
+  private[graft] def readAdded(deltas: Seq[VersionDelta], to: Long): DataFrame = {
     val s = snapshot(to)
-    val appendFiles = changes(fromVersion, to)
+    val appendFiles = deltas
       .filter(_.op == "append").flatMap(_.addedFiles)
     if (appendFiles.nonEmpty)
       reader(s).parquet(appendFiles.map(f => new Path(dataDir, f).toString): _*)

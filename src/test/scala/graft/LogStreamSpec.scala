@@ -89,6 +89,27 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("restore fails the insert-only feed: a rollback un-commits shipped rows") {
+    val table = freshDir("graft-feed-") + "/t"
+    val log = SnapshotLog(spark, table)
+    log.append(mkRows(0, 5).toDF("id", "payload"))
+    log.append(mkRows(1, 5).toDF("id", "payload"))
+    val (q, seen) = startFeed(table, freshDir("graft-feed-ckpt-"))
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == (mkRows(0, 5) ++ mkRows(1, 5)).sorted)
+      // roll back past the second append: rows this stream already
+      // shipped are no longer in the table — the feed must not pretend
+      // nothing happened
+      log.restore(1)
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m => m.contains("insert-only") && m.contains("restore")),
+        s"expected the restore refusal, got: ${chain(ex)}")
+    } finally q.stop()
+  }
+
   test("row-removing commit fails the insert-only feed; skipChangeCommits streams past") {
     val table = freshDir("graft-feed-") + "/t"
     val log = SnapshotLog(spark, table,
