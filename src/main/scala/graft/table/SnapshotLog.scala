@@ -162,8 +162,11 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   *    destination). HDFS: contract rename, which fails on an existing
   *    destination. Object stores: conditional put (`If-None-Match: *`) —
   *    the one per-store seam, isolated in `atomicPublish`. Losers
-  *    re-read and retry (appends — they commute) or abort (rewrites —
-  *    their input no longer equals the table).
+  *    re-read and retry: appends always (they commute); row-preserving
+  *    rewrites when everything that interleaved was an append (the
+  *    appended files carry forward — [[commitReplacing]], the rule that
+  *    keeps hours-long maintenance from being starved by ingestion);
+  *    row-removing ops abort (their input no longer equals the table).
   *  - '''Time travel.''' Any retained version reads exactly as
   *    committed, because its files are immutable: `read(v)`.
   *  - '''Listing-free planning.''' A reader never lists `data/` — it
@@ -619,10 +622,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   /** Row-preserving full rewrite (compaction, re-clustering): transform
     * the CURRENT snapshot, verify rows-written == rows-before from an
-    * `Observation` on the write job, commit as a `replace`. A concurrent
-    * commit between read and publish aborts — the rewrite's input no
-    * longer equals the table — leaving every committed version intact;
-    * the caller reruns against the new current. */
+    * `Observation` on the write job, commit as a `replace`.
+    *
+    * Concurrency: a rewrite that loses the manifest CAS to concurrent
+    * APPENDS commits anyway — see [[commitReplacing]] (the appended
+    * files are disjoint from the rewrite's input by construction, so
+    * carrying them into the new manifest is exact). Any row-REMOVING
+    * concurrent commit aborts — the rewrite's input no longer equals
+    * the table — leaving every committed version intact; the caller
+    * reruns against the new current. */
   def rewrite(op: String)(transform: DataFrame => DataFrame): Snapshot = {
     val base = snapshot()
     // the rewrite consumes the tombstone-applied read, so it MATERIALIZES
@@ -638,19 +646,71 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"$op row-count mismatch for $tableDir: $expectedRows before, " +
           s"${staged.rows} rewritten — aborted, table untouched")
     }
-    val merged =
-      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
-      catch { case e: IllegalStateException => discard(staged); throw e }
-    val next = Snapshot(base.version + 1, op, base.version,
-      staged.rows, staged.bytes, staged.files, staged.stats,
-      merged, base.txns, Nil, staged.fileRows, staged.blooms,
-      staged.fileBytes)
-    if (!tryCommit(next)) {
-      discard(staged)
-      throw new CommitConflictException(
-        s"$op of $tableDir: concurrent commit since v${base.version}; rerun")
+    commitReplacing(op, base, base.files, base.rows, base.bytes, staged)
+  }
+
+  /** Commit `staged` as the replacement for `replaced`
+    * (`replacedRows`/`replacedBytes` are the PHYSICAL manifest totals of
+    * that set), resolving rewrite-vs-append races instead of aborting.
+    *
+    * At 100 TB a re-clustering pass runs for hours while ingestion keeps
+    * appending; first-writer-wins would starve maintenance forever (or
+    * force it to redo the whole rewrite per lost race). Resolution is
+    * safe exactly when every commit that interleaved since the rewrite's
+    * base is a pure `append`: appends only ADD files, never touch the
+    * replaced set, so the rewrite's staged output is still a correct
+    * replacement — the retry re-reads the newest snapshot and carries
+    * its appended files (and their stats/blooms/txns watermarks, and any
+    * widened schema) into the next manifest unchanged. Data files are
+    * immutable, so the staged files stay valid across every retry; only
+    * a fresh manifest is written. Any interleaved row-removing or
+    * history-changing op (`delete`/`merge`/`delete_keys`/`restore` — the
+    * staged bytes may still hold rows such a commit removed) aborts with
+    * [[CommitConflictException]], leaving every committed version
+    * intact.
+    *
+    * Tombstone soundness on resolution: appends carry the tombstone set
+    * forward untouched, and a tombstone's `appliesTo` scope is fixed at
+    * delete time — appended files are never covered. So a rewrite that
+    * materialized `base`'s pending tombstones still clears them, and
+    * files appended mid-rewrite carry over raw, exactly as if the
+    * rewrite had committed first. */
+  private def commitReplacing(op: String, base: Snapshot,
+      replaced: Seq[String], replacedRows: Long, replacedBytes: Long,
+      staged: Staged): Snapshot = {
+    val replacedSet = replaced.toSet
+    var cur = base
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val merged =
+        try mergeSchemaJson(cur.schemaJson, staged.schemaJson)
+        catch { case e: IllegalStateException => discard(staged); throw e }
+      val next = Snapshot(cur.version + 1, op, cur.version,
+        cur.rows - replacedRows + staged.rows,
+        cur.bytes - replacedBytes + staged.bytes,
+        cur.files.filterNot(replacedSet) ++ staged.files,
+        (cur.stats -- replaced) ++ staged.stats,
+        merged, cur.txns, Nil,
+        (cur.fileRows -- replaced) ++ staged.fileRows,
+        (cur.blooms -- replaced) ++ staged.blooms,
+        (cur.fileBytes -- replaced) ++ staged.fileBytes)
+      if (tryCommit(next)) return next
+      val newest = snapshot()
+      val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
+      if (!interleaved.forall(_.op == "append")) {
+        discard(staged)
+        throw new CommitConflictException(
+          s"$op of $tableDir: concurrent " +
+            s"${interleaved.map(_.op).distinct.mkString("/")} since " +
+            s"v${cur.version} may have removed rows the rewrite re-wrote; " +
+            "rerun against the new current version")
+      }
+      cur = newest
+      attempts += 1
     }
-    next
+    discard(staged)
+    throw new CommitConflictException(
+      s"$op of $tableDir lost the commit race $MaxCommitAttempts times")
   }
 
   /** Copy-on-write range delete: drop rows with `column` in [lo, hi],
@@ -735,9 +795,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * files anyway). Matched rows drop via a broadcast-sized anti-join,
     * then the updates union in; every other file carries over by name.
     * Insert-only batches (keys beyond every file) stage straight to an
-    * append. Conflicts abort, prior versions keep the pre-merge rows. */
-  def mergeByKey(updates: DataFrame, column: String): Snapshot = {
+    * append. Conflicts abort, prior versions keep the pre-merge rows.
+    *
+    * `txn` makes the merge exactly-once under replay — the same
+    * `(appId, batchId)` watermark contract as [[appendStream]] /
+    * [[deleteKeys]]: an already-committed batch id returns the CURRENT
+    * snapshot without staging anything. This is what lets an
+    * incremental consumer ([[DerivedAggregate]]) fold a change-feed
+    * batch into a downstream table atomically WITH its cursor — a crash
+    * between "applied the delta" and "recorded the watermark" cannot
+    * exist, because they are one manifest. */
+  def mergeByKey(updates: DataFrame, column: String,
+      txn: Option[(String, Long)] = None): Snapshot = {
     val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return base // replay detected — nothing stages, nothing commits
     require(base.tombstones.isEmpty,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
         "a copy-on-write merge (rewriting covered files raw would " +
@@ -749,12 +821,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val u = updates.localCheckpoint(true)
     // checkpointed blocks are released on every exit path — a long-lived
     // session running many merges must not accumulate executor storage
-    try mergeByKeyImpl(u, base, column)
+    try mergeByKeyImpl(u, base, column, txn)
     finally u.unpersist()
   }
 
   private def mergeByKeyImpl(u: DataFrame, base: Snapshot,
-      column: String): Snapshot = {
+      column: String, txn: Option[(String, Long)]): Snapshot = {
     val bounds = u.agg(
       org.apache.spark.sql.functions.min(col(column)),
       org.apache.spark.sql.functions.max(col(column)),
@@ -794,7 +866,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.bytes - touchedBytes + staged.bytes,
       untouched ++ staged.files,
       (base.stats -- touched) ++ staged.stats,
-      merged, base.txns, Nil,
+      merged, txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
       (base.fileRows -- touched) ++ staged.fileRows,
       (base.blooms -- touched) ++ staged.blooms,
       (base.fileBytes -- touched) ++ staged.fileBytes)
@@ -925,13 +997,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * commit. `None` when fewer than two undersized files exist (the
     * scheduled no-op), a delegate to [[compact]] when key tombstones are
     * pending (materialization must cover every covered file). Commits as
-    * op `compact`; a concurrent commit aborts, like any rewrite. */
+    * op `compact`; concurrent appends resolve at retry, row-removing
+    * commits abort — [[commitReplacing]]. */
   def compactSmall(targetFileBytes: Long = 128L << 20): Option[Snapshot] = {
     val base = snapshot()
     if (base.tombstones.nonEmpty) return compact(targetFileBytes)
     val sized = base.files.map(f => f -> base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)) // pre-field manifests
-    val (small, large) = sized.partition(_._2 < targetFileBytes / 2)
+    val small = sized.filter(_._2 < targetFileBytes / 2)
     val smallFiles = small.map(_._1)
     val smallBytes = small.map(_._2).sum
     val nOut = SnapshotLog.packedFileCount(smallBytes, targetFileBytes)
@@ -948,21 +1021,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"compactSmall row-count mismatch for $tableDir: $expectedRows in " +
           s"the undersized set, ${staged.rows} rewritten — aborted")
     }
-    val next = Snapshot(base.version + 1, "compact", base.version,
-      base.rows, base.bytes - smallBytes + staged.bytes,
-      large.map(_._1) ++ staged.files,
-      (base.stats -- smallFiles) ++ staged.stats,
-      mergeSchemaJson(base.schemaJson, staged.schemaJson), base.txns, Nil,
-      (base.fileRows -- smallFiles) ++ staged.fileRows,
-      (base.blooms -- smallFiles) ++ staged.blooms,
-      (base.fileBytes -- smallFiles) ++ staged.fileBytes)
-    if (!tryCommit(next)) {
-      discard(staged)
-      throw new CommitConflictException(
-        s"compactSmall of $tableDir: concurrent commit since " +
-          s"v${base.version}; rerun")
-    }
-    Some(next)
+    // expectedRows is exactly the physical rows of the replaced small
+    // set, so the shared replacement commit (with append-race
+    // resolution) applies unchanged
+    Some(commitReplacing("compact", base, smallFiles, expectedRows,
+      smallBytes, staged))
   }
 
   /** Garbage-collect: drop manifests older than the last `keepLast`

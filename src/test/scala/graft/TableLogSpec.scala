@@ -67,23 +67,110 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == (mkRows(0, 20) ++ mkRows(1, 10) ++ mkRows(2, 15)).sorted)
   }
 
-  test("rewrite aborts on concurrent commit, leaving every version intact") {
+  test("rewrite resolves a concurrent append: staged files commit, appended files carry") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir)
+    log.append(mkRows(0, 30).toDF("id", "payload").repartition(4))
+    // two appends land between the rewrite's read and its publish — the
+    // hours-long-maintenance-vs-ingestion race; first-writer-wins would
+    // force the whole rewrite to redo
+    val s = log.rewrite("compact") { df =>
+      val other = SnapshotLog(spark, dir)
+      other.append(mkRows(1, 10).toDF("id", "payload"))
+      other.append(mkRows(2, 5).toDF("id", "payload"))
+      df.coalesce(1)
+    }
+    assert(s.version == 4 && s.parent == 3 && s.op == "compact",
+      s"rewrite must land after the appends it resolved against: $s")
+    assert(s.rows == 45, "manifest rows must include the appended rows")
+    assert(rowsOf(log) == (mkRows(0, 30) ++ mkRows(1, 10) ++ mkRows(2, 5)).sorted,
+      "appended rows must survive the resolved rewrite")
+    assert(rowsOf(log, v = 3) == rowsOf(log, v = 4),
+      "resolution is row-preserving: v4 reads exactly as v3")
+    // the rewrite replaced v1's files with 1 coalesced file; every file
+    // the interleaved appends added carries over by name, untouched
+    val appended = log.snapshot(3).files.toSet -- log.snapshot(1).files.toSet
+    assert(log.snapshot(1).files.forall(f => !s.files.contains(f)),
+      "every replaced base file must leave the manifest")
+    assert(appended.subsetOf(s.files.toSet) && s.files.size == appended.size + 1,
+      s"1 compacted + ${appended.size} carried appends: ${s.files}")
+  }
+
+  test("rewrite aborts on a concurrent row-removing commit, leaving every version intact") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir)
     log.append(mkRows(0, 30).toDF("id", "payload").repartition(4))
     val ex = intercept[CommitConflictException] {
       log.rewrite("compact") { df =>
-        // a concurrent append lands between the rewrite's read and publish
-        SnapshotLog(spark, dir).append(mkRows(1, 10).toDF("id", "payload"))
+        // a concurrent delete removes rows the rewrite already re-wrote —
+        // resolving would resurrect them; the rewrite must abort
+        SnapshotLog(spark, dir).deleteBetween("id", 0, 4)
         df.coalesce(1)
       }
     }
-    assert(ex.getMessage.contains("concurrent commit"))
-    assert(log.currentVersion() == 2, "the append must have won")
-    assert(rowsOf(log) == (mkRows(0, 30) ++ mkRows(1, 10)).sorted)
+    assert(ex.getMessage.contains("delete"),
+      s"abort must name the unresolvable op: ${ex.getMessage}")
+    assert(log.currentVersion() == 2, "the delete must have won")
+    assert(rowsOf(log) == mkRows(0, 30).drop(5).sorted)
     // and the rerun against the new current succeeds
     val s3 = log.rewrite("compact")(_.coalesce(1))
-    assert(s3.version == 3 && s3.rows == 40)
+    assert(s3.version == 3 && s3.rows == 25)
+  }
+
+  test("resolved rewrite carries a concurrent stream batch's txn watermark") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir)
+    log.append(mkRows(0, 20).toDF("id", "payload").repartition(3))
+    val s = log.rewrite("compact") { df =>
+      // an exactly-once stream batch lands mid-rewrite; dropping its
+      // watermark on resolution would let a replay re-append the batch
+      SnapshotLog(spark, dir)
+        .appendStream(mkRows(1, 6).toDF("id", "payload"), "ingest", 41L)
+      df.coalesce(1)
+    }
+    assert(s.txns.get("ingest").contains(41L),
+      "resolution must carry the interleaved append's txns watermark")
+    assert(log.appendStream(
+        mkRows(1, 6).toDF("id", "payload"), "ingest", 41L).isEmpty,
+      "the batch must still read as committed after the resolved rewrite")
+    assert(rowsOf(log) == (mkRows(0, 20) ++ mkRows(1, 6)).sorted)
+  }
+
+  test("compactSmall resolves a concurrent append without touching its files") {
+    import graft.table.{CommitStore, InMemoryCommitStore}
+    // compactSmall has no transform hook to interleave through, so the
+    // race is injected at the seam the race actually happens on: the
+    // store's conditional put. The first manifest publish triggers a
+    // concurrent append through a second writer (its puts delegate
+    // straight to the inner store), so compactSmall's CAS loses exactly
+    // once and must resolve.
+    val dir = freshTable()
+    val inner = new InMemoryCommitStore
+    class RacingStore extends CommitStore {
+      private var armed = false
+      def arm(): Unit = synchronized { armed = true }
+      override def putIfAbsent(name: String, payload: Array[Byte]): Boolean = {
+        val fire = synchronized { val f = armed; armed = false; f }
+        if (fire)
+          SnapshotLog(spark, dir, Nil, inner)
+            .append(mkRows(9, 6).toDF("id", "payload"))
+        inner.putIfAbsent(name, payload)
+      }
+      override def get(name: String): Option[Array[Byte]] = inner.get(name)
+      override def list(): Seq[String] = inner.list()
+      override def delete(name: String): Unit = inner.delete(name)
+    }
+    val racer = new RacingStore
+    val log = SnapshotLog(spark, dir, Nil, racer)
+    (0 until 4).foreach(r => log.append(mkRows(r, 8).toDF("id", "payload")))
+    racer.arm()
+    val Some(s) = log.compactSmall(targetFileBytes = 1L << 30): @unchecked
+    assert(s.op == "compact" && s.parent == 5,
+      s"compactSmall must land after the append it lost the slot to: $s")
+    assert(s.rows == 38, "resolved manifest rows = 4×8 compacted + 6 appended")
+    assert(rowsOf(log) ==
+      ((0 until 4).flatMap(mkRows(_, 8)) ++ mkRows(9, 6)).sorted,
+      "the interleaved append's rows must survive")
   }
 
   test("rewrite verifies rows before commit; a row-losing transform aborts") {
@@ -179,15 +266,23 @@ class TableLogSpec extends AnyFunSuite {
     } yield row)).sorted
     assert(rowsOf(logOn()) == expected, "no append may be lost or duplicated")
 
-    // rewrite conflict: a commit landing between the rewrite's read and
-    // its publish aborts through the store's CAS, like on the FS
+    // rewrite-vs-append races resolve through the store's CAS exactly as
+    // on the FS: the appended file carries into the rewrite's manifest
+    val preRace = logOn().snapshot().rows
+    val resolved = logOn().rewrite("compact") { df =>
+      logOn().append(mkRows(97, 2).toDF("id", "payload"))
+      df.coalesce(1)
+    }
+    assert(resolved.rows == preRace + 2,
+      "append interleaved on the object-store seam must carry forward")
+    // a row-removing interleave still aborts through the same seam
     val ex = intercept[CommitConflictException] {
       logOn().rewrite("compact") { df =>
-        logOn().append(mkRows(97, 2).toDF("id", "payload"))
+        logOn().deleteBetween("id", 97000, 97001)
         df.coalesce(1)
       }
     }
-    assert(ex.getMessage.contains("concurrent commit"))
+    assert(ex.getMessage.contains("delete"))
 
     // exactly-once stream replay rides the same store
     val s1 = logOn().appendStream(mkRows(50, 3).toDF("id", "payload"), "app", 7L)
