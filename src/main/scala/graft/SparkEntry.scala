@@ -111,6 +111,7 @@ object SparkEntry {
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
     "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
+    "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "samp_stratified" -> (graft.ops.Sampling.sampStratified _), // exact per-stratum rate sample
     "samp_shard_shuffle" -> (graft.ops.Sampling.sampShardShuffle _), // deterministic training-shard shuffle
     "cur_pipeline" -> (graft.ops.Sampling.curatePipeline _), // composed sample→dedup→gate→rollup
+    "cur_export_shards" -> (graft.ops.Export.curExportShards _), // curate→split→pack→shuffle committed via the log, exactly-once
 
     // §7.3-4 similarity search
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
@@ -214,6 +216,7 @@ object SparkEntry {
     "samp_stratified" -> graft.ops.Sampling.sampStratifiedOracle,
     "samp_shard_shuffle" -> graft.ops.Sampling.sampShardShuffleOracle,
     "cur_pipeline" -> graft.ops.Sampling.curatePipelineOracle,
+    "cur_export_shards" -> graft.ops.Export.curExportShardsOracle,
     "ev_tumbling" -> Events.evTumblingOracle,
     "ev_sliding" -> Events.evSlidingOracle,
     "ev_sessions" -> Events.evSessionsOracle,
@@ -227,6 +230,7 @@ object SparkEntry {
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
     "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
+    "mv_incremental" -> graft.table.DerivedAggregate.mvIncrementalOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_incremental" -> Dedup.ddIncrementalOracle,

@@ -1,0 +1,120 @@
+package graft
+
+import graft.table.{AggCol, DerivedAggregate, SnapshotLog}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Incrementally-maintained rollup contract: derived state equals a
+  * full recompute after every fold, refresh is exactly-once under
+  * replay, physical rewrites contribute nothing, row-removing base
+  * commits refuse with fullRefresh as the resync. */
+class DerivedAggregateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(): (SnapshotLog, SnapshotLog, DerivedAggregate) = {
+    val tmp = Files.createTempDirectory("graft-mv-")
+    val base = SnapshotLog(spark, tmp.resolve("base").toString)
+    val derived = SnapshotLog(spark, tmp.resolve("mv").toString)
+    val mv = new DerivedAggregate(base, derived, "k", Seq(
+      AggCol("n", "count"),
+      AggCol("total", "sum", "v"),
+      AggCol("lo", "min", "v"),
+      AggCol("hi", "max", "v")))
+    (base, derived, mv)
+  }
+
+  private def stateOf(derived: SnapshotLog): Seq[(String, Long, Long, Long, Long)] =
+    derived.read().select("k", "n", "total", "lo", "hi")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+
+  private def recompute(base: SnapshotLog): Seq[(String, Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    base.read().groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"),
+        min("v").as("lo"), max("v").as("hi"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+  }
+
+  test("each refresh folds only the delta, state always equals a full recompute") {
+    val (base, derived, mv) = fresh()
+    base.append(Seq(("a", 1L), ("a", 3L), ("b", 10L)).toDF("k", "v"))
+    assert(mv.refresh().isDefined)
+    assert(stateOf(derived) == recompute(base))
+    assert(mv.appliedVersion() == 1)
+
+    // second fold: existing keys update, a new key inserts
+    base.append(Seq(("a", 5L), ("c", -2L)).toDF("k", "v"))
+    val s2 = mv.refresh()
+    assert(s2.isDefined && s2.get.op == "merge")
+    assert(stateOf(derived) == recompute(base))
+    assert(stateOf(derived) ==
+      Seq(("a", 3L, 9L, 1L, 5L), ("b", 1L, 10L, 10L, 10L), ("c", 1L, -2L, -2L, -2L)))
+
+    // already current: nothing to apply
+    assert(mv.refresh().isEmpty)
+  }
+
+  test("refresh is exactly-once: the watermark rides the merge commit itself") {
+    val (base, derived, mv) = fresh()
+    base.append(Seq(("a", 1L)).toDF("k", "v"))
+    mv.refresh()
+    base.append(Seq(("a", 2L)).toDF("k", "v"))
+    mv.refresh()
+    // a crashed-and-rerun refresher (or a second racing one) replays the
+    // same base version: detected inside the commit path, applies nothing
+    val twin = new DerivedAggregate(base, derived, "k",
+      Seq(AggCol("n", "count"), AggCol("total", "sum", "v"),
+        AggCol("lo", "min", "v"), AggCol("hi", "max", "v")))
+    assert(twin.refresh().isEmpty, "replayed fold must be skipped")
+    assert(stateOf(derived) == Seq(("a", 2L, 3L, 1L, 2L)),
+      "a double-applied fold would double the count")
+  }
+
+  test("physical rewrites contribute nothing; a rewrite-only tail is a no-op") {
+    val (base, derived, mv) = fresh()
+    base.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "v").repartition(2))
+    mv.refresh()
+    base.rewrite("compact")(_.coalesce(1))
+    assert(mv.refresh().isEmpty, "compaction must not look like new data")
+    assert(stateOf(derived) == recompute(base))
+    // appends past the compaction still fold
+    base.append(Seq(("b", 8L)).toDF("k", "v"))
+    assert(mv.refresh().isDefined)
+    assert(stateOf(derived) == recompute(base))
+  }
+
+  test("row-removing base commit refuses refresh; fullRefresh resyncs exactly") {
+    val (base, derived, mv) = fresh()
+    base.append(Seq(("a", 1L), ("a", 3L), ("b", 10L)).toDF("k", "v"))
+    mv.refresh()
+    base.deleteBetween("v", 10L, 10L) // drops every 'b' row
+    val ex = intercept[IllegalStateException] { mv.refresh() }
+    assert(ex.getMessage.contains("fullRefresh"))
+    val s = mv.fullRefresh()
+    assert(stateOf(derived) == recompute(base),
+      "resync must rebuild the exact aggregate")
+    assert(stateOf(derived) == Seq(("a", 2L, 4L, 1L, 3L)),
+      "the vanished key must leave the derived table")
+    assert(mv.appliedVersion() == base.currentVersion())
+    // and incremental refresh resumes from the resync point
+    base.append(Seq(("a", 10L)).toDF("k", "v"))
+    assert(mv.refresh().isDefined)
+    assert(stateOf(derived) == recompute(base))
+    val _ = s
+  }
+
+  test("null group keys are excluded, matching the indexable-rollup contract") {
+    val (base, derived, mv) = fresh()
+    base.append(Seq((Option("a"), 1L), (Option.empty[String], 9L))
+      .toDF("k", "v"))
+    mv.refresh()
+    assert(stateOf(derived) == Seq(("a", 1L, 1L, 1L, 1L)))
+  }
+
+  test("non-decomposable aggregates are rejected at construction") {
+    intercept[IllegalArgumentException] { AggCol("d", "count_distinct", "v") }
+    intercept[IllegalArgumentException] { AggCol("a", "avg", "v") }
+  }
+}
