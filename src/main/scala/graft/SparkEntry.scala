@@ -121,6 +121,7 @@ object SparkEntry {
     "dd_hot_shingles" -> (Dedup.ddHotShingles _), // DF-cap observability: what was dropped
     "dd_shingle_coverage" -> (Dedup.ddShingleCoverage _), // DF-cap observability: who lost protection
     "dd_clusters" -> (Dedup.ddClusters _), // connected components over the near-dup graph
+    "dd_collapse_best" -> (Dedup.ddCollapseBest _), // quality-ranked representative per cluster
     "dd_minhash_lsh" -> (Dedup.ddMinhashLsh _), // rows-only: hash family not SQL-portable
     "dd_simhash" -> (Dedup.ddSimhash _), // rows-only: hash family not SQL-portable
     "dd_embed_cosine" -> (Dedup.ddEmbedCosine _),
@@ -238,6 +239,7 @@ object SparkEntry {
     "dd_hot_shingles" -> Dedup.ddHotShinglesOracle,
     "dd_shingle_coverage" -> Dedup.ddShingleCoverageOracle,
     "dd_clusters" -> Dedup.ddClustersOracle,
+    "dd_collapse_best" -> Dedup.ddCollapseBestOracle,
     "dd_embed_cosine" -> Dedup.ddEmbedCosineOracle,
     "dd_chunks" -> Dedup.ddChunksOracle,
     "dd_boilerplate" -> Dedup.ddBoilerplateOracle,

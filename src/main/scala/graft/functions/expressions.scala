@@ -236,6 +236,118 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encoder: pack a float vector into one INT of
+  * 4-bit subspace codes (M subspaces × 16 codes). `codebooks(m)(c)` is
+  * code c's centroid for subspace m; subspace m covers dims
+  * [m·subDim, (m+1)·subDim). The code per subspace is the L2-nearest
+  * codebook row (standard PQ trains/assigns in L2 over raw subvectors);
+  * code m lands in bits [4m, 4m+4).
+  *
+  * Why an Expression: encoding runs once over the whole corpus (the
+  * write path of an IVF-PQ index) — it must stay inside the scan's
+  * WholeStageCodegen span, and the codebook matrix ships as ONE plan
+  * reference object exactly like [[NearestCentroid]]'s. The scale story
+  * is the return type: after this map the corpus participates in ANN
+  * candidate scoring as a 4-byte code word (plus a 4-byte cell id), not
+  * a dim·4-byte float payload — a 64× shrink at dim=64, and the reason
+  * IVF-PQ is the industry-standard 100 TB ANN shape.
+  *
+  * Returns null for null/empty input or a dimension not divisible into
+  * the codebook shape. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.length <= 8 &&
+    codebooks.forall(cb => cb.nonEmpty && cb.length <= 16),
+    "pq_encode packs 4-bit codes for up to 8 subspaces into an int")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects an array<float> input, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    if (n != m * subDim) return null
+    var packed = 0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cen = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = x.getFloat(s * subDim + j).toDouble - cen(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      packed |= best << (4 * s)
+      s += 1
+    }
+    Integer.valueOf(packed)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, x => {
+      val cbs = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val subDim = ctx.freshName("subDim")
+      val packed = ctx.freshName("packed")
+      val s = ctx.freshName("s")
+      val cb = ctx.freshName("cb")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val cen = ctx.freshName("cen")
+      val d = ctx.freshName("d")
+      val j = ctx.freshName("j")
+      val diff = ctx.freshName("diff")
+      s"""
+         |final int $n = $x.numElements();
+         |final int $m = $cbs.length;
+         |final int $subDim = $cbs[0][0].length;
+         |if ($n != $m * $subDim) { ${ev.isNull} = true; } else {
+         |  int $packed = 0;
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    final float[][] $cb = $cbs[$s];
+         |    int $best = 0; double $bestD = Double.MAX_VALUE;
+         |    for (int $c = 0; $c < $cb.length; $c++) {
+         |      final float[] $cen = $cb[$c];
+         |      double $d = 0.0;
+         |      for (int $j = 0; $j < $subDim; $j++) {
+         |        final double $diff = (double) $x.getFloat($s * $subDim + $j) - (double) $cen[$j];
+         |        $d += $diff * $diff;
+         |      }
+         |      if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |    }
+         |    $packed |= $best << (4 * $s);
+         |  }
+         |  ${ev.value} = $packed;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Bloom-filter membership probe over a string column, with the filter
   * carried as a plan constant (same shipping mechanism as
   * [[NearestCentroid]]'s matrix: serialized once into the plan, sent to
@@ -320,6 +432,9 @@ object GraftFunctions {
   def bloom_might_contain(c: Column,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     GraftBridge.toCol(BloomContains(GraftBridge.toExpr(c), bloom))
+
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftBridge.toCol(PqEncode(GraftBridge.toExpr(c), codebooks))
 
   /** Character n-gram shingles as a generator column (UDTF tier): use in
     * a select the way `explode` is used — one output row per shingle. */

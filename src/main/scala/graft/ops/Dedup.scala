@@ -536,6 +536,114 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup cluster collapse with QUALITY-RANKED representative
+    * selection ("keep best", not "keep first"): every document —
+    * singletons included — is assigned to its connected component, and
+    * the kept document per cluster is the argmax of
+    * [[TextAnalysis.txQuality]]'s `quality_score`, ties to the smallest
+    * doc_id. This is the curation-grade collapse a pretraining pipeline
+    * actually wants: when a boilerplate-padded copy and a clean copy of
+    * the same page near-dup each other, min-id collapse keeps whichever
+    * crawled first; this keeps the higher-quality one.
+    *
+    * Scale design: the argmax is ONE map-side-combinable struct-max
+    * aggregate (`max(struct(quality, -doc_id))`) keyed on cluster_id —
+    * no per-cluster sort, no window shuffle; quality is a codegen'd
+    * scalar over each doc's own text, computed in the scan stage. The
+    * graded query is self-contained and so recomputes [[ddClusters]]'s
+    * closure inline (same choice as `samp_split_leakage`); production
+    * reuses persisted labels via [[collapseBestFromLabels]], exercised
+    * from PipelineSpec the way `splitFromLabels` is. */
+  def ddCollapseBest(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ddClusters(spark, dir)
+    val quality = TextAnalysis.txQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    collapseBestFromLabels(t(spark, dir, "documents"), labels, quality)
+  }
+
+  /** The production collapse path: `labels` is (doc_id, cluster_rep) —
+    * persisted once per maintenance pass, NOT recomputed per consumer —
+    * and `quality` is (doc_id, quality_score). Docs absent from `labels`
+    * are singleton clusters of themselves. */
+  private[graft] def collapseBestFromLabels(docs: DataFrame,
+      labels: DataFrame, quality: DataFrame): DataFrame = {
+    val assigned = docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "lid"),
+        col("doc_id") === col("lid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_id"))
+    assigned.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        // argmax(quality, then min doc_id): struct max orders field-wise,
+        // so (quality, -doc_id) maximized = best quality, ties → min id
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+          .as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.nid")).as("kept_doc_id"),
+        col("best.q").as("best_quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Oracle: the recursive-CTE cluster graph of [[ddClustersOracle]],
+    * quality re-derived exactly as [[TextAnalysis.txQualityOracle]], a
+    * window argmax per cluster. */
+  def ddCollapseBestOracle: String =
+    s"""WITH RECURSIVE sh0 AS (
+      |  SELECT DISTINCT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(text) - 4, 0)),
+      |      i -> substr(text, CAST(i AS INTEGER), 5))) AS g
+      |    FROM documents) u
+      |), hot AS (
+      |  SELECT g FROM sh0 GROUP BY g HAVING count(*) > $MaxShingleDf
+      |), sh AS (
+      |  SELECT * FROM sh0 WHERE g NOT IN (SELECT g FROM hot)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+      |), clusters AS (
+      |  SELECT id AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY id
+      |), q AS (
+      |  SELECT doc_id,
+      |    round((1.0 - round(CAST(len(list_filter(string_split(text, ' '),
+      |        t -> len(t) <= 2)) AS DOUBLE) /
+      |        len(string_split(text, ' ')), 4)) *
+      |      least(round(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 4), 1.0),
+      |      4) AS quality_score
+      |  FROM documents
+      |), assigned AS (
+      |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_id,
+      |         q.quality_score
+      |  FROM documents d
+      |  LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      |  JOIN q ON q.doc_id = d.doc_id
+      |), ranked AS (
+      |  SELECT cluster_id, doc_id, quality_score,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |                       ORDER BY quality_score DESC, doc_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |  FROM assigned)
+      |SELECT cluster_id, doc_id AS kept_doc_id, quality_score AS best_quality,
+      |       cluster_size
+      |FROM ranked WHERE rn = 1
+      |ORDER BY cluster_id""".stripMargin
+
   /** MinHash signature params: 64 hash functions, 16 bands × 4 rows.
     * With jaccard threshold ~0.8 the S-curve gives hit probability
     * 1-(1-s^4)^16 ≈ 0.9998 at s=0.8. Hash family: h_p(x) =

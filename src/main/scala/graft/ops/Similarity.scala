@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.GraftFunctions.{cosine_similarity, nearest_centroid}
+import graft.functions.GraftFunctions.{cosine_similarity, nearest_centroid, pq_encode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -251,6 +251,171 @@ object Similarity {
     * payloads except the per-cell candidate join itself. Rows-only
     * graded (recall is probabilistic; [[simTopKBruteForce]] is the
     * oracle-checked twin; DedupSpec pins recall without using labels). */
+  /** Product-quantization shape: [[PqM]] subspaces of Dim/PqM dims, 16
+    * codes each (4 bits — all 8 codes pack into one INT via
+    * [[graft.functions.PqEncode]]); [[PqRefine]] approx-ranked candidates
+    * per query survive to exact rescoring. */
+  private val PqM = 8
+  private val PqC = 16
+  private val PqIters = 6
+  private val PqRefine = 100
+
+  /** Train the PQ codebooks: per subspace, L2 Lloyd k-means over the
+    * same bounded hash-ordered sample [[initCentroids]] uses —
+    * deterministic farthest-point init, [[PqIters]] rounds, all driver-
+    * side on ≤ [[InitSample]]·dim floats (control-plane-sized at any
+    * corpus scale; at 100 TB the sample is the standard PQ training
+    * protocol — codebooks are M·C·subDim floats regardless of n). */
+  private[ops] def trainPqCodebooks(e: DataFrame): Array[Array[Array[Float]]] = {
+    val sample = e.orderBy(xxhash64(col("vec_id")))
+      .limit(InitSample)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.length == Dim)
+    val subDim = Dim / PqM
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+      d
+    }
+    Array.tabulate(PqM) { m =>
+      val subs = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim))
+      val chosen = scala.collection.mutable.ArrayBuffer(subs.head)
+      val minDist = subs.map(v => l2(chosen.head, v))
+      while (chosen.size < math.min(PqC, subs.length)) {
+        val next = minDist.indices.maxBy(minDist)
+        chosen += subs(next)
+        var i = 0
+        while (i < subs.length) {
+          val d = l2(subs(next), subs(i))
+          if (d < minDist(i)) minDist(i) = d
+          i += 1
+        }
+      }
+      var cents = chosen.toArray
+      (1 to PqIters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Int](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            val d = l2(v, cents(c)); if (d < bd) { bd = d; best = c }; c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(j => (sums(c)(j) / counts(c)).toFloat)
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** IVF-PQ ANN top-k — the industry-standard 100 TB ANN shape, stacked
+    * on [[simAnnIvf]]'s coarse quantizer:
+    *
+    *  1. train the IVF cells ([[trainIvfCentroids]]) and the PQ
+    *     codebooks ([[trainPqCodebooks]]);
+    *  2. encode the corpus ONCE: each vector → (cell, pq) where pq is
+    *     one int of 8×4-bit L2-nearest subspace codes (codegen'd
+    *     [[graft.functions.PqEncode]] in the scan stage) — after this
+    *     map, candidate generation and approximate scoring never touch
+    *     a float payload again;
+    *  3. per query, probe the [[NProbe]] best cells; score every
+    *     candidate ASYMMETRICALLY (ADC): approx cos ≈
+    *     Σₘ lut[m][codeₘ] / √(Σₘ nlut[m][codeₘ]) where lut holds the
+    *     query-subvector·codeword dot products (|Q|·M·C floats, built
+    *     driver-side from the bounded query set and broadcast) and nlut
+    *     the query-independent codeword norms (a plan literal). The
+    *     scoring expression is element_at + bit-shifts — fully codegen'd,
+    *     no float vectors in flight;
+    *  4. the approx-top-[[PqRefine]] per query survive to exact cosine
+    *     rescoring against the real embeddings, then top-10.
+    *
+    * At 100 TB: the encoded index is ~8 bytes/vector (4-byte cell + 4-byte
+    * code word) — 1.25 TB for 100 TB of raw 64-d floats — bucketed at
+    * rest by cell; a query reads NProbe/K of THAT, and full embeddings are
+    * fetched for PqRefine rows per query. Rows-only graded (recall is
+    * probabilistic; [[simTopKBruteForce]] is the oracle-checked twin;
+    * DedupSpec pins the recall floor and exact-rescore contract). */
+  def simAnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val centroids = trainIvfCentroids(e)
+    val codebooks = trainPqCodebooks(e)
+    val subDim = Dim / PqM
+    val assigned = e.select(col("vec_id"),
+      nearest_centroid(col("embedding"), centroids).as("cell"),
+      pq_encode(col("embedding"), codebooks).as("pq"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // ADC lookup tables: |Q|·M·C floats, driver-built from the BOUNDED
+    // query set (same control-plane contract as initCentroids' sample)
+    val lutRows = queries.collect().toSeq.map { r =>
+      val q = r.getSeq[Float](1).toArray
+      val lut = Array.tabulate(PqM * PqC) { i =>
+        val m = i / PqC; val c = i % PqC
+        var dot = 0.0; var j = 0
+        while (j < subDim) {
+          dot += q(m * subDim + j).toDouble * codebooks(m)(c)(j); j += 1
+        }
+        dot.toFloat
+      }
+      (r.getLong(0), lut.toSeq)
+    }
+    val lutDf = lutRows.toDF("query_id", "lut")
+    // query-independent codeword norms |cb[m][c]|² — one plan literal
+    val nlut = (0 until PqM * PqC).map { i =>
+      val m = i / PqC; val c = i % PqC
+      var n = 0.0; var j = 0
+      while (j < subDim) {
+        n += codebooks(m)(c)(j).toDouble * codebooks(m)(c)(j); j += 1
+      }
+      n.toFloat
+    }
+    // probe lists: NProbe best cells per query (as simAnnIvf)
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell").asc)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        posexplode(centLit).as(Seq("cell", "cvec")))
+      .withColumn("ccos", cosine_similarity(col("q_emb"), col("cvec")))
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("cell"))
+      .join(lutDf, "query_id")
+    def codeAt(m: Int) = shiftright(col("pq"), 4 * m).bitwiseAND(lit(15))
+    val dotApprox = (0 until PqM).map(m =>
+      element_at(col("lut"), (lit(1 + m * PqC) + codeAt(m)).cast("int")))
+      .reduce(_ + _)
+    val nApprox = (0 until PqM).map(m =>
+      element_at(typedLit(nlut), (lit(1 + m * PqC) + codeAt(m)).cast("int")))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id").asc)
+    val refined = broadcast(probes).join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("approx", dotApprox / sqrt(nApprox + lit(1e-12f)))
+      .select(col("query_id"), col("vec_id"), col("approx"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= PqRefine)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    refined.join(broadcast(queries), "query_id")
+      .join(e, "vec_id")
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val centroids = trainIvfCentroids(e)

@@ -107,6 +107,38 @@ class DedupSpec extends AnyFunSuite {
       "docs with no near-dup pairs are not cluster members")
   }
 
+  test("collapse-best: argmax quality per cluster, ties to min id, singletons kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // planted labels: {1,2,3} one cluster, {4,5} another; 6 unlabeled
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (4L, 0.5), (5L, 0.5),
+      (6L, 0.1)).toDF("doc_id", "quality_score")
+    val out = Dedup.collapseBestFromLabels(docs, labels, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // cluster 1: 2 and 3 tie on quality 0.9 → min id 2 wins over the
+    // min-id representative 1 (quality 0.2) — "keep best", not "keep first"
+    assert(out(1L) == ((2L, 0.9, 3L)))
+    assert(out(4L) == ((4L, 0.5, 2L)), "tie at equal quality → min doc_id")
+    assert(out(6L) == ((6L, 0.1, 1L)), "unlabeled doc is its own singleton")
+  }
+
+  test("collapse-best end-to-end: near-dup families collapse to their best member") {
+    val spark = TestSpark.spark
+    val out = Dedup.ddCollapseBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every cluster keeps exactly one member; crafted docs 1/2 and 3/4
+    // form two families, 5 and 6 are singletons → 4 clusters
+    assert(out.size == 4)
+    assert(out.contains(5L) && out.contains(6L))
+    val kept = out.values.toSet
+    assert(kept.intersect(Set(1L, 2L)).size == 1)
+    assert(kept.intersect(Set(3L, 4L)).size == 1)
+  }
+
   test("IVF ANN: scores are exact cosines; recall overlaps brute force") {
     val spark = TestSpark.spark
     val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
