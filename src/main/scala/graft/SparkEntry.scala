@@ -145,6 +145,7 @@ object SparkEntry {
     "sim_topk_brute_force" -> (Similarity.simTopKBruteForce _),
     "sim_ann_lsh" -> (Similarity.simAnnLsh _), // rows-only: probabilistic recall by design
     "sim_ann_ivf" -> (Similarity.simAnnIvf _), // rows-only: probabilistic recall by design
+    "sim_ann_ivfpq" -> (Similarity.simAnnIvfPq _), // rows-only: probabilistic recall; twin: sim_topk_brute_force + DedupSpec recall/exact-rescore pins
     "emb_label_centroids" -> (graft.ops.Embeddings.embLabelCentroids _), // per-class centroid grid
     "emb_quantize" -> (graft.ops.Embeddings.embQuantize _), // int8 scalar quantization summary
     "emb_project" -> (graft.ops.Embeddings.embProject _), // JL +/-1 random projection 64->16

@@ -161,6 +161,29 @@ class DedupSpec extends AnyFunSuite {
       f"IVF recall $recall%.2f fell below the 0.8 floor (${shared.size}/${exact.size})")
   }
 
+  test("IVF-PQ ANN: exact rescoring, per-query cap, recall floor over the refine set") {
+    val spark = TestSpark.spark
+    val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pq = Similarity.simAnnIvfPq(spark, TestSpark.Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pq.nonEmpty)
+    assert(pq.groupBy(_._1._1).forall(_._2.size <= 10))
+    // the refine stage rescores with TRUE embeddings: shared pairs carry
+    // identical cosines (approximate scores must never leak to output)
+    val shared = pq.filter(p => exact.contains(p._1))
+    assert(shared.nonEmpty, "IVF-PQ found none of the true top-10 neighbors")
+    assert(shared.forall { case (k, c) => math.abs(exact(k) - c) < 1e-9 })
+    // recall floor: 12-of-32-cell probe (0.8+ candidate recall, pinned by
+    // the IVF test) stacked with 4-bit ADC ranking into a 100-row refine
+    // set. Random 64-d fixtures are PQ's worst case — quantization noise
+    // is largest relative to the near-chance neighbor gaps — so the floor
+    // sits below IVF's 0.8; a broken encoder/LUT lands near 10/100 chance.
+    val recall = shared.size.toDouble / exact.size
+    assert(recall >= 0.5,
+      f"IVF-PQ recall $recall%.2f fell below the 0.5 floor (${shared.size}/${exact.size})")
+  }
+
   test("ANN LSH recall ≥ 0.5 of brute-force top-10 (multi-probe floor)") {
     val spark = TestSpark.spark
     val exact = Similarity.simTopKBruteForce(spark, TestSpark.Sf0001).collect()

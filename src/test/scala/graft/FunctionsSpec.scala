@@ -94,6 +94,36 @@ class FunctionsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StringType), bloom).eval(null) == null)
   }
 
+  test("pq_encode: packs L2-nearest subspace codes; codegen == interpreted; null contract") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 2 subspaces × 2 dims, hand-placed codewords: subspace 0 has codes
+    // at (0,0),(10,0),(0,10); subspace 1 at (1,1),(-1,-1)
+    val codebooks: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(10f, 0f), Array(0f, 10f)),
+      Array(Array(1f, 1f), Array(-1f, -1f)))
+    // (9,1 | -2,-2): sub0 nearest = code 1 (10,0); sub1 nearest = code 1
+    // → packed = 1 | 1<<4 = 17. (0,9 | 2,2): sub0 → 2, sub1 → 0 → 2.
+    val rows = Seq(
+      Some(Seq(9f, 1f, -2f, -2f)), Some(Seq(0f, 9f, 2f, 2f)),
+      Some(Seq(1f, 1f, 1f)), // wrong dim → null
+      None)
+    val got = rows.toDF("v")
+      .select(GraftFunctions.pq_encode(col("v"), codebooks).as("pq"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(got == Seq(Some(17), Some(2), None, None))
+    // interpreted leg: Expression.eval on literals agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    def evalOf(v: Seq[Float]): Any = graft.functions.PqEncode(
+      Literal(ArrayData.toArrayData(v.toArray), ArrayType(FloatType)),
+      codebooks).eval(null)
+    assert(evalOf(Seq(9f, 1f, -2f, -2f)) == 17)
+    assert(evalOf(Seq(0f, 9f, 2f, 2f)) == 2)
+    assert(evalOf(Seq(1f, 1f, 1f)) == null)
+  }
+
   test("GraftExtensions installer registers the functions a session builder would see") {
     // spark.sql.extensions is a STATIC conf (applied when the
     // SparkContext starts), so a sibling test session can't exercise it;
