@@ -94,6 +94,7 @@ object SparkEntry {
     "q29_log_pruned_scan" -> (Relational.q29LogPrunedScan _), // SnapshotLog readWhere manifest pruning
     "q30_log_metadata_count" -> (Relational.q30LogMetadataCount _), // manifest-answered counts (countRows/countWhere)
     "q31_log_key_lookup" -> (Relational.q31LogKeyLookup _), // bloom-gated point lookup (readKeys)
+    "q32_log_partitioned_scan" -> (Relational.q32LogPartitionedScan _), // hidden day+bucket partition pruning
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -208,6 +209,7 @@ object SparkEntry {
     "q29_log_pruned_scan" -> Relational.q29Oracle,
     "q30_log_metadata_count" -> Relational.q30Oracle,
     "q31_log_key_lookup" -> Relational.q31Oracle,
+    "q32_log_partitioned_scan" -> Relational.q32Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

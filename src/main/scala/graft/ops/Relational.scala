@@ -226,6 +226,62 @@ object Relational {
       |WHERE l_orderkey IN (${q31Keys.mkString(", ")})
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
 
+  /** events as a HIDDEN-PARTITIONED [[graft.table.SnapshotLog]]:
+    * `day(ts)` × `bucket[8](user_id)` ([[graft.table.PartitionField]]).
+    * The pre-write repartition on the same transforms makes the dynamic
+    * write emit one file per (day, bucket) tuple instead of one per
+    * (task, tuple) — the layout a production ingest job would produce.
+    * Built once per JVM; no stats columns, so every skip q32 achieves
+    * is the partition tuples' doing alone. */
+  private def partitionedEventsTable(spark: SparkSession,
+      dir: String): graft.table.SnapshotLog = {
+    val path = logFixtureDirs.computeIfAbsent(s"pevents:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-pevents-").toString
+      val log = graft.table.SnapshotLog.partitioned(spark, tmp, Seq(
+        graft.table.PartitionField.day("ts"),
+        graft.table.PartitionField.bucket("user_id", 8)))
+      val ev = events(spark, dir)
+      log.append(ev.repartition(col("ts").cast("date"),
+        pmod(xxhash64(col("user_id")), lit(8))))
+      tmp
+    })
+    graft.table.SnapshotLog(spark, path)
+  }
+
+  /** Hidden-partition pruned scan: one day of one user's events through
+    * [[graft.table.SnapshotLog.readWhere]] on a `day(ts)` ×
+    * `bucket[8](user_id)` partitioned log table. BOTH predicates prune
+    * at planning time from the partition tuples in ONE manifest GET —
+    * the day range keeps 1-of-30 day groups, the user key keeps
+    * 1-of-8 buckets inside it — with NO footer stats recorded at all
+    * (deliberately: range stats could never prune a hash bucket; this
+    * is the skip family stats don't cover). The user queries `ts` and
+    * `user_id` directly — the transforms are invisible (Iceberg-style
+    * hidden partitioning), so there is no derived column to forget.
+    * `readWhere` is by contract exactly `read().where(...)`, which the
+    * oracle checks against the raw table. At 100 TB: ~1/240 of the
+    * table opens, decided driver-side. The build (one partitioned
+    * append) runs once per JVM like every log fixture. */
+  def q32LogPartitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val log = partitionedEventsTable(spark, dir)
+    val lo = java.time.Instant.parse("2024-01-15T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-15T23:59:59.999999Z")
+    log.readWhere(("ts", lo, hi), ("user_id", 7L, 7L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value"), "sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  def q32Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS TIMESTAMP) BETWEEN TIMESTAMP '2024-01-15 00:00:00'
+      |                                AND TIMESTAMP '2024-01-15 23:59:59.999999'
+      |  AND user_id = 7
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

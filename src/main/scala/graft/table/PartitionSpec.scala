@@ -1,0 +1,212 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One field of a [[SnapshotLog]] table's HIDDEN partition spec:
+  * `transform(source)` decides which physical partition every row lands
+  * in at write time, and the manifest records each data file's partition
+  * tuple — so reads prune on predicates over the SOURCE column with no
+  * knowledge of the layout (Iceberg-style hidden partitioning: users
+  * query `ts`, never a derived `ts_day` column they must remember to
+  * filter on; a forgotten derived-column filter is the classic
+  * full-scan foot-gun of Hive-style explicit partitioning).
+  *
+  * Transforms (the value is always recorded as a STRING in the
+  * manifest, computed by [[writeExpr]]):
+  *  - `identity`  — the column value itself (numeric or string columns);
+  *  - `day`       — epoch day of a timestamp/date column;
+  *  - `bucket[N]` — `xxhash64(source) mod N` (the hash Spark's own
+  *    `xxhash64` computes, so write path and read planning agree by
+  *    construction); prunes point lookups and key joins, composes with
+  *    per-file blooms;
+  *  - `truncate[W]` — W-wide numeric bins (`v - v mod W`) or W-char
+  *    string prefixes.
+  *
+  * Pruning contract (the mirror of [[ColRange]]'s): [[mayMatch]] is
+  * true unless NO row of a file with recorded value `v` can satisfy
+  * `source BETWEEN lo AND hi` — absence of a recorded tuple never
+  * prunes, so files written before the spec existed (partition
+  * evolution from an unpartitioned table) are always kept.
+  * [[containedIn]] is true only when EVERY row of such a file provably
+  * satisfies the predicate — rows in a non-null partition dir are
+  * non-null in the source column by construction (NULLs land in the
+  * Hive default partition), so partition containment needs no separate
+  * null-count proof the way footer-stats containment does.
+  *
+  * Scale: the tuple test is driver-side manifest arithmetic — O(files)
+  * string compares per query, zero I/O. At 100 TB with day + bucket
+  * partitioning, a one-day one-key query plans to a handful of files
+  * from ONE manifest GET, before footer stats or blooms are even
+  * consulted.
+  */
+final case class PartitionField(source: String, transform: String) {
+  import PartitionField._
+
+  private val (kind, param): (String, Int) = transform match {
+    case "identity"    => (Identity, 0)
+    case "day"         => (Day, 0)
+    case BucketRe(n)   => (Bucket, n.toInt)
+    case TruncateRe(w) => (Truncate, w.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform '$other' " +
+        "(identity | day | bucket[N] | truncate[W])")
+  }
+  require(kind != Bucket || param > 0, s"bucket count must be positive: $transform")
+  require(kind != Truncate || param > 0, s"truncate width must be positive: $transform")
+
+  /** The string-valued partition expression for `df`'s schema; throws
+    * on a missing source column or a type the transform doesn't model —
+    * at STAGE time, before any data writes. */
+  private[table] def writeExpr(df: DataFrame): Column = {
+    val dt = df.schema(source).dataType
+    val c = col(source)
+    kind match {
+      case Identity => dt match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+          c.cast("string")
+        case other => throw new IllegalArgumentException(
+          s"identity($source) partitions integral/string columns, got ${other.simpleString}")
+      }
+      case Day => dt match {
+        // timestamp→double is the seconds-with-fraction cast; floor
+        // handles pre-epoch instants correctly (toward -inf)
+        case TimestampType | TimestampNTZType =>
+          floor(c.cast("double") / 86400d).cast("long").cast("string")
+        case DateType =>
+          datediff(c, to_date(lit("1970-01-01"))).cast("long").cast("string")
+        case other => throw new IllegalArgumentException(
+          s"day($source) needs a timestamp/date column, got ${other.simpleString}")
+      }
+      case Bucket => pmod(xxhash64(c), lit(param.toLong)).cast("string")
+      case Truncate => dt match {
+        case StringType => substring(c, 1, param)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c - pmod(c, lit(param.toLong))).cast("long").cast("string")
+        case other => throw new IllegalArgumentException(
+          s"truncate($source) partitions integral/string columns, got ${other.simpleString}")
+      }
+    }
+  }
+
+  /** Could any row of a file whose recorded partition value is `v`
+    * satisfy `source BETWEEN lo AND hi`? False only on a proof of
+    * emptiness. `dt` is the source column's declared type when the
+    * manifest carries a schema (bucket hashing and identity comparison
+    * need it; absence degrades to no pruning where it matters). */
+  private[table] def mayMatch(v: String, lo: Any, hi: Any,
+      dt: Option[DataType]): Boolean = {
+    if (v == NullPartition) return false // BETWEEN never matches NULL
+    kind match {
+      case Identity => dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          BigDecimal(v) >= ColRange.num(lo) && BigDecimal(v) <= ColRange.num(hi)
+        case Some(StringType) =>
+          val u = UTF8String.fromString(v)
+          u.compareTo(UTF8String.fromString(lo.toString)) >= 0 &&
+            u.compareTo(UTF8String.fromString(hi.toString)) <= 0
+        case _ => true // unknown type: never prune
+      }
+      case Day =>
+        val d = BigDecimal(v)
+        d >= epochDay(ColRange.num(lo)) && d <= epochDay(ColRange.num(hi))
+      case Bucket =>
+        // only a point predicate pins a bucket; ranges keep every file
+        !sameKey(lo, hi) || dt.forall(t => BigDecimal(v) == bucketOf(lo, t))
+      case Truncate => dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          val fileLo = BigDecimal(v)
+          fileLo <= ColRange.num(hi) && fileLo + (param - 1) >= ColRange.num(lo)
+        case Some(StringType) =>
+          // the file holds strings with prefix v: the prefix set
+          // [v, v + U+10FFFF…) meets [lo, hi] iff v <= hi and lo either
+          // precedes v or extends it
+          val u = UTF8String.fromString(v)
+          val loS = lo.toString
+          u.compareTo(UTF8String.fromString(hi.toString)) <= 0 &&
+            (UTF8String.fromString(loS).compareTo(u) <= 0 || loS.startsWith(v))
+        case _ => true
+      }
+    }
+  }
+
+  /** Does EVERY row of a file with recorded value `v` satisfy
+    * `source BETWEEN lo AND hi`? (The metadata-only drop gate for
+    * partition-aligned deletes.) Non-null by construction — see the
+    * class doc. Conservative false wherever a proof is not cheap. */
+  private[table] def containedIn(v: String, lo: Any, hi: Any,
+      dt: Option[DataType]): Boolean = {
+    if (v == NullPartition) return false
+    kind match {
+      case Identity => dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          BigDecimal(v) >= ColRange.num(lo) && BigDecimal(v) <= ColRange.num(hi)
+        case Some(StringType) =>
+          val u = UTF8String.fromString(v)
+          u.compareTo(UTF8String.fromString(lo.toString)) >= 0 &&
+            u.compareTo(UTF8String.fromString(hi.toString)) <= 0
+        case _ => false
+      }
+      case Day =>
+        // all instants of day d: [d·86400e6, (d+1)·86400e6) micros
+        val d = BigDecimal(v)
+        ColRange.num(lo) <= d * MicrosPerDay &&
+          (d + 1) * MicrosPerDay - 1 <= ColRange.num(hi)
+      case Bucket => false   // a hash bucket never aligns with a range
+      case Truncate => dt match {
+        case Some(ByteType | ShortType | IntegerType | LongType) =>
+          val fileLo = BigDecimal(v)
+          ColRange.num(lo) <= fileLo && fileLo + (param - 1) <= ColRange.num(hi)
+        case _ => false // string prefixes have no greatest member
+      }
+    }
+  }
+
+  /** The bucket a point key lands in — evaluated through Spark's own
+    * XxHash64 expression on a literal, so this is the SAME hash the
+    * write expression computed, by construction rather than by a
+    * reimplementation that could drift. */
+  private[table] def bucketOf(key: Any, dt: DataType): BigDecimal = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val coerced = (key, dt) match {
+      case (i: Int, LongType)     => i.toLong
+      case (i: Integer, LongType) => i.longValue()
+      case (l: Long, IntegerType) => l.toInt
+      case other                  => other._1
+    }
+    val h = new XxHash64(Seq(Literal.create(coerced, dt)), 42L)
+      .eval(null).asInstanceOf[Long]
+    BigDecimal(((h % param) + param) % param)
+  }
+
+  private def sameKey(lo: Any, hi: Any): Boolean =
+    lo == hi || (try ColRange.num(lo) == ColRange.num(hi)
+    catch { case _: NumberFormatException => false })
+}
+
+object PartitionField {
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+  private val Identity = "identity"
+  private val Day = "day"
+  private val Bucket = "bucket"
+  private val Truncate = "truncate"
+  private val MicrosPerDay = BigDecimal(86400000000L)
+
+  /** Epoch day of a time bound already normalized to micros by
+    * [[ColRange.num]] — floor division, correct for pre-epoch instants. */
+  private def epochDay(micros: BigDecimal): BigDecimal =
+    (micros / MicrosPerDay).setScale(0, BigDecimal.RoundingMode.FLOOR)
+
+  /** The directory value Spark writes for a NULL partition expression. */
+  private[table] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  def identity(source: String): PartitionField = PartitionField(source, "identity")
+  def day(source: String): PartitionField = PartitionField(source, "day")
+  def bucket(source: String, n: Int): PartitionField =
+    PartitionField(source, s"bucket[$n]")
+  def truncate(source: String, w: Int): PartitionField =
+    PartitionField(source, s"truncate[$w]")
+}

@@ -108,7 +108,9 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     tombstones: Seq[Tombstone] = Nil,
     fileRows: Map[String, Long] = Map.empty,
     blooms: Map[String, Map[String, String]] = Map.empty,
-    fileBytes: Map[String, Long] = Map.empty)
+    fileBytes: Map[String, Long] = Map.empty,
+    partitionSpec: Seq[PartitionField] = Nil,
+    partitions: Map[String, Seq[String]] = Map.empty)
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -210,7 +212,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   */
 final class SnapshotLog(spark: SparkSession, val tableDir: String,
     statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None,
-    bloomColumns: Seq[String] = Nil) {
+    bloomColumns: Seq[String] = Nil,
+    partitionBy: Seq[PartitionField] = Nil) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -231,6 +234,36 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private val store: CommitStore = store0.getOrElse(new FsCommitStore(fs, logDir))
 
   private def manifestName(v: Long) = f"v$v%020d.json"
+
+  /** The partition spec in force for the next write: an existing
+    * table's MANIFEST spec is authoritative — hidden partitioning means
+    * a reader/writer constructed WITHOUT the spec still partitions and
+    * prunes correctly — and the constructor's spec applies from the
+    * first commit. Declaring a spec that CONTRADICTS the manifest's is
+    * a hard error (a spec change would reinterpret recorded tuples
+    * unsoundly); adding a spec to a previously unpartitioned table is
+    * sound evolution — pre-spec files carry no tuple and are simply
+    * never pruned. */
+  private def specInForce(): Seq[PartitionField] = {
+    val v = currentVersion()
+    val committed = if (v == 0) Nil else snapshot(v).partitionSpec
+    if (committed.isEmpty) partitionBy
+    else {
+      require(partitionBy.isEmpty || partitionBy == committed,
+        s"$tableDir is partitioned by $committed; a SnapshotLog declaring " +
+          s"$partitionBy on it would prune unsoundly")
+      committed
+    }
+  }
+
+  /** The spec the NEXT manifest records, given its parent. */
+  private def commitSpec(base: Snapshot): Seq[PartitionField] =
+    if (base.partitionSpec.nonEmpty) {
+      require(partitionBy.isEmpty || partitionBy == base.partitionSpec,
+        s"$tableDir is partitioned by ${base.partitionSpec}; a SnapshotLog " +
+          s"declaring $partitionBy on it would prune unsoundly")
+      base.partitionSpec
+    } else partitionBy
 
   /** Latest committed version; 0 means no commit yet. Staged manifests
     * (`.tmp-*`) and foreign files are ignored — only a fully published
@@ -284,10 +317,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           (0 until t.get("applies").size()).map(t.get("applies").get(_).asText()))
       }.toSeq
     }.getOrElse(Nil)
+    val partitionSpec = Option(node.get("partitionSpec")).map { pn =>
+      (0 until pn.size()).map(i => PartitionField(
+        pn.get(i).get("src").asText(), pn.get(i).get("t").asText())).toSeq
+    }.getOrElse(Nil)
+    val partitions = Option(node.get("partitions")).map { pn =>
+      pn.properties().asScala.map { e =>
+        e.getKey ->
+          (0 until e.getValue.size()).map(e.getValue.get(_).asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
       node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-      fileRows, blooms, fileBytes)
+      fileRows, blooms, fileBytes, partitionSpec, partitions)
   }
 
   /** All retained versions, oldest first. */
@@ -358,14 +401,48 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def readWhere(preds: (String, Any, Any)*): DataFrame =
     readWhere(-1L, preds: _*)
 
+  /** Files of `s` that could hold a row matching the conjunction:
+    * footer-stats ranges AND hidden-partition tuples each get a veto
+    * (absence of either never prunes). The partition gate is what works
+    * on columns with no recorded stats, on bucket transforms range
+    * stats cannot express, and on manifests from spec-only tables —
+    * all from the same single manifest GET. */
+  private def candidateFiles(s: Snapshot,
+      preds: Seq[(String, Any, Any)]): Seq[String] = {
+    val dts = preds.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
+    s.files.filter { f =>
+      preds.forall { case (c, lo, hi) =>
+        s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) &&
+          s.partitionSpec.zipWithIndex.forall { case (pf, i) =>
+            pf.source != c || s.partitions.get(f).flatMap(_.lift(i))
+              .forall(v => pf.mayMatch(v, lo, hi, dts(c)))
+          }
+      }
+    }
+  }
+
+  /** Does every row of file `f` provably satisfy every predicate? True
+    * through either proof path per predicate: the footer range is
+    * contained AND provably null-free, or a partition tuple on the
+    * column is contained (null-free by construction — NULL transforms
+    * land in the Hive default partition, a different file). */
+  private def fullyContained(s: Snapshot, f: String,
+      preds: Seq[(String, Any, Any)],
+      dts: Map[String, Option[org.apache.spark.sql.types.DataType]]): Boolean =
+    preds.forall { case (c, lo, hi) =>
+      s.stats.get(f).flatMap(_.get(c)).exists(_.containedIn(lo, hi)) ||
+        s.partitionSpec.zipWithIndex.exists { case (pf, i) =>
+          pf.source == c && s.partitions.get(f).flatMap(_.lift(i))
+            .exists(v => pf.containedIn(v, lo, hi, dts(c)))
+        }
+    }
+
   /** [[readWhere]] against a retained `version` (latest when -1). */
   def readWhere(version: Long, preds: (String, Any, Any)*): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
     val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    val kept = s.files.filter(f => preds.forall { case (c, lo, hi) =>
-      s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi))
-    })
+    val kept = candidateFiles(s, preds)
     val residual = preds.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (kept.isEmpty)
@@ -412,13 +489,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (s.tombstones.nonEmpty)
       return scan(s, s.files).where(residual).count()
-    val kept = s.files.filter(f => preds.forall { case (c, lo, hi) =>
-      s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi))
-    })
+    val kept = candidateFiles(s, preds)
+    val dts = preds.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
     val (contained, straddling) = kept.partition { f =>
-      s.fileRows.contains(f) && preds.forall { case (c, lo, hi) =>
-        s.stats.get(f).flatMap(_.get(c)).exists(_.containedIn(lo, hi))
-      }
+      s.fileRows.contains(f) && fullyContained(s, f, preds, dts)
     }
     val metadataRows = contained.map(s.fileRows).sum
     if (straddling.isEmpty) metadataRows
@@ -456,7 +530,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     s.files.filter { f =>
       s.stats.get(f).flatMap(_.get(column))
         .forall(r => keys.exists(k => r.intersects(k, k))) &&
-        FileBlooms.mightContainAny(s.blooms, f, column, keys, dt)
+        FileBlooms.mightContainAny(s.blooms, f, column, keys, dt) &&
+        // the partition gate: some key must be able to live in this
+        // file's tuple — bucket transforms prune point lookups here
+        // even on tables with neither stats nor blooms
+        keys.exists(k => s.partitionSpec.zipWithIndex.forall { case (pf, i) =>
+          pf.source != column || s.partitions.get(f).flatMap(_.lift(i))
+            .forall(v => pf.mayMatch(v, k, k, dt))
+        })
     }
   }
 
@@ -557,7 +638,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
-        base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes)
+        base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes,
+        commitSpec(base), base.partitions ++ staged.partitions)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -596,7 +678,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns + (appId -> batchId), base.tombstones,
         base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms,
-        base.fileBytes ++ staged.fileBytes)
+        base.fileBytes ++ staged.fileBytes,
+        commitSpec(base), base.partitions ++ staged.partitions)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -693,7 +776,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         merged, cur.txns, Nil,
         (cur.fileRows -- replaced) ++ staged.fileRows,
         (cur.blooms -- replaced) ++ staged.blooms,
-        (cur.fileBytes -- replaced) ++ staged.fileBytes)
+        (cur.fileBytes -- replaced) ++ staged.fileBytes,
+        commitSpec(cur), (cur.partitions -- replaced) ++ staged.partitions)
       if (tryCommit(next)) return next
       val newest = snapshot()
       val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
@@ -741,36 +825,62 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
         "a copy-on-write delete (its per-file row accounting assumes " +
         "physical rows are logical rows)")
-    val (touched, untouched) = base.files.partition(f =>
-      preds.forall { case (c, lo, hi) =>
-        base.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) })
+    val touched = candidateFiles(base, preds)
     if (touched.isEmpty) return None
-    val touchedPaths = touched.map(f => new Path(dataDir, f))
-    val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
-    val touchedDf = reader(base).parquet(touchedPaths.map(_.toString): _*)
-    // the deleted-row accounting needs the touched total: straight from
-    // the manifest's per-file rows when recorded (no job at all), else a
-    // footer-metadata count (zero-column scan) — never a data read
-    val touchedRows =
-      if (touched.forall(base.fileRows.contains)) touched.map(base.fileRows).sum
-      else touchedDf.count()
+    // metadata-only drops: a file EVERY row of which provably matches
+    // (contained footer range with zero nulls, or a contained partition
+    // tuple) leaves the manifest without being opened, let alone
+    // rewritten — a whole-partition delete (drop one day, expire one
+    // tenant) on a day/identity-partitioned table is pure manifest
+    // arithmetic at any table size. Requires the recorded per-file row
+    // count for exact accounting; without it the file just rewrites.
+    val dts = preds.map { case (c, _, _) => c -> schemaType(base, c) }.toMap
+    val (dropped, rewriteSet) = touched.partition(f =>
+      base.fileRows.contains(f) && fullyContained(base, f, preds, dts))
+    val droppedRows = dropped.map(base.fileRows).sum
+    val droppedBytes = dropped.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     // a row is deleted iff every predicate matches; NULL keys never
     // match (between is NULL for NULL inputs, and the survivor filter
     // keeps NULL explicitly — a bare negation would DROP those rows)
     val matches = preds.map { case (c, lo, hi) =>
       col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
-    val staged = stage(touchedDf.where(!matches))
+    val stagedOpt =
+      if (rewriteSet.isEmpty) None
+      else {
+        val touchedPaths = rewriteSet.map(f => new Path(dataDir, f))
+        val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
+        val touchedDf = reader(base).parquet(touchedPaths.map(_.toString): _*)
+        // the deleted-row accounting needs the touched total: straight
+        // from the manifest's per-file rows when recorded (no job at
+        // all), else a footer-metadata count — never a data read
+        val touchedRows =
+          if (rewriteSet.forall(base.fileRows.contains))
+            rewriteSet.map(base.fileRows).sum
+          else touchedDf.count()
+        Some((stage(touchedDf.where(!matches)), touchedRows, touchedBytes))
+      }
+    val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
+        stagedBlooms, stagedFileBytes, stagedParts, rewrittenRows,
+        rewrittenBytes) = stagedOpt match {
+      case Some((st, tr, tb)) => (st.files, st.rows, st.bytes, st.stats,
+        st.fileRows, st.blooms, st.fileBytes, st.partitions, tr, tb)
+      case None => (Nil, 0L, 0L, Map.empty[String, Map[String, ColRange]],
+        Map.empty[String, Long], Map.empty[String, Map[String, String]],
+        Map.empty[String, Long], Map.empty[String, Seq[String]], 0L, 0L)
+    }
     val next = Snapshot(base.version + 1, "delete", base.version,
-      base.rows - (touchedRows - staged.rows),
-      base.bytes - touchedBytes + staged.bytes,
-      untouched ++ staged.files,
-      (base.stats -- touched) ++ staged.stats,
+      base.rows - droppedRows - (rewrittenRows - stagedRows),
+      base.bytes - droppedBytes - rewrittenBytes + stagedBytes,
+      base.files.filterNot(touched.toSet) ++ stagedFiles,
+      (base.stats -- touched) ++ stagedStats,
       base.schemaJson, base.txns, Nil,
-      (base.fileRows -- touched) ++ staged.fileRows,
-      (base.blooms -- touched) ++ staged.blooms,
-      (base.fileBytes -- touched) ++ staged.fileBytes)
+      (base.fileRows -- touched) ++ stagedFileRows,
+      (base.blooms -- touched) ++ stagedBlooms,
+      (base.fileBytes -- touched) ++ stagedFileBytes,
+      commitSpec(base), (base.partitions -- touched) ++ stagedParts)
     if (!tryCommit(next)) {
-      discard(staged)
+      stagedOpt.foreach { case (st, _, _) => discard(st) }
       throw new CommitConflictException(
         s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
     }
@@ -841,8 +951,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           .collect().map(_.get(0)).toSeq // bounded by the cap
         val cand = keyCandidates(base, column, keys).toSet
         base.files.partition(cand)
-      } else base.files.partition(f =>
-        base.stats.get(f).flatMap(_.get(column)).forall(_.intersects(lo, hi)))
+      } else {
+        // envelope routing still gets the partition-tuple veto — on a
+        // bucket-partitioned table even an envelope-wide batch only
+        // rewrites files in the buckets its keys hash to
+        val cand = candidateFiles(base, Seq((column, lo, hi))).toSet
+        base.files.partition(cand)
+      }
     val (touchedRows, stagedDf) =
       if (touched.isEmpty) (0L, u)
       else {
@@ -869,7 +984,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       merged, txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
       (base.fileRows -- touched) ++ staged.fileRows,
       (base.blooms -- touched) ++ staged.blooms,
-      (base.fileBytes -- touched) ++ staged.fileBytes)
+      (base.fileBytes -- touched) ++ staged.fileBytes,
+      commitSpec(base), (base.partitions -- touched) ++ staged.partitions)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -910,7 +1026,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // assumption, so the coalesce is a no-op-cheap narrow plan
     val k = keys.select(keys.columns.head).toDF(column)
       .na.drop().distinct().coalesce(1)
-    val staged = stage(k)
+    // a tombstone key file is manifest metadata, not table data — it
+    // must not route through the table's partition spec (whose source
+    // columns it does not even carry)
+    val staged = stage(k, partitioned = false)
     if (staged.rows == 0) { discard(staged); return None }
     // tombstone blast radius: scope `appliesTo` to the files that can
     // actually hold a deleted key (range stats + blooms — the same
@@ -938,7 +1057,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.schemaJson,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
-      base.fileRows, base.blooms, base.fileBytes)
+      base.fileRows, base.blooms, base.fileBytes,
+      base.partitionSpec, base.partitions)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -966,7 +1086,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val next = Snapshot(cur.version + 1, "restore", cur.version,
       target.rows, target.bytes, target.files, target.stats,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
-      target.blooms, target.fileBytes)
+      target.blooms, target.fileBytes, target.partitionSpec,
+      target.partitions)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -1069,7 +1190,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private final case class Staged(files: Seq[String], rows: Long, bytes: Long,
       stats: Map[String, Map[String, ColRange]], schemaJson: String,
       fileRows: Map[String, Long], blooms: Map[String, Map[String, String]],
-      fileBytes: Map[String, Long])
+      fileBytes: Map[String, Long],
+      partitions: Map[String, Seq[String]] = Map.empty)
 
   /** Widening-only schema merge: incoming columns must keep an existing
     * column's type (`sameType` — nullability-insensitive); genuinely new
@@ -1105,7 +1227,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * footers the write just produced (metadata-only, O(staged files)
     * per commit — the one-time cost that buys listing-and-footer-free
     * pruned reads forever after). */
-  private def stage(df: DataFrame): Staged = {
+  private def stage(df: DataFrame, partitioned: Boolean = true): Staged = {
+    val spec = if (partitioned) specInForce() else Nil
     val commitId = UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s"$StagePrefix$commitId")
     val obs = new Observation(s"graft_log_stage_$commitId")
@@ -1124,20 +1247,56 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         org.apache.spark.sql.GraftBridge.ofRows(iso,
           org.apache.spark.sql.GraftBridge.logicalPlan(df))
       }
-    writeDf.observe(obs, count(lit(1)).as("rows"))
-      .write.option("compression", "snappy")
-      .mode("overwrite").parquet(scratch.toString)
+    // hidden-partitioned staging: the transforms materialize as
+    // SYNTHETIC `_gp<i>` columns that `partitionBy` routes into
+    // directories and strips from the data — the SOURCE columns stay in
+    // every file untouched, and the directory values become the
+    // manifest's per-file partition tuples. One file holds exactly one
+    // tuple by construction of the dynamic-partition write.
+    val partCols = spec.zipWithIndex.map { case (f, i) => s"_gp$i" }
+    val partedDf = spec.zipWithIndex.foldLeft(
+      writeDf.observe(obs, count(lit(1)).as("rows"))) { case (d, (f, i)) =>
+      d.withColumn(s"_gp$i", f.writeExpr(writeDf))
+    }
+    val writer = partedDf.write.option("compression", "snappy")
+      .mode("overwrite")
+    (if (spec.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(scratch.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
     fs.mkdirs(dataDir)
-    val moved = fs.listStatus(scratch)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      .map { f =>
-        val name = s"$commitId-${f.getPath.getName}"
-        if (!fs.rename(f.getPath, new Path(dataDir, name)))
-          throw new IllegalStateException(s"could not stage ${f.getPath} into $dataDir")
-        val (fRows, fStats) = footerInfo(new Path(dataDir, name))
-        (name, f.getLen, fStats, fRows)
+    val scratchAbs = fs.makeQualified(scratch).toString
+    /** The `_gp<i>=value` directory chain above a staged part file,
+      * decoded to the partition tuple in spec order. */
+    def tupleOf(p: Path): Seq[String] = {
+      var segs = List.empty[String]
+      var cur = p.getParent
+      while (cur != null && fs.makeQualified(cur).toString != scratchAbs) {
+        segs ::= cur.getName
+        cur = cur.getParent
       }
+      segs.map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"unexpected staged dir layout under $scratch: $seg")
+        unescapePathValue(seg.substring(eq + 1))
+      }
+    }
+    val it = fs.listFiles(scratch, true)
+    val found = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val moved = found.zipWithIndex.map { case (f, idx) =>
+      // dynamic partition writes reuse part-file names across partition
+      // dirs; the flat data/ name needs the index to stay unique
+      val name =
+        if (spec.isEmpty) s"$commitId-${f.getPath.getName}"
+        else s"$commitId-p$idx-${f.getPath.getName}"
+      val tuple = if (spec.isEmpty) Nil else tupleOf(f.getPath)
+      if (!fs.rename(f.getPath, new Path(dataDir, name)))
+        throw new IllegalStateException(s"could not stage ${f.getPath} into $dataDir")
+      val (fRows, fStats) =
+        footerInfo(new Path(dataDir, name), wantRows = spec.nonEmpty)
+      (name, f.getLen, fStats, fRows, tuple)
+    }
     fs.delete(scratch, true)
     // per-file key blooms for tables that declare them: ONE extra job
     // over just the staged files' bloom columns (narrow scan, partial
@@ -1149,12 +1308,33 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         moved.map(m => new Path(dataDir, m._1).toString).toSeq, bloomColumns,
         expectedItems = rows / moved.length + 64)
     Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
-      moved.collect { case (n, _, st, _) if st.nonEmpty => n -> st }.toMap,
+      moved.collect { case (n, _, st, _, _) if st.nonEmpty => n -> st }.toMap,
       df.schema.json,
-      moved.collect { case (n, _, _, fr) if fr >= 0 => n -> fr }.toMap,
+      moved.collect { case (n, _, _, fr, _) if fr >= 0 => n -> fr }.toMap,
       stagedBlooms,
-      moved.map(m => m._1 -> m._2).toMap)
+      moved.map(m => m._1 -> m._2).toMap,
+      moved.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap)
   }
+
+  /** Minimal inverse of Hive's partition-path escaping: `%xx` byte
+    * sequences decode back to their characters (the write path escapes
+    * `/ : = %` and control chars this way); everything else is
+    * verbatim. Values this table generates (digits, short prefixes)
+    * rarely escape at all. */
+  private def unescapePathValue(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val out = new java.io.ByteArrayOutputStream(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 3 <= s.length) {
+          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+          i += 3
+        } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      }
+      new String(out.toByteArray, "UTF-8")
+    }
 
   /** Per-file footer metadata, one open: the exact row count (sum of
     * the footer's block counts — feeds `Snapshot.fileRows`) and [min,
@@ -1170,8 +1350,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * demands a provable zero. Returns (-1, empty) for tables with no
     * stats columns: no footer opens, and absence of `fileRows` simply
     * routes counts through a scan. */
-  private def footerInfo(file: Path): (Long, Map[String, ColRange]) =
-    if (statsColumns.isEmpty) (-1L, Map.empty)
+  private def footerInfo(file: Path,
+      wantRows: Boolean = false): (Long, Map[String, ColRange]) =
+    if (statsColumns.isEmpty && !wantRows) (-1L, Map.empty)
     else {
       import org.apache.parquet.schema.LogicalTypeAnnotation
       import org.apache.spark.unsafe.types.UTF8String
@@ -1288,6 +1469,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         t.appliesTo.foreach(ap.add)
       }
     }
+    if (s.partitionSpec.nonEmpty) {
+      val pa = node.putArray("partitionSpec")
+      s.partitionSpec.foreach { f =>
+        pa.addObject().put("src", f.source).put("t", f.transform)
+      }
+      if (s.partitions.nonEmpty) {
+        val pn = node.putObject("partitions")
+        s.partitions.foreach { case (f, vs) =>
+          val va = pn.putArray(f)
+          vs.foreach(va.add)
+        }
+      }
+    }
     store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
   }
 }
@@ -1330,4 +1524,14 @@ object SnapshotLog {
   def apply(spark: SparkSession, tableDir: String,
       statsColumns: Seq[String], bloomColumns: Seq[String]): SnapshotLog =
     new SnapshotLog(spark, tableDir, statsColumns, None, bloomColumns)
+
+  /** A hidden-partitioned log ([[PartitionField]]): writes route rows
+    * through the transforms, manifests record per-file partition
+    * tuples, reads prune on SOURCE-column predicates. The spec persists
+    * in the manifest from the first commit — later readers/writers may
+    * construct without it. */
+  def partitioned(spark: SparkSession, tableDir: String,
+      spec: Seq[PartitionField], statsColumns: Seq[String] = Nil,
+      bloomColumns: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, None, bloomColumns, spec)
 }

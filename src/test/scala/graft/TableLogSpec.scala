@@ -351,6 +351,151 @@ class TableLogSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("hidden partitioning: day+bucket tuples recorded per file; source columns intact") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir, Seq(
+      graft.table.PartitionField.day("ts"),
+      graft.table.PartitionField.bucket("uid", 4)))
+    val rows = (0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-03-${10 + i % 3} 12:00:00"),
+        i.toLong % 8, s"ev-$i")
+    }
+    val s = log.append(rows.toDF("ts", "uid", "payload"))
+    // every file carries exactly one (day, bucket) tuple
+    assert(s.partitionSpec.map(_.transform) == Seq("day", "bucket[4]"))
+    assert(s.files.nonEmpty && s.files.forall(f => s.partitions.contains(f)))
+    val tuples = s.files.map(s.partitions).toSet
+    assert(tuples.forall(_.size == 2))
+    assert(tuples.map(_.head).size == 3, s"3 distinct days expected: $tuples")
+    // the data files keep the SOURCE columns — hidden partitioning
+    // never rewrites user schema
+    val back = log.read()
+    assert(back.columns.toSeq == Seq("ts", "uid", "payload"))
+    assert(back.count() == 200)
+    // a reader constructed WITHOUT the spec sees and keeps it
+    val reader = SnapshotLog(spark, dir)
+    val s2 = reader.append(Seq(
+      (java.sql.Timestamp.valueOf("2024-03-20 00:00:00"), 1L, "late"))
+      .toDF("ts", "uid", "payload"))
+    assert(s2.partitionSpec == s.partitionSpec,
+      "the manifest spec is authoritative for spec-less writers")
+    assert(s2.files.filterNot(s.files.toSet).forall(s2.partitions.contains))
+    // a conflicting spec is rejected before it can prune unsoundly
+    val bad = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.day("ts")))
+    intercept[IllegalArgumentException] {
+      bad.append(rows.take(1).toDF("ts", "uid", "payload"))
+    }
+  }
+
+  test("hidden partitioning prunes reads on source-column predicates, no stats needed") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir, Seq(
+      graft.table.PartitionField.day("ts"),
+      graft.table.PartitionField.bucket("uid", 4)))
+    val rows = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-03-${10 + i % 3} 12:00:00"),
+        i.toLong % 8, s"ev-$i")
+    }
+    log.append(rows.toDF("ts", "uid", "payload"))
+    val s = log.snapshot()
+    assert(s.stats.isEmpty, "fixture deliberately records no footer stats")
+    // one-day read: only that day's files open (bucket spreads each day
+    // over up to 4 files)
+    val day = log.readBetween("ts",
+      java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-11 23:59:59"))
+    val expectDay = rows.filter(_._1.toString.startsWith("2024-03-11"))
+    assert(day.collect().length == expectDay.size)
+    val dayFiles = s.files.filter(f => s.partitions(f).head == "19793")
+    assert(day.inputFiles.length == dayFiles.size &&
+      day.inputFiles.length < s.files.size,
+      s"day read must open only day files: ${day.inputFiles.length} of ${s.files.size}")
+    // point lookup on the bucket column: only matching-bucket files open
+    val key = log.readKeys("uid", Seq(5L))
+    assert(key.collect().length == rows.count(_._2 == 5L))
+    assert(key.inputFiles.length <= s.files.size / 2,
+      s"bucket pruning must skip non-candidate buckets: ${key.inputFiles.length}")
+    // conjunctive day+key read composes both gates down to ≤ 1-2 files
+    val both = log.readWhere(
+      ("ts", java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-03-11 23:59:59")),
+      ("uid", 5L, 5L))
+    assert(both.collect().length ==
+      expectDay.count(_._2 == 5L))
+    assert(both.inputFiles.length < dayFiles.size || dayFiles.size == 1,
+      "composed gates must beat the single-day cut")
+    // countWhere answers a whole-day count from the manifest alone
+    assert(log.countWhere(("ts",
+      java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-11 23:59:59.999999"))) ==
+      expectDay.size)
+  }
+
+  test("whole-partition delete is metadata-only; straddling deletes still rewrite") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.day("ts")))
+    val rows = (0 until 120).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-03-${10 + i % 3} ${10 + i % 10}:00:00"),
+        s"ev-$i")
+    }
+    log.append(rows.toDF("ts", "payload"))
+    val before = log.snapshot()
+    // drop one whole day: no data file may be opened or written
+    val s = log.deleteBetween("ts",
+      java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-11 23:59:59.999999")).get
+    assert(s.op == "delete")
+    val expectLeft = rows.filterNot(_._1.toString.startsWith("2024-03-11"))
+    assert(s.rows == expectLeft.size, "manifest rows must drop by the day's count")
+    assert(s.files.forall(before.files.toSet),
+      "a whole-partition delete stages NO new files — manifest-only")
+    assert(log.read().count() == expectLeft.size)
+    // time travel still reads the deleted day
+    assert(log.read(before.version).count() == rows.size)
+    // a half-day predicate straddles the partition: that file rewrites
+    val s2 = log.deleteBetween("ts",
+      java.sql.Timestamp.valueOf("2024-03-12 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-12 13:59:59")).get
+    val expectLeft2 = expectLeft.filterNot(r =>
+      r._1.toString.startsWith("2024-03-12") && r._1.getHours < 14)
+    assert(s2.rows == expectLeft2.size)
+    assert(log.read().as[(java.sql.Timestamp, String)].collect().toSeq.sorted ==
+      expectLeft2.sorted)
+  }
+
+  test("partitioned tables survive compaction and merge with tuples re-derived") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.identity("grp")),
+      statsColumns = Seq("id"))
+    (0 until 3).foreach { run =>
+      log.append((0 until 40).map(i => (run * 100 + i, (i % 2).toLong, s"r$run-$i"))
+        .toDF("id", "grp", "payload").repartition(2))
+    }
+    val before = log.snapshot()
+    assert(before.files.forall(before.partitions.contains))
+    // compaction re-stages: tuples must be re-derived for packed files
+    val sc = log.compact(targetFileBytes = Long.MaxValue).get
+    assert(sc.rows == before.rows)
+    assert(sc.files.forall(sc.partitions.contains),
+      "compacted files must carry re-derived partition tuples")
+    assert(sc.files.map(f => sc.partitions(f).head).toSet == Set("0", "1"))
+    // identity pruning after the rewrite
+    val g0 = log.readBetween("grp", 0L, 0L)
+    assert(g0.count() == 60 && g0.inputFiles.length < sc.files.size)
+    // merge by key keeps tuples for rewritten + inserted rows
+    val sm = log.mergeByKey(Seq((5, 1L, "updated"), (999, 0L, "new"))
+      .toDF("id", "grp", "payload"), "id")
+    assert(sm.files.forall(sm.partitions.contains))
+    val merged = log.read()
+      .where(org.apache.spark.sql.functions.col("id").isin(5, 999))
+      .as[(Int, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(merged == Map(5 -> "updated", 999 -> "new"))
+    assert(log.read().count() == before.rows + 1)
+  }
+
   test("schema evolution: added columns widen the read schema, type changes abort") {
     val log = SnapshotLog(spark, freshTable())
     log.append(Seq((1, "a")).toDF("id", "payload"))
