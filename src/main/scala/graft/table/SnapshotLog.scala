@@ -110,7 +110,8 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     blooms: Map[String, Map[String, String]] = Map.empty,
     fileBytes: Map[String, Long] = Map.empty,
     partitionSpec: Seq[PartitionField] = Nil,
-    partitions: Map[String, Seq[String]] = Map.empty)
+    partitions: Map[String, Seq[String]] = Map.empty,
+    sortOrder: Seq[String] = Nil)
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -213,7 +214,8 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
 final class SnapshotLog(spark: SparkSession, val tableDir: String,
     statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None,
     bloomColumns: Seq[String] = Nil,
-    partitionBy: Seq[PartitionField] = Nil) {
+    partitionBy: Seq[PartitionField] = Nil,
+    sortBy: Seq[String] = Nil) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -264,6 +266,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           s"declaring $partitionBy on it would prune unsoundly")
       base.partitionSpec
     } else partitionBy
+
+  /** The write-time sort order in force: the constructor's declaration
+    * wins (unlike the partition spec, a sort-order CHANGE is always
+    * sound — it shapes future files' internal order and stats
+    * tightness, never the interpretation of recorded metadata), else
+    * the manifest's, so spec-less writers keep clustering on write. */
+  private def sortInForce(): Seq[String] =
+    if (sortBy.nonEmpty) sortBy
+    else {
+      val v = currentVersion()
+      if (v == 0) Nil else snapshot(v).sortOrder
+    }
+
+  /** The sort order the NEXT manifest records, given its parent. */
+  private def commitSort(base: Snapshot): Seq[String] =
+    if (sortBy.nonEmpty) sortBy else base.sortOrder
 
   /** Latest committed version; 0 means no commit yet. Staged manifests
     * (`.tmp-*`) and foreign files are ignored — only a fully published
@@ -327,10 +345,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           (0 until e.getValue.size()).map(e.getValue.get(_).asText()).toSeq
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
+    val sortOrder = Option(node.get("sortOrder")).map { sn =>
+      (0 until sn.size()).map(sn.get(_).asText()).toSeq
+    }.getOrElse(Nil)
     Snapshot(node.get("version").asLong(), node.get("op").asText(),
       node.get("parent").asLong(), node.get("rows").asLong(),
       node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-      fileRows, blooms, fileBytes, partitionSpec, partitions)
+      fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder)
   }
 
   /** All retained versions, oldest first. */
@@ -639,7 +660,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.files ++ staged.files, base.stats ++ staged.stats,
         merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
         base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes,
-        commitSpec(base), base.partitions ++ staged.partitions)
+        commitSpec(base), base.partitions ++ staged.partitions,
+        commitSort(base))
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -679,7 +701,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         merged, base.txns + (appId -> batchId), base.tombstones,
         base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms,
         base.fileBytes ++ staged.fileBytes,
-        commitSpec(base), base.partitions ++ staged.partitions)
+        commitSpec(base), base.partitions ++ staged.partitions,
+        commitSort(base))
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -777,7 +800,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         (cur.fileRows -- replaced) ++ staged.fileRows,
         (cur.blooms -- replaced) ++ staged.blooms,
         (cur.fileBytes -- replaced) ++ staged.fileBytes,
-        commitSpec(cur), (cur.partitions -- replaced) ++ staged.partitions)
+        commitSpec(cur), (cur.partitions -- replaced) ++ staged.partitions,
+        commitSort(cur))
       if (tryCommit(next)) return next
       val newest = snapshot()
       val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
@@ -878,7 +902,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.fileRows -- touched) ++ stagedFileRows,
       (base.blooms -- touched) ++ stagedBlooms,
       (base.fileBytes -- touched) ++ stagedFileBytes,
-      commitSpec(base), (base.partitions -- touched) ++ stagedParts)
+      commitSpec(base), (base.partitions -- touched) ++ stagedParts,
+      commitSort(base))
     if (!tryCommit(next)) {
       stagedOpt.foreach { case (st, _, _) => discard(st) }
       throw new CommitConflictException(
@@ -985,7 +1010,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.fileRows -- touched) ++ staged.fileRows,
       (base.blooms -- touched) ++ staged.blooms,
       (base.fileBytes -- touched) ++ staged.fileBytes,
-      commitSpec(base), (base.partitions -- touched) ++ staged.partitions)
+      commitSpec(base), (base.partitions -- touched) ++ staged.partitions,
+      commitSort(base))
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -1058,7 +1084,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
       base.fileRows, base.blooms, base.fileBytes,
-      base.partitionSpec, base.partitions)
+      base.partitionSpec, base.partitions, base.sortOrder)
     if (!tryCommit(next)) {
       discard(staged)
       throw new CommitConflictException(
@@ -1087,7 +1113,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       target.rows, target.bytes, target.files, target.stats,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
       target.blooms, target.fileBytes, target.partitionSpec,
-      target.partitions)
+      target.partitions, target.sortOrder)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -1258,7 +1284,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       writeDf.observe(obs, count(lit(1)).as("rows"))) { case (d, (f, i)) =>
       d.withColumn(s"_gp$i", f.writeExpr(writeDf))
     }
-    val writer = partedDf.write.option("compression", "snappy")
+    // write-time clustering: a declared sort order arranges EVERY stage
+    // (append, compaction, merge survivors) so files land with tight,
+    // near-disjoint stats ranges — clustering as an ingest property
+    // instead of a separate maintenance pass. With a partition spec the
+    // arrangement also routes each tuple to one task (one file per
+    // tuple, not one per task×tuple) and pre-satisfies the dynamic
+    // write's partition-column ordering so no extra sort sneaks in.
+    val order = if (partitioned) sortInForce() else Nil
+    val arranged =
+      if (spec.nonEmpty)
+        partedDf.repartition(partCols.map(col): _*)
+          .sortWithinPartitions((partCols ++ order).map(col): _*)
+      else if (order.nonEmpty) partedDf.sortWithinPartitions(order.map(col): _*)
+      else partedDf
+    val writer = arranged.write.option("compression", "snappy")
       .mode("overwrite")
     (if (spec.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(scratch.toString)
@@ -1482,6 +1522,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         }
       }
     }
+    if (s.sortOrder.nonEmpty) {
+      val so = node.putArray("sortOrder")
+      s.sortOrder.foreach(so.add)
+    }
     store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
   }
 }
@@ -1532,6 +1576,17 @@ object SnapshotLog {
     * construct without it. */
   def partitioned(spark: SparkSession, tableDir: String,
       spec: Seq[PartitionField], statsColumns: Seq[String] = Nil,
-      bloomColumns: Seq[String] = Nil): SnapshotLog =
-    new SnapshotLog(spark, tableDir, statsColumns, None, bloomColumns, spec)
+      bloomColumns: Seq[String] = Nil, sortBy: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, None, bloomColumns, spec,
+      sortBy)
+
+  /** A log whose every stage (append, compaction, merge survivors)
+    * arranges rows by `sortBy` before writing — clustering as a
+    * write-time property: files land with tight stats ranges without a
+    * separate maintenance rewrite. The order persists in the manifest
+    * (spec-less writers inherit it); changing it is always sound — it
+    * shapes future files only. */
+  def sorted(spark: SparkSession, tableDir: String, sortBy: Seq[String],
+      statsColumns: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, None, Nil, Nil, sortBy)
 }

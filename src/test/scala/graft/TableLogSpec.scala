@@ -496,6 +496,44 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.read().count() == before.rows + 1)
   }
 
+  test("write-time sort order: appends land clustered; spec-less writers inherit it") {
+    val dir = freshTable()
+    val log = SnapshotLog.sorted(spark, dir, sortBy = Seq("id"),
+      statsColumns = Seq("id"))
+    val r = new scala.util.Random(7)
+    // shuffled input, 4 partitions: each FILE must come out id-sorted,
+    // so per-file [min,max] is tight without any maintenance pass
+    val s = log.append(r.shuffle((0 until 400).toList)
+      .map(i => (i, s"v$i")).toDF("id", "payload").repartition(4))
+    assert(s.sortOrder == Seq("id"))
+    assert(s.files.size == 4 && s.stats.size == 4)
+    // every file is internally sorted by id
+    s.files.foreach { f =>
+      val ids = spark.read
+        .parquet(s"$dir/${SnapshotLog.DataDirName}/$f")
+        .select("id").as[Int].collect().toSeq
+      assert(ids == ids.sorted, s"file $f must be id-sorted on write")
+    }
+    // a spec-less writer keeps clustering on write (manifest carries it)
+    val plain = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val s2 = plain.append(r.shuffle((400 until 500).toList)
+      .map(i => (i, s"v$i")).toDF("id", "payload").coalesce(1))
+    assert(s2.sortOrder == Seq("id"))
+    val newFile = s2.files.filterNot(s.files.toSet).head
+    val ids2 = spark.read
+      .parquet(s"$dir/${SnapshotLog.DataDirName}/$newFile")
+      .select("id").as[Int].collect().toSeq
+    assert(ids2 == ids2.sorted, "inherited sort order must apply")
+    // compaction output stays clustered
+    val sc = plain.compact(targetFileBytes = Long.MaxValue).get
+    assert(sc.files.size == 1)
+    val all = spark.read
+      .parquet(s"$dir/${SnapshotLog.DataDirName}/${sc.files.head}")
+      .select("id").as[Int].collect().toSeq
+    assert(all == all.sorted, "compaction must re-arrange by the declared order")
+    assert(plain.read().count() == 500)
+  }
+
   test("schema evolution: added columns widen the read schema, type changes abort") {
     val log = SnapshotLog(spark, freshTable())
     log.append(Seq((1, "a")).toDF("id", "payload"))
