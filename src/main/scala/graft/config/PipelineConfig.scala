@@ -69,7 +69,9 @@ final case class PipelineConfig(
     layout: Option[LayoutPolicy] = None,
     tableFormat: String = PipelineConfig.FormatDir,
     layoutAdvised: Boolean = false,
-    bloomColumns: Seq[String] = Nil
+    bloomColumns: Seq[String] = Nil,
+    partitionBy: Seq[graft.table.PartitionField] = Nil,
+    sortBy: Seq[String] = Nil
 ) {
   require(!(layoutAdvised && layout.isDefined),
     "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
@@ -89,6 +91,15 @@ final case class PipelineConfig(
     val unknown = bloomColumns.filterNot(known)
     require(unknown.isEmpty,
       s"bloom columns not in the declared schema: ${unknown.mkString(", ")}")
+    val badPart = partitionBy.map(_.source).filterNot(known)
+    require(badPart.isEmpty,
+      s"partition_by sources not in the declared schema: ${badPart.mkString(", ")}")
+    val badSort = sortBy.filterNot(known)
+    require(badSort.isEmpty,
+      s"sort_by columns not in the declared schema: ${badSort.mkString(", ")}")
+    require(useLog || (partitionBy.isEmpty && sortBy.isEmpty),
+      "partition_by / sort_by need table_format 'log' (the bare directory " +
+        "layer has no partition-tuple or write-order contract)")
   }
 
   /** Spark schema declared for the cataloged data object. */
@@ -210,9 +221,34 @@ object PipelineConfig {
       // columns — point-lookup file skipping (graft.table.FileBlooms)
       bloomColumns = Option(prepared.get("bloom_columns")).map(
         _.asText().split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil),
+      // optional: hidden partitioning for the log-backed prepared layer
+      // — "partition_by": "day(ts), bucket[8](user_id), region" (bare
+      // column = identity transform); "sort_by" declares write-time
+      // clustering (graft.table.SnapshotLog sortBy)
+      partitionBy = Option(prepared.get("partition_by")).map(n =>
+        parsePartitionSpec(n.asText())).getOrElse(Nil),
+      sortBy = Option(prepared.get("sort_by")).map(
+        _.asText().split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil)
     )
   }
+
+  private val TransformRe = """^(\w+(?:\[\d+\])?)\((\w+)\)$""".r
+  private val BareColRe = """^(\w+)$""".r
+
+  /** Parse `"day(ts), bucket[8](user_id), region"` into the hidden
+    * partition spec ([[graft.table.PartitionField]]); a bare column
+    * name is the identity transform. Transform validity (name, positive
+    * widths) is enforced by PartitionField's own constructor. */
+  private[config] def parsePartitionSpec(s: String): Seq[graft.table.PartitionField] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case TransformRe(t, col) => graft.table.PartitionField(col, t)
+      case BareColRe(col)      => graft.table.PartitionField(col, "identity")
+      case other => throw new IllegalArgumentException(
+        s"cannot parse partition_by entry '$other' " +
+          "(expect transform(column) or a bare column name)")
+    }
 
   def load(path: Path): PipelineConfig = parse(Files.readString(path))
 
@@ -248,6 +284,11 @@ object PipelineConfig {
     if (c.layoutAdvised) prep.put("layout_mode", "advised")
     if (c.bloomColumns.nonEmpty)
       prep.put("bloom_columns", c.bloomColumns.mkString(","))
+    if (c.partitionBy.nonEmpty)
+      prep.put("partition_by", c.partitionBy.map(f =>
+        if (f.transform == "identity") f.source
+        else s"${f.transform}(${f.source})").mkString(", "))
+    if (c.sortBy.nonEmpty) prep.put("sort_by", c.sortBy.mkString(","))
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

@@ -73,8 +73,13 @@ final case class PartitionField(source: String, transform: String) {
       case Day => dt match {
         // timestamp→double is the seconds-with-fraction cast; floor
         // handles pre-epoch instants correctly (toward -inf)
-        case TimestampType | TimestampNTZType =>
+        case TimestampType =>
           floor(c.cast("double") / 86400d).cast("long").cast("string")
+        case TimestampNTZType =>
+          // NTZ refuses the double cast; its date IS its epoch day
+          // (timezone-less, matching ColRange.num's UTC reading)
+          datediff(c.cast("date"), to_date(lit("1970-01-01")))
+            .cast("long").cast("string")
         case DateType =>
           datediff(c, to_date(lit("1970-01-01"))).cast("long").cast("string")
         case other => throw new IllegalArgumentException(

@@ -27,7 +27,10 @@ object PreparedTable {
       extraStatsColumns: Seq[String] = Nil): SnapshotLog =
     new SnapshotLog(spark, cfg.preparedPath,
       (cfg.statsColumns ++ extraStatsColumns).distinct, None,
-      (cfg.bloomColumns ++ extraBloomColumns).distinct)
+      (cfg.bloomColumns ++ extraBloomColumns).distinct,
+      // declared hidden partitioning + write-time clustering: every
+      // promotion (and every maintenance rewrite) routes through them
+      cfg.partitionBy, cfg.sortBy)
 
   /** Read the prepared table under the configured format: ONE manifest
     * GET for log tables (no directory listing, schema from the

@@ -126,6 +126,14 @@ final case class Tombstone(file: String, column: String, appliesTo: Seq[String])
   * the committed op and the files this version added over its parent. */
 final case class VersionDelta(version: Long, op: String, addedFiles: Seq[String])
 
+/** One data file's metadata row inside a manifest SEGMENT — the unit
+  * the segmented-manifest layout ([[SnapshotLog]] past
+  * `InlineFileLimit` files) stores per-file state in. Immutable once
+  * written; -1 marks an unrecorded rows/bytes value. */
+private[table] final case class SegmentEntry(file: String, rows: Long,
+    bytes: Long, stats: Map[String, ColRange], blooms: Map[String, String],
+    partition: Seq[String])
+
 /** A commit lost the optimistic-concurrency race and cannot be safely
   * retried at this layer (rewrites — the table changed under the job).
   * Appends retry internally and only throw after exhausting attempts. */
@@ -237,6 +245,96 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   private def manifestName(v: Long) = f"v$v%020d.json"
 
+  /** Parsed, immutable manifest SEGMENTS ([[writeSegment]]), cached for
+    * the life of this handle — a segment file never changes once
+    * written, so one GET per segment per process is the steady state. */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[SegmentEntry]]()
+
+  /** version → its manifest's segment-name list (Nil for inline
+    * manifests), populated on parse so the commit diff never re-reads
+    * the parent manifest it just loaded. */
+  private val segNamesCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+
+  /** The segment-name list of `v`'s manifest (Nil when inline or
+    * uncommitted). Falls back to a manifest read on cache miss — e.g.
+    * a commit racing through a different handle. */
+  private def segNamesOf(v: Long): Seq[String] =
+    if (v <= 0) Nil
+    else Option(segNamesCache.get(v)).getOrElse {
+      store.get(manifestName(v)).map { bytes =>
+        val node = mapper.readTree(bytes)
+        val names = Option(node.get("segments")).map { sn =>
+          (0 until sn.size()).map(sn.get(_).asText()).toSeq
+        }.getOrElse(Nil)
+        segNamesCache.put(v, names)
+        names
+      }.getOrElse(Nil)
+    }
+
+  /** Load one segment's entries (cached — segments are immutable). */
+  private def segEntries(name: String): Seq[SegmentEntry] =
+    segCache.computeIfAbsent(name, _ => {
+      val bytes = store.get(name).getOrElse(throw new IllegalStateException(
+        s"manifest segment $name of $tableDir is missing (vacuumed early?)"))
+      val node = mapper.readTree(bytes)
+      val en = node.get("entries")
+      (0 until en.size()).map { i =>
+        val e = en.get(i)
+        val stats = Option(e.get("stats")).map { sn =>
+          sn.properties().asScala.map { ce =>
+            ce.getKey -> ColRange(ce.getValue.get("n").asBoolean(),
+              ce.getValue.get("lo").asText(), ce.getValue.get("hi").asText(),
+              Option(ce.getValue.get("z")).map(_.asLong()).getOrElse(-1L))
+          }.toMap
+        }.getOrElse(Map.empty[String, ColRange])
+        val blooms = Option(e.get("bloom")).map { bn =>
+          bn.properties().asScala.map(ce => ce.getKey -> ce.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String])
+        val part = Option(e.get("part")).map { pn =>
+          (0 until pn.size()).map(pn.get(_).asText()).toSeq
+        }.getOrElse(Nil)
+        SegmentEntry(e.get("f").asText(),
+          Option(e.get("r")).map(_.asLong()).getOrElse(-1L),
+          Option(e.get("b")).map(_.asLong()).getOrElse(-1L),
+          stats, blooms, part)
+      }.toSeq
+    })
+
+  /** Write the per-file metadata of `files` (drawn from snapshot `s`'s
+    * maps) as one immutable segment; returns its store name. */
+  private def writeSegment(s: Snapshot, files: Seq[String]): String = {
+    val name = s"seg-${UUID.randomUUID().toString.take(12)}.json"
+    val node = mapper.createObjectNode()
+    val en = node.putArray("entries")
+    files.foreach { f =>
+      val e = en.addObject()
+      e.put("f", f)
+      s.fileRows.get(f).foreach(r => e.put("r", r))
+      s.fileBytes.get(f).foreach(b => e.put("b", b))
+      s.stats.get(f).filter(_.nonEmpty).foreach { cols =>
+        val sn = e.putObject("stats")
+        cols.foreach { case (c, cr) =>
+          val cn = sn.putObject(c)
+          cn.put("n", cr.numeric).put("lo", cr.lo).put("hi", cr.hi)
+          if (cr.nulls >= 0) cn.put("z", cr.nulls)
+        }
+      }
+      s.blooms.get(f).filter(_.nonEmpty).foreach { cols =>
+        val bn = e.putObject("bloom")
+        cols.foreach { case (c, b64) => bn.put(c, b64) }
+      }
+      s.partitions.get(f).filter(_.nonEmpty).foreach { vs =>
+        val pa = e.putArray("part")
+        vs.foreach(pa.add)
+      }
+    }
+    if (!store.putIfAbsent(name, mapper.writeValueAsBytes(node)))
+      throw new IllegalStateException(s"segment name collision: $name")
+    name
+  }
+
   /** The partition spec in force for the next write: an existing
     * table's MANIFEST spec is authoritative — hidden partitioning means
     * a reader/writer constructed WITHOUT the spec still partitions and
@@ -300,8 +398,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       throw new IllegalArgumentException(
         s"version $v of $tableDir is missing (vacuumed?)"))
     val node = mapper.readTree(bytes)
-    val files = (0 until node.get("files").size())
-      .map(node.get("files").get(_).asText())
+    // absent in SEGMENTED manifests — the file list lives in segments
+    val files = Option(node.get("files")).map(fn =>
+      (0 until fn.size()).map(fn.get(_).asText())).getOrElse(Seq.empty)
     val stats = Option(node.get("stats")).map { sn =>
       sn.properties().asScala.map { e =>
         e.getKey -> e.getValue.properties().asScala.map { ce =>
@@ -348,10 +447,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val sortOrder = Option(node.get("sortOrder")).map { sn =>
       (0 until sn.size()).map(sn.get(_).asText()).toSeq
     }.getOrElse(Nil)
-    Snapshot(node.get("version").asLong(), node.get("op").asText(),
-      node.get("parent").asLong(), node.get("rows").asLong(),
-      node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-      fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder)
+    val segNames = Option(node.get("segments")).map { sn =>
+      (0 until sn.size()).map(sn.get(_).asText()).toSeq
+    }.getOrElse(Nil)
+    segNamesCache.put(v, segNames)
+    if (segNames.isEmpty)
+      Snapshot(node.get("version").asLong(), node.get("op").asText(),
+        node.get("parent").asLong(), node.get("rows").asLong(),
+        node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
+        fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder)
+    else {
+      // segmented manifest: the per-file plane lives in immutable
+      // segment files (cached); the manifest itself is O(segments)
+      val entries = segNames.flatMap(segEntries)
+      Snapshot(node.get("version").asLong(), node.get("op").asText(),
+        node.get("parent").asLong(), node.get("rows").asLong(),
+        node.get("bytes").asLong(),
+        entries.map(_.file),
+        entries.collect { case e if e.stats.nonEmpty => e.file -> e.stats }.toMap,
+        schemaJson, txns, tombstones,
+        entries.collect { case e if e.rows >= 0 => e.file -> e.rows }.toMap,
+        entries.collect { case e if e.blooms.nonEmpty => e.file -> e.blooms }.toMap,
+        entries.collect { case e if e.bytes >= 0 => e.file -> e.bytes }.toMap,
+        partitionSpec,
+        entries.collect { case e if e.partition.nonEmpty => e.file -> e.partition }.toMap,
+        sortOrder)
+    }
   }
 
   /** All retained versions, oldest first. */
@@ -1208,6 +1329,25 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           d.getModificationTime < cutoff)
         fs.delete(d.getPath, true)
     }
+    // segment GC: a segment is live iff a RETAINED manifest lists it;
+    // orphans come from expired versions, lost CAS races, and
+    // consolidation. The mtime grace protects a commit in flight
+    // (segments are written BEFORE the manifest CAS publishes them) —
+    // same rule as staged data files. FS-backed stores only: an
+    // object-store deployment GCs by the store's own listing+age.
+    if (store0.isEmpty && fs.exists(logDir)) {
+      val liveSegs = (keepFrom to cur)
+        .filter(v => store.exists(manifestName(v)))
+        .flatMap(segNamesOf).toSet
+      fs.listStatus(logDir).foreach { f =>
+        val n = f.getPath.getName
+        if (f.isFile && n.startsWith("seg-") && !liveSegs(n) &&
+            f.getModificationTime < cutoff) {
+          fs.delete(f.getPath, false)
+          segCache.remove(n)
+        }
+      }
+    }
     deleted
   }
 
@@ -1463,7 +1603,78 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     staged.files.foreach(f => fs.delete(new Path(dataDir, f), false))
 
   /** Publish `s` at its version slot; false iff the slot was taken. */
-  private def tryCommit(s: Snapshot): Boolean = {
+  /** Publish `s` at its version slot. Two manifest layouts, chosen by
+    * live-file count: INLINE (per-file stats/blooms/rows/bytes/tuples in
+    * the manifest itself — one GET plans everything, the right shape for
+    * small tables) and SEGMENTED past [[SnapshotLog.InlineFileLimit]]
+    * files — the per-file plane moves to immutable `seg-*.json` files;
+    * a commit REUSES every parent segment whose files all survive and
+    * writes ONE new segment for the rest, so an append's metadata write
+    * is O(new files), not O(table). At 100 TB (~10⁵ files) this is the
+    * difference between every commit re-serializing gigabytes of
+    * manifest and a constant-sized commit — the manifest-list design of
+    * production table formats, implemented rather than named. Segments
+    * are cached after first read (immutable), so repeated planning costs
+    * one manifest GET + cache hits; the list is bounded by
+    * [[SnapshotLog.MaxManifestSegments]] via consolidation commits.
+    * Orphan segments from lost CAS races are garbage that [[vacuum]]
+    * sweeps. */
+  private def tryCommit(s: Snapshot): Boolean =
+    if (s.files.size <= InlineFileLimit) tryCommitInline(s)
+    else {
+      val nextFiles = s.files.toSet
+      val parentSegs = segNamesOf(s.parent)
+      val kept0 = parentSegs.filter(seg =>
+        segEntries(seg).forall(e => nextFiles(e.file)))
+      // consolidation: a growing segment list would make planning
+      // O(appends); fold everything into one segment past the cap
+      val kept = if (kept0.size >= MaxManifestSegments) Nil else kept0
+      val covered = kept.flatMap(segEntries).map(_.file).toSet
+      val fresh = s.files.filterNot(covered)
+      val segs = kept ++
+        (if (fresh.nonEmpty) Seq(writeSegment(s, fresh)) else Nil)
+      val node = manifestCommon(s)
+      val sa = node.putArray("segments")
+      segs.foreach(sa.add)
+      val ok = store.putIfAbsent(manifestName(s.version),
+        mapper.writeValueAsBytes(node))
+      if (ok) segNamesCache.put(s.version, segs)
+      ok
+    }
+
+  /** The layout-independent manifest fields. */
+  private def manifestCommon(s: Snapshot): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val node = mapper.createObjectNode()
+    node.put("version", s.version).put("op", s.op).put("parent", s.parent)
+      .put("rows", s.rows).put("bytes", s.bytes)
+    if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
+    if (s.txns.nonEmpty) {
+      val tn = node.putObject("txns")
+      s.txns.foreach { case (a, b) => tn.put(a, b) }
+    }
+    if (s.tombstones.nonEmpty) {
+      val ta = node.putArray("tombstones")
+      s.tombstones.foreach { t =>
+        val tn = ta.addObject()
+        tn.put("file", t.file).put("column", t.column)
+        val ap = tn.putArray("applies")
+        t.appliesTo.foreach(ap.add)
+      }
+    }
+    if (s.partitionSpec.nonEmpty) {
+      val pa = node.putArray("partitionSpec")
+      s.partitionSpec.foreach { f =>
+        pa.addObject().put("src", f.source).put("t", f.transform)
+      }
+    }
+    if (s.sortOrder.nonEmpty) {
+      val so = node.putArray("sortOrder")
+      s.sortOrder.foreach(so.add)
+    }
+    node
+  }
+
+  private def tryCommitInline(s: Snapshot): Boolean = {
     val node = mapper.createObjectNode()
     node.put("version", s.version).put("op", s.op).put("parent", s.parent)
       .put("rows", s.rows).put("bytes", s.bytes)
@@ -1543,6 +1754,18 @@ object SnapshotLog {
     * little. */
   val MergeRouteKeyCap = 100000L
   private val ManifestName = """v(\d{20})\.json""".r
+
+  /** Live-file count above which manifests go SEGMENTED: the per-file
+    * metadata plane moves to immutable `seg-*.json` files reused across
+    * commits, making an append's metadata write O(new files) instead of
+    * O(table). Below it the manifest stays inline — one GET plans
+    * everything, the right trade for small tables. */
+  val InlineFileLimit = 64
+
+  /** Segment-list cap: a commit that would carry this many segments
+    * consolidates them into one instead — keeps planning O(1) GETs
+    * (amortized by the segment cache) and bounds manifest size. */
+  val MaxManifestSegments = 32
 
   /** Output-file count that bin-packs `bytes` into ~`targetFileBytes`
     * files — the one sizing rule every layout/compaction job shares. */

@@ -84,6 +84,33 @@ class ConfigSpec extends AnyFunSuite {
       "\"preparedBucket\": \"/tmp/prepared\", \"bloom_columns\": \"nope\"")))
   }
 
+  test("partition_by / sort_by: parse, round-trip, validate; log format required") {
+    val withPart = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"table_format\": \"log\", " +
+        "\"partition_by\": \"day(ts), bucket[8](id), name\", \"sort_by\": \"id\"")
+    val c = PipelineConfig.parse(withPart)
+    assert(c.partitionBy == Seq(
+      graft.table.PartitionField.day("ts"),
+      graft.table.PartitionField.bucket("id", 8),
+      graft.table.PartitionField.identity("name")))
+    assert(c.sortBy == Seq("id"))
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // unknown source column / unknown transform fail fast at parse time
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"table_format\": \"log\", " +
+        "\"partition_by\": \"day(nope)\"")))
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"table_format\": \"log\", " +
+        "\"partition_by\": \"week(ts)\"")))
+    // the bare-directory layer has no partition-tuple contract
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"partition_by\": \"day(ts)\"")))
+  }
+
   test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
     import graft.config.LayoutPolicy
     val withLayout = refShaped.replace(

@@ -237,6 +237,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
   }
 
+  test("partitioned prepared layer: promotions route through the declared transforms") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-part-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog,
+      partitionBy = Seq(graft.table.PartitionField.day("l_shipdate")),
+      sortBy = Seq("l_orderkey"))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    (1 to 2).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    Orchestrator.drain(spark, cfg, ledger)
+    val log = graft.table.PreparedTable.log(spark, cfg)
+    val s = log.snapshot()
+    assert(s.partitionSpec == cfg.partitionBy && s.sortOrder == Seq("l_orderkey"))
+    assert(s.files.nonEmpty && s.files.forall(s.partitions.contains),
+      "every promoted file must carry its day tuple")
+    assert(log.read().count() == 2 * fixtureRows(spark))
+    // hidden pruning on the SOURCE column: one shipdate day opens a
+    // strict subset of files, result identical to the residual filter
+    val days = s.files.map(f => s.partitions(f).head).distinct.sorted
+    assert(days.size > 1, "fixture spans multiple ship days")
+    val d = days(days.size / 2).toLong
+    val lo = java.time.Instant.ofEpochSecond(d * 86400L)
+    val hi = java.time.Instant.ofEpochSecond((d + 1) * 86400L - 1, 999999000L)
+    val pruned = log.readWhere(("l_shipdate", lo, hi))
+    assert(pruned.inputFiles.length < s.files.size)
+    assert(pruned.count() > 0 && pruned.count() ==
+      log.read().where(org.apache.spark.sql.functions.col("l_shipdate")
+        .between(org.apache.spark.sql.functions.lit(lo),
+          org.apache.spark.sql.functions.lit(hi))).count())
+  }
+
   test("log-backed prepared layer: a downstream stream sees each promoted run exactly once") {
     // the training-job consumer shape: promotions land as log versions,
     // and a checkpointed streaming query over the prepared table's

@@ -496,6 +496,87 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.read().count() == before.rows + 1)
   }
 
+  test("partition evolution: a spec added to an unpartitioned table never prunes old files") {
+    val dir = freshTable()
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00")
+    val plain = SnapshotLog(spark, dir)
+    plain.append((0 until 60).map(i => (ts(10 + i % 3), s"old-$i"))
+      .toDF("ts", "payload").coalesce(2))
+    // evolution: later writers declare day(ts); the spec persists
+    val parted = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.day("ts")))
+    val s2 = parted.append((0 until 60).map(i => (ts(11 + i % 3), s"new-$i"))
+      .toDF("ts", "payload"))
+    assert(s2.partitionSpec.map(_.transform) == Seq("day"))
+    val oldFiles = plain.snapshot(1).files.toSet
+    assert(oldFiles.forall(f => !s2.partitions.contains(f)),
+      "pre-spec files carry no tuple")
+    // a day-11 read keeps EVERY old file (absence never prunes) plus
+    // exactly the new day-11 file; day-13 keeps old files + day-13 only
+    val day11 = parted.readBetween("ts",
+      java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-03-11 23:59:59"))
+    assert(day11.count() == 20 + 20, "old day-11 rows + new day-11 rows")
+    val opened = day11.inputFiles.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(oldFiles.subsetOf(opened), "unsound to prune a tuple-less file")
+    assert((opened -- oldFiles).size == 1, "exactly one new-day file may open")
+    // and correctness equals the unpruned filter
+    val full = parted.read().where(
+      org.apache.spark.sql.functions.col("ts").between(
+        org.apache.spark.sql.functions.lit("2024-03-11 00:00:00"),
+        org.apache.spark.sql.functions.lit("2024-03-11 23:59:59"))).count()
+    assert(day11.count() == full)
+  }
+
+  test("segmented manifests past the inline limit: appends reuse segments, reads identical, vacuum GCs") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    // 5 appends × 20 files: crosses InlineFileLimit (64) at append 4
+    (0 until 5).foreach { run =>
+      log.append((0 until 200).map(i => (run * 1000 + i, s"r$run-$i"))
+        .toDF("id", "payload").repartition(20))
+    }
+    val logDir = new java.io.File(dir, SnapshotLog.LogDirName)
+    def segsOf(v: Int): Seq[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        logDir.toPath.resolve(f"v$v%020d.json")))
+      "seg-[0-9a-f-]+\\.json".r.findAllIn(txt).toSeq
+    }
+    assert(segsOf(3).isEmpty, "60 files stay inline")
+    assert(segsOf(4).size == 1, "first segmented commit folds all 80 files into one segment")
+    assert(segsOf(5).size == 2 && segsOf(5).contains(segsOf(4).head),
+      "append 5 must REUSE the parent segment and add one for its 20 new files")
+    // the manifest itself stopped growing with the table: it lists
+    // segment names, not per-file metadata
+    val inline60 = logDir.toPath.resolve(f"v${3}%020d.json").toFile.length()
+    val seg100 = logDir.toPath.resolve(f"v${5}%020d.json").toFile.length()
+    assert(seg100 < inline60 / 4,
+      s"segmented manifest ($seg100 B) must be far smaller than the 60-file inline one ($inline60 B)")
+    // the materialized snapshot is complete: stats/rows for all 100 files
+    val s = log.snapshot()
+    assert(s.files.size == 100 && s.stats.size == 100 && s.fileRows.size == 100)
+    // reads and pruning work identically from segment-held stats
+    assert(log.read().count() == 1000)
+    assert(log.readBetween("id", 0, 199).count() == 200)
+    assert(log.countRows() == 1000)
+    // time travel across the layout switch
+    assert(log.read(2).count() == 400)
+    assert(log.read(5).count() == 1000)
+    // a fresh handle (cold caches) assembles the same snapshot
+    val cold = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    assert(cold.snapshot().files.toSet == s.files.toSet)
+    assert(cold.read().count() == 1000)
+    // compaction shrinks below the limit -> back to inline; vacuum then
+    // sweeps every now-unreferenced segment (grace 0 for the test)
+    val sc = log.compact(targetFileBytes = Long.MaxValue).get
+    assert(sc.files.size == 1 && segsOf(6).isEmpty)
+    assert(log.read().count() == 1000)
+    log.vacuum(keepLast = 1, graceMs = 0L)
+    assert(!logDir.listFiles().exists(_.getName.startsWith("seg-")),
+      "no retained manifest references a segment; all must be swept")
+    assert(log.read().count() == 1000)
+  }
+
   test("write-time sort order: appends land clustered; spec-less writers inherit it") {
     val dir = freshTable()
     val log = SnapshotLog.sorted(spark, dir, sortBy = Seq("id"),
