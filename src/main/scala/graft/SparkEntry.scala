@@ -111,6 +111,7 @@ object SparkEntry {
     "ev_user_profile_stateful" -> (graft.streaming.UserProfiles.evUserProfile _), // oracle: order-insensitive profile fields == batch GROUP BY
     "ev_stream_dedup" -> (graft.streaming.EventStreams.evStreamDedup _), // oracle: doubled stream deduped == batch COUNT(DISTINCT)
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
+    "ev_stream_enrich" -> (graft.streaming.EventStreams.evStreamEnrich _), // oracle: stream-static broadcast enrich == batch CASE join
     "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
     "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
     // §7.3-4 dedup family
@@ -233,6 +234,7 @@ object SparkEntry {
     "ev_user_profile_stateful" -> graft.streaming.UserProfiles.evUserProfileOracle,
     "ev_stream_dedup" -> graft.streaming.EventStreams.evStreamDedupOracle,
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
+    "ev_stream_enrich" -> graft.streaming.EventStreams.evStreamEnrichOracle,
     "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
     "mv_incremental" -> graft.table.DerivedAggregate.mvIncrementalOracle,
     "dd_exact" -> Dedup.ddExactOracle,

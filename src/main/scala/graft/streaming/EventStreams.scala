@@ -129,6 +129,67 @@ object EventStreams {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Stream-STATIC enrichment join — the third join shape beside
+    * stream-stream ([[attributionJoinStream]]) and batch: the event
+    * stream joins a static per-user dimension (tier), then aggregates
+    * per (tier, event_type).
+    *
+    * Scale notes: a stream-static join is STATELESS on the join itself —
+    * no watermark bookkeeping, no join state store; only the downstream
+    * aggregate holds state (one row per group). The static side is
+    * re-planned per micro-batch (how Spark picks up dim-table updates)
+    * and broadcast here — the standard enrich shape at any scale while
+    * the dimension fits an executor; a corpus-sized dimension flips to a
+    * shuffle join on the stream side only. The dimension is derived
+    * deterministically from the same fixture (user_id mod 3 → tier) so
+    * the batch oracle reproduces it exactly. */
+  def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val dim = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id")).distinct()
+      .withColumn("tier",
+        when(col("user_id") % 3 === 0, "gold")
+          .when(col("user_id") % 3 === 1, "silver")
+          .otherwise("bronze"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .transform(graft.ops.Relational.normalizeEventTs)
+    stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+  }
+
+  /** Graded entry: per-(tier, type) totals of the enriched stream.
+    * Complete mode for bounded-backlog parity (see [[runToMemory]]).
+    * Oracle: the same enrichment as a batch CASE + aggregate. */
+  def evStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = "ev_stream_enrich_sink"
+    spark.catalog.dropTempView(name)
+    withStreamShuffle(spark) {
+      val q = enrichedStream(spark, dir).writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name).orderBy(col("tier"), col("event_type"))
+  }
+
+  def evStreamEnrichOracle: String =
+    """SELECT CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'gold'
+      |            WHEN 1 THEN 'silver' ELSE 'bronze' END AS tier,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** STREAM-STREAM interval join: views joined to the same user's clicks
     * landing within 10 minutes after the view — the attribution join of
     * an event pipeline, run as two live streams.

@@ -1419,7 +1419,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // every file untouched, and the directory values become the
     // manifest's per-file partition tuples. One file holds exactly one
     // tuple by construction of the dynamic-partition write.
-    val partCols = spec.zipWithIndex.map { case (f, i) => s"_gp$i" }
+    val partCols = spec.indices.map(i => s"_gp$i")
     val partedDf = spec.zipWithIndex.foldLeft(
       writeDf.observe(obs, count(lit(1)).as("rows"))) { case (d, (f, i)) =>
       d.withColumn(s"_gp$i", f.writeExpr(writeDf))
@@ -1504,16 +1504,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def unescapePathValue(s: String): String =
     if (!s.contains('%')) s
     else {
-      val out = new java.io.ByteArrayOutputStream(s.length)
+      def hexAt(i: Int): Boolean = i + 3 <= s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0
+      val sb = new StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 3 <= s.length) {
-          out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
-          i += 3
-        } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+        if (s.charAt(i) == '%' && hexAt(i)) {
+          // a RUN of %xx escapes decodes as one UTF-8 byte sequence —
+          // decoding each byte separately would mangle multi-byte chars
+          val bytes = new java.io.ByteArrayOutputStream(4)
+          while (i < s.length && s.charAt(i) == '%' && hexAt(i)) {
+            bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+            i += 3
+          }
+          sb.append(new String(bytes.toByteArray, "UTF-8"))
+        } else { sb.append(s.charAt(i)); i += 1 }
       }
-      new String(out.toByteArray, "UTF-8")
+      sb.toString
     }
 
   /** Per-file footer metadata, one open: the exact row count (sum of

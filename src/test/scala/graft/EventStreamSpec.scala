@@ -57,6 +57,25 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrich join == batch CASE-join aggregate") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.Sf0001
+    val streamed = EventStreams.evStreamEnrich(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Relational.events(spark, dir)
+      .withColumn("tier",
+        when(col("user_id") % 3 === 0, "gold")
+          .when(col("user_id") % 3 === 1, "silver")
+          .otherwise("bronze"))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(28,6)")).cast("double").as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "stream-static enrichment must equal the batch twin exactly")
+  }
+
   test("transformWithState profiles == batch per-user aggregates") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
