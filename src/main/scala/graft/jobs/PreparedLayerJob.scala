@@ -48,10 +48,16 @@ object PreparedLayerJob {
         // on its run id — a drain that crashed between this commit and
         // the ledger append below cannot re-append the run on rerun
         // (the txn watermark detects the replay); the bare directory
-        // only gets at-least-once from the ledger's pending scan
-        graft.table.PreparedTable.log(spark, cfg)
-          .appendRun(df, runTxnKey(rawRecord.partition_key))
-        df.count() // footer-metadata count of the promoted run
+        // only gets at-least-once from the ledger's pending scan.
+        // The committed snapshot already carries the exact staged row
+        // count (its Observation rode the write) — no counting job; a
+        // detected replay appended nothing and reports 0
+        val log = graft.table.PreparedTable.log(spark, cfg)
+        log.appendRun(df, runTxnKey(rawRecord.partition_key)) match {
+          case Some(s) =>
+            if (s.parent == 0) s.rows else s.rows - log.snapshot(s.parent).rows
+          case None => 0L
+        }
       case None =>
         df.write
           .option("compression", "snappy")

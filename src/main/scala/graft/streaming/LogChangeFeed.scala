@@ -50,7 +50,10 @@ import org.apache.spark.sql.types.StructType
 final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     skipChangeCommits: Boolean) extends Source {
 
-  private def log = SnapshotLog(spark, tableDir)
+  // ONE handle for the source's lifetime: the segment/manifest caches
+  // live on the handle, and a per-poll `def` would re-GET and re-parse
+  // every manifest segment on each trigger of a segmented table
+  private val log = SnapshotLog(spark, tableDir)
 
   /** Commits that can remove rows a consumer already received — a gap
     * in an insert-only feed. `restore` belongs here: rolling back past

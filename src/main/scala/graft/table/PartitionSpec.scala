@@ -116,7 +116,7 @@ final case class PartitionField(source: String, transform: String) {
       }
       case Day =>
         val d = BigDecimal(v)
-        d >= epochDay(ColRange.num(lo)) && d <= epochDay(ColRange.num(hi))
+        d >= epochDay(boundMicros(lo)) && d <= epochDay(boundMicros(hi))
       case Bucket =>
         // only a point predicate pins a bucket; ranges keep every file
         !sameKey(lo, hi) || dt.forall(t => BigDecimal(v) == bucketOf(lo, t))
@@ -155,10 +155,13 @@ final case class PartitionField(source: String, transform: String) {
         case _ => false
       }
       case Day =>
-        // all instants of day d: [d·86400e6, (d+1)·86400e6) micros
+        // all instants of day d: [d·86400e6, (d+1)·86400e6) micros.
+        // Conservative by one day for DATE-typed columns (whose values
+        // are exactly midnight) — a missed metadata drop, never a wrong
+        // row.
         val d = BigDecimal(v)
-        ColRange.num(lo) <= d * MicrosPerDay &&
-          (d + 1) * MicrosPerDay - 1 <= ColRange.num(hi)
+        boundMicros(lo) <= d * MicrosPerDay &&
+          (d + 1) * MicrosPerDay - 1 <= boundMicros(hi)
       case Bucket => false   // a hash bucket never aligns with a range
       case Truncate => dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -200,10 +203,24 @@ object PartitionField {
   private val Truncate = "truncate"
   private val MicrosPerDay = BigDecimal(86400000000L)
 
-  /** Epoch day of a time bound already normalized to micros by
-    * [[ColRange.num]] — floor division, correct for pre-epoch instants. */
+  /** Epoch day of a time bound already normalized to micros — floor
+    * division, correct for pre-epoch instants. */
   private def epochDay(micros: BigDecimal): BigDecimal =
     (micros / MicrosPerDay).setScale(0, BigDecimal.RoundingMode.FLOOR)
+
+  /** A time bound as epoch MICROS regardless of its type. CRITICAL:
+    * [[ColRange.num]] returns epoch DAYS for date-typed values (the
+    * unit DATE footer stats are recorded in) — feeding that to
+    * [[epochDay]] would divide days by micros-per-day and collapse
+    * every date bound to day 0, silently pruning matching files. A
+    * date bound converts as its midnight instant, exactly how Spark's
+    * residual `BETWEEN` casts date literals against a timestamp
+    * column. */
+  private def boundMicros(a: Any): BigDecimal = a match {
+    case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay) * MicrosPerDay
+    case d: java.time.LocalDate => BigDecimal(d.toEpochDay) * MicrosPerDay
+    case other                  => ColRange.num(other)
+  }
 
   /** The directory value Spark writes for a NULL partition expression. */
   private[table] val NullPartition = "__HIVE_DEFAULT_PARTITION__"

@@ -335,28 +335,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     name
   }
 
-  /** The partition spec in force for the next write: an existing
-    * table's MANIFEST spec is authoritative — hidden partitioning means
-    * a reader/writer constructed WITHOUT the spec still partitions and
-    * prunes correctly — and the constructor's spec applies from the
-    * first commit. Declaring a spec that CONTRADICTS the manifest's is
-    * a hard error (a spec change would reinterpret recorded tuples
-    * unsoundly); adding a spec to a previously unpartitioned table is
-    * sound evolution — pre-spec files carry no tuple and are simply
-    * never pruned. */
-  private def specInForce(): Seq[PartitionField] = {
-    val v = currentVersion()
-    val committed = if (v == 0) Nil else snapshot(v).partitionSpec
-    if (committed.isEmpty) partitionBy
-    else {
-      require(partitionBy.isEmpty || partitionBy == committed,
-        s"$tableDir is partitioned by $committed; a SnapshotLog declaring " +
-          s"$partitionBy on it would prune unsoundly")
-      committed
-    }
-  }
-
-  /** The spec the NEXT manifest records, given its parent. */
+  /** The partition spec the NEXT manifest records, given its parent: an
+    * existing table's MANIFEST spec is authoritative — hidden
+    * partitioning means a reader/writer constructed WITHOUT the spec
+    * still partitions and prunes correctly — and the constructor's spec
+    * applies from the first commit. Declaring a spec that CONTRADICTS
+    * the manifest's is a hard error (a spec change would reinterpret
+    * recorded tuples unsoundly); adding a spec to a previously
+    * unpartitioned table is sound evolution — pre-spec files carry no
+    * tuple and are simply never pruned. */
   private def commitSpec(base: Snapshot): Seq[PartitionField] =
     if (base.partitionSpec.nonEmpty) {
       require(partitionBy.isEmpty || partitionBy == base.partitionSpec,
@@ -365,19 +352,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.partitionSpec
     } else partitionBy
 
-  /** The write-time sort order in force: the constructor's declaration
-    * wins (unlike the partition spec, a sort-order CHANGE is always
-    * sound — it shapes future files' internal order and stats
-    * tightness, never the interpretation of recorded metadata), else
-    * the manifest's, so spec-less writers keep clustering on write. */
-  private def sortInForce(): Seq[String] =
-    if (sortBy.nonEmpty) sortBy
-    else {
-      val v = currentVersion()
-      if (v == 0) Nil else snapshot(v).sortOrder
-    }
-
-  /** The sort order the NEXT manifest records, given its parent. */
+  /** The sort order the NEXT manifest records, given its parent: the
+    * constructor's declaration wins (unlike the partition spec, a
+    * sort-order CHANGE is always sound — it shapes future files'
+    * internal order and stats tightness, never the interpretation of
+    * recorded metadata), else the manifest's, so spec-less writers keep
+    * clustering on write. */
   private def commitSort(base: Snapshot): Seq[String] =
     if (sortBy.nonEmpty) sortBy else base.sortOrder
 
@@ -700,10 +680,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val to = if (toVersion < 0) currentVersion() else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"changes needs 0 <= from <= to, got [$fromVersion, $to]")
+    // thread each iteration's snapshot forward as the next version's
+    // parent — N+1 manifest parses for an N-version walk, not 2N (the
+    // feed is read version-by-version by LogMirror/DerivedAggregate, so
+    // the doubling would land on every incremental consumer)
+    var prev: Option[Snapshot] = None
     ((fromVersion + 1) to to).map { v =>
       val s = snapshot(v)
       val parentFiles =
-        if (s.parent == 0) Set.empty[String] else snapshot(s.parent).files.toSet
+        if (s.parent == 0) Set.empty[String]
+        else prev.filter(_.version == s.parent).getOrElse(snapshot(s.parent))
+          .files.toSet
+      prev = Some(s)
       VersionDelta(v, s.op, s.files.filterNot(parentFiles))
     }
   }
@@ -800,9 +788,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * {{{ ds.writeStream.foreachBatch(log.streamSink("ingest")).start() }}} */
   def appendStream(df: DataFrame, appId: String, batchId: Long): Option[Snapshot] = {
     val cur = currentVersion()
-    if (cur > 0 && snapshot(cur).txns.get(appId).exists(_ >= batchId))
+    val pre = if (cur > 0) Some(snapshot(cur)) else None
+    if (pre.exists(_.txns.get(appId).exists(_ >= batchId)))
       return None // replay detected before staging any data
-    val staged = stage(df)
+    val staged = stage(df, base = pre)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val parent = currentVersion()
@@ -866,7 +855,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // are pending), not the physical manifest total
     val expectedRows =
       if (base.tombstones.isEmpty) base.rows else read(base.version).count()
-    val staged = stage(transform(read(base.version)))
+    val staged = stage(transform(read(base.version)), base = Some(base))
     if (staged.rows != expectedRows) {
       discard(staged)
       throw new IllegalStateException(
@@ -1003,7 +992,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           if (rewriteSet.forall(base.fileRows.contains))
             rewriteSet.map(base.fileRows).sum
           else touchedDf.count()
-        Some((stage(touchedDf.where(!matches)), touchedRows, touchedBytes))
+        Some((stage(touchedDf.where(!matches), base = Some(base)),
+          touchedRows, touchedBytes))
       }
     val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
         stagedBlooms, stagedFileBytes, stagedParts, rewrittenRows,
@@ -1092,8 +1082,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val (touched, untouched) =
       if (bounds.getLong(2) <= MergeRouteKeyCap &&
           (base.stats.nonEmpty || base.blooms.nonEmpty)) {
-        // per-key routing: a file rewrites only if SOME key can be in it
-        val keys = u.select(col(column)).distinct()
+        // per-key routing: a file rewrites only if SOME key can be in
+        // it. NULL keys drop out of the probe set — stats/bloom gates
+        // cannot evaluate NULL, and a NULL-key update row never matches
+        // an existing row anyway (the anti-join is null-safe), so it
+        // rides along as a plain insert exactly like the envelope path
+        val keys = u.select(col(column)).na.drop().distinct()
           .collect().map(_.get(0)).toSeq // bounded by the cap
         val cand = keyCandidates(base, column, keys).toSet
         base.files.partition(cand)
@@ -1118,7 +1112,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       }
     val touchedBytes =
       touched.map(f => fs.getFileStatus(new Path(dataDir, f)).getLen).sum
-    val staged = stage(stagedDf)
+    val staged = stage(stagedDf, base = Some(base))
     val merged =
       try mergeSchemaJson(base.schemaJson, staged.schemaJson)
       catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1282,7 +1276,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val expectedRows =
       if (smallFiles.forall(base.fileRows.contains)) smallFiles.map(base.fileRows).sum
       else df.count()
-    val staged = stage(df.coalesce(nOut))
+    val staged = stage(df.coalesce(nOut), base = Some(base))
     if (staged.rows != expectedRows) {
       discard(staged)
       throw new IllegalStateException(
@@ -1393,8 +1387,23 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * footers the write just produced (metadata-only, O(staged files)
     * per commit — the one-time cost that buys listing-and-footer-free
     * pruned reads forever after). */
-  private def stage(df: DataFrame, partitioned: Boolean = true): Staged = {
-    val spec = if (partitioned) specInForce() else Nil
+  private def stage(df: DataFrame, partitioned: Boolean = true,
+      base: Option[Snapshot] = None): Staged = {
+    // the partition spec + sort order in force: from the caller's
+    // already-loaded snapshot when it has one (zero extra reads), else
+    // ONE currentVersion listing + ONE manifest parse for both
+    val (spec, order): (Seq[PartitionField], Seq[String]) =
+      if (!partitioned) (Nil, Nil)
+      else base match {
+        case Some(b) => (commitSpec(b), commitSort(b))
+        case None =>
+          val v = currentVersion()
+          if (v == 0) (partitionBy, sortBy)
+          else {
+            val b = snapshot(v)
+            (commitSpec(b), commitSort(b))
+          }
+      }
     val commitId = UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s"$StagePrefix$commitId")
     val obs = new Observation(s"graft_log_stage_$commitId")
@@ -1431,7 +1440,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // arrangement also routes each tuple to one task (one file per
     // tuple, not one per task×tuple) and pre-satisfies the dynamic
     // write's partition-column ordering so no extra sort sneaks in.
-    val order = if (partitioned) sortInForce() else Nil
     val arranged =
       if (spec.nonEmpty)
         partedDf.repartition(partCols.map(col): _*)
@@ -1566,16 +1574,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             case _: Number =>
               // integral stats record EXACT (a BIGINT min rounded through
               // a double can cross a query bound past 2^53 and prune a
-              // matching file); floats record their shortest round-trip
+              // matching file); floats record their shortest round-trip.
+              // Non-finite float stats (±Inf, NaN) have no BigDecimal
+              // form — such a column records NO range (absence never
+              // prunes), rather than failing the commit.
               def exact(n: Number): BigDecimal = n match {
                 case l: java.lang.Long => BigDecimal(l.longValue)
                 case i: Integer        => BigDecimal(i.longValue)
                 case o                 => BigDecimal(o.doubleValue)
               }
-              Some(c -> ColRange(numeric = true,
+              try Some(c -> ColRange(numeric = true,
                 sts.map(s => exact(s.genericGetMin.asInstanceOf[Number])).min.toString,
                 sts.map(s => exact(s.genericGetMax.asInstanceOf[Number])).max.toString,
                 nulls))
+              catch { case _: NumberFormatException => None }
             case _: org.apache.parquet.io.api.Binary if isString =>
               def u(ss: Seq[String]) = ss.map(UTF8String.fromString)
               Some(c -> ColRange(numeric = false,
@@ -1683,9 +1695,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   }
 
   private def tryCommitInline(s: Snapshot): Boolean = {
-    val node = mapper.createObjectNode()
-    node.put("version", s.version).put("op", s.op).put("parent", s.parent)
-      .put("rows", s.rows).put("bytes", s.bytes)
+    // one shared serializer for the layout-independent fields — a field
+    // added in only one of the two layouts cannot happen by construction
+    val node = manifestCommon(s)
     val arr = node.putArray("files")
     s.files.foreach(arr.add)
     if (s.stats.nonEmpty) {
@@ -1714,36 +1726,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val fn = node.putObject("fileBytes")
       s.fileBytes.foreach { case (f, n) => fn.put(f, n) }
     }
-    if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
-    if (s.txns.nonEmpty) {
-      val tn = node.putObject("txns")
-      s.txns.foreach { case (a, b) => tn.put(a, b) }
-    }
-    if (s.tombstones.nonEmpty) {
-      val ta = node.putArray("tombstones")
-      s.tombstones.foreach { t =>
-        val tn = ta.addObject()
-        tn.put("file", t.file).put("column", t.column)
-        val ap = tn.putArray("applies")
-        t.appliesTo.foreach(ap.add)
+    if (s.partitionSpec.nonEmpty && s.partitions.nonEmpty) {
+      val pn = node.putObject("partitions")
+      s.partitions.foreach { case (f, vs) =>
+        val va = pn.putArray(f)
+        vs.foreach(va.add)
       }
-    }
-    if (s.partitionSpec.nonEmpty) {
-      val pa = node.putArray("partitionSpec")
-      s.partitionSpec.foreach { f =>
-        pa.addObject().put("src", f.source).put("t", f.transform)
-      }
-      if (s.partitions.nonEmpty) {
-        val pn = node.putObject("partitions")
-        s.partitions.foreach { case (f, vs) =>
-          val va = pn.putArray(f)
-          vs.foreach(va.add)
-        }
-      }
-    }
-    if (s.sortOrder.nonEmpty) {
-      val so = node.putArray("sortOrder")
-      s.sortOrder.foreach(so.add)
     }
     store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
   }

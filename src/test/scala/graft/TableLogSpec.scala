@@ -430,6 +430,17 @@ class TableLogSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2024-03-11 00:00:00"),
       java.sql.Timestamp.valueOf("2024-03-11 23:59:59.999999"))) ==
       expectDay.size)
+    // DATE-typed bounds: ColRange.num reports dates in epoch DAYS, not
+    // micros — the day transform must still prune soundly (regression:
+    // a unit mix-up here silently returned zero rows)
+    val viaDate = log.readBetween("ts",
+      java.sql.Date.valueOf("2024-03-11"), java.sql.Date.valueOf("2024-03-12"))
+    // residual casts the date bounds to midnight timestamps: exactly
+    // day-11's noon events match (day-12's noon exceeds 12 midnight)
+    assert(viaDate.collect().length == expectDay.size,
+      "date-typed bounds must neither over-prune nor over-match")
+    assert(viaDate.inputFiles.length < s.files.size,
+      "date bounds still prune at the day-partition level")
   }
 
   test("whole-partition delete is metadata-only; straddling deletes still rewrite") {
