@@ -100,6 +100,10 @@ final case class PipelineConfig(
     require(useLog || (partitionBy.isEmpty && sortBy.isEmpty),
       "partition_by / sort_by need table_format 'log' (the bare directory " +
         "layer has no partition-tuple or write-order contract)")
+    require(partitionBy.isEmpty || (layout.isEmpty && !layoutAdvised),
+      "partition_by excludes cluster_by/layout_mode: a partitioned stage " +
+        "re-routes rows by tuple, undoing a global range/curve layout — " +
+        "declare sort_by for within-partition clustering instead")
   }
 
   /** Spark schema declared for the cataloged data object. */

@@ -239,6 +239,10 @@ object LayoutJob {
       targetFileBytes: Long = 128L << 20,
       bitsPerCol: Int = 12): graft.table.Snapshot = {
     require(cols.size >= 2, "zorderBy needs at least two columns (use clusterBy for one)")
+    require(log.snapshot().partitionSpec.isEmpty,
+      "zorderByLog on a hidden-partitioned table: the partitioned stage " +
+        "re-routes rows by tuple, undoing a global curve layout — declare " +
+        "sortBy on the table for within-partition clustering instead")
     val spark = log.session
     val nOut = graft.table.SnapshotLog.packedFileCount(
       log.snapshot().bytes, targetFileBytes)
@@ -257,6 +261,10 @@ object LayoutJob {
   def clusterByLog(log: graft.table.SnapshotLog, cols: Seq[String],
       targetFileBytes: Long = 128L << 20): graft.table.Snapshot = {
     require(cols.nonEmpty, "clusterBy needs at least one column")
+    require(log.snapshot().partitionSpec.isEmpty,
+      "clusterByLog on a hidden-partitioned table: the partitioned stage " +
+        "re-routes rows by tuple, undoing a global range layout — declare " +
+        "sortBy on the table for within-partition clustering instead")
     val nOut = graft.table.SnapshotLog.packedFileCount(
       log.snapshot().bytes, targetFileBytes)
     log.rewrite("cluster")(_

@@ -455,6 +455,35 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
+  /** The table's history as a queryable DataFrame (the `DESCRIBE
+    * HISTORY` surface): one row per retained version — version, op,
+    * parent, logical row/byte totals, live-file count, committed stream
+    * watermarks. Driver-built from manifests (control-plane-sized at
+    * any table size); join it, filter it, chart it like any frame. */
+  def historyMeta(): DataFrame = {
+    import spark.implicits._
+    history().map(s => (s.version, s.op, s.parent, s.rows, s.bytes,
+      s.files.size.toLong, s.txns.size.toLong, s.tombstones.size.toLong))
+      .toDF("version", "op", "parent", "rows", "bytes", "n_files",
+        "n_txns", "n_tombstones")
+  }
+
+  /** The live file inventory of a version as a queryable DataFrame (the
+    * `inspect files` surface): file name, recorded rows/bytes, the
+    * partition tuple, and each stats column's [lo, hi] — everything the
+    * planner prunes with, exposed for dashboards and audits. One
+    * manifest GET (+ cached segments); no data file opens. */
+  def filesMeta(version: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(version)
+    s.files.map { f =>
+      val ranges = s.stats.getOrElse(f, Map.empty)
+        .map { case (c, r) => c -> s"[${r.lo}, ${r.hi}]" }
+      (f, s.fileRows.getOrElse(f, -1L), s.fileBytes.getOrElse(f, -1L),
+        s.partitions.getOrElse(f, Seq.empty), ranges)
+    }.toDF("file", "rows", "bytes", "partition", "stats")
+  }
+
   /** All retained versions, oldest first. */
   def history(): Seq[Snapshot] =
     store.list().flatMap {

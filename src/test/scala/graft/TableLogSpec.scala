@@ -507,6 +507,34 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.read().count() == before.rows + 1)
   }
 
+  test("metadata tables: historyMeta and filesMeta expose the planner's view") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.identity("grp")),
+      statsColumns = Seq("id"))
+    log.append((0 until 40).map(i => (i, (i % 2).toLong, s"v$i"))
+      .toDF("id", "grp", "payload"))
+    log.deleteBetween("grp", 1L, 1L)
+    val h = log.historyMeta().orderBy("version")
+      .select("version", "op", "rows", "n_files")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(h.map(r => (r._1, r._2, r._3)) == Seq((1L, "append", 40L), (2L, "delete", 20L)))
+    val files = log.filesMeta().collect()
+    assert(files.length == log.snapshot().files.size)
+    files.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("partition")) == Seq("0"),
+        "only grp=0 files survive the delete")
+      assert(r.getMap[String, String](r.fieldIndex("stats")).contains("id"))
+      assert(r.getAs[Long]("rows") > 0)
+    }
+    // time travel: the pre-delete inventory still lists both partitions
+    val before = log.filesMeta(1).collect()
+      .map(r => r.getSeq[String](r.fieldIndex("partition")).head).toSet
+    assert(before == Set("0", "1"))
+  }
+
   test("partition evolution: a spec added to an unpartitioned table never prunes old files") {
     val dir = freshTable()
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00")
