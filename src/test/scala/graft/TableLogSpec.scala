@@ -713,6 +713,36 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.currentVersion() == v && rowsOf(log) == mkRows(5, 60).sorted)
   }
 
+  test("streaming sink into a hidden-partitioned table: tuples recorded, exactly once") {
+    val src = Files.createTempDirectory("graft-log-psrc-").toString
+    (0 until 90).map(i => (i, (i % 3).toLong, s"p$i"))
+      .toDF("id", "grp", "payload").repartition(3)
+      .write.mode("overwrite").parquet(src)
+    val log = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(graft.table.PartitionField.identity("grp")))
+    val schema = spark.read.parquet(src).schema
+    val q = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch(log.streamSink("pstream"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-log-pckpt-").toString)
+      .start()
+    q.awaitTermination(120000)
+    val s = log.snapshot()
+    assert(log.read().count() == 90 && s.txns.contains("pstream"))
+    // every micro-batch staged through the partition transforms
+    assert(s.files.nonEmpty && s.files.forall(s.partitions.contains))
+    assert(s.files.map(f => s.partitions(f).head).toSet == Set("0", "1", "2"))
+    val g = log.readBetween("grp", 2L, 2L)
+    assert(g.count() == 30 && g.inputFiles.length < s.files.size)
+    // replaying a committed batch id through the sink commits nothing
+    val v = log.currentVersion()
+    log.streamSink("pstream")(
+      (0 until 9).map(i => (i, 0L, s"dup$i")).toDF("id", "grp", "payload"), 0L)
+    assert(log.currentVersion() == v && log.read().count() == 90)
+  }
+
   test("z-order through the log: manifest stats prune on EITHER curve dimension") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("x", "y"))
