@@ -1074,6 +1074,76 @@ class TableLogSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized op interleaving on a PARTITIONED+SORTED table matches the model") {
+    // the partitioned twin of the model check: every staged write routes
+    // through the identity(grp) transform + id sort order, deletes may
+    // drop whole partitions metadata-only, merges route per key across
+    // tuple-pure files, compaction re-derives tuples — 16 random steps
+    // must stay row-identical to the in-memory model, with tuples intact
+    val log = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(graft.table.PartitionField.identity("grp")),
+      statsColumns = Seq("id"), sortBy = Seq("id"))
+    val rnd = new scala.util.Random(41)
+    def grpOf(k: Int): Long = (k % 5).toLong
+    var model: Map[Int, String] = (0 until 300).map(i => i -> s"v0-$i").toMap
+    def toDf(m: Seq[(Int, String)]) =
+      m.map { case (k, p) => (k, grpOf(k), p) }.toDF("id", "grp", "payload")
+    log.append(toDf(model.toSeq).repartition(3))
+    var remembered = List.empty[(Long, Map[Int, String])]
+
+    def check(where: String): Unit =
+      if (model.isEmpty)
+        assert(log.snapshot().rows == 0L, s"model empty but table is not after $where")
+      else {
+        val got = log.read().select("id", "payload")
+          .as[(Int, String)].collect().toMap
+        assert(got == model, s"partitioned table diverged from model after $where")
+        val s = log.snapshot()
+        assert(s.files.forall(s.partitions.contains),
+          s"every live file must carry a tuple after $where")
+        s.files.foreach(f => assert(s.partitions(f).head.toLong <= 4L))
+      }
+
+    (1 to 16).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 =>
+          val keys = Seq.fill(rnd.nextInt(20) + 1)(rnd.nextInt(400)).distinct
+          val batch = keys.map(k => k -> s"v$step-$k")
+          log.mergeByKey(toDf(batch), "id")
+          model ++= batch
+          check(s"merge@$step")
+        case 1 =>
+          // range delete on the UNPARTITIONED column: stats route it
+          val lo = rnd.nextInt(400)
+          val hi = lo + rnd.nextInt(50)
+          log.deleteBetween("id", lo, hi)
+          model = model.filter { case (k, _) => k < lo || k > hi }
+          check(s"delete-id[$lo,$hi]@$step")
+        case 2 =>
+          // whole-partition delete: metadata-only drop path
+          val g = rnd.nextInt(5).toLong
+          log.deleteBetween("grp", g, g)
+          model = model.filter { case (k, _) => grpOf(k) != g }
+          check(s"delete-grp[$g]@$step")
+        case 3 =>
+          log.compact(targetFileBytes = 1L << (14 + rnd.nextInt(3)))
+          check(s"compact@$step")
+        case 4 =>
+          remembered ::= (log.currentVersion(), model)
+      }
+      if (model.isEmpty) model ++= {
+        val refill = (0 until 50).map(i => (step * 1000 + i) -> s"r$step-$i")
+        log.append(toDf(refill))
+        refill
+      }
+    }
+    remembered.take(3).foreach { case (v, m) =>
+      val got = log.read(v).select("id", "payload")
+        .as[(Int, String)].collect().toMap
+      assert(got == m, s"time travel to v$v diverged")
+    }
+  }
+
   test("vacuum drops expired versions' files but never a retained snapshot's") {
     val log = SnapshotLog(spark, freshTable())
     (0 until 3).foreach(r =>
