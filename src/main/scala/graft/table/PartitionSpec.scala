@@ -18,6 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * manifest, computed by [[writeExpr]]):
   *  - `identity`  — the column value itself (numeric or string columns);
   *  - `day`       — epoch day of a timestamp/date column;
+  *  - `month`     — epoch month of a timestamp/date column (calendar
+  *    months are non-uniform — bound math uses real month-start
+  *    instants, leap years included);
   *  - `bucket[N]` — `xxhash64(source) mod N` (the hash Spark's own
   *    `xxhash64` computes, so write path and read planning agree by
   *    construction); prunes point lookups and key joins, composes with
@@ -48,11 +51,12 @@ final case class PartitionField(source: String, transform: String) {
   private val (kind, param): (String, Int) = transform match {
     case "identity"    => (Identity, 0)
     case "day"         => (Day, 0)
+    case "month"       => (Month, 0)
     case BucketRe(n)   => (Bucket, n.toInt)
     case TruncateRe(w) => (Truncate, w.toInt)
     case other => throw new IllegalArgumentException(
       s"unknown partition transform '$other' " +
-        "(identity | day | bucket[N] | truncate[W])")
+        "(identity | day | month | bucket[N] | truncate[W])")
   }
   require(kind != Bucket || param > 0, s"bucket count must be positive: $transform")
   require(kind != Truncate || param > 0, s"truncate width must be positive: $transform")
@@ -84,6 +88,17 @@ final case class PartitionField(source: String, transform: String) {
           datediff(c, to_date(lit("1970-01-01"))).cast("long").cast("string")
         case other => throw new IllegalArgumentException(
           s"day($source) needs a timestamp/date column, got ${other.simpleString}")
+      }
+      case Month => dt match {
+        // epoch months: (year-1970)·12 + month-1. year()/month() read
+        // TimestampType under the session timezone — UTC, pinned by
+        // every entry point, matching the UTC reading of the bound math
+        case TimestampType | TimestampNTZType | DateType =>
+          ((year(c) - lit(1970)) * lit(12) +
+            org.apache.spark.sql.functions.month(c) - lit(1))
+            .cast("long").cast("string")
+        case other => throw new IllegalArgumentException(
+          s"month($source) needs a timestamp/date column, got ${other.simpleString}")
       }
       case Bucket => pmod(xxhash64(c), lit(param.toLong)).cast("string")
       case Truncate => dt match {
@@ -117,6 +132,9 @@ final case class PartitionField(source: String, transform: String) {
       case Day =>
         val d = BigDecimal(v)
         d >= epochDay(boundMicros(lo)) && d <= epochDay(boundMicros(hi))
+      case Month =>
+        val m = BigDecimal(v)
+        m >= epochMonth(boundMicros(lo)) && m <= epochMonth(boundMicros(hi))
       case Bucket =>
         // only a point predicate pins a bucket; ranges keep every file
         !sameKey(lo, hi) || dt.forall(t => BigDecimal(v) == bucketOf(lo, t))
@@ -162,6 +180,12 @@ final case class PartitionField(source: String, transform: String) {
         val d = BigDecimal(v)
         boundMicros(lo) <= d * MicrosPerDay &&
           (d + 1) * MicrosPerDay - 1 <= boundMicros(hi)
+      case Month =>
+        // calendar months are non-uniform: bounds come from real
+        // month-start instants, not a fixed unit width
+        val m = v.toLong
+        boundMicros(lo) <= monthStartMicros(m) &&
+          monthStartMicros(m + 1) - 1 <= boundMicros(hi)
       case Bucket => false   // a hash bucket never aligns with a range
       case Truncate => dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -199,6 +223,7 @@ object PartitionField {
   private val TruncateRe = """truncate\[(\d+)\]""".r
   private val Identity = "identity"
   private val Day = "day"
+  private val Month = "month"
   private val Bucket = "bucket"
   private val Truncate = "truncate"
   private val MicrosPerDay = BigDecimal(86400000000L)
@@ -216,6 +241,20 @@ object PartitionField {
     * date bound converts as its midnight instant, exactly how Spark's
     * residual `BETWEEN` casts date literals against a timestamp
     * column. */
+  /** Epoch month ((year-1970)·12 + month-1, UTC) of a micros bound. */
+  private def epochMonth(micros: BigDecimal): BigDecimal = {
+    val day = epochDay(micros).toLong
+    val d = java.time.LocalDate.ofEpochDay(day)
+    BigDecimal((d.getYear - 1970) * 12 + d.getMonthValue - 1)
+  }
+
+  /** First instant of epoch month `m`, as micros (UTC). */
+  private def monthStartMicros(m: Long): BigDecimal = {
+    val y = 1970 + Math.floorDiv(m, 12L).toInt
+    val mo = Math.floorMod(m, 12L).toInt + 1
+    BigDecimal(java.time.LocalDate.of(y, mo, 1).toEpochDay) * MicrosPerDay
+  }
+
   private def boundMicros(a: Any): BigDecimal = a match {
     case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay) * MicrosPerDay
     case d: java.time.LocalDate => BigDecimal(d.toEpochDay) * MicrosPerDay
@@ -227,6 +266,7 @@ object PartitionField {
 
   def identity(source: String): PartitionField = PartitionField(source, "identity")
   def day(source: String): PartitionField = PartitionField(source, "day")
+  def month(source: String): PartitionField = PartitionField(source, "month")
   def bucket(source: String, n: Int): PartitionField =
     PartitionField(source, s"bucket[$n]")
   def truncate(source: String, w: Int): PartitionField =

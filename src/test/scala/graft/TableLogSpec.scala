@@ -443,6 +443,45 @@ class TableLogSpec extends AnyFunSuite {
       "date bounds still prune at the day-partition level")
   }
 
+  test("month transform: calendar pruning across a leap February, metadata-only month drop") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.month("ts")))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ts("2024-01-15 10:00:00") -> "jan-a", ts("2024-01-31 23:59:59") -> "jan-b",
+      ts("2024-02-01 00:00:00") -> "feb-a", ts("2024-02-29 23:59:59") -> "feb-b",
+      ts("2024-03-01 00:00:00") -> "mar-a", ts("2024-03-20 12:00:00") -> "mar-b")
+    log.append(rows.toDF("ts", "payload"))
+    val s = log.snapshot()
+    assert(s.files.map(f => s.partitions(f).head).toSet == Set("648", "649", "650"),
+      "epoch months for 2024-01/02/03")
+    // whole-February read prunes to the Feb partition only
+    val feb = log.readBetween("ts",
+      ts("2024-02-01 00:00:00"), ts("2024-02-29 23:59:59.999999"))
+    assert(feb.as[(java.sql.Timestamp, String)].collect().map(_._2).sorted.toSeq
+      == Seq("feb-a", "feb-b"))
+    assert(feb.inputFiles.length < s.files.size)
+    // whole-month delete is metadata-only despite the 29-day leap month
+    val sd = log.deleteBetween("ts",
+      ts("2024-02-01 00:00:00"), ts("2024-02-29 23:59:59.999999")).get
+    assert(sd.files.forall(s.files.toSet),
+      "a whole-leap-February delete must stage no new files")
+    assert(sd.rows == 4 && log.read().count() == 4)
+    // a 28-day predicate does NOT contain leap February: it rewrites
+    val log2dir = freshTable()
+    val log2 = SnapshotLog.partitioned(spark, log2dir,
+      Seq(graft.table.PartitionField.month("ts")))
+    log2.append(rows.toDF("ts", "payload"))
+    val before2 = log2.snapshot().files.toSet
+    val sd2 = log2.deleteBetween("ts",
+      ts("2024-02-01 00:00:00"), ts("2024-02-28 23:59:59.999999")).get
+    assert(!sd2.files.forall(before2),
+      "Feb 29 survives, so the Feb file must REWRITE, not drop")
+    assert(log2.read().where(org.apache.spark.sql.functions.col("payload")
+      .startsWith("feb")).count() == 1)
+  }
+
   test("whole-partition delete is metadata-only; straddling deletes still rewrite") {
     val dir = freshTable()
     val log = SnapshotLog.partitioned(spark, dir,
