@@ -95,6 +95,7 @@ object SparkEntry {
     "q30_log_metadata_count" -> (Relational.q30LogMetadataCount _), // manifest-answered counts (countRows/countWhere)
     "q31_log_key_lookup" -> (Relational.q31LogKeyLookup _), // bloom-gated point lookup (readKeys)
     "q32_log_partitioned_scan" -> (Relational.q32LogPartitionedScan _), // hidden day+bucket partition pruning
+    "q33_log_history" -> (Relational.q33LogHistory _), // oracle: historyMeta over a deterministic 4-version history == VALUES table
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -113,7 +114,10 @@ object SparkEntry {
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
     "ev_stream_enrich" -> (graft.streaming.EventStreams.evStreamEnrich _), // oracle: stream-static broadcast enrich == batch CASE join
     "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
+    "ev_log_changefeed_cdc" -> (graft.streaming.LogChangeFeed.evLogChangefeedCdc _), // oracle: streamed ROW-LEVEL CDC netted == surviving-row aggregate
     "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
+    "mv_incremental_cdc" -> (graft.table.DerivedAggregate.mvIncrementalCdc _), // oracle: rollup after folding two copy-on-write deletes == survivor recompute
+    "mv_distinct" -> (graft.table.DerivedAggregate.mvDistinct _), // oracle: HLL-sketch distinct-user rollup (3 union folds) == exact COUNT(DISTINCT)
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),
@@ -211,6 +215,7 @@ object SparkEntry {
     "q30_log_metadata_count" -> Relational.q30Oracle,
     "q31_log_key_lookup" -> Relational.q31Oracle,
     "q32_log_partitioned_scan" -> Relational.q32Oracle,
+    "q33_log_history" -> Relational.q33Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,
@@ -236,7 +241,10 @@ object SparkEntry {
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
     "ev_stream_enrich" -> graft.streaming.EventStreams.evStreamEnrichOracle,
     "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
+    "ev_log_changefeed_cdc" -> graft.streaming.LogChangeFeed.evLogChangefeedCdcOracle,
     "mv_incremental" -> graft.table.DerivedAggregate.mvIncrementalOracle,
+    "mv_incremental_cdc" -> graft.table.DerivedAggregate.mvIncrementalCdcOracle,
+    "mv_distinct" -> graft.table.DerivedAggregate.mvDistinctOracle,
     "dd_exact" -> Dedup.ddExactOracle,
     "dd_exact_docs" -> Dedup.ddExactDocsOracle,
     "dd_incremental" -> Dedup.ddIncrementalOracle,

@@ -71,7 +71,8 @@ final case class PipelineConfig(
     layoutAdvised: Boolean = false,
     bloomColumns: Seq[String] = Nil,
     partitionBy: Seq[graft.table.PartitionField] = Nil,
-    sortBy: Seq[String] = Nil
+    sortBy: Seq[String] = Nil,
+    changeFeed: Boolean = false
 ) {
   require(!(layoutAdvised && layout.isDefined),
     "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
@@ -100,6 +101,9 @@ final case class PipelineConfig(
     require(useLog || (partitionBy.isEmpty && sortBy.isEmpty),
       "partition_by / sort_by need table_format 'log' (the bare directory " +
         "layer has no partition-tuple or write-order contract)")
+    require(useLog || !changeFeed,
+      "change_feed needs table_format 'log' (row-level CDC images live " +
+        "in the transaction log's manifests)")
     require(partitionBy.isEmpty || (layout.isEmpty && !layoutAdvised),
       "partition_by excludes cluster_by/layout_mode: a partitioned stage " +
         "re-routes rows by tuple, undoing a global range/curve layout — " +
@@ -234,7 +238,11 @@ object PipelineConfig {
         parsePartitionSpec(n.asText())).getOrElse(Nil),
       sortBy = Option(prepared.get("sort_by")).map(
         _.asText().split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Nil)
+        .getOrElse(Nil),
+      // optional: row-level CDC on the log-backed prepared table —
+      // delete/merge commits record change images, downstream mirrors
+      // and rollups fold removals instead of resyncing
+      changeFeed = Option(prepared.get("change_feed")).exists(_.asBoolean())
     )
   }
 
@@ -293,6 +301,7 @@ object PipelineConfig {
         if (f.transform == "identity") f.source
         else s"${f.transform}(${f.source})").mkString(", "))
     if (c.sortBy.nonEmpty) prep.put("sort_by", c.sortBy.mkString(","))
+    if (c.changeFeed) prep.put("change_feed", true)
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

@@ -228,11 +228,11 @@ object Relational {
 
   /** events as a HIDDEN-PARTITIONED [[graft.table.SnapshotLog]]:
     * `day(ts)` × `bucket[8](user_id)` ([[graft.table.PartitionField]]).
-    * The pre-write repartition on the same transforms makes the dynamic
-    * write emit one file per (day, bucket) tuple instead of one per
-    * (task, tuple) — the layout a production ingest job would produce.
-    * Built once per JVM; no stats columns, so every skip q32 achieves
-    * is the partition tuples' doing alone. */
+    * The raw frame is appended as-is: `SnapshotLog.stage()` itself
+    * repartitions on the synthetic partition columns, so the write
+    * emits one file per (day, bucket) tuple — no caller-side shuffle
+    * needed. Built once per JVM; no stats columns, so every skip q32
+    * achieves is the partition tuples' doing alone. */
   private def partitionedEventsTable(spark: SparkSession,
       dir: String): graft.table.SnapshotLog = {
     val path = logFixtureDirs.computeIfAbsent(s"pevents:$dir", _ => {
@@ -240,9 +240,7 @@ object Relational {
       val log = graft.table.SnapshotLog.partitioned(spark, tmp, Seq(
         graft.table.PartitionField.day("ts"),
         graft.table.PartitionField.bucket("user_id", 8)))
-      val ev = events(spark, dir)
-      log.append(ev.repartition(col("ts").cast("date"),
-        pmod(xxhash64(col("user_id")), lit(8))))
+      log.append(events(spark, dir))
       tmp
     })
     graft.table.SnapshotLog(spark, path)
@@ -281,6 +279,46 @@ object Relational {
       |  AND user_id = 7
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** Graded metadata-table query ([[graft.table.SnapshotLog.historyMeta]],
+    * the DESCRIBE HISTORY surface): a deterministic four-version history
+    * — two single-file appends of nation slices, a compaction, a
+    * copy-on-write range delete — read back as a DataFrame. Every graded
+    * column (version, op, parent, logical rows, live-file count, txn and
+    * tombstone counts) is a reproducible integer, so the oracle is a
+    * plain VALUES table: any drift in commit accounting (a wrong parent
+    * link, a row total off by the deleted count, a file the delete
+    * didn't swap) hash-mismatches. `bytes` is deliberately NOT graded —
+    * parquet encoding details are not part of the commit contract. */
+  def q33LogHistory(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"hist:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-hist-").toString
+      val log = graft.table.SnapshotLog(spark, tmp)
+      val nat = t(spark, dir, "nation")
+      log.append(nat.where(col("n_nationkey") < 10).coalesce(1))   // v1: 10 rows
+      log.append(nat.where(col("n_nationkey") >= 10).coalesce(1))  // v2: +15
+      log.compact()                                                // v3: 2→1 file
+      log.deleteBetween("n_nationkey", 0, 4)                       // v4: −5 rows
+      tmp
+    })
+    graft.table.SnapshotLog(spark, path).historyMeta()
+      .select(col("version"), col("op"), col("parent"), col("rows"),
+        col("n_files"), col("n_txns"), col("n_tombstones"))
+      .orderBy(col("version"))
+  }
+
+  def q33Oracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'append',  CAST(0 AS BIGINT), CAST(10 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(2 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(25 AS BIGINT),
+      |   CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(3 AS BIGINT), 'compact', CAST(2 AS BIGINT), CAST(25 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+      |  (CAST(4 AS BIGINT), 'delete',  CAST(3 AS BIGINT), CAST(20 AS BIGINT),
+      |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+      |) AS t(version, op, parent, rows, n_files, n_txns, n_tombstones)
+      |ORDER BY version""".stripMargin
 
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/

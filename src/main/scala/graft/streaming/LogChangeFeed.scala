@@ -48,7 +48,11 @@ import org.apache.spark.sql.types.StructType
   * Spark's own FileStreamSource runs on.
   */
 final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean, readChangeFeed: Boolean = false) extends Source {
+  require(!(skipChangeCommits && readChangeFeed),
+    "skipChangeCommits and readChangeFeed are mutually exclusive: the " +
+      "row-level feed's contract is completeness — a skipped removal " +
+      "would be a silent hole in it")
 
   // ONE handle for the source's lifetime: the segment/manifest caches
   // live on the handle, and a per-poll `def` would re-GET and re-parse
@@ -60,7 +64,8 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     * an append un-commits rows this stream may have shipped. */
   private val ChangeOps = Set("delete", "merge", "delete_keys", "restore")
 
-  override val schema: StructType = LogChangeFeed.tableSchema(spark, tableDir)
+  override val schema: StructType =
+    LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)
 
   override def getOffset: Option[Offset] = {
     val v = log.currentVersion()
@@ -79,6 +84,15 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     val from = start.map(versionOf).getOrElse(0L)
     val to = versionOf(end)
     val l = log
+    if (readChangeFeed) {
+      // row-level CDC batch: inserts AND recorded delete images, with
+      // _change_type/_commit_version — fails (stream-visibly) on a
+      // restore or an image-less removing commit, the completeness
+      // contract
+      val delta = l.readChangeRows(from, to)
+        .select(schema.map(f => col(f.name)): _*)
+      return GraftBridge.asStreamingFrame(spark, delta)
+    }
     // ONE manifest walk serves both the guard and the read
     val deltas = l.changes(from, to)
     if (!skipChangeCommits) {
@@ -86,8 +100,9 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
       if (changing.nonEmpty) throw new IllegalStateException(
         s"change feed of $tableDir is insert-only but version " +
           s"${changing.head.version} is a '${changing.head.op}'; resync the " +
-          "consumer from a full read, or set skipChangeCommits=true to " +
-          "stream past row-removing commits")
+          "consumer from a full read, set skipChangeCommits=true to " +
+          "stream past row-removing commits, or set readChangeFeed=true " +
+          "on a feed-enabled table to receive them as row-level deletes")
     }
     // project onto the pinned stream schema: widening evolution after
     // stream start may have added columns this stream never declared
@@ -110,14 +125,17 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
       "the change feed's schema IS the table's committed schema; " +
         "drop .schema(...) from the readStream")
     (shortName(),
-      LogChangeFeed.tableSchema(ctx.sparkSession, LogChangeFeed.path(parameters)))
+      LogChangeFeed.streamSchema(ctx.sparkSession,
+        LogChangeFeed.path(parameters),
+        parameters.get("readChangeFeed").exists(_.toBoolean)))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new LogChangeFeedSource(ctx.sparkSession, LogChangeFeed.path(parameters),
-      parameters.get("skipChangeCommits").exists(_.toBoolean))
+      parameters.get("skipChangeCommits").exists(_.toBoolean),
+      parameters.get("readChangeFeed").exists(_.toBoolean))
 }
 
 object LogChangeFeed {
@@ -133,14 +151,32 @@ object LogChangeFeed {
     log.read().schema
   }
 
+  /** The stream's pinned schema: the table's committed columns, plus
+    * `_change_type`/`_commit_version` in row-level CDC mode. */
+  private[streaming] def streamSchema(spark: SparkSession, tableDir: String,
+      readChangeFeed: Boolean): StructType = {
+    val base = tableSchema(spark, tableDir)
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** `readStream` over `tableDir`'s change feed — the reader-side
-    * convenience mirroring [[SnapshotLog.readChanges]]. */
+    * convenience mirroring [[SnapshotLog.readChanges]] (insert feed)
+    * or, with `readChangeFeed = true`, [[SnapshotLog.readChangeRows]]
+    * (row-level CDC: micro-batches carry `_change_type` and
+    * `_commit_version`, deletes included). */
   def readChangesStream(spark: SparkSession, tableDir: String,
-      skipChangeCommits: Boolean = false): DataFrame =
+      skipChangeCommits: Boolean = false,
+      readChangeFeed: Boolean = false): DataFrame =
     spark.readStream
       .format(classOf[LogChangeFeedProvider].getName)
       .option("path", tableDir)
       .option("skipChangeCommits", skipChangeCommits.toString)
+      .option("readChangeFeed", readChangeFeed.toString)
       .load()
 
   /** Once-per-JVM feed fixture for [[evLogChangefeed]]: the events
@@ -194,6 +230,68 @@ object LogChangeFeed {
     """SELECT event_type, count(*) AS n_events,
       |       count(DISTINCT user_id) AS n_users
       |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Once-per-JVM CDC feed fixture for [[evLogChangefeedCdc]]: a
+    * CHANGE-FEED events table — two appends, a copy-on-write delete of
+    * every 'error' row so far, then a THIRD append that re-introduces
+    * 'error' rows. The graded stream must ship the delete images
+    * between the surrounding inserts; netting them out is what the
+    * oracle checks. */
+  private def eventsCdcTable(spark: SparkSession, dir: String): String =
+    feedFixtures.computeIfAbsent(s"cdc:$dir", _ => {
+      val table = java.nio.file.Files
+        .createTempDirectory("graft-feed-cdc-").resolve("t").toString
+      val events = graft.ops.Relational.events(spark, dir)
+      val log = SnapshotLog.withChangeFeed(spark, table)
+      log.append(events.where(pmod(col("user_id"), lit(3L)) === 0))
+      log.append(events.where(pmod(col("user_id"), lit(3L)) === 1))
+      log.deleteWhere(("event_type", "error", "error"))
+      log.append(events.where(pmod(col("user_id"), lit(3L)) === 2))
+      table
+    })
+
+  /** Graded entry: the ROW-LEVEL change feed streamed end-to-end
+    * (`readChangeFeed = true`) over an append → append → delete →
+    * append history, netted per event type: +1/+value per insert image,
+    * −1/−value per delete image. The net must equal a plain aggregate
+    * of the SURVIVING rows — a missed delete image, a double-shipped
+    * file, an image for a row never inserted, or the deleted group's
+    * net failing to cancel all hash-mismatch. The 'error' group's net
+    * comes out as exactly the third append's rows (deleted history
+    * cancelled), pinning insert/delete pairing across an interleaved
+    * history, not just totals. Sum rides a decimal so the netting is
+    * order-independent. */
+  def evLogChangefeedCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{sum, when}
+    val table = eventsCdcTable(spark, dir)
+    val name = "ev_log_changefeed_cdc_sink"
+    spark.catalog.dropTempView(name)
+    val q = readChangesStream(spark, table, readChangeFeed = true).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val signedValue = when(col("_change_type") === "insert",
+      col("value").cast("decimal(28,6)"))
+      .otherwise(-col("value").cast("decimal(28,6)"))
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(sum(sign).as("n_events"),
+        sum(signedValue).cast("double").as("sum_value"))
+      .where(col("n_events") > 0)
+      .orderBy(col("event_type"))
+  }
+
+  def evLogChangefeedCdcOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE NOT (event_type = 'error' AND (user_id % 3) IN (0, 1))
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 }

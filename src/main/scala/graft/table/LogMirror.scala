@@ -33,11 +33,21 @@ import org.apache.hadoop.fs.Path
   *    deletes propagate without shipping any data AND exactly-once:
   *    a rerun skips an already-applied key delete inside the
   *    destination's commit path, just like a replayed append.
-  *  - `delete` / `merge` / `restore` — REFUSED (IllegalStateException):
-  *    these change history in ways an insert-feed cannot express
-  *    row-by-row (a copy-on-write rewrite mixes surviving old rows into
-  *    new files; a restore rolls the logical table back). The error
-  *    names the version so the operator can resync from a full read.
+  *  - `delete` — on a feed-enabled source ([[ChangeSet]]) the recorded
+  *    predicates REPLAY as `dst.deleteWhereTxn` riding the txns
+  *    watermark: the replica deletes the same logical rows, pruned by
+  *    its OWN stats/partitions, with zero rows shipped. A delete whose
+  *    bounds were not manifest-encodable (rows-only images) or that
+  *    predates feed enablement is refused — see below.
+  *  - `merge` — the recorded insert images (exactly the source's
+  *    key-unique update batch) replay as `dst.mergeByKey` on the
+  *    recorded key column, same watermark: an upsert against identical
+  *    pre-state produces the identical post-state. O(batch) shipped.
+  *  - `restore`, and row-removing commits WITHOUT images — REFUSED
+  *    (IllegalStateException): a rollback is not expressible as a
+  *    change feed, and a commit that recorded no images leaves the
+  *    replica no sound way to find the removed rows. The error names
+  *    the version so the operator can resync from a full read.
   *
   * Single-writer assumption on the destination: the mirror is the only
   * logical writer (destination-local maintenance — compact/cluster —
@@ -45,8 +55,10 @@ import org.apache.hadoop.fs.Path
   */
 object LogMirror {
 
-  /** Source ops a mirror can express as an insert/delete-key feed. */
-  private val PhysicalOnly = Set("compact", "cluster", "zorder")
+  /** Source ops with nothing logical to ship: physical rewrites, and
+    * the metadata-only spec evolution (the replica keeps its OWN
+    * layout/spec — maintenance and partitioning are per-replica). */
+  private val PhysicalOnly = Set("compact", "cluster", "zorder", "evolve_spec")
 
   /** Apply every source version after the destination's watermark, in
     * order. `appId` identifies THIS replication lane in the
@@ -85,12 +97,36 @@ object LogMirror {
               src.session.read.parquet(keyFile.toString), Some((lane, v)))
           }
           newlyApplied += 1
+        case "delete" if s.changes.exists(_.preds.nonEmpty) =>
+          // predicate replay: same logical rows die on the replica,
+          // pruned by ITS stats — nothing ships, and the watermark
+          // rides the replica's own commit (exactly-once under rerun)
+          materializePending(dst)
+          dst.deleteWhereTxn(s.changes.get.preds.map(ChangePred.decode),
+            Some((lane, v)))
+          newlyApplied += 1
+        case "merge" if s.changes.exists(c =>
+            c.keyColumn.nonEmpty && c.files.nonEmpty) =>
+          // the insert images ARE the source's key-unique update batch;
+          // upserting them against identical pre-state reproduces the
+          // source's post-state exactly
+          materializePending(dst)
+          val cs = s.changes.get
+          val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          val inserts = src.session.read
+            .parquet(cs.files.map(f => new Path(dataDir, f).toString): _*)
+            .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            .drop("_change_type")
+          dst.mergeByKey(inserts, cs.keyColumn, Some((lane, v)))
+          newlyApplied += 1
         case other =>
           throw new IllegalStateException(
-            s"cannot mirror ${src.tableDir} v$v: op '$other' is not " +
-              "expressible as a change feed (copy-on-write rewrites mix " +
-              "surviving rows into new files; restore rolls the table " +
-              "back) — resync the replica from a full read of the source")
+            s"cannot mirror ${src.tableDir} v$v: op '$other' carries no " +
+              "replayable change images (restore rolls the table back; a " +
+              "delete/merge recorded without changeFeed enabled — or with " +
+              "bounds a manifest cannot encode — leaves the replica no " +
+              "sound way to find the removed rows) — resync the replica " +
+              "from a full read of the source")
       }
     }
     newlyApplied
@@ -98,4 +134,14 @@ object LogMirror {
 
   private def snapshotTombstones(src: SnapshotLog, version: Long): Int =
     if (version == 0) 0 else src.snapshot(version).tombstones.size
+
+  /** Copy-on-write replays (predicate delete, merge) refuse to run over
+    * pending key tombstones — their exact row accounting assumes
+    * physical rows are logical rows. A replica that received MoR key
+    * deletes therefore compacts first: destination-local maintenance,
+    * allowed under the mirror's single-writer assumption and exactly
+    * what the source itself would have had to do. No-op otherwise. */
+  private def materializePending(dst: SnapshotLog): Unit =
+    if (dst.currentVersion() > 0 && dst.snapshot().tombstones.nonEmpty)
+      dst.compact()
 }

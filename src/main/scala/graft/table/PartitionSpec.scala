@@ -17,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Transforms (the value is always recorded as a STRING in the
   * manifest, computed by [[writeExpr]]):
   *  - `identity`  — the column value itself (numeric or string columns);
+  *  - `hour`      — epoch hour of a timestamp column;
   *  - `day`       — epoch day of a timestamp/date column;
   *  - `month`     — epoch month of a timestamp/date column (calendar
   *    months are non-uniform — bound math uses real month-start
   *    instants, leap years included);
+  *  - `year`      — epoch year (year − 1970), same calendar-exact
+  *    bound math as `month`;
   *  - `bucket[N]` — `xxhash64(source) mod N` (the hash Spark's own
   *    `xxhash64` computes, so write path and read planning agree by
   *    construction); prunes point lookups and key joins, composes with
@@ -50,13 +53,15 @@ final case class PartitionField(source: String, transform: String) {
 
   private val (kind, param): (String, Int) = transform match {
     case "identity"    => (Identity, 0)
+    case "hour"        => (Hour, 0)
     case "day"         => (Day, 0)
     case "month"       => (Month, 0)
+    case "year"        => (Year, 0)
     case BucketRe(n)   => (Bucket, n.toInt)
     case TruncateRe(w) => (Truncate, w.toInt)
     case other => throw new IllegalArgumentException(
       s"unknown partition transform '$other' " +
-        "(identity | day | month | bucket[N] | truncate[W])")
+        "(identity | hour | day | month | year | bucket[N] | truncate[W])")
   }
   require(kind != Bucket || param > 0, s"bucket count must be positive: $transform")
   require(kind != Truncate || param > 0, s"truncate width must be positive: $transform")
@@ -73,6 +78,18 @@ final case class PartitionField(source: String, transform: String) {
           c.cast("string")
         case other => throw new IllegalArgumentException(
           s"identity($source) partitions integral/string columns, got ${other.simpleString}")
+      }
+      case Hour => dt match {
+        // epoch hour — tz-free by construction (pure epoch arithmetic,
+        // and NTZ field extraction carries no timezone)
+        case TimestampType =>
+          floor(c.cast("double") / 3600d).cast("long").cast("string")
+        case TimestampNTZType =>
+          (datediff(c.cast("date"), to_date(lit("1970-01-01")))
+            .cast("long") * lit(24L) +
+            org.apache.spark.sql.functions.hour(c)).cast("string")
+        case other => throw new IllegalArgumentException(
+          s"hour($source) needs a timestamp column, got ${other.simpleString}")
       }
       case Day => dt match {
         // timestamp→double is the seconds-with-fraction cast; floor
@@ -91,14 +108,41 @@ final case class PartitionField(source: String, transform: String) {
       }
       case Month => dt match {
         // epoch months: (year-1970)·12 + month-1. year()/month() read
-        // TimestampType under the session timezone — UTC, pinned by
-        // every entry point, matching the UTC reading of the bound math
-        case TimestampType | TimestampNTZType | DateType =>
-          ((year(c) - lit(1970)) * lit(12) +
+        // TimestampType under the SESSION timezone, but the pruning
+        // bound math (epochMonth/monthStartMicros) is fixed UTC — and
+        // SnapshotLog is a library, so nothing may assume the session
+        // is UTC-pinned. Derive the UTC calendar date tz-independently
+        // from the epoch day (the double cast is the timezone-free
+        // seconds-since-epoch reading, same as the day transform) and
+        // extract fields from THAT date, which is tz-free.
+        case TimestampType =>
+          val utcDate = date_add(to_date(lit("1970-01-01")),
+            floor(c.cast("double") / 86400d).cast("int"))
+          ((org.apache.spark.sql.functions.year(utcDate) - lit(1970)) *
+            lit(12) +
+            org.apache.spark.sql.functions.month(utcDate) - lit(1))
+            .cast("long").cast("string")
+        // field extraction on NTZ/DATE carries no timezone to begin with
+        case TimestampNTZType | DateType =>
+          ((org.apache.spark.sql.functions.year(c) - lit(1970)) * lit(12) +
             org.apache.spark.sql.functions.month(c) - lit(1))
             .cast("long").cast("string")
         case other => throw new IllegalArgumentException(
           s"month($source) needs a timestamp/date column, got ${other.simpleString}")
+      }
+      case Year => dt match {
+        // epoch years (year - 1970), tz-free via the same UTC epoch-day
+        // derivation as month
+        case TimestampType =>
+          val utcDate = date_add(to_date(lit("1970-01-01")),
+            floor(c.cast("double") / 86400d).cast("int"))
+          (org.apache.spark.sql.functions.year(utcDate) - lit(1970))
+            .cast("long").cast("string")
+        case TimestampNTZType | DateType =>
+          (org.apache.spark.sql.functions.year(c) - lit(1970))
+            .cast("long").cast("string")
+        case other => throw new IllegalArgumentException(
+          s"year($source) needs a timestamp/date column, got ${other.simpleString}")
       }
       case Bucket => pmod(xxhash64(c), lit(param.toLong)).cast("string")
       case Truncate => dt match {
@@ -118,7 +162,22 @@ final case class PartitionField(source: String, transform: String) {
     * need it; absence degrades to no pruning where it matters). */
   private[table] def mayMatch(v: String, lo: Any, hi: Any,
       dt: Option[DataType]): Boolean = {
-    if (v == NullPartition) return false // BETWEEN never matches NULL
+    if (v == NullPartition) {
+      // Spark's dynamic-partition write maps BOTH NULL and the EMPTY
+      // STRING partition-expression values into this one directory. A
+      // NULL source never matches a BETWEEN, but a string-sourced
+      // identity/truncate file under this tuple can ALSO hold rows
+      // whose source is "" — those are prunable only when the predicate
+      // provably excludes "" ("" is the minimal string, so it lies in
+      // [lo, hi] iff lo == ""; hi >= "" always). day/month/bucket and
+      // numeric identity/truncate can never write "" from a non-null
+      // row, so NULL-only reasoning stays exact for them. With dt
+      // unknown, lo.toString.isEmpty is still sound: a numeric bound
+      // renders non-empty (→ prune is safe either way) and a string
+      // bound compares exactly.
+      return (kind == Identity || kind == Truncate) &&
+        dt.forall(_ == StringType) && lo.toString.isEmpty
+    }
     kind match {
       case Identity => dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -129,15 +188,23 @@ final case class PartitionField(source: String, transform: String) {
             u.compareTo(UTF8String.fromString(hi.toString)) <= 0
         case _ => true // unknown type: never prune
       }
+      case Hour =>
+        val h = BigDecimal(v)
+        h >= epochHour(boundMicros(lo)) && h <= epochHour(boundMicros(hi))
       case Day =>
         val d = BigDecimal(v)
         d >= epochDay(boundMicros(lo)) && d <= epochDay(boundMicros(hi))
       case Month =>
         val m = BigDecimal(v)
         m >= epochMonth(boundMicros(lo)) && m <= epochMonth(boundMicros(hi))
+      case Year =>
+        val y = BigDecimal(v)
+        y >= epochYear(boundMicros(lo)) && y <= epochYear(boundMicros(hi))
       case Bucket =>
-        // only a point predicate pins a bucket; ranges keep every file
-        !sameKey(lo, hi) || dt.forall(t => BigDecimal(v) == bucketOf(lo, t))
+        // only a point predicate pins a bucket; ranges keep every file,
+        // and an uncoercible key degrades to no pruning (bucketOf=None)
+        !sameKey(lo, hi) ||
+          dt.forall(t => bucketOf(lo, t).forall(b => BigDecimal(v) == b))
       case Truncate => dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
           val fileLo = BigDecimal(v)
@@ -180,12 +247,23 @@ final case class PartitionField(source: String, transform: String) {
         val d = BigDecimal(v)
         boundMicros(lo) <= d * MicrosPerDay &&
           (d + 1) * MicrosPerDay - 1 <= boundMicros(hi)
+      case Hour =>
+        // all instants of hour h: [h·3600e6, (h+1)·3600e6) micros
+        val h = BigDecimal(v)
+        boundMicros(lo) <= h * MicrosPerHour &&
+          (h + 1) * MicrosPerHour - 1 <= boundMicros(hi)
       case Month =>
         // calendar months are non-uniform: bounds come from real
         // month-start instants, not a fixed unit width
         val m = v.toLong
         boundMicros(lo) <= monthStartMicros(m) &&
           monthStartMicros(m + 1) - 1 <= boundMicros(hi)
+      case Year =>
+        // calendar years are non-uniform too (leap years): real
+        // year-start instants bound the containment proof
+        val y = v.toLong
+        boundMicros(lo) <= yearStartMicros(y) &&
+          yearStartMicros(y + 1) - 1 <= boundMicros(hi)
       case Bucket => false   // a hash bucket never aligns with a range
       case Truncate => dt match {
         case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -199,19 +277,29 @@ final case class PartitionField(source: String, transform: String) {
   /** The bucket a point key lands in — evaluated through Spark's own
     * XxHash64 expression on a literal, so this is the SAME hash the
     * write expression computed, by construction rather than by a
-    * reimplementation that could drift. */
-  private[table] def bucketOf(key: Any, dt: DataType): BigDecimal = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val coerced = (key, dt) match {
-      case (i: Int, LongType)     => i.toLong
-      case (i: Integer, LongType) => i.longValue()
-      case (l: Long, IntegerType) => l.toInt
-      case other                  => other._1
-    }
-    val h = new XxHash64(Seq(Literal.create(coerced, dt)), 42L)
-      .eval(null).asInstanceOf[Long]
-    BigDecimal(((h % param) + param) % param)
-  }
+    * reimplementation that could drift. Numeric keys widen/narrow to
+    * the declared type only when value-preserving; any mismatch that
+    * `Literal.create` would reject returns None, and the caller keeps
+    * the file — "absence degrades to no pruning", never a planning-time
+    * crash. */
+  private[table] def bucketOf(key: Any, dt: DataType): Option[BigDecimal] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val coerced: Any = (key, dt) match {
+        case (n: Number, ByteType) if n.longValue() == n.byteValue().toLong =>
+          n.byteValue()
+        case (n: Number, ShortType) if n.longValue() == n.shortValue().toLong =>
+          n.shortValue()
+        case (n: Number, IntegerType) if n.longValue() == n.intValue().toLong =>
+          n.intValue()
+        case (n: Number, LongType)  => n.longValue()
+        case (s, StringType)        => s.toString
+        case other                  => other._1
+      }
+      val h = new XxHash64(Seq(Literal.create(coerced, dt)), 42L)
+        .eval(null).asInstanceOf[Long]
+      Some(BigDecimal(((h % param) + param) % param))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private def sameKey(lo: Any, hi: Any): Boolean =
     lo == hi || (try ColRange.num(lo) == ColRange.num(hi)
@@ -222,11 +310,14 @@ object PartitionField {
   private val BucketRe = """bucket\[(\d+)\]""".r
   private val TruncateRe = """truncate\[(\d+)\]""".r
   private val Identity = "identity"
+  private val Hour = "hour"
   private val Day = "day"
   private val Month = "month"
+  private val Year = "year"
   private val Bucket = "bucket"
   private val Truncate = "truncate"
   private val MicrosPerDay = BigDecimal(86400000000L)
+  private val MicrosPerHour = BigDecimal(3600000000L)
 
   /** Epoch day of a time bound already normalized to micros — floor
     * division, correct for pre-epoch instants. */
@@ -255,6 +346,21 @@ object PartitionField {
     BigDecimal(java.time.LocalDate.of(y, mo, 1).toEpochDay) * MicrosPerDay
   }
 
+  /** Epoch hour of a micros bound — floor division like [[epochDay]]. */
+  private def epochHour(micros: BigDecimal): BigDecimal =
+    (micros / MicrosPerHour).setScale(0, BigDecimal.RoundingMode.FLOOR)
+
+  /** Epoch year (year − 1970, UTC calendar) of a micros bound. */
+  private def epochYear(micros: BigDecimal): BigDecimal = {
+    val day = epochDay(micros).toLong
+    BigDecimal(java.time.LocalDate.ofEpochDay(day).getYear - 1970)
+  }
+
+  /** First instant of epoch year `y`, as micros (UTC). */
+  private def yearStartMicros(y: Long): BigDecimal =
+    BigDecimal(java.time.LocalDate.of(1970 + y.toInt, 1, 1).toEpochDay) *
+      MicrosPerDay
+
   private def boundMicros(a: Any): BigDecimal = a match {
     case d: java.sql.Date       => BigDecimal(d.toLocalDate.toEpochDay) * MicrosPerDay
     case d: java.time.LocalDate => BigDecimal(d.toEpochDay) * MicrosPerDay
@@ -265,8 +371,10 @@ object PartitionField {
   private[table] val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   def identity(source: String): PartitionField = PartitionField(source, "identity")
+  def hour(source: String): PartitionField = PartitionField(source, "hour")
   def day(source: String): PartitionField = PartitionField(source, "day")
   def month(source: String): PartitionField = PartitionField(source, "month")
+  def year(source: String): PartitionField = PartitionField(source, "year")
   def bucket(source: String, n: Int): PartitionField =
     PartitionField(source, s"bucket[$n]")
   def truncate(source: String, w: Int): PartitionField =

@@ -29,8 +29,9 @@ object PreparedTable {
       (cfg.statsColumns ++ extraStatsColumns).distinct, None,
       (cfg.bloomColumns ++ extraBloomColumns).distinct,
       // declared hidden partitioning + write-time clustering: every
-      // promotion (and every maintenance rewrite) routes through them
-      cfg.partitionBy, cfg.sortBy)
+      // promotion (and every maintenance rewrite) routes through them;
+      // change_feed turns on row-level CDC images for removals
+      cfg.partitionBy, cfg.sortBy, cfg.changeFeed)
 
   /** Read the prepared table under the configured format: ONE manifest
     * GET for log tables (no directory listing, schema from the

@@ -111,7 +111,25 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     fileBytes: Map[String, Long] = Map.empty,
     partitionSpec: Seq[PartitionField] = Nil,
     partitions: Map[String, Seq[String]] = Map.empty,
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil,
+    cdc: Boolean = false,
+    changes: Option[ChangeSet] = None,
+    priorSpecs: Seq[Seq[PartitionField]] = Nil,
+    fileSpecIdx: Map[String, Int] = Map.empty) {
+
+  /** The spec `file`'s recorded partition tuple was WRITTEN under —
+    * spec evolution ([[SnapshotLog.evolvePartitionSpec]]) keeps every
+    * historical spec and tags each file with an ABSOLUTE index into
+    * `priorSpecs :+ partitionSpec`, so old files keep pruning by the
+    * transforms that produced their tuples while new files prune by the
+    * current spec. A file absent from the index is current-spec (the
+    * steady state: evolution materializes explicit indices once, new
+    * files never need one). */
+  private[table] def specOf(file: String): Seq[PartitionField] = {
+    val idx = fileSpecIdx.getOrElse(file, priorSpecs.length)
+    if (idx >= priorSpecs.length) partitionSpec else priorSpecs(idx)
+  }
+}
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
   * `file` holds the deleted key values for `column` (one row each,
@@ -126,13 +144,86 @@ final case class Tombstone(file: String, column: String, appliesTo: Seq[String])
   * the committed op and the files this version added over its parent. */
 final case class VersionDelta(version: Long, op: String, addedFiles: Seq[String])
 
+/** One [lo, hi] predicate of a copy-on-write delete, serialized with a
+  * type tag so [[LogMirror]] can REPLAY the delete on a replica
+  * ([[SnapshotLog.deleteWhereTxn]]) — replaying the predicate prunes on
+  * the replica's own stats/partitions, where shipping pre-image rows
+  * would force a full-table anti-join. Only bound types a manifest can
+  * round-trip exactly are encodable ([[ChangePred.encode]]); a delete
+  * with an unencodable bound still records its row images, it just
+  * can't be predicate-replayed. */
+final case class ChangePred(column: String, tpe: String, lo: String, hi: String)
+
+object ChangePred {
+  /** Encode one predicate; None when the bound types don't round-trip
+    * (caller degrades to rows-only CDC for the commit). */
+  def encode(column: String, lo: Any, hi: Any): Option[ChangePred] = {
+    def enc(a: Any): Option[(String, String)] = a match {
+      case b: Boolean                => Some(("boolean", b.toString))
+      case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+        Some(("long", n.asInstanceOf[Number].longValue().toString))
+      case n @ (_: Float | _: Double) =>
+        Some(("double", n.asInstanceOf[Number].doubleValue().toString))
+      case d: BigDecimal             => Some(("decimal", d.toString))
+      case d: java.math.BigDecimal   => Some(("decimal", d.toString))
+      case s: String                 => Some(("string", s))
+      case d: java.sql.Date          => Some(("date", d.toLocalDate.toString))
+      case d: java.time.LocalDate    => Some(("date", d.toString))
+      case t: java.sql.Timestamp     => Some(("timestamp", t.toInstant.toString))
+      case t: java.time.Instant      => Some(("timestamp", t.toString))
+      case _                         => None
+    }
+    for {
+      (tl, l) <- enc(lo); (th, h) <- enc(hi) if tl == th
+    } yield ChangePred(column, tl, l, h)
+  }
+
+  /** Decode back to the (column, lo, hi) shape [[SnapshotLog.deleteWhere]]
+    * takes. Inverse of [[encode]] by construction. */
+  def decode(p: ChangePred): (String, Any, Any) = {
+    def dec(s: String): Any = p.tpe match {
+      case "boolean"   => s.toBoolean
+      case "long"      => s.toLong
+      case "double"    => s.toDouble
+      case "decimal"   => BigDecimal(s)
+      case "string"    => s
+      case "date"      => java.sql.Date.valueOf(java.time.LocalDate.parse(s))
+      case "timestamp" => java.sql.Timestamp.from(java.time.Instant.parse(s))
+      case other => throw new IllegalArgumentException(
+        s"unknown ChangePred type tag '$other'")
+    }
+    (p.column, dec(p.lo), dec(p.hi))
+  }
+}
+
+/** A row-removing version's recorded row-level changes (CDC images),
+  * present only on tables created with `changeFeed = true` — the
+  * opt-in that makes `delete`/`merge`/`delete_keys` commits consumable
+  * by [[SnapshotLog.readChangeRows]], [[LogMirror]] and
+  * [[DerivedAggregate]] instead of forcing a full resync (the
+  * production CDF contract: pay a bounded extra write at commit time,
+  * never an O(table) recompute downstream).
+  *
+  *  - `files` — parquet change files (table columns + `_change_type`
+  *    = 'insert' | 'delete') holding the commit's row images;
+  *  - `deletedDataFiles` — DATA files of the parent version every row
+  *    of which was deleted: their pre-images ship BY REFERENCE (zero
+  *    copy — a whole-partition delete records no new bytes at all);
+  *  - `keyColumn` — [[SnapshotLog.mergeByKey]]'s key, so a replica can
+  *    replay the merge as an upsert of the insert images;
+  *  - `preds` — [[SnapshotLog.deleteWhere]]'s predicates when their
+  *    bounds are manifest-encodable, for predicate replay on replicas. */
+final case class ChangeSet(files: Seq[String] = Nil,
+    deletedDataFiles: Seq[String] = Nil,
+    keyColumn: String = "", preds: Seq[ChangePred] = Nil)
+
 /** One data file's metadata row inside a manifest SEGMENT — the unit
   * the segmented-manifest layout ([[SnapshotLog]] past
   * `InlineFileLimit` files) stores per-file state in. Immutable once
   * written; -1 marks an unrecorded rows/bytes value. */
 private[table] final case class SegmentEntry(file: String, rows: Long,
     bytes: Long, stats: Map[String, ColRange], blooms: Map[String, String],
-    partition: Seq[String])
+    partition: Seq[String], specIdx: Int = 0)
 
 /** A commit lost the optimistic-concurrency race and cannot be safely
   * retried at this layer (rewrites — the table changed under the job).
@@ -223,7 +314,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     statsColumns: Seq[String] = Nil, store0: Option[CommitStore] = None,
     bloomColumns: Seq[String] = Nil,
     partitionBy: Seq[PartitionField] = Nil,
-    sortBy: Seq[String] = Nil) {
+    sortBy: Seq[String] = Nil,
+    changeFeed: Boolean = false) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -298,7 +390,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         SegmentEntry(e.get("f").asText(),
           Option(e.get("r")).map(_.asLong()).getOrElse(-1L),
           Option(e.get("b")).map(_.asLong()).getOrElse(-1L),
-          stats, blooms, part)
+          stats, blooms, part,
+          // ABSOLUTE spec index; absent (pre-evolution segments) = the
+          // first spec, which was also the only one back then
+          Option(e.get("si")).map(_.asInt()).getOrElse(0))
       }.toSeq
     })
 
@@ -329,6 +424,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val pa = e.putArray("part")
         vs.foreach(pa.add)
       }
+      // absolute spec index — segments are REUSED across commits, so a
+      // relative "current" marker would go stale at the next evolution
+      val si = s.fileSpecIdx.getOrElse(f, s.priorSpecs.length)
+      if (si != 0) e.put("si", si)
     }
     if (!store.putIfAbsent(name, mapper.writeValueAsBytes(node)))
       throw new IllegalStateException(s"segment name collision: $name")
@@ -346,11 +445,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * tuple and are simply never pruned. */
   private def commitSpec(base: Snapshot): Seq[PartitionField] =
     if (base.partitionSpec.nonEmpty) {
-      require(partitionBy.isEmpty || partitionBy == base.partitionSpec,
+      require(declaredSpec.isEmpty || declaredSpec == base.partitionSpec,
         s"$tableDir is partitioned by ${base.partitionSpec}; a SnapshotLog " +
-          s"declaring $partitionBy on it would prune unsoundly")
+          s"declaring $declaredSpec on it would prune unsoundly")
       base.partitionSpec
-    } else partitionBy
+    } else declaredSpec
+
+  /** The spec THIS handle writes under: the constructor's declaration,
+    * advanced in place by a successful [[evolvePartitionSpec]] on the
+    * same handle (so the evolving writer keeps committing without
+    * re-construction) — any OTHER handle still declaring the old spec
+    * keeps failing [[commitSpec]]'s contradiction check loudly. */
+  @volatile private var declaredSpec: Seq[PartitionField] = partitionBy
 
   /** The sort order the NEXT manifest records, given its parent: the
     * constructor's declaration wins (unlike the partition spec, a
@@ -360,6 +466,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * clustering on write. */
   private def commitSort(base: Snapshot): Seq[String] =
     if (sortBy.nonEmpty) sortBy else base.sortOrder
+
+  /** Whether the NEXT manifest records row-level CDC: sticky once set —
+    * a handle constructed with `changeFeed = true` turns the feed on
+    * from its first commit (sound retroactively: the feed's contract
+    * only covers versions committed while on), and every later handle
+    * inherits it from the manifest. There is deliberately no off
+    * switch — consumers downstream may already depend on the images. */
+  private def commitCdc(base: Snapshot): Boolean = changeFeed || base.cdc
 
   /** Latest committed version; 0 means no commit yet. Staged manifests
     * (`.tmp-*`) and foreign files are ignored — only a fully published
@@ -430,12 +544,38 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val segNames = Option(node.get("segments")).map { sn =>
       (0 until sn.size()).map(sn.get(_).asText()).toSeq
     }.getOrElse(Nil)
+    val priorSpecs = Option(node.get("priorSpecs")).map { ha =>
+      (0 until ha.size()).map { i =>
+        val sa = ha.get(i)
+        (0 until sa.size()).map(j => PartitionField(
+          sa.get(j).get("src").asText(), sa.get(j).get("t").asText())).toSeq
+      }.toSeq
+    }.getOrElse(Nil)
+    val fileSpecIdx = Option(node.get("fileSpec")).map { fn =>
+      fn.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    }.getOrElse(Map.empty[String, Int])
+    val cdc = Option(node.get("cdc")).exists(_.asBoolean())
+    val changeSet = Option(node.get("changes")).map { cn =>
+      def arr(name: String): Seq[String] = Option(cn.get(name))
+        .map(a => (0 until a.size()).map(a.get(_).asText()).toSeq)
+        .getOrElse(Nil)
+      ChangeSet(arr("files"), arr("deletedDataFiles"),
+        Option(cn.get("keyColumn")).map(_.asText()).getOrElse(""),
+        Option(cn.get("preds")).map { pa =>
+          (0 until pa.size()).map { i =>
+            val p = pa.get(i)
+            ChangePred(p.get("c").asText(), p.get("t").asText(),
+              p.get("lo").asText(), p.get("hi").asText())
+          }.toSeq
+        }.getOrElse(Nil))
+    }
     segNamesCache.put(v, segNames)
     if (segNames.isEmpty)
       Snapshot(node.get("version").asLong(), node.get("op").asText(),
         node.get("parent").asLong(), node.get("rows").asLong(),
         node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
-        fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder)
+        fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder,
+        cdc, changeSet, priorSpecs, fileSpecIdx)
     else {
       // segmented manifest: the per-file plane lives in immutable
       // segment files (cached); the manifest itself is O(segments)
@@ -451,7 +591,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         entries.collect { case e if e.bytes >= 0 => e.file -> e.bytes }.toMap,
         partitionSpec,
         entries.collect { case e if e.partition.nonEmpty => e.file -> e.partition }.toMap,
-        sortOrder)
+        sortOrder, cdc, changeSet, priorSpecs,
+        // explicit per-entry indices only matter once specs diverged;
+        // with a single spec the absent-means-current default is exact
+        if (priorSpecs.isEmpty) Map.empty
+        else entries.map(e => e.file -> e.specIdx).toMap)
     }
   }
 
@@ -564,7 +708,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     s.files.filter { f =>
       preds.forall { case (c, lo, hi) =>
         s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) &&
-          s.partitionSpec.zipWithIndex.forall { case (pf, i) =>
+          s.specOf(f).zipWithIndex.forall { case (pf, i) =>
             pf.source != c || s.partitions.get(f).flatMap(_.lift(i))
               .forall(v => pf.mayMatch(v, lo, hi, dts(c)))
           }
@@ -582,7 +726,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       dts: Map[String, Option[org.apache.spark.sql.types.DataType]]): Boolean =
     preds.forall { case (c, lo, hi) =>
       s.stats.get(f).flatMap(_.get(c)).exists(_.containedIn(lo, hi)) ||
-        s.partitionSpec.zipWithIndex.exists { case (pf, i) =>
+        s.specOf(f).zipWithIndex.exists { case (pf, i) =>
           pf.source == c && s.partitions.get(f).flatMap(_.lift(i))
             .exists(v => pf.containedIn(v, lo, hi, dts(c)))
         }
@@ -593,16 +737,55 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
     val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    def empty = reader(s).parquet(new Path(dataDir, s.files.head).toString)
+      .where(lit(false))
+    // string bounds against a typed column coerce on the DRIVER: a
+    // parseable bound becomes a typed literal (the residual then never
+    // trips ANSI's runtime string→number cast), an unparseable one
+    // proves NO value of the column's type can match — empty result,
+    // never a planning-time crash (same degrade-don't-throw contract as
+    // the partition gate's bucketOf)
+    val coerced = preds.map { case (c, lo, hi) =>
+      val dt = schemaType(s, c)
+      (coerceBound(lo, dt), coerceBound(hi, dt)) match {
+        case (Some(l), Some(h)) => Some((c, l, h))
+        case _                  => None
+      }
+    }
+    if (coerced.exists(_.isEmpty)) return empty
     val kept = candidateFiles(s, preds)
-    val residual = preds.map { case (c, lo, hi) =>
+    val residual = coerced.flatten.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (kept.isEmpty)
       // every file pruned: empty result, schema from the manifest (or
       // one footer for a pre-schema manifest)
-      reader(s).parquet(new Path(dataDir, s.files.head).toString)
-        .where(lit(false))
+      empty
     else
       scan(s, kept).where(residual)
+  }
+
+  /** A string bound coerced to `dt`'s native literal type — Some(typed)
+    * when it parses, None when no value of the column's type could ever
+    * equal it. Non-string bounds (and string/unknown columns) pass
+    * through untouched: their comparison semantics are Spark's own. */
+  private def coerceBound(v: Any,
+      dt: Option[org.apache.spark.sql.types.DataType]): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (str: String, Some(t)) => t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          scala.util.Try(str.trim.toLong: Any).toOption
+        case FloatType | DoubleType =>
+          scala.util.Try(str.trim.toDouble: Any).toOption
+        case _: DecimalType => scala.util.Try(BigDecimal(str.trim): Any).toOption
+        case DateType =>
+          scala.util.Try(java.sql.Date.valueOf(str.trim): Any).toOption
+        case TimestampType | TimestampNTZType =>
+          scala.util.Try(java.sql.Timestamp.valueOf(str.trim): Any).toOption
+        case _ => Some(v)
+      }
+      case _ => Some(v)
+    }
   }
 
   /** Exact `count(*)` of a committed version from ONE manifest GET —
@@ -661,9 +844,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * one extra file scan, never a wrong row. At 100 TB this is a
     * needle-in-haystack fetch (one doc by id, one user's events)
     * opening a handful of files instead of the table. */
-  def readKeys(column: String, keys: Seq[Any]): DataFrame = {
+  def readKeys(column: String, keys: Seq[Any]): DataFrame =
+    readKeysAt(-1L, column, keys)
+
+  /** [[readKeys]] pinned to a version — the incremental-consumer shape
+    * ([[DerivedAggregate]]'s targeted recompute): reading at the
+    * version the cursor will record keeps a concurrent append from
+    * leaking rows the NEXT refresh would fold again. */
+  def readKeysAt(version: Long, column: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "readKeys needs at least one key")
-    val s = snapshot()
+    val s = snapshot(version)
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
     val kept = keyCandidates(s, column, keys)
     val pred = col(column).isInCollection(keys)
@@ -685,7 +875,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         // the partition gate: some key must be able to live in this
         // file's tuple — bucket transforms prune point lookups here
         // even on tables with neither stats nor blooms
-        keys.exists(k => s.partitionSpec.zipWithIndex.forall { case (pf, i) =>
+        keys.exists(k => s.specOf(f).zipWithIndex.forall { case (pf, i) =>
           pf.source != column || s.partitions.get(f).flatMap(_.lift(i))
             .forall(v => pf.mayMatch(v, k, k, dt))
         })
@@ -773,6 +963,88 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
+  /** ROW-LEVEL change feed (CDC): every logical row change in
+    * `(fromVersion, toVersion]` as a DataFrame of the table's columns
+    * plus `_change_type` ('insert' | 'delete') and `_commit_version` —
+    * the feed that lets a consumer holding rows REACT to removals
+    * instead of resyncing ([[LogMirror]] replays them, a
+    * [[DerivedAggregate]] subtracts them, the streaming source ships
+    * them). Per-version contribution:
+    *  - `append` — the added files as inserts (synthesized from the
+    *    manifest, no recorded images needed);
+    *  - `delete` / `merge` / `delete_keys` — the commit's recorded
+    *    [[ChangeSet]] images: change files as written, whole-file
+    *    deletes read BY REFERENCE from the parent's data files with
+    *    'delete' attached. A merge appears as delete(pre-image) +
+    *    insert(post-image) pairs for replaced keys — the two-type
+    *    contract, deliberately simpler than four-type CDF feeds;
+    *  - `compact` / `cluster` / `zorder` — nothing (physical only);
+    *  - a row-removing version WITHOUT images (committed before the
+    *    table was feed-enabled) or a `restore` throws — silently
+    *    skipping either would hand the consumer a feed with a hole.
+    * Cost: O(changed rows) reads, never O(table) — appends read their
+    * delta files, images read what the commit recorded. */
+  def readChangeRows(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val to = if (toVersion < 0) currentVersion() else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"readChangeRows needs 0 <= from <= to, got [$fromVersion, $to]")
+    val toSnap = snapshot(to)
+    def path(f: String) = new Path(dataDir, f).toString
+    var prev: Option[Snapshot] = None
+    val frames = ((fromVersion + 1) to to).flatMap { v =>
+      val s = snapshot(v)
+      val parentFiles =
+        if (s.parent == 0) Set.empty[String]
+        else prev.filter(_.version == s.parent).getOrElse(snapshot(s.parent))
+          .files.toSet
+      prev = Some(s)
+      s.op match {
+        case "append" =>
+          val added = s.files.filterNot(parentFiles)
+          if (added.isEmpty) Nil
+          else Seq(reader(s).parquet(added.map(path): _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        case "delete" | "merge" | "delete_keys" =>
+          val cs = s.changes.getOrElse(throw new IllegalStateException(
+            s"$tableDir v$v is a '${s.op}' with no recorded change images " +
+              "(committed before the table was changeFeed-enabled) — " +
+              "row-level reads cannot span it; resync from a full read"))
+          val images =
+            if (cs.files.isEmpty) Nil
+            else Seq(spark.read.parquet(cs.files.map(path): _*))
+          val wholeFiles =
+            if (cs.deletedDataFiles.isEmpty) Nil
+            else Seq(reader(s).parquet(cs.deletedDataFiles.map(path): _*)
+              .withColumn("_change_type", lit("delete")))
+          (images ++ wholeFiles).map(_.withColumn("_commit_version", lit(v)))
+        case "restore" => throw new IllegalStateException(
+          s"$tableDir v$v is a restore — a rollback is not expressible " +
+            "as row changes; resync the consumer from a full read")
+        case _ => Nil // physical rewrite: the table changed, rows didn't
+      }
+    }
+    val outCols = org.apache.spark.sql.types.DataType.fromJson(toSnap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ++
+      Seq("_change_type", "_commit_version")
+    if (frames.isEmpty) {
+      // no logical change in range: empty frame under the to-schema
+      val empty = reader(toSnap)
+        .parquet(path(toSnap.files.headOption.getOrElse(
+          throw new IllegalStateException(
+            s"version $to of $tableDir is empty — nothing to shape a " +
+              "change frame from"))))
+        .where(lit(false))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+      empty.select(outCols.map(col): _*)
+    } else
+      // columns added by later evolution read as null from earlier
+      // versions' frames — same schema-on-read rule as the table scan
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(outCols.map(col): _*)
+  }
+
   /** Append `df` as a new version. Safe under concurrent appenders:
     * stage once, then retry the manifest CAS against the fresh parent —
     * appends commute, the staged files stay valid across retries.
@@ -799,7 +1071,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
         base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes,
         commitSpec(base), base.partitions ++ staged.partitions,
-        commitSort(base))
+        commitSort(base), commitCdc(base),
+        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -841,7 +1114,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms,
         base.fileBytes ++ staged.fileBytes,
         commitSpec(base), base.partitions ++ staged.partitions,
-        commitSort(base))
+        commitSort(base), commitCdc(base),
+        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -940,7 +1214,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         (cur.blooms -- replaced) ++ staged.blooms,
         (cur.fileBytes -- replaced) ++ staged.fileBytes,
         commitSpec(cur), (cur.partitions -- replaced) ++ staged.partitions,
-        commitSort(cur))
+        commitSort(cur), commitCdc(cur),
+        priorSpecs = cur.priorSpecs, fileSpecIdx = cur.fileSpecIdx -- replaced)
       if (tryCommit(next)) return next
       val newest = snapshot()
       val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
@@ -981,9 +1256,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * intersects it. On a z-ordered table a box delete (e.g. one user's
     * rows in one time slice) rewrites just the curve cells the box
     * crosses. NULL-keyed rows never match (SQL DELETE semantics). */
-  def deleteWhere(preds: (String, Any, Any)*): Option[Snapshot] = {
+  def deleteWhere(preds: (String, Any, Any)*): Option[Snapshot] =
+    deleteWhereTxn(preds, None)
+
+  /** [[deleteWhere]] with the exactly-once `(appId, batchId)` watermark
+    * contract of [[appendStream]]/[[deleteKeys]]: an already-committed
+    * batch id returns None without staging — what lets [[LogMirror]]
+    * REPLAY a source's predicate delete on a replica idempotently (the
+    * predicate ships in the source's [[ChangeSet]]; replaying it prunes
+    * on the replica's own stats instead of shipping pre-image rows). */
+  def deleteWhereTxn(preds: Seq[(String, Any, Any)],
+      txn: Option[(String, Long)] = None): Option[Snapshot] = {
     require(preds.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return None // replay detected — nothing stages, nothing commits
     require(base.tombstones.isEmpty,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
         "a copy-on-write delete (its per-file row accounting assumes " +
@@ -1008,6 +1295,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // keeps NULL explicitly — a bare negation would DROP those rows)
     val matches = preds.map { case (c, lo, hi) =>
       col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    val recordCdc = commitCdc(base)
     val stagedOpt =
       if (rewriteSet.isEmpty) None
       else {
@@ -1024,6 +1312,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         Some((stage(touchedDf.where(!matches), base = Some(base)),
           touchedRows, touchedBytes))
       }
+    // CDC images: deleted rows from the rewrite set materialize as a
+    // change file (one extra pass over just the touched files — the
+    // bounded commit-time cost the feed opt-in buys); whole-file drops
+    // ship BY REFERENCE in deletedDataFiles, zero new bytes. Predicates
+    // ride along type-tagged when encodable, for replica replay.
+    val changeStaged =
+      if (!recordCdc || rewriteSet.isEmpty) None
+      else {
+        val touchedPaths = rewriteSet.map(f => new Path(dataDir, f).toString)
+        val deleted = reader(base).parquet(touchedPaths: _*).where(matches)
+          .withColumn("_change_type", lit("delete"))
+        val st = stage(deleted, partitioned = false)
+        if (st.rows == 0) { discard(st); None } else Some(st)
+      }
+    val encodedPreds = preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(
+        files = changeStaged.map(_.files).getOrElse(Nil),
+        deletedDataFiles = dropped,
+        preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
+          else Nil)) // one unencodable bound → rows-only CDC, no replay
     val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
         stagedBlooms, stagedFileBytes, stagedParts, rewrittenRows,
         rewrittenBytes) = stagedOpt match {
@@ -1038,14 +1348,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.bytes - droppedBytes - rewrittenBytes + stagedBytes,
       base.files.filterNot(touched.toSet) ++ stagedFiles,
       (base.stats -- touched) ++ stagedStats,
-      base.schemaJson, base.txns, Nil,
+      base.schemaJson,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
       (base.fileRows -- touched) ++ stagedFileRows,
       (base.blooms -- touched) ++ stagedBlooms,
       (base.fileBytes -- touched) ++ stagedFileBytes,
       commitSpec(base), (base.partitions -- touched) ++ stagedParts,
-      commitSort(base))
+      commitSort(base), recordCdc, changeSet,
+      base.priorSpecs, base.fileSpecIdx -- touched)
     if (!tryCommit(next)) {
       stagedOpt.foreach { case (st, _, _) => discard(st) }
+      changeStaged.foreach(discard)
       throw new CommitConflictException(
         s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
     }
@@ -1142,9 +1455,34 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val touchedBytes =
       touched.map(f => fs.getFileStatus(new Path(dataDir, f)).getLen).sum
     val staged = stage(stagedDf, base = Some(base))
+    // CDC images: replaced rows (pre-images, read again from just the
+    // touched files) as deletes, the whole update batch as inserts —
+    // together with keyColumn, exactly what a replica needs to replay
+    // the merge as `mergeByKey(inserts, keyColumn)`. O(touched + batch),
+    // paid only on feed-enabled tables.
+    val recordCdc = commitCdc(base)
+    val changeStaged =
+      if (!recordCdc) None
+      else {
+        val ins = u.withColumn("_change_type", lit("insert"))
+        val all =
+          if (touched.isEmpty) ins
+          else reader(base)
+            .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
+            .join(u.select(col(column)).distinct(), Seq(column), "left_semi")
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(ins, allowMissingColumns = true)
+        val st = stage(all, partitioned = false)
+        if (st.rows == 0) { discard(st); None } else Some(st)
+      }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
+        keyColumn = column))
     val merged =
       try mergeSchemaJson(base.schemaJson, staged.schemaJson)
-      catch { case e: IllegalStateException => discard(staged); throw e }
+      catch { case e: IllegalStateException =>
+        discard(staged); changeStaged.foreach(discard); throw e }
     val next = Snapshot(base.version + 1, "merge", base.version,
       base.rows - touchedRows + staged.rows,
       base.bytes - touchedBytes + staged.bytes,
@@ -1155,9 +1493,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.blooms -- touched) ++ staged.blooms,
       (base.fileBytes -- touched) ++ staged.fileBytes,
       commitSpec(base), (base.partitions -- touched) ++ staged.partitions,
-      commitSort(base))
+      commitSort(base), recordCdc, changeSet,
+      base.priorSpecs, base.fileSpecIdx -- touched)
     if (!tryCommit(next)) {
       discard(staged)
+      changeStaged.foreach(discard)
       throw new CommitConflictException(
         s"merge on $tableDir: concurrent commit since v${base.version}; rerun")
     }
@@ -1222,15 +1562,41 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       discard(staged)
       return None
     }
+    // CDC images: the LOGICAL rows the tombstone removes — the covered
+    // files scanned with any PRIOR tombstones applied (a row two
+    // successive key deletes both cover must image only once), then
+    // semi-joined against the staged key file so the images and the
+    // tombstone share one key set by construction. This pays a read of
+    // the candidate files a plain merge-on-read delete defers — the
+    // bounded commit-time cost the feed opt-in buys; without stats it
+    // degrades to a table scan, same as the read-side anti-join would.
+    val recordCdc = commitCdc(base)
+    val changeStaged =
+      if (!recordCdc) None
+      else {
+        val keyDf = spark.read
+          .parquet(new Path(dataDir, staged.files.head).toString)
+        val pre = scan(base, applies)
+          .join(keyDf, Seq(column), "left_semi")
+          .withColumn("_change_type", lit("delete"))
+        val st = stage(pre, partitioned = false)
+        if (st.rows == 0) { discard(st); None } else Some(st)
+      }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
+        keyColumn = column))
     val next = Snapshot(base.version + 1, "delete_keys", base.version,
       base.rows, base.bytes, base.files, base.stats,
       base.schemaJson,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
       base.fileRows, base.blooms, base.fileBytes,
-      base.partitionSpec, base.partitions, base.sortOrder)
+      base.partitionSpec, base.partitions, base.sortOrder,
+      recordCdc, changeSet, base.priorSpecs, base.fileSpecIdx)
     if (!tryCommit(next)) {
       discard(staged)
+      changeStaged.foreach(discard)
       throw new CommitConflictException(
         s"delete_keys on $tableDir: concurrent commit since v${base.version}; rerun")
     }
@@ -1249,6 +1615,46 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * the whole table, so retrying past a commit it hasn't seen would
     * silently drop that commit's rows (while the carried txns watermark
     * still marks its stream batch committed — unrecoverable by replay). */
+  /** Evolve the hidden partition spec FORWARD: `newSpec` governs every
+    * file staged from the next commit on, while files already committed
+    * keep pruning under the spec that WROTE their tuples — the manifest
+    * retains every historical spec (`priorSpecs`) and tags each
+    * pre-evolution file with an absolute index into that history
+    * ([[Snapshot.specOf]]), Iceberg's spec-per-file rule. Metadata-only:
+    * one manifest write, zero data I/O — at 100 TB moving a table from
+    * `day(ts)` to `month(ts) × bucket(user)` costs nothing until
+    * maintenance naturally rewrites files (compaction re-stages under
+    * the CURRENT spec, so the layout converges file by file instead of
+    * in one big-bang rewrite). Reads need no flag: each file is judged
+    * under its own spec, and a mixed table prunes exactly as well as
+    * each half allows. A concurrent commit aborts (like [[restore]] —
+    * retrying past an unseen spec-sensitive commit could mis-tag its
+    * files). */
+  def evolvePartitionSpec(newSpec: Seq[PartitionField]): Snapshot = {
+    val cur = snapshot()
+    require(newSpec != cur.partitionSpec,
+      s"$tableDir already has spec ${cur.partitionSpec}")
+    if (cur.schemaJson.nonEmpty) {
+      val fields = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      newSpec.foreach(f => require(fields(f.source),
+        s"spec source '${f.source}' is not a column of $tableDir"))
+    }
+    val next = Snapshot(cur.version + 1, "evolve_spec", cur.version,
+      cur.rows, cur.bytes, cur.files, cur.stats, cur.schemaJson, cur.txns,
+      cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
+      newSpec, cur.partitions, cur.sortOrder, commitCdc(cur), None,
+      // every live file pins to the spec that wrote it, at its ABSOLUTE
+      // index — from here on, absence means the new current spec
+      cur.priorSpecs :+ cur.partitionSpec,
+      cur.files.map(f =>
+        f -> cur.fileSpecIdx.getOrElse(f, cur.priorSpecs.length)).toMap)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"evolve_spec on $tableDir: concurrent commit since v${cur.version}; rerun")
+    declaredSpec = newSpec // this handle keeps writing, under the new spec
+    next
+  }
+
   def restore(version: Long): Snapshot = {
     require(version >= 1, s"restore needs a committed version, got $version")
     val target = snapshot(version)
@@ -1257,7 +1663,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       target.rows, target.bytes, target.files, target.stats,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
       target.blooms, target.fileBytes, target.partitionSpec,
-      target.partitions, target.sortOrder)
+      target.partitions, target.sortOrder, commitCdc(cur), None,
+      target.priorSpecs, target.fileSpecIdx)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -1338,7 +1745,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .filter(v => store.exists(manifestName(v)))
       .flatMap { v =>
         val s = snapshot(v)
-        s.files ++ s.tombstones.map(_.file) // tombstones are live metadata
+        s.files ++ s.tombstones.map(_.file) ++ // tombstones are live metadata
+          // CDC images of retained versions stay readable — including
+          // whole-file deletes whose pre-images ship by REFERENCE to
+          // data files no later manifest lists
+          s.changes.toSeq.flatMap(cs => cs.files ++ cs.deletedDataFiles)
       }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
@@ -1427,7 +1838,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         case Some(b) => (commitSpec(b), commitSort(b))
         case None =>
           val v = currentVersion()
-          if (v == 0) (partitionBy, sortBy)
+          if (v == 0) (declaredSpec, sortBy)
           else {
             val b = snapshot(v)
             (commitSpec(b), commitSort(b))
@@ -1720,6 +2131,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val so = node.putArray("sortOrder")
       s.sortOrder.foreach(so.add)
     }
+    if (s.priorSpecs.nonEmpty) {
+      val ha = node.putArray("priorSpecs")
+      s.priorSpecs.foreach { spec =>
+        val sa = ha.addArray()
+        spec.foreach(f => sa.addObject().put("src", f.source).put("t", f.transform))
+      }
+    }
+    if (s.cdc) node.put("cdc", true)
+    s.changes.foreach { cs =>
+      val cn = node.putObject("changes")
+      if (cs.files.nonEmpty) {
+        val fa = cn.putArray("files"); cs.files.foreach(fa.add)
+      }
+      if (cs.deletedDataFiles.nonEmpty) {
+        val da = cn.putArray("deletedDataFiles")
+        cs.deletedDataFiles.foreach(da.add)
+      }
+      if (cs.keyColumn.nonEmpty) cn.put("keyColumn", cs.keyColumn)
+      if (cs.preds.nonEmpty) {
+        val pa = cn.putArray("preds")
+        cs.preds.foreach { p =>
+          pa.addObject().put("c", p.column).put("t", p.tpe)
+            .put("lo", p.lo).put("hi", p.hi)
+        }
+      }
+    }
     node
   }
 
@@ -1761,6 +2198,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val va = pn.putArray(f)
         vs.foreach(va.add)
       }
+    }
+    if (s.fileSpecIdx.nonEmpty) {
+      val fn = node.putObject("fileSpec")
+      s.fileSpecIdx.foreach { case (f, i) => fn.put(f, i) }
     }
     store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
   }
@@ -1837,4 +2278,14 @@ object SnapshotLog {
   def sorted(spark: SparkSession, tableDir: String, sortBy: Seq[String],
       statsColumns: Seq[String] = Nil): SnapshotLog =
     new SnapshotLog(spark, tableDir, statsColumns, None, Nil, Nil, sortBy)
+
+  /** A log with ROW-LEVEL CDC enabled ([[ChangeSet]]): row-removing
+    * commits record change images, [[SnapshotLog.readChangeRows]] and
+    * the CDC streaming read serve them, [[LogMirror]] replays them and
+    * [[DerivedAggregate]] folds them. Sticky from the first commit;
+    * later handles inherit the flag from the manifest. */
+  def withChangeFeed(spark: SparkSession, tableDir: String,
+      statsColumns: Seq[String] = Nil, sortBy: Seq[String] = Nil): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, None, Nil, Nil, sortBy,
+      changeFeed = true)
 }

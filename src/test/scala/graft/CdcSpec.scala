@@ -1,0 +1,185 @@
+package graft
+
+import graft.table.{LogMirror, SnapshotLog}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Row-level CDC contract ([[SnapshotLog.readChangeRows]] and the
+  * [[graft.table.ChangeSet]] images behind it): every logical row
+  * change — appends as inserts, copy-on-write deletes (rewrite AND
+  * whole-file drop), merges, merge-on-read key deletes — is readable
+  * with `_change_type`/`_commit_version`; the net of the feed always
+  * equals the table; [[LogMirror]] replays removals onto a replica;
+  * tables without the opt-in keep their refusal semantics. */
+class CdcSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fresh(prefix: String = "graft-cdc-"): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def mkRows(run: Int, n: Int): Seq[(Int, String)] =
+    (0 until n).map(i => (run * 1000 + i, s"row-$run-$i"))
+
+  private def changesOf(log: SnapshotLog, from: Long,
+      to: Long = -1L): Seq[(Int, String, String, Long)] =
+    log.readChangeRows(from, to)
+      .select(col("id"), col("payload"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Int, String, String, Long)].collect().toSeq.sorted
+
+  /** Replays the feed into a map — the net must equal the table. */
+  private def netOf(changes: Seq[(Int, String, String, Long)]): Seq[(Int, String)] =
+    changes.sortBy(_._4).foldLeft(Map.empty[(Int, String), Int]) {
+      case (acc, (id, p, "insert", _)) =>
+        acc.updated((id, p), acc.getOrElse((id, p), 0) + 1)
+      case (acc, (id, p, "delete", _)) =>
+        acc.updated((id, p), acc.getOrElse((id, p), 0) - 1)
+      case (_, other) => fail(s"unexpected change type in $other")
+    }.flatMap { case ((id, p), n) =>
+      assert(n >= 0, s"feed deleted ($id, $p) more times than it inserted")
+      Seq.fill(n)((id, p))
+    }.toSeq.sorted
+
+  test("appends read as inserts; physical rewrites contribute nothing") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh())
+    log.append(mkRows(0, 12).toDF("id", "payload"))            // v1
+    log.append(mkRows(1, 8).toDF("id", "payload"))             // v2
+    log.rewrite("compact")(_.coalesce(1))                      // v3
+    val ch = changesOf(log, 0)
+    assert(ch.forall(_._3 == "insert"))
+    assert(ch.map(c => (c._1, c._2)).sorted == (mkRows(0, 12) ++ mkRows(1, 8)).sorted)
+    assert(changesOf(log, 2).isEmpty, "the compaction must ship nothing")
+    assert(ch.filter(_._4 == 2L).map(c => (c._1, c._2)).sorted == mkRows(1, 8).sorted,
+      "_commit_version must attribute rows to the version that appended them")
+  }
+
+  test("copy-on-write delete: rewrite images and whole-file drops both feed as deletes") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(),
+      statsColumns = Seq("id"))
+    // two clustered single-file appends: [0,19] and [1000,1019]
+    log.append(mkRows(0, 20).toDF("id", "payload").coalesce(1))   // v1
+    log.append(mkRows(1, 20).toDF("id", "payload").coalesce(1))   // v2
+    // whole-file drop: every row of file 1 matches — pre-images must
+    // ship BY REFERENCE (no new data file needed for them)
+    val s3 = log.deleteWhere(("id", 0, 19)).get                   // v3
+    assert(s3.changes.exists(_.deletedDataFiles.nonEmpty),
+      "a fully-contained file must be recorded by reference")
+    assert(s3.changes.forall(_.files.isEmpty),
+      "no rewrite happened, so no image file should have been written")
+    val ch3 = changesOf(log, 2, 3)
+    assert(ch3.forall(_._3 == "delete") &&
+      ch3.map(c => (c._1, c._2)).sorted == mkRows(0, 20).sorted)
+    // straddling delete: file 2 rewrites, images carry just the dead rows
+    val s4 = log.deleteWhere(("id", 1005, 1008)).get              // v4
+    assert(s4.changes.exists(_.files.nonEmpty))
+    val ch4 = changesOf(log, 3, 4)
+    assert(ch4.map(c => (c._1, c._2)) ==
+      mkRows(1, 20).filter(r => r._1 >= 1005 && r._1 <= 1008).sorted)
+    // the running net of the whole feed equals the table at head
+    assert(netOf(changesOf(log, 0)) ==
+      log.read().as[(Int, String)].collect().toSeq.sorted)
+  }
+
+  test("merge feeds delete(pre-image) + insert(post-image) pairs; net equals the table") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))               // v1
+    val updates = Seq((3, "upd-3"), (7, "upd-7"), (9999, "new")).toDF("id", "payload")
+    log.mergeByKey(updates, "id")                                 // v2
+    val ch = changesOf(log, 1, 2)
+    assert(ch.filter(_._3 == "delete").map(c => (c._1, c._2)) ==
+      Seq((3, "row-0-3"), (7, "row-0-7")),
+      "replaced keys must ship their OLD rows as deletes")
+    assert(ch.filter(_._3 == "insert").map(c => (c._1, c._2)).sorted ==
+      Seq((3, "upd-3"), (7, "upd-7"), (9999, "new")).sorted,
+      "the whole update batch must ship as inserts")
+    assert(netOf(changesOf(log, 0)) ==
+      log.read().as[(Int, String)].collect().toSeq.sorted)
+  }
+
+  test("merge-on-read key delete images the LOGICAL covered rows exactly once") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 20).toDF("id", "payload"))               // v1
+    log.deleteKeys("id", Seq(2, 5).toDF("id"))                    // v2
+    val ch2 = changesOf(log, 1, 2)
+    assert(ch2.map(c => (c._1, c._2, c._3)) ==
+      Seq((2, "row-0-2", "delete"), (5, "row-0-5", "delete")))
+    // a second delete overlapping the first: key 5 is ALREADY logically
+    // gone — its image must not ship twice (prior tombstones apply to
+    // the pre-image scan)
+    log.deleteKeys("id", Seq(5, 11).toDF("id"))                   // v3
+    val ch3 = changesOf(log, 2, 3)
+    assert(ch3.map(c => (c._1, c._2, c._3)) ==
+      Seq((11, "row-0-11", "delete")))
+    assert(netOf(changesOf(log, 0)) ==
+      log.read().as[(Int, String)].collect().toSeq.sorted)
+  }
+
+  test("without the opt-in: removals record no images, row-level reads refuse, defaults unchanged") {
+    val log = SnapshotLog(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))
+    val before = log.snapshot()
+    val s = log.deleteKeys("id", Seq(3).toDF("id")).get
+    assert(s.files == before.files,
+      "the sparse-delete no-rewrite contract must hold with CDC off")
+    assert(s.changes.isEmpty && !s.cdc)
+    val ex = intercept[IllegalStateException] { log.readChangeRows(1) }
+    assert(ex.getMessage.contains("changeFeed"))
+    // the insert feed over the append-only span still works
+    assert(log.readChanges(0, 1).count() == 10)
+  }
+
+  test("restore refuses row-level reads (a rollback is not a row delta)") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh())
+    log.append(mkRows(0, 5).toDF("id", "payload"))
+    log.append(mkRows(1, 5).toDF("id", "payload"))
+    log.restore(1)
+    assert(intercept[IllegalStateException] { log.readChangeRows(2) }
+      .getMessage.contains("restore"))
+  }
+
+  test("deleteWhereTxn is exactly-once: a replayed batch id commits nothing") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))
+    assert(log.deleteWhereTxn(Seq(("id", 0, 2)), Some(("lane", 7L))).isDefined)
+    val v = log.currentVersion()
+    assert(log.deleteWhereTxn(Seq(("id", 3, 5)), Some(("lane", 7L))).isEmpty,
+      "a batch id at or under the watermark must replay as a no-op")
+    assert(log.currentVersion() == v && log.read().count() == 7)
+  }
+
+  test("mirror replays predicate deletes, merges and key deletes; reruns converge") {
+    val srcDir = fresh("graft-cdc-src-")
+    val dstDir = fresh("graft-cdc-dst-")
+    val src = SnapshotLog.withChangeFeed(spark, srcDir, statsColumns = Seq("id"))
+    val dst = SnapshotLog(spark, dstDir, statsColumns = Seq("id"))
+    src.append(mkRows(0, 20).toDF("id", "payload"))               // v1
+    src.append(mkRows(1, 10).toDF("id", "payload"))               // v2
+    src.deleteWhere(("id", 5, 9))                                 // v3: CoW delete
+    src.mergeByKey(Seq((3, "upd"), (7777, "new")).toDF("id", "payload"), "id") // v4
+    src.deleteKeys("id", Seq(1001, 1002).toDF("id"))              // v5: MoR delete
+    src.rewrite("compact")(_.coalesce(1))                         // v6: physical
+    LogMirror.mirror(src, dst)
+    def all(l: SnapshotLog) = l.read().as[(Int, String)].collect().toSeq.sorted
+    assert(all(dst) == all(src), "the replica must converge through removals")
+    // rerun: every version is already applied — nothing may double-apply
+    LogMirror.mirror(src, dst)
+    assert(all(dst) == all(src))
+    // and the mirror keeps following subsequent commits
+    src.append(mkRows(2, 5).toDF("id", "payload"))
+    src.deleteWhere(("id", 2000, 2001))
+    LogMirror.mirror(src, dst)
+    assert(all(dst) == all(src))
+  }
+
+  test("mirror still refuses a removal recorded without images") {
+    val src = SnapshotLog(spark, fresh("graft-cdc-src-"), statsColumns = Seq("id"))
+    val dst = SnapshotLog(spark, fresh("graft-cdc-dst-"))
+    src.append(mkRows(0, 10).toDF("id", "payload"))
+    src.deleteWhere(("id", 0, 2))
+    assert(intercept[IllegalStateException] { LogMirror.mirror(src, dst) }
+      .getMessage.contains("resync"))
+  }
+}

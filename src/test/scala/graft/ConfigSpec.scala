@@ -111,6 +111,20 @@ class ConfigSpec extends AnyFunSuite {
       "\"preparedBucket\": \"/tmp/prepared\", \"partition_by\": \"day(ts)\"")))
   }
 
+  test("change_feed: parses, round-trips, requires the log format") {
+    val withCdc = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"table_format\": \"log\", " +
+        "\"change_feed\": true")
+    val c = PipelineConfig.parse(withCdc)
+    assert(c.changeFeed && c.useLog)
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // CDC images live in the log's manifests — the bare directory can't
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      "\"preparedBucket\": \"/tmp/prepared\", \"change_feed\": true")))
+  }
+
   test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
     import graft.config.LayoutPolicy
     val withLayout = refShaped.replace(

@@ -1,6 +1,7 @@
 package graft
 
 import graft.table.{AggCol, DerivedAggregate, SnapshotLog}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.Files
@@ -103,6 +104,78 @@ class DerivedAggregateSpec extends AnyFunSuite {
     assert(mv.refresh().isDefined)
     assert(stateOf(derived) == recompute(base))
     val _ = s
+  }
+
+  // ---- row-level CDC folds (changeFeed-enabled base) -----------------
+
+  private def freshCdc(aggs: Seq[AggCol])
+      : (SnapshotLog, SnapshotLog, DerivedAggregate) = {
+    val tmp = Files.createTempDirectory("graft-mv-cdc-")
+    val base = SnapshotLog.withChangeFeed(spark, tmp.resolve("base").toString,
+      statsColumns = Seq("k", "v"))
+    val derived = SnapshotLog(spark, tmp.resolve("mv").toString)
+    (base, derived, new DerivedAggregate(base, derived, "k", aggs))
+  }
+
+  test("algebraic CDC fold: count/sum subtract deletes, zero-count keys vanish, no base read") {
+    val (base, derived, mv) = freshCdc(Seq(
+      AggCol("n", "count"), AggCol("total", "sum", "v")))
+    base.append(Seq(("a", 1L), ("a", 3L), ("b", 10L), ("b", 20L)).toDF("k", "v"))
+    mv.refresh()
+    // one span mixing an append, a CoW delete and a MoR key delete
+    base.append(Seq(("a", 5L), ("c", 7L)).toDF("k", "v"))
+    base.deleteBetween("v", 10L, 20L)          // kills BOTH 'b' rows
+    base.deleteKeys("v", Seq(3L).toDF("v"))    // kills one 'a' row
+    assert(mv.refresh().isDefined)
+    def st = derived.read().select("k", "n", "total")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(st == Seq(("a", 2L, 6L), ("c", 1L, 7L)),
+      "deletes must subtract and the vanished key must drop")
+    assert(st == base.read().groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("total"))
+      .as[(String, Long, Long)].collect().toSeq.sorted)
+    // replay the same fold: watermark makes it a no-op
+    assert(mv.refresh().isEmpty && st == Seq(("a", 2L, 6L), ("c", 1L, 7L)))
+  }
+
+  test("min/max CDC fold recomputes only touched keys; untouched keys keep stored state") {
+    val (base, derived, mv) = freshCdc(Seq(
+      AggCol("n", "count"), AggCol("lo", "min", "v"), AggCol("hi", "max", "v")))
+    base.append(Seq(("a", 1L), ("a", 9L), ("b", 5L), ("keep", 42L))
+      .toDF("k", "v"))
+    mv.refresh()
+    base.deleteBetween("v", 9L, 9L)  // removes 'a''s maximum
+    base.deleteKeys("v", Seq(5L).toDF("v"))  // kills every 'b' row
+    assert(mv.refresh().isDefined)
+    val st = derived.read().select("k", "n", "lo", "hi")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(st == Seq(("a", 1L, 1L, 1L), ("keep", 1L, 42L, 42L)),
+      "the deleted extremum must be replaced from a recompute of the " +
+        "touched key, and the emptied key must drop")
+  }
+
+  test("approx_distinct folds by HLL union; estimate matches exact distinct at test scale") {
+    val (base, derived, mv) = freshCdc(Seq(
+      AggCol("n", "count"), AggCol("users", "approx_distinct", "v")))
+    // three folds with overlapping value sets: union must dedup across
+    // folds, not just within one
+    base.append(Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")); mv.refresh()
+    base.append(Seq(("a", 2L), ("a", 3L), ("b", 9L)).toDF("k", "v")); mv.refresh()
+    base.append(Seq(("a", 1L), ("b", 9L)).toDF("k", "v")); mv.refresh()
+    import org.apache.spark.sql.functions.hll_sketch_estimate
+    val st = derived.read()
+      .select(col("k"), col("n"), hll_sketch_estimate(col("users")).as("users"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(st == Seq(("a", 5L, 3L), ("b", 3L, 2L)),
+      "the merged sketch must estimate the exact distinct count here")
+    // and the fold equals a recompute's sketch estimate, state-for-state
+    val full = base.read().groupBy("k")
+      .agg(org.apache.spark.sql.functions.hll_sketch_agg(col("v")).as("users"))
+      .select(col("k"), hll_sketch_estimate(col("users")).as("users"))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(st.map(t => (t._1, t._3)) == full)
   }
 
   test("null group keys are excluded, matching the indexable-rollup contract") {

@@ -137,4 +137,52 @@ class LogStreamSpec extends AnyFunSuite {
         "skipChangeCommits must deliver all appends and only appends")
     } finally q2.stop()
   }
+
+  test("readChangeFeed streams row-level deletes; checkpoint restart resumes mid-history") {
+    val table = freshDir("graft-feed-") + "/t"
+    val ckpt = freshDir("graft-feed-ckpt-")
+    val log = SnapshotLog.withChangeFeed(spark, table, statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))
+    val seen = new ConcurrentLinkedQueue[(Int, String, String, Long)]()
+    def start() = LogChangeFeed
+      .readChangesStream(spark, table, readChangeFeed = true)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id", "payload", "_change_type", "_commit_version")
+          .collect().foreach(r =>
+            seen.add((r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))))
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen.size() == 10)
+    } finally q.stop()
+    // a delete and an append land while the stream is DOWN; the restart
+    // must replay exactly the missed versions, images included
+    log.deleteWhere(("id", 3, 4))
+    log.append(mkRows(1, 2).toDF("id", "payload"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val out = { val b = Seq.newBuilder[(Int, String, String, Long)]
+        seen.forEach(t => b += t); b.result() }
+      assert(out.count(_._3 == "delete") == 2 &&
+        out.filter(_._3 == "delete").map(_._1).sorted == Seq(3, 4),
+        "the delete images must arrive after restart")
+      assert(out.count(_._3 == "insert") == 12)
+      // the running net equals the table — exactly-once end to end
+      val net = out.groupBy(t => (t._1, t._2)).collect {
+        case (row, evs) if evs.count(_._3 == "insert") -
+          evs.count(_._3 == "delete") == 1 => row
+      }.toSeq.sorted
+      assert(net == log.read().as[(Int, String)].collect().toSeq.sorted)
+    } finally q2.stop()
+    // the two stream modes are mutually exclusive by construction
+    assertThrows[IllegalArgumentException] {
+      new graft.streaming.LogChangeFeedSource(spark, table,
+        skipChangeCommits = true, readChangeFeed = true)
+    }
+  }
 }

@@ -1407,4 +1407,244 @@ class TableLogSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("resync"), ex.getMessage)
   }
+
+  test("partition-spec evolution: old files prune under their spec, new under the current") {
+    import graft.table.PartitionField
+    val dir = freshTable()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = SnapshotLog.partitioned(spark, dir, Seq(PartitionField.day("ts")))
+    val oldRows = Seq(
+      (ts("2024-01-10 08:00:00"), 1L, "old-a"),
+      (ts("2024-01-11 09:00:00"), 2L, "old-b"),
+      (ts("2024-02-05 10:00:00"), 3L, "old-c"))
+    log.append(oldRows.toDF("ts", "id", "payload"))
+    val preEvo = log.currentVersion()
+    // forward evolution: one manifest write, zero data I/O
+    val evo = log.evolvePartitionSpec(
+      Seq(PartitionField.month("ts"), PartitionField.bucket("id", 4)))
+    assert(evo.op == "evolve_spec" && evo.files == log.snapshot(preEvo).files,
+      "evolution must be metadata-only")
+    // a handle still declaring the OLD spec now fails loudly
+    assertThrows[IllegalArgumentException] {
+      SnapshotLog.partitioned(spark, dir, Seq(PartitionField.day("ts")))
+        .append(oldRows.take(1).toDF("ts", "id", "payload"))
+    }
+    val newRows = Seq(
+      (ts("2024-01-20 11:00:00"), 1L, "new-a"),
+      (ts("2024-03-07 12:00:00"), 9L, "new-b"))
+    log.append(newRows.toDF("ts", "id", "payload"))
+    val s = log.snapshot()
+    // old files carry 1-ary day tuples, new files 2-ary month+bucket
+    val oldFiles = log.snapshot(preEvo).files.toSet
+    assert(s.files.filter(oldFiles).forall(f => s.partitions(f).size == 1))
+    assert(s.files.filterNot(oldFiles).forall(f => s.partitions(f).size == 2))
+    // a one-day read: day-era files prune to the exact day; month-era
+    // files prune to the month — correctness first, and the result set
+    // is exact across the mixed table
+    val jan10 = log.readBetween("ts",
+      ts("2024-01-10 00:00:00"), ts("2024-01-10 23:59:59"))
+    assert(jan10.select("payload").as[String].collect().toSeq == Seq("old-a"))
+    assert(jan10.inputFiles.length < s.files.size,
+      "day-era tuples must still prune after the evolution")
+    // a March read touches no day-era file at all
+    val mar = log.readBetween("ts",
+      ts("2024-03-01 00:00:00"), ts("2024-03-31 23:59:59"))
+    assert(mar.select("payload").as[String].collect().toSeq == Seq("new-b"))
+    assert(mar.inputFiles.length == 1, "month tuple must pin the March file")
+    // time travel to before the evolution is untouched
+    assert(log.read(preEvo).count() == 3)
+    // compaction re-stages EVERYTHING under the current spec: tuples
+    // re-derive as month+bucket and the per-file spec index resets
+    log.compact(targetFileBytes = 1L << 30)
+    val sc = log.snapshot()
+    assert(sc.files.forall(f => sc.partitions(f).size == 2),
+      "post-compaction files must carry current-spec tuples")
+    assert(log.read().count() == 5)
+    val mar2 = log.readBetween("ts",
+      ts("2024-03-01 00:00:00"), ts("2024-03-31 23:59:59"))
+    assert(mar2.select("payload").as[String].collect().toSeq == Seq("new-b"))
+  }
+
+  test("hour and year transforms: pruning, calendar-exact metadata-only drops") {
+    import graft.table.PartitionField
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val hlog = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(PartitionField.hour("ts")))
+    hlog.append(Seq(
+      ts("2024-03-11 09:15:00") -> "h9", ts("2024-03-11 10:05:00") -> "h10-a",
+      ts("2024-03-11 10:55:00") -> "h10-b", ts("2024-03-11 11:00:00") -> "h11")
+      .toDF("ts", "payload"))
+    val hs = hlog.snapshot()
+    assert(hs.files.size == 3, "three distinct epoch hours, three files")
+    val ten = hlog.readBetween("ts",
+      ts("2024-03-11 10:00:00"), ts("2024-03-11 10:59:59"))
+    assert(ten.select("payload").as[String].collect().sorted.toSeq
+      == Seq("h10-a", "h10-b"))
+    assert(ten.inputFiles.length == 1)
+    val hd = hlog.deleteBetween("ts",
+      ts("2024-03-11 10:00:00"), ts("2024-03-11 10:59:59.999999")).get
+    assert(hd.files.forall(hs.files.toSet), "whole-hour delete is metadata-only")
+    assert(hlog.read().count() == 2)
+
+    val ylog = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(PartitionField.year("ts")))
+    ylog.append(Seq(
+      ts("2023-06-01 00:00:00") -> "y23",
+      ts("2024-02-29 12:00:00") -> "y24-leap", ts("2024-12-31 23:59:59") -> "y24")
+      .toDF("ts", "payload"))
+    val ys = ylog.snapshot()
+    assert(ys.files.map(f => ys.partitions(f).head).toSet == Set("53", "54"))
+    // whole-leap-year delete: metadata-only, Feb 29 included
+    val yd = ylog.deleteBetween("ts",
+      ts("2024-01-01 00:00:00"), ts("2024-12-31 23:59:59.999999")).get
+    assert(yd.files.forall(ys.files.toSet) && ylog.read().count() == 1)
+    assert(ylog.read().select("payload").as[String].collect().toSeq == Seq("y23"))
+  }
+
+  test("month transform partitions by the UTC calendar even under a non-UTC session") {
+    import graft.table.PartitionField
+    // SnapshotLog is a library: nothing may assume the session timezone.
+    // Under America/New_York, year()/month() on this instant would say
+    // FEBRUARY (2024-03-01T01:00Z is Feb 29 20:00 in New York) — the
+    // tuple and the UTC bound math would then disagree and prune wrong.
+    val iso = org.apache.spark.sql.GraftBridge.cloneSession(spark)
+    iso.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val log = SnapshotLog.partitioned(iso, freshTable(),
+      Seq(PartitionField.month("ts")))
+    val boundary = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T01:00:00Z"))
+    log.append(Seq(boundary -> "edge").toDF("ts", "payload"))
+    val s = log.snapshot()
+    assert(s.partitions(s.files.head) == Seq("650"),
+      s"UTC epoch month for 2024-03, got ${s.partitions(s.files.head)}")
+    // the March read finds it; a February read must NOT prune it away
+    // and must return empty through the residual
+    val mar = log.readBetween("ts",
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-03-31T23:59:59Z")))
+    assert(mar.count() == 1)
+  }
+
+  test("identity/truncate on strings: the null partition also holds empty strings") {
+    import graft.table.PartitionField
+    val log = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(PartitionField.identity("k")))
+    log.append(Seq(Option("x") -> 1, Option("") -> 2, Option.empty[String] -> 3)
+      .toDF("k", "v"))
+    // Spark routes BOTH "" and NULL into __HIVE_DEFAULT_PARTITION__ —
+    // an ""-matching read must keep that file
+    assert(log.readWhere(("k", "", "")).select("v").as[Int].collect().toSeq
+      == Seq(2), "the empty-string row must survive pruning")
+    // and a non-empty predicate still prunes it (NULL and "" can't match)
+    val x = log.readWhere(("k", "x", "x"))
+    assert(x.select("v").as[Int].collect().toSeq == Seq(1))
+    assert(x.inputFiles.length == 1, "the null partition must prune for lo > \"\"")
+    // the ""-delete rewrites the null-partition file: "" dies, NULL lives
+    log.deleteWhere(("k", "", ""))
+    assert(log.read().select("v").as[Int].collect().toSeq.sorted == Seq(1, 3))
+  }
+
+  test("bucket pruning degrades to no pruning on an uncoercible key, never a crash") {
+    import graft.table.PartitionField
+    val log = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(PartitionField.bucket("id", 4)))
+    log.append((0 until 16).map(i => (i.toLong, s"r$i")).toDF("id", "payload"))
+    // an Int key against the Long column coerces and prunes
+    val hit = log.readWhere(("id", 7, 7))
+    assert(hit.select("payload").as[String].collect().toSeq == Seq("r7"))
+    assert(hit.inputFiles.length < log.snapshot().files.size)
+    // a String key cannot hash as a Long — planning must keep every
+    // file and let the residual decide, not throw
+    assert(log.readWhere(("id", "seven", "seven")).count() == 0)
+  }
+
+  test("S3 commit store: conditional-put CAS, signing plumbing, paginated listing") {
+    import graft.table.{JdkS3Transport, S3CommitStore, S3Transport}
+    val _ = new JdkS3Transport // production wiring must at least construct
+    val fake = new FakeS3(pageSize = 2)
+    def storeOn() = new S3CommitStore("graft-bucket", "tables/t1",
+      "us-east-1", () => ("AKIDEXAMPLE", "secret"), fake)
+    val store = storeOn()
+    // raw contract: one winner per name
+    assert(store.putIfAbsent("a.json", "one".getBytes))
+    assert(!store.putIfAbsent("a.json", "two".getBytes))
+    assert(new String(store.get("a.json").get) == "one")
+    assert(store.get("missing.json").isEmpty && !store.exists("missing.json"))
+    // listing paginates (pageSize 2) and strips the prefix
+    (0 until 5).foreach(i => store.putIfAbsent(s"b$i.json", Array[Byte](1)))
+    assert(store.list().sorted == Seq("a.json") ++ (0 until 5).map(i => s"b$i.json"))
+    store.delete("a.json"); store.delete("a.json") // idempotent
+    assert(!store.exists("a.json"))
+    // every request was SigV4-shaped
+    assert(fake.sawAuth.get(), "requests must carry an AWS4-HMAC-SHA256 signature")
+    assert(fake.shaOk.get(), "x-amz-content-sha256 must hash the actual payload")
+
+    // and the WHOLE table protocol runs over it: manifests in the fake
+    // bucket, CAS losses landing on the next slot, time travel intact
+    val dir = freshTable()
+    def logOn() = SnapshotLog(spark, dir, Nil, storeOn())
+    logOn().append(mkRows(0, 10).toDF("id", "payload"))
+    assert(!new java.io.File(dir, SnapshotLog.LogDirName).exists())
+    storeOn().putIfAbsent("v" + "0" * 18 + "02.json",
+      storeOn().get("v" + "0" * 18 + "01.json").get)
+    val s = logOn().append(mkRows(1, 5).toDF("id", "payload"))
+    assert(s.version == 3, "an occupied slot must force the CAS retry path")
+    // the forged v2 manifest names the same file as v1 — the live set
+    // unions by name, so nothing duplicates
+    assert(rowsOf(logOn()) == (mkRows(0, 10) ++ mkRows(1, 5)).sorted)
+    assert(logOn().read(1).count() == 10, "time travel reads through the store")
+  }
+
+  /** In-memory S3: honors `If-None-Match: *`, paginates ListObjectsV2 —
+    * the transport-level double that lets the REAL [[S3CommitStore]]
+    * logic (request shape, signing, status handling) run in a sandbox
+    * with no network. */
+  private final class FakeS3(pageSize: Int)
+      extends graft.table.S3Transport {
+    val objects = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val sawAuth = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val shaOk = new java.util.concurrent.atomic.AtomicBoolean(true)
+
+    override def send(method: String, uri: java.net.URI,
+        headers: Seq[(String, String)], body: Array[Byte]): (Int, Array[Byte]) = {
+      val hs = headers.map { case (k, v) => k.toLowerCase -> v }.toMap
+      if (!hs.get("authorization").exists(_.startsWith(
+        "AWS4-HMAC-SHA256 Credential=AKIDEXAMPLE/"))) sawAuth.set(false)
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(body)
+        .map(b => f"$b%02x").mkString
+      if (!hs.get("x-amz-content-sha256").contains(sha)) shaOk.set(false)
+      val key = uri.getRawPath.stripPrefix("/")
+      val query = Option(uri.getRawQuery).getOrElse("")
+      method match {
+        case "PUT" =>
+          if (!hs.contains("if-none-match")) { objects.put(key, body); (200, Array.empty) }
+          else if (objects.putIfAbsent(key, body) == null) (200, Array.empty)
+          else (412, "<Error><Code>PreconditionFailed</Code></Error>".getBytes)
+        case "GET" if query.contains("list-type=2") =>
+          val params = query.split("&").map(_.split("=", 2))
+            .map(a => a(0) -> java.net.URLDecoder.decode(a.lift(1).getOrElse(""), "UTF-8"))
+            .toMap
+          val prefix = params.getOrElse("prefix", "")
+          val all = { import scala.jdk.CollectionConverters._
+            objects.keySet().asScala.toSeq.filter(_.startsWith(prefix)).sorted }
+          val from = params.get("continuation-token").map(_.toInt).getOrElse(0)
+          val page = all.slice(from, from + pageSize)
+          val truncated = from + pageSize < all.size
+          val xml = "<ListBucketResult>" +
+            page.map(k => s"<Key>$k</Key>").mkString +
+            (if (truncated)
+              s"<IsTruncated>true</IsTruncated><NextContinuationToken>${from + pageSize}</NextContinuationToken>"
+            else "<IsTruncated>false</IsTruncated>") +
+            "</ListBucketResult>"
+          (200, xml.getBytes)
+        case "GET" =>
+          Option(objects.get(key)).map((200, _)).getOrElse((404, Array.empty[Byte]))
+        case "HEAD" =>
+          if (objects.containsKey(key)) (200, Array.empty) else (404, Array.empty)
+        case "DELETE" =>
+          objects.remove(key); (204, Array.empty)
+        case other => (400, s"unexpected $other".getBytes)
+      }
+    }
+  }
 }
