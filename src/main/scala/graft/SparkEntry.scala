@@ -96,6 +96,7 @@ object SparkEntry {
     "q31_log_key_lookup" -> (Relational.q31LogKeyLookup _), // bloom-gated point lookup (readKeys)
     "q32_log_partitioned_scan" -> (Relational.q32LogPartitionedScan _), // hidden day+bucket partition pruning
     "q33_log_history" -> (Relational.q33LogHistory _), // oracle: historyMeta over a deterministic 4-version history == VALUES table
+    "q34_log_sql_timetravel" -> (Relational.q34LogSqlTimetravel _), // oracle: graft_log TVF cross-version anti-join == the deleted rows
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -216,6 +217,7 @@ object SparkEntry {
     "q31_log_key_lookup" -> Relational.q31Oracle,
     "q32_log_partitioned_scan" -> Relational.q32Oracle,
     "q33_log_history" -> Relational.q33Oracle,
+    "q34_log_sql_timetravel" -> Relational.q34Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

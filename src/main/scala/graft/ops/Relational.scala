@@ -291,7 +291,16 @@ object Relational {
     * didn't swap) hash-mismatches. `bytes` is deliberately NOT graded —
     * parquet encoding details are not part of the commit contract. */
   def q33LogHistory(spark: SparkSession, dir: String): DataFrame = {
-    val path = logFixtureDirs.computeIfAbsent(s"hist:$dir", _ => {
+    graft.table.SnapshotLog(spark, histFixture(spark, dir)).historyMeta()
+      .select(col("version"), col("op"), col("parent"), col("rows"),
+        col("n_files"), col("n_txns"), col("n_tombstones"))
+      .orderBy(col("version"))
+  }
+
+  /** Shared deterministic 4-version nation history (q33 + q34): two
+    * single-file appends, a compaction, a copy-on-write range delete. */
+  private def histFixture(spark: SparkSession, dir: String): String =
+    logFixtureDirs.computeIfAbsent(s"hist:$dir", _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-hist-").toString
       val log = graft.table.SnapshotLog(spark, tmp)
       val nat = t(spark, dir, "nation")
@@ -301,11 +310,33 @@ object Relational {
       log.deleteBetween("n_nationkey", 0, 4)                       // v4: −5 rows
       tmp
     })
-    graft.table.SnapshotLog(spark, path).historyMeta()
-      .select(col("version"), col("op"), col("parent"), col("rows"),
-        col("n_files"), col("n_txns"), col("n_tombstones"))
-      .orderBy(col("version"))
+
+  /** Graded SQL surface of the log format
+    * ([[graft.table.LogTableFunction]], installed by the SAME
+    * extensions ladder q27 grades): `graft_log(path, version)` time
+    * travels, `graft_log(path)` reads head, and both compose with
+    * ordinary SQL — here a LEFT ANTI self-join across two VERSIONS of
+    * the q33 fixture recovers exactly the rows v4's copy-on-write
+    * delete removed (nations 0–4 live at v2, dead at head). Grades the
+    * injectTableFunction registration, literal-argument resolution,
+    * time travel through the TVF, and cross-version plan composition in
+    * one hash-checked row set. */
+  def q34LogSqlTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val path = histFixture(spark, dir)
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    s.sql(
+      s"""SELECT v2.n_nationkey, v2.n_name
+         |FROM graft_log('$path', 2) v2
+         |LEFT ANTI JOIN graft_log('$path') head
+         |  ON v2.n_nationkey = head.n_nationkey
+         |ORDER BY v2.n_nationkey""".stripMargin)
   }
+
+  def q34Oracle: String =
+    """SELECT n_nationkey, n_name FROM nation
+      |WHERE n_nationkey <= 4
+      |ORDER BY n_nationkey""".stripMargin
 
   def q33Oracle: String =
     """SELECT * FROM (VALUES

@@ -199,5 +199,8 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerGroup.Strategy)
     ext.injectOptimizerRule(_ => TopKRewrite)
+    // SQL surface of the transaction-log table format: graft_log(path
+    // [, version]) resolves to the snapshot's plan at analysis time
+    ext.injectTableFunction(graft.table.LogTableFunction.description)
   }
 }

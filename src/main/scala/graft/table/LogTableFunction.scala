@@ -1,0 +1,62 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `graft_log('<table dir>' [, version])` — the SQL table-valued surface
+  * of [[SnapshotLog]]: `SELECT * FROM graft_log('/lake/events')` reads
+  * the current committed snapshot, `graft_log('/lake/events', 3)` time
+  * travels, both composing with every downstream SQL construct (joins,
+  * windows, CTEs) because the function resolves to the SAME logical plan
+  * `SnapshotLog.read` builds — one manifest GET, the committed file set,
+  * merge-on-read tombstones applied, schema from the manifest. Installed
+  * by [[graft.plans.GraftExtensions]] through
+  * `SparkSessionExtensions.injectTableFunction`, the idiomatic Spark
+  * hook for engine-level table functions (this is how `range` ships).
+  *
+  * Arguments must be literals (foldable) — they parameterize ANALYSIS,
+  * not execution: the plan the query optimizes against IS the pinned
+  * snapshot, so a concurrent commit cannot shear a half-planned query.
+  * Predicate pushdown into the parquet scan is Catalyst's as usual;
+  * manifest-level file pruning stays on the typed surfaces
+  * (`readWhere`/`readKeys`) and the DataSource V2 catalog path, where
+  * predicates are visible before planning.
+  */
+object LogTableFunction {
+
+  /** The `injectTableFunction` description tuple. */
+  def description: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_log"),
+      new ExpressionInfo(getClass.getName.stripSuffix("$"), "graft_log"),
+      build _)
+
+  private def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"graft_log takes (path [, version]), got ${args.size} arguments")
+    val path = args.head match {
+      case e if e.foldable && e.dataType ==
+          org.apache.spark.sql.types.StringType =>
+        e.eval().toString
+      case other => throw new IllegalArgumentException(
+        s"graft_log path must be a string literal, got $other")
+    }
+    val version = args.lift(1).map {
+      case e if e.foldable && (e.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }) =>
+        e.eval().asInstanceOf[Number].longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_log version must be an integer literal, got $other")
+    }.getOrElse(-1L)
+    val spark = SparkSession.active
+    org.apache.spark.sql.GraftBridge.logicalPlan(
+      SnapshotLog(spark, path).read(version))
+  }
+}

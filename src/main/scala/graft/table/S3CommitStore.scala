@@ -3,11 +3,6 @@ package graft.table
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.security.MessageDigest
-import java.time.format.DateTimeFormatter
-import java.time.{Instant, ZoneOffset}
-import javax.crypto.Mac
-import javax.crypto.spec.SecretKeySpec
 
 /** The one HTTP hop [[S3CommitStore]] makes, behind a seam: production
   * wires the JDK client ([[JdkS3Transport]]); tests wire an in-memory
@@ -162,76 +157,28 @@ final class S3CommitStore(bucket: String, prefix: String, region: String,
       throw new IllegalStateException(s"S3 DELETE $name returned $status")
   }
 
-  // ---- SigV4 ---------------------------------------------------------
+  // ---- SigV4 (the shared [[SigV4]] signer, service "s3") -------------
 
   private def signed(method: String, key: String, query: Map[String, String],
       body: Array[Byte], extraHeaders: Seq[(String, String)] = Nil)
       : (Int, Array[Byte]) = {
-    import S3CommitStore._
     val (accessKey, secretKey) = credentials()
-    val now = Instant.now()
-    val amzDate = AmzDateFmt.format(now.atOffset(ZoneOffset.UTC))
-    val dateStamp = amzDate.take(8)
-    val payloadHash = hex(sha256(body))
-    val canonicalUri = basePath + uriEncodePath(key)
+    val canonicalUri = basePath + SigV4.uriEncodePath(key)
     val canonicalQuery = query.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${uriEncode(k)}=${uriEncode(v)}" }.mkString("&")
-    val signHeaders = (Seq(
-      "host" -> host,
-      "x-amz-content-sha256" -> payloadHash,
-      "x-amz-date" -> amzDate) ++ extraHeaders).sortBy(_._1)
-    val canonicalHeaders =
-      signHeaders.map { case (k, v) => s"$k:${v.trim}\n" }.mkString
-    val signedHeaderNames = signHeaders.map(_._1).mkString(";")
-    val canonicalRequest = Seq(method, canonicalUri, canonicalQuery,
-      canonicalHeaders, signedHeaderNames, payloadHash).mkString("\n")
-    val credScope = s"$dateStamp/$region/s3/aws4_request"
-    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, credScope,
-      hex(sha256(canonicalRequest.getBytes(UTF_8)))).mkString("\n")
-    val kSigning = hmac(hmac(hmac(hmac(
-      s"AWS4$secretKey".getBytes(UTF_8), dateStamp), region), "s3"),
-      "aws4_request")
-    val signature = hex(hmacRaw(kSigning, stringToSign.getBytes(UTF_8)))
-    val auth = s"AWS4-HMAC-SHA256 Credential=$accessKey/$credScope, " +
-      s"SignedHeaders=$signedHeaderNames, Signature=$signature"
+      .map { case (k, v) => s"${SigV4.uriEncode(k)}=${SigV4.uriEncode(v)}" }
+      .mkString("&")
+    val headers = SigV4.signedHeaders(method, host, canonicalUri,
+      canonicalQuery, "s3", region, accessKey, secretKey, body, extraHeaders)
     // canonicalUri/Query are already RFC-3986 encoded — build the URI
     // from the raw string (the multi-arg URI constructor would
     // re-encode '%' and break the signature)
     val full = URI.create(s"$scheme://$host$canonicalUri" +
       (if (canonicalQuery.isEmpty) "" else s"?$canonicalQuery"))
-    transport.send(method, full,
-      signHeaders ++ Seq("authorization" -> auth), body)
+    transport.send(method, full, headers, body)
   }
 }
 
 object S3CommitStore {
-  private val AmzDateFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
-
-  private def sha256(b: Array[Byte]): Array[Byte] =
-    MessageDigest.getInstance("SHA-256").digest(b)
-
-  private def hmacRaw(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val mac = Mac.getInstance("HmacSHA256")
-    mac.init(new SecretKeySpec(key, "HmacSHA256"))
-    mac.doFinal(data)
-  }
-
-  private def hmac(key: Array[Byte], data: String): Array[Byte] =
-    hmacRaw(key, data.getBytes(UTF_8))
-
-  private def hex(b: Array[Byte]): String =
-    b.map(x => f"$x%02x").mkString
-
-  /** RFC 3986 encoding as SigV4 requires (space → %20, tilde bare). */
-  private def uriEncode(s: String): String =
-    s.flatMap { c =>
-      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c)) c.toString
-      else c.toString.getBytes(UTF_8).map(b => f"%%${b & 0xff}%02X").mkString
-    }
-
-  /** Path encoding: like [[uriEncode]] but '/' stays a separator. */
-  private def uriEncodePath(s: String): String =
-    s.split("/", -1).map(uriEncode).mkString("/")
 
   /** All text contents of `<tag>…</tag>` in `xml`, document order —
     * the two ListObjectsV2 fields this store reads; a full XML parser

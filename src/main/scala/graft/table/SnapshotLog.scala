@@ -732,6 +732,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         }
     }
 
+  /** Files of `version` that could hold a row matching the conjunction —
+    * the EXTERNAL planning surface: the DSv2 connector
+    * ([[GraftTableCatalog]]) prunes here (same stats + partition-tuple
+    * gates as [[readWhere]]) and then hands the surviving file list to
+    * Spark's own parquet scan for execution. Empty `preds` = every live
+    * file. */
+  def filesMatching(preds: Seq[(String, Any, Any)],
+      version: Long = -1L): Seq[String] = {
+    val s = snapshot(version)
+    if (preds.isEmpty) s.files else candidateFiles(s, preds)
+  }
+
   /** [[readWhere]] against a retained `version` (latest when -1). */
   def readWhere(version: Long, preds: (String, Any, Any)*): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")

@@ -57,6 +57,28 @@ object GraftBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Spark's own vectorized parquet DSv2 scan over an EXPLICIT file
+    * list — the execution half of `graft.table.GraftTableCatalog`: the
+    * connector prunes files from the manifest, then delegates the read
+    * to the SAME `ParquetScan` Spark plans for any parquet table
+    * (vectorized reader, whole-stage codegen, row-group/page skipping
+    * from `filters`). `ParquetScan`/`InMemoryFileIndex`/`sessionState`
+    * are `private[sql]`, hence this bridge hop. */
+  def parquetBatchScan(spark: SparkSession, files: Seq[String],
+      dataSchema: types.StructType, readSchema: types.StructType,
+      filters: Array[sources.Filter]): connector.read.Scan = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new execution.datasources.InMemoryFileIndex(
+      cs, files.map(f => new org.apache.hadoop.fs.Path(f)),
+      Map.empty, Some(dataSchema),
+      execution.datasources.NoopCache, None, None)
+    execution.datasources.v2.parquet.ParquetScan(cs,
+      cs.sessionState.newHadoopConf(), index, dataSchema, readSchema,
+      new types.StructType(), filters,
+      new util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
+      None, Nil, Nil, Array.empty)
+  }
+
   /** Apply a [[SparkSessionExtensions]]' collected function injections to
     * a registry — the same `private[sql]` hook the session-state builder
     * drives at session construction; exposed for testing installers. */

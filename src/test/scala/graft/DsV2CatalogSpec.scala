@@ -1,0 +1,126 @@
+package graft
+
+import graft.table.{GraftTableCatalog, SnapshotLog}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** [[GraftTableCatalog]] — the DSv2 SQL surface of the log format:
+  * identifier→directory resolution, manifest-pruned + Spark-executed
+  * scans, filter/column pushdown, `VERSION AS OF` time travel, the
+  * read-only contract, and the tombstone refusal. */
+class DsV2CatalogSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A root with one committed table `t1`: two clustered single-file
+    * appends ([0,9] and [1000,1009]) with id stats. */
+  private def freshRoot(): (String, SnapshotLog) = {
+    val root = Files.createTempDirectory("graft-dsv2-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1010).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1))
+    (root, log)
+  }
+
+  private var n = 0
+  private def mount(root: String): String = {
+    n += 1
+    val cat = s"gtest$n" // fresh name: CatalogManager caches per name
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  test("SQL over the catalog: correct rows, file pruning from pushed filters") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    val df = spark.sql(s"SELECT id, v FROM $cat.t1 WHERE id BETWEEN 1000 AND 1004")
+    assert(df.as[(Long, String)].collect().sorted.toSeq ==
+      (1000L until 1005L).map(i => (i, s"b$i")))
+    // the manifest gate kept exactly the one file whose stats admit the range
+    assert(log.filesMatching(Seq(("id", 1000L, 1004L))).size == 1)
+    // and the BUILT scan reads exactly that file (reflection: the scan
+    // class is private[sql] at the Scala level, public in bytecode)
+    val builder = new graft.table.LogScanBuilder(log, log.currentVersion(),
+      log.read().schema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    builder.pushFilters(Array(
+      And(GreaterThanOrEqual("id", 1000L), LessThanOrEqual("id", 1004L))))
+    val scan = builder.build()
+    val idx = scan.getClass.getMethod("fileIndex").invoke(scan)
+    val scanned = idx.getClass.getMethod("inputFiles").invoke(idx)
+      .asInstanceOf[Array[String]]
+    assert(scanned.length == 1,
+      s"the scan must read ONE pruned file, got ${scanned.length}")
+    // column pruning reaches the scan
+    val narrow = spark.sql(s"SELECT v FROM $cat.t1 WHERE id = 3")
+    assert(narrow.collect().map(_.getString(0)).toSeq == Seq("a3"))
+  }
+
+  test("VERSION AS OF pins the snapshot; head sees later commits") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    log.deleteBetween("id", 0, 4) // v3: CoW delete
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 15)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1 VERSION AS OF 2")
+      .head().getLong(0) == 20)
+    // the versions compose in one query
+    val gone = spark.sql(
+      s"""SELECT a.id FROM $cat.t1 VERSION AS OF 2 a
+         |LEFT ANTI JOIN $cat.t1 h ON a.id = h.id
+         |ORDER BY a.id""".stripMargin)
+    assert(gone.as[Long].collect().toSeq == (0L to 4L))
+  }
+
+  test("listTables finds committed tables only; loads fail on missing tables") {
+    val (root, _) = freshRoot()
+    // a bare directory with no committed manifest is not a table
+    Files.createDirectories(java.nio.file.Paths.get(root, "not_a_table"))
+    val cat = mount(root)
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSeq == Seq("t1"))
+    assert(intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.not_a_table").collect()
+    }.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("pending tombstones refuse the raw scan; compaction unblocks it") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    log.deleteKeys("id", Seq(3L).toDF("id"))
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.t1").collect()
+    }
+    assert(ex.getMessage.contains("tombstone") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tombstone")))
+    log.compact()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
+  }
+
+  test("the catalog is read-only: DDL names the transactional API instead") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    val ex = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT) USING parquet")
+    }
+    assert(ex.getMessage.contains("SnapshotLog") ||
+      Option(ex.getCause).exists(_.getMessage.contains("SnapshotLog")))
+  }
+
+  test("filter-to-range conversion: points, envelopes, both-sided ranges only") {
+    import org.apache.spark.sql.sources._
+    val bounds = graft.table.LogScanBuilder.boundsOf(Array(
+      EqualTo("a", 5), // point
+      And(GreaterThanOrEqual("b", 10), LessThan("b", 20)), // both-sided
+      GreaterThan("c", 7), // one-sided: no pruning
+      In("d", Array(3, 1, 2)), // envelope
+      Or(EqualTo("e", 1), EqualTo("e", 2)))) // disjunction: no pruning
+      .map { case (c, l, h) => c -> ((l, h)) }.toMap
+    assert(bounds("a") == ((5, 5)))
+    assert(bounds("b") == ((10, 20)))
+    assert(bounds("d") == ((1, 3)))
+    assert(!bounds.contains("c") && !bounds.contains("e"))
+  }
+}

@@ -1558,6 +1558,31 @@ class TableLogSpec extends AnyFunSuite {
     assert(log.readWhere(("id", "seven", "seven")).count() == 0)
   }
 
+  test("graft_log SQL table function: head read, time travel, tombstones, composition") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))           // v1
+    log.append(Seq((3, "c"), (4, "d")).toDF("id", "v"))           // v2
+    log.deleteKeys("id", Seq(2).toDF("id"))                       // v3: MoR
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    // head applies the tombstone; version pins time travel
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir')")
+      .head().getLong(0) == 3)
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir', 1)")
+      .head().getLong(0) == 2)
+    // cross-version composition: rows at v2 no longer at head
+    val gone = s.sql(
+      s"""SELECT a.id FROM graft_log('$dir', 2) a
+         |LEFT ANTI JOIN graft_log('$dir') h ON a.id = h.id""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(gone == Seq(2))
+    // a non-literal argument is a loud analysis error, not a misread
+    assertThrows[Exception] {
+      s.sql(s"SELECT * FROM graft_log('$dir', CAST(rand() AS INT))").collect()
+    }
+  }
+
   test("S3 commit store: conditional-put CAS, signing plumbing, paginated listing") {
     import graft.table.{JdkS3Transport, S3CommitStore, S3Transport}
     val _ = new JdkS3Transport // production wiring must at least construct
