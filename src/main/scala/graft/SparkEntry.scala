@@ -97,6 +97,7 @@ object SparkEntry {
     "q32_log_partitioned_scan" -> (Relational.q32LogPartitionedScan _), // hidden day+bucket partition pruning
     "q33_log_history" -> (Relational.q33LogHistory _), // oracle: historyMeta over a deterministic 4-version history == VALUES table
     "q34_log_sql_timetravel" -> (Relational.q34LogSqlTimetravel _), // oracle: graft_log TVF cross-version anti-join == the deleted rows
+    "q35_log_catalog_sql" -> (Relational.q35LogCatalogSql _), // oracle: DSv2 catalog VERSION AS OF aggregate == full-nation recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -218,6 +219,7 @@ object SparkEntry {
     "q32_log_partitioned_scan" -> Relational.q32Oracle,
     "q33_log_history" -> Relational.q33Oracle,
     "q34_log_sql_timetravel" -> Relational.q34Oracle,
+    "q35_log_catalog_sql" -> Relational.q35Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -32,6 +32,22 @@ final case class ColumnSpec(name: String, tpe: String, comment: String) {
   * because the hot predicate columns are a property of the pipeline's
   * query workload, not of any single run — the orchestrator applies the
   * policy whenever maintenance fires, with no operator in the loop. */
+/** Declarative incrementally-maintained rollup over the log-backed
+  * prepared table: after every ledger drain the orchestration refreshes
+  * `derived == prepared.groupBy(key).agg(aggs)` by folding ONLY the
+  * change feed since the last refresh ([[graft.table.DerivedAggregate]]
+  * — O(new data), exactly-once via the derived table's own txns
+  * watermark). Declared in config because the rollup is a property of
+  * the pipeline's serving workload, not of any single run; the
+  * aggregates are [[graft.table.AggCol]]'s decomposable set
+  * (count/sum/min/max/approx_distinct). */
+final case class RollupSpec(name: String, key: String,
+    aggs: Seq[graft.table.AggCol]) {
+  require(name.matches("[A-Za-z0-9_]+"),
+    s"rollup name must be [A-Za-z0-9_]+: '$name'")
+  require(aggs.nonEmpty, "a rollup needs at least one aggregate")
+}
+
 final case class LayoutPolicy(columns: Seq[String], zorder: Boolean = false) {
   require(columns.nonEmpty, "layout policy needs at least one column")
   require(!zorder || columns.size >= 2,
@@ -72,7 +88,8 @@ final case class PipelineConfig(
     bloomColumns: Seq[String] = Nil,
     partitionBy: Seq[graft.table.PartitionField] = Nil,
     sortBy: Seq[String] = Nil,
-    changeFeed: Boolean = false
+    changeFeed: Boolean = false,
+    rollup: Option[RollupSpec] = None
 ) {
   require(!(layoutAdvised && layout.isDefined),
     "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
@@ -104,6 +121,14 @@ final case class PipelineConfig(
     require(useLog || !changeFeed,
       "change_feed needs table_format 'log' (row-level CDC images live " +
         "in the transaction log's manifests)")
+    require(useLog || rollup.isEmpty,
+      "rollup needs table_format 'log' (it folds the log's change feed)")
+    rollup.foreach { r =>
+      require(known(r.key), s"rollup key '${r.key}' not in the declared schema")
+      val badIn = r.aggs.filter(a => a.in.nonEmpty && !known(a.in))
+      require(badIn.isEmpty,
+        s"rollup agg inputs not in the declared schema: ${badIn.map(_.in).mkString(", ")}")
+    }
     require(partitionBy.isEmpty || (layout.isEmpty && !layoutAdvised),
       "partition_by excludes cluster_by/layout_mode: a partitioned stage " +
         "re-routes rows by tuple, undoing a global range/curve layout — " +
@@ -146,6 +171,12 @@ final case class PipelineConfig(
     * range-filter on — exactly what clustering makes disjoint and
     * manifest pruning then skips by). */
   def statsColumns: Seq[String] = layout.map(_.columns).getOrElse(Nil)
+
+  /** The declared rollup's derived table, beside the prepared prefix
+    * like the fingerprint index — never under it, so the cataloged
+    * table's file listing stays pure data. */
+  def rollupPath(name: String): String =
+    s"$preparedRoot/${rawFolder}__rollup_$name"
 
   /** Persisted near-dup cluster labels for leakage-safe splitting
     * ([[graft.ops.Sampling.splitFromLabels]]): `(doc_id, cluster_rep)`
@@ -242,7 +273,18 @@ object PipelineConfig {
       // optional: row-level CDC on the log-backed prepared table —
       // delete/merge commits record change images, downstream mirrors
       // and rollups fold removals instead of resyncing
-      changeFeed = Option(prepared.get("change_feed")).exists(_.asBoolean())
+      changeFeed = Option(prepared.get("change_feed")).exists(_.asBoolean()),
+      // optional: a declared rollup the drain keeps incrementally fresh
+      // — {"name":…, "key":…, "aggs":[{"out":…, "fn":…, "in":…}]}
+      rollup = Option(prepared.get("rollup")).map { rn =>
+        val aggs = req(rn, "aggs")
+        RollupSpec(req(rn, "name").asText(), req(rn, "key").asText(),
+          (0 until aggs.size()).map { i =>
+            val a = aggs.get(i)
+            graft.table.AggCol(req(a, "out").asText(), req(a, "fn").asText(),
+              Option(a.get("in")).map(_.asText()).getOrElse(""))
+          }.toSeq)
+      }
     )
   }
 
@@ -302,6 +344,16 @@ object PipelineConfig {
         else s"${f.transform}(${f.source})").mkString(", "))
     if (c.sortBy.nonEmpty) prep.put("sort_by", c.sortBy.mkString(","))
     if (c.changeFeed) prep.put("change_feed", true)
+    c.rollup.foreach { r =>
+      val rn = prep.putObject("rollup")
+      rn.put("name", r.name).put("key", r.key)
+      val aa = rn.putArray("aggs")
+      r.aggs.foreach { a =>
+        val an = aa.addObject()
+        an.put("out", a.out).put("fn", a.fn)
+        if (a.in.nonEmpty) an.put("in", a.in)
+      }
+    }
     val d = node.putObject("data_object")
     d.put("name", c.tableName)
     val arr = d.putArray("schema")

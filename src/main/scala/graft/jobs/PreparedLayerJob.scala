@@ -141,8 +141,30 @@ object PreparedLayerJob {
   }
 
   /** Promote every pending run for this pipeline (the reference's
-    * per-run loop, glue src/prepared_layer_job.py:48-55). Idempotent. */
+    * per-run loop, glue src/prepared_layer_job.py:48-55). Idempotent.
+    * A config-declared rollup refreshes ONCE per drain, after the loop
+    * — all newly-promoted runs fold as one change-feed delta. */
   def promoteAll(spark: SparkSession, cfg: PipelineConfig,
-      ledger: RunLedger): Seq[JobMetrics] =
-    ledger.pending(spark, cfg.jobSrc).map(promote(spark, cfg, ledger, _))
+      ledger: RunLedger): Seq[JobMetrics] = {
+    val out = ledger.pending(spark, cfg.jobSrc).map(promote(spark, cfg, ledger, _))
+    refreshRollup(spark, cfg)
+    out
+  }
+
+  /** Fold the prepared log's change feed into the config-declared
+    * rollup ([[graft.config.RollupSpec]] →
+    * [[graft.table.DerivedAggregate]]): O(new data) per drain, never
+    * O(table); exactly-once via the derived table's own txns watermark,
+    * so a crashed or re-run drain converges. No-op without a
+    * declaration or before the first promotion. With `change_feed` on,
+    * later copy-on-write deletes against the prepared table fold
+    * through the SAME call — the GDPR path stays incremental. */
+  def refreshRollup(spark: SparkSession, cfg: PipelineConfig): Unit =
+    cfg.rollup.foreach { r =>
+      val base = graft.table.PreparedTable.log(spark, cfg)
+      if (base.currentVersion() > 0) {
+        val derived = graft.table.SnapshotLog(spark, cfg.rollupPath(r.name))
+        new graft.table.DerivedAggregate(base, derived, r.key, r.aggs).refresh()
+      }
+    }
 }

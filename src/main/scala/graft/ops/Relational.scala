@@ -338,6 +338,36 @@ object Relational {
       |WHERE n_nationkey <= 4
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Graded DSv2 catalog read ([[graft.table.GraftTableCatalog]]): the
+    * q33 fixture mounted as a catalog table and aggregated at
+    * `VERSION AS OF 2` — the pre-delete snapshot, so every nation
+    * contributes and any version-resolution slip (reading head, where
+    * nations 0–4 are deleted) shifts both aggregates of region 0–2 and
+    * hash-mismatches. Grades identifier→directory resolution, the
+    * `loadTable(ident, version)` time-travel hook, and the
+    * manifest-pruned `ParquetScan` execution path end-to-end through
+    * plain `spark.sql`. */
+  def q35LogCatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val path = histFixture(spark, dir)
+    val p = java.nio.file.Paths.get(path)
+    spark.conf.set("spark.sql.catalog.graft_ro",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ro.root", p.getParent.toString)
+    spark.sql(
+      s"""SELECT n_regionkey, count(*) AS n_nations,
+         |       sum(n_nationkey) AS sum_key
+         |FROM graft_ro.`${p.getFileName}` VERSION AS OF 2
+         |GROUP BY n_regionkey
+         |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  def q35Oracle: String =
+    """SELECT n_regionkey, count(*) AS n_nations,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
   def q33Oracle: String =
     """SELECT * FROM (VALUES
       |  (CAST(1 AS BIGINT), 'append',  CAST(0 AS BIGINT), CAST(10 AS BIGINT),

@@ -87,6 +87,14 @@ final class GraftTableCatalog extends TableCatalog {
     new LogTable(log, ident, v)
   }
 
+  /** `TIMESTAMP AS OF <t>` — Spark hands epoch MICROS; the manifest
+    * commit clocks ([[Snapshot.ts]], millis) resolve the version. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val log = logFor(ident)
+    if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
+    new LogTable(log, ident, log.versionAt(timestampMicros / 1000L))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val spark = SparkSession.active
     val base = new Path((root +: namespace.toSeq).mkString("/"))

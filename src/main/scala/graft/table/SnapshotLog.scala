@@ -115,7 +115,14 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     cdc: Boolean = false,
     changes: Option[ChangeSet] = None,
     priorSpecs: Seq[Seq[PartitionField]] = Nil,
-    fileSpecIdx: Map[String, Int] = Map.empty) {
+    fileSpecIdx: Map[String, Int] = Map.empty,
+    /** Commit wall-clock (epoch millis) — STAMPED AT SERIALIZATION
+      * ([[SnapshotLog]] `manifestCommon`), so it is populated on every
+      * snapshot PARSED from a committed manifest and 0 on the
+      * pre-commit value a commit call returns (re-read to observe it).
+      * Powers `TIMESTAMP AS OF` ([[SnapshotLog.versionAt]]); 0 on
+      * manifests committed before the field existed. */
+    ts: Long = 0L) {
 
   /** The spec `file`'s recorded partition tuple was WRITTEN under —
     * spec evolution ([[SnapshotLog.evolvePartitionSpec]]) keeps every
@@ -575,7 +582,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         node.get("parent").asLong(), node.get("rows").asLong(),
         node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
         fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder,
-        cdc, changeSet, priorSpecs, fileSpecIdx)
+        cdc, changeSet, priorSpecs, fileSpecIdx,
+        Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     else {
       // segmented manifest: the per-file plane lives in immutable
       // segment files (cached); the manifest itself is O(segments)
@@ -595,8 +603,29 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         // explicit per-entry indices only matter once specs diverged;
         // with a single spec the absent-means-current default is exact
         if (priorSpecs.isEmpty) Map.empty
-        else entries.map(e => e.file -> e.specIdx).toMap)
+        else entries.map(e => e.file -> e.specIdx).toMap,
+        Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     }
+  }
+
+  /** The latest version committed at or before epoch-millis `tsMillis`
+    * — the `TIMESTAMP AS OF` axis, resolved from the commit wall-clock
+    * every manifest records ([[Snapshot.ts]]). Linear over retained
+    * manifests (cached parses, control-plane-sized), deliberately NOT a
+    * binary search: wall clocks may step backward between commits and a
+    * max-matching scan stays correct where bisection would not.
+    * Vacuumed versions are outside the travel horizon, same as
+    * version-pinned reads. */
+  def versionAt(tsMillis: Long): Long = {
+    val cur = currentVersion()
+    require(cur > 0, s"$tableDir has no committed version")
+    val live = (1L to cur).filter(v => store.exists(manifestName(v)))
+    val hits = live.filter(v => snapshot(v).ts <= tsMillis)
+    require(hits.nonEmpty,
+      s"no retained version of $tableDir was committed at or before " +
+        s"epoch-millis $tsMillis (earliest retained: " +
+        s"v${live.head} at ${snapshot(live.head).ts})")
+    hits.max
   }
 
   /** The table's history as a queryable DataFrame (the `DESCRIBE
@@ -2119,6 +2148,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val node = mapper.createObjectNode()
     node.put("version", s.version).put("op", s.op).put("parent", s.parent)
       .put("rows", s.rows).put("bytes", s.bytes)
+      // commit wall-clock, stamped at publish: the TIMESTAMP AS OF axis
+      .put("ts", System.currentTimeMillis())
     if (s.schemaJson.nonEmpty) node.put("schema", s.schemaJson)
     if (s.txns.nonEmpty) {
       val tn = node.putObject("txns")

@@ -125,6 +125,31 @@ class ConfigSpec extends AnyFunSuite {
       "\"preparedBucket\": \"/tmp/prepared\", \"change_feed\": true")))
   }
 
+  test("rollup: parses, round-trips, validates key/inputs, requires the log format") {
+    val rollupJson = "\"rollup\": {\"name\": \"by_name\", \"key\": \"name\", " +
+      "\"aggs\": [{\"out\": \"n_rows\", \"fn\": \"count\"}, " +
+      "{\"out\": \"sum_id\", \"fn\": \"sum\", \"in\": \"id\"}]}"
+    val withRollup = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      s""""preparedBucket": "/tmp/prepared", "table_format": "log", $rollupJson""")
+    val c = PipelineConfig.parse(withRollup)
+    val r = c.rollup.get
+    assert(r.name == "by_name" && r.key == "name")
+    assert(r.aggs.map(a => (a.out, a.fn, a.in)) ==
+      Seq(("n_rows", "count", ""), ("sum_id", "sum", "id")))
+    assert(c.rollupPath("by_name") == "/tmp/prepared/tableA__rollup_by_name")
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // the rollup folds the log's change feed — the bare directory has none
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      s""""preparedBucket": "/tmp/prepared", $rollupJson""")))
+    // undeclared key / agg input columns fail fast
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(
+      withRollup.replace("\"key\": \"name\"", "\"key\": \"nope\"")))
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(
+      withRollup.replace("\"in\": \"id\"", "\"in\": \"nope\"")))
+  }
+
   test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
     import graft.config.LayoutPolicy
     val withLayout = refShaped.replace(

@@ -74,6 +74,27 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(gone.as[Long].collect().toSeq == (0L to 4L))
   }
 
+  test("TIMESTAMP AS OF: commit clocks resolve versions; SQL travels by time") {
+    val (root, log) = freshRoot() // v1, v2 just committed
+    val betweenAppends = System.currentTimeMillis()
+    Thread.sleep(15) // commit clocks are millis; separate the next commit
+    log.deleteBetween("id", 0, 4) // v3
+    val afterDelete = System.currentTimeMillis()
+    // versionAt picks the latest commit at-or-before the instant
+    assert(log.versionAt(betweenAppends) == 2)
+    assert(log.versionAt(afterDelete) == 3)
+    assert(intercept[IllegalArgumentException] { log.versionAt(0L) }
+      .getMessage.contains("no retained version"))
+    // the SQL surface: session tz is UTC, so a UTC-rendered literal
+    // round-trips to the same instant
+    val cat = mount(root)
+    val lit = java.time.Instant.ofEpochMilli(betweenAppends).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t1 TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) == 20, "pre-delete instant must see 20 rows")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 15)
+  }
+
   test("listTables finds committed tables only; loads fail on missing tables") {
     val (root, _) = freshRoot()
     // a bare directory with no committed manifest is not a table

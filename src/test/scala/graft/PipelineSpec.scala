@@ -373,6 +373,53 @@ class PipelineSpec extends AnyFunSuite {
       fixture.select("text").distinct().count() + 5)
   }
 
+  test("config-declared rollup stays fresh across drains; a CoW delete folds through") {
+    import org.apache.spark.sql.functions.{col, count, max, min, sum}
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-rollup-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog,
+      changeFeed = true,
+      rollup = Some(graft.config.RollupSpec("by_flag", "l_returnflag", Seq(
+        graft.table.AggCol("n_rows", "count"),
+        graft.table.AggCol("sum_key", "sum", "l_orderkey"),
+        graft.table.AggCol("min_qty", "min", "l_quantity"),
+        graft.table.AggCol("max_qty", "max", "l_quantity")))))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    val log = () => graft.table.PreparedTable.log(spark, cfg)
+    val rollup = () => graft.table.SnapshotLog(spark, cfg.rollupPath("by_flag"))
+    def state() = rollup().read()
+      .select("l_returnflag", "n_rows", "sum_key", "min_qty", "max_qty")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    def recompute() = log().read().groupBy(col("l_returnflag"))
+      .agg(count("*"), sum("l_orderkey"), min("l_quantity"), max("l_quantity"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    (1 to 2).foreach(i => RawLayerJob.run(spark, cfg, src, ledger, s"run$i"))
+    Orchestrator.drain(spark, cfg, ledger)
+    assert(state() == recompute(), "first drain must seed the rollup")
+    val v1 = rollup().currentVersion()
+
+    RawLayerJob.run(spark, cfg, src, ledger, "run3")
+    Orchestrator.drain(spark, cfg, ledger)
+    assert(state() == recompute(), "second drain must fold only the delta")
+    assert(rollup().currentVersion() > v1, "the fold must be a new commit")
+
+    // idle drain: nothing pending, nothing to fold — no commit
+    val vIdle = rollup().currentVersion()
+    Orchestrator.drain(spark, cfg, ledger)
+    assert(rollup().currentVersion() == vIdle)
+
+    // GDPR-shaped CoW delete on the CHANGE-FEED prepared table: the
+    // whole 'R' group vanishes from the rollup via the row-level fold
+    // (min/max present → targeted recompute of touched keys only)
+    assert(log().deleteWhere(("l_returnflag", "R", "R")).isDefined)
+    PreparedLayerJob.refreshRollup(spark, cfg)
+    assert(!state().contains("R"), "the deleted group's derived row must drop")
+    assert(state() == recompute(), "post-delete rollup must equal a recompute")
+  }
+
   test("split-from-persisted-labels: run 2 splits consistently without recomputing the closure") {
     val spark = TestSpark.spark
     import spark.implicits._
