@@ -34,10 +34,7 @@ final class GlueCatalog(region: String,
     endpoint: Option[String] = None) {
 
   private val mapper = new ObjectMapper()
-  private val host = endpoint.map(e => URI.create(e).getAuthority)
-    .getOrElse(s"glue.$region.amazonaws.com")
-  private val scheme =
-    endpoint.map(e => URI.create(e).getScheme).getOrElse("https")
+  private val (scheme, host) = graft.table.AwsEndpoint("glue", region, endpoint)
 
   /** Register `cfg`'s prepared layer as an external parquet table in
     * `pipelines_db` (created if absent). Idempotent: an existing table
@@ -51,7 +48,7 @@ final class GlueCatalog(region: String,
     val (status, body) = call("AWSGlue.CreateTable",
       mapper.writeValueAsBytes(create))
     if (status != 200) {
-      if (!errorType(body).exists(_.contains("AlreadyExistsException")))
+      if (!SigV4.errorType(body).exists(_.contains("AlreadyExistsException")))
         throw new IllegalStateException(
           s"Glue CreateTable ${cfg.tableName} returned $status: " +
             new String(body, UTF_8).take(300))
@@ -81,7 +78,7 @@ final class GlueCatalog(region: String,
     val req = mapper.createObjectNode()
     req.putObject("DatabaseInput").put("Name", name)
     val (status, body) = call("AWSGlue.CreateDatabase", mapper.writeValueAsBytes(req))
-    if (status != 200 && !errorType(body).exists(_.contains("AlreadyExistsException")))
+    if (status != 200 && !SigV4.errorType(body).exists(_.contains("AlreadyExistsException")))
       throw new IllegalStateException(
         s"Glue CreateDatabase $name returned $status: " +
           new String(body, UTF_8).take(300))
@@ -123,7 +120,4 @@ final class GlueCatalog(region: String,
     transport.send("POST", URI.create(s"$scheme://$host/"), headers, body)
   }
 
-  private def errorType(body: Array[Byte]): Option[String] =
-    scala.util.Try(mapper.readTree(body)).toOption
-      .flatMap(n => Option(n.get("__type"))).map(_.asText())
 }

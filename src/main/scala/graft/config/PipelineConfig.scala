@@ -46,6 +46,11 @@ final case class RollupSpec(name: String, key: String,
   require(name.matches("[A-Za-z0-9_]+"),
     s"rollup name must be [A-Za-z0-9_]+: '$name'")
   require(aggs.nonEmpty, "a rollup needs at least one aggregate")
+  // fail at CONFIG time, not at the first drain's refresh: every
+  // aggregate except count reads an input column
+  aggs.filter(a => a.fn != "count" && a.in.isEmpty).foreach(a =>
+    throw new IllegalArgumentException(
+      s"rollup aggregate '${a.out}' (${a.fn}) needs an \"in\" column"))
 }
 
 final case class LayoutPolicy(columns: Seq[String], zorder: Boolean = false) {

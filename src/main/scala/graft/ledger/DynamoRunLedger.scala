@@ -44,10 +44,7 @@ final class DynamoRunLedger(table: String, region: String,
     endpoint: Option[String] = None) extends RunLedger {
 
   private val mapper = new ObjectMapper()
-  private val host = endpoint.map(e => URI.create(e).getAuthority)
-    .getOrElse(s"dynamodb.$region.amazonaws.com")
-  private val scheme =
-    endpoint.map(e => URI.create(e).getScheme).getOrElse("https")
+  private val (scheme, host) = graft.table.AwsEndpoint("dynamodb", region, endpoint)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   override def append(r: RunRecord): Unit = {
@@ -65,7 +62,7 @@ final class DynamoRunLedger(table: String, region: String,
       val (status, body) =
         call("DynamoDB_20120810.PutItem", mapper.writeValueAsBytes(root))
       if (status == 200) return
-      val errType = DynamoRunLedger.errorType(mapper, body)
+      val errType = SigV4.errorType(body)
       if (errType.exists(_.contains("ConditionalCheckFailedException")))
         attempts += 1
       else throw new IllegalStateException(
@@ -140,7 +137,4 @@ object DynamoRunLedger {
       s("preparedEntryCount"))
   }
 
-  private def errorType(mapper: ObjectMapper, body: Array[Byte]): Option[String] =
-    scala.util.Try(mapper.readTree(body)).toOption
-      .flatMap(n => Option(n.get("__type"))).map(_.asText())
 }

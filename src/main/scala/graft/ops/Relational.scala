@@ -350,13 +350,17 @@ object Relational {
   def q35LogCatalogSql(spark: SparkSession, dir: String): DataFrame = {
     val path = histFixture(spark, dir)
     val p = java.nio.file.Paths.get(path)
-    spark.conf.set("spark.sql.catalog.graft_ro",
+    // CatalogManager caches the initialized catalog PER NAME — a fixed
+    // name would pin the first fixture's root for the JVM's lifetime,
+    // so the name derives from the root it serves
+    val cat = s"graft_ro_${math.abs(p.getParent.toString.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft_ro.root", p.getParent.toString)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
     spark.sql(
       s"""SELECT n_regionkey, count(*) AS n_nations,
          |       sum(n_nationkey) AS sum_key
-         |FROM graft_ro.`${p.getFileName}` VERSION AS OF 2
+         |FROM $cat.`${p.getFileName}` VERSION AS OF 2
          |GROUP BY n_regionkey
          |ORDER BY n_regionkey""".stripMargin)
   }

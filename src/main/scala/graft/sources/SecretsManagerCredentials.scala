@@ -28,10 +28,8 @@ final class SecretsManagerCredentials(secretId: String, region: String,
     endpoint: Option[String] = None) extends CredentialsProvider {
 
   private val mapper = new ObjectMapper()
-  private val host = endpoint.map(e => URI.create(e).getAuthority)
-    .getOrElse(s"secretsmanager.$region.amazonaws.com")
-  private val scheme =
-    endpoint.map(e => URI.create(e).getScheme).getOrElse("https")
+  private val (scheme, host) =
+    graft.table.AwsEndpoint("secretsmanager", region, endpoint)
 
   override def resolve(): (String, String) = {
     val req = mapper.createObjectNode()

@@ -80,4 +80,26 @@ private[graft] object SigV4 {
   /** Path encoding: like [[uriEncode]] but '/' stays a separator. */
   def uriEncodePath(s: String): String =
     s.split("/", -1).map(uriEncode).mkString("/")
+
+  /** The `__type` of an AWS JSON error body (the taxonomy the JSON-1.x
+    * services — DynamoDB, Glue, Secrets Manager — report conditional
+    * failures and already-exists races through); None on a non-JSON or
+    * typeless body. S3 errors are XML and stay with the S3 store. */
+  def errorType(body: Array[Byte]): Option[String] =
+    scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(body)).toOption
+      .flatMap(n => Option(n.get("__type"))).map(_.asText())
+}
+
+/** (scheme, host) of one AWS JSON-service endpoint: the regional
+  * default, or a custom endpoint (localstack-style) when given — the
+  * one derivation every JSON seam shares. S3 keeps its own (its default
+  * host is bucket-virtual-hosted and its custom endpoints are
+  * path-addressed). */
+private[graft] object AwsEndpoint {
+  def apply(service: String, region: String,
+      endpoint: Option[String]): (String, String) =
+    (endpoint.map(e => java.net.URI.create(e).getScheme).getOrElse("https"),
+      endpoint.map(e => java.net.URI.create(e).getAuthority)
+        .getOrElse(s"$service.$region.amazonaws.com"))
 }

@@ -636,9 +636,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def historyMeta(): DataFrame = {
     import spark.implicits._
     history().map(s => (s.version, s.op, s.parent, s.rows, s.bytes,
-      s.files.size.toLong, s.txns.size.toLong, s.tombstones.size.toLong))
+      s.files.size.toLong, s.txns.size.toLong, s.tombstones.size.toLong,
+      s.ts))
       .toDF("version", "op", "parent", "rows", "bytes", "n_files",
-        "n_txns", "n_tombstones")
+        "n_txns", "n_tombstones", "commit_ts")
   }
 
   /** The live file inventory of a version as a queryable DataFrame (the
@@ -780,38 +781,57 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
     def empty = reader(s).parquet(new Path(dataDir, s.files.head).toString)
       .where(lit(false))
-    // string bounds against a typed column coerce on the DRIVER: a
-    // parseable bound becomes a typed literal (the residual then never
-    // trips ANSI's runtime string→number cast), an unparseable one
-    // proves NO value of the column's type can match — empty result,
-    // never a planning-time crash (same degrade-don't-throw contract as
-    // the partition gate's bucketOf)
-    val coerced = preds.map { case (c, lo, hi) =>
+    coercePreds(s, preds) match {
+      case None => empty // a bound no value of the column's type equals
+      case Some(cps) =>
+        val kept = candidateFiles(s, cps)
+        val residual = cps.map { case (c, lo, hi) =>
+          col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+        if (kept.isEmpty)
+          // every file pruned: empty result, schema from the manifest
+          // (or one footer for a pre-schema manifest)
+          empty
+        else
+          scan(s, kept).where(residual)
+    }
+  }
+
+  /** String bounds coerced to each column's native literal type, for
+    * EVERY predicate surface at once — the metadata gates
+    * ([[candidateFiles]]/[[fullyContained]] run `ColRange.num` and the
+    * partition bound math on the typed value, never a raw string) and
+    * the residual/delete predicates (a typed literal never trips ANSI's
+    * runtime string→number cast). None = some bound that NO value of
+    * its column's type can equal — the caller's result is provably
+    * empty, never a planning-time crash (the same degrade-don't-throw
+    * contract as the partition gate's bucketOf). */
+  private def coercePreds(s: Snapshot,
+      preds: Seq[(String, Any, Any)]): Option[Seq[(String, Any, Any)]] = {
+    val out = preds.map { case (c, lo, hi) =>
       val dt = schemaType(s, c)
       (coerceBound(lo, dt), coerceBound(hi, dt)) match {
         case (Some(l), Some(h)) => Some((c, l, h))
         case _                  => None
       }
     }
-    if (coerced.exists(_.isEmpty)) return empty
-    val kept = candidateFiles(s, preds)
-    val residual = coerced.flatten.map { case (c, lo, hi) =>
-      col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
-    if (kept.isEmpty)
-      // every file pruned: empty result, schema from the manifest (or
-      // one footer for a pre-schema manifest)
-      empty
-    else
-      scan(s, kept).where(residual)
+    if (out.exists(_.isEmpty)) None else Some(out.flatten)
   }
 
   /** A string bound coerced to `dt`'s native literal type — Some(typed)
     * when it parses, None when no value of the column's type could ever
     * equal it. Non-string bounds (and string/unknown columns) pass
-    * through untouched: their comparison semantics are Spark's own. */
+    * through untouched: their comparison semantics are Spark's own.
+    * Timestamp strings read in the FIXED UTC frame the metadata plane's
+    * bound math uses (`2026-08-14 12:00:00`, ISO `…T…[Z]`, or a bare
+    * date = midnight) — NTZ columns get the timezone-less
+    * LocalDateTime reading instead, matching their field semantics. */
   private def coerceBound(v: Any,
       dt: Option[org.apache.spark.sql.types.DataType]): Option[Any] = {
     import org.apache.spark.sql.types._
+    def localDt(t: String): scala.util.Try[java.time.LocalDateTime] =
+      scala.util.Try(java.time.LocalDateTime.parse(t.replace(' ', 'T')))
+        .orElse(scala.util.Try(
+          java.time.LocalDate.parse(t).atStartOfDay()))
     (v, dt) match {
       case (str: String, Some(t)) => t match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -821,8 +841,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         case _: DecimalType => scala.util.Try(BigDecimal(str.trim): Any).toOption
         case DateType =>
           scala.util.Try(java.sql.Date.valueOf(str.trim): Any).toOption
-        case TimestampType | TimestampNTZType =>
-          scala.util.Try(java.sql.Timestamp.valueOf(str.trim): Any).toOption
+        case TimestampType =>
+          scala.util.Try(java.time.Instant.parse(str.trim))
+            .orElse(localDt(str.trim).map(_.toInstant(java.time.ZoneOffset.UTC)))
+            .map(i => java.sql.Timestamp.from(i): Any).toOption
+        case TimestampNTZType =>
+          localDt(str.trim).map(identity[Any]).toOption
         case _ => Some(v)
       }
       case _ => Some(v)
@@ -860,14 +884,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(preds.nonEmpty, "countWhere needs at least one (column, lo, hi)")
     val s = snapshot()
     require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    val residual = preds.map { case (c, lo, hi) =>
+    val cps = coercePreds(s, preds).getOrElse(return 0L)
+    val residual = cps.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     if (s.tombstones.nonEmpty)
       return scan(s, s.files).where(residual).count()
-    val kept = candidateFiles(s, preds)
-    val dts = preds.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
+    val kept = candidateFiles(s, cps)
+    val dts = cps.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
     val (contained, straddling) = kept.partition { f =>
-      s.fileRows.contains(f) && fullyContained(s, f, preds, dts)
+      s.fileRows.contains(f) && fullyContained(s, f, cps, dts)
     }
     val metadataRows = contained.map(s.fileRows).sum
     if (straddling.isEmpty) metadataRows
@@ -1306,9 +1331,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * REPLAY a source's predicate delete on a replica idempotently (the
     * predicate ships in the source's [[ChangeSet]]; replaying it prunes
     * on the replica's own stats instead of shipping pre-image rows). */
-  def deleteWhereTxn(preds: Seq[(String, Any, Any)],
+  def deleteWhereTxn(preds0: Seq[(String, Any, Any)],
       txn: Option[(String, Long)] = None): Option[Snapshot] = {
-    require(preds.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
+    require(preds0.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return None // replay detected — nothing stages, nothing commits
@@ -1316,6 +1341,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
         "a copy-on-write delete (its per-file row accounting assumes " +
         "physical rows are logical rows)")
+    // driver-side bound coercion, same contract as readWhere: an
+    // unparseable bound matches no row of the column's type → no-op
+    val preds = coercePreds(base, preds0).getOrElse(return None)
     val touched = candidateFiles(base, preds)
     if (touched.isEmpty) return None
     // metadata-only drops: a file EVERY row of which provably matches

@@ -560,6 +560,10 @@ class TableLogSpec extends AnyFunSuite {
       .select("version", "op", "rows", "n_files")
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(h.map(r => (r._1, r._2, r._3)) == Seq((1L, "append", 40L), (2L, "delete", 20L)))
+    // every committed manifest carries its commit wall-clock, in order
+    val clocks = log.historyMeta().orderBy("version")
+      .select("commit_ts").as[Long].collect().toSeq
+    assert(clocks.forall(_ > 0L) && clocks == clocks.sorted)
     val files = log.filesMeta().collect()
     assert(files.length == log.snapshot().files.size)
     files.foreach { r =>
@@ -1556,6 +1560,32 @@ class TableLogSpec extends AnyFunSuite {
     // a String key cannot hash as a Long — planning must keep every
     // file and let the residual decide, not throw
     assert(log.readWhere(("id", "seven", "seven")).count() == 0)
+  }
+
+  test("string bounds coerce for BOTH the metadata gates and the residual") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // stats AND a day transform on the timestamp column: the finding
+    // class was ColRange.num / bound-math crashing on a raw string
+    val log = SnapshotLog.partitioned(spark,
+      freshTable(), Seq(graft.table.PartitionField.day("ts")),
+      statsColumns = Seq("ts", "n"))
+    log.append(Seq(
+      (ts("2024-03-10 08:00:00"), 1L), (ts("2024-03-11 09:00:00"), 2L),
+      (ts("2024-03-12 10:00:00"), 3L)).toDF("ts", "n"))
+    // UTC-read date/timestamp strings prune and filter exactly
+    assert(log.readWhere(("ts", "2024-03-11", "2024-03-11 23:59:59"))
+      .select("n").as[Long].collect().toSeq == Seq(2L))
+    assert(log.countWhere(("ts", "2024-03-10 00:00:00", "2024-03-11 23:59:59")) == 2L)
+    // numeric-column string bounds: parseable coerces, garbage = empty
+    assert(log.readWhere(("n", "2", "3")).count() == 2)
+    assert(log.readWhere(("n", "two", "three")).count() == 0)
+    assert(log.countWhere(("n", "two", "three")) == 0L)
+    // an unparseable bound deletes nothing rather than crashing
+    assert(log.deleteWhere(("n", "two", "three")).isEmpty)
+    assert(log.read().count() == 3)
+    // a string-bounded delete with a real match works end-to-end
+    assert(log.deleteWhere(("ts", "2024-03-12", "2024-03-12 23:59:59")).isDefined)
+    assert(log.read().count() == 2)
   }
 
   test("graft_log SQL table function: head read, time travel, tombstones, composition") {
