@@ -120,6 +120,7 @@ object SparkEntry {
     "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
     "mv_incremental_cdc" -> (graft.table.DerivedAggregate.mvIncrementalCdc _), // oracle: rollup after folding two copy-on-write deletes == survivor recompute
     "mv_distinct" -> (graft.table.DerivedAggregate.mvDistinct _), // oracle: HLL-sketch distinct-user rollup (3 union folds) == exact COUNT(DISTINCT)
+    "mv_median" -> (graft.table.DerivedAggregate.mvMedian _), // rows-only: KLL quantile-sketch median rollup (3 merge folds); DerivedAggregateSpec pins the estimate's rank in the exact distribution
     // §7.3-4 dedup family
     "dd_exact" -> (Dedup.ddExact _),
     "dd_exact_docs" -> (Dedup.ddExactDocs _),

@@ -771,7 +771,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def filesMatching(preds: Seq[(String, Any, Any)],
       version: Long = -1L): Seq[String] = {
     val s = snapshot(version)
-    if (preds.isEmpty) s.files else candidateFiles(s, preds)
+    if (preds.isEmpty) s.files
+    else coercePreds(s, preds) match {
+      case None      => Nil // a bound no value of the column's type equals
+      case Some(cps) => candidateFiles(s, cps)
+    }
   }
 
   /** [[readWhere]] against a retained `version` (latest when -1). */

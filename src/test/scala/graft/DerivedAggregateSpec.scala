@@ -178,6 +178,30 @@ class DerivedAggregateSpec extends AnyFunSuite {
     assert(st.map(t => (t._1, t._3)) == full)
   }
 
+  test("approx_median folds by KLL merge; the estimate ranks at the true median") {
+    val (base, derived, mv) = freshCdc(Seq(
+      AggCol("n", "count"), AggCol("p50", "approx_median", "v")))
+    // three folds, per-key values 1..300 interleaved across folds so
+    // every graded sketch is a genuine 3-way merge
+    (0 until 3).foreach { slice =>
+      base.append((1 to 300).filter(_ % 3 == slice)
+        .flatMap(i => Seq(("a", i.toLong), ("b", (i * 2).toLong)))
+        .toDF("k", "v"))
+      mv.refresh()
+    }
+    val est = AggCol("p50", "approx_median", "v").estimate
+    val st = derived.read().select(col("k"), est)
+      .as[(String, Double)].collect().toMap
+    // rank pin: where does the estimate fall in the EXACT distribution?
+    // KLL's merged rank error at k=200 is ~2%; ±0.06 is a hard floor
+    Seq("a" -> (1 to 300).map(_.toDouble),
+      "b" -> (1 to 300).map(_ * 2.0)).foreach { case (k, exact) =>
+      val rank = exact.count(_ <= st(k)).toDouble / exact.size
+      assert(rank > 0.44 && rank < 0.56,
+        s"key $k: estimate ${st(k)} ranks at $rank, not ~0.5")
+    }
+  }
+
   test("null group keys are excluded, matching the indexable-rollup contract") {
     val (base, derived, mv) = fresh()
     base.append(Seq((Option("a"), 1L), (Option.empty[String], 9L))
