@@ -165,6 +165,10 @@ object PreparedLayerJob {
       if (base.currentVersion() > 0) {
         val derived = graft.table.SnapshotLog(spark, cfg.rollupPath(r.name))
         new graft.table.DerivedAggregate(base, derived, r.key, r.aggs).refresh()
+        // every fold lands ~one small file; keep the derived table
+        // bin-packed with the incremental pass (O(backlog), no-op when
+        // fewer than two undersized files exist)
+        if (derived.currentVersion() > 0) derived.compactSmall()
       }
     }
 }
