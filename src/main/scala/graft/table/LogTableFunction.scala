@@ -5,14 +5,17 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** `graft_log('<table dir>' [, version])` — the SQL table-valued surface
-  * of [[SnapshotLog]]: `SELECT * FROM graft_log('/lake/events')` reads
-  * the current committed snapshot, `graft_log('/lake/events', 3)` time
-  * travels, both composing with every downstream SQL construct (joins,
-  * windows, CTEs) because the function resolves to the SAME logical plan
-  * `SnapshotLog.read` builds — one manifest GET, the committed file set,
-  * merge-on-read tombstones applied, schema from the manifest. Installed
-  * by [[graft.plans.GraftExtensions]] through
+/** `graft_log('<table dir>' [, version | 'timestamp'])` — the SQL
+  * table-valued surface of [[SnapshotLog]]:
+  * `SELECT * FROM graft_log('/lake/events')` reads the current
+  * committed snapshot, `graft_log('/lake/events', 3)` time travels by
+  * version, `graft_log('/lake/events', '2026-08-14T12:00:00Z')` by
+  * commit wall-clock ([[SnapshotLog.versionAt]]), all composing with
+  * every downstream SQL construct (joins, windows, CTEs) because the
+  * function resolves to the SAME logical plan `SnapshotLog.read`
+  * builds — one manifest GET, the committed file set, merge-on-read
+  * tombstones applied, schema from the manifest. Installed by
+  * [[graft.plans.GraftExtensions]] through
   * `SparkSessionExtensions.injectTableFunction`, the idiomatic Spark
   * hook for engine-level table functions (this is how `range` ships).
   *
@@ -43,6 +46,8 @@ object LogTableFunction {
       case other => throw new IllegalArgumentException(
         s"graft_log path must be a string literal, got $other")
     }
+    val spark = SparkSession.active
+    val log = SnapshotLog(spark, path)
     val version = args.lift(1).map {
       case e if e.foldable && (e.dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -52,11 +57,23 @@ object LogTableFunction {
         case _ => false
       }) =>
         e.eval().asInstanceOf[Number].longValue()
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.StringType =>
+        // timestamp travel: an ISO instant or a UTC-read wall-clock
+        // string resolves through the manifests' commit clocks — the
+        // TVF spelling of the catalog's TIMESTAMP AS OF
+        val t = e.eval().toString.trim
+        val instant = scala.util.Try(java.time.Instant.parse(t))
+          .orElse(scala.util.Try(java.time.LocalDateTime
+            .parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft_log: '$t' is neither an integer version nor a " +
+              "parseable timestamp (ISO instant or 'yyyy-MM-dd HH:mm:ss' UTC)"))
+        log.versionAt(instant.toEpochMilli)
       case other => throw new IllegalArgumentException(
-        s"graft_log version must be an integer literal, got $other")
+        s"graft_log version must be an integer or timestamp-string literal, got $other")
     }.getOrElse(-1L)
-    val spark = SparkSession.active
-    org.apache.spark.sql.GraftBridge.logicalPlan(
-      SnapshotLog(spark, path).read(version))
+    org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
   }
 }

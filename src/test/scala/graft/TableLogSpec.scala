@@ -1611,6 +1611,19 @@ class TableLogSpec extends AnyFunSuite {
     assertThrows[Exception] {
       s.sql(s"SELECT * FROM graft_log('$dir', CAST(rand() AS INT))").collect()
     }
+    // timestamp-string travel: the TVF's string arg must resolve through
+    // versionAt and read exactly that version (commit clocks are millis,
+    // so adjacent commits may share one — assert consistency, not a pin;
+    // DsV2CatalogSpec pins exact resolution with separated clocks)
+    val t1 = log.snapshot(1).ts
+    assert(t1 > 0)
+    val at = java.time.Instant.ofEpochMilli(t1).toString
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir', '$at')")
+      .head().getLong(0) == log.read(log.versionAt(t1)).count())
+    // garbage second argument is a loud error, naming both readings
+    assert(intercept[Exception] {
+      s.sql(s"SELECT * FROM graft_log('$dir', 'not-a-time')").collect()
+    }.getMessage.contains("neither an integer version nor a parseable"))
   }
 
   test("S3 commit store: conditional-put CAS, signing plumbing, paginated listing") {
