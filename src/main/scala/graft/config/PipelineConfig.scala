@@ -40,7 +40,11 @@ final case class ColumnSpec(name: String, tpe: String, comment: String) {
   * watermark). Declared in config because the rollup is a property of
   * the pipeline's serving workload, not of any single run; the
   * aggregates are [[graft.table.AggCol]]'s decomposable set
-  * (count/sum/min/max/approx_distinct). */
+  * (count/sum/min/max/approx_distinct/approx_median). Note that
+  * min/max and the sketch aggregates (approx_distinct/approx_median)
+  * are not subtractable — a row-REMOVING base commit folds them via
+  * the targeted-recompute path (re-aggregate just the touched keys),
+  * while a count/sum-only rollup folds removals purely algebraically. */
 final case class RollupSpec(name: String, key: String,
     aggs: Seq[graft.table.AggCol]) {
   require(name.matches("[A-Za-z0-9_]+"),

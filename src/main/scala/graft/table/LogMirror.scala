@@ -105,19 +105,26 @@ object LogMirror {
           dst.deleteWhereTxn(s.changes.get.preds.map(ChangePred.decode),
             Some((lane, v)))
           newlyApplied += 1
-        case "merge" if s.changes.exists(c =>
-            c.keyColumn.nonEmpty && c.files.nonEmpty) =>
-          // the insert images ARE the source's key-unique update batch;
-          // upserting them against identical pre-state reproduces the
-          // source's post-state exactly
-          materializePending(dst)
+        case "merge" if s.changes.exists(_.keyColumn.nonEmpty) =>
           val cs = s.changes.get
-          val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
-          val inserts = src.session.read
-            .parquet(cs.files.map(f => new Path(dataDir, f).toString): _*)
-            .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
-            .drop("_change_type")
-          dst.mergeByKey(inserts, cs.keyColumn, Some((lane, v)))
+          if (cs.files.isEmpty) {
+            // a merge whose update batch staged zero image rows (empty
+            // batch) changed nothing logically — advance the watermark
+            // with an empty exactly-once append instead of refusing,
+            // which would wedge the replica at this version forever
+            dst.appendStream(emptyFrame(src, s), lane, v)
+          } else {
+            // the insert images ARE the source's key-unique update
+            // batch; upserting them against identical pre-state
+            // reproduces the source's post-state exactly
+            materializePending(dst)
+            val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+            val inserts = src.session.read
+              .parquet(cs.files.map(f => new Path(dataDir, f).toString): _*)
+              .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
+              .drop("_change_type")
+            dst.mergeByKey(inserts, cs.keyColumn, Some((lane, v)))
+          }
           newlyApplied += 1
         case other =>
           throw new IllegalStateException(
@@ -134,6 +141,18 @@ object LogMirror {
 
   private def snapshotTombstones(src: SnapshotLog, version: Long): Int =
     if (version == 0) 0 else src.snapshot(version).tombstones.size
+
+  /** A zero-row frame under source version `s`'s committed schema — the
+    * payload of a watermark-only advance (nothing to replay, but the
+    * replica's `txns` cursor must still move past the version). */
+  private def emptyFrame(src: SnapshotLog,
+      s: Snapshot): org.apache.spark.sql.DataFrame =
+    if (s.schemaJson.nonEmpty)
+      src.session.createDataFrame(
+        src.session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else src.read(s.version).limit(0) // pre-schema manifest: one footer
 
   /** Copy-on-write replays (predicate delete, merge) refuse to run over
     * pending key tombstones — their exact row accounting assumes

@@ -608,23 +608,38 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
+  /** version → commit wall-clock, memoized for the life of the handle:
+    * a committed manifest's `ts` never changes (manifests are published
+    * once via CAS and never rewritten), so each version's clock costs at
+    * most one manifest read per process — repeated `TIMESTAMP AS OF`
+    * resolutions stop being O(retained versions) object-store GETs.
+    * O(versions) longs — control-plane-sized. */
+  private val tsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
   /** The latest version committed at or before epoch-millis `tsMillis`
     * — the `TIMESTAMP AS OF` axis, resolved from the commit wall-clock
     * every manifest records ([[Snapshot.ts]]). Linear over retained
-    * manifests (cached parses, control-plane-sized), deliberately NOT a
-    * binary search: wall clocks may step backward between commits and a
-    * max-matching scan stays correct where bisection would not.
-    * Vacuumed versions are outside the travel horizon, same as
-    * version-pinned reads. */
+    * manifests (ONE store listing for the live set + memoized clocks —
+    * `tsCache` — so a repeat resolution costs zero manifest reads),
+    * deliberately NOT a binary search: wall clocks may step backward
+    * between commits and a max-matching scan stays correct where
+    * bisection would not. Vacuumed versions are outside the travel
+    * horizon, same as version-pinned reads. */
   def versionAt(tsMillis: Long): Long = {
-    val cur = currentVersion()
-    require(cur > 0, s"$tableDir has no committed version")
-    val live = (1L to cur).filter(v => store.exists(manifestName(v)))
-    val hits = live.filter(v => snapshot(v).ts <= tsMillis)
+    // one LIST yields the retained set — not a per-version exists() probe
+    val live = store.list().flatMap {
+      case ManifestName(d) => Some(d.toLong)
+      case _               => None
+    }.sorted
+    require(live.nonEmpty, s"$tableDir has no committed version")
+    def tsOf(v: Long): Long =
+      tsCache.computeIfAbsent(v, _ => snapshot(v).ts).longValue()
+    val hits = live.filter(v => tsOf(v) <= tsMillis)
     require(hits.nonEmpty,
       s"no retained version of $tableDir was committed at or before " +
         s"epoch-millis $tsMillis (earliest retained: " +
-        s"v${live.head} at ${snapshot(live.head).ts})")
+        s"v${live.head} at ${tsOf(live.head)})")
     hits.max
   }
 
@@ -1098,13 +1113,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ++
       Seq("_change_type", "_commit_version")
     if (frames.isEmpty) {
-      // no logical change in range: empty frame under the to-schema
-      val empty = reader(toSnap)
-        .parquet(path(toSnap.files.headOption.getOrElse(
-          throw new IllegalStateException(
-            s"version $to of $tableDir is empty — nothing to shape a " +
-              "change frame from"))))
-        .where(lit(false))
+      // no logical change in range: empty frame under the to-schema —
+      // built schema-first from the manifest (a fully-emptied table has
+      // no data file to borrow a reader from), falling back to a footer
+      // read only for pre-schema manifests
+      val empty =
+        (if (toSnap.schemaJson.nonEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.DataType.fromJson(toSnap.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+        else reader(toSnap)
+          .parquet(path(toSnap.files.headOption.getOrElse(
+            throw new IllegalStateException(
+              s"version $to of $tableDir is empty and pre-schema — " +
+                "nothing to shape a change frame from"))))
+          .where(lit(false)))
         .withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(0L))
       empty.select(outCols.map(col): _*)
@@ -1132,6 +1156,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val base =
         if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
         else snapshot(parent)
+      specGuard(staged, base)
       val merged =
         try mergeSchemaJson(base.schemaJson, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1174,6 +1199,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         discard(staged) // lost the race to our own replay twin
         return None
       }
+      specGuard(staged, base)
       val merged =
         try mergeSchemaJson(base.schemaJson, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1271,6 +1297,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     var cur = base
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
+      // an interleaved evolve_spec aborts below (op != append), but an
+      // interleaved APPEND that introduced a spec onto a previously
+      // spec-less table would slip through the op check — the guard
+      // catches that the staged files carry no (or stale) tuples
+      specGuard(staged, cur)
       val merged =
         try mergeSchemaJson(cur.schemaJson, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1864,7 +1895,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       stats: Map[String, Map[String, ColRange]], schemaJson: String,
       fileRows: Map[String, Long], blooms: Map[String, Map[String, String]],
       fileBytes: Map[String, Long],
-      partitions: Map[String, Seq[String]] = Map.empty)
+      partitions: Map[String, Seq[String]] = Map.empty,
+      /** The partition spec the files' tuples were COMPUTED under — the
+        * commit loop re-checks it against the spec in force at publish
+        * time ([[specGuard]]): a concurrent [[evolvePartitionSpec]]
+        * between staging and the CAS would otherwise commit old-spec
+        * tuples untagged in `fileSpecIdx`, and [[Snapshot.specOf]] would
+        * judge them under the NEW spec — unsound pruning, silent missing
+        * rows. */
+      spec: Seq[PartitionField] = Nil)
+
+  /** Abort (discarding `staged`) if the spec in force for the next
+    * commit no longer matches the spec the files were staged under — the
+    * retry loops may legally race past concurrent APPENDS, but racing
+    * past a concurrent `evolve_spec` would mis-tag the staged files'
+    * partition tuples (see [[Staged.spec]]). Loud
+    * [[CommitConflictException]], same contract as restore/evolve. */
+  private def specGuard(staged: Staged, base: Snapshot): Unit = {
+    val want = commitSpec(base)
+    if (staged.spec != want) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"commit to $tableDir: partition spec evolved from ${staged.spec} " +
+          s"to $want while this write was staged — its partition tuples " +
+          "were computed under the old spec; rerun against the new spec")
+    }
+  }
 
   /** Widening-only schema merge: incoming columns must keep an existing
     * column's type (`sameType` — nullability-insensitive); genuinely new
@@ -2014,7 +2070,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       moved.collect { case (n, _, _, fr, _) if fr >= 0 => n -> fr }.toMap,
       stagedBlooms,
       moved.map(m => m._1 -> m._2).toMap,
-      moved.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap)
+      moved.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap,
+      spec)
   }
 
   /** Minimal inverse of Hive's partition-path escaping: `%xx` byte

@@ -225,4 +225,48 @@ class CdcSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException] { LogMirror.mirror(src, dst) }
       .getMessage.contains("resync"))
   }
+
+  test("a fully-emptied table still shapes an empty change frame for pollers") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))   // v1
+    log.deleteWhere(("id", 0, 9999))                  // v2: drops every file
+    assert(log.snapshot().files.isEmpty && log.snapshot().rows == 0)
+    // the feed up to the delete nets to the (now-empty) table
+    assert(netOf(changesOf(log, 0)).isEmpty)
+    // a consumer already at the head polling again must get ZERO rows
+    // under the table schema, not a crash — there is no data file left
+    // to borrow the schema from, so it must come from the manifest
+    val empty = log.readChangeRows(log.currentVersion())
+    assert(empty.columns.toSeq ==
+      Seq("id", "payload", "_change_type", "_commit_version"))
+    assert(empty.count() == 0)
+  }
+
+  test("mirror advances past a merge recorded with zero image rows") {
+    // the manifest FORMAT admits a merge whose ChangeSet staged no image
+    // files (an empty logical batch); no current writer produces one, so
+    // pin the contract by splicing such a manifest into the log directly
+    val srcDir = fresh("graft-cdc-src-")
+    val src = SnapshotLog.withChangeFeed(spark, srcDir, statsColumns = Seq("id"))
+    src.append(mkRows(0, 12).toDF("id", "payload"))   // v1
+    val logDir = java.nio.file.Paths.get(srcDir, "_graft_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v1 = mapper.readTree(java.nio.file.Files.readAllBytes(
+      logDir.resolve(f"v${1L}%020d.json")))
+    val v2 = v1.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    v2.put("version", 2L).put("parent", 1L).put("op", "merge")
+    v2.putObject("changes").put("keyColumn", "id")
+    java.nio.file.Files.write(logDir.resolve(f"v${2L}%020d.json"),
+      mapper.writeValueAsBytes(v2),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    src.append(mkRows(1, 3).toDF("id", "payload"))    // v3: rows after it
+    val dst = SnapshotLog(spark, fresh("graft-cdc-dst-"))
+    LogMirror.mirror(src, dst)
+    def all(l: SnapshotLog) = l.read().as[(Int, String)].collect().toSeq.sorted
+    assert(all(dst) == all(src),
+      "the empty merge must advance the replica, not wedge it")
+    val atConverged = dst.currentVersion()
+    LogMirror.mirror(src, dst) // rerun converges, nothing re-applies
+    assert(dst.currentVersion() == atConverged && all(dst) == all(src))
+  }
 }

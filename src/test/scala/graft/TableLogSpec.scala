@@ -1715,4 +1715,53 @@ class TableLogSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("append staged under an old spec aborts when a concurrent evolve lands mid-commit") {
+    import graft.table.{CommitStore, InMemoryCommitStore, PartitionField}
+    val dir = freshTable()
+    val inner = new InMemoryCommitStore
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-01-10 08:00:00"), 1L, "a"),
+      (ts("2024-02-05 10:00:00"), 2L, "b"))
+    // v1 under day(ts), via a declaring handle on the shared store
+    new SnapshotLog(spark, dir, Nil, Some(inner),
+      partitionBy = Seq(PartitionField.day("ts")))
+      .append(rows.toDF("ts", "id", "payload"))
+    // the victim declares NO spec (inherits the manifest's); its store
+    // interposes a concurrent evolve_spec at the victim's FIRST commit
+    // attempt, stealing the version slot — exactly the stage-then-lose-
+    // the-CAS window the guard closes
+    val evolver = new SnapshotLog(spark, dir, Nil, Some(inner))
+    val interposed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val racing: CommitStore = new CommitStore {
+      override def putIfAbsent(name: String, payload: Array[Byte]): Boolean = {
+        if (name.startsWith("v") && interposed.compareAndSet(false, true))
+          evolver.evolvePartitionSpec(Seq(PartitionField.month("ts")))
+        inner.putIfAbsent(name, payload)
+      }
+      override def get(name: String) = inner.get(name)
+      override def list() = inner.list()
+      override def delete(name: String) = inner.delete(name)
+    }
+    val victim = new SnapshotLog(spark, dir, Nil, Some(racing))
+    val ex = intercept[CommitConflictException] {
+      victim.append(rows.map { case (t, i, p) => (t, i + 10, p + "!") }
+        .toDF("ts", "id", "payload"))
+    }
+    assert(ex.getMessage.contains("partition spec evolved"), ex.getMessage)
+    // the table is intact under the evolve: v2 is the spec change, the
+    // victim's day-tuple files were discarded, and a fresh append lands
+    // correctly under the NEW spec
+    val head = new SnapshotLog(spark, dir, Nil, Some(inner))
+    assert(head.snapshot().op == "evolve_spec" && head.snapshot().rows == 2)
+    head.append(rows.map { case (t, i, p) => (t, i + 20, p + "?") }
+      .toDF("ts", "id", "payload"))
+    val s = head.snapshot()
+    val newFiles = s.files.filterNot(head.snapshot(1).files.toSet)
+    // month tuples are epoch months: 2024-01 → 648, 2024-02 → 649
+    assert(newFiles.nonEmpty &&
+      newFiles.map(f => s.partitions(f)).toSet == Set(Seq("648"), Seq("649")),
+      "post-evolve appends must carry epoch-month tuples")
+  }
 }
