@@ -98,6 +98,8 @@ object SparkEntry {
     "q33_log_history" -> (Relational.q33LogHistory _), // oracle: historyMeta over a deterministic 4-version history == VALUES table
     "q34_log_sql_timetravel" -> (Relational.q34LogSqlTimetravel _), // oracle: graft_log TVF cross-version anti-join == the deleted rows
     "q35_log_catalog_sql" -> (Relational.q35LogCatalogSql _), // oracle: DSv2 catalog VERSION AS OF aggregate == full-nation recompute
+    "q36_log_sql_insert" -> (Relational.q36LogSqlInsert _), // oracle: SQL INSERT INTO + DELETE FROM through the catalog == DuckDB survivors
+    "q37_log_sql_merge" -> (Relational.q37LogSqlMerge _), // oracle: SQL MERGE INTO upsert via mergeByKey == set-algebraic recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -221,6 +223,8 @@ object SparkEntry {
     "q33_log_history" -> Relational.q33Oracle,
     "q34_log_sql_timetravel" -> Relational.q34Oracle,
     "q35_log_catalog_sql" -> Relational.q35Oracle,
+    "q36_log_sql_insert" -> Relational.q36Oracle,
+    "q37_log_sql_merge" -> Relational.q37Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -385,6 +385,108 @@ object Relational {
       |) AS t(version, op, parent, rows, n_files, n_txns, n_tombstones)
       |ORDER BY version""".stripMargin
 
+  /** Mount `tableDir`'s PARENT as a [[graft.table.GraftTableCatalog]]
+    * on `session` and return the catalog-qualified table name — one
+    * catalog per parent directory (CatalogManager caches per name). */
+  private def mountCatalog(session: SparkSession, tableDir: String): String = {
+    val p = java.nio.file.Paths.get(tableDir)
+    val cat = s"graft_dml_${math.abs(p.getParent.toString.hashCode)}"
+    session.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.table.GraftTableCatalog].getName)
+    session.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
+    s"$cat.`${p.getFileName}`"
+  }
+
+  /** Graded SQL DML — INSERT INTO + DELETE FROM on the DSv2 catalog
+    * ([[graft.table.GraftTableCatalog]] `SupportsWrite`/`SupportsDelete`):
+    * the fixture seeds a log table with nations 0–9 (v1), SQL-INSERTs
+    * the rest (one transactional `append` through the V1 write
+    * fallback), then SQL-DELETEs keys 0–4 (the stats-targeted
+    * copy-on-write `delete` commit). The query aggregates the final
+    * table; any DML slip — a double insert under bench reps (the
+    * fixture memoizes the POST-DML table per JVM), a delete that
+    * over/under-matched, an overwrite instead of an append —
+    * shifts the per-region counts and hash-mismatches against DuckDB
+    * computing the same survivors from raw nation. */
+  def q36LogSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"dml36:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-dml-")
+        .resolve("t").toString
+      val nat = t(spark, dir, "nation")
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("n_nationkey"))
+        .append(nat.where(col("n_nationkey") < 10).coalesce(1))      // v1
+      val tbl = mountCatalog(spark, tmp)
+      nat.createOrReplaceTempView("q36_nation_src")
+      spark.sql(s"INSERT INTO $tbl " +                               // v2
+        "SELECT * FROM q36_nation_src WHERE n_nationkey >= 10")
+      spark.sql(s"DELETE FROM $tbl WHERE n_nationkey BETWEEN 0 AND 4") // v3
+      tmp
+    })
+    spark.sql(
+      s"""SELECT n_regionkey, count(*) AS n_nations,
+         |       sum(n_nationkey) AS sum_key
+         |FROM ${mountCatalog(spark, path)}
+         |GROUP BY n_regionkey
+         |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  def q36Oracle: String =
+    """SELECT n_regionkey, count(*) AS n_nations,
+      |       CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+      |FROM nation WHERE n_nationkey >= 5
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** Graded SQL MERGE ([[graft.table.MergeIntoLogRule]] →
+    * [[graft.table.SnapshotLog.mergeByKey]]): the canonical key'd
+    * upsert — uppercase the names of nations 0–4 (matched → whole-row
+    * update) and insert shifted copies of nations 0–2 under new keys
+    * (not matched → insert) — executed as ONE transactional `merge`
+    * commit on an extensions-enabled session. The result is the full
+    * post-merge table; a mis-routed action (update applied to the wrong
+    * keys, inserts dropped, pre-images surviving) hash-mismatches
+    * against DuckDB building the same rows set-algebraically. */
+  def q37LogSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"dml37:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-dml-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("n_nationkey"))
+        .append(t(spark, dir, "nation").coalesce(1))                 // v1
+      val tbl = mountCatalog(s, tmp)
+      t(s, dir, "nation").createOrReplaceTempView("q37_nation_src")
+      s.sql(                                                         // v2
+        s"""MERGE INTO $tbl t
+           |USING (
+           |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+           |  FROM q37_nation_src WHERE n_nationkey < 5
+           |  UNION ALL
+           |  SELECT n_nationkey + 100, concat('NEW_', n_name), n_regionkey
+           |  FROM q37_nation_src WHERE n_nationkey < 3
+           |) s
+           |ON t.n_nationkey = s.n_nationkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      tmp
+    })
+    s.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM ${mountCatalog(s, path)}
+         |ORDER BY n_nationkey""".stripMargin)
+  }
+
+  def q37Oracle: String =
+    """SELECT n_nationkey,
+      |       CASE WHEN n_nationkey < 5 THEN upper(n_name) ELSE n_name END
+      |         AS n_name,
+      |       n_regionkey
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey
+      |FROM nation WHERE n_nationkey < 3
+      |ORDER BY n_nationkey""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

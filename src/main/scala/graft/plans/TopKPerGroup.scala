@@ -202,5 +202,7 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // SQL surface of the transaction-log table format: graft_log(path
     // [, version]) resolves to the snapshot's plan at analysis time
     ext.injectTableFunction(graft.table.LogTableFunction.description)
+    // MERGE INTO on catalog-mounted log tables → SnapshotLog.mergeByKey
+    ext.injectResolutionRule(s => new graft.table.MergeIntoLogRule(s))
   }
 }

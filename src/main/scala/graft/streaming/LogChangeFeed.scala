@@ -61,8 +61,10 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
 
   /** Commits that can remove rows a consumer already received — a gap
     * in an insert-only feed. `restore` belongs here: rolling back past
-    * an append un-commits rows this stream may have shipped. */
-  private val ChangeOps = Set("delete", "merge", "delete_keys", "restore")
+    * an append un-commits rows this stream may have shipped; so do
+    * `truncate`/`overwrite`, which drop the whole prior table. */
+  private val ChangeOps =
+    Set("delete", "merge", "delete_keys", "restore", "truncate", "overwrite")
 
   override val schema: StructType =
     LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)

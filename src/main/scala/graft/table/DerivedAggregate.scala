@@ -123,7 +123,8 @@ final class DerivedAggregate(base: SnapshotLog, derived: SnapshotLog,
     s"duplicate output columns: ${aggs.map(_.out)}")
   require(!aggs.exists(_.out == key), "an AggCol cannot shadow the group key")
 
-  private val RowRemoving = Set("delete", "merge", "delete_keys")
+  private val RowRemoving =
+    Set("delete", "merge", "delete_keys", "truncate", "overwrite")
 
   /** Whether removals fold ALGEBRAICALLY (pure subtraction, no base
     * read): every aggregate must be subtractable (count/sum) AND a
@@ -243,7 +244,11 @@ final class DerivedAggregate(base: SnapshotLog, derived: SnapshotLog,
           return (if (derived.currentVersion() == 0) None
             else derived.appendStream(derived.read().limit(0), lane, baseCur))
         val touchedRows =
-          if (keys.size <= SnapshotLog.MergeRouteKeyCap)
+          if (keys.size <= SnapshotLog.MergeRouteKeyCap ||
+              base.snapshot(baseCur).files.isEmpty)
+            // ≤cap: key-pruned read; empty base (a truncate touched
+            // every key): readKeysAt shapes the typed empty frame a
+            // full read would refuse — every touched key then vanishes
             base.readKeysAt(baseCur, key, keys)
           else base.read(baseCur).join(touched, Seq(key), "left_semi")
         val fresh = touchedRows.where(col(key).isNotNull)

@@ -3,10 +3,11 @@ package graft.table
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,10 +38,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * against that version's file list, so a concurrent commit cannot
   * shear a running query.
   *
-  * Deliberately read-only: writes are transactional commits with
-  * staging, CAS and maintenance scheduling — the [[SnapshotLog]] API —
-  * not blind INSERTs; `createTable`/`dropTable` name that API instead
-  * of half-implementing it. Tables with PENDING merge-on-read
+  * SQL DML routes through the SAME transactional commit path the typed
+  * API uses — every verb is one [[SnapshotLog]] commit (CAS, partition
+  * transforms, sort order, stats/bloom lift all apply at the staging
+  * choke point):
+  *  - `INSERT INTO` → [[SnapshotLog.append]] (V1 write fallback — the
+  *    whole batch lands as ONE staged-and-CAS'd version);
+  *  - `INSERT OVERWRITE` → [[SnapshotLog.overwriteAll]] (atomic
+  *    truncate+append, readers never see the empty intermediate);
+  *  - `DELETE FROM ... WHERE` → [[SnapshotLog.deleteWhereTxn]] when the
+  *    condition converts EXACTLY to a conjunction of closed ranges /
+  *    points ([[LogTable.exactRanges]] — stats-targeted copy-on-write
+  *    with metadata-only whole-file drops); an inexpressible condition
+  *    is refused at analysis (use the typed API or `deleteKeys`);
+  *  - `DELETE FROM` (no WHERE) / `TRUNCATE TABLE` →
+  *    [[SnapshotLog.truncate]] (one metadata-only commit);
+  *  - `MERGE INTO` (canonical upsert shape) → [[SnapshotLog.mergeByKey]]
+  *    via the resolution rule [[MergeIntoLogRule]] installed by
+  *    [[graft.plans.GraftExtensions]].
+  * DDL stays out of SQL deliberately: `createTable`/`dropTable` name the
+  * data-lifecycle API instead of half-implementing it (a log table IS
+  * its first transactional commit). Tables with PENDING merge-on-read
   * tombstones refuse the scan (a raw parquet read would resurrect
   * deleted rows): compact first, or read through the tombstone-applying
   * surfaces (`PreparedTable.read`, `graft_log(...)`).
@@ -71,9 +89,11 @@ final class GraftTableCatalog extends TableCatalog {
     logFor(ident).currentVersion() > 0
 
   override def loadTable(ident: Identifier): Table = {
-    val log = logFor(ident)
-    if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
-    new LogTable(log, ident, -1L)
+    if (logFor(ident).currentVersion() == 0) throw new NoSuchTableException(ident)
+    // the head handle may WRITE (SQL DML) — inherit the table's
+    // stats/bloom maintenance so its staged files stay prunable
+    new LogTable(SnapshotLog.inheriting(SparkSession.active, dirOf(ident)),
+      ident, -1L)
   }
 
   /** `VERSION AS OF <v>` — the snapshot pinned at plan time. */
@@ -111,7 +131,8 @@ final class GraftTableCatalog extends TableCatalog {
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft log tables are created by their first transactional commit " +
-        "(SnapshotLog.append / PreparedTable) — the catalog is a read surface")
+        "(SnapshotLog.append / PreparedTable); once created, SQL DML " +
+        "(INSERT/DELETE/MERGE/TRUNCATE) applies — catalog DDL does not")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -128,11 +149,14 @@ final class GraftTableCatalog extends TableCatalog {
       "a log table's identity is its directory; rename at the storage layer")
 }
 
-/** One [[SnapshotLog]] snapshot as a DSv2 table (read-only, version
-  * pinned at load — -1 = head resolved NOW, so all scans of this handle
-  * see one consistent version). */
-private[table] final class LogTable(log: SnapshotLog, ident: Identifier,
-    version: Long) extends Table with SupportsRead {
+/** One [[SnapshotLog]] snapshot as a DSv2 table (version pinned at
+  * load — -1 = head resolved NOW, so all scans of this handle see one
+  * consistent version). Writes and deletes always target the LIVE head
+  * through the log's CAS (and are refused on a time-travelled handle —
+  * history is immutable). */
+private[graft] final class LogTable(private[graft] val log: SnapshotLog,
+    ident: Identifier, version: Long)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   private val snap = log.snapshot(version)
 
   override def name(): String = ident.toString
@@ -143,7 +167,8 @@ private[table] final class LogTable(log: SnapshotLog, ident: Identifier,
     else log.read(snap.version).schema // pre-schema manifest: one footer
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(snap.tombstones.isEmpty,
@@ -152,6 +177,117 @@ private[table] final class LogTable(log: SnapshotLog, ident: Identifier,
         "read via the tombstone-applying surfaces (PreparedTable.read, " +
         "graft_log(...))")
     new LogScanBuilder(log, snap.version, schema())
+  }
+
+  private def requireHead(verb: String): Unit =
+    require(version < 0,
+      s"$verb on ${log.tableDir} VERSION/TIMESTAMP AS OF is not allowed — " +
+        "committed history is immutable; run DML against the head table")
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` as ONE transactional commit:
+    * the V1 write fallback hands the whole batch as a DataFrame, which
+    * routes through [[SnapshotLog.append]]/[[SnapshotLog.overwriteAll]]
+    * — staging, CAS, hidden-partition transforms, declared sort order
+    * and stats/bloom lift all apply exactly as for the typed API. (The
+    * distributed-DataWriter protocol would bypass that choke point and
+    * re-implement footer lifting per task for zero gain at any scale —
+    * the data write inside append() is already fully distributed.) */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireHead("INSERT")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, ovr: Boolean) => {
+            if (overwrite || ovr) log.overwriteAll(data)
+            else log.append(data)
+            ()
+          }
+      }
+    }
+  }
+
+  /** `DELETE FROM t` (no residual condition) and `TRUNCATE TABLE t`:
+    * one metadata-only commit, no data I/O at any size. */
+  override def truncateTable(): Boolean = {
+    requireHead("TRUNCATE")
+    log.truncate()
+    true
+  }
+
+  /** A condition is deletable iff it converts EXACTLY — refusing at
+    * analysis beats silently deleting the wrong rows at runtime. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version < 0 && LogTable.exactRanges(filters).isDefined
+
+  /** `DELETE FROM ... WHERE` → the stats-targeted copy-on-write delete:
+    * only files whose recorded ranges/partition tuples can match
+    * rewrite; provably-all-matching files drop as pure manifest
+    * arithmetic. Exactly [[SnapshotLog.deleteWhere]]'s semantics — NULLs
+    * never match, matching SQL's own `WHERE` behavior. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireHead("DELETE")
+    LogTable.exactRanges(filters) match {
+      case Some(Nil)    => log.truncate() // unconditioned DELETE FROM
+      case Some(ranges) => log.deleteWhereTxn(ranges, None)
+      case None => throw new UnsupportedOperationException(
+        s"DELETE on ${log.tableDir}: condition ${filters.mkString(" AND ")} " +
+          "does not convert exactly to point/range predicates — use the " +
+          "SnapshotLog API (deleteWhere/deleteKeys) for this shape")
+    }
+  }
+}
+
+private[graft] object LogTable {
+  /** DSv2 delete filters → EXACT `(column, lo, hi)` conjunction:
+    * Some(ranges) iff deleting rows matching the ranges is semantically
+    * identical to the SQL condition (unlike [[LogScanBuilder.boundsOf]],
+    * which may widen — widening prunes soundly but would DELETE too
+    * much). Accepted leaves: `EqualTo` (a point), `>=`/`<=` pairs that
+    * close a range, `AlwaysTrue` (the unconditioned delete →
+    * Some(Nil)), and `IsNotNull` on a column that also carries a closed
+    * range (implied — range predicates never match NULL). Anything
+    * else — strict bounds, one-sided ranges, IN, OR, functions — is
+    * None: refused loudly at analysis. */
+  private[graft] def exactRanges(filters: Array[Filter]): Option[Seq[(String, Any, Any)]] = {
+    def leaves(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      case other     => Seq(other)
+    }
+    val ls = filters.flatMap(leaves).toSeq
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    val points = collection.mutable.Map.empty[String, List[Any]]
+    val lo = collection.mutable.Map.empty[String, List[Any]]
+    val hi = collection.mutable.Map.empty[String, List[Any]]
+    val notNull = collection.mutable.Set.empty[String]
+    val ok = ls.forall {
+      case EqualTo(c, v) if v != null =>
+        points(c) = v :: points.getOrElse(c, Nil); true
+      case GreaterThanOrEqual(c, v) if v != null =>
+        lo(c) = v :: lo.getOrElse(c, Nil); true
+      case LessThanOrEqual(c, v) if v != null =>
+        hi(c) = v :: hi.getOrElse(c, Nil); true
+      case IsNotNull(c) => notNull += c; true
+      case _ => false
+    }
+    if (!ok) return None
+    // one shape per column, unambiguously: EITHER a single point, OR
+    // exactly one >= paired with exactly one <=. Catalyst's own
+    // simplification produces these shapes for real conditions; anything
+    // it didn't fold (duplicate/mixed bounds) is refused rather than
+    // approximated.
+    val cols = (points.keySet ++ lo.keySet ++ hi.keySet).toSeq
+    val ranges = cols.map { c =>
+      (points.getOrElse(c, Nil), lo.getOrElse(c, Nil), hi.getOrElse(c, Nil)) match {
+        case (List(v), Nil, Nil)     => Some((c, v, v))
+        case (Nil, List(l), List(h)) => Some((c, l, h))
+        case _                       => None
+      }
+    }
+    // IsNotNull is implied only where a range/point also binds the column
+    if (ranges.exists(_.isEmpty) || !notNull.forall(cols.contains)) None
+    else Some(ranges.flatten)
   }
 }
 

@@ -43,6 +43,9 @@ import org.apache.hadoop.fs.Path
   *    key-unique update batch) replay as `dst.mergeByKey` on the
   *    recorded key column, same watermark: an upsert against identical
   *    pre-state produces the identical post-state. O(batch) shipped.
+  *  - `truncate` / `overwrite` — replayed as the same verb on the
+  *    replica (`dst.truncate` / `dst.overwriteAll`) riding the txns
+  *    watermark: no images needed, the logical outcome is the verb.
   *  - `restore`, and row-removing commits WITHOUT images — REFUSED
   *    (IllegalStateException): a rollback is not expressible as a
   *    change feed, and a commit that recorded no images leaves the
@@ -87,6 +90,23 @@ object LogMirror {
           newlyApplied += 1
         case op if PhysicalOnly(op) =>
           newlyApplied += 1 // nothing logical to ship
+        case "truncate" =>
+          // rides the replica's own commit for exactly-once; the
+          // replica's file set differs, the logical outcome (no rows)
+          // is identical
+          dst.truncate(Some((lane, v)))
+          newlyApplied += 1
+        case "overwrite" =>
+          // the version's committed files ARE the new logical table —
+          // replay as one atomic replace, O(version bytes) shipped
+          val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          if (s.files.isEmpty) dst.truncate(Some((lane, v)))
+          else dst.overwriteAll(src.session.read
+            .schema(org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .parquet(s.files.map(f => new Path(dataDir, f).toString): _*),
+            Some((lane, v)))
+          newlyApplied += 1
         case "delete_keys" =>
           val parentTombs = snapshotTombstones(src, s.parent)
           // the one tombstone THIS version added over its parent

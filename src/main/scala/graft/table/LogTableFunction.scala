@@ -22,10 +22,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * Arguments must be literals (foldable) — they parameterize ANALYSIS,
   * not execution: the plan the query optimizes against IS the pinned
   * snapshot, so a concurrent commit cannot shear a half-planned query.
-  * Predicate pushdown into the parquet scan is Catalyst's as usual;
-  * manifest-level file pruning stays on the typed surfaces
-  * (`readWhere`/`readKeys`) and the DataSource V2 catalog path, where
-  * predicates are visible before planning.
+  *
+  * The function resolves to the SAME pushdown-capable DataSource V2
+  * relation the [[GraftTableCatalog]] builds ([[LogTable]] →
+  * [[LogScanBuilder]]), so `FROM graft_log('/lake/t') WHERE day = X`
+  * gets manifest-level FILE pruning — not just parquet row-group
+  * pushdown — identically to `FROM graft.t`. The one divergence:
+  * a snapshot with PENDING merge-on-read tombstones falls back to the
+  * tombstone-applying composed plan (`SnapshotLog.read`) that the DSv2
+  * scan deliberately refuses — correctness first, file pruning resumes
+  * at the next compaction.
   */
 object LogTableFunction {
 
@@ -74,6 +80,16 @@ object LogTableFunction {
       case other => throw new IllegalArgumentException(
         s"graft_log version must be an integer or timestamp-string literal, got $other")
     }.getOrElse(-1L)
-    org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
+    val snap = log.snapshot(version) // resolve -1 → head ONCE, here
+    if (snap.tombstones.isEmpty) {
+      // the DSv2 relation: WHERE clauses reach LogScanBuilder before
+      // planning, so selective predicates open 1-of-N files (manifest
+      // stats/partition/bloom gates), exactly like the catalog path
+      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, new org.apache.hadoop.fs.Path(path).getName)
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(new LogTable(log, ident, snap.version), None, None)
+    } else // pending MoR tombstones: the composed tombstone-applying plan
+      org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
   }
 }

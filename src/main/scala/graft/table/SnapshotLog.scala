@@ -939,7 +939,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def readKeysAt(version: Long, column: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "readKeys needs at least one key")
     val s = snapshot(version)
-    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    if (s.files.isEmpty) {
+      // a truncated-but-committed version holds none of the keys — a
+      // typed empty frame (consumers like DerivedAggregate's targeted
+      // recompute legitimately probe keys against an emptied base)
+      require(s.schemaJson.nonEmpty,
+        s"version ${s.version} of $tableDir is empty and pre-schema")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
     val kept = keyCandidates(s, column, keys)
     val pred = col(column).isInCollection(keys)
     if (kept.isEmpty)
@@ -1063,6 +1073,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     *    'delete' attached. A merge appears as delete(pre-image) +
     *    insert(post-image) pairs for replaced keys — the two-type
     *    contract, deliberately simpler than four-type CDF feeds;
+    *  - `truncate` / `overwrite` — both sides BY REFERENCE with no
+    *    recorded images (the deleted pre-images are the parent's
+    *    logical table, an overwrite's inserts are its committed files),
+    *    so these feed even without the CDC opt-in;
     *  - `compact` / `cluster` / `zorder` — nothing (physical only);
     *  - a row-removing version WITHOUT images (committed before the
     *    table was feed-enabled) or a `restore` throws — silently
@@ -1078,10 +1092,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     var prev: Option[Snapshot] = None
     val frames = ((fromVersion + 1) to to).flatMap { v =>
       val s = snapshot(v)
-      val parentFiles =
-        if (s.parent == 0) Set.empty[String]
-        else prev.filter(_.version == s.parent).getOrElse(snapshot(s.parent))
-          .files.toSet
+      val parentSnap: Option[Snapshot] =
+        if (s.parent == 0) None
+        else Some(prev.filter(_.version == s.parent).getOrElse(snapshot(s.parent)))
+      val parentFiles = parentSnap.fold(Set.empty[String])(_.files.toSet)
       prev = Some(s)
       s.op match {
         case "append" =>
@@ -1090,6 +1104,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           else Seq(reader(s).parquet(added.map(path): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(v)))
+        case "truncate" | "overwrite" =>
+          // both sides derive BY REFERENCE, no recorded images needed
+          // (so these ops feed even on tables without the CDC opt-in):
+          // the deleted pre-images are the parent's LOGICAL table — the
+          // tombstone-applied scan, not the raw files, or rows a pending
+          // key delete already removed would image twice — and an
+          // overwrite's inserts are exactly its committed files
+          val dels = parentSnap.filter(_.files.nonEmpty).map(p =>
+            scan(p, p.files).withColumn("_change_type", lit("delete")))
+          val ins =
+            if (s.files.isEmpty) None
+            else Some(reader(s).parquet(s.files.map(path): _*)
+              .withColumn("_change_type", lit("insert")))
+          (dels.toSeq ++ ins.toSeq).map(_.withColumn("_commit_version", lit(v)))
         case "delete" | "merge" | "delete_keys" =>
           val cs = s.changes.getOrElse(throw new IllegalStateException(
             s"$tableDir v$v is a '${s.op}' with no recorded change images " +
@@ -1759,6 +1787,78 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Remove every row as ONE metadata-only commit (op `truncate`): the
+    * next manifest lists no files — zero data I/O at any table size, the
+    * SQL `TRUNCATE TABLE` / unconditional `DELETE FROM` verb. The
+    * schema, partition spec (and its history), sort order and stream
+    * watermarks all survive — the table is empty, not gone — and time
+    * travel still reads every retained pre-truncate version. Pending key
+    * tombstones clear with the files they cover. The row-level change
+    * feed needs no recorded images for this op: the deleted pre-images
+    * are exactly the parent version's logical table, which
+    * [[readChangeRows]] reconstructs by reference (tombstone-applied).
+    * `txn` rides the same `(appId, batchId)` exactly-once watermark as
+    * [[appendStream]] — how [[LogMirror]] replays a truncate once.
+    * Returns None when the table is already empty (and the watermark, if
+    * any, is already recorded). A concurrent commit aborts, like
+    * [[restore]] — a truncate replaces the whole table. */
+  def truncate(txn: Option[(String, Long)] = None): Option[Snapshot] = {
+    val cur = currentVersion()
+    val base =
+      if (cur == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+      else snapshot(cur)
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return None // replay detected
+    if (cur > 0 && base.files.isEmpty && txn.isEmpty) return None // already empty
+    val next = Snapshot(base.version + 1, "truncate", base.version,
+      0L, 0L, Seq.empty, Map.empty, base.schemaJson,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+      Map.empty, Map.empty, Map.empty,
+      commitSpec(base), Map.empty, commitSort(base), commitCdc(base), None,
+      base.priorSpecs, Map.empty)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"truncate of $tableDir: concurrent commit since v${base.version}; rerun")
+    Some(next)
+  }
+
+  /** Replace the WHOLE table with `df` in one atomic commit (op
+    * `overwrite`) — truncate + append fused so readers never observe the
+    * empty intermediate state: the SQL `INSERT OVERWRITE` verb. Staging
+    * routes through the same choke point as appends (partition
+    * transforms, sort order, stats/bloom lift), the schema may widen
+    * (same rule as [[append]]), and pending key tombstones clear with
+    * the files they covered. Like [[truncate]], the change feed derives
+    * both sides by reference — deleted pre-images are the parent's
+    * logical table, inserts are the committed files — so no images are
+    * recorded even on feed-enabled tables. `txn` rides the exactly-once
+    * watermark. A concurrent commit aborts (an overwrite is
+    * row-removing — retrying past an unseen append would silently drop
+    * its rows). */
+  def overwriteAll(df: DataFrame, txn: Option[(String, Long)] = None): Snapshot = {
+    val cur = currentVersion()
+    val base =
+      if (cur == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+      else snapshot(cur)
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return base // replay detected — nothing stages, nothing commits
+    val staged = stage(df, base = Some(base))
+    val merged =
+      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+      catch { case e: IllegalStateException => discard(staged); throw e }
+    val next = Snapshot(base.version + 1, "overwrite", base.version,
+      staged.rows, staged.bytes, staged.files, staged.stats, merged,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+      staged.fileRows, staged.blooms, staged.fileBytes,
+      commitSpec(base), staged.partitions, commitSort(base), commitCdc(base),
+      None, base.priorSpecs, Map.empty)
+    if (!tryCommit(next)) {
+      discard(staged)
+      throw new CommitConflictException(
+        s"overwrite of $tableDir: concurrent commit since v${base.version}; rerun")
+    }
+    next
+  }
+
   def restore(version: Long): Snapshot = {
     require(version >= 1, s"restore needs a committed version, got $version")
     val target = snapshot(version)
@@ -2410,6 +2510,28 @@ object SnapshotLog {
   def sorted(spark: SparkSession, tableDir: String, sortBy: Seq[String],
       statsColumns: Seq[String] = Nil): SnapshotLog =
     new SnapshotLog(spark, tableDir, statsColumns, None, Nil, Nil, sortBy)
+
+  /** A handle that INHERITS the table's metadata maintenance from its
+    * manifest: stats columns and bloom columns are inferred from what
+    * the committed files already record, so a writer constructed from
+    * just a path (the SQL DML surface — [[GraftTableCatalog]],
+    * [[MergeIntoLogCommand]]) keeps lifting the same per-file stats and
+    * blooms the table's typed writers do, instead of silently staging
+    * unprunable files. (Partition spec and sort order already inherit
+    * through the manifest for every handle; stats/bloom column sets are
+    * handle properties, hence this probe.) One manifest read. */
+  def inheriting(spark: SparkSession, tableDir: String,
+      store: Option[CommitStore] = None): SnapshotLog = {
+    val probe = new SnapshotLog(spark, tableDir, Nil, store)
+    if (probe.currentVersion() == 0) probe
+    else {
+      val s = probe.snapshot()
+      val stats = s.stats.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+      val blooms = s.blooms.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+      if (stats.isEmpty && blooms.isEmpty) probe
+      else new SnapshotLog(spark, tableDir, stats, store, blooms)
+    }
+  }
 
   /** A log with ROW-LEVEL CDC enabled ([[ChangeSet]]): row-removing
     * commits record change images, [[SnapshotLog.readChangeRows]] and

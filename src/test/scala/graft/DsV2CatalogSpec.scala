@@ -130,6 +130,136 @@ class DsV2CatalogSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("SnapshotLog")))
   }
 
+  test("INSERT INTO commits one append: visible at head, absent from the pinned past") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    val preVersion = log.currentVersion()
+    spark.sql(s"INSERT INTO $cat.t1 VALUES (5000, 'ins-a'), (5001, 'ins-b')")
+    assert(log.currentVersion() == preVersion + 1 &&
+      log.snapshot().op == "append",
+      "SQL INSERT must land as ONE transactional append commit")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 22)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t1 VERSION AS OF $preVersion")
+      .head().getLong(0) == 20, "time travel must not see the insert")
+    // the inserted file records stats (inherited from the manifest), so
+    // a point read still prunes to few files
+    val s = log.snapshot()
+    val newFile = s.files.filterNot(log.snapshot(preVersion).files.toSet)
+    assert(newFile.forall(f => s.stats.get(f).exists(_.contains("id"))),
+      "SQL-inserted files must carry the table's stats columns")
+  }
+
+  test("INSERT OVERWRITE atomically replaces the table; DELETE/TRUNCATE verbs work") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    spark.sql(s"INSERT OVERWRITE $cat.t1 VALUES (1, 'ow-a'), (2, 'ow-b'), (9, 'ow-c')")
+    assert(log.snapshot().op == "overwrite")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 3)
+    assert(log.read(2).count() == 20, "pre-overwrite history intact")
+    // range DELETE: stats-targeted copy-on-write through the log
+    spark.sql(s"DELETE FROM $cat.t1 WHERE id BETWEEN 1 AND 2")
+    assert(log.snapshot().op == "delete")
+    assert(spark.sql(s"SELECT id FROM $cat.t1").as[Long].collect().toSeq == Seq(9L))
+    // unconditioned DELETE = metadata-only truncate
+    spark.sql(s"DELETE FROM $cat.t1")
+    assert(log.snapshot().op == "truncate" && log.snapshot().files.isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 0)
+    // schema survived; inserts keep working after the truncate
+    spark.sql(s"INSERT INTO $cat.t1 VALUES (42, 'post')")
+    assert(spark.sql(s"SELECT v FROM $cat.t1").head().getString(0) == "post")
+    // TRUNCATE TABLE statement too
+    spark.sql(s"TRUNCATE TABLE $cat.t1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 0)
+  }
+
+  test("DELETE with an inexpressible condition is refused loudly, not approximated") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t1 WHERE id > 5 OR v = 'a1'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      (m.contains("does not convert exactly") || m.contains("Cannot delete") ||
+        m.contains("DELETE"))), msgs(ex).mkString(" | "))
+    assert(log.read().count() == 20, "nothing may have been deleted")
+  }
+
+  test("MERGE INTO (canonical upsert) routes through mergeByKey on an extensions session") {
+    val (root, log) = freshRoot()
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    n += 1
+    val cat = s"gtest$n"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(
+      s"""MERGE INTO $cat.t1 t
+         |USING (SELECT * FROM VALUES (3L, 'upd-3'), (7L, 'upd-7'),
+         |       (6000L, 'new-6000') AS src(id, v)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(log.snapshot().op == "merge",
+      "SQL MERGE must land as one transactional merge commit")
+    val rows = log.read().as[(Long, String)].collect().toMap
+    assert(rows(3L) == "upd-3" && rows(7L) == "upd-7" &&
+      rows(6000L) == "new-6000" && rows(4L) == "a4")
+    assert(rows.size == 21)
+    // duplicate source keys violate SQL MERGE semantics → loud error
+    val dup = intercept[Exception] {
+      s.sql(
+        s"""MERGE INTO $cat.t1 t
+           |USING (SELECT * FROM VALUES (1L, 'x'), (1L, 'y') AS src(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(dup).exists(m => m != null && m.contains("at most one source row")),
+      msgs(dup).mkString(" | "))
+  }
+
+  test("DML against a time-travelled snapshot is refused — history is immutable") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t1 VERSION AS OF 1 VALUES (1, 'x')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      (m.contains("immutable") || m.contains("TIMESTAMP") ||
+        m.contains("time travel") || m.contains("VERSION"))),
+      msgs(ex).mkString(" | "))
+  }
+
+  test("exact delete-filter conversion: points, closed ranges, truncate; refusals") {
+    import org.apache.spark.sql.sources._
+    import graft.table.LogTable.exactRanges
+    // exact conversions
+    assert(exactRanges(Array(EqualTo("a", 5))).contains(Seq(("a", 5, 5))))
+    assert(exactRanges(Array(
+      And(GreaterThanOrEqual("b", 10), LessThanOrEqual("b", 20))))
+      .contains(Seq(("b", 10, 20))))
+    assert(exactRanges(Array(IsNotNull("a"), EqualTo("a", 5)))
+      .contains(Seq(("a", 5, 5))), "IsNotNull implied by the point")
+    assert(exactRanges(Array.empty[Filter]).contains(Nil), "no filters = truncate")
+    assert(exactRanges(Array(AlwaysTrue())).contains(Nil))
+    // refusals: anything a range-conjunction cannot express EXACTLY
+    assert(exactRanges(Array(GreaterThan("a", 5))).isEmpty, "strict bound")
+    assert(exactRanges(Array(GreaterThanOrEqual("a", 5))).isEmpty, "one-sided")
+    assert(exactRanges(Array(In("a", Array(1, 2)))).isEmpty, "IN is a disjunction")
+    assert(exactRanges(Array(Or(EqualTo("a", 1), EqualTo("a", 2)))).isEmpty)
+    assert(exactRanges(Array(IsNotNull("z"))).isEmpty, "bare IsNotNull")
+    assert(exactRanges(Array(EqualTo("a", 1),
+      GreaterThanOrEqual("a", 0), LessThanOrEqual("a", 9))).isEmpty,
+      "mixed point+range on one column")
+  }
+
   test("filter-to-range conversion: points, envelopes, both-sided ranges only") {
     import org.apache.spark.sql.sources._
     val bounds = graft.table.LogScanBuilder.boundsOf(Array(

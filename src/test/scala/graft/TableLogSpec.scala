@@ -1626,6 +1626,46 @@ class TableLogSpec extends AnyFunSuite {
     }.getMessage.contains("neither an integer version nor a parseable"))
   }
 
+  test("graft_log prunes manifest files from pure-SQL predicates like the catalog path") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1010).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1))
+    log.append((2000 until 2010).map(i => (i.toLong, s"c$i")).toDF("id", "v").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    // the file set the optimized plan's V2 scan will open (Dataset
+    // .inputFiles only traverses FileTable relations, not custom DSv2
+    // tables — reflect the scan's fileIndex like DsV2CatalogSpec)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          val idx = r.scan.getClass.getMethod("fileIndex").invoke(r.scan)
+          idx.getClass.getMethod("inputFiles").invoke(idx)
+            .asInstanceOf[Array[String]].toSeq
+      }.flatten
+    // a selective WHERE through the TVF opens 1-of-3 files: the filter
+    // reaches LogScanBuilder BEFORE planning (DSv2 pushdown), so the
+    // manifest stats gate prunes the other two — not just row groups
+    val pruned = s.sql(
+      s"SELECT id, v FROM graft_log('$dir') WHERE id BETWEEN 1000 AND 1004")
+    assert(pruned.as[(Long, String)].collect().sorted.toSeq ==
+      (1000L until 1005L).map(i => (i, s"b$i")))
+    assert(scannedFiles(pruned).length == 1,
+      s"TVF + WHERE must open ONE manifest-pruned file, " +
+        s"opened ${scannedFiles(pruned).length} of 3")
+    // no predicate = the full committed set, same rows as the typed read
+    assert(scannedFiles(s.sql(s"SELECT * FROM graft_log('$dir')")).length == 3)
+    // time travel still composes with pruning: v1 has one file total
+    assert(scannedFiles(s.sql(
+      s"SELECT * FROM graft_log('$dir', 1) WHERE id <= 3")).length == 1)
+    // pending MoR tombstones: falls back to the tombstone-applying plan
+    // (correct rows, no manifest pruning until compaction)
+    log.deleteKeys("id", Seq(1005L).toDF("id"))
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir') WHERE id >= 1000")
+      .head().getLong(0) == 19)
+  }
+
   test("S3 commit store: conditional-put CAS, signing plumbing, paginated listing") {
     import graft.table.{JdkS3Transport, S3CommitStore, S3Transport}
     val _ = new JdkS3Transport // production wiring must at least construct
@@ -1714,6 +1754,63 @@ class TableLogSpec extends AnyFunSuite {
         case other => (400, s"unexpected $other".getBytes)
       }
     }
+  }
+
+  test("truncate is one metadata-only commit: schema/spec survive, history reads intact") {
+    import graft.table.PartitionField
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(PartitionField.bucket("id", 4)), statsColumns = Seq("id"))
+    log.append(mkRows(0, 30).toDF("id", "payload"))   // v1
+    val dataFiles = log.snapshot().files
+    val t = log.truncate().get                        // v2
+    assert(t.op == "truncate" && t.files.isEmpty && t.rows == 0)
+    assert(t.schemaJson == log.snapshot(1).schemaJson, "schema must survive")
+    assert(t.partitionSpec == Seq(PartitionField.bucket("id", 4)),
+      "the partition spec must survive an empty table")
+    assert(rowsOf(log, 1) == mkRows(0, 30).sorted, "time travel intact")
+    assert(log.countRows() == 0)
+    // already empty: the scheduled form is a no-op
+    assert(log.truncate().isEmpty)
+    // the txn watermark makes a replay a no-op but a fresh id commits
+    assert(log.truncate(Some(("lane", 1L))).isDefined)
+    assert(log.truncate(Some(("lane", 1L))).isEmpty, "replayed batch id")
+    // appends after the truncate route through the surviving spec
+    log.append(mkRows(1, 8).toDF("id", "payload"))
+    val s = log.snapshot()
+    assert(s.files.forall(f => s.partitions(f).size == 1), "bucket tuples back")
+    assert(rowsOf(log) == mkRows(1, 8).sorted)
+    // restore undoes the truncate era entirely
+    log.restore(1)
+    assert(rowsOf(log) == mkRows(0, 30).sorted)
+    assert(log.snapshot().files == dataFiles)
+  }
+
+  test("overwriteAll atomically replaces the table and stays stats-prunable") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append(mkRows(0, 25).toDF("id", "payload").repartition(2))  // v1
+    val ow = log.overwriteAll(
+      mkRows(5, 10).toDF("id", "payload").coalesce(1))              // v2
+    assert(ow.op == "overwrite" && ow.rows == 10)
+    assert(rowsOf(log) == mkRows(5, 10).sorted)
+    assert(rowsOf(log, 1) == mkRows(0, 25).sorted, "pre-overwrite history intact")
+    // the staged files carry lifted stats — pruning keeps working
+    assert(ow.files.forall(f => ow.stats.get(f).exists(_.contains("id"))))
+    // exactly-once under a replayed txn id: the same batch returns the
+    // current snapshot without committing
+    val v = log.currentVersion()
+    log.overwriteAll(mkRows(9, 3).toDF("id", "payload"), Some(("ow-lane", v)))
+    assert(log.currentVersion() == v + 1)
+    val replay = log.overwriteAll(
+      mkRows(9, 3).toDF("id", "payload"), Some(("ow-lane", v)))
+    assert(log.currentVersion() == v + 1 && replay.version == v + 1)
+    // overwrite materializes pending tombstones away with the old files
+    log.deleteKeys("id", Seq(9000).toDF("id"))
+    assert(log.snapshot().tombstones.nonEmpty)
+    log.overwriteAll(mkRows(2, 4).toDF("id", "payload"))
+    assert(log.snapshot().tombstones.isEmpty)
+    assert(rowsOf(log) == mkRows(2, 4).sorted)
   }
 
   test("append staged under an old spec aborts when a concurrent evolve lands mid-commit") {
