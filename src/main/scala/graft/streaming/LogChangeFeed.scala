@@ -48,7 +48,11 @@ import org.apache.spark.sql.types.StructType
   * Spark's own FileStreamSource runs on.
   */
 final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
-    skipChangeCommits: Boolean, readChangeFeed: Boolean = false) extends Source {
+    skipChangeCommits: Boolean, readChangeFeed: Boolean = false,
+    fourTypeCdc: Boolean = false) extends Source {
+  require(!fourTypeCdc || readChangeFeed,
+    "fourTypeCdc re-types the ROW-LEVEL feed's merge images — it " +
+      "requires readChangeFeed=true")
   require(!(skipChangeCommits && readChangeFeed),
     "skipChangeCommits and readChangeFeed are mutually exclusive: the " +
       "row-level feed's contract is completeness — a skipped removal " +
@@ -91,7 +95,7 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
       // _change_type/_commit_version — fails (stream-visibly) on a
       // restore or an image-less removing commit, the completeness
       // contract
-      val delta = l.readChangeRows(from, to)
+      val delta = l.readChangeRows(from, to, fourType = fourTypeCdc)
         .select(schema.map(f => col(f.name)): _*)
       return GraftBridge.asStreamingFrame(spark, delta)
     }
@@ -137,7 +141,8 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
       parameters: Map[String, String]): Source =
     new LogChangeFeedSource(ctx.sparkSession, LogChangeFeed.path(parameters),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
-      parameters.get("readChangeFeed").exists(_.toBoolean))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      parameters.get("fourTypeCdc").exists(_.toBoolean))
 }
 
 object LogChangeFeed {
@@ -173,12 +178,14 @@ object LogChangeFeed {
     * `_commit_version`, deletes included). */
   def readChangesStream(spark: SparkSession, tableDir: String,
       skipChangeCommits: Boolean = false,
-      readChangeFeed: Boolean = false): DataFrame =
+      readChangeFeed: Boolean = false,
+      fourTypeCdc: Boolean = false): DataFrame =
     spark.readStream
       .format(classOf[LogChangeFeedProvider].getName)
       .option("path", tableDir)
       .option("skipChangeCommits", skipChangeCommits.toString)
       .option("readChangeFeed", readChangeFeed.toString)
+      .option("fourTypeCdc", fourTypeCdc.toString)
       .load()
 
   /** Once-per-JVM feed fixture for [[evLogChangefeed]]: the events

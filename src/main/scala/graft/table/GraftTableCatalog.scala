@@ -171,6 +171,11 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(snap.dvs.isEmpty,
+      s"${log.tableDir} has pending deletion vectors — a raw parquet " +
+        "scan would resurrect position-deleted rows; run " +
+        "materializeDeletes()/compact() first, or read through the " +
+        "vector-applying surfaces (SnapshotLog.read, graft_log(...))")
     require(snap.tombstones.isEmpty,
       s"${log.tableDir} has pending merge-on-read tombstones — a raw " +
         "parquet scan would resurrect deleted rows; compact() first or " +
@@ -230,7 +235,11 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     requireHead("DELETE")
     LogTable.exactRanges(filters) match {
       case Some(Nil)    => log.truncate() // unconditioned DELETE FROM
-      case Some(ranges) => log.deleteWhereTxn(ranges, None)
+      // mode=cow: the catalog's own scan is a raw parquet batch read
+      // that cannot compose the DV anti-join, so SQL DELETE must leave
+      // the table SQL-readable — the typed API's auto planner owns the
+      // deletion-vector path (deleteWhere / materializeDeletes)
+      case Some(ranges) => log.deleteWhereTxn(ranges, None, mode = "cow")
       case None => throw new UnsupportedOperationException(
         s"DELETE on ${log.tableDir}: condition ${filters.mkString(" AND ")} " +
           "does not convert exactly to point/range predicates — use the " +

@@ -116,6 +116,24 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     changes: Option[ChangeSet] = None,
     priorSpecs: Seq[Seq[PartitionField]] = Nil,
     fileSpecIdx: Map[String, Int] = Map.empty,
+    /** Positional DELETION VECTORS pending against live data files:
+      * data file → the DV files (parquet, columns `_file` STRING /
+      * `_pos` BIGINT) whose recorded row positions are deleted from it.
+      * The merge-on-read twin of [[Tombstone]] for PREDICATE deletes:
+      * a low-selectivity `deleteWhere` commits O(matched rows) of
+      * positions instead of rewriting every straddling file
+      * (Iceberg v2 positional deletes / Delta deletion vectors). Reads
+      * apply them as ONE broadcast anti-join on
+      * (`_metadata.file_path`, `_metadata.row_index`); rewrites of a
+      * covered file MATERIALIZE its vector and drop the entry
+      * ([[SnapshotLog.materializeDeletes]], [[SnapshotLog.compact]]).
+      * `rows` stays EXACT-logical throughout (matched counts are known
+      * at commit time — unlike key tombstones, which defer the count).
+      * A file may accumulate several DV files across deletes; positions
+      * are disjoint by construction (each delete matches against the
+      * prior-DV-applied read). O(covered files) manifest entries,
+      * bounded by maintenance exactly like the tombstone set. */
+    dvs: Map[String, Seq[String]] = Map.empty,
     /** Commit wall-clock (epoch millis) — STAMPED AT SERIALIZATION
       * ([[SnapshotLog]] `manifestCommon`), so it is populated on every
       * snapshot PARSED from a committed manifest and 0 on the
@@ -561,6 +579,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val fileSpecIdx = Option(node.get("fileSpec")).map { fn =>
       fn.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
     }.getOrElse(Map.empty[String, Int])
+    val dvs = Option(node.get("dvs")).map { dn =>
+      dn.properties().asScala.map { e =>
+        e.getKey ->
+          (0 until e.getValue.size()).map(e.getValue.get(_).asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
     val cdc = Option(node.get("cdc")).exists(_.asBoolean())
     val changeSet = Option(node.get("changes")).map { cn =>
       def arr(name: String): Seq[String] = Option(cn.get(name))
@@ -582,7 +606,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         node.get("parent").asLong(), node.get("rows").asLong(),
         node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
         fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder,
-        cdc, changeSet, priorSpecs, fileSpecIdx,
+        cdc, changeSet, priorSpecs, fileSpecIdx, dvs,
         Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     else {
       // segmented manifest: the per-file plane lives in immutable
@@ -604,6 +628,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         // with a single spec the absent-means-current default is exact
         if (priorSpecs.isEmpty) Map.empty
         else entries.map(e => e.file -> e.specIdx).toMap,
+        dvs,
         Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     }
   }
@@ -687,8 +712,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * crawling. */
   def read(version: Long = -1L): DataFrame = {
     val s = snapshot(version)
-    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
-    scan(s, s.files)
+    if (s.files.isEmpty) emptySnap(s) else scan(s, s.files)
+  }
+
+  /** A zero-row frame under `s`'s manifest schema — what an emptied
+    * version (truncate, full delete) reads as. Pre-schema manifests
+    * (written before the field existed) cannot shape one — loud. */
+  private def emptySnap(s: Snapshot): DataFrame = {
+    require(s.schemaJson.nonEmpty,
+      s"version ${s.version} of $tableDir is empty and pre-schema")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   private def reader(s: Snapshot) =
@@ -703,8 +739,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * scan clean — in the common shape (one MoR delete, then appends)
     * that is two groups and ONE anti-join over the old files only. */
   private def scan(s: Snapshot, files: Seq[String]): DataFrame = {
-    def plain(fs: Seq[String]) =
-      reader(s).parquet(fs.map(f => new Path(dataDir, f).toString): _*)
+    def plain(fs: Seq[String]): DataFrame = {
+      val (dvd, clean) = fs.partition(s.dvs.contains)
+      val parts =
+        (if (clean.nonEmpty)
+          Seq(reader(s).parquet(clean.map(f => new Path(dataDir, f).toString): _*))
+        else Nil) ++
+        (if (dvd.nonEmpty) Seq(dvApply(s, dvd)) else Nil)
+      parts.reduce(_ unionByName _)
+    }
     if (s.tombstones.isEmpty) plain(files)
     else {
       val covered = s.tombstones.map(t => t -> t.appliesTo.toSet)
@@ -717,6 +760,40 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           }
         }.reduce(_ unionByName _)
     }
+  }
+
+  /** `files` read with their pending deletion vectors applied: ONE
+    * broadcast anti-join on (file name, row position) against the union
+    * of the covering DV files — O(deleted positions) state, the
+    * merge-on-read read path for predicate deletes. The hidden parquet
+    * `_metadata` column supplies both join keys for free (no synthetic
+    * ids, no zipWithIndex shuffle); helper columns drop before the
+    * frame leaves this method, so callers compose it like any scan. */
+  private def dvApply(s: Snapshot, files: Seq[String]): DataFrame = {
+    val withId = dvTagged(s, files)
+    val dv = dvFrame(s, files)
+    withId.join(org.apache.spark.sql.functions.broadcast(dv),
+      withId(DvFileCol) === dv("_file") && withId(DvPosCol) === dv("_pos"),
+      "left_anti")
+      .drop(DvFileCol, DvPosCol)
+  }
+
+  /** `files` read raw with two helper columns: [[DvFileCol]] (the data
+    * file's NAME — the manifest's key space) and [[DvPosCol]] (the row's
+    * position within it). */
+  private def dvTagged(s: Snapshot, files: Seq[String]): DataFrame =
+    reader(s).parquet(files.map(f => new Path(dataDir, f).toString): _*)
+      .withColumn(DvFileCol, org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** The union of DV files covering any of `files`, as a
+    * (`_file`, `_pos`) frame — broadcast-sized by construction (DVs are
+    * the LOW-selectivity delete path; high selectivity rewrites). */
+  private def dvFrame(s: Snapshot, files: Seq[String]): DataFrame = {
+    val dvFiles = files.flatMap(s.dvs.getOrElse(_, Nil)).distinct
+    spark.read.parquet(dvFiles.map(f => new Path(dataDir, f).toString): _*)
+      .select(col("_file"), col("_pos"))
   }
 
   /** Manifest-pruned range read: keep only files whose recorded
@@ -797,7 +874,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def readWhere(version: Long, preds: (String, Any, Any)*): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
     val s = snapshot(version)
-    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    if (s.files.isEmpty) return emptySnap(s)
     def empty = reader(s).parquet(new Path(dataDir, s.files.head).toString)
       .where(lit(false))
     coercePreds(s, preds) match {
@@ -902,7 +979,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def countWhere(preds: (String, Any, Any)*): Long = {
     require(preds.nonEmpty, "countWhere needs at least one (column, lo, hi)")
     val s = snapshot()
-    require(s.files.nonEmpty, s"version ${s.version} of $tableDir is empty")
+    if (s.files.isEmpty) return 0L
     val cps = coercePreds(s, preds).getOrElse(return 0L)
     val residual = cps.map { case (c, lo, hi) =>
       col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
@@ -911,7 +988,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val kept = candidateFiles(s, cps)
     val dts = cps.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
     val (contained, straddling) = kept.partition { f =>
-      s.fileRows.contains(f) && fullyContained(s, f, cps, dts)
+      // a DV-covered file's physical count overstates live rows — scan it
+      s.fileRows.contains(f) && !s.dvs.contains(f) &&
+        fullyContained(s, f, cps, dts)
     }
     val metadataRows = contained.map(s.fileRows).sum
     if (straddling.isEmpty) metadataRows
@@ -939,17 +1018,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def readKeysAt(version: Long, column: String, keys: Seq[Any]): DataFrame = {
     require(keys.nonEmpty, "readKeys needs at least one key")
     val s = snapshot(version)
-    if (s.files.isEmpty) {
-      // a truncated-but-committed version holds none of the keys — a
-      // typed empty frame (consumers like DerivedAggregate's targeted
-      // recompute legitimately probe keys against an emptied base)
-      require(s.schemaJson.nonEmpty,
-        s"version ${s.version} of $tableDir is empty and pre-schema")
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-    }
+    // a truncated-but-committed version holds none of the keys — a
+    // typed empty frame (consumers like DerivedAggregate's targeted
+    // recompute legitimately probe keys against an emptied base)
+    if (s.files.isEmpty) return emptySnap(s)
     val kept = keyCandidates(s, column, keys)
     val pred = col(column).isInCollection(keys)
     if (kept.isEmpty)
@@ -1072,7 +1144,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     *    deletes read BY REFERENCE from the parent's data files with
     *    'delete' attached. A merge appears as delete(pre-image) +
     *    insert(post-image) pairs for replaced keys — the two-type
-    *    contract, deliberately simpler than four-type CDF feeds;
+    *    default, deliberately simpler than four-type CDF feeds;
+    *    `fourType = true` re-types a merge's pairs on its recorded key:
+    *    pre-images become 'update_preimage', replaced keys'
+    *    post-images 'update_postimage', genuinely-new keys stay
+    *    'insert' — the consumer can then tell an update from an
+    *    unrelated delete+insert (every delete image in a merge IS a
+    *    replacement pre-image by construction: [[mergeByKey]] images
+    *    deletes only for matched keys, whose post-images are all in the
+    *    insert batch). Non-merge deletes keep their types in both modes
+    *    (a truncate-then-insert is a replacement of the TABLE, not of
+    *    rows — it stays delete+insert);
     *  - `truncate` / `overwrite` — both sides BY REFERENCE with no
     *    recorded images (the deleted pre-images are the parent's
     *    logical table, an overwrite's inserts are its committed files),
@@ -1083,7 +1165,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     *    skipping either would hand the consumer a feed with a hole.
     * Cost: O(changed rows) reads, never O(table) — appends read their
     * delta files, images read what the commit recorded. */
-  def readChangeRows(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+  def readChangeRows(fromVersion: Long, toVersion: Long = -1L,
+      fourType: Boolean = false): DataFrame = {
     val to = if (toVersion < 0) currentVersion() else toVersion
     require(fromVersion >= 0 && fromVersion <= to,
       s"readChangeRows needs 0 <= from <= to, got [$fromVersion, $to]")
@@ -1125,7 +1208,26 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
               "row-level reads cannot span it; resync from a full read"))
           val images =
             if (cs.files.isEmpty) Nil
-            else Seq(spark.read.parquet(cs.files.map(path): _*))
+            else {
+              val img = spark.read.parquet(cs.files.map(path): _*)
+              if (!fourType || s.op != "merge" || cs.keyColumn.isEmpty) Seq(img)
+              else {
+                // four-type pairing on the recorded merge key: replaced
+                // keys' delete/insert pairs re-type to update_*; keys
+                // with no pre-image are genuine inserts. One
+                // replaced-key join per merge version, O(batch) — AQE
+                // broadcasts the typical bounded update batch.
+                val k = cs.keyColumn
+                val pre = img.where(col("_change_type") === "delete")
+                val replaced = pre.select(col(k)).distinct()
+                val ins = img.where(col("_change_type") === "insert")
+                Seq(
+                  pre.withColumn("_change_type", lit("update_preimage"))
+                    .unionByName(ins.join(replaced, Seq(k), "left_semi")
+                      .withColumn("_change_type", lit("update_postimage")))
+                    .unionByName(ins.join(replaced, Seq(k), "left_anti")))
+              }
+            }
           val wholeFiles =
             if (cs.deletedDataFiles.isEmpty) Nil
             else Seq(reader(s).parquet(cs.deletedDataFiles.map(path): _*)
@@ -1195,7 +1297,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes,
         commitSpec(base), base.partitions ++ staged.partitions,
         commitSort(base), commitCdc(base),
-        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx)
+        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
+        dvs = base.dvs)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -1239,7 +1342,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         base.fileBytes ++ staged.fileBytes,
         commitSpec(base), base.partitions ++ staged.partitions,
         commitSort(base), commitCdc(base),
-        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx)
+        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
+        dvs = base.dvs)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -1344,7 +1448,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         (cur.fileBytes -- replaced) ++ staged.fileBytes,
         commitSpec(cur), (cur.partitions -- replaced) ++ staged.partitions,
         commitSort(cur), commitCdc(cur),
-        priorSpecs = cur.priorSpecs, fileSpecIdx = cur.fileSpecIdx -- replaced)
+        priorSpecs = cur.priorSpecs, fileSpecIdx = cur.fileSpecIdx -- replaced,
+        // a rewrite of a DV-covered file consumed the DV-applied read —
+        // its vector is MATERIALIZED and drops with the file
+        dvs = cur.dvs -- replaced)
       if (tryCommit(next)) return next
       val newest = snapshot()
       val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
@@ -1364,18 +1471,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$op of $tableDir lost the commit race $MaxCommitAttempts times")
   }
 
-  /** Copy-on-write range delete: drop rows with `column` in [lo, hi],
-    * rewriting ONLY the files whose recorded range intersects the
-    * predicate (files without a recorded range rewrite too — absence is
-    * conservative); every other file carries over BY NAME. The manifest
-    * stats make the blast radius proportional to the data that can
-    * match, not to the table: on a clustered table a narrow delete
-    * rewrites one file while the rest of the corpus is untouched bytes
-    * AND untouched metadata. Commits as op `delete` with `rows`
-    * decreasing by the deleted count; a concurrent commit aborts, like
-    * [[rewrite]]. Returns None when no file can contain a match —
-    * nothing commits. Prior versions still read the deleted rows (time
-    * travel is the undo), until [[vacuum]] passes the horizon. */
+  /** Range delete: drop rows with `column` in [lo, hi]. Only files
+    * whose recorded range intersects the predicate participate at all
+    * (files without a recorded range participate too — absence is
+    * conservative); every other file carries over BY NAME, untouched
+    * bytes AND untouched metadata. Per participating file the planner
+    * then picks the cheapest sound mechanism from ONE exact counting
+    * pass: provably-all-matching files DROP as pure manifest arithmetic
+    * (zero I/O); mostly-matching files REWRITE copy-on-write; sparsely-
+    * matching files get a positional DELETION VECTOR — O(matched rows)
+    * committed, the file untouched, the anti-join applied at read and
+    * materialized by [[materializeDeletes]]/[[compact]]. At 100 TB that
+    * third arm is the difference between a seconds-commit and rewriting
+    * nearly every straddled file for a handful of rows each. Commits as
+    * op `delete` with `rows` decreasing by the exact deleted count; a
+    * concurrent commit aborts, like [[rewrite]]. Returns None when no
+    * row can match — nothing commits. Prior versions still read the
+    * deleted rows (time travel is the undo), until [[vacuum]] passes
+    * the horizon. */
   def deleteBetween(column: String, lo: Any, hi: Any): Option[Snapshot] =
     deleteWhere((column, lo, hi))
 
@@ -1393,16 +1506,27 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * batch id returns None without staging — what lets [[LogMirror]]
     * REPLAY a source's predicate delete on a replica idempotently (the
     * predicate ships in the source's [[ChangeSet]]; replaying it prunes
-    * on the replica's own stats instead of shipping pre-image rows). */
+    * on the replica's own stats instead of shipping pre-image rows).
+    *
+    * `mode` — `"auto"` (default) lets the planner choose per file
+    * between copy-on-write and a deletion vector by matched fraction
+    * ([[SnapshotLog.DvRewriteFraction]]); `"cow"` forces the rewrite
+    * for every straddling file with a match — the SQL catalog pins this
+    * (its raw batch scan cannot compose the DV anti-join, so SQL DELETE
+    * must leave the table SQL-readable). Metadata-only whole-file drops
+    * apply in both modes. */
   def deleteWhereTxn(preds0: Seq[(String, Any, Any)],
-      txn: Option[(String, Long)] = None): Option[Snapshot] = {
+      txn: Option[(String, Long)] = None,
+      mode: String = "auto"): Option[Snapshot] = {
+    require(mode == "auto" || mode == "cow",
+      s"unknown delete mode '$mode' (auto | cow)")
     require(preds0.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return None // replay detected — nothing stages, nothing commits
     require(base.tombstones.isEmpty,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
-        "a copy-on-write delete (its per-file row accounting assumes " +
+        "a predicate delete (its per-file row accounting assumes " +
         "physical rows are logical rows)")
     // driver-side bound coercion, same contract as readWhere: an
     // unparseable bound matches no row of the column's type → no-op
@@ -1415,10 +1539,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // rewritten — a whole-partition delete (drop one day, expire one
     // tenant) on a day/identity-partitioned table is pure manifest
     // arithmetic at any table size. Requires the recorded per-file row
-    // count for exact accounting; without it the file just rewrites.
+    // count for exact accounting, and NO pending deletion vector (a
+    // covered file's physical count overstates its live rows — it
+    // routes to the exact-counting straddling plan instead).
     val dts = preds.map { case (c, _, _) => c -> schemaType(base, c) }.toMap
-    val (dropped, rewriteSet) = touched.partition(f =>
-      base.fileRows.contains(f) && fullyContained(base, f, preds, dts))
+    val (dropped, rem) = touched.partition(f =>
+      base.fileRows.contains(f) && !base.dvs.contains(f) &&
+        fullyContained(base, f, preds, dts))
     val droppedRows = dropped.map(base.fileRows).sum
     val droppedBytes = dropped.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
@@ -1428,32 +1555,90 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val matches = preds.map { case (c, lo, hi) =>
       col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
     val recordCdc = commitCdc(base)
-    val stagedOpt =
-      if (rewriteSet.isEmpty) None
+    // ---- plan the straddling set ------------------------------------
+    // `rem` read position-tagged with PRIOR deletion vectors applied —
+    // all three downstream frames (planner counts, survivor rewrite,
+    // DV/CDC staging) derive from this one shape, so a row a prior DV
+    // already removed can never be re-counted, re-written or re-imaged
+    def alive(fs: Seq[String]): DataFrame = {
+      val tagged = dvTagged(base, fs)
+      if (!fs.exists(base.dvs.contains)) tagged
       else {
-        val touchedPaths = rewriteSet.map(f => new Path(dataDir, f))
-        val touchedBytes = touchedPaths.map(p => fs.getFileStatus(p).getLen).sum
-        val touchedDf = reader(base).parquet(touchedPaths.map(_.toString): _*)
-        // the deleted-row accounting needs the touched total: straight
-        // from the manifest's per-file rows when recorded (no job at
-        // all), else a footer-metadata count — never a data read
-        val touchedRows =
-          if (rewriteSet.forall(base.fileRows.contains))
-            rewriteSet.map(base.fileRows).sum
-          else touchedDf.count()
-        Some((stage(touchedDf.where(!matches), base = Some(base)),
-          touchedRows, touchedBytes))
+        val dv = dvFrame(base, fs)
+        tagged.join(org.apache.spark.sql.functions.broadcast(dv),
+          tagged(DvFileCol) === dv("_file") && tagged(DvPosCol) === dv("_pos"),
+          "left_anti")
       }
-    // CDC images: deleted rows from the rewrite set materialize as a
-    // change file (one extra pass over just the touched files — the
+    }
+    // ONE exact counting job over just the straddling files decides
+    // per file: untouched (0 matches — conservative stats sent it here,
+    // nothing to do), COPY-ON-WRITE (matched fraction at or above
+    // [[SnapshotLog.DvRewriteFraction]] — mostly-dead files are cheaper
+    // rewritten than dragged through read-side anti-joins), or a
+    // positional DELETION VECTOR (the low-selectivity case: commit
+    // O(matched rows) of positions, leave the file untouched — at
+    // 100 TB the difference between a seconds commit and rewriting
+    // nearly every straddled file for a handful of rows each).
+    val perFile: Map[String, (Long, Long)] =
+      if (rem.isEmpty) Map.empty
+      else alive(rem).groupBy(col(DvFileCol))
+        .agg(count(lit(1)).as("live"),
+          count(org.apache.spark.sql.functions.when(matches, 1)).as("matched"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap // O(straddling files) rows — control-plane sized
+    val hit = rem.filter(f => perFile.get(f).exists(_._2 > 0))
+    val (rewriteSet, dvSet) =
+      if (mode == "cow") (hit, Nil)
+      else hit.partition { f =>
+        val (live, matched) = perFile(f)
+        matched.toDouble / live >= DvRewriteFraction
+      }
+    if (dropped.isEmpty && hit.isEmpty) return None // provably a no-op
+    val rewriteLive = rewriteSet.map(f => perFile(f)._1).sum
+    val rewriteMatched = rewriteSet.map(f => perFile(f)._2).sum
+    val dvMatched = dvSet.map(f => perFile(f)._2).sum
+    val stagedOpt =
+      // every live row of the rewrite set matched → nothing survives:
+      // the files just drop (exact — the counts are from the same scan
+      // the survivors would come from), no empty staging job
+      if (rewriteSet.isEmpty || rewriteLive == rewriteMatched) None
+      else {
+        val st = stage(alive(rewriteSet).where(!matches)
+          .drop(DvFileCol, DvPosCol), base = Some(base))
+        if (st.rows != rewriteLive - rewriteMatched) {
+          discard(st)
+          throw new IllegalStateException(
+            s"delete on $tableDir: planner counted ${rewriteLive -
+              rewriteMatched} survivors, rewrite staged ${st.rows} — aborted")
+        }
+        Some(st)
+      }
+    // the DV file: one parquet of (_file, _pos) for every matched row of
+    // the DV set — broadcast-sized by the planner's own fraction gate
+    val dvStaged =
+      if (dvSet.isEmpty) None
+      else {
+        val st = stage(alive(dvSet).where(matches)
+          .select(col(DvFileCol).as("_file"), col(DvPosCol).as("_pos"))
+          .coalesce(1), partitioned = false)
+        if (st.rows != dvMatched) {
+          discard(st); stagedOpt.foreach(discard)
+          throw new IllegalStateException(
+            s"delete on $tableDir: planner counted $dvMatched DV rows, " +
+              s"staging wrote ${st.rows} — aborted")
+        }
+        Some(st)
+      }
+    // CDC images: deleted rows from BOTH straddling paths materialize as
+    // a change file (one extra pass over just the straddling files — the
     // bounded commit-time cost the feed opt-in buys); whole-file drops
     // ship BY REFERENCE in deletedDataFiles, zero new bytes. Predicates
     // ride along type-tagged when encodable, for replica replay.
     val changeStaged =
-      if (!recordCdc || rewriteSet.isEmpty) None
+      if (!recordCdc || hit.isEmpty) None
       else {
-        val touchedPaths = rewriteSet.map(f => new Path(dataDir, f).toString)
-        val deleted = reader(base).parquet(touchedPaths: _*).where(matches)
+        val deleted = alive(hit).where(matches)
+          .drop(DvFileCol, DvPosCol)
           .withColumn("_change_type", lit("delete"))
         val st = stage(deleted, partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
@@ -1466,30 +1651,39 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         deletedDataFiles = dropped,
         preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
           else Nil)) // one unencodable bound → rows-only CDC, no replay
+    val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
-        stagedBlooms, stagedFileBytes, stagedParts, rewrittenRows,
-        rewrittenBytes) = stagedOpt match {
-      case Some((st, tr, tb)) => (st.files, st.rows, st.bytes, st.stats,
-        st.fileRows, st.blooms, st.fileBytes, st.partitions, tr, tb)
+        stagedBlooms, stagedFileBytes, stagedParts) = stagedOpt match {
+      case Some(st) => (st.files, st.rows, st.bytes, st.stats,
+        st.fileRows, st.blooms, st.fileBytes, st.partitions)
       case None => (Nil, 0L, 0L, Map.empty[String, Map[String, ColRange]],
         Map.empty[String, Long], Map.empty[String, Map[String, String]],
-        Map.empty[String, Long], Map.empty[String, Seq[String]], 0L, 0L)
+        Map.empty[String, Long], Map.empty[String, Seq[String]])
     }
+    // gone = physically dereferenced files; the DV set's files STAY in
+    // the manifest (their stats/blooms remain sound supersets), each
+    // gaining the new vector on top of any it already carried
+    val gone = (dropped ++ rewriteSet).toSet
+    val newDvs = (base.dvs -- gone) ++ dvStaged.fold(
+      Map.empty[String, Seq[String]])(st => dvSet.map(f =>
+        f -> (base.dvs.getOrElse(f, Nil) :+ st.files.head)).toMap)
     val next = Snapshot(base.version + 1, "delete", base.version,
-      base.rows - droppedRows - (rewrittenRows - stagedRows),
-      base.bytes - droppedBytes - rewrittenBytes + stagedBytes,
-      base.files.filterNot(touched.toSet) ++ stagedFiles,
-      (base.stats -- touched) ++ stagedStats,
+      base.rows - droppedRows - rewriteMatched - dvMatched,
+      base.bytes - droppedBytes - rewriteBytes + stagedBytes,
+      base.files.filterNot(gone) ++ stagedFiles,
+      (base.stats -- gone) ++ stagedStats,
       base.schemaJson,
       txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
-      (base.fileRows -- touched) ++ stagedFileRows,
-      (base.blooms -- touched) ++ stagedBlooms,
-      (base.fileBytes -- touched) ++ stagedFileBytes,
-      commitSpec(base), (base.partitions -- touched) ++ stagedParts,
+      (base.fileRows -- gone) ++ stagedFileRows,
+      (base.blooms -- gone) ++ stagedBlooms,
+      (base.fileBytes -- gone) ++ stagedFileBytes,
+      commitSpec(base), (base.partitions -- gone) ++ stagedParts,
       commitSort(base), recordCdc, changeSet,
-      base.priorSpecs, base.fileSpecIdx -- touched)
+      base.priorSpecs, base.fileSpecIdx -- gone, newDvs)
     if (!tryCommit(next)) {
-      stagedOpt.foreach { case (st, _, _) => discard(st) }
+      stagedOpt.foreach(discard)
+      dvStaged.foreach(discard)
       changeStaged.foreach(discard)
       throw new CommitConflictException(
         s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
@@ -1575,13 +1769,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val (touchedRows, stagedDf) =
       if (touched.isEmpty) (0L, u)
       else {
-        val touchedDf = reader(base)
-          .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
+        // DV-applied (scan — tombstones are empty by the require above):
+        // rewriting a covered file raw would resurrect position-deleted
+        // rows; the rewrite also MATERIALIZES its vectors
+        val touchedDf = scan(base, touched)
         val survivors = touchedDf.join(
           u.select(col(column)).distinct(), Seq(column), "left_anti")
         val tRows =
-          if (touched.forall(base.fileRows.contains)) touched.map(base.fileRows).sum
-          else touchedDf.count()
+          if (touched.forall(base.fileRows.contains) &&
+              !touched.exists(base.dvs.contains))
+            touched.map(base.fileRows).sum
+          else touchedDf.count() // live count: physical minus DV'd
         (tRows, survivors.unionByName(u))
       }
     val touchedBytes =
@@ -1599,8 +1797,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val ins = u.withColumn("_change_type", lit("insert"))
         val all =
           if (touched.isEmpty) ins
-          else reader(base)
-            .parquet(touched.map(f => new Path(dataDir, f).toString): _*)
+          else scan(base, touched) // DV-applied: a position-deleted row
+            // is not a pre-image — it was already gone
             .join(u.select(col(column)).distinct(), Seq(column), "left_semi")
             .withColumn("_change_type", lit("delete"))
             .unionByName(ins, allowMissingColumns = true)
@@ -1626,7 +1824,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.fileBytes -- touched) ++ staged.fileBytes,
       commitSpec(base), (base.partitions -- touched) ++ staged.partitions,
       commitSort(base), recordCdc, changeSet,
-      base.priorSpecs, base.fileSpecIdx -- touched)
+      base.priorSpecs, base.fileSpecIdx -- touched,
+      // touched files rewrote through the DV-applied read — materialized
+      base.dvs -- touched)
     if (!tryCommit(next)) {
       discard(staged)
       changeStaged.foreach(discard)
@@ -1725,7 +1925,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
       base.fileRows, base.blooms, base.fileBytes,
       base.partitionSpec, base.partitions, base.sortOrder,
-      recordCdc, changeSet, base.priorSpecs, base.fileSpecIdx)
+      recordCdc, changeSet, base.priorSpecs, base.fileSpecIdx, base.dvs)
     if (!tryCommit(next)) {
       discard(staged)
       changeStaged.foreach(discard)
@@ -1780,7 +1980,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       // index — from here on, absence means the new current spec
       cur.priorSpecs :+ cur.partitionSpec,
       cur.files.map(f =>
-        f -> cur.fileSpecIdx.getOrElse(f, cur.priorSpecs.length)).toMap)
+        f -> cur.fileSpecIdx.getOrElse(f, cur.priorSpecs.length)).toMap,
+      cur.dvs)
     if (!tryCommit(next)) throw new CommitConflictException(
       s"evolve_spec on $tableDir: concurrent commit since v${cur.version}; rerun")
     declaredSpec = newSpec // this handle keeps writing, under the new spec
@@ -1868,7 +2069,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
       target.blooms, target.fileBytes, target.partitionSpec,
       target.partitions, target.sortOrder, commitCdc(cur), None,
-      target.priorSpecs, target.fileSpecIdx)
+      target.priorSpecs, target.fileSpecIdx, target.dvs)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -1884,7 +2085,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val nOut = SnapshotLog.packedFileCount(cur.bytes, targetFileBytes)
     // pending key tombstones force the rewrite even when file counts are
     // fine: compaction is where merge-on-read deletes materialize
-    if (cur.files.length <= nOut && cur.tombstones.isEmpty) None
+    if (cur.files.length <= nOut && cur.tombstones.isEmpty &&
+        cur.dvs.isEmpty) None
     else Some(rewrite("compact")(_.coalesce(nOut)))
   }
 
@@ -1904,7 +2106,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def compactSmall(targetFileBytes: Long = 128L << 20): Option[Snapshot] = {
     val base = snapshot()
     if (base.tombstones.nonEmpty) return compact(targetFileBytes)
-    val sized = base.files.map(f => f -> base.fileBytes.getOrElse(f,
+    // DV-covered files are not "small backlog" — their on-disk size
+    // overstates live data and bin-packing them raw would resurrect
+    // position-deleted rows; [[materializeDeletes]] owns that rewrite
+    val sized = base.files.filterNot(base.dvs.contains)
+      .map(f => f -> base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)) // pre-field manifests
     val small = sized.filter(_._2 < targetFileBytes / 2)
     val smallFiles = small.map(_._1)
@@ -1930,6 +2136,44 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       smallBytes, staged))
   }
 
+  /** Targeted merge-on-read materialization: rewrite ONLY the files a
+    * pending deletion vector covers (DV-applied read → clean files),
+    * dropping their vectors from the manifest — O(covered files), the
+    * scheduled maintenance twin of [[compactSmall]] for the DV backlog
+    * (a full [[compact]] also materializes, at full-table cost). Key
+    * tombstones pending delegate to [[compact]]: a tombstone's
+    * `appliesTo` scope can only clear when EVERY covered file rewrites.
+    * Verified: the staged row count must equal the exact live count
+    * (physical minus vectored positions) before anything commits.
+    * Commits as op `compact`; interleaved appends resolve at retry,
+    * row-removing commits abort — [[commitReplacing]]. None when no
+    * vector is pending. */
+  def materializeDeletes(): Option[Snapshot] = {
+    val base = snapshot()
+    if (base.dvs.isEmpty) return None
+    if (base.tombstones.nonEmpty) return compact()
+    val covered = base.files.filter(base.dvs.contains)
+    val physRows =
+      if (covered.forall(base.fileRows.contains)) covered.map(base.fileRows).sum
+      else dvTagged(base, covered).count()
+    val vectored = dvFrame(base, covered)
+      .where(col("_file").isInCollection(covered.toSet)).count()
+    val expected = physRows - vectored
+    val coveredBytes = covered.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+    val staged = stage(dvApply(base, covered), base = Some(base))
+    if (staged.rows != expected) {
+      discard(staged)
+      throw new IllegalStateException(
+        s"materializeDeletes row-count mismatch for $tableDir: $expected " +
+          s"live in the covered set, ${staged.rows} rewritten — aborted")
+    }
+    // `expected` is the covered set's LIVE rows — commitReplacing's row
+    // accounting is in logical rows, so the total stays exact
+    Some(commitReplacing("compact", base, covered, expected,
+      coveredBytes, staged))
+  }
+
   /** Garbage-collect: drop manifests older than the last `keepLast`
     * versions, then delete data files referenced by NO retained manifest
     * and any dead staging directories. `graceMs` (modification-time
@@ -1950,6 +2194,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .flatMap { v =>
         val s = snapshot(v)
         s.files ++ s.tombstones.map(_.file) ++ // tombstones are live metadata
+          s.dvs.values.flatten ++ // deletion vectors too
           // CDC images of retained versions stay readable — including
           // whole-file deletes whose pre-images ship by REFERENCE to
           // data files no later manifest lists
@@ -2119,7 +2364,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .mode("overwrite")
     (if (spec.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(scratch.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
     fs.mkdirs(dataDir)
     val scratchAbs = fs.makeQualified(scratch).toString
     /** The `_gp<i>=value` directory chain above a staged part file,
@@ -2141,6 +2385,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val found = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next()).toSeq
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    // an EMPTY dynamic-partition write runs zero tasks, so the
+    // Observation never collects — its absence is only legitimate when
+    // no part file landed (rows provably 0); a populated write missing
+    // its metric must still fail loudly rather than under-count
+    val rows =
+      if (found.isEmpty) 0L else obs.get("rows").asInstanceOf[Long]
     val moved = found.zipWithIndex.map { case (f, idx) =>
       // dynamic partition writes reuse part-file names across partition
       // dirs; the flat data/ name needs the index to stay unique
@@ -2370,6 +2620,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         spec.foreach(f => sa.addObject().put("src", f.source).put("t", f.transform))
       }
     }
+    if (s.dvs.nonEmpty) {
+      // top-level even under segmented manifests: O(DV-covered files),
+      // bounded by maintenance like the tombstone set (and unlike the
+      // per-file stats plane, which is O(all files))
+      val dn = node.putObject("dvs")
+      s.dvs.foreach { case (f, lst) =>
+        val a = dn.putArray(f)
+        lst.foreach(a.add)
+      }
+    }
     if (s.cdc) node.put("cdc", true)
     s.changes.foreach { cs =>
       val cn = node.putObject("changes")
@@ -2451,6 +2711,21 @@ object SnapshotLog {
     * batch over it touches most files regardless, so the envelope loses
     * little. */
   val MergeRouteKeyCap = 100000L
+
+  /** [[SnapshotLog.deleteWhere]] auto-mode planner threshold: a
+    * straddling file whose matched fraction (vs its recorded physical
+    * rows) is at or above this rewrites copy-on-write; below it the
+    * matches commit as a positional deletion vector instead —
+    * O(matched rows) written, the file untouched. 0.0 forces DV-always,
+    * 1.0 CoW-always (a fully-matching file still drops metadata-only). */
+  val DvRewriteFraction: Double =
+    sys.env.get("SPARK_GRAFT_DV_REWRITE_FRACTION").map(_.toDouble).getOrElse(0.5)
+
+  /** Helper column names for the DV read path — underscored past any
+    * plausible user column. */
+  private[table] val DvFileCol = "__graft_dv_file"
+  private[table] val DvPosCol = "__graft_dv_pos"
+
   private val ManifestName = """v(\d{20})\.json""".r
 
   /** Live-file count above which manifests go SEGMENTED: the per-file

@@ -99,6 +99,49 @@ class CdcSpec extends AnyFunSuite {
       log.read().as[(Int, String)].collect().toSeq.sorted)
   }
 
+  test("four-type feed: merge pairs re-type on the key, everything else keeps its type") {
+    val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))               // v1
+    log.mergeByKey(Seq((3, "upd-3"), (7, "upd-7"), (9999, "new"))
+      .toDF("id", "payload"), "id")                               // v2
+    log.deleteWhere(("id", 1, 1))                                 // v3: plain delete
+    val ch = log.readChangeRows(0, fourType = true)
+      .select(col("id"), col("payload"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Int, String, String, Long)].collect().toSeq
+    val merge = ch.filter(_._4 == 2L)
+    assert(merge.filter(_._3 == "update_preimage").map(c => (c._1, c._2)).sorted ==
+      Seq((3, "row-0-3"), (7, "row-0-7")),
+      "replaced keys' old rows must re-type to update_preimage")
+    assert(merge.filter(_._3 == "update_postimage").map(c => (c._1, c._2)).sorted ==
+      Seq((3, "upd-3"), (7, "upd-7")),
+      "replaced keys' new rows must re-type to update_postimage")
+    assert(merge.filter(_._3 == "insert").map(c => (c._1, c._2)) ==
+      Seq((9999, "new")), "a genuinely-new key stays a plain insert")
+    assert(ch.filter(_._4 == 3L).map(_._3) == Seq("delete"),
+      "an unrelated delete must NOT re-type")
+    assert(ch.filter(_._4 == 1L).forall(_._3 == "insert"))
+    // the four-type feed nets identically (update_* fold as del+ins)
+    val asTwo = ch.map {
+      case (i, p, "update_preimage", v)  => (i, p, "delete", v)
+      case (i, p, "update_postimage", v) => (i, p, "insert", v)
+      case other                         => other
+    }
+    assert(netOf(asTwo.sorted) == log.read().as[(Int, String)].collect().toSeq.sorted)
+    // and the streaming source ships the same re-typed batch
+    val stream = graft.streaming.LogChangeFeed.readChangesStream(spark,
+      log.tableDir, readChangeFeed = true, fourTypeCdc = true)
+    val q = stream.writeStream.format("memory")
+      .queryName("cdc_four_type").outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("cdc_four_type")
+      .select(col("id"), col("payload"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Int, String, String, Long)].collect().toSeq.sorted
+    assert(streamed == ch.sorted, "stream and batch four-type feeds must agree")
+  }
+
   test("merge-on-read key delete images the LOGICAL covered rows exactly once") {
     val log = SnapshotLog.withChangeFeed(spark, fresh(), statsColumns = Seq("id"))
     log.append(mkRows(0, 20).toDF("id", "payload"))               // v1

@@ -120,6 +120,27 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
   }
 
+  test("pending deletion vectors refuse the raw scan; SQL DELETE stays CoW-readable") {
+    val (root, log) = freshRoot()
+    val cat = mount(root)
+    // typed-API sparse delete → vector; the catalog's raw batch scan
+    // cannot compose the position anti-join, so it must refuse
+    log.deleteBetween("id", 3L, 3L)
+    assert(log.snapshot().dvs.nonEmpty, "precondition: the delete vectored")
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $cat.t1").collect()
+    }
+    assert(ex.getMessage.contains("deletion vector") ||
+      Option(ex.getCause).exists(_.getMessage.contains("deletion vector")))
+    log.materializeDeletes()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
+    // SQL DELETE pins mode=cow: the table stays SQL-readable afterwards
+    spark.sql(s"DELETE FROM $cat.t1 WHERE id = 1005")
+    assert(log.snapshot().dvs.isEmpty,
+      "the SQL verb must never strand the SQL surface behind a vector")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 18)
+  }
+
   test("the catalog is read-only: DDL names the transactional API instead") {
     val (root, _) = freshRoot()
     val cat = mount(root)

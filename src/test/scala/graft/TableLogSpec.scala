@@ -925,7 +925,7 @@ class TableLogSpec extends AnyFunSuite {
     assert(rowsOf(log) == mkRows(0, 10).sorted)
   }
 
-  test("copy-on-write delete rewrites only stats-intersecting files") {
+  test("predicate delete touches only stats-intersecting files (planner-chosen arm)") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
     val r = new scala.util.Random(13)
@@ -940,10 +940,12 @@ class TableLogSpec extends AnyFunSuite {
     val Some(d) = log.deleteBetween("id", 0, 50): @unchecked
     assert(d.op == "delete" && d.rows == clustered.rows - 3 * 51,
       s"every copy of ids 0..50 must go: $d")
+    // the matched fraction of the one intersecting file is ~25% — the
+    // planner commits a deletion vector for it, every file carries
     val carried = clustered.files.filter(d.files.contains)
-    assert(carried.size == clustered.files.size - 1,
-      s"only the one intersecting file may be rewritten " +
-        s"(carried ${carried.size} of ${clustered.files.size})")
+    assert(carried.size == clustered.files.size && d.dvs.size == 1,
+      s"one vectored file, zero rewrites " +
+        s"(carried ${carried.size} of ${clustered.files.size}, dvs ${d.dvs.keySet})")
     val remaining = rowsOf(log)
     assert(remaining == (0 until 3).flatMap(run =>
       (51 until 600).map(i => (i, s"p-$run-$i"))).sorted)
@@ -1624,6 +1626,27 @@ class TableLogSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       s.sql(s"SELECT * FROM graft_log('$dir', 'not-a-time')").collect()
     }.getMessage.contains("neither an integer version nor a parseable"))
+  }
+
+  test("graft_log applies pending deletion vectors via the composed fallback") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append((0 until 100).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    log.deleteBetween("id", 7, 9) // sparse → deletion vector, no rewrite
+    assert(log.snapshot().dvs.nonEmpty, "precondition: the delete vectored")
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    // the TVF must NOT hand the raw file list to the DSv2 scan here —
+    // it falls back to the vector-applying composed plan
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir')")
+      .head().getLong(0) == 97)
+    assert(s.sql(
+      s"SELECT count(*) AS n FROM graft_log('$dir') WHERE id BETWEEN 5 AND 10")
+      .head().getLong(0) == 3) // 5, 6, 10 — 7-9 vectored away
+    // materialization restores the pruning-capable DSv2 path
+    log.materializeDeletes()
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir')")
+      .head().getLong(0) == 97)
   }
 
   test("graft_log prunes manifest files from pure-SQL predicates like the catalog path") {
