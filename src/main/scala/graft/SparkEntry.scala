@@ -100,6 +100,7 @@ object SparkEntry {
     "q35_log_catalog_sql" -> (Relational.q35LogCatalogSql _), // oracle: DSv2 catalog VERSION AS OF aggregate == full-nation recompute
     "q36_log_sql_insert" -> (Relational.q36LogSqlInsert _), // oracle: SQL INSERT INTO + DELETE FROM through the catalog == DuckDB survivors
     "q37_log_sql_merge" -> (Relational.q37LogSqlMerge _), // oracle: SQL MERGE INTO upsert via mergeByKey == set-algebraic recompute
+    "q38_log_dv_delete" -> (Relational.q38LogDvDelete _), // oracle: deletion-vector read (position anti-join) == NOT(pred) survivors
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -225,6 +226,7 @@ object SparkEntry {
     "q35_log_catalog_sql" -> Relational.q35Oracle,
     "q36_log_sql_insert" -> Relational.q36Oracle,
     "q37_log_sql_merge" -> Relational.q37Oracle,
+    "q38_log_dv_delete" -> Relational.q38Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -487,6 +487,57 @@ object Relational {
       |FROM nation WHERE n_nationkey < 3
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Graded deletion-vector read path: lineitem as a shipdate-clustered
+    * log table, then a SPARSE two-predicate delete (one month × low
+    * quantities — a few percent of the straddled files) that the
+    * planner must commit as a positional deletion vector, not a
+    * rewrite; the fixture build ASSERTS `dvs.nonEmpty` so this grade
+    * can never silently degrade to the copy-on-write path. The graded
+    * query aggregates the post-delete table through the
+    * vector-applying scan (`_metadata` position anti-join); the oracle
+    * recomputes the same survivors from raw lineitem — a position
+    * double-applied, missed, or resurrected shifts sums/counts and
+    * hash-mismatches. Scale note: this is the 100 TB GDPR/backfill
+    * shape — O(matched rows) committed where CoW would rewrite nearly
+    * every straddled file for a handful of rows each. */
+  def q38LogDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"dv38:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-dv-")
+        .resolve("t").toString
+      val log = graft.table.SnapshotLog(spark, tmp,
+        statsColumns = Seq("l_shipdate"))
+      log.append(t(spark, dir, "lineitem"))
+      graft.jobs.LayoutJob.clusterByLog(log, Seq("l_shipdate"),
+        targetFileBytes = 256L << 10)
+      val s = log.deleteWhere(
+        ("l_shipdate", java.time.LocalDateTime.of(1995, 3, 1, 0, 0, 0),
+          java.time.LocalDateTime.of(1995, 3, 31, 23, 59, 59)),
+        ("l_quantity", 1.0, 10.0)).get
+      require(s.dvs.nonEmpty,
+        "q38 fixture: the sparse delete was expected to commit a " +
+          s"deletion vector, planner chose otherwise (files=${s.files.size})")
+      tmp
+    })
+    graft.table.SnapshotLog(spark, path).read()
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity"), "sum_qty"),
+        dsum(col("l_extendedprice"), "sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def q38Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE NOT (l_shipdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+      |                          AND TIMESTAMP '1995-03-31 23:59:59'
+      |       AND l_quantity BETWEEN 1 AND 10)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact
