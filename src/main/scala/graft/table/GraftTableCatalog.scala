@@ -171,6 +171,12 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(snap.fileSchemaIdx.isEmpty,
+      s"${log.tableDir} has files written before a column rename — the " +
+        "raw parquet scan resolves by NAME and would null the renamed " +
+        "column for them; compact() to materialize the rename, or read " +
+        "through the field-id-aligning surfaces (SnapshotLog.read, " +
+        "graft_log(...))")
     require(snap.dvs.isEmpty,
       s"${log.tableDir} has pending deletion vectors — a raw parquet " +
         "scan would resurrect position-deleted rows; run " +

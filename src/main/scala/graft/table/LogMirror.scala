@@ -90,6 +90,26 @@ object LogMirror {
           newlyApplied += 1
         case op if PhysicalOnly(op) =>
           newlyApplied += 1 // nothing logical to ship
+        case "rename" =>
+          // metadata-only replay: the rename pair is recoverable from
+          // the manifests themselves — diff the parent's schema against
+          // this version's by field id (exactly one name changes per
+          // rename commit)
+          val from = src.snapshot(s.parent).schemaJson
+          val (oldName, newName) = SnapshotLog.renamePairOf(from, s.schemaJson)
+            .getOrElse(throw new IllegalStateException(
+              s"cannot mirror ${src.tableDir} v$v: 'rename' with no " +
+                "recoverable name pair"))
+          // idempotent under re-walk (the lane watermark advances only
+          // on appends): a replica that already renamed re-skips, like
+          // the physical-only ops
+          val dstHasOld = dst.currentVersion() > 0 &&
+            org.apache.spark.sql.types.DataType
+              .fromJson(dst.snapshot().schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.contains(oldName)
+          if (dstHasOld) dst.renameColumn(oldName, newName)
+          newlyApplied += 1
         case "truncate" =>
           // rides the replica's own commit for exactly-once; the
           // replica's file set differs, the logical outcome (no rows)

@@ -81,7 +81,8 @@ object LogTableFunction {
         s"graft_log version must be an integer or timestamp-string literal, got $other")
     }.getOrElse(-1L)
     val snap = log.snapshot(version) // resolve -1 → head ONCE, here
-    if (snap.tombstones.isEmpty && snap.dvs.isEmpty) {
+    if (snap.tombstones.isEmpty && snap.dvs.isEmpty &&
+        snap.fileSchemaIdx.isEmpty) {
       // the DSv2 relation: WHERE clauses reach LogScanBuilder before
       // planning, so selective predicates open 1-of-N files (manifest
       // stats/partition/bloom gates), exactly like the catalog path
@@ -89,9 +90,10 @@ object LogTableFunction {
         Array.empty, new org.apache.hadoop.fs.Path(path).getName)
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(new LogTable(log, ident, snap.version), None, None)
-    } else // pending MoR tombstones/deletion vectors: the composed plan
-      // that applies them (anti-joins) — correctness first, manifest
-      // file pruning resumes at the next materialization
+    } else // pending MoR tombstones/deletion vectors/rename debt: the
+      // composed plan that applies them (anti-joins, field-id
+      // alignment) — correctness first, manifest file pruning resumes
+      // at the next materialization
       org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
   }
 }

@@ -134,6 +134,20 @@ final case class Snapshot(version: Long, op: String, parent: Long,
       * prior-DV-applied read). O(covered files) manifest entries,
       * bounded by maintenance exactly like the tombstone set. */
     dvs: Map[String, Seq[String]] = Map.empty,
+    /** Schema EPOCH history for field-id column renames
+      * ([[SnapshotLog.renameColumn]]) — the schema-evolution twin of
+      * `priorSpecs`/`fileSpecIdx`: every pre-rename schema is retained
+      * (JSON, fields tagged with stable ids in metadata key
+      * [[SnapshotLog.FidKey]]), and each file written under an older
+      * epoch is tagged with an ABSOLUTE index into
+      * `priorSchemas :+ schemaJson`. Reads resolve a file's columns by
+      * FIELD ID against the current schema (old files keep resolving
+      * after any chain of renames); absence from the index means
+      * current-epoch (the steady state — rewrites re-stage under
+      * current names and drop their tags, so the debt drains through
+      * normal maintenance). */
+    priorSchemas: Seq[String] = Nil,
+    fileSchemaIdx: Map[String, Int] = Map.empty,
     /** Commit wall-clock (epoch millis) — STAMPED AT SERIALIZATION
       * ([[SnapshotLog]] `manifestCommon`), so it is populated on every
       * snapshot PARSED from a committed manifest and 0 on the
@@ -154,6 +168,38 @@ final case class Snapshot(version: Long, op: String, parent: Long,
     val idx = fileSpecIdx.getOrElse(file, priorSpecs.length)
     if (idx >= priorSpecs.length) partitionSpec else priorSpecs(idx)
   }
+
+  /** The schema epoch `file` was WRITTEN under (absolute index into
+    * `priorSchemas :+ schemaJson`); the current epoch when untagged. */
+  private[table] def schemaIdxOf(file: String): Int =
+    fileSchemaIdx.getOrElse(file, priorSchemas.length)
+
+  /** Parsed epoch schemas, current last — memoized per Snapshot (parsed
+    * at most once per handle per version). */
+  @transient private[table] lazy val epochSchemas
+      : IndexedSeq[org.apache.spark.sql.types.StructType] =
+    (priorSchemas :+ schemaJson).map(j =>
+      if (j.isEmpty) new org.apache.spark.sql.types.StructType()
+      else org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toIndexedSeq
+
+  /** current-epoch name → the name that field had at epoch `idx`, via
+    * stable field ids ([[SnapshotLog.fidOf]]); None when the field did
+    * not exist yet (widened after `idx`). Identity for current-epoch. */
+  @transient private[table] lazy val epochNameOf
+      : IndexedSeq[Map[String, String]] = epochSchemas.map { epoch =>
+    val cur = epochSchemas.last
+    val byFid = epoch.fields.zipWithIndex.map { case (f, i) =>
+      SnapshotLog.fidOf(f, i) -> f.name }.toMap
+    cur.fields.zipWithIndex.flatMap { case (f, i) =>
+      byFid.get(SnapshotLog.fidOf(f, i)).map(f.name -> _) }.toMap
+  }
+
+  /** The name `current` (a current-epoch column) was recorded under in
+    * `file`'s footer/stats/partition plane — identity unless the column
+    * was renamed after the file was written. */
+  private[table] def writeName(file: String, current: String): String =
+    epochNameOf(schemaIdxOf(file)).getOrElse(current, current)
 }
 
 /** One merge-on-read delete's key file ([[SnapshotLog.deleteKeys]]):
@@ -347,6 +393,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * log ([[graft.jobs.LayoutJob.zorderByLog]]). */
   private[graft] def session: SparkSession = spark
 
+  // the metadata-maintenance column sets, handle-local: renameColumn
+  // retargets them so stats/blooms staged AFTER a rename lift under the
+  // new name (a stale handle would be sound — lookups translate through
+  // write-time names — just unprunable for new files)
+  private var statsCols: Seq[String] = statsColumns
+  private var bloomCols: Seq[String] = bloomColumns
+  private var sortCols: Seq[String] = sortBy
+
   private val root = new Path(tableDir)
   private val fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -490,7 +544,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * recorded metadata), else the manifest's, so spec-less writers keep
     * clustering on write. */
   private def commitSort(base: Snapshot): Seq[String] =
-    if (sortBy.nonEmpty) sortBy else base.sortOrder
+    if (sortCols.nonEmpty) sortCols else base.sortOrder
 
   /** Whether the NEXT manifest records row-level CDC: sticky once set —
     * a handle constructed with `changeFeed = true` turns the feed on
@@ -579,6 +633,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val fileSpecIdx = Option(node.get("fileSpec")).map { fn =>
       fn.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
     }.getOrElse(Map.empty[String, Int])
+    val priorSchemas = Option(node.get("priorSchemas")).map { pn =>
+      (0 until pn.size()).map(pn.get(_).asText()).toSeq
+    }.getOrElse(Nil)
+    val fileSchemaIdx = Option(node.get("fileSchema")).map { fn =>
+      fn.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    }.getOrElse(Map.empty[String, Int])
     val dvs = Option(node.get("dvs")).map { dn =>
       dn.properties().asScala.map { e =>
         e.getKey ->
@@ -607,6 +667,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         node.get("bytes").asLong(), files, stats, schemaJson, txns, tombstones,
         fileRows, blooms, fileBytes, partitionSpec, partitions, sortOrder,
         cdc, changeSet, priorSpecs, fileSpecIdx, dvs,
+        priorSchemas, fileSchemaIdx,
         Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     else {
       // segmented manifest: the per-file plane lives in immutable
@@ -628,7 +689,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         // with a single spec the absent-means-current default is exact
         if (priorSpecs.isEmpty) Map.empty
         else entries.map(e => e.file -> e.specIdx).toMap,
-        dvs,
+        dvs, priorSchemas, fileSchemaIdx,
         Option(node.get("ts")).map(_.asLong()).getOrElse(0L))
     }
   }
@@ -739,15 +800,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * scan clean — in the common shape (one MoR delete, then appends)
     * that is two groups and ONE anti-join over the old files only. */
   private def scan(s: Snapshot, files: Seq[String]): DataFrame = {
-    def plain(fs: Seq[String]): DataFrame = {
-      val (dvd, clean) = fs.partition(s.dvs.contains)
-      val parts =
-        (if (clean.nonEmpty)
-          Seq(reader(s).parquet(clean.map(f => new Path(dataDir, f).toString): _*))
-        else Nil) ++
-        (if (dvd.nonEmpty) Seq(dvApply(s, dvd)) else Nil)
-      parts.reduce(_ unionByName _)
-    }
+    def plain(fs: Seq[String]): DataFrame =
+      fs.groupBy(s.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
+        // files of one schema EPOCH scan together: the epoch schema
+        // reads them under the names they were WRITTEN with, and
+        // alignTo renames/null-pads onto the current schema by field
+        // id. Current-epoch files (the steady state) take the identity
+        // path — one reader, no projection.
+        val (dvd, clean) = g.partition(s.dvs.contains)
+        val parts =
+          (if (clean.nonEmpty)
+            Seq(epochReader(s, ep)
+              .parquet(clean.map(f => new Path(dataDir, f).toString): _*))
+          else Nil) ++
+          (if (dvd.nonEmpty) Seq(dvApply(s, ep, dvd)) else Nil)
+        alignTo(s, ep, parts.reduce(_ unionByName _))
+      }.reduce(_ unionByName _)
     if (s.tombstones.isEmpty) plain(files)
     else {
       val covered = s.tombstones.map(t => t -> t.appliesTo.toSet)
@@ -762,15 +830,75 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
-  /** `files` read with their pending deletion vectors applied: ONE
-    * broadcast anti-join on (file name, row position) against the union
-    * of the covering DV files — O(deleted positions) state, the
-    * merge-on-read read path for predicate deletes. The hidden parquet
-    * `_metadata` column supplies both join keys for free (no synthetic
-    * ids, no zipWithIndex shuffle); helper columns drop before the
-    * frame leaves this method, so callers compose it like any scan. */
-  private def dvApply(s: Snapshot, files: Seq[String]): DataFrame = {
-    val withId = dvTagged(s, files)
+  /** The parquet reader for schema epoch `ep` of `s` — explicit
+    * schema = the names the files were written with. */
+  private def epochReader(s: Snapshot, ep: Int) = {
+    val schema = s.epochSchemas(ep)
+    if (schema.isEmpty) spark.read else spark.read.schema(schema)
+  }
+
+  /** A frame read under epoch `ep`'s names, projected onto the CURRENT
+    * schema by stable field id: renamed columns alias, columns widened
+    * after `ep` read as null (the same schema-on-read rule as before
+    * renames existed). `keep` columns (read-path helpers) pass through
+    * untouched. Identity for the current epoch. */
+  private def alignTo(s: Snapshot, ep: Int, df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    if (ep >= s.priorSchemas.length) df
+    else {
+      val names = s.epochNameOf(ep) // currentName -> epoch name
+      df.select(s.epochSchemas.last.fields.map { f =>
+        names.get(f.name) match {
+          case Some(old) => col(old).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq ++ keep.map(col): _*)
+    }
+
+  /** `df` (under `fromJson`'s names) projected onto `toJson`'s names by
+    * stable field id — the cross-VERSION alignment (change feed across
+    * a rename boundary); `alignTo` is the cross-EPOCH special case
+    * within one snapshot. Columns absent from `fromJson` (widened after
+    * it) null-pad; `keep` columns pass through. Identity when the
+    * schemas agree or either is pre-schema. */
+  private def alignSchemas(fromJson: String, toJson: String, df: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    if (fromJson == toJson || fromJson.isEmpty || toJson.isEmpty) df
+    else {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
+      val to = DataType.fromJson(toJson).asInstanceOf[StructType]
+      val fromByFid = from.fields.zipWithIndex.map { case (f, i) =>
+        SnapshotLog.fidOf(f, i) -> f.name }.toMap
+      val keepPresent = keep.filter(df.columns.contains)
+      df.select(to.fields.zipWithIndex.map { case (f, i) =>
+        fromByFid.get(SnapshotLog.fidOf(f, i)) match {
+          case Some(old) => col(old).as(f.name)
+          case None      => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toSeq ++ keepPresent.map(col): _*)
+    }
+
+  /** `files` of `s` read under the epochs that wrote them and aligned
+    * to `s`'s current names — the epoch-aware RAW read (no
+    * tombstones/vectors applied; callers that need those use [[scan]]). */
+  private def epochAlignedRead(s: Snapshot, files: Seq[String]): DataFrame =
+    files.groupBy(s.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
+      alignTo(s, ep, epochReader(s, ep)
+        .parquet(g.map(f => new Path(dataDir, f).toString): _*))
+    }.reduce(_ unionByName _)
+
+  /** `files` (all of schema epoch `ep`) read with their pending
+    * deletion vectors applied: ONE broadcast anti-join on (file name,
+    * row position) against the union of the covering DV files —
+    * O(deleted positions) state, the merge-on-read read path for
+    * predicate deletes. The hidden parquet `_metadata` column supplies
+    * both join keys for free (no synthetic ids, no zipWithIndex
+    * shuffle); helper columns drop before the frame leaves this method,
+    * so callers compose it like any scan. Columns stay in EPOCH names —
+    * the caller aligns. */
+  private def dvApply(s: Snapshot, ep: Int, files: Seq[String]): DataFrame = {
+    val withId = dvTagged(s, ep, files)
     val dv = dvFrame(s, files)
     withId.join(org.apache.spark.sql.functions.broadcast(dv),
       withId(DvFileCol) === dv("_file") && withId(DvPosCol) === dv("_pos"),
@@ -778,11 +906,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       .drop(DvFileCol, DvPosCol)
   }
 
-  /** `files` read raw with two helper columns: [[DvFileCol]] (the data
-    * file's NAME — the manifest's key space) and [[DvPosCol]] (the row's
-    * position within it). */
-  private def dvTagged(s: Snapshot, files: Seq[String]): DataFrame =
-    reader(s).parquet(files.map(f => new Path(dataDir, f).toString): _*)
+  /** `files` (all of schema epoch `ep`) read raw with two helper
+    * columns: [[DvFileCol]] (the data file's NAME — the manifest's key
+    * space) and [[DvPosCol]] (the row's position within it). */
+  private def dvTagged(s: Snapshot, ep: Int, files: Seq[String]): DataFrame =
+    epochReader(s, ep).parquet(files.map(f => new Path(dataDir, f).toString): _*)
       .withColumn(DvFileCol, org.apache.spark.sql.functions.element_at(
         org.apache.spark.sql.functions.split(col("_metadata.file_path"), "/"), -1))
       .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -829,7 +957,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val dts = preds.map { case (c, _, _) => c -> schemaType(s, c) }.toMap
     s.files.filter { f =>
       preds.forall { case (c, lo, hi) =>
-        s.stats.get(f).flatMap(_.get(c)).forall(_.intersects(lo, hi)) &&
+        // per-file stats/tuples are recorded under the names AT WRITE
+        // TIME — translate the current name through the file's schema
+        // epoch (identity unless renamed since; partition sources never
+        // rename — renameColumn refuses those)
+        val w = s.writeName(f, c)
+        s.stats.get(f).flatMap(_.get(w)).forall(_.intersects(lo, hi)) &&
           s.specOf(f).zipWithIndex.forall { case (pf, i) =>
             pf.source != c || s.partitions.get(f).flatMap(_.lift(i))
               .forall(v => pf.mayMatch(v, lo, hi, dts(c)))
@@ -847,7 +980,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       preds: Seq[(String, Any, Any)],
       dts: Map[String, Option[org.apache.spark.sql.types.DataType]]): Boolean =
     preds.forall { case (c, lo, hi) =>
-      s.stats.get(f).flatMap(_.get(c)).exists(_.containedIn(lo, hi)) ||
+      s.stats.get(f).flatMap(_.get(s.writeName(f, c)))
+        .exists(_.containedIn(lo, hi)) ||
         s.specOf(f).zipWithIndex.exists { case (pf, i) =>
           pf.source == c && s.partitions.get(f).flatMap(_.lift(i))
             .exists(v => pf.containedIn(v, lo, hi, dts(c)))
@@ -1036,9 +1170,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       keys: Seq[Any]): Seq[String] = {
     val dt = schemaType(s, column)
     s.files.filter { f =>
-      s.stats.get(f).flatMap(_.get(column))
+      val w = s.writeName(f, column) // stats/blooms keyed by write-time name
+      s.stats.get(f).flatMap(_.get(w))
         .forall(r => keys.exists(k => r.intersects(k, k))) &&
-        FileBlooms.mightContainAny(s.blooms, f, column, keys, dt) &&
+        FileBlooms.mightContainAny(s.blooms, f, w, keys, dt) &&
         // the partition gate: some key must be able to live in this
         // file's tuple — bucket transforms prune point lookups here
         // even on tables with neither stats nor blooms
@@ -1119,7 +1254,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val appendFiles = deltas
       .filter(_.op == "append").flatMap(_.addedFiles)
     if (appendFiles.nonEmpty)
-      reader(s).parquet(appendFiles.map(f => new Path(dataDir, f).toString): _*)
+      // epoch-aware: files appended BEFORE a mid-range rename carry the
+      // old column name and are epoch-tagged at `to` — a raw
+      // current-schema read would silently null the renamed column
+      epochAlignedRead(s, appendFiles)
     else if (s.schemaJson.nonEmpty) // empty delta, schema from the manifest
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
@@ -1180,7 +1318,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         else Some(prev.filter(_.version == s.parent).getOrElse(snapshot(s.parent)))
       val parentFiles = parentSnap.fold(Set.empty[String])(_.files.toSet)
       prev = Some(s)
-      s.op match {
+      val contrib: Seq[DataFrame] = s.op match {
         case "append" =>
           val added = s.files.filterNot(parentFiles)
           if (added.isEmpty) Nil
@@ -1230,14 +1368,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             }
           val wholeFiles =
             if (cs.deletedDataFiles.isEmpty) Nil
-            else Seq(reader(s).parquet(cs.deletedDataFiles.map(path): _*)
-              .withColumn("_change_type", lit("delete")))
+            // the PARENT snapshot still lists (and epoch-tags) the
+            // dropped files — read them under the epochs that wrote them
+            else Seq(epochAlignedRead(parentSnap.getOrElse(s),
+              cs.deletedDataFiles).withColumn("_change_type", lit("delete")))
           (images ++ wholeFiles).map(_.withColumn("_commit_version", lit(v)))
         case "restore" => throw new IllegalStateException(
           s"$tableDir v$v is a restore — a rollback is not expressible " +
             "as row changes; resync the consumer from a full read")
         case _ => Nil // physical rewrite: the table changed, rows didn't
       }
+      // columns renamed AFTER v alias onto the to-version's names by
+      // field id — without this, a rename boundary would union an
+      // old-name/new-name column pair and silently null one side
+      contrib.map(alignSchemas(s.schemaJson, toSnap.schemaJson, _,
+        keep = Seq("_change_type", "_commit_version")))
     }
     val outCols = org.apache.spark.sql.types.DataType.fromJson(toSnap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ++
@@ -1264,7 +1409,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       empty.select(outCols.map(col): _*)
     } else
       // columns added by later evolution read as null from earlier
-      // versions' frames — same schema-on-read rule as the table scan
+      // versions' frames (same schema-on-read rule as the table scan);
+      // columns RENAMED after a version's commit alias onto the
+      // to-version's names by field id, so a consumer reading across a
+      // rename boundary sees ONE column, not an old/new pair
       frames.reduce(_.unionByName(_, allowMissingColumns = true))
         .select(outCols.map(col): _*)
   }
@@ -1288,7 +1436,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         else snapshot(parent)
       specGuard(staged, base)
       val merged =
-        try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+        try mergeSchemaJson(base, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
@@ -1298,7 +1446,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         commitSpec(base), base.partitions ++ staged.partitions,
         commitSort(base), commitCdc(base),
         priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
-        dvs = base.dvs)
+        dvs = base.dvs, priorSchemas = base.priorSchemas,
+        fileSchemaIdx = base.fileSchemaIdx)
       if (tryCommit(next)) return next
       attempts += 1
     }
@@ -1332,7 +1481,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       }
       specGuard(staged, base)
       val merged =
-        try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+        try mergeSchemaJson(base, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
@@ -1343,7 +1492,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         commitSpec(base), base.partitions ++ staged.partitions,
         commitSort(base), commitCdc(base),
         priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
-        dvs = base.dvs)
+        dvs = base.dvs, priorSchemas = base.priorSchemas,
+        fileSchemaIdx = base.fileSchemaIdx)
       if (tryCommit(next)) return Some(next)
       attempts += 1
     }
@@ -1435,7 +1585,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       // catches that the staged files carry no (or stale) tuples
       specGuard(staged, cur)
       val merged =
-        try mergeSchemaJson(cur.schemaJson, staged.schemaJson)
+        try mergeSchemaJson(cur, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
       val next = Snapshot(cur.version + 1, op, cur.version,
         cur.rows - replacedRows + staged.rows,
@@ -1450,8 +1600,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         commitSort(cur), commitCdc(cur),
         priorSpecs = cur.priorSpecs, fileSpecIdx = cur.fileSpecIdx -- replaced,
         // a rewrite of a DV-covered file consumed the DV-applied read —
-        // its vector is MATERIALIZED and drops with the file
-        dvs = cur.dvs -- replaced)
+        // its vector is MATERIALIZED and drops with the file; likewise a
+        // rewrite re-stages under CURRENT column names, draining the
+        // rename debt of everything it replaced
+        dvs = cur.dvs -- replaced, priorSchemas = cur.priorSchemas,
+        fileSchemaIdx = cur.fileSchemaIdx -- replaced)
       if (tryCommit(next)) return next
       val newest = snapshot()
       val interleaved = ((cur.version + 1) to newest.version).map(snapshot(_))
@@ -1560,16 +1713,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // all three downstream frames (planner counts, survivor rewrite,
     // DV/CDC staging) derive from this one shape, so a row a prior DV
     // already removed can never be re-counted, re-written or re-imaged
-    def alive(fs: Seq[String]): DataFrame = {
-      val tagged = dvTagged(base, fs)
-      if (!fs.exists(base.dvs.contains)) tagged
-      else {
-        val dv = dvFrame(base, fs)
-        tagged.join(org.apache.spark.sql.functions.broadcast(dv),
-          tagged(DvFileCol) === dv("_file") && tagged(DvPosCol) === dv("_pos"),
-          "left_anti")
-      }
-    }
+    def alive(fs: Seq[String]): DataFrame =
+      fs.groupBy(base.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
+        val tagged = dvTagged(base, ep, g)
+        val undv =
+          if (!g.exists(base.dvs.contains)) tagged
+          else {
+            val dv = dvFrame(base, g)
+            tagged.join(org.apache.spark.sql.functions.broadcast(dv),
+              tagged(DvFileCol) === dv("_file") &&
+                tagged(DvPosCol) === dv("_pos"), "left_anti")
+          }
+        // current-epoch names so `matches` (current-name predicates)
+        // and the staged survivors both see the live schema
+        alignTo(base, ep, undv, keep = Seq(DvFileCol, DvPosCol))
+      }.reduce(_ unionByName _)
     // ONE exact counting job over just the straddling files decides
     // per file: untouched (0 matches — conservative stats sent it here,
     // nothing to do), COPY-ON-WRITE (matched fraction at or above
@@ -1680,7 +1838,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       (base.fileBytes -- gone) ++ stagedFileBytes,
       commitSpec(base), (base.partitions -- gone) ++ stagedParts,
       commitSort(base), recordCdc, changeSet,
-      base.priorSpecs, base.fileSpecIdx -- gone, newDvs)
+      base.priorSpecs, base.fileSpecIdx -- gone, newDvs,
+      base.priorSchemas, base.fileSchemaIdx -- gone)
     if (!tryCommit(next)) {
       stagedOpt.foreach(discard)
       dvStaged.foreach(discard)
@@ -1810,7 +1969,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
         keyColumn = column))
     val merged =
-      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+      try mergeSchemaJson(base, staged.schemaJson)
       catch { case e: IllegalStateException =>
         discard(staged); changeStaged.foreach(discard); throw e }
     val next = Snapshot(base.version + 1, "merge", base.version,
@@ -1826,7 +1985,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       commitSort(base), recordCdc, changeSet,
       base.priorSpecs, base.fileSpecIdx -- touched,
       // touched files rewrote through the DV-applied read — materialized
-      base.dvs -- touched)
+      base.dvs -- touched, base.priorSchemas, base.fileSchemaIdx -- touched)
     if (!tryCommit(next)) {
       discard(staged)
       changeStaged.foreach(discard)
@@ -1925,7 +2084,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       base.tombstones :+ Tombstone(staged.files.head, column, applies),
       base.fileRows, base.blooms, base.fileBytes,
       base.partitionSpec, base.partitions, base.sortOrder,
-      recordCdc, changeSet, base.priorSpecs, base.fileSpecIdx, base.dvs)
+      recordCdc, changeSet, base.priorSpecs, base.fileSpecIdx, base.dvs,
+      base.priorSchemas, base.fileSchemaIdx)
     if (!tryCommit(next)) {
       discard(staged)
       changeStaged.foreach(discard)
@@ -1981,10 +2141,69 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       cur.priorSpecs :+ cur.partitionSpec,
       cur.files.map(f =>
         f -> cur.fileSpecIdx.getOrElse(f, cur.priorSpecs.length)).toMap,
-      cur.dvs)
+      cur.dvs, cur.priorSchemas, cur.fileSchemaIdx)
     if (!tryCommit(next)) throw new CommitConflictException(
       s"evolve_spec on $tableDir: concurrent commit since v${cur.version}; rerun")
     declaredSpec = newSpec // this handle keeps writing, under the new spec
+    next
+  }
+
+  /** Rename column `from` to `to` as ONE metadata-only commit (op
+    * `rename`) — zero data I/O at any table size, the Iceberg-style
+    * field-id evolution the widening rule alone cannot express. The
+    * manifest retains every pre-rename schema (`priorSchemas`, fields
+    * tagged with STABLE ids) and tags each live file with the epoch
+    * that wrote it; reads resolve old files' columns BY ID
+    * ([[Snapshot.writeName]]/`alignTo`), so a file written before any
+    * chain of renames keeps resolving, stats/bloom pruning included.
+    * Time travel is exact (a pre-rename version reads under its own
+    * names); rewrites re-stage under current names and drain the debt
+    * file by file; widening evolution composes unchanged (ids extend).
+    *
+    * Refused loudly when `from` sources a partition transform (hidden
+    * partition write-exprs and tuple pruning are name-keyed — evolve
+    * the spec first) or keys a PENDING tombstone (its key file carries
+    * the old name; compact first). The declared sort order renames with
+    * the column. The DSv2 catalog/TVF raw scans refuse/fall back while
+    * any live file predates the rename — the typed surfaces and
+    * `graft_log` stay exact throughout. A concurrent commit aborts,
+    * like [[evolvePartitionSpec]]. */
+  def renameColumn(from: String, to: String): Snapshot = {
+    val cur = snapshot()
+    require(cur.schemaJson.nonEmpty,
+      s"$tableDir has no committed schema to rename in")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(from),
+      s"$tableDir has no column '$from' (schema: ${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"$tableDir already has a column '$to'")
+    (cur.priorSpecs :+ cur.partitionSpec).flatten.foreach(pf =>
+      require(pf.source != from,
+        s"'$from' sources partition transform ${pf.transform} — evolve " +
+          "the partition spec off it before renaming"))
+    require(!cur.tombstones.exists(_.column == from),
+      s"pending key tombstones on '$from' — compact() to materialize " +
+        "them before renaming (their key files carry the old name)")
+    val withIds = SnapshotLog.withFids(schema)
+    val renamed = org.apache.spark.sql.types.StructType(
+      withIds.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val next = Snapshot(cur.version + 1, "rename", cur.version,
+      cur.rows, cur.bytes, cur.files, cur.stats, renamed.json, cur.txns,
+      cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
+      cur.partitionSpec, cur.partitions,
+      cur.sortOrder.map(c => if (c == from) to else c),
+      commitCdc(cur), None, cur.priorSpecs, cur.fileSpecIdx, cur.dvs,
+      // every live file pins to the epoch that wrote it (the RETAINED
+      // epoch normalized with explicit ids, so matching is id-exact)
+      cur.priorSchemas :+ withIds.json,
+      cur.files.map(f => f -> cur.schemaIdxOf(f)).toMap)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"rename on $tableDir: concurrent commit since v${cur.version}; rerun")
+    // this handle keeps maintaining the same columns under the new name
+    statsCols = statsCols.map(c => if (c == from) to else c)
+    bloomCols = bloomCols.map(c => if (c == from) to else c)
+    sortCols = sortCols.map(c => if (c == from) to else c)
     next
   }
 
@@ -2044,7 +2263,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       return base // replay detected — nothing stages, nothing commits
     val staged = stage(df, base = Some(base))
     val merged =
-      try mergeSchemaJson(base.schemaJson, staged.schemaJson)
+      try mergeSchemaJson(base, staged.schemaJson)
       catch { case e: IllegalStateException => discard(staged); throw e }
     val next = Snapshot(base.version + 1, "overwrite", base.version,
       staged.rows, staged.bytes, staged.files, staged.stats, merged,
@@ -2069,7 +2288,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       target.schemaJson, cur.txns, target.tombstones, target.fileRows,
       target.blooms, target.fileBytes, target.partitionSpec,
       target.partitions, target.sortOrder, commitCdc(cur), None,
-      target.priorSpecs, target.fileSpecIdx, target.dvs)
+      target.priorSpecs, target.fileSpecIdx, target.dvs,
+      target.priorSchemas, target.fileSchemaIdx)
     if (!tryCommit(next))
       throw new CommitConflictException(
         s"restore of $tableDir to v$version: concurrent commit since " +
@@ -2086,7 +2306,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // pending key tombstones force the rewrite even when file counts are
     // fine: compaction is where merge-on-read deletes materialize
     if (cur.files.length <= nOut && cur.tombstones.isEmpty &&
-        cur.dvs.isEmpty) None
+        cur.dvs.isEmpty && cur.fileSchemaIdx.isEmpty) None
     else Some(rewrite("compact")(_.coalesce(nOut)))
   }
 
@@ -2108,8 +2328,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (base.tombstones.nonEmpty) return compact(targetFileBytes)
     // DV-covered files are not "small backlog" — their on-disk size
     // overstates live data and bin-packing them raw would resurrect
-    // position-deleted rows; [[materializeDeletes]] owns that rewrite
-    val sized = base.files.filterNot(base.dvs.contains)
+    // position-deleted rows; [[materializeDeletes]] owns that rewrite.
+    // Old-schema-epoch files are excluded for the same reason (a raw
+    // read under current names would null the renamed column); the
+    // full compact() is their materialization path.
+    val sized = base.files
+      .filterNot(f => base.dvs.contains(f) || base.fileSchemaIdx.contains(f))
       .map(f => f -> base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)) // pre-field manifests
     val small = sized.filter(_._2 < targetFileBytes / 2)
@@ -2155,13 +2379,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val covered = base.files.filter(base.dvs.contains)
     val physRows =
       if (covered.forall(base.fileRows.contains)) covered.map(base.fileRows).sum
-      else dvTagged(base, covered).count()
+      else covered.groupBy(base.schemaIdxOf).map { case (ep, g) =>
+        epochReader(base, ep)
+          .parquet(g.map(f => new Path(dataDir, f).toString): _*).count()
+      }.sum
     val vectored = dvFrame(base, covered)
       .where(col("_file").isInCollection(covered.toSet)).count()
     val expected = physRows - vectored
     val coveredBytes = covered.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
-    val staged = stage(dvApply(base, covered), base = Some(base))
+    // scan == the epoch-aligned, vector-applied logical read (tombstones
+    // are empty by the delegate above) — also drains any rename debt of
+    // the covered files, since survivors re-stage under current names
+    val staged = stage(scan(base, covered), base = Some(base))
     if (staged.rows != expected) {
       discard(staged)
       throw new IllegalStateException(
@@ -2271,14 +2501,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * column's type (`sameType` — nullability-insensitive); genuinely new
     * columns append to the read schema as nullable. Anything else is a
     * broken contract and aborts the commit. */
-  private def mergeSchemaJson(baseJson: String, incomingJson: String): String = {
+  private def mergeSchemaJson(baseSnap: Snapshot, incomingJson: String): String = {
     import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val baseJson = baseSnap.schemaJson
     if (baseJson.isEmpty) return incomingJson
     if (incomingJson.isEmpty || baseJson == incomingJson) return baseJson
     val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
     val inc = DataType.fromJson(incomingJson).asInstanceOf[StructType]
     val byName = base.fields.map(f => f.name -> f).toMap
+    // a RETIRED name (the pre-rename name of a live column) arriving as
+    // "new" is a stale writer, not evolution — appending it would
+    // silently fork the renamed column into two
+    val retired = baseSnap.epochNameOf.dropRight(1).flatMap(_.toSeq)
+      .collect { case (cur0, old) if cur0 != old => old }.toSet -- base.fieldNames
     inc.fields.foreach { f =>
+      if (retired.contains(f.name))
+        throw new IllegalStateException(
+          s"column '${f.name}' of $tableDir was RENAMED — this writer is " +
+            "staging under the old name; rebuild it against the current schema")
       byName.get(f.name).foreach { b =>
         // `.sql` is the nullability-free public type rendering (sameType
         // is private[sql])
@@ -2312,7 +2552,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         case Some(b) => (commitSpec(b), commitSort(b))
         case None =>
           val v = currentVersion()
-          if (v == 0) (declaredSpec, sortBy)
+          if (v == 0) (declaredSpec, sortCols)
           else {
             val b = snapshot(v)
             (commitSpec(b), commitSort(b))
@@ -2410,9 +2650,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // bitmaps map-side) — the point-lookup half of the skipping story,
     // paid once per commit like the footer stats
     val stagedBlooms =
-      if (bloomColumns.isEmpty || moved.isEmpty) Map.empty[String, Map[String, String]]
+      if (bloomCols.isEmpty || moved.isEmpty) Map.empty[String, Map[String, String]]
       else FileBlooms.build(spark,
-        moved.map(m => new Path(dataDir, m._1).toString).toSeq, bloomColumns,
+        moved.map(m => new Path(dataDir, m._1).toString).toSeq, bloomCols,
         expectedItems = rows / moved.length + 64)
     Staged(moved.map(_._1).toSeq, rows, moved.map(_._2).sum,
       moved.collect { case (n, _, st, _, _) if st.nonEmpty => n -> st }.toMap,
@@ -2468,7 +2708,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * routes counts through a scan. */
   private def footerInfo(file: Path,
       wantRows: Boolean = false): (Long, Map[String, ColRange]) =
-    if (statsColumns.isEmpty && !wantRows) (-1L, Map.empty)
+    if (statsCols.isEmpty && !wantRows) (-1L, Map.empty)
     else {
       import org.apache.parquet.schema.LogicalTypeAnnotation
       import org.apache.spark.unsafe.types.UTF8String
@@ -2477,7 +2717,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         val fileRowCount = blocks.map(_.getRowCount).sum
-        val ranges = statsColumns.flatMap { c =>
+        val ranges = statsCols.flatMap { c =>
           val chunks = blocks.flatMap(
             _.getColumns.asScala.filter(_.getPath.toDotString == c))
           val sts = chunks.map(_.getStatistics)
@@ -2620,6 +2860,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         spec.foreach(f => sa.addObject().put("src", f.source).put("t", f.transform))
       }
     }
+    if (s.priorSchemas.nonEmpty) {
+      val pa = node.putArray("priorSchemas")
+      s.priorSchemas.foreach(pa.add)
+    }
+    if (s.fileSchemaIdx.nonEmpty) {
+      // top-level even under segmented manifests: O(old-epoch files),
+      // bounded by rename debt (rewrites drain it), like `dvs`
+      val fn = node.putObject("fileSchema")
+      s.fileSchemaIdx.foreach { case (f, i) => fn.put(f, i) }
+    }
     if (s.dvs.nonEmpty) {
       // top-level even under segmented manifests: O(DV-covered files),
       // bounded by maintenance like the tombstone set (and unlike the
@@ -2725,6 +2975,55 @@ object SnapshotLog {
     * plausible user column. */
   private[table] val DvFileCol = "__graft_dv_file"
   private[table] val DvPosCol = "__graft_dv_pos"
+
+  /** StructField-metadata key carrying a column's STABLE field id —
+    * what lets a rename be metadata-only while old files keep
+    * resolving ([[SnapshotLog.renameColumn]]). Ids are assigned in
+    * field order at the first rename (and to widened columns as
+    * max+1), so a schema WITHOUT ids reads as fid = field index —
+    * exact for every pre-rename epoch, because widening only appends. */
+  private[table] val FidKey = "graft.fid"
+
+  /** `f`'s stable field id: its recorded metadata id, else its
+    * position `idx` (the pre-fid convention — sound because ids are
+    * first assigned in index order and widening appends). */
+  private[table] def fidOf(f: org.apache.spark.sql.types.StructField,
+      idx: Int): Long =
+    if (f.metadata.contains(FidKey)) f.metadata.getLong(FidKey) else idx.toLong
+
+  /** The (oldName, newName) pair between two schema epochs, recovered
+    * by FIELD-ID diff — Some iff exactly one field changed name (the
+    * shape one `rename` commit produces; [[LogMirror]] replays from
+    * this, so no extra manifest field is needed). */
+  private[graft] def renamePairOf(fromJson: String,
+      toJson: String): Option[(String, String)] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (fromJson.isEmpty || toJson.isEmpty) return None
+    val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
+    val to = DataType.fromJson(toJson).asInstanceOf[StructType]
+    val fromByFid = from.fields.zipWithIndex.map { case (f, i) =>
+      fidOf(f, i) -> f.name }.toMap
+    val pairs = to.fields.zipWithIndex.flatMap { case (f, i) =>
+      fromByFid.get(fidOf(f, i)).collect {
+        case old if old != f.name => (old, f.name) }
+    }
+    pairs match {
+      case Array(one) => Some(one)
+      case _          => None
+    }
+  }
+
+  /** `schema` with every field carrying an explicit id (existing ids
+    * kept, absent ones materialized at their index). */
+  private[table] def withFids(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        if (f.metadata.contains(FidKey)) f
+        else f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FidKey, i.toLong).build())
+      })
 
   private val ManifestName = """v(\d{20})\.json""".r
 

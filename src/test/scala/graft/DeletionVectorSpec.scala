@@ -213,6 +213,20 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ids(log) == ((0 until 400).filterNot(Set(50, 51, 52, 60))))
   }
 
+  test("plan shape: the vector applies as a BROADCAST anti-join, never a shuffle") {
+    val log = clustered(freshTable())
+    log.deleteBetween("id", 50, 59)
+    assert(log.snapshot().dvs.nonEmpty)
+    // string-match the physical plan: collect() does not traverse into
+    // the un-finalized AdaptiveSparkPlan wrapper
+    val plan = log.read().queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the DV anti-join must be broadcast (O(positions) state at every " +
+        s"executor, no corpus shuffle); plan:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+      s"a vector-applied scan must not shuffle the table; plan:\n$plan")
+  }
+
   test("exactly-once: a replayed txn batch never stages a second vector") {
     val log = clustered(freshTable())
     assert(log.deleteWhereTxn(Seq(("id", 50, 50)), Some(("lane", 1L))).isDefined)

@@ -1,0 +1,171 @@
+package graft
+
+import graft.table.{PartitionField, SnapshotLog}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Field-id column renames ([[SnapshotLog.renameColumn]]): metadata-only
+  * commit, old files keep resolving by stable id across the boundary —
+  * reads, stats/bloom pruning, deletes, merges, the change feed, time
+  * travel, mirrors and the SQL surfaces all stay exact. */
+class RenameSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-ren-").resolve("t").toString
+
+  test("rename is metadata-only; reads span the boundary; time travel is exact") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1)) // v1
+    val preRename = log.currentVersion()
+    val before = log.snapshot()
+    val s = log.renameColumn("v", "payload")                                   // v2
+    assert(s.op == "rename" && s.files == before.files,
+      "a rename must not touch a single data file")
+    assert(s.fileSchemaIdx.keySet == before.files.toSet,
+      "every live file pins to the epoch that wrote it")
+    // post-rename append under the NEW name: two epochs coexist
+    log.append((10 until 20).map(i => (i, s"b$i")).toDF("id", "payload")
+      .coalesce(1))                                                            // v3
+    val got = log.read().select("id", "payload").as[(Int, String)]
+      .collect().toSeq.sorted
+    assert(got == ((0 until 10).map(i => (i, s"a$i")) ++
+      (10 until 20).map(i => (i, s"b$i"))),
+      "old-epoch files must resolve the renamed column by field id")
+    // time travel: the pre-rename version reads under its OWN name
+    assert(log.read(preRename).columns.toSeq == Seq("id", "v"))
+    assert(log.read().columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("chained renames compose; widening stays unchanged across them") {
+    val log = SnapshotLog(spark, freshTable())
+    log.append(Seq((1, "x")).toDF("id", "v").coalesce(1))
+    log.renameColumn("v", "w")
+    log.renameColumn("w", "payload")
+    log.renameColumn("id", "key")
+    // widen AFTER the renames: new nullable column appends, old rows null
+    log.append(Seq((2, "y", 9L)).toDF("key", "payload", "extra"))
+    val got = log.read().select("key", "payload", "extra")
+      .as[(Int, String, Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "x", None), (2, "y", Some(9L))),
+      "two epochs + a widen must all align by id")
+    // widening-only rule unchanged: a type change still aborts
+    assertThrows[IllegalStateException](
+      log.append(Seq(("no", "t", 1L)).toDF("key", "payload", "extra")))
+  }
+
+  test("stats pruning and predicate deletes translate through write-time names") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1010).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    log.renameColumn("id", "doc_id")
+    // pruning on the NEW name must reach old files' stats (recorded
+    // under 'id') — 1-of-2 files opened
+    assert(log.filesMatching(Seq(("doc_id", 1000, 1009))).size == 1,
+      "old-epoch stats must translate, not degrade to keep-all")
+    val r = log.readBetween("doc_id", 1000, 1004)
+    assert(r.select("doc_id").as[Int].collect().sorted.toSeq ==
+      (1000 to 1004))
+    // delete on the new name: metadata drop of the fully-matched old file
+    val d = log.deleteWhere(("doc_id", 1000, 1009)).get
+    assert(d.rows == 10 && d.changes.isEmpty)
+    assert(log.read().select("doc_id").as[Int].collect().sorted.toSeq ==
+      (0 until 10))
+    // merge by the new key against an old-epoch file
+    val m = log.mergeByKey(Seq((5, "upd"), (77, "new"))
+      .toDF("doc_id", "v2").withColumnRenamed("v2", "v"), "doc_id")
+    assert(m.rows == 11)
+    val vals = log.read().where(col("doc_id").isin(5, 77))
+      .select("v").as[String].collect().toSet
+    assert(vals == Set("upd", "new"))
+  }
+
+  test("compaction materializes the rename; SQL surfaces refuse until it does") {
+    val root = Files.createTempDirectory("graft-ren-sql-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 5).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    log.renameColumn("v", "payload")
+    // catalog: raw name-resolving scan must refuse while debt pends
+    spark.conf.set("spark.sql.catalog.grent",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grent.root", root)
+    val ex = intercept[Exception](
+      spark.sql("SELECT count(*) FROM grent.t1").collect())
+    assert(ex.getMessage.contains("rename") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rename")))
+    // the TVF falls back to the aligning composed plan — exact NOW
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    assert(s.sql(s"SELECT sum(id) AS n FROM graft_log('$root/t1')")
+      .head().getLong(0) == 10)
+    // compact() re-stages under current names and clears the debt
+    val c = log.compact(targetFileBytes = Long.MaxValue).get
+    assert(c.fileSchemaIdx.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM grent.t1").head().getLong(0) == 5)
+    assert(spark.sql("SELECT sum(id) FROM grent.t1 WHERE payload = 'a3'")
+      .head().getLong(0) == 3)
+  }
+
+  test("change feed aligns across the rename boundary; mirror replays it") {
+    val src = SnapshotLog.withChangeFeed(spark, freshTable(),
+      statsColumns = Seq("id"))
+    src.append((0 until 5).map(i => (i, s"a$i")).toDF("id", "v"))      // v1
+    src.renameColumn("v", "payload")                                    // v2
+    src.append((5 until 8).map(i => (i, s"b$i")).toDF("id", "payload")) // v3
+    src.deleteWhere(("id", 1, 1))                                       // v4
+    // one feed across the boundary: ONE column under the CURRENT name
+    val feed = src.readChangeRows(0)
+    assert(feed.columns.contains("payload") && !feed.columns.contains("v"))
+    val ins = feed.where(col("_change_type") === "insert")
+      .select("id", "payload").as[(Int, String)].collect().toSeq.sorted
+    assert(ins == ((0 until 5).map(i => (i, s"a$i")) ++
+      (5 until 8).map(i => (i, s"b$i"))),
+      "pre-rename inserts must surface under the renamed column, not null")
+    // mirror: replays append + rename + append + delete; rerun converges
+    val dst = SnapshotLog(spark, freshTable())
+    graft.table.LogMirror.mirror(src, dst)
+    assert(dst.read().columns.toSeq.sorted == Seq("id", "payload"))
+    assert(dst.read().select("id", "payload").as[(Int, String)]
+      .collect().toSeq.sorted ==
+      src.read().select("id", "payload").as[(Int, String)]
+        .collect().toSeq.sorted)
+    graft.table.LogMirror.mirror(src, dst) // idempotent re-walk
+    assert(dst.read().count() == 7)
+  }
+
+  test("refusals: partition sources, pending tombstone keys, name collisions") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(PartitionField.identity("grp")), statsColumns = Seq("id"))
+    log.append((0 until 6).map(i => (i, (i % 2).toLong, s"r$i"))
+      .toDF("id", "grp", "payload"))
+    assertThrows[IllegalArgumentException](log.renameColumn("grp", "bucket"))
+    assertThrows[IllegalArgumentException](log.renameColumn("id", "payload"))
+    assertThrows[IllegalArgumentException](log.renameColumn("nope", "x"))
+    log.deleteKeys("id", Seq(3).toDF("id"))
+    assertThrows[IllegalArgumentException](log.renameColumn("id", "doc_id"))
+    log.compact() // materialize the tombstone
+    val s = log.renameColumn("id", "doc_id") // now fine
+    assert(s.op == "rename")
+    assert(log.read().select("doc_id").as[Int].collect().sorted.toSeq ==
+      Seq(0, 1, 2, 4, 5))
+  }
+
+  test("declared sort order follows the rename for subsequent stages") {
+    val log = SnapshotLog.sorted(spark, freshTable(), sortBy = Seq("id"),
+      statsColumns = Seq("id"))
+    log.append((0 until 20).reverse.map(i => (i, s"a$i")).toDF("id", "v"))
+    val s = log.renameColumn("id", "key")
+    assert(s.sortOrder == Seq("key"))
+    // a post-rename append still stages sorted (and stats still lift,
+    // via the handle's retargeted column set)
+    val s2 = log.append((20 until 40).reverse.map(i => (i, s"b$i"))
+      .toDF("key", "v").coalesce(1))
+    val newFile = (s2.files.toSet -- s.files).head
+    assert(s2.stats.get(newFile).exists(_.contains("key")),
+      "the handle must lift stats under the NEW name after its own rename")
+  }
+}
