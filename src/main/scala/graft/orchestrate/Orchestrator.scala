@@ -105,8 +105,20 @@ object Orchestrator {
         val probe = graft.table.PreparedTable.log(spark, cfg)
         if (probe.currentVersion() == 0) None
         else {
-          val before = probe.snapshot().files.length
-          if (before <= maxFiles) None
+          val snap0 = probe.snapshot()
+          val before = snap0.files.length
+          if (before <= maxFiles) {
+            // no file-count pressure, but merge-on-read / rename debt
+            // still drains on the schedule: targeted rewrites of ONLY
+            // the covered files — O(debt), never O(table)
+            if (snap0.dvs.isEmpty && snap0.fileSchemaIdx.isEmpty) None
+            else {
+              val log = graft.table.PreparedTable.log(spark, cfg)
+              log.materializeDeletes().orElse(log.materializeRenames())
+                .map(s => cfg.preparedPath ->
+                  LogMaintenanceMetrics(before, s.files.length, s.rows, s.op))
+            }
+          }
           else {
             // log scans are explicit file lists, tallied under data/
             val scanRoot =

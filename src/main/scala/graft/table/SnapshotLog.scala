@@ -2404,6 +2404,39 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       coveredBytes, staged))
   }
 
+  /** Targeted rename-debt materialization: rewrite ONLY the files still
+    * carrying an old schema epoch (field-id-aligned read → current-name
+    * files), dropping their epoch tags — O(debt files), the scheduled
+    * maintenance twin of [[materializeDeletes]] for
+    * [[renameColumn]]'s converge-by-maintenance contract. Files that
+    * ALSO carry a deletion vector are left to [[materializeDeletes]]
+    * (whose rewrite drains both debts at once); pending key tombstones
+    * delegate to [[compact]] (their scope only clears on full
+    * coverage). Row-verified before commit; None when nothing pends. */
+  def materializeRenames(): Option[Snapshot] = {
+    val base = snapshot()
+    val old = base.files.filter(f =>
+      base.fileSchemaIdx.contains(f) && !base.dvs.contains(f))
+    if (old.isEmpty) return None
+    if (base.tombstones.nonEmpty) return compact()
+    val expected =
+      if (old.forall(base.fileRows.contains)) old.map(base.fileRows).sum
+      else old.groupBy(base.schemaIdxOf).map { case (ep, g) =>
+        epochReader(base, ep)
+          .parquet(g.map(f => new Path(dataDir, f).toString): _*).count()
+      }.sum
+    val oldBytes = old.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+    val staged = stage(epochAlignedRead(base, old), base = Some(base))
+    if (staged.rows != expected) {
+      discard(staged)
+      throw new IllegalStateException(
+        s"materializeRenames row-count mismatch for $tableDir: $expected " +
+          s"in the old-epoch set, ${staged.rows} rewritten — aborted")
+    }
+    Some(commitReplacing("compact", base, old, expected, oldBytes, staged))
+  }
+
   /** Garbage-collect: drop manifests older than the last `keepLast`
     * versions, then delete data files referenced by NO retained manifest
     * and any dead staging directories. `graceMs` (modification-time

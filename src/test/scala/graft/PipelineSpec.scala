@@ -237,6 +237,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 2).isEmpty)
   }
 
+  test("scheduled maintenance drains rename and deletion-vector debt below the file threshold") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-debt-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog)
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    Orchestrator.drain(spark, cfg, ledger)
+    val log = graft.table.PreparedTable.log(spark, cfg)
+    val total = log.read().count()
+    // rename-only debt, NO file-count pressure (1 file, threshold 16):
+    // the schedule must still fire — through materializeRenames, since
+    // there are no vectors to drain
+    log.renameColumn("l_returnflag", "return_flag")
+    assert(log.snapshot().fileSchemaIdx.nonEmpty)
+    val pass1 = Orchestrator.maybeCompact(spark, cfg, maxFiles = 16)
+    assert(pass1.get(cfg.preparedPath).exists(_.rewritten))
+    val s1 = graft.table.PreparedTable.log(spark, cfg).snapshot()
+    assert(s1.fileSchemaIdx.isEmpty, "rename debt must drain on schedule")
+    assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 16).isEmpty,
+      "debt drain is idempotent")
+    // merge-on-read debt: a 1-row predicate delete the planner commits
+    // as a deletion vector (low matched fraction) — the next scheduled
+    // fire materializes it even though the file count never moved
+    val k = log.read().agg(org.apache.spark.sql.functions
+      .min("l_orderkey")).head.getLong(0)
+    val kRows = log.read().where(col("l_orderkey") === k).count()
+    log.deleteBetween("l_orderkey", k, k)
+    val withDv = graft.table.PreparedTable.log(spark, cfg).snapshot()
+    assert(withDv.dvs.nonEmpty, "a 1-row delete must commit as a vector")
+    val pass2 = Orchestrator.maybeCompact(spark, cfg, maxFiles = 16)
+    assert(pass2.get(cfg.preparedPath).exists(_.rewritten))
+    val s2 = graft.table.PreparedTable.log(spark, cfg).snapshot()
+    assert(s2.dvs.isEmpty, "vector debt must drain on schedule")
+    assert(Orchestrator.maybeCompact(spark, cfg, maxFiles = 16).isEmpty)
+    val fin = log.read()
+    assert(fin.count() == total - kRows &&
+      fin.where(col("l_orderkey") === k).count() == 0)
+    assert(fin.columns.contains("return_flag") &&
+      !fin.columns.contains("l_returnflag"))
+  }
+
   test("partitioned prepared layer: promotions route through the declared transforms") {
     val spark = TestSpark.spark
     val tmp = Files.createTempDirectory("graft-log-part-")

@@ -154,6 +154,35 @@ class RenameSpec extends AnyFunSuite {
       Seq(0, 1, 2, 4, 5))
   }
 
+  test("materializeRenames rewrites ONLY old-epoch files; vectored files defer") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((100 until 110).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1))
+    log.renameColumn("v", "payload")
+    log.append((200 until 210).map(i => (i, s"c$i"))
+      .toDF("id", "payload").coalesce(1)) // current-epoch, must carry
+    log.deleteBetween("id", 100, 100) // vector on one OLD-epoch file
+    val before = log.snapshot()
+    val currentEpochFile = before.files.filterNot(before.fileSchemaIdx.contains)
+    val vectored = before.dvs.keySet
+    assert(vectored.size == 1 && before.fileSchemaIdx.size == 2)
+    val s = log.materializeRenames().get
+    assert(currentEpochFile.forall(s.files.contains),
+      "current-epoch files must carry BY NAME")
+    assert(vectored.forall(s.files.contains) && s.dvs == before.dvs,
+      "the vectored old-epoch file defers to materializeDeletes")
+    assert(s.fileSchemaIdx.keySet == vectored,
+      "only the vectored file's rename debt may remain")
+    assert(s.rows == before.rows)
+    // the second targeted pass clears the rest
+    assert(log.materializeDeletes().isDefined)
+    val fin = log.snapshot()
+    assert(fin.dvs.isEmpty && fin.fileSchemaIdx.isEmpty)
+    assert(log.read().select("id").as[Int].collect().sorted.toSeq ==
+      ((0 until 10) ++ (101 until 110) ++ (200 until 210)))
+    assert(log.materializeRenames().isEmpty, "no-op when nothing pends")
+  }
+
   test("declared sort order follows the rename for subsequent stages") {
     val log = SnapshotLog.sorted(spark, freshTable(), sortBy = Seq("id"),
       statsColumns = Seq("id"))
