@@ -101,6 +101,7 @@ object SparkEntry {
     "q36_log_sql_insert" -> (Relational.q36LogSqlInsert _), // oracle: SQL INSERT INTO + DELETE FROM through the catalog == DuckDB survivors
     "q37_log_sql_merge" -> (Relational.q37LogSqlMerge _), // oracle: SQL MERGE INTO upsert via mergeByKey == set-algebraic recompute
     "q38_log_dv_delete" -> (Relational.q38LogDvDelete _), // oracle: deletion-vector read (position anti-join) == NOT(pred) survivors
+    "q39_log_runtime_prune" -> (Relational.q39LogRuntimePrune _), // oracle: DPP star join over the DSv2 catalog == plain join
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -227,6 +228,7 @@ object SparkEntry {
     "q36_log_sql_insert" -> Relational.q36Oracle,
     "q37_log_sql_merge" -> Relational.q37Oracle,
     "q38_log_dv_delete" -> Relational.q38Oracle,
+    "q39_log_runtime_prune" -> Relational.q39Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

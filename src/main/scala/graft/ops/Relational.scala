@@ -538,6 +538,58 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
+    * lineitem lives in a bucket(l_orderkey)-partitioned
+    * [[graft.table.SnapshotLog]] mounted through [[graft.table
+    * .GraftTableCatalog]]; the dim (orders) carries a selective filter.
+    * Spark's dynamic partition pruning materializes the dim's surviving
+    * order keys and hands them to [[graft.table.LogBatchScan]] BEFORE
+    * any fact file opens — the manifest's bucket tuples + key stats
+    * drop the fact files that cannot hold those keys
+    * ([[graft.table.SnapshotLog.filesMatchingKeys]]). At 100 TB this is
+    * the star-join I/O shape: the fact side reads O(matching buckets),
+    * not O(table), with zero correctness risk (the runtime filter stays
+    * residual at the join). RuntimeFilterSpec pins the pruning
+    * deterministically; this query grades the end-to-end SQL result. */
+  def q39LogRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    val root = logFixtureDirs.computeIfAbsent(s"rt39:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-rt-").toString
+      val log = graft.table.SnapshotLog.partitioned(spark, s"$tmp/lineitem_b",
+        Seq(graft.table.PartitionField.bucket("l_orderkey", 16)),
+        statsColumns = Seq("l_orderkey"))
+      log.append(t(spark, dir, "lineitem"))
+      tmp
+    })
+    spark.conf.set("spark.sql.catalog.gq39",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq39.root", root)
+    t(spark, dir, "orders").createOrReplaceTempView("q39_orders")
+    spark.sql(
+      """SELECT l.l_returnflag,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM gq39.lineitem_b l
+        |JOIN q39_orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+        |                        AND TIMESTAMP '1995-03-07 23:59:59'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin)
+  }
+
+  def q39Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |  AND o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+      |                      AND TIMESTAMP '1995-03-07 23:59:59'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -56,9 +58,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `MERGE INTO` (canonical upsert shape) → [[SnapshotLog.mergeByKey]]
   *    via the resolution rule [[MergeIntoLogRule]] installed by
   *    [[graft.plans.GraftExtensions]].
-  * DDL stays out of SQL deliberately: `createTable`/`dropTable` name the
-  * data-lifecycle API instead of half-implementing it (a log table IS
-  * its first transactional commit). Tables with PENDING merge-on-read
+  * `ALTER TABLE RENAME/DROP/ADD COLUMN` commits the log's metadata-only
+  * schema evolution (field-id renames/drops, explicit widens — see
+  * [[GraftTableCatalog.alterTable]]). Table-lifecycle DDL stays out of
+  * SQL deliberately: `createTable`/`dropTable` name the data-lifecycle
+  * API instead of half-implementing it (a log table IS its first
+  * transactional commit). Tables with PENDING merge-on-read
   * tombstones refuse the scan (a raw parquet read would resurrect
   * deleted rows): compact first, or read through the tombstone-applying
   * surfaces (`PreparedTable.read`, `graft_log(...)`).
@@ -134,10 +139,47 @@ final class GraftTableCatalog extends TableCatalog {
         "(SnapshotLog.append / PreparedTable); once created, SQL DML " +
         "(INSERT/DELETE/MERGE/TRUNCATE) applies — catalog DDL does not")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution rides the commit path (SnapshotLog append with " +
-        "widened schema), not catalog DDL")
+  /** `ALTER TABLE` — the SQL spelling of the log's metadata-only schema
+    * evolution, one transactional commit per change:
+    * `RENAME COLUMN` → [[SnapshotLog.renameColumn]] (field-id rename),
+    * `DROP COLUMN` → [[SnapshotLog.dropColumn]] (field-id drop),
+    * `ADD COLUMN` → [[SnapshotLog.addColumn]] (explicit widen). Nested
+    * fields, repositioning, defaults, and type changes are refused
+    * loudly — the log's evolution contract is top-level and
+    * widening-only by design. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val log = SnapshotLog.inheriting(SparkSession.active, dirOf(ident))
+    if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what on ${log.tableDir}: nested field " +
+          s"'${fieldNames.mkString(".")}' — the log's schema evolution " +
+          "is top-level only")
+      fieldNames.head
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        log.renameColumn(topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        val name = topLevel(d.fieldNames(), "DROP COLUMN")
+        val have = org.apache.spark.sql.types.DataType
+          .fromJson(log.snapshot().schemaJson)
+          .asInstanceOf[StructType].fieldNames.contains(name)
+        if (have) log.dropColumn(name)
+        else if (!d.ifExists()) throw new IllegalArgumentException(
+          s"${log.tableDir} has no column '$name' to drop")
+      case a: TableChange.AddColumn =>
+        require(a.position() == null && a.defaultValue() == null,
+          s"ADD COLUMN on ${log.tableDir}: positions and defaults are " +
+            "not supported — columns append, existing rows read NULL")
+        log.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on ${log.tableDir}: unsupported change $other — " +
+          "supported verbs: RENAME COLUMN, DROP COLUMN, ADD COLUMN " +
+          "(type changes are refused; the log is widening-only)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -327,13 +369,147 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val kept = log.filesMatching(LogScanBuilder.boundsOf(pushed), version)
+  override def build(): Scan =
+    new LogBatchScan(log, version, dataSchema, required, pushed)
+}
+
+/** The scan the manifest plans: Spark's vectorized parquet batch over
+  * the pruned file list, wrapped so the OPTIMIZER sees the manifest
+  * too — two scale features the stock `ParquetScan` cannot provide:
+  *
+  *  - '''Exact statistics''' ([[SupportsReportStatistics]]): `numRows`
+  *    is the manifest's per-file exact row counts summed over the kept
+  *    set, `sizeInBytes` their on-disk bytes — so AQE/CBO broadcast a
+  *    small log table on the SQL path instead of guessing from the
+  *    session default, and dynamic-pruning benefit estimation has real
+  *    numbers. (The stock `FileScan` estimate is bytes-only; row counts
+  *    are what join planning actually wants.)
+  *  - '''Runtime file pruning''' ([[SupportsRuntimeV2Filtering]]): when
+  *    dynamic partition pruning materializes the other join side, Spark
+  *    hands the surviving key set here BEFORE any fact file opens;
+  *    [[SnapshotLog.filesMatchingKeys]] re-gates the file list through
+  *    range stats + key blooms + bucket/partition tuples, so a
+  *    fact-dim join reads only the fact files that can hold the dim's
+  *    keys — the classic 100 TB star-join I/O win, with zero risk:
+  *    every pushed and runtime filter stays residual (Spark re-applies
+  *    it exactly), the gate only ever REMOVES I/O.
+  *
+  * Parsing the runtime predicate is defensive by construction: only
+  * single-column `IN`/`=` shapes with literal children convert
+  * (Catalyst-internal values back to Scala via the public converter);
+  * anything else — or a key set past [[LogBatchScan.MaxRuntimeKeys]],
+  * where O(keys x files) driver compares stop paying — degrades to
+  * no-op, never to a dropped row. `toBatch` rebuilds the delegate over
+  * the CURRENT file list because Spark calls it again after
+  * `filter(...)` (that re-plan IS the pruning taking effect). */
+private[graft] final class LogBatchScan(private val log: SnapshotLog,
+    private val version: Long, private val dataSchema: StructType,
+    private val required: StructType, private val pushed: Array[Filter])
+    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  private val initialKept: Seq[String] =
+    log.filesMatching(LogScanBuilder.boundsOf(pushed), version)
+  /** The current (post-runtime-filter) file list; spec observability. */
+  @volatile private[graft] var plannedFiles: Seq[String] = initialKept
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = {
     val dataDir = new Path(log.tableDir, SnapshotLog.DataDirName)
     org.apache.spark.sql.GraftBridge.parquetBatchScan(log.session,
-      kept.map(f => new Path(dataDir, f).toString), dataSchema, required,
-      pushed)
+      plannedFiles.map(f => new Path(dataDir, f).toString), dataSchema,
+      required, pushed).toBatch
   }
+
+  override def description(): String =
+    s"graft-log ${log.tableDir} v$version " +
+      s"files=${plannedFiles.size}/${initialKept.size} " +
+      s"pushed=${pushed.mkString(", ")}"
+
+  override def estimateStatistics(): Statistics = {
+    val s = log.snapshot(version)
+    val kept = plannedFiles
+    val rows: java.util.OptionalLong =
+      if (kept.forall(s.fileRows.contains))
+        java.util.OptionalLong.of(kept.map(s.fileRows).sum)
+      else java.util.OptionalLong.empty()
+    val bytes: java.util.OptionalLong =
+      if (kept.forall(s.fileBytes.contains))
+        java.util.OptionalLong.of(kept.map(s.fileBytes).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
+
+  /** Columns the manifest can gate point sets on — recorded range
+    * stats, key blooms, and partition-transform sources — intersected
+    * with the scan output (a filter attribute Spark cannot resolve
+    * against the relation would fail analysis; a join key is always in
+    * the output anyway). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val s = log.snapshot(version)
+    val out = required.fieldNames.toSet
+    (s.stats.valuesIterator.flatMap(_.keys) ++
+      s.blooms.valuesIterator.flatMap(_.keys) ++
+      (s.priorSpecs :+ s.partitionSpec).flatten.map(_.source).iterator)
+      .toSeq.distinct.filter(out)
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[V2Predicate]): Unit = try {
+    var kept = plannedFiles
+    predicates.foreach(p => pointSetOf(p).foreach { case (column, keys) =>
+      if (keys.isEmpty || keys.size <= LogBatchScan.MaxRuntimeKeys) {
+        // empty = IN over an empty/all-NULL set: provably no match
+        val ok = log.filesMatchingKeys(column, keys, version).toSet
+        kept = kept.filter(ok)
+      } // oversized key set: the gate stops paying — sound no-op
+    })
+    plannedFiles = kept
+  } catch {
+    // an unconvertible value/type can only lose the PRUNING, never
+    // correctness (the runtime filter is re-applied at the join)
+    case scala.util.control.NonFatal(_) => ()
+  }
+
+  /** `IN`/`=` over one column with literal children → the external
+    * key set; None (no pruning contribution) for every other shape. */
+  private def pointSetOf(p: V2Predicate): Option[(String, Seq[Any])] =
+    p.name() match {
+      case "IN" | "=" => p.children().toSeq match {
+        case (ref: NamedReference) +: rest if rest.nonEmpty &&
+            ref.fieldNames().length == 1 &&
+            rest.forall(_.isInstanceOf[V2Literal[_]]) =>
+          val keys = rest.map { case l: V2Literal[_] =>
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToScala(l.value, l.dataType)
+          }.filter(_ != null) // NULL never equals: contributes no key
+          Some(ref.fieldNames()(0) -> keys)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  // value equality over the planned inputs (runtime-filter state stays
+  // out: two scans that planned identically may reuse one exchange)
+  override def equals(other: Any): Boolean = other match {
+    case o: LogBatchScan =>
+      o.log.tableDir == log.tableDir && o.version == version &&
+        o.initialKept == initialKept && o.pushed.toSeq == pushed.toSeq &&
+        o.required == required
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (log.tableDir, version, initialKept, pushed.toSeq, required).hashCode()
+}
+
+private[graft] object LogBatchScan {
+  /** Past this many runtime keys the O(keys x files) driver gate (and
+    * the per-key bloom probes) cost more than the I/O they save —
+    * degrade to the already-planned file list. */
+  val MaxRuntimeKeys = 10000
 }
 
 private[graft] object LogScanBuilder {

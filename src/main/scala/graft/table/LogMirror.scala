@@ -110,6 +110,42 @@ object LogMirror {
               .fieldNames.contains(oldName)
           if (dstHasOld) dst.renameColumn(oldName, newName)
           newlyApplied += 1
+        case "drop" =>
+          // metadata-only replay, recovered like renames: the parent
+          // epoch's fields absent (by field id) from this version's
+          // schema are the dropped names; idempotent under re-walk
+          // (a replica that already dropped no longer has the column)
+          val from = src.snapshot(s.parent).schemaJson
+          val gone = SnapshotLog.droppedNamesOf(from, s.schemaJson)
+          if (gone.isEmpty) throw new IllegalStateException(
+            s"cannot mirror ${src.tableDir} v$v: 'drop' with no " +
+              "recoverable dropped field")
+          val dstCols =
+            if (dst.currentVersion() == 0) Set.empty[String]
+            else org.apache.spark.sql.types.DataType
+              .fromJson(dst.snapshot().schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.toSet
+          gone.filter(dstCols).foreach(dst.dropColumn)
+          newlyApplied += 1
+        case "widen" =>
+          // metadata-only replay: declare the added columns on the
+          // replica so a reader there sees the same schema even before
+          // any post-widen append ships rows
+          val from = src.snapshot(s.parent).schemaJson
+          val dstCols =
+            if (dst.currentVersion() == 0) Set.empty[String]
+            else org.apache.spark.sql.types.DataType
+              .fromJson(dst.snapshot().schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.toSet
+          // an empty replica has no schema to widen yet — the first
+          // replayed append carries the merged schema itself
+          if (dst.currentVersion() > 0)
+            SnapshotLog.addedFieldsOf(from, s.schemaJson)
+              .filterNot(f => dstCols.contains(f.name))
+              .foreach(f => dst.addColumn(f.name, f.dataType))
+          newlyApplied += 1
         case "truncate" =>
           // rides the replica's own commit for exactly-once; the
           // replica's file set differs, the logical outcome (no rows)

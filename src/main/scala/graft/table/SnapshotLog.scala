@@ -1004,6 +1004,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
+  /** Files of `version` that could hold ANY of `keys` on `column` — the
+    * point-set twin of [[filesMatching]], gated by range stats, key
+    * blooms AND bucket/partition tuples (the same per-key gate
+    * [[readKeys]] plans with). This is the RUNTIME-filtering surface:
+    * the DSv2 scan ([[LogBatchScan]]) re-prunes its file list here when
+    * Spark's dynamic partition pruning hands it the joined-in key set,
+    * so a fact-dim join opens only the fact files that can hold the
+    * dim's surviving keys. Empty `keys` = provably no file (an IN over
+    * the empty set matches nothing). Absence of stats/blooms/partition
+    * tuples never prunes — degrade-don't-drop, as everywhere. */
+  def filesMatchingKeys(column: String, keys: Seq[Any],
+      version: Long = -1L): Seq[String] = {
+    val s = snapshot(version)
+    if (keys.isEmpty) Nil else keyCandidates(s, column, keys)
+  }
+
   /** [[readWhere]] against a retained `version` (latest when -1). */
   def readWhere(version: Long, preds: (String, Any, Any)*): DataFrame = {
     require(preds.nonEmpty, "readWhere needs at least one (column, lo, hi)")
@@ -2207,6 +2223,90 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Drop `name` as ONE metadata-only commit (op `drop`) — the
+    * schema-evolution verb renames left open, on the SAME field-id
+    * machinery: the pre-drop schema is retained (`priorSchemas`, fields
+    * carrying explicit stable ids) and every live file pins to the
+    * epoch that wrote it, so reads project old files onto the current
+    * schema by FIELD ID and the dropped column simply stops being
+    * selected — no data file is touched at any table size. The dropped
+    * field's id retires WITH it: a later [[addColumn]]/widened append
+    * reusing the name gets a FRESH id ([[SnapshotLog.mergeSchemaJson]]
+    * assigns max+1 once ids are in use), so old files' physical values
+    * can never leak into the re-added column (they read as NULL —
+    * Iceberg's drop/re-add contract). Maintenance drains the debt
+    * exactly as for renames: rewrites re-stage under the current schema
+    * (physically shedding the column) and untag; the raw DSv2 scan
+    * stays refused while any old-epoch file lives
+    * ([[materializeRenames]] / the orchestrator's scheduled pass).
+    * Partition-transform sources and tombstone-keyed columns refuse
+    * loudly, like [[renameColumn]]; so does dropping the last column. */
+  def dropColumn(name: String): Snapshot = {
+    val cur = snapshot()
+    require(cur.schemaJson.nonEmpty,
+      s"$tableDir has no committed schema to drop from")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(name),
+      s"$tableDir has no column '$name' (schema: ${schema.fieldNames.mkString(", ")})")
+    require(schema.fields.length > 1,
+      s"cannot drop '$name' — it is the only column of $tableDir")
+    (cur.priorSpecs :+ cur.partitionSpec).flatten.foreach(pf =>
+      require(pf.source != name,
+        s"'$name' sources partition transform ${pf.transform} — evolve " +
+          "the partition spec off it before dropping"))
+    require(!cur.tombstones.exists(_.column == name),
+      s"pending key tombstones on '$name' — compact() to materialize " +
+        "them before dropping (their key files carry the column)")
+    val withIds = SnapshotLog.withFids(schema)
+    val dropped = org.apache.spark.sql.types.StructType(
+      withIds.fields.filterNot(_.name == name))
+    val next = Snapshot(cur.version + 1, "drop", cur.version,
+      cur.rows, cur.bytes, cur.files, cur.stats, dropped.json, cur.txns,
+      cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
+      cur.partitionSpec, cur.partitions,
+      cur.sortOrder.filterNot(_ == name),
+      commitCdc(cur), None, cur.priorSpecs, cur.fileSpecIdx, cur.dvs,
+      cur.priorSchemas :+ withIds.json,
+      cur.files.map(f => f -> cur.schemaIdxOf(f)).toMap)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"drop on $tableDir: concurrent commit since v${cur.version}; rerun")
+    statsCols = statsCols.filterNot(_ == name)
+    bloomCols = bloomCols.filterNot(_ == name)
+    sortCols = sortCols.filterNot(_ == name)
+    next
+  }
+
+  /** Add nullable column `name` as ONE metadata-only commit (op
+    * `widen`) — the explicit spelling of what a widened append does
+    * implicitly, for the `ALTER TABLE ... ADD COLUMN` SQL verb and for
+    * declaring a column BEFORE any writer ships it. Every existing file
+    * reads the column as NULL (plain schema-on-read — no epoch tag
+    * needed, absence from a footer already projects as NULL); the field
+    * gets a fresh stable id when ids are in use, so it composes with
+    * any rename/drop history. Refuses a name the schema already has —
+    * including case-insensitively, matching [[renameColumn]]'s guard. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Snapshot = {
+    val cur = snapshot()
+    require(cur.schemaJson.nonEmpty,
+      s"$tableDir has no committed schema to widen")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"$tableDir already has a column '$name'")
+    val widened = org.apache.spark.sql.types.DataType.fromJson(mergeSchemaJson(
+      cur, org.apache.spark.sql.types.StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField(name, dataType)).json))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val next = cur.copy(version = cur.version + 1, op = "widen",
+      parent = cur.version, schemaJson = widened.json, changes = None,
+      cdc = commitCdc(cur), ts = 0L)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"widen on $tableDir: concurrent commit since v${cur.version}; rerun")
+    next
+  }
+
   /** Remove every row as ONE metadata-only commit (op `truncate`): the
     * next manifest lists no files — zero data I/O at any table size, the
     * SQL `TRUNCATE TABLE` / unconditional `DELETE FROM` verb. The
@@ -2563,7 +2663,29 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
     val added = inc.fields.filterNot(f => byName.contains(f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    StructType(base.fields ++ added).json
+    // once stable field ids are in use (any rename/drop happened), new
+    // columns must take EXPLICIT ids from max+1: the index-fallback
+    // convention ([[SnapshotLog.fidOf]]) is only sound while ids are
+    // contiguous-from-zero, and a drop leaves a hole — an added field's
+    // index would collide with a surviving field's id and alias old
+    // files' values into the new column
+    val fidsInUse = base.fields.exists(_.metadata.contains(SnapshotLog.FidKey))
+    val stamped =
+      if (!fidsInUse || added.isEmpty) added
+      else {
+        // max over EVERY epoch, not just the live schema: a dropped
+        // field's id exists only in the retained epochs, and reusing it
+        // would alias old files' dropped values into the new column
+        var next = baseSnap.epochSchemas.iterator.flatMap(_.fields.zipWithIndex
+          .map { case (f, i) => SnapshotLog.fidOf(f, i) }).max
+        added.map { f =>
+          next += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(SnapshotLog.FidKey, next).build())
+        }
+      }
+    StructType(base.fields ++ stamped).json
   }
 
   /** Write `df` to a scratch dir, count rows via an `Observation` riding
@@ -3044,6 +3166,35 @@ object SnapshotLog {
       case Array(one) => Some(one)
       case _          => None
     }
+  }
+
+  /** The field names present in `fromJson` (by field id) but absent
+    * from `toJson` — the shape one `drop` commit produces, recovered
+    * from the manifests themselves (the mirror replays from this, like
+    * [[renamePairOf]]). */
+  private[graft] def droppedNamesOf(fromJson: String,
+      toJson: String): Seq[String] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (fromJson.isEmpty || toJson.isEmpty) return Nil
+    val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
+    val to = DataType.fromJson(toJson).asInstanceOf[StructType]
+    val toFids = to.fields.zipWithIndex.map { case (f, i) => fidOf(f, i) }.toSet
+    from.fields.zipWithIndex.collect {
+      case (f, i) if !toFids.contains(fidOf(f, i)) => f.name }.toSeq
+  }
+
+  /** The fields present in `toJson` but absent (by field id) from
+    * `fromJson` — the shape one `widen` commit produces. */
+  private[graft] def addedFieldsOf(fromJson: String,
+      toJson: String): Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (fromJson.isEmpty || toJson.isEmpty) return Nil
+    val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
+    val to = DataType.fromJson(toJson).asInstanceOf[StructType]
+    val fromFids = from.fields.zipWithIndex
+      .map { case (f, i) => fidOf(f, i) }.toSet
+    to.fields.zipWithIndex.collect {
+      case (f, i) if !fromFids.contains(fidOf(f, i)) => f }.toSeq
   }
 
   /** `schema` with every field carrying an explicit id (existing ids

@@ -57,6 +57,13 @@ object GraftBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** A connector-layer literal carrying an EXPLICIT data type (the
+    * `LiteralValue` case class is `private[sql]`; the public
+    * `Expressions.literal` infers the type and rejects null) — test
+    * surface for `graft.table.LogBatchScan`'s runtime-predicate parse. */
+  def v2Literal(value: Any, dt: types.DataType): connector.expressions.Literal[_] =
+    connector.expressions.LiteralValue(value, dt)
+
   /** Spark's own vectorized parquet DSv2 scan over an EXPLICIT file
     * list — the execution half of `graft.table.GraftTableCatalog`: the
     * connector prunes files from the manifest, then delegates the read

@@ -41,19 +41,16 @@ class DsV2CatalogSpec extends AnyFunSuite {
       (1000L until 1005L).map(i => (i, s"b$i")))
     // the manifest gate kept exactly the one file whose stats admit the range
     assert(log.filesMatching(Seq(("id", 1000L, 1004L))).size == 1)
-    // and the BUILT scan reads exactly that file (reflection: the scan
-    // class is private[sql] at the Scala level, public in bytecode)
+    // and the BUILT scan plans exactly that file
     val builder = new graft.table.LogScanBuilder(log, log.currentVersion(),
       log.read().schema)
     import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
     builder.pushFilters(Array(
       And(GreaterThanOrEqual("id", 1000L), LessThanOrEqual("id", 1004L))))
-    val scan = builder.build()
-    val idx = scan.getClass.getMethod("fileIndex").invoke(scan)
-    val scanned = idx.getClass.getMethod("inputFiles").invoke(idx)
-      .asInstanceOf[Array[String]]
-    assert(scanned.length == 1,
-      s"the scan must read ONE pruned file, got ${scanned.length}")
+    val scan = builder.build().asInstanceOf[graft.table.LogBatchScan]
+    assert(scan.plannedFiles.length == 1,
+      s"the scan must read ONE pruned file, got ${scan.plannedFiles.length}")
+    assert(scan.toBatch.planInputPartitions().nonEmpty)
     // column pruning reaches the scan
     val narrow = spark.sql(s"SELECT v FROM $cat.t1 WHERE id = 3")
     assert(narrow.collect().map(_.getString(0)).toSeq == Seq("a3"))

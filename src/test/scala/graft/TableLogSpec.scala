@@ -1659,13 +1659,11 @@ class TableLogSpec extends AnyFunSuite {
       .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
     // the file set the optimized plan's V2 scan will open (Dataset
     // .inputFiles only traverses FileTable relations, not custom DSv2
-    // tables — reflect the scan's fileIndex like DsV2CatalogSpec)
+    // tables — read the LogBatchScan's planned list)
     def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
-          val idx = r.scan.getClass.getMethod("fileIndex").invoke(r.scan)
-          idx.getClass.getMethod("inputFiles").invoke(idx)
-            .asInstanceOf[Array[String]].toSeq
+          r.scan.asInstanceOf[graft.table.LogBatchScan].plannedFiles
       }.flatten
     // a selective WHERE through the TVF opens 1-of-3 files: the filter
     // reaches LogScanBuilder BEFORE planning (DSv2 pushdown), so the
