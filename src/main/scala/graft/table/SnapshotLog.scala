@@ -567,6 +567,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def snapshot(version: Long = -1L): Snapshot = {
     val v = if (version < 0) currentVersion() else version
     require(v >= 1, s"table $tableDir has no committed snapshot")
+    // a published manifest is immutable (CAS create-if-absent, never
+    // rewritten), so a parse is reusable for the life of the handle —
+    // the optimizer interrogates the DSv2 scan's statistics and filter
+    // attributes repeatedly per query, and each parse would otherwise
+    // be a store GET (S3-backed tables pay a round-trip). Head
+    // resolution (-1) still lists for the current version every call,
+    // so new commits stay visible. Bounded: cleared past 32 entries
+    // (a handle hot-loops over at most a few versions).
+    val cached = snapParseCache.get(v)
+    if (cached != null) cached
+    else {
+      val s = parseSnapshot(v)
+      if (snapParseCache.size >= 32) snapParseCache.clear()
+      snapParseCache.put(v, s)
+      s
+    }
+  }
+
+  private val snapParseCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Snapshot]()
+
+  private def parseSnapshot(v: Long): Snapshot = {
     val bytes = store.get(manifestName(v)).getOrElse(
       throw new IllegalArgumentException(
         s"version $v of $tableDir is missing (vacuumed?)"))
@@ -2550,6 +2572,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (cur == 0) return 0
     val keepFrom = math.max(1L, cur - keepLast + 1)
     (1L until keepFrom).foreach(v => store.delete(manifestName(v)))
+    // drop the swept versions from this handle's parse cache — a read
+    // of a vacuumed version must fail with the clean "missing
+    // (vacuumed?)" error, not a stale parse chasing deleted data files
+    snapParseCache.keySet.removeIf(_ < keepFrom)
     // a version inside the horizon may already be gone from an earlier,
     // TIGHTER vacuum — skip it rather than crash the wider one
     val live = (keepFrom to cur)
