@@ -102,6 +102,7 @@ object SparkEntry {
     "q37_log_sql_merge" -> (Relational.q37LogSqlMerge _), // oracle: SQL MERGE INTO upsert via mergeByKey == set-algebraic recompute
     "q38_log_dv_delete" -> (Relational.q38LogDvDelete _), // oracle: deletion-vector read (position anti-join) == NOT(pred) survivors
     "q39_log_runtime_prune" -> (Relational.q39LogRuntimePrune _), // oracle: DPP star join over the DSv2 catalog == plain join
+    "q40_log_spj" -> (Relational.q40LogSpj _), // oracle: zero-shuffle storage-partitioned join == plain join
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -229,6 +230,7 @@ object SparkEntry {
     "q37_log_sql_merge" -> Relational.q37Oracle,
     "q38_log_dv_delete" -> Relational.q38Oracle,
     "q39_log_runtime_prune" -> Relational.q39Oracle,
+    "q40_log_spj" -> Relational.q40Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -590,6 +590,53 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** STORAGE-PARTITIONED JOIN over the DSv2 catalog: lineitem and
+    * orders both live in [[graft.table.SnapshotLog]] tables
+    * bucket(16)-partitioned on their order keys; with
+    * `spark.sql.sources.v2.bucketing.enabled` the two scans report
+    * [[org.apache.spark.sql.connector.read.partitioning
+    * .KeyGroupedPartitioning]] resolved through the catalog's `bucket`
+    * function, and Spark joins the co-bucketed sides with ZERO
+    * shuffle — at 100 TB the fact-fact join moves nothing over the
+    * network (StoragePartitionJoinSpec pins the exchange-free plan;
+    * this query grades the end-to-end SQL result). The conf is enabled
+    * globally and left on: it only activates key-grouped planning for
+    * scans that report a grouped layout — inert for every other query. */
+  def q40LogSpj(spark: SparkSession, dir: String): DataFrame = {
+    val root = logFixtureDirs.computeIfAbsent(s"spj40:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-spj-").toString
+      val li = graft.table.SnapshotLog.partitioned(spark, s"$tmp/lineitem_b16",
+        Seq(graft.table.PartitionField.bucket("l_orderkey", 16)))
+      li.append(t(spark, dir, "lineitem"))
+      val ord = graft.table.SnapshotLog.partitioned(spark, s"$tmp/orders_b16",
+        Seq(graft.table.PartitionField.bucket("o_orderkey", 16)))
+      ord.append(t(spark, dir, "orders"))
+      tmp
+    })
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.catalog.gq40",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq40.root", root)
+    spark.sql(
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM gq40.lineitem_b16 l
+        |JOIN gq40.orders_b16 o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin)
+  }
+
+  def q40Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

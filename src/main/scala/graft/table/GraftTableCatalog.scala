@@ -2,12 +2,16 @@ package graft.table
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, NoSuchNamespaceException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NoSuchNamespaceException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -72,7 +76,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * execution is Spark's stock distributed parquet scan. Nothing here is
   * O(table) on the driver.
   */
-final class GraftTableCatalog extends TableCatalog {
+final class GraftTableCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -101,14 +105,18 @@ final class GraftTableCatalog extends TableCatalog {
       ident, -1L)
   }
 
-  /** `VERSION AS OF <v>` — the snapshot pinned at plan time. */
+  /** `VERSION AS OF <v | 'tag'>` — the snapshot pinned at plan time:
+    * a numeric version directly, anything else resolved as a named tag
+    * ([[SnapshotLog.createTag]]). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"VERSION AS OF on $catalogName takes a numeric log version, got '$version'")
-    }
     val log = logFor(ident)
     if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
+    val v = scala.util.Try(version.toLong).toOption
+      .orElse(log.versionOfTag(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF on $catalogName: '$version' is neither a numeric " +
+          s"log version nor a tag of ${log.tableDir} " +
+          s"(tags: ${log.tags().keys.toSeq.sorted.mkString(", ")})"))
     new LogTable(log, ident, v)
   }
 
@@ -189,6 +197,17 @@ final class GraftTableCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "a log table's identity is its directory; rename at the storage layer")
+
+  /** The function catalog half — what lets Spark resolve the `bucket`
+    * transform in [[LogBatchScan]]'s reported partitioning, the hinge
+    * of the STORAGE-PARTITIONED JOIN (two log tables bucketed the same
+    * way on their join keys join with zero shuffle). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
 }
 
 /** One [[SnapshotLog]] snapshot as a DSv2 table (version pinned at
@@ -211,6 +230,25 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The manifest's hidden partition spec rendered as V2 transforms —
+    * DESCRIBE/SHOW surfaces, and the declared shape behind the scan's
+    * reported key-grouped partitioning. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    snap.partitionSpec.map { pf =>
+      pf.transform match {
+        case "identity" => Expressions.identity(pf.source)
+        case "hour"     => Expressions.hours(pf.source)
+        case "day"      => Expressions.days(pf.source)
+        case "month"    => Expressions.months(pf.source)
+        case "year"     => Expressions.years(pf.source)
+        case t if t.startsWith("bucket") =>
+          Expressions.bucket(pf.bucketCount.get, pf.source)
+        case t => // truncate[W] and any future parametrized transform
+          Expressions.apply(t.takeWhile(_ != '['),
+            Expressions.column(pf.source))
+      }
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(snap.fileSchemaIdx.isEmpty,
@@ -405,7 +443,8 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
 private[graft] final class LogBatchScan(private val log: SnapshotLog,
     private val version: Long, private val dataSchema: StructType,
     private val required: StructType, private val pushed: Array[Filter])
-    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   private val initialKept: Seq[String] =
     log.filesMatching(LogScanBuilder.boundsOf(pushed), version)
@@ -416,9 +455,62 @@ private[graft] final class LogBatchScan(private val log: SnapshotLog,
 
   override def toBatch: Batch = {
     val dataDir = new Path(log.tableDir, SnapshotLog.DataDirName)
-    org.apache.spark.sql.GraftBridge.parquetBatchScan(log.session,
-      plannedFiles.map(f => new Path(dataDir, f).toString), dataSchema,
-      required, pushed).toBatch
+    def path(f: String) = new Path(dataDir, f).toString
+    spjGroups(plannedFiles) match {
+      case Some(groups) =>
+        org.apache.spark.sql.GraftBridge.keyedParquetBatch(log.session,
+          dataSchema, required, pushed,
+          groups.map { case (k, fs) => (k, fs.map(path)) })
+      case None =>
+        org.apache.spark.sql.GraftBridge.parquetBatchScan(log.session,
+          plannedFiles.map(path), dataSchema, required, pushed).toBatch
+    }
+  }
+
+  /** STORAGE-PARTITIONED JOIN: when every spec field is a bucket
+    * transform and every planned file carries a current-spec tuple, the
+    * scan reports `KeyGroupedPartitioning(bucket(N, col), #groups)` and
+    * plans one keyed partition group per bucket — two log tables
+    * bucketed the same way on their join keys then join with ZERO
+    * shuffle (Spark aligns the groups by partition value;
+    * `spark.sql.sources.v2.bucketing.enabled` gates the planner side).
+    * Anything irregular — a non-bucket field, an old-spec file, a
+    * missing/unparseable tuple — degrades to `UnknownPartitioning`
+    * (the ordinary shuffle join), never to a wrong plan. */
+  override def outputPartitioning(): Partitioning =
+    spjGroups(plannedFiles) match {
+      case Some(groups) =>
+        val s = log.snapshot(version)
+        new KeyGroupedPartitioning(
+          s.partitionSpec.map(pf => Expressions.bucket(pf.bucketCount.get,
+            pf.source): org.apache.spark.sql.connector.expressions.Expression)
+            .toArray,
+          groups.size)
+      case None => new UnknownPartitioning(0)
+    }
+
+  /** `files` grouped by their bucket tuple — Some only when the whole
+    * planned set is uniformly bucket-partitioned under the CURRENT
+    * spec with parseable tuples (recorded as stringified ints; the
+    * Hive null marker never appears for bucket transforms, whose
+    * write expression maps NULL keys to the seed's bucket). */
+  private def spjGroups(files: Seq[String])
+      : Option[Seq[(InternalRow, Seq[String])]] = {
+    val s = log.snapshot(version)
+    val spec = s.partitionSpec
+    if (files.isEmpty || spec.isEmpty ||
+      !spec.forall(_.bucketCount.isDefined)) return None
+    if (files.exists(f => s.specOf(f) != spec)) return None
+    val parsed = files.map { f =>
+      s.partitions.get(f).filter(_.size == spec.size)
+        .flatMap(t => scala.util.Try(t.map(_.toInt)).toOption)
+        .map(f -> _)
+    }
+    if (parsed.exists(_.isEmpty)) return None
+    Some(parsed.flatten.groupBy(_._2).toSeq.map { case (tuple, fs) =>
+      (new GenericInternalRow(tuple.map(v => v: Any).toArray): InternalRow,
+        fs.map(_._1))
+    })
   }
 
   override def description(): String =

@@ -65,18 +65,22 @@ object LogTableFunction {
         e.eval().asInstanceOf[Number].longValue()
       case e if e.foldable &&
           e.dataType == org.apache.spark.sql.types.StringType =>
-        // timestamp travel: an ISO instant or a UTC-read wall-clock
-        // string resolves through the manifests' commit clocks — the
-        // TVF spelling of the catalog's TIMESTAMP AS OF
+        // string travel: a NAMED TAG first (explicit user refs win),
+        // else an ISO instant or UTC-read wall-clock string resolved
+        // through the manifests' commit clocks — the TVF spelling of
+        // the catalog's VERSION/TIMESTAMP AS OF
         val t = e.eval().toString.trim
-        val instant = scala.util.Try(java.time.Instant.parse(t))
-          .orElse(scala.util.Try(java.time.LocalDateTime
-            .parse(t.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft_log: '$t' is neither an integer version nor a " +
-              "parseable timestamp (ISO instant or 'yyyy-MM-dd HH:mm:ss' UTC)"))
-        log.versionAt(instant.toEpochMilli)
+        log.versionOfTag(t).getOrElse {
+          val instant = scala.util.Try(java.time.Instant.parse(t))
+            .orElse(scala.util.Try(java.time.LocalDateTime
+              .parse(t.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft_log: '$t' is neither an integer version, a tag, " +
+                "nor a parseable timestamp (ISO instant or " +
+                "'yyyy-MM-dd HH:mm:ss' UTC)"))
+          log.versionAt(instant.toEpochMilli)
+        }
       case other => throw new IllegalArgumentException(
         s"graft_log version must be an integer or timestamp-string literal, got $other")
     }.getOrElse(-1L)

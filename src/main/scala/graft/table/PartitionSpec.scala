@@ -301,6 +301,11 @@ final case class PartitionField(source: String, transform: String) {
       Some(BigDecimal(((h % param) + param) % param))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Some(bucket count) iff this is a bucket transform — the
+    * storage-partitioned-join surface ([[LogBatchScan]]) keys on it. */
+  private[table] def bucketCount: Option[Int] =
+    if (kind == Bucket) Some(param) else None
+
   private def sameKey(lo: Any, hi: Any): Boolean =
     lo == hi || (try ColRange.num(lo) == ColRange.num(hi)
     catch { case _: NumberFormatException => false })

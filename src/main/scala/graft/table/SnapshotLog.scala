@@ -2566,19 +2566,76 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * whose manifest hasn't published yet — at scale this is the same
     * contract as object-store table formats' retention horizon. Returns
     * the number of data files deleted. */
+  /** Pin `version` (default: the current head) under an immutable named
+    * tag — the audit/reproducibility ref: `read`/`VERSION AS OF
+    * '<name>'`/`graft_log(dir, '<name>')` resolve it forever, and
+    * [[vacuum]] retains a tagged version's manifest and files past any
+    * horizon until [[dropTag]]. Tags live OUTSIDE the version stream
+    * (`ref-<name>.json` beside the manifests, published through the
+    * same [[CommitStore]] create-if-absent), so tagging commits
+    * nothing, replays nothing, and never perturbs CDC/mirror walks.
+    * Immutable: re-tagging an existing name is refused unless it
+    * already points at the same version (idempotent); retargeting is
+    * drop + create, loud and deliberate. Returns the pinned version. */
+  def createTag(name: String, version: Long = -1L): Long = {
+    require(SnapshotLog.TagNameRe.matches(name),
+      s"tag '$name' — names are [A-Za-z0-9][A-Za-z0-9._-]*")
+    val v = if (version < 0) currentVersion() else version
+    require(v >= 1 && store.exists(manifestName(v)),
+      s"cannot tag $tableDir v$v — no such committed version")
+    val payload = s"""{"tag":"$name","version":$v}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!store.putIfAbsent(refName(name), payload)) {
+      val existing = versionOfTag(name)
+      require(existing.contains(v),
+        s"tag '$name' on $tableDir already points at v${existing.orNull} — " +
+          "tags are immutable; dropTag first to retarget")
+    }
+    v
+  }
+
+  /** Remove tag `name` (idempotent) — its version rejoins the ordinary
+    * retention horizon at the next [[vacuum]]. */
+  def dropTag(name: String): Unit = store.delete(refName(name))
+
+  /** All tags as name → pinned version. O(refs) store listing. */
+  def tags(): Map[String, Long] =
+    store.list().filter(n => n.startsWith(RefPrefix) && n.endsWith(".json"))
+      .flatMap { n =>
+        val tag = n.stripPrefix(RefPrefix).stripSuffix(".json")
+        versionOfTag(tag).map(tag -> _)
+      }.toMap
+
+  /** The version tag `name` pins, if the tag exists. A string that
+    * cannot be a tag name (e.g. an ISO timestamp — its colons would not
+    * even form a relative store path) is simply None, so the travel
+    * surfaces can probe tags first and fall through. */
+  def versionOfTag(name: String): Option[Long] =
+    if (!SnapshotLog.TagNameRe.matches(name)) None
+    else store.get(refName(name)).map(b =>
+      mapper.readTree(b).get("version").asLong())
+
+  private def refName(name: String) = s"$RefPrefix$name.json"
+
   def vacuum(keepLast: Int = 2, graceMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"must retain at least one version: $keepLast")
     val cur = currentVersion()
     if (cur == 0) return 0
     val keepFrom = math.max(1L, cur - keepLast + 1)
-    (1L until keepFrom).foreach(v => store.delete(manifestName(v)))
+    // a TAGGED version never expires: its manifest (and, below, its
+    // files and segments) stay until the tag is dropped
+    val tagged = tags().values.toSet
+    (1L until keepFrom).filterNot(tagged).foreach(v =>
+      store.delete(manifestName(v)))
     // drop the swept versions from this handle's parse cache — a read
     // of a vacuumed version must fail with the clean "missing
     // (vacuumed?)" error, not a stale parse chasing deleted data files
-    snapParseCache.keySet.removeIf(_ < keepFrom)
+    snapParseCache.keySet.removeIf(v => v < keepFrom && !tagged(v))
     // a version inside the horizon may already be gone from an earlier,
     // TIGHTER vacuum — skip it rather than crash the wider one
-    val live = (keepFrom to cur)
+    val retainedVersions =
+      ((keepFrom to cur) ++ tagged.filter(_ < keepFrom)).distinct
+    val live = retainedVersions
       .filter(v => store.exists(manifestName(v)))
       .flatMap { v =>
         val s = snapshot(v)
@@ -2608,7 +2665,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // same rule as staged data files. FS-backed stores only: an
     // object-store deployment GCs by the store's own listing+age.
     if (store0.isEmpty && fs.exists(logDir)) {
-      val liveSegs = (keepFrom to cur)
+      val liveSegs = retainedVersions
         .filter(v => store.exists(manifestName(v)))
         .flatMap(segNamesOf).toSet
       fs.listStatus(logDir).foreach { f =>
@@ -3133,6 +3190,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 object SnapshotLog {
   val LogDirName = "_graft_log"
   val DataDirName = "data"
+  /** Tag refs (`ref-<name>.json`) live beside the manifests; the
+    * manifest regex never matches them, so listings stay exact. */
+  private[table] val RefPrefix = "ref-"
+  private[table] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
 

@@ -57,6 +57,39 @@ object GraftBridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** The storage-partitioned-join execution shape: one keyed input
+    * partition per bucket group, each delegating its actual reading to
+    * Spark's own vectorized `ParquetPartitionReaderFactory`. Spark's
+    * key-grouped planning (`DataSourceV2ScanExecBase.groupPartitions`)
+    * needs every `InputPartition` to implement `HasPartitionKey`, but
+    * the parquet reader factory pattern-matches on `FilePartition` —
+    * which is a case class and cannot be extended — so the partitions
+    * here WRAP a `FilePartition` and the factory unwraps before
+    * delegating. Planning cost is the same O(files) the plain path
+    * pays (the per-group scans share Hadoop conf and schema). */
+  def keyedParquetBatch(spark: SparkSession,
+      dataSchema: types.StructType, readSchema: types.StructType,
+      filters: Array[sources.Filter],
+      groups: Seq[(catalyst.InternalRow, Seq[String])]): connector.read.Batch = {
+    val globalFactory = parquetBatchScan(spark, groups.flatMap(_._2),
+      dataSchema, readSchema, filters).toBatch.createReaderFactory()
+    val parts: Array[connector.read.InputPartition] =
+      groups.flatMap { case (key, files) =>
+        parquetBatchScan(spark, files, dataSchema, readSchema, filters)
+          .toBatch.planInputPartitions().map {
+            case fp: execution.datasources.FilePartition =>
+              new KeyedFilePartition(fp, key)
+            case other => throw new IllegalStateException(
+              s"ParquetScan planned a non-FilePartition: $other")
+          }
+      }.toArray
+    new connector.read.Batch {
+      override def planInputPartitions(): Array[connector.read.InputPartition] = parts
+      override def createReaderFactory(): connector.read.PartitionReaderFactory =
+        new UnwrappingReaderFactory(globalFactory)
+    }
+  }
+
   /** A connector-layer literal carrying an EXPLICIT data type (the
     * `LiteralValue` case class is `private[sql]`; the public
     * `Expressions.literal` infers the type and rejects null) — test
@@ -147,4 +180,37 @@ object GraftBridge {
       spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
+}
+
+/** A parquet [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * carrying its bucket-group key — the unit Spark's key-grouped
+  * (storage-partitioned) execution clusters and aligns across join
+  * sides. Ships to executors: both halves are Serializable. */
+private[sql] final class KeyedFilePartition(
+    val delegate: execution.datasources.FilePartition,
+    key: catalyst.InternalRow)
+    extends connector.read.HasPartitionKey {
+  override def partitionKey(): catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** Unwraps [[KeyedFilePartition]]s before delegating to the vectorized
+  * parquet reader factory (which pattern-matches on `FilePartition`). */
+private[sql] final class UnwrappingReaderFactory(
+    delegate: connector.read.PartitionReaderFactory)
+    extends connector.read.PartitionReaderFactory {
+  private def unwrap(p: connector.read.InputPartition): connector.read.InputPartition =
+    p match {
+      case k: KeyedFilePartition => k.delegate
+      case other                 => other
+    }
+  override def createReader(p: connector.read.InputPartition)
+      : connector.read.PartitionReader[catalyst.InternalRow] =
+    delegate.createReader(unwrap(p))
+  override def createColumnarReader(p: connector.read.InputPartition)
+      : connector.read.PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    delegate.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: connector.read.InputPartition): Boolean =
+    delegate.supportColumnarReads(unwrap(p))
 }

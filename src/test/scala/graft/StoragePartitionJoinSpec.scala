@@ -1,0 +1,114 @@
+package graft
+
+import graft.table.{GraftTableCatalog, PartitionField, SnapshotLog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Storage-partitioned joins: two log tables bucket-partitioned the
+  * same way on their join keys report
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * ([[graft.table.LogBatchScan.outputPartitioning]]) resolved through
+  * the catalog's `bucket` function ([[graft.table.GraftBucketUnbound]]),
+  * and Spark plans their join with ZERO shuffle — at 100 TB the
+  * difference between moving both tables over the network and moving
+  * nothing. */
+class StoragePartitionJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private var n = 0
+  private def mount(root: String): String = {
+    n += 1
+    val cat = s"gspj$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def shuffles(plan: SparkPlan): Seq[SparkPlan] = {
+    val here = plan match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        shuffles(q.plan)
+      case s: ShuffleExchangeLike => Seq(s)
+      case _ => Nil
+    }
+    here ++ plan.children.flatMap(shuffles)
+  }
+
+  private def setup(): (String, Map[Long, (String, String)]) = {
+    val root = Files.createTempDirectory("graft-spj-").toString
+    val a = SnapshotLog.partitioned(spark, s"$root/a",
+      Seq(PartitionField.bucket("id", 8)))
+    a.append((0 until 200).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    val b = SnapshotLog.partitioned(spark, s"$root/b",
+      Seq(PartitionField.bucket("id", 8)))
+    // a second append: multiple files per bucket must still group
+    b.append((0 until 100).map(i => (i.toLong, s"b$i")).toDF("id", "w"))
+    b.append((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "w"))
+    (root, (0 until 200).map(i => i.toLong -> (s"a$i", s"b$i")).toMap)
+  }
+
+  test("co-bucketed log tables join with ZERO shuffle; results exact") {
+    val (root, expected) = setup()
+    val cat = mount(root)
+    val q = s"SELECT f.id, f.v, d.w FROM $cat.a f JOIN $cat.b d ON f.id = d.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      val got = df.collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(got == expected)
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        "co-bucketed tables must join without ANY exchange")
+    }
+    // control: same query without v2 bucketing shuffles both sides
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      assert(df.count() == 200)
+      assert(shuffles(df.queryExecution.executedPlan).nonEmpty,
+        "the control plan (no v2 bucketing) is the ordinary shuffle join")
+    }
+  }
+
+  test("irregular layouts degrade to UnknownPartitioning, never a wrong plan") {
+    val root = Files.createTempDirectory("graft-spj-").toString
+    // non-bucket spec: day transform → no key-grouped report
+    val t = SnapshotLog.partitioned(spark, s"$root/t",
+      Seq(PartitionField.bucket("id", 4), PartitionField("id2", "identity")))
+    t.append((0 until 20).map(i => (i.toLong, i.toLong, s"x$i"))
+      .toDF("id", "id2", "v"))
+    val scan = new graft.table.LogScanBuilder(t, t.currentVersion(),
+      t.read().schema).build().asInstanceOf[graft.table.LogBatchScan]
+    assert(scan.outputPartitioning()
+      .isInstanceOf[org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning],
+      "a mixed bucket+identity spec must not claim key-grouped layout")
+    // pure-bucket spec reports the grouped layout
+    val u = SnapshotLog.partitioned(spark, s"$root/u",
+      Seq(PartitionField.bucket("id", 4)))
+    u.append((0 until 40).map(i => (i.toLong, s"x$i")).toDF("id", "v"))
+    val us = new graft.table.LogScanBuilder(u, u.currentVersion(),
+      u.read().schema).build().asInstanceOf[graft.table.LogBatchScan]
+    val kg = us.outputPartitioning()
+    assert(kg.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
+    assert(kg.asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
+      .numPartitions() == 4)
+  }
+}

@@ -1625,7 +1625,7 @@ class TableLogSpec extends AnyFunSuite {
     // garbage second argument is a loud error, naming both readings
     assert(intercept[Exception] {
       s.sql(s"SELECT * FROM graft_log('$dir', 'not-a-time')").collect()
-    }.getMessage.contains("neither an integer version nor a parseable"))
+    }.getMessage.contains("neither an integer version, a tag, nor a parseable"))
   }
 
   test("graft_log applies pending deletion vectors via the composed fallback") {
