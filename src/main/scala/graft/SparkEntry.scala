@@ -103,6 +103,7 @@ object SparkEntry {
     "q38_log_dv_delete" -> (Relational.q38LogDvDelete _), // oracle: deletion-vector read (position anti-join) == NOT(pred) survivors
     "q39_log_runtime_prune" -> (Relational.q39LogRuntimePrune _), // oracle: DPP star join over the DSv2 catalog == plain join
     "q40_log_spj" -> (Relational.q40LogSpj _), // oracle: zero-shuffle storage-partitioned join == plain join
+    "q41_log_sql_evolution" -> (Relational.q41LogSqlEvolution _), // oracle: ALTER TABLE rename/drop/add + INSERT, read across the epoch boundary == textual recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -121,6 +122,7 @@ object SparkEntry {
     "ev_stream_join" -> (graft.streaming.EventStreams.evStreamJoin _), // oracle: stream-stream interval join == batch interval join
     "ev_stream_enrich" -> (graft.streaming.EventStreams.evStreamEnrich _), // oracle: stream-static broadcast enrich == batch CASE join
     "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
+    "ev_log_sink_pipeline" -> (graft.streaming.LogChangeFeed.evLogSinkPipeline _), // oracle: log→log streaming pipeline (CDF source → graft-log sink) == plain aggregate
     "ev_log_changefeed_cdc" -> (graft.streaming.LogChangeFeed.evLogChangefeedCdc _), // oracle: streamed ROW-LEVEL CDC netted == surviving-row aggregate
     "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
     "mv_incremental_cdc" -> (graft.table.DerivedAggregate.mvIncrementalCdc _), // oracle: rollup after folding two copy-on-write deletes == survivor recompute
@@ -231,6 +233,7 @@ object SparkEntry {
     "q38_log_dv_delete" -> Relational.q38Oracle,
     "q39_log_runtime_prune" -> Relational.q39Oracle,
     "q40_log_spj" -> Relational.q40Oracle,
+    "q41_log_sql_evolution" -> Relational.q41Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,
@@ -256,6 +259,7 @@ object SparkEntry {
     "ev_stream_join" -> graft.streaming.EventStreams.evStreamJoinOracle,
     "ev_stream_enrich" -> graft.streaming.EventStreams.evStreamEnrichOracle,
     "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
+    "ev_log_sink_pipeline" -> graft.streaming.LogChangeFeed.evLogSinkPipelineOracle,
     "ev_log_changefeed_cdc" -> graft.streaming.LogChangeFeed.evLogChangefeedCdcOracle,
     "mv_incremental" -> graft.table.DerivedAggregate.mvIncrementalOracle,
     "mv_incremental_cdc" -> graft.table.DerivedAggregate.mvIncrementalCdcOracle,

@@ -637,6 +637,70 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** SQL schema evolution end-to-end: the fixture table takes an
+    * `ALTER TABLE RENAME COLUMN`, a `DROP COLUMN`, an `ADD COLUMN`, and
+    * a post-evolution `INSERT INTO` under the NEW shape — all
+    * metadata-only commits ([[graft.table.SnapshotLog.renameColumn]]/
+    * `dropColumn`/`addColumn`) — and the graded aggregate reads the
+    * whole table across the epoch boundary: pre-evolution files resolve
+    * the renamed column BY FIELD ID, never touch the dropped one, and
+    * read the added one as NULL. The oracle recomputes from the raw
+    * parquet with the rename applied textually — any misalignment
+    * (value leak from the dropped column, a null hole in the renamed
+    * one, the insert misplaced) changes the hash. */
+  def q41LogSqlEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = logFixtureDirs.computeIfAbsent(s"evo41:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-evo-").toString
+      val log = graft.table.SnapshotLog(spark, s"$tmp/li",
+        statsColumns = Seq("l_orderkey"))
+      log.append(t(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_linestatus")))
+      tmp
+    })
+    spark.conf.set("spark.sql.catalog.gq41",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq41.root", root)
+    // idempotent across reruns in one JVM: evolve only on first touch
+    if (graft.table.SnapshotLog(spark, s"$root/li").currentVersion() == 1L) {
+      spark.sql("ALTER TABLE gq41.li RENAME COLUMN l_quantity TO qty")
+      spark.sql("ALTER TABLE gq41.li DROP COLUMN l_linestatus")
+      spark.sql("ALTER TABLE gq41.li ADD COLUMN priority INT")
+      spark.sql(
+        "INSERT INTO gq41.li VALUES (1, 'Z', 10.0, 7), (2, 'Z', 32.0, 9)")
+    }
+    // read through the TVF: with rename/drop debt still pending it is
+    // the surface that epoch-aligns BY FIELD ID (the raw catalog scan
+    // deliberately refuses until maintenance drains the debt)
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    s.sql(
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CAST(qty AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         |  count(priority) AS n_priority,
+         |  count(*) AS n_rows
+         |FROM graft_log('$root/li')
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  def q41Oracle: String =
+    """WITH evolved AS (
+      |  SELECT l_returnflag, l_quantity AS qty, NULL::INT AS priority
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'Z', 10.0, 7
+      |  UNION ALL
+      |  SELECT 'Z', 32.0, 9
+      |)
+      |SELECT l_returnflag,
+      |  CAST(sum(CAST(qty AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  count(priority) AS n_priority,
+      |  count(*) AS n_rows
+      |FROM evolved
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q5-style star join: fact lineitem ⋈ orders (shuffle/SMJ — both
     * big) then broadcast joins against the small dims customer/nation/
     * region. Explicit broadcast() hints on the dims: at 100 TB the fact

@@ -242,6 +242,40 @@ object LogChangeFeed {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Graded entry: the full LOG-TO-LOG streaming pipeline — the events
+    * feed table streams out through the change-feed SOURCE and lands in
+    * a second log table through the `graft-log` SINK
+    * ([[LogStreamSink]]), each micro-batch one transactional commit
+    * under the engine's (queryId, batchId) exactly-once watermark; the
+    * aggregate is then computed from the DESTINATION table at rest.
+    * What the oracle hash-checks is the whole pipeline's delivery
+    * accounting: a dropped batch, a replayed commit, or a sink-side
+    * partial write all change the counts. */
+  def evLogSinkPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val table = eventsFeedTable(spark, dir)
+    val dst = feedFixtures.computeIfAbsent(s"sinkdst:$dir", _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-feed-sinkdst-").resolve("t").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-feed-sinkckpt-").toString
+      val q = readChangesStream(spark, table).writeStream
+        .format("graft-log")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      out
+    })
+    SnapshotLog(spark, dst).read()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  def evLogSinkPipelineOracle: String = evLogChangefeedOracle
+
   /** Once-per-JVM CDC feed fixture for [[evLogChangefeedCdc]]: a
     * CHANGE-FEED events table — two appends, a copy-on-write delete of
     * every 'error' row so far, then a THIRD append that re-introduces

@@ -231,6 +231,26 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Manifest facts as table properties — `DESCRIBE TABLE EXTENDED` /
+    * `SHOW TBLPROPERTIES` read the log's own metadata plane (version,
+    * exact rows/bytes, file count, sort order, feed flag) without
+    * touching one data file. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("format", "graft-log")
+    m.put("version", snap.version.toString)
+    m.put("rows", snap.rows.toString)
+    m.put("bytes", snap.bytes.toString)
+    m.put("files", snap.files.size.toString)
+    if (snap.sortOrder.nonEmpty) m.put("sort-order", snap.sortOrder.mkString(", "))
+    if (snap.cdc) m.put("change-feed", "true")
+    if (snap.tombstones.nonEmpty) m.put("pending-tombstones",
+      snap.tombstones.size.toString)
+    if (snap.dvs.nonEmpty) m.put("pending-deletion-vectors",
+      snap.dvs.size.toString)
+    m
+  }
+
   /** The manifest's hidden partition spec rendered as V2 transforms —
     * DESCRIBE/SHOW surfaces, and the declared shape behind the scan's
     * reported key-grouped partitioning. */

@@ -37,6 +37,17 @@ object GraftBridge {
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
 
+  /** The inverse of [[asStreamingFrame]]: re-wrap a streaming
+    * micro-batch frame (a V1 `Sink.addBatch` argument) as a BATCH one
+    * so the ordinary write path can plan it — the already-planned
+    * incremental physical RDD executes once, when the downstream write
+    * job runs. */
+  def asBatchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`); runs the analyzer, so custom logical nodes built
     * over unresolved column expressions resolve normally. */
