@@ -538,6 +538,54 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Graded SQL UPDATE ([[graft.table.UpdateLogRule]] →
+    * [[graft.table.SnapshotLog.updateWhere]]): customer as a log table,
+    * then `UPDATE ... SET c_acctbal = c_acctbal + 100, c_mktsegment =
+    * 'UPDATED' WHERE c_nationkey BETWEEN 5 AND 9` — one transactional
+    * stats-targeted `update` commit (copy-on-write on the SQL surface).
+    * The graded aggregate groups by the REWRITTEN segment column, so a
+    * mis-scoped update (wrong rows matched, assignments applied to
+    * survivors, old rows resurrected, row count drift) shifts both the
+    * group routing and the sums and hash-mismatches against DuckDB
+    * recomputing the same update as a CASE expression over raw
+    * customer. */
+  def q42LogSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"dml42:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-upd-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_nationkey"))
+        .append(t(spark, dir, "customer"))                           // v1
+      val tbl = mountCatalog(s, tmp)
+      s.sql(                                                         // v2
+        s"""UPDATE $tbl
+           |SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'UPDATED'
+           |WHERE c_nationkey BETWEEN 5 AND 9""".stripMargin)
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "update",
+        "q42 fixture: SQL UPDATE must land as one transactional update commit")
+      tmp
+    })
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_cust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+         |FROM ${mountCatalog(s, path)}
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  def q42Oracle: String =
+    """SELECT CASE WHEN c_nationkey BETWEEN 5 AND 9 THEN 'UPDATED'
+      |            ELSE c_mktsegment END AS c_mktsegment,
+      |       count(*) AS n_cust,
+      |       CAST(sum(CAST(CASE WHEN c_nationkey BETWEEN 5 AND 9
+      |                          THEN c_acctbal + 100.0
+      |                          ELSE c_acctbal END AS DECIMAL(28,6)))
+      |            AS DOUBLE) AS sum_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

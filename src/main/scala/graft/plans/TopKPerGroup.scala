@@ -204,5 +204,8 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     ext.injectTableFunction(graft.table.LogTableFunction.description)
     // MERGE INTO on catalog-mounted log tables → SnapshotLog.mergeByKey
     ext.injectResolutionRule(s => new graft.table.MergeIntoLogRule(s))
+    // UPDATE ... SET ... WHERE on catalog-mounted log tables →
+    // SnapshotLog.updateWhere (stats-targeted copy-on-write)
+    ext.injectResolutionRule(s => new graft.table.UpdateLogRule(s))
   }
 }

@@ -68,7 +68,8 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     * an append un-commits rows this stream may have shipped; so do
     * `truncate`/`overwrite`, which drop the whole prior table. */
   private val ChangeOps =
-    Set("delete", "merge", "delete_keys", "restore", "truncate", "overwrite")
+    Set("delete", "merge", "delete_keys", "update", "restore", "truncate",
+      "overwrite")
 
   override val schema: StructType =
     LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)

@@ -61,7 +61,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    [[SnapshotLog.truncate]] (one metadata-only commit);
   *  - `MERGE INTO` (canonical upsert shape) → [[SnapshotLog.mergeByKey]]
   *    via the resolution rule [[MergeIntoLogRule]] installed by
-  *    [[graft.plans.GraftExtensions]].
+  *    [[graft.plans.GraftExtensions]];
+  *  - `UPDATE ... SET ... WHERE` → [[SnapshotLog.updateWhereTxn]] via
+  *    [[UpdateLogRule]] (same extensions install), under the same
+  *    exact-condition contract as DELETE — copy-on-write pinned so the
+  *    result stays SQL-readable; the typed API keeps the DV+append
+  *    merge-on-read arm for sparse updates.
   * `ALTER TABLE RENAME/DROP/ADD COLUMN` commits the log's metadata-only
   * schema evolution (field-id renames/drops, explicit widens — see
   * [[GraftTableCatalog.alterTable]]). Table-lifecycle DDL stays out of
@@ -219,6 +224,11 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     ident: Identifier, version: Long)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   private val snap = log.snapshot(version)
+
+  /** The pinned travel version (-1 = live head) — what the DML rules
+    * check to refuse writes against immutable history (`version()` is
+    * taken by the DSv2 [[Table]] trait). */
+  private[graft] def pinnedVersion: Long = version
 
   override def name(): String = ident.toString
 

@@ -1,9 +1,10 @@
 package graft.table
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -120,6 +121,170 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
     case other   => other
+  }
+}
+
+/** `UPDATE ... SET ... WHERE` for [[SnapshotLog]] tables mounted
+  * through [[GraftTableCatalog]] — the SQL spelling of
+  * [[SnapshotLog.updateWhere]], installed as a resolution rule by
+  * [[graft.plans.GraftExtensions]] alongside [[MergeIntoLogRule]]
+  * (intercepting the analyzed [[UpdateTable]] before Spark's
+  * row-level-operation rewrite would refuse it).
+  *
+  * Supported shape, mirroring SQL DELETE's contract on this catalog
+  * ([[LogTable.exactRanges]]): the condition must be a conjunction
+  * whose per-column shape is EXACTLY a point (`c = lit`) or a closed
+  * range (`c >= lit AND c <= lit`, which is what `BETWEEN` analyzes
+  * to), each on a BARE target column against a foldable literal;
+  * `IsNotNull` is accepted where implied. Assignments may set any
+  * top-level column to a deterministic expression over the OLD row
+  * (subqueries refused). Anything else — strict bounds, OR, functions
+  * of columns, no WHERE at all — is refused loudly with the typed API
+  * named: approximating would update the wrong rows.
+  *
+  * The command pins `mode = "cow"`, like SQL DELETE: SQL DML must
+  * leave the table SQL-readable, and the catalog's raw batch scan
+  * cannot compose a deletion vector's anti-join. The typed
+  * [[SnapshotLog.updateWhere]] keeps the DV+append merge-on-read arm
+  * for low-selectivity updates at scale. */
+final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case u: UpdateTable if u.resolved => rewrite(u).getOrElse(u)
+  }
+
+  private def rewrite(u: UpdateTable): Option[LogicalPlan] = {
+    val target = EliminateSubqueryAliases(u.table) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LogTable] => r
+      case _ => return None
+    }
+    val table = target.table.asInstanceOf[LogTable]
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"UPDATE on ${table.log.tableDir}: $why")
+    if (table.pinnedVersion >= 0)
+      refuse("committed history is immutable; run DML against the head table")
+    val cond = u.condition.getOrElse(refuse(
+      "an unconditioned UPDATE rewrites the whole table — add a WHERE " +
+        "clause, or use the typed rewrite() API for full-table transforms"))
+    val preds = UpdateLogRule.exactRangeExprs(cond, target).getOrElse(refuse(
+      "only conjunctions of exact points (c = lit) and closed ranges " +
+        "(c BETWEEN lo AND hi) on bare columns convert to the log's " +
+        "stats-targeted update; use the typed SnapshotLog.updateWhere " +
+        s"for anything richer (condition: $cond)"))
+    val set = u.assignments.map { a =>
+      val name = a.key match {
+        case k: AttributeReference if target.outputSet.contains(k) => k.name
+        case other => refuse(s"assignment target $other is not a top-level " +
+          "column of the table")
+      }
+      val v = UpdateLogRule.stripAlias(a.value)
+      if (!v.deterministic) refuse(s"assignment to '$name' is " +
+        "non-deterministic — the update would not replay exactly")
+      if (v.exists(_.isInstanceOf[PlanExpression[_]]))
+        refuse(s"assignment to '$name' contains a subquery; compute it " +
+          "into a literal first, or use the typed API")
+      // re-anchor column references BY NAME so the expression resolves
+      // against the staged update frame instead of this relation's ids
+      name -> v.transform {
+        case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+      }
+    }
+    Some(UpdateLogCommand(table.log.tableDir, preds, set))
+  }
+}
+
+private[graft] object UpdateLogRule {
+
+  private[table] def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other    => other
+  }
+
+  /** Expression-level twin of [[LogTable.exactRanges]] (which sees V2
+    * filters — already constant-folded by the optimizer; this rule runs
+    * at RESOLUTION, so it folds literal sides itself via `foldable`
+    * eval). Same accepted leaves, same refuse-don't-approximate rule. */
+  private[table] def exactRangeExprs(cond: Expression,
+      target: DataSourceV2Relation): Option[Seq[(String, Any, Any)]] = {
+    def leaves(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      // analysis-time sugar (BETWEEN et al) carries its And/GTE/LTE
+      // replacement unexpanded until the optimizer — decompose through it
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        leaves(r.replacement)
+      // the replacement shares its input via a With common-subexpression
+      // block: inline the refs (the input is a bare column here — the
+      // attr/literal shape checks below still decide acceptance)
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        leaves(w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            byId.getOrElse(ref.id, ref)
+        })
+      case other     => Seq(other)
+    }
+    def litOf(e: Expression): Option[Any] =
+      if (!e.foldable || !e.deterministic) None
+      else Option(e.eval(null)).map(
+        CatalystTypeConverters.createToScalaConverter(e.dataType)(_))
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference if target.outputSet.contains(a) => Some(a.name)
+      case _ => None
+    }
+    val points = collection.mutable.Map.empty[String, List[Any]]
+    val lo = collection.mutable.Map.empty[String, List[Any]]
+    val hi = collection.mutable.Map.empty[String, List[Any]]
+    val notNull = collection.mutable.Set.empty[String]
+    def bind(m: collection.mutable.Map[String, List[Any]],
+        c: Option[String], v: Option[Any]): Boolean = (c, v) match {
+      case (Some(cc), Some(vv)) => m(cc) = vv :: m.getOrElse(cc, Nil); true
+      case _ => false
+    }
+    val ok = leaves(cond).forall {
+      case EqualTo(a, v) if attrOf(a).isDefined =>
+        bind(points, attrOf(a), litOf(v))
+      case EqualTo(v, a)             => bind(points, attrOf(a), litOf(v))
+      case GreaterThanOrEqual(a, v) if attrOf(a).isDefined =>
+        bind(lo, attrOf(a), litOf(v))
+      case GreaterThanOrEqual(v, a)  => bind(hi, attrOf(a), litOf(v))
+      case LessThanOrEqual(a, v) if attrOf(a).isDefined =>
+        bind(hi, attrOf(a), litOf(v))
+      case LessThanOrEqual(v, a)     => bind(lo, attrOf(a), litOf(v))
+      case IsNotNull(a) if attrOf(a).isDefined =>
+        notNull += attrOf(a).get; true
+      case _ => false
+    }
+    if (!ok) return None
+    val cols = (points.keySet ++ lo.keySet ++ hi.keySet).toSeq
+    val ranges = cols.map { c =>
+      (points.getOrElse(c, Nil), lo.getOrElse(c, Nil), hi.getOrElse(c, Nil)) match {
+        case (List(v), Nil, Nil)     => Some((c, v, v))
+        case (Nil, List(l), List(h)) => Some((c, l, h))
+        case _                       => None
+      }
+    }
+    if (cols.isEmpty || ranges.exists(_.isEmpty) ||
+        !notNull.forall(cols.contains)) None
+    else Some(ranges.flatten)
+  }
+}
+
+/** The executable UPDATE: resolves the table's log at execution and
+  * commits through [[SnapshotLog.updateWhereTxn]]'s stats-targeted
+  * copy-on-write path (`mode = "cow"` — SQL-readable result, see
+  * [[UpdateLogRule]]); the counting, survivor rewrite and updated-batch
+  * staging inside are fully distributed — only the commit decision is
+  * local, like every log commit. */
+final case class UpdateLogCommand(tableDir: String,
+    preds: Seq[(String, Any, Any)],
+    set: Seq[(String, Expression)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotLog.inheriting(spark, tableDir).updateWhereTxn(preds,
+      set.map { case (n, e) =>
+        n -> org.apache.spark.sql.GraftBridge.toCol(e) },
+      txn = None, mode = "cow")
+    Seq.empty
   }
 }
 

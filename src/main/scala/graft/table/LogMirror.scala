@@ -43,6 +43,11 @@ import org.apache.hadoop.fs.Path
   *    key-unique update batch) replay as `dst.mergeByKey` on the
   *    recorded key column, same watermark: an upsert against identical
   *    pre-state produces the identical post-state. O(batch) shipped.
+  *  - `update` — the recorded predicates + post-images replay as
+  *    `dst.applyUpdate` on the lane watermark: the replica retires its
+  *    own rows matching the predicates (exactly the source's
+  *    pre-images when in sync — asserted via the matched-count check)
+  *    and lands the shipped post-images. O(updated rows) shipped.
   *  - `truncate` / `overwrite` — replayed as the same verb on the
   *    replica (`dst.truncate` / `dst.overwriteAll`) riding the txns
   *    watermark: no images needed, the logical outcome is the verb.
@@ -179,6 +184,24 @@ object LogMirror {
           // rides the replica's own commit (exactly-once under rerun)
           materializePending(dst)
           dst.deleteWhereTxn(s.changes.get.preds.map(ChangePred.decode),
+            Some((lane, v)))
+          newlyApplied += 1
+        case "update" if s.changes.exists(c =>
+            c.preds.nonEmpty && c.files.nonEmpty) =>
+          // predicate + post-image replay: the replica retires its OWN
+          // rows matching the predicates (exactly the source's
+          // pre-images, by the in-sync invariant — asserted inside
+          // applyUpdate via the matched == post-image count check) and
+          // lands the shipped post-images, one commit on the lane
+          // watermark. O(updated rows) shipped, zero pre-image bytes.
+          materializePending(dst)
+          val ucs = s.changes.get
+          val udataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          val posts = src.session.read
+            .parquet(ucs.files.map(f => new Path(udataDir, f).toString): _*)
+            .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            .drop("_change_type")
+          dst.applyUpdate(ucs.preds.map(ChangePred.decode), posts,
             Some((lane, v)))
           newlyApplied += 1
         case "merge" if s.changes.exists(_.keyColumn.nonEmpty) =>

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.functions.{col, count, lit}
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 import java.util.UUID
 import scala.jdk.CollectionConverters._
@@ -269,7 +269,7 @@ object ChangePred {
 
 /** A row-removing version's recorded row-level changes (CDC images),
   * present only on tables created with `changeFeed = true` — the
-  * opt-in that makes `delete`/`merge`/`delete_keys` commits consumable
+  * opt-in that makes `delete`/`merge`/`delete_keys`/`update` commits consumable
   * by [[SnapshotLog.readChangeRows]], [[LogMirror]] and
   * [[DerivedAggregate]] instead of forcing a full resync (the
   * production CDF contract: pay a bounded extra write at commit time,
@@ -282,8 +282,10 @@ object ChangePred {
   *    copy — a whole-partition delete records no new bytes at all);
   *  - `keyColumn` — [[SnapshotLog.mergeByKey]]'s key, so a replica can
   *    replay the merge as an upsert of the insert images;
-  *  - `preds` — [[SnapshotLog.deleteWhere]]'s predicates when their
-  *    bounds are manifest-encodable, for predicate replay on replicas. */
+  *  - `preds` — [[SnapshotLog.deleteWhere]]'s / [[SnapshotLog.updateWhere]]'s
+  *    predicates when their bounds are manifest-encodable, for
+  *    predicate replay on replicas (an update replays as predicates +
+  *    its recorded post-images). */
 final case class ChangeSet(files: Seq[String] = Nil,
     deletedDataFiles: Seq[String] = Nil,
     keyColumn: String = "", preds: Seq[ChangePred] = Nil)
@@ -1315,22 +1317,25 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * them). Per-version contribution:
     *  - `append` — the added files as inserts (synthesized from the
     *    manifest, no recorded images needed);
-    *  - `delete` / `merge` / `delete_keys` — the commit's recorded
-    *    [[ChangeSet]] images: change files as written, whole-file
-    *    deletes read BY REFERENCE from the parent's data files with
-    *    'delete' attached. A merge appears as delete(pre-image) +
-    *    insert(post-image) pairs for replaced keys — the two-type
-    *    default, deliberately simpler than four-type CDF feeds;
-    *    `fourType = true` re-types a merge's pairs on its recorded key:
-    *    pre-images become 'update_preimage', replaced keys'
-    *    post-images 'update_postimage', genuinely-new keys stay
+    *  - `delete` / `merge` / `delete_keys` / `update` — the commit's
+    *    recorded [[ChangeSet]] images: change files as written,
+    *    whole-file deletes read BY REFERENCE from the parent's data
+    *    files with 'delete' attached. A merge appears as
+    *    delete(pre-image) + insert(post-image) pairs for replaced keys
+    *    — the two-type default, deliberately simpler than four-type CDF
+    *    feeds; `fourType = true` re-types a merge's pairs on its
+    *    recorded key: pre-images become 'update_preimage', replaced
+    *    keys' post-images 'update_postimage', genuinely-new keys stay
     *    'insert' — the consumer can then tell an update from an
     *    unrelated delete+insert (every delete image in a merge IS a
     *    replacement pre-image by construction: [[mergeByKey]] images
     *    deletes only for matched keys, whose post-images are all in the
-    *    insert batch). Non-merge deletes keep their types in both modes
-    *    (a truncate-then-insert is a replacement of the TABLE, not of
-    *    rows — it stays delete+insert);
+    *    insert batch). An `update` commit's images re-type
+    *    UNCONDITIONALLY under `fourType` — every image is half of an
+    *    update pair by construction ([[updateWhere]] stages one
+    *    post-image per pre-image). Non-merge deletes keep their types
+    *    in both modes (a truncate-then-insert is a replacement of the
+    *    TABLE, not of rows — it stays delete+insert);
     *  - `truncate` / `overwrite` — both sides BY REFERENCE with no
     *    recorded images (the deleted pre-images are the parent's
     *    logical table, an overwrite's inserts are its committed files),
@@ -1377,7 +1382,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             else Some(reader(s).parquet(s.files.map(path): _*)
               .withColumn("_change_type", lit("insert")))
           (dels.toSeq ++ ins.toSeq).map(_.withColumn("_commit_version", lit(v)))
-        case "delete" | "merge" | "delete_keys" =>
+        case "delete" | "merge" | "delete_keys" | "update" =>
           val cs = s.changes.getOrElse(throw new IllegalStateException(
             s"$tableDir v$v is a '${s.op}' with no recorded change images " +
               "(committed before the table was changeFeed-enabled) — " +
@@ -1386,7 +1391,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             if (cs.files.isEmpty) Nil
             else {
               val img = spark.read.parquet(cs.files.map(path): _*)
-              if (!fourType || s.op != "merge" || cs.keyColumn.isEmpty) Seq(img)
+              if (fourType && s.op == "update")
+                // every image of an `update` commit is half of an
+                // update pair BY CONSTRUCTION (updateCore stages one
+                // post-image per pre-image) — no key join needed
+                Seq(img.withColumn("_change_type",
+                  org.apache.spark.sql.functions.when(
+                    col("_change_type") === "delete", "update_preimage")
+                    .otherwise("update_postimage")))
+              else if (!fourType || s.op != "merge" || cs.keyColumn.isEmpty)
+                Seq(img)
               else {
                 // four-type pairing on the recorded merge key: replaced
                 // keys' delete/insert pairs re-type to update_*; keys
@@ -1751,21 +1765,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // all three downstream frames (planner counts, survivor rewrite,
     // DV/CDC staging) derive from this one shape, so a row a prior DV
     // already removed can never be re-counted, re-written or re-imaged
-    def alive(fs: Seq[String]): DataFrame =
-      fs.groupBy(base.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
-        val tagged = dvTagged(base, ep, g)
-        val undv =
-          if (!g.exists(base.dvs.contains)) tagged
-          else {
-            val dv = dvFrame(base, g)
-            tagged.join(org.apache.spark.sql.functions.broadcast(dv),
-              tagged(DvFileCol) === dv("_file") &&
-                tagged(DvPosCol) === dv("_pos"), "left_anti")
-          }
-        // current-epoch names so `matches` (current-name predicates)
-        // and the staged survivors both see the live schema
-        alignTo(base, ep, undv, keep = Seq(DvFileCol, DvPosCol))
-      }.reduce(_ unionByName _)
+    def alive(fs: Seq[String]): DataFrame = aliveTagged(base, fs)
     // ONE exact counting job over just the straddling files decides
     // per file: untouched (0 matches — conservative stats sent it here,
     // nothing to do), COPY-ON-WRITE (matched fraction at or above
@@ -1884,6 +1884,255 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       changeStaged.foreach(discard)
       throw new CommitConflictException(
         s"delete on $tableDir: concurrent commit since v${base.version}; rerun")
+    }
+    Some(next)
+  }
+
+  /** `fs` read position-tagged ([[DvFileCol]]/[[DvPosCol]]) with PRIOR
+    * deletion vectors applied and columns aligned to the CURRENT schema
+    * — the one shape every row-removing planner derives its counting,
+    * rewrite and image frames from, so a row a prior DV already removed
+    * can never be re-counted, re-written or re-imaged. */
+  private def aliveTagged(base: Snapshot, fs: Seq[String]): DataFrame =
+    fs.groupBy(base.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
+      val tagged = dvTagged(base, ep, g)
+      val undv =
+        if (!g.exists(base.dvs.contains)) tagged
+        else {
+          val dv = dvFrame(base, g)
+          tagged.join(org.apache.spark.sql.functions.broadcast(dv),
+            tagged(DvFileCol) === dv("_file") &&
+              tagged(DvPosCol) === dv("_pos"), "left_anti")
+        }
+      // current-epoch names so current-name predicates and the staged
+      // survivors both see the live schema
+      alignTo(base, ep, undv, keep = Seq(DvFileCol, DvPosCol))
+    }.reduce(_ unionByName _)
+
+  /** Predicate UPDATE: set columns to new values on every row matching
+    * a conjunction of [lo, hi] ranges — `UPDATE t SET c = e, ... WHERE
+    * a BETWEEN lo AND hi AND ...` as ONE transactional `update` commit.
+    *
+    * Assignment semantics are SQL's: every right-hand side evaluates
+    * against the OLD row (assignments never see each other), casts to
+    * the column's declared type (widening only — the schema does not
+    * change), and NULL-keyed predicate rows never match (same as
+    * [[deleteWhere]]). Updating a partition-source column is supported:
+    * updated rows RE-STAGE through the normal partition/sort pipeline,
+    * so they land in their new partitions — hidden partitioning keeps
+    * this invisible to the caller, exactly as production formats do.
+    *
+    * Planner: stats/partition pruning scopes the straddling set, then
+    * ONE exact counting pass chooses per file, like [[deleteWhereTxn]]:
+    *  - matched fraction >= [[SnapshotLog.DvRewriteFraction]] →
+    *    copy-on-write: the file's SURVIVORS restage (keeping any debt
+    *    drained), its matched rows join the updated batch;
+    *  - below the fraction → merge-on-read: a positional DELETION
+    *    VECTOR retires the old positions (O(matched rows) committed,
+    *    the file untouched) and the updated rows stage as new files.
+    * Either way the updated rows are written exactly once and `rows`
+    * is unchanged. `mode = "cow"` pins every straddler to the rewrite
+    * (the SQL surface does — its raw batch scan cannot compose the DV
+    * anti-join, and SQL DML must leave the table SQL-readable).
+    *
+    * CDC: on a feed-enabled table the commit records pre-images
+    * (`delete`) and post-images (`insert`) plus the predicates when
+    * encodable — [[readChangeRows]] re-types them to
+    * `update_preimage`/`update_postimage` under `fourType = true`
+    * (1:1 by construction — every image of an `update` commit is half
+    * of an update pair), [[DerivedAggregate]] folds them, and
+    * [[LogMirror]] replays the update on a replica from the predicates
+    * + post-images with zero pre-image bytes shipped. */
+  def updateWhere(preds: Seq[(String, Any, Any)],
+      set: Seq[(String, Column)]): Option[Snapshot] =
+    updateWhereTxn(preds, set)
+
+  /** [[updateWhere]] with the exactly-once `(appId, batchId)` watermark
+    * contract of [[appendStream]]/[[deleteWhereTxn]], and the
+    * `mode = "auto" | "cow"` planner pin documented there. */
+  def updateWhereTxn(preds0: Seq[(String, Any, Any)],
+      set: Seq[(String, Column)],
+      txn: Option[(String, Long)] = None,
+      mode: String = "auto"): Option[Snapshot] = {
+    require(set.nonEmpty, "updateWhere needs at least one (column, value)")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate assignment columns: ${set.map(_._1).mkString(", ")}")
+    updateCore(preds0, Left(set), txn, mode)
+  }
+
+  /** Replay half of a mirrored `update` ([[LogMirror]]): the source's
+    * recorded post-images apply verbatim instead of re-evaluating
+    * assignments — the replica deletes its own rows matching the
+    * predicates (exactly the source's pre-images, by the in-sync
+    * invariant, ASSERTED via the matched-count == post-image-count
+    * check inside) and appends the shipped post-images, as one commit
+    * riding the lane watermark. */
+  private[table] def applyUpdate(preds0: Seq[(String, Any, Any)],
+      postImages: DataFrame, txn: Option[(String, Long)]): Option[Snapshot] =
+    updateCore(preds0, Right(postImages), txn, "auto")
+
+  private def updateCore(preds0: Seq[(String, Any, Any)],
+      newValues: Either[Seq[(String, Column)], DataFrame],
+      txn: Option[(String, Long)], mode: String): Option[Snapshot] = {
+    require(mode == "auto" || mode == "cow",
+      s"unknown update mode '$mode' (auto | cow)")
+    require(preds0.nonEmpty, "updateWhere needs at least one (column, lo, hi)")
+    val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return None // replay detected — nothing stages, nothing commits
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a predicate update (its per-file row accounting assumes " +
+        "physical rows are logical rows)")
+    val schema =
+      if (base.schemaJson.nonEmpty)
+        org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      else read(base.version).schema // pre-schema manifest: one footer
+    newValues.left.foreach { set =>
+      val missing = set.map(_._1).filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"updateWhere on $tableDir: no such column(s) ${missing.mkString(", ")}" +
+          " — UPDATE cannot add columns (use addColumn/append for evolution)")
+    }
+    val preds = coercePreds(base, preds0).getOrElse(return None)
+    val touched = candidateFiles(base, preds)
+    if (touched.isEmpty) return None
+    val matches = preds.map { case (c, lo, hi) =>
+      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    val recordCdc = commitCdc(base)
+    // ONE exact counting pass over the straddling set (see
+    // deleteWhereTxn — same planner, same prior-DV-applied shape)
+    val perFile: Map[String, (Long, Long)] =
+      aliveTagged(base, touched).groupBy(col(DvFileCol))
+        .agg(count(lit(1)).as("live"),
+          count(org.apache.spark.sql.functions.when(matches, 1)).as("matched"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap // O(straddling files) rows — control-plane sized
+    val hit = touched.filter(f => perFile.get(f).exists(_._2 > 0))
+    if (hit.isEmpty) return None // provably a no-op
+    val (rewriteSet, dvSet) =
+      if (mode == "cow") (hit, Nil)
+      else hit.partition { f =>
+        val (live, matched) = perFile(f)
+        matched.toDouble / live >= DvRewriteFraction
+      }
+    val matchedTotal = hit.map(f => perFile(f)._2).sum
+    val rewriteLive = rewriteSet.map(f => perFile(f)._1).sum
+    val rewriteMatched = rewriteSet.map(f => perFile(f)._2).sum
+    val dvMatched = dvSet.map(f => perFile(f)._2).sum
+    // survivors of the rewrite set (a fully-matched file has none — it
+    // just drops from the manifest; its rows continue as updated copies)
+    val survivorsOpt =
+      if (rewriteSet.isEmpty || rewriteLive == rewriteMatched) None
+      else {
+        val st = stage(aliveTagged(base, rewriteSet).where(!matches)
+          .drop(DvFileCol, DvPosCol), base = Some(base))
+        if (st.rows != rewriteLive - rewriteMatched) {
+          discard(st)
+          throw new IllegalStateException(
+            s"update on $tableDir: planner counted ${rewriteLive -
+              rewriteMatched} survivors, rewrite staged ${st.rows} — aborted")
+        }
+        Some(st)
+      }
+    // the DV file: matched positions of the merge-on-read set
+    val dvStaged =
+      if (dvSet.isEmpty) None
+      else {
+        val st = stage(aliveTagged(base, dvSet).where(matches)
+          .select(col(DvFileCol).as("_file"), col(DvPosCol).as("_pos"))
+          .coalesce(1), partitioned = false)
+        if (st.rows != dvMatched) {
+          discard(st); survivorsOpt.foreach(discard)
+          throw new IllegalStateException(
+            s"update on $tableDir: planner counted $dvMatched DV rows, " +
+              s"staging wrote ${st.rows} — aborted")
+        }
+        Some(st)
+      }
+    // the updated rows, restaged through the normal partition/sort
+    // pipeline (they may land in NEW partitions when a partition-source
+    // column changes). Every right-hand side evaluates against the OLD
+    // row in ONE select — assignments never observe each other.
+    val updatedDf = newValues match {
+      case Left(set) =>
+        val byName = set.toMap
+        aliveTagged(base, hit).where(matches).select(schema.fields.map { f =>
+          byName.get(f.name)
+            .map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name))
+        }.toSeq: _*)
+      case Right(posts) =>
+        posts.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    val updStaged = stage(updatedDf, base = Some(base))
+    if (updStaged.rows != matchedTotal) {
+      discard(updStaged); dvStaged.foreach(discard); survivorsOpt.foreach(discard)
+      throw new IllegalStateException(
+        s"update on $tableDir: planner matched $matchedTotal rows, " +
+          s"updated batch staged ${updStaged.rows} — aborted" +
+          (if (newValues.isRight) " (replica diverged from its source — " +
+            "resync the mirror from a full read)" else ""))
+    }
+    // CDC images: pre-images from the one alive shape, post-images are
+    // the staged updated batch re-read BY NAME (exactly what committed)
+    val changeStaged =
+      if (!recordCdc) None
+      else {
+        val pre = aliveTagged(base, hit).where(matches)
+          .drop(DvFileCol, DvPosCol)
+          .withColumn("_change_type", lit("delete"))
+        val post = spark.read.parquet(
+            updStaged.files.map(f => new Path(dataDir, f).toString): _*)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("insert"))
+        val st = stage(pre.unionByName(post), partitioned = false)
+        if (st.rows == 0) { discard(st); None } else Some(st)
+      }
+    val encodedPreds = preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(
+        files = changeStaged.map(_.files).getOrElse(Nil),
+        preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
+          else Nil)) // one unencodable bound → rows-only CDC, no replay
+    val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+    val (survFiles, survBytes, survStats, survFileRows, survBlooms,
+        survFileBytes, survParts) = survivorsOpt match {
+      case Some(st) => (st.files, st.bytes, st.stats, st.fileRows,
+        st.blooms, st.fileBytes, st.partitions)
+      case None => (Nil, 0L, Map.empty[String, Map[String, ColRange]],
+        Map.empty[String, Long], Map.empty[String, Map[String, String]],
+        Map.empty[String, Long], Map.empty[String, Seq[String]])
+    }
+    val gone = rewriteSet.toSet
+    val newDvs = (base.dvs -- gone) ++ dvStaged.fold(
+      Map.empty[String, Seq[String]])(st => dvSet.map(f =>
+        f -> (base.dvs.getOrElse(f, Nil) :+ st.files.head)).toMap)
+    val next = Snapshot(base.version + 1, "update", base.version,
+      base.rows, // an update never changes the row count
+      base.bytes - rewriteBytes + survBytes + updStaged.bytes,
+      base.files.filterNot(gone) ++ survFiles ++ updStaged.files,
+      (base.stats -- gone) ++ survStats ++ updStaged.stats,
+      base.schemaJson,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+      (base.fileRows -- gone) ++ survFileRows ++ updStaged.fileRows,
+      (base.blooms -- gone) ++ survBlooms ++ updStaged.blooms,
+      (base.fileBytes -- gone) ++ survFileBytes ++ updStaged.fileBytes,
+      commitSpec(base),
+      (base.partitions -- gone) ++ survParts ++ updStaged.partitions,
+      commitSort(base), recordCdc, changeSet,
+      base.priorSpecs, base.fileSpecIdx -- gone, newDvs,
+      base.priorSchemas, base.fileSchemaIdx -- gone)
+    if (!tryCommit(next)) {
+      survivorsOpt.foreach(discard)
+      dvStaged.foreach(discard)
+      discard(updStaged)
+      changeStaged.foreach(discard)
+      throw new CommitConflictException(
+        s"update on $tableDir: concurrent commit since v${base.version}; rerun")
     }
     Some(next)
   }

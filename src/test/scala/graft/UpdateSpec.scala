@@ -1,0 +1,229 @@
+package graft
+
+import graft.table.{DerivedAggregate, AggCol, GraftTableCatalog, LogMirror, SnapshotLog}
+import org.apache.spark.sql.functions.{col, concat, lit}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Predicate UPDATE ([[SnapshotLog.updateWhere]] + the SQL
+  * [[graft.table.UpdateLogRule]]): the three-arm planner (merge-on-read
+  * DV + re-staged copies for sparse matches, copy-on-write for dense,
+  * whole-file replacement for fully-matched files), old-row assignment
+  * semantics, partition re-staging, CDC images + four-type retyping,
+  * rollup folds, mirror replay, and the SQL surface's exact-condition
+  * contract. */
+class UpdateSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-upd-").resolve("t").toString
+
+  /** 4 files, ids clustered per file: f0 0-99 ... f3 300-399. */
+  private def clustered(dir: String, feed: Boolean = false): SnapshotLog = {
+    val log =
+      if (feed) SnapshotLog.withChangeFeed(spark, dir, statsColumns = Seq("id"))
+      else SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    (0 until 4).foreach { run =>
+      log.append((0 until 100).map(i => (run * 100 + i, s"r$run-$i"))
+        .toDF("id", "payload").coalesce(1))
+    }
+    assert(log.snapshot().files.size == 4)
+    log
+  }
+
+  private def rows(log: SnapshotLog, v: Long = -1L): Map[Int, String] =
+    log.read(v).as[(Int, String)].collect().toMap
+
+  test("sparse update commits a vector + re-staged copies, no rewrite; dense update CoWs") {
+    val log = clustered(freshTable())
+    val before = log.snapshot()
+    // 10 of f1's 100 rows (fraction 0.1 < DvRewriteFraction): the old
+    // positions retire via a DV, the updated copies land as new files —
+    // O(matched rows), f1's data file untouched
+    val s1 = log.updateWhere(Seq(("id", 120, 129)),
+      Seq("payload" -> lit("sparse"))).get
+    assert(s1.op == "update" && s1.rows == 400)
+    assert(before.files.forall(s1.files.contains),
+      "a sparse update must keep every pre-update data file")
+    assert(s1.dvs.size == 1, s"one vector on the one straddled file: ${s1.dvs}")
+    val r1 = rows(log)
+    assert((120 to 129).forall(r1(_) == "sparse"))
+    assert(r1(119) == "r1-19" && r1(130) == "r1-30" && r1.size == 400)
+    // 80 of f2's 100 rows (0.8 >= fraction): copy-on-write — f2 drops,
+    // survivors + updated copies restage, no NEW vector appears
+    val f2 = before.files(2)
+    val s2 = log.updateWhere(Seq(("id", 200, 279)),
+      Seq("payload" -> lit("dense"))).get
+    assert(!s2.files.contains(f2), "a dense update must rewrite the file")
+    assert(s2.dvs == s1.dvs, "the dense arm must not add vectors")
+    assert(s2.rows == 400)
+    val r2 = rows(log)
+    assert((200 to 279).forall(r2(_) == "dense"))
+    assert(r2(280) == "r2-80" && r2(120) == "sparse" && r2.size == 400)
+    // fully-matched file: zero survivors — the file just drops
+    val s3 = log.updateWhere(Seq(("id", 300, 399)),
+      Seq("payload" -> lit("all"))).get
+    assert(!s3.files.contains(before.files(3)))
+    assert(rows(log)(350) == "all" && s3.rows == 400)
+    // time travel: every pre-update version reads as committed
+    assert(rows(log, before.version)(125) == "r1-25")
+    assert(rows(log, s1.version)(125) == "sparse")
+    assert(rows(log, s1.version)(250) == "r2-50")
+  }
+
+  test("assignments see the OLD row, cast to the column type; guards refuse bad shapes") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("k"))
+    log.append(Seq((1, 10, 100), (2, 20, 200), (3, 30, 300))
+      .toDF("k", "a", "b").coalesce(1))
+    // swap a and b: both right-hand sides must read the pre-update row
+    log.updateWhere(Seq(("k", 1, 2)), Seq("a" -> col("b"), "b" -> col("a")))
+    val out = log.read().as[(Int, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1, 100, 10), (2, 200, 20), (3, 30, 300)))
+    // a long literal casts onto the int column (widening-in, no schema change)
+    log.updateWhere(Seq(("k", 3, 3)), Seq("a" -> lit(7L)))
+    assert(log.read().where(col("k") === 3).select("a").as[Int].head() == 7)
+    assert(log.snapshot().schemaJson ==
+      log.snapshot(1L).schemaJson, "UPDATE never evolves the schema")
+    // refusals / no-ops
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Seq(("k", 1, 1)), Seq("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Seq(("k", 1, 1)), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      log.updateWhere(Nil, Seq("a" -> lit(1)))
+    }
+    assert(log.updateWhere(Seq(("k", 99, 100)), Seq("a" -> lit(1))).isEmpty,
+      "no matching row is a provable no-op")
+    val cur = log.currentVersion()
+    // exactly-once: a replayed (appId, batchId) commits nothing
+    assert(log.updateWhereTxn(Seq(("k", 1, 1)), Seq("a" -> lit(0)),
+      Some(("lane", 1L))).isDefined)
+    assert(log.updateWhereTxn(Seq(("k", 1, 1)), Seq("a" -> lit(-1)),
+      Some(("lane", 1L))).isEmpty)
+    assert(log.currentVersion() == cur + 1)
+    assert(log.read().where(col("k") === 1).select("a").as[Int].head() == 0)
+  }
+
+  test("updating a partition-source column re-stages rows into their new partitions") {
+    val dir = freshTable()
+    val log = SnapshotLog.partitioned(spark, dir,
+      Seq(graft.table.PartitionField.identity("bucketCol")),
+      statsColumns = Seq("id"))
+    log.append((0 until 100).map(i => (i, if (i < 50) "a" else "b", s"p$i"))
+      .toDF("id", "bucketCol", "payload"))
+    // move ids 40-49 from partition a to partition c
+    log.updateWhere(Seq(("id", 40, 49)), Seq("bucketCol" -> lit("c")))
+    val s = log.snapshot()
+    // the updated rows' files carry the NEW partition tuple
+    val cFiles = s.partitions.collect {
+      case (f, Seq("c")) => f }.toSet
+    assert(cFiles.nonEmpty, s"updated rows must land under the new tuple: ${s.partitions}")
+    // partition-pruned reads stay exact on both sides of the move
+    assert(log.readWhere(("bucketCol", "c", "c")).count() == 10)
+    assert(log.readWhere(("bucketCol", "a", "a")).count() == 40)
+    assert(log.read().count() == 100)
+  }
+
+  test("CDC: images net to the table, four-type re-types 1:1, rollup folds exactly") {
+    val log = clustered(freshTable(), feed = true)
+    val v0 = log.currentVersion()
+    log.updateWhere(Seq(("id", 150, 249)), // straddles f1+f2, 50 rows each
+      Seq("payload" -> concat(lit("u:"), col("payload"))))
+    // two-type: 100 deletes + 100 inserts, and feed-net == table
+    val feed = log.readChangeRows(0L)
+    val byType = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType("delete") == 100 && byType("insert") == 500)
+    // four-type: the update pair re-types unconditionally — appends stay inserts
+    val four = log.readChangeRows(v0, fourType = true)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    assert(four == Map("update_preimage" -> 100L, "update_postimage" -> 100L))
+    val post = four("update_postimage")
+    assert(post == 100L)
+    // pre-images carry old values, post-images new
+    val pre170 = log.readChangeRows(v0, fourType = true)
+      .where(col("id") === 170).orderBy(col("_change_type"))
+      .select("_change_type", "payload").as[(String, String)].collect().toSeq
+    assert(pre170 == Seq(("update_postimage", "u:r1-70"), ("update_preimage", "r1-70")))
+    // incremental rollup over the update span == full recompute
+    val derived = SnapshotLog(spark, freshTable())
+    val agg = new DerivedAggregate(log, derived, "payload",
+      Seq(AggCol("n", "count"), AggCol("s", "sum", "id")))
+    agg.refresh()
+    val got = derived.read().as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    val want = log.read().groupBy("payload")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("id").as("s"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(got == want)
+  }
+
+  test("mirror replays an update from predicates + post-images; rerun is idempotent") {
+    val src = clustered(freshTable(), feed = true)
+    val dst = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    LogMirror.mirror(src, dst)
+    src.updateWhere(Seq(("id", 42, 44)), Seq("payload" -> lit("upd")))
+    src.updateWhere(Seq(("id", 100, 199)), Seq("payload" -> lit("whole")))
+    LogMirror.mirror(src, dst)
+    assert(rows(dst) == rows(src))
+    assert(rows(dst)(43) == "upd" && rows(dst)(150) == "whole")
+    // rerun: both update versions are behind the lane watermark — skipped
+    val dv = dst.currentVersion()
+    LogMirror.mirror(src, dst)
+    assert(dst.currentVersion() == dv)
+    // an update on a NON-feed source records no images → refusal, not silence
+    val bare = clustered(freshTable())
+    val dst2 = SnapshotLog(spark, freshTable())
+    LogMirror.mirror(bare, dst2)
+    bare.updateWhere(Seq(("id", 1, 2)), Seq("payload" -> lit("x")))
+    val ex = intercept[IllegalStateException] { LogMirror.mirror(bare, dst2) }
+    assert(ex.getMessage.contains("resync"))
+  }
+
+  test("SQL UPDATE routes through the log; inexact conditions refuse loudly") {
+    val root = Files.createTempDirectory("graft-upd-sql-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1010).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupd1"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"UPDATE $cat.t1 SET v = concat(v, '!') WHERE id BETWEEN 1000 AND 1004")
+    assert(log.snapshot().op == "update",
+      "SQL UPDATE must land as one transactional update commit")
+    assert(log.snapshot().dvs.isEmpty,
+      "the SQL surface pins copy-on-write — the table stays SQL-readable")
+    val out = s.sql(s"SELECT id, v FROM $cat.t1 WHERE id >= 1000 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(out.take(5) == (1000L to 1004L).map(i => (i, s"b$i!")) &&
+      out.drop(5) == (1005L until 1010L).map(i => (i, s"b$i")))
+    assert(log.read().count() == 20)
+    // point condition + expression over the old row
+    s.sql(s"UPDATE $cat.t1 SET v = upper(v) WHERE id = 3")
+    assert(rowsOf(s, cat)(3L) == "A3")
+    def refused(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception] { s.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
+    }
+    refused(s"UPDATE $cat.t1 SET v = 'x'", "WHERE")
+    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE id = 1 OR id = 5", "exact points")
+    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE v LIKE 'a%'", "exact points")
+  }
+
+  private def rowsOf(s: org.apache.spark.sql.SparkSession,
+      cat: String): Map[Long, String] = {
+    import s.implicits._
+    s.sql(s"SELECT id, v FROM $cat.t1").as[(Long, String)].collect().toMap
+  }
+}
