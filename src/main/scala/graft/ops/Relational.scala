@@ -586,6 +586,57 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded SQL change feed ([[graft.table.LogTableFunction]]
+    * `graft_log_changes` → [[graft.table.SnapshotLog.readChangeRows]]):
+    * supplier as a feed-enabled log table that then takes a predicate
+    * UPDATE (+50 on nations 0–4) and a predicate DELETE (nation 10);
+    * the graded query folds the ENTIRE row-level feed in pure SQL — a
+    * signed sum over `_change_type` — into per-nation counts and
+    * balances. The fold nets inserts against delete images, so the
+    * result must equal the FINAL table state: a missing image, a
+    * double-shipped pre-image, an update pair landing on the wrong
+    * rows, or a feed hole all break the cancellation and
+    * hash-mismatch against DuckDB computing the post-DML state
+    * directly from raw supplier. This is the CDC-consumer contract
+    * (feed ≡ state) graded end-to-end through the SQL surface. */
+  def q43LogSqlChangefeed(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"cdf43:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-cdf-")
+        .resolve("t").toString
+      val log = graft.table.SnapshotLog.withChangeFeed(spark, tmp,
+        statsColumns = Seq("s_nationkey"))
+      log.append(t(spark, dir, "supplier"))                          // v1
+      log.updateWhere(Seq(("s_nationkey", 0, 4)),                    // v2
+        Seq("s_acctbal" -> (col("s_acctbal") + lit(50.0))))
+      log.deleteWhere(("s_nationkey", 10, 10))                       // v3
+      tmp
+    })
+    s.sql(
+      s"""SELECT s_nationkey,
+         |  CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)
+         |    AS BIGINT) AS n_supp,
+         |  CAST(sum(CAST(CASE WHEN _change_type = 'insert' THEN s_acctbal
+         |                     ELSE -s_acctbal END AS DECIMAL(28,6)))
+         |    AS DOUBLE) AS sum_bal
+         |FROM graft_log_changes('$path', 0)
+         |GROUP BY s_nationkey
+         |HAVING sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END) > 0
+         |ORDER BY s_nationkey""".stripMargin)
+  }
+
+  def q43Oracle: String =
+    """SELECT s_nationkey, count(*) AS n_supp,
+      |  CAST(sum(CAST(CASE WHEN s_nationkey BETWEEN 0 AND 4
+      |                     THEN s_acctbal + 50.0
+      |                     ELSE s_acctbal END AS DECIMAL(28,6)))
+      |       AS DOUBLE) AS sum_bal
+      |FROM supplier
+      |WHERE s_nationkey <> 10
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

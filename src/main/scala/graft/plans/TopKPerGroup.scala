@@ -202,6 +202,8 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // SQL surface of the transaction-log table format: graft_log(path
     // [, version]) resolves to the snapshot's plan at analysis time
     ext.injectTableFunction(graft.table.LogTableFunction.description)
+    // SQL change feed: graft_log_changes(path, from [, to [, fourType]])
+    ext.injectTableFunction(graft.table.LogTableFunction.changesDescription)
     // MERGE INTO on catalog-mounted log tables → SnapshotLog.mergeByKey
     ext.injectResolutionRule(s => new graft.table.MergeIntoLogRule(s))
     // UPDATE ... SET ... WHERE on catalog-mounted log tables →

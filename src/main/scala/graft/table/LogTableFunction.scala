@@ -42,48 +42,57 @@ object LogTableFunction {
       new ExpressionInfo(getClass.getName.stripSuffix("$"), "graft_log"),
       build _)
 
-  private def build(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 1 || args.size == 2,
-      s"graft_log takes (path [, version]), got ${args.size} arguments")
-    val path = args.head match {
+  /** First-arg contract shared by both functions: a string-literal
+    * table directory. */
+  private def pathOf(fn: String, args: Seq[Expression]): String =
+    args.head match {
       case e if e.foldable && e.dataType ==
           org.apache.spark.sql.types.StringType =>
         e.eval().toString
       case other => throw new IllegalArgumentException(
-        s"graft_log path must be a string literal, got $other")
+        s"$fn path must be a string literal, got $other")
     }
+
+  /** A version argument: an integer version, a NAMED TAG (explicit user
+    * refs win), or an ISO-instant / UTC wall-clock string resolved
+    * through the manifests' commit clocks — the TVF spelling of the
+    * catalog's VERSION/TIMESTAMP AS OF. */
+  private def versionArg(fn: String, log: SnapshotLog,
+      e: Expression): Long = e match {
+    case e if e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }) =>
+      e.eval().asInstanceOf[Number].longValue()
+    case e if e.foldable &&
+        e.dataType == org.apache.spark.sql.types.StringType =>
+      val t = e.eval().toString.trim
+      log.versionOfTag(t).getOrElse {
+        val instant = scala.util.Try(java.time.Instant.parse(t))
+          .orElse(scala.util.Try(java.time.LocalDateTime
+            .parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$fn: '$t' is neither an integer version, a tag, " +
+              "nor a parseable timestamp (ISO instant or " +
+              "'yyyy-MM-dd HH:mm:ss' UTC)"))
+        log.versionAt(instant.toEpochMilli)
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn version must be an integer or timestamp-string literal, got $other")
+  }
+
+  private def build(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1 || args.size == 2,
+      s"graft_log takes (path [, version]), got ${args.size} arguments")
+    val path = pathOf("graft_log", args)
     val spark = SparkSession.active
     val log = SnapshotLog(spark, path)
-    val version = args.lift(1).map {
-      case e if e.foldable && (e.dataType match {
-        case org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }) =>
-        e.eval().asInstanceOf[Number].longValue()
-      case e if e.foldable &&
-          e.dataType == org.apache.spark.sql.types.StringType =>
-        // string travel: a NAMED TAG first (explicit user refs win),
-        // else an ISO instant or UTC-read wall-clock string resolved
-        // through the manifests' commit clocks — the TVF spelling of
-        // the catalog's VERSION/TIMESTAMP AS OF
-        val t = e.eval().toString.trim
-        log.versionOfTag(t).getOrElse {
-          val instant = scala.util.Try(java.time.Instant.parse(t))
-            .orElse(scala.util.Try(java.time.LocalDateTime
-              .parse(t.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC)))
-            .getOrElse(throw new IllegalArgumentException(
-              s"graft_log: '$t' is neither an integer version, a tag, " +
-                "nor a parseable timestamp (ISO instant or " +
-                "'yyyy-MM-dd HH:mm:ss' UTC)"))
-          log.versionAt(instant.toEpochMilli)
-        }
-      case other => throw new IllegalArgumentException(
-        s"graft_log version must be an integer or timestamp-string literal, got $other")
-    }.getOrElse(-1L)
+    val version = args.lift(1)
+      .map(versionArg("graft_log", log, _)).getOrElse(-1L)
     val snap = log.snapshot(version) // resolve -1 → head ONCE, here
     if (snap.tombstones.isEmpty && snap.dvs.isEmpty &&
         snap.fileSchemaIdx.isEmpty) {
@@ -99,5 +108,49 @@ object LogTableFunction {
       // alignment) — correctness first, manifest file pruning resumes
       // at the next materialization
       org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
+  }
+
+  /** The `injectTableFunction` description tuple for
+    * `graft_log_changes` — the SQL spelling of
+    * [[SnapshotLog.readChangeRows]] (the `table_changes` pattern):
+    * {{{
+    * SELECT * FROM graft_log_changes('/lake/t', 2)           -- (2, head]
+    * SELECT * FROM graft_log_changes('/lake/t', 2, 5)        -- (2, 5]
+    * SELECT * FROM graft_log_changes('/lake/t', 'v2-tag', 5, true)
+    * }}}
+    * `from`/`to` take the SAME integer/tag/timestamp forms as
+    * `graft_log`'s travel argument (`from` is EXCLUSIVE, matching the
+    * typed feed's cursor contract — "changes after the version I
+    * applied"); the optional boolean re-types merge/update pairs to
+    * `update_preimage`/`update_postimage` (four-type CDF). The result
+    * carries the table's columns plus `_change_type` and
+    * `_commit_version`, and composes with every downstream SQL
+    * construct. Cost is the feed's: O(changed rows) read, never
+    * O(table). */
+  def changesDescription: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("graft_log_changes"),
+      new ExpressionInfo(getClass.getName.stripSuffix("$"), "graft_log_changes"),
+      buildChanges _)
+
+  private def buildChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.size >= 2 && args.size <= 4,
+      s"graft_log_changes takes (path, from [, to [, fourType]]), " +
+        s"got ${args.size} arguments")
+    val path = pathOf("graft_log_changes", args)
+    val spark = SparkSession.active
+    val log = SnapshotLog(spark, path)
+    val from = versionArg("graft_log_changes", log, args(1))
+    val to = args.lift(2)
+      .map(versionArg("graft_log_changes", log, _)).getOrElse(-1L)
+    val fourType = args.lift(3).map {
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.BooleanType =>
+        e.eval().asInstanceOf[Boolean]
+      case other => throw new IllegalArgumentException(
+        s"graft_log_changes fourType must be a boolean literal, got $other")
+    }.getOrElse(false)
+    org.apache.spark.sql.GraftBridge.logicalPlan(
+      log.readChangeRows(from, to, fourType))
   }
 }

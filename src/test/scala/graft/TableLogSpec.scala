@@ -1649,6 +1649,53 @@ class TableLogSpec extends AnyFunSuite {
       .head().getLong(0) == 97)
   }
 
+  test("graft_log_changes: SQL change feed spans appends/update/delete; four-type flag; tag cursor") {
+    val dir = freshTable()
+    val log = SnapshotLog.withChangeFeed(spark, dir, statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i, i * 10)).toDF("id", "x").coalesce(1)) // v1
+    log.createTag("seeded")
+    log.append((10 until 15).map(i => (i, i * 10)).toDF("id", "x").coalesce(1)) // v2
+    log.updateWhere(Seq(("id", 3, 4)),
+      Seq("x" -> org.apache.spark.sql.functions.lit(-1)))                     // v3
+    log.deleteBetween("id", 12, 12)                                            // v4
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    // full span: two-type counts match the typed feed
+    val counts = s.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_log_changes('$dir', 0)
+         |GROUP BY _change_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("insert" -> 17L, "delete" -> 3L)) // 15+2 upd, 2 upd+1 del
+    // the feed NETS to the table (signed fold in pure SQL)
+    val net = s.sql(
+      s"""SELECT CAST(sum(CASE WHEN _change_type = 'insert' THEN 1 ELSE -1 END)
+         |  AS BIGINT) AS n
+         |FROM graft_log_changes('$dir', 0)""".stripMargin).head().getLong(0)
+    assert(net == log.read().count())
+    // (from, to] is exclusive-from: the tag names the applied cursor
+    val afterSeed = s.sql(
+      s"SELECT count(*) AS n FROM graft_log_changes('$dir', 'seeded', 2)")
+      .head().getLong(0)
+    assert(afterSeed == 5, "only v2's appended rows are in (v1, v2]")
+    // four-type: the update pair re-types, the delete keeps its type
+    val four = s.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_log_changes('$dir', 1, 4, true)
+         |GROUP BY _change_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(four == Map("insert" -> 5L, "update_preimage" -> 2L,
+      "update_postimage" -> 2L, "delete" -> 1L))
+    // refusals: missing cursor, non-literal args
+    assertThrows[Exception] {
+      s.sql(s"SELECT * FROM graft_log_changes('$dir')").collect()
+    }
+    assertThrows[Exception] {
+      s.sql(s"SELECT * FROM graft_log_changes('$dir', CAST(rand() AS INT))")
+        .collect()
+    }
+  }
+
   test("graft_log prunes manifest files from pure-SQL predicates like the catalog path") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
