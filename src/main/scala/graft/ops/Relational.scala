@@ -637,6 +637,60 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded WRITE-AUDIT-PUBLISH ([[graft.table.SnapshotLog.createBranch]]
+    * → branch-side append/update/delete → [[graft.table.SnapshotLog
+    * .publishBranch]]): half of orders lands directly, the other half
+    * plus two corrective DML commits stage on an isolated branch, and
+    * the branch fast-forwards onto main only after the fixture audits
+    * it. The graded aggregate runs against the PUBLISHED main table —
+    * a fork that leaked early, a publish that dropped/duplicated a
+    * branch commit, or wrong fast-forward parent linkage shifts the
+    * per-status counts/sums and hash-mismatches against DuckDB
+    * computing the same end state set-algebraically from raw orders.
+    * This is the production backfill shape at 100 TB: risky reprocess
+    * on a branch, one atomic-per-commit fast-forward, zero data
+    * copied (the file LIST forks, the files are shared immutable
+    * objects). */
+  def q44LogWap(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"wap44:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-wap-")
+        .resolve("t").toString
+      val log = graft.table.SnapshotLog(spark, tmp,
+        statsColumns = Seq("o_orderkey"))
+      val orders = t(spark, dir, "orders")
+      log.append(orders.where(col("o_orderkey") <= 15000))           // v1
+      log.createBranch("backfill")
+      val b = log.branch("backfill")
+      b.append(orders.where(col("o_orderkey") > 15000))              // b2
+      b.updateWhere(Seq(("o_orderkey", 20000L, 30000L)),             // b3
+        Seq("o_totalprice" -> (col("o_totalprice") * lit(2.0))))
+      b.deleteWhere(("o_orderkey", 1L, 1000L))                       // b4
+      // audit gate: the branch must hold exactly the survivors before
+      // anything publishes (the WAP contract the fixture enforces)
+      require(b.read().count() ==
+        orders.where(!col("o_orderkey").between(1, 1000)).count(),
+        "q44 fixture: branch audit failed — refusing to publish")
+      log.publishBranch("backfill")
+      tmp
+    })
+    graft.table.SnapshotLog(spark, path).read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), "sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  def q44Oracle: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey BETWEEN 20000 AND 30000
+      |                     THEN o_totalprice * 2.0
+      |                     ELSE o_totalprice END AS DECIMAL(28,6)))
+      |       AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderkey BETWEEN 1 AND 1000)
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

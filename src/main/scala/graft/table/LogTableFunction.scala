@@ -90,9 +90,20 @@ object LogTableFunction {
       s"graft_log takes (path [, version]), got ${args.size} arguments")
     val path = pathOf("graft_log", args)
     val spark = SparkSession.active
-    val log = SnapshotLog(spark, path)
-    val version = args.lift(1)
-      .map(versionArg("graft_log", log, _)).getOrElse(-1L)
+    val main = SnapshotLog(spark, path)
+    // 'branch:<name>' reads a WRITE-AUDIT-PUBLISH branch's head — the
+    // audit half of the WAP loop in pure SQL (the branch is its own
+    // chain, so the ordinary version/tag/timestamp forms below always
+    // address MAIN)
+    val branchOf = args.lift(1).collect {
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.StringType &&
+          e.eval().toString.trim.startsWith("branch:") =>
+        e.eval().toString.trim.stripPrefix("branch:")
+    }
+    val log = branchOf.fold(main)(main.branch)
+    val version = if (branchOf.isDefined) -1L
+      else args.lift(1).map(versionArg("graft_log", log, _)).getOrElse(-1L)
     val snap = log.snapshot(version) // resolve -1 → head ONCE, here
     if (snap.tombstones.isEmpty && snap.dvs.isEmpty &&
         snap.fileSchemaIdx.isEmpty) {

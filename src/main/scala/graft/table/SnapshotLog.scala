@@ -388,7 +388,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     bloomColumns: Seq[String] = Nil,
     partitionBy: Seq[PartitionField] = Nil,
     sortBy: Seq[String] = Nil,
-    changeFeed: Boolean = false) {
+    changeFeed: Boolean = false,
+    /** When set, this handle operates a BRANCH of the table
+      * ([[SnapshotLog.createBranch]]): its manifests live under a
+      * prefixed namespace (`b-<name>-v...`) in the SAME log dir, its
+      * data files land in the SAME data dir (inert until referenced),
+      * and every operation — append, delete, update, merge, compact,
+      * time travel — works unchanged because the whole commit protocol
+      * routes through the instance manifest namespace. Lifecycle verbs
+      * (vacuum, tags, branch create/publish/drop) stay on the MAIN
+      * handle, which owns shared-file liveness. */
+    private[table] val branchName: Option[String] = None) {
   import SnapshotLog._
 
   /** The owning session, for jobs that compose transforms through this
@@ -416,7 +426,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * ([[InMemoryCommitStore]] proves the contract in TableLogSpec). */
   private val store: CommitStore = store0.getOrElse(new FsCommitStore(fs, logDir))
 
-  private def manifestName(v: Long) = f"v$v%020d.json"
+  /** This handle's manifest-name prefix: `v` for the main chain, a
+    * branch-scoped `b-<name>-v` otherwise — the ONE namespace seam the
+    * whole branch feature rests on (every op already routes through
+    * [[manifestName]] / [[ManifestRe]]). */
+  private val manifestPrefix = branchName.fold("v")(b => s"b-$b-v")
+
+  private def manifestName(v: Long) = f"$manifestPrefix$v%020d.json"
+
+  /** Full-name matcher for THIS chain's manifests (a branch prefix
+    * never matches the main regex and vice versa — the listing sites
+    * are chain-isolated by construction). */
+  private val ManifestRe =
+    (java.util.regex.Pattern.quote(manifestPrefix) + """(\d{20})\.json""").r
 
   /** Parsed, immutable manifest SEGMENTS ([[writeSegment]]), cached for
     * the life of this handle — a segment file never changes once
@@ -561,7 +583,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * `v<digits>.json` counts, so a half-written commit is invisible. */
   def currentVersion(): Long =
     store.list().flatMap {
-      case ManifestName(d) => Some(d.toLong)
+      case ManifestRe(d) => Some(d.toLong)
       case _               => None
     }.foldLeft(0L)(math.max)
 
@@ -739,7 +761,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def versionAt(tsMillis: Long): Long = {
     // one LIST yields the retained set — not a per-version exists() probe
     val live = store.list().flatMap {
-      case ManifestName(d) => Some(d.toLong)
+      case ManifestRe(d) => Some(d.toLong)
       case _               => None
     }.sorted
     require(live.nonEmpty, s"$tableDir has no committed version")
@@ -786,7 +808,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   /** All retained versions, oldest first. */
   def history(): Seq[Snapshot] =
     store.list().flatMap {
-      case ManifestName(d) => Some(d.toLong)
+      case ManifestRe(d) => Some(d.toLong)
       case _               => None
     }.sorted.map(snapshot(_))
 
@@ -2827,6 +2849,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * already points at the same version (idempotent); retargeting is
     * drop + create, loud and deliberate. Returns the pinned version. */
   def createTag(name: String, version: Long = -1L): Long = {
+    require(branchName.isEmpty,
+      "tags pin MAIN-chain versions — create them on the main handle " +
+        "(a branch is already a named ref; publish or drop it instead)")
     require(SnapshotLog.TagNameRe.matches(name),
       s"tag '$name' — names are [A-Za-z0-9][A-Za-z0-9._-]*")
     val v = if (version < 0) currentVersion() else version
@@ -2866,8 +2891,143 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   private def refName(name: String) = s"$RefPrefix$name.json"
 
+  // ---- branches: write-audit-publish -------------------------------
+
+  private def branchRefName(name: String) = s"$BranchRefPrefix$name.json"
+
+  private def branchHandle(name: String): SnapshotLog =
+    new SnapshotLog(spark, tableDir, statsColumns, store0, bloomColumns,
+      partitionBy, sortBy, changeFeed, Some(name))
+
+  /** Fork a writable BRANCH at `version` (head by default) — the
+    * write-audit-publish primitive: stage risky work (a backfill, a
+    * reprocessed partition, a new dedup pass) on an isolated chain,
+    * audit it with every read surface, then [[publishBranch]]
+    * fast-forwards the main chain or [[dropBranch]] discards — main
+    * readers never see unaudited data either way.
+    *
+    * Mechanics: branch v1 is the fork-point snapshot re-committed under
+    * the branch's manifest namespace (`b-<name>-v...` beside the main
+    * manifests, one commit, zero data copied — the file LIST forks, the
+    * files are shared immutable objects). The returned handle — and any
+    * later [[branch]] handle — then runs the FULL op surface against
+    * the branch chain: append, delete/update/merge, compaction, time
+    * travel within the branch, CDC, exactly-once watermarks, because
+    * the entire commit protocol is namespaced by [[manifestName]].
+    * [[vacuum]] (main handle) treats every branch version's files as
+    * live, so a branch can trail main's retention safely.
+    *
+    * Returns the fork-point version. Re-creating an existing branch at
+    * the SAME fork point is idempotent; at a different one refuses
+    * (drop first). */
+  def createBranch(name: String, version: Long = -1L): Long = {
+    require(branchName.isEmpty,
+      s"branches fork from the MAIN chain (this handle is branch '${branchName.orNull}')")
+    require(SnapshotLog.TagNameRe.matches(name),
+      s"branch '$name' — names are [A-Za-z0-9][A-Za-z0-9._-]*")
+    val v = if (version < 0) currentVersion() else version
+    require(v >= 1 && store.exists(manifestName(v)),
+      s"cannot branch $tableDir at v$v — no such committed version")
+    val b = branchHandle(name)
+    if (b.currentVersion() == 0)
+      b.tryCommit(snapshot(v).copy(version = 1L, op = "branch", parent = 0L))
+    val payload = s"""{"branch":"$name","fork":$v}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!store.putIfAbsent(branchRefName(name), payload)) {
+      val existing = forkOf(name)
+      require(existing.contains(v),
+        s"branch '$name' on $tableDir already forked at v${existing.orNull} — " +
+          "drop it before re-branching elsewhere")
+    }
+    v
+  }
+
+  /** A handle on existing branch `name` — every [[SnapshotLog]] op
+    * works against the branch chain (see [[createBranch]]). */
+  def branch(name: String): SnapshotLog = {
+    require(branchName.isEmpty, "branch-of-branch is not supported")
+    require(forkOf(name).isDefined,
+      s"no branch '$name' on $tableDir — createBranch first")
+    branchHandle(name)
+  }
+
+  /** All branches as name → fork-point version. O(refs) listing. */
+  def branches(): Map[String, Long] =
+    store.list().filter(n => n.startsWith(BranchRefPrefix) && n.endsWith(".json"))
+      .flatMap { n =>
+        val b = n.stripPrefix(BranchRefPrefix).stripSuffix(".json")
+        forkOf(b).map(b -> _)
+      }.toMap
+
+  /** The fork-point version of branch `name`, if it exists. */
+  def forkOf(name: String): Option[Long] =
+    if (!SnapshotLog.TagNameRe.matches(name)) None
+    else store.get(branchRefName(name)).map { bytes =>
+      mapper.readTree(bytes).get("fork").asLong()
+    }
+
+  /** Discard branch `name`: the ref and the branch manifests go now;
+    * branch-only data files and segments become orphans the next
+    * [[vacuum]] sweeps. Idempotent. Main history is untouched. */
+  def dropBranch(name: String): Unit = {
+    require(branchName.isEmpty, "dropBranch runs on the MAIN handle")
+    store.delete(branchRefName(name))
+    val prefix = s"b-$name-v"
+    store.list().filter(n => n.startsWith(prefix) && n.endsWith(".json"))
+      .foreach(store.delete)
+  }
+
+  /** PUBLISH branch `name`: fast-forward the main chain with every
+    * branch commit past the fork point (branch version i lands as main
+    * version fork+i-1, parents relinked — the manifests are re-CAS'd
+    * verbatim, no data moves), then drop the branch. Audit history is
+    * preserved: the published main versions carry the branch's ops
+    * (append/delete/update/...), so DESCRIBE HISTORY shows what the
+    * branch actually did, and time travel into the published span works
+    * like any other.
+    *
+    * Fast-forward-only: if main advanced past the fork point with
+    * DIFFERENT commits, publish refuses with
+    * [[CommitConflictException]] and the branch survives — recreate it
+    * from the new head and replay (rebase is the operator's call, not
+    * something to guess at). An interrupted publish is resumable: a
+    * main version already holding the identical commit (same op, file
+    * set and row count) is skipped, a differing one refuses.
+    *
+    * Returns the new main head version. */
+  def publishBranch(name: String): Long = {
+    require(branchName.isEmpty, "publishBranch runs on the MAIN handle")
+    val fork = forkOf(name).getOrElse(throw new IllegalArgumentException(
+      s"no branch '$name' on $tableDir"))
+    val b = branchHandle(name)
+    val bCur = b.currentVersion()
+    require(bCur >= 1, s"branch '$name' has no committed fork snapshot")
+    (2L to bCur).foreach { i =>
+      val target = fork + i - 1
+      val bs = b.snapshot(i)
+      val ms = bs.copy(version = target, parent = target - 1)
+      if (store.exists(manifestName(target))) {
+        val existing = snapshot(target)
+        if (existing.op != ms.op || existing.files.toSet != ms.files.toSet ||
+            existing.rows != ms.rows)
+          throw new CommitConflictException(
+            s"publish of branch '$name' onto $tableDir: main diverged at " +
+              s"v$target (op '${existing.op}' vs branch '${ms.op}') — " +
+              "recreate the branch from the current head and replay")
+      } else if (!tryCommit(ms))
+        throw new CommitConflictException(
+          s"publish of branch '$name' onto $tableDir: lost the CAS race " +
+            s"at v$target; rerun publish (already-published prefix is kept)")
+    }
+    dropBranch(name)
+    fork + bCur - 1
+  }
+
   def vacuum(keepLast: Int = 2, graceMs: Long = 3600000L): Int = {
     require(keepLast >= 1, s"must retain at least one version: $keepLast")
+    require(branchName.isEmpty,
+      "vacuum runs on the MAIN handle — it owns the shared data-file " +
+        "liveness across the main chain, tags and every branch")
     val cur = currentVersion()
     if (cur == 0) return 0
     val keepFrom = math.max(1L, cur - keepLast + 1)
@@ -2884,17 +3044,23 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // TIGHTER vacuum — skip it rather than crash the wider one
     val retainedVersions =
       ((keepFrom to cur) ++ tagged.filter(_ < keepFrom)).distinct
-    val live = retainedVersions
+    def liveOf(s: Snapshot): Seq[String] =
+      s.files ++ s.tombstones.map(_.file) ++ // tombstones are live metadata
+        s.dvs.values.flatten ++ // deletion vectors too
+        // CDC images of retained versions stay readable — including
+        // whole-file deletes whose pre-images ship by REFERENCE to
+        // data files no later manifest lists
+        s.changes.toSeq.flatMap(cs => cs.files ++ cs.deletedDataFiles)
+    // every BRANCH version is live in full (a branch is by definition
+    // unpublished audit state — expiring under it would corrupt the
+    // eventual publish); dropBranch releases all of it at once
+    val branchHandles = branches().keys.toSeq.map(branchHandle)
+    val branchLive = branchHandles.flatMap { bh =>
+      (1L to bh.currentVersion()).flatMap(v => liveOf(bh.snapshot(v)))
+    }
+    val live = (retainedVersions
       .filter(v => store.exists(manifestName(v)))
-      .flatMap { v =>
-        val s = snapshot(v)
-        s.files ++ s.tombstones.map(_.file) ++ // tombstones are live metadata
-          s.dvs.values.flatten ++ // deletion vectors too
-          // CDC images of retained versions stay readable — including
-          // whole-file deletes whose pre-images ship by REFERENCE to
-          // data files no later manifest lists
-          s.changes.toSeq.flatMap(cs => cs.files ++ cs.deletedDataFiles)
-      }.toSet
+      .flatMap(v => liveOf(snapshot(v))) ++ branchLive).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { f =>
@@ -2914,9 +3080,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // same rule as staged data files. FS-backed stores only: an
     // object-store deployment GCs by the store's own listing+age.
     if (store0.isEmpty && fs.exists(logDir)) {
-      val liveSegs = retainedVersions
+      val liveSegs = (retainedVersions
         .filter(v => store.exists(manifestName(v)))
-        .flatMap(segNamesOf).toSet
+        .flatMap(segNamesOf) ++ branchHandles.flatMap(bh =>
+          (1L to bh.currentVersion()).flatMap(bh.segNamesOf))).toSet
       fs.listStatus(logDir).foreach { f =>
         val n = f.getPath.getName
         if (f.isFile && n.startsWith("seg-") && !liveSegs(n) &&
@@ -3442,6 +3609,7 @@ object SnapshotLog {
   /** Tag refs (`ref-<name>.json`) live beside the manifests; the
     * manifest regex never matches them, so listings stay exact. */
   private[table] val RefPrefix = "ref-"
+  private[table] val BranchRefPrefix = "branchref-"
   private[table] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
@@ -3545,7 +3713,6 @@ object SnapshotLog {
             .withMetadata(f.metadata).putLong(FidKey, i.toLong).build())
       })
 
-  private val ManifestName = """v(\d{20})\.json""".r
 
   /** Live-file count above which manifests go SEGMENTED: the per-file
     * metadata plane moves to immutable `seg-*.json` files reused across
