@@ -36,6 +36,13 @@ import org.apache.spark.sql.types.StructType
   * past them (the downstream owns reconciliation), mirroring production
   * CDF readers.
   *
+  * Rate limiting (`maxVersionsPerTrigger` / `maxFilesPerTrigger`): a
+  * stream started against a long-lived table would otherwise take the
+  * whole history as ONE micro-batch. The caps bound each trigger's
+  * admission (always at least one version), which with
+  * `Trigger.AvailableNow` gives the production backfill shape: drain
+  * the backlog in bounded batches, checkpoint after each, stop.
+  *
   * The schema is pinned at stream start (the engine's contract);
   * widening evolution mid-stream is invisible until restart — each
   * batch projects onto the pinned columns, which widening-only
@@ -49,7 +56,11 @@ import org.apache.spark.sql.types.StructType
   */
 final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     skipChangeCommits: Boolean, readChangeFeed: Boolean = false,
-    fourTypeCdc: Boolean = false) extends Source {
+    fourTypeCdc: Boolean = false,
+    maxVersionsPerTrigger: Long = 0L,
+    maxFilesPerTrigger: Long = 0L) extends Source {
+  require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
+    "rate limits must be positive (0 = unlimited)")
   require(!fourTypeCdc || readChangeFeed,
     "fourTypeCdc re-types the ROW-LEVEL feed's merge images — it " +
       "requires readChangeFeed=true")
@@ -74,9 +85,38 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
   override val schema: StructType =
     LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)
 
+  /** The end version of the last batch this source PLANNED — what the
+    * rate limiter caps relative to. Synced on restart by the engine's
+    * recovery `getBatch` call (the V1 contract: the committed range is
+    * re-requested before new offsets are asked for), so a checkpointed
+    * stream never reports an offset behind its own progress. */
+  @volatile private var lastEnd: Long = 0L
+
   override def getOffset: Option[Offset] = {
     val v = log.currentVersion()
-    if (v <= 0) None else Some(LongOffset(v))
+    if (v <= 0) return None
+    if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0)
+      return Some(LongOffset(v))
+    // ADMISSION CONTROL for backfills: a stream started against a
+    // long-lived table would otherwise take the ENTIRE history as one
+    // micro-batch (version-ranged offsets). Cap the reported offset so
+    // each trigger admits at most maxVersionsPerTrigger versions /
+    // maxFilesPerTrigger delta files — always at least ONE version, or
+    // a single over-cap commit could never be admitted. One manifest
+    // walk per trigger, control-plane sized.
+    val from = math.min(lastEnd, v)
+    if (from >= v) return Some(LongOffset(v))
+    var admitted = 0L
+    var files = 0L
+    var end = from
+    log.changes(from, v).iterator.takeWhile { d =>
+      val fits = admitted == 0 ||
+        ((maxVersionsPerTrigger <= 0 || admitted < maxVersionsPerTrigger) &&
+          (maxFilesPerTrigger <= 0 || files + d.addedFiles.size <= maxFilesPerTrigger))
+      if (fits) { admitted += 1; files += d.addedFiles.size; end = d.version }
+      fits
+    }.foreach(_ => ())
+    Some(LongOffset(end))
   }
 
   /** Offsets round-trip through checkpoint JSON as plain numbers;
@@ -90,6 +130,7 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(0L)
     val to = versionOf(end)
+    if (to > lastEnd) lastEnd = to // rate-limiter floor (incl. recovery sync)
     val l = log
     if (readChangeFeed) {
       // row-level CDC batch: inserts AND recorded delete images, with
@@ -143,7 +184,9 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
     new LogChangeFeedSource(ctx.sparkSession, LogChangeFeed.path(parameters),
       parameters.get("skipChangeCommits").exists(_.toBoolean),
       parameters.get("readChangeFeed").exists(_.toBoolean),
-      parameters.get("fourTypeCdc").exists(_.toBoolean))
+      parameters.get("fourTypeCdc").exists(_.toBoolean),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
+      parameters.get("maxFilesPerTrigger").map(_.toLong).getOrElse(0L))
 }
 
 object LogChangeFeed {
@@ -180,13 +223,17 @@ object LogChangeFeed {
   def readChangesStream(spark: SparkSession, tableDir: String,
       skipChangeCommits: Boolean = false,
       readChangeFeed: Boolean = false,
-      fourTypeCdc: Boolean = false): DataFrame =
+      fourTypeCdc: Boolean = false,
+      maxVersionsPerTrigger: Long = 0L,
+      maxFilesPerTrigger: Long = 0L): DataFrame =
     spark.readStream
       .format(classOf[LogChangeFeedProvider].getName)
       .option("path", tableDir)
       .option("skipChangeCommits", skipChangeCommits.toString)
       .option("readChangeFeed", readChangeFeed.toString)
       .option("fourTypeCdc", fourTypeCdc.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load()
 
   /** Once-per-JVM feed fixture for [[evLogChangefeed]]: the events

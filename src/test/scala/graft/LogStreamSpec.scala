@@ -68,6 +68,70 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rate limit: a backlog drains in bounded per-trigger batches; restart keeps the cap sound") {
+    val table = freshDir("graft-feed-rl-") + "/t"
+    val log = SnapshotLog(spark, table)
+    (0 until 5).foreach(run =>
+      log.append(mkRows(run, 4).toDF("id", "payload").coalesce(1)))
+    val ckpt = freshDir("graft-feed-rl-ckpt-")
+    val seen = new ConcurrentLinkedQueue[(Int, String)]()
+    val batchSizes = new ConcurrentLinkedQueue[Int]()
+    def start() = LogChangeFeed
+      .readChangesStream(spark, table, maxVersionsPerTrigger = 2L)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        batchSizes.add(rows.length)
+        rows.foreach(r => seen.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      val sizes = { val b = Seq.newBuilder[Int]; batchSizes.forEach(b += _); b.result() }
+      // 5 backlog versions × cap 2 → ceil(5/2) = 3 micro-batches of ≤ 8 rows
+      assert(sizes.count(_ > 0) == 3 && sizes.forall(_ <= 8),
+        s"a 5-version backlog under maxVersionsPerTrigger=2 must drain in 3 bounded batches: $sizes")
+      assert(drained(seen) == (0 until 5).flatMap(mkRows(_, 4)).sorted,
+        "rate limiting must not lose or duplicate rows")
+    } finally q.stop()
+    // restart with MORE backlog: the recovered source must not report an
+    // offset behind the checkpoint, and the cap keeps applying
+    (5 until 8).foreach(run =>
+      log.append(mkRows(run, 4).toDF("id", "payload").coalesce(1)))
+    batchSizes.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val sizes = { val b = Seq.newBuilder[Int]; batchSizes.forEach(b += _); b.result() }
+      assert(sizes.count(_ > 0) == 2,
+        s"3 new versions under cap 2 → 2 batches after restart: $sizes")
+      assert(drained(seen) == (0 until 8).flatMap(mkRows(_, 4)).sorted,
+        "the restarted stream must resume exactly past the checkpoint")
+    } finally q2.stop()
+    // file-based cap: 8 single-file versions under maxFilesPerTrigger=3
+    val seen3 = new ConcurrentLinkedQueue[(Int, String)]()
+    val sizes3 = new ConcurrentLinkedQueue[Int]()
+    val q3 = LogChangeFeed
+      .readChangesStream(spark, table, maxFilesPerTrigger = 3L)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-feed-rl-ckpt3-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        sizes3.add(rows.length)
+        rows.foreach(r => seen3.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    try {
+      q3.processAllAvailable()
+      val s3 = { val b = Seq.newBuilder[Int]; sizes3.forEach(b += _); b.result() }
+      assert(s3.count(_ > 0) == 3 && s3.forall(_ <= 12),
+        s"8 one-file versions under maxFilesPerTrigger=3 → 3 bounded batches: $s3")
+      assert(drained(seen3) == (0 until 8).flatMap(mkRows(_, 4)).sorted)
+    } finally q3.stop()
+  }
+
   test("restart from checkpoint resumes at the committed version, not the beginning") {
     val table = freshDir("graft-feed-") + "/t"
     val ckpt = freshDir("graft-feed-ckpt-")
