@@ -81,7 +81,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * execution is Spark's stock distributed parquet scan. Nothing here is
   * O(table) on the driver.
   */
-final class GraftTableCatalog extends TableCatalog with FunctionCatalog {
+final class GraftTableCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -207,6 +208,28 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog {
     * transform in [[LogBatchScan]]'s reported partitioning, the hinge
     * of the STORAGE-PARTITIONED JOIN (two log tables bucketed the same
     * way on their join keys join with zero shuffle). */
+  /** The stored-procedure half ([[GraftProcedures]]): the log's
+    * maintenance/lifecycle verbs under `CALL <cat>.system.<proc>(...)`
+    * (the bare namespace works too), each ONE transactional commit or
+    * metadata ref op with a one-row result. */
+  private lazy val procedures = new GraftProcedures(() => root)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.all.keys.toArray.sorted.map(Identifier.of(namespace, _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"CALL on $catalogName: procedures live in the 'system' namespace " +
+        s"(got ${ident.namespace().mkString(".")})")
+    procedures.all.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"CALL on $catalogName: no procedure '${ident.name()}' — available: " +
+        procedures.all.keys.toSeq.sorted.mkString(", ")))
+  }
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
     else Array.empty
