@@ -107,6 +107,7 @@ object SparkEntry {
     "q42_log_sql_update" -> (Relational.q42LogSqlUpdate _), // oracle: SQL UPDATE through the catalog == CASE-expression recompute
     "q43_log_sql_changefeed" -> (Relational.q43LogSqlChangefeed _), // oracle: graft_log_changes signed fold == post-DML state recompute
     "q44_log_wap" -> (Relational.q44LogWap _), // oracle: write-audit-publish branch fast-forward == set-algebraic recompute
+    "q45_log_sql_constraint" -> (Relational.q45LogSqlConstraint _), // oracle: ALTER TABLE ADD CONSTRAINT CHECK gate, violating INSERT aborts whole == declarative survivors
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -240,6 +241,7 @@ object SparkEntry {
     "q42_log_sql_update" -> Relational.q42Oracle,
     "q43_log_sql_changefeed" -> Relational.q43Oracle,
     "q44_log_wap" -> Relational.q44Oracle,
+    "q45_log_sql_constraint" -> Relational.q45Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -691,6 +691,63 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded CHECK-constraint gate through ANSI SQL ([[graft.table
+    * .SnapshotLog.addConstraint]] via `ALTER TABLE ... ADD CONSTRAINT
+    * ... CHECK`): the clean half of customer (non-negative balances)
+    * lands first, the constraint attaches through the catalog's DDL
+    * spelling, and then an INSERT carrying the violating half must
+    * abort WHOLE — atomicity is the graded property, because a gate
+    * that publishes any part of the refused batch (or a constraint
+    * that silently fails to attach and lets the batch in) shifts the
+    * per-segment counts/sums and hash-mismatches against DuckDB
+    * computing the same survivor set declaratively. Enforcement is two
+    * independent layers: Spark's ResolveTableConstraints (the table
+    * reports its checks ENFORCED via `constraints()`) validates rows
+    * in the write job, and the log's staging observation aborts the
+    * commit before any file publishes — rows cost one counter on the
+    * existing count pass, zero extra jobs at 100 TB. */
+  def q45LogSqlConstraint(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"chk45:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-qlog-chk-")
+        .toString
+      val log = graft.table.SnapshotLog(spark, s"$root/t",
+        statsColumns = Seq("c_custkey"))
+      val customer = t(spark, dir, "customer")
+      log.append(customer.where(col("c_acctbal") >= 0))              // v1
+      spark.conf.set("spark.sql.catalog.gq45",
+        classOf[graft.table.GraftTableCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq45.root", root)
+      spark.sql(
+        "ALTER TABLE gq45.t ADD CONSTRAINT bal_nonneg CHECK (c_acctbal >= 0)")
+      customer.where(col("c_acctbal") < 0)
+        .createOrReplaceTempView("q45_violators")
+      val threw = scala.util.Try(
+        spark.sql("INSERT INTO gq45.t SELECT * FROM q45_violators")).isFailure
+      require(threw && graft.table.SnapshotLog(spark, s"$root/t")
+          .constraints().contains("bal_nonneg"),
+        "q45 fixture: the violating INSERT must refuse with the " +
+          "constraint attached")
+      root
+    })
+    spark.conf.set("spark.sql.catalog.gq45",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq45.root", path)
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+        |FROM gq45.t
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  def q45Oracle: String =
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |WHERE c_acctbal >= 0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

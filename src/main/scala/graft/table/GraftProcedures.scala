@@ -157,6 +157,45 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
         val log = logOf(input)
         log.materializeRenames()
         Seq(log.currentVersion())
+      }),
+    new P("add_constraint",
+      Array(in("table", StringType), in("name", StringType),
+        in("expr", StringType)),
+      result("name" -> StringType),
+      { input =>
+        val n = input.getUTF8String(1).toString
+        logOf(input).addConstraint(n, input.getUTF8String(2).toString)
+        Seq(u(n))
+      }),
+    new P("drop_constraint",
+      Array(in("table", StringType), in("name", StringType)),
+      result("name" -> StringType),
+      { input =>
+        val n = input.getUTF8String(1).toString
+        logOf(input).dropConstraint(n)
+        Seq(u(n))
+      }),
+    new P("cluster",
+      Array(in("table", StringType), in("columns", StringType),
+        inDefault("target_file_bytes", LongType, (128L << 20).toString)),
+      result("version" -> LongType),
+      { input =>
+        val log = logOf(input)
+        graft.jobs.LayoutJob.clusterByLog(log,
+          input.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          input.getLong(2))
+        Seq(log.currentVersion())
+      }),
+    new P("zorder",
+      Array(in("table", StringType), in("columns", StringType),
+        inDefault("target_file_bytes", LongType, (128L << 20).toString)),
+      result("version" -> LongType),
+      { input =>
+        val log = logOf(input)
+        graft.jobs.LayoutJob.zorderByLog(log,
+          input.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          input.getLong(2))
+        Seq(log.currentVersion())
       })
   ).map(p => p.name() -> p).toMap
 }

@@ -94,6 +94,14 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
 
   override def name(): String = catalogName
 
+  /** What unlocks the ANSI `ALTER TABLE ... ADD/DROP CONSTRAINT`
+    * analysis path — without this, ResolveTableConstraints refuses the
+    * statement before [[alterTable]] ever sees the change. */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def dirOf(ident: Identifier): String =
     (root +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
 
@@ -117,6 +125,13 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val log = logFor(ident)
     if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
+    // VERSION AS OF 'branch:<name>' — the catalog spelling of the WAP
+    // audit read ([[SnapshotLog.branch]]): a read-only pin on the
+    // branch's current head (DML stays typed-API on branches)
+    if (version.startsWith("branch:")) {
+      val b = log.branch(version.stripPrefix("branch:"))
+      return new LogTable(b, ident, b.currentVersion())
+    }
     val v = scala.util.Try(version.toLong).toOption
       .orElse(log.versionOfTag(version))
       .getOrElse(throw new IllegalArgumentException(
@@ -187,9 +202,29 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
           s"ADD COLUMN on ${log.tableDir}: positions and defaults are " +
             "not supported — columns append, existing rows read NULL")
         log.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          // Spark's AddCheckConstraintExec has ALREADY validated the
+          // existing rows (its child plan scanned for violations before
+          // alterTable was called), and addConstraint validates again
+          // from its own read — both one pass, both abort-before-attach
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            log.addConstraint(c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"ALTER TABLE on ${log.tableDir}: only CHECK constraints are " +
+              s"enforceable at write time — ${other.toDDL} is informational " +
+              "DDL this format does not record")
+        }
+      case dc: TableChange.DropConstraint =>
+        if (!dc.ifExists())
+          require(log.constraints().contains(dc.name()),
+            s"${log.tableDir} has no constraint '${dc.name()}' to drop " +
+              "(DROP CONSTRAINT IF EXISTS to make this a no-op)")
+        log.dropConstraint(dc.name())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on ${log.tableDir}: unsupported change $other — " +
-          "supported verbs: RENAME COLUMN, DROP COLUMN, ADD COLUMN " +
+          "supported verbs: RENAME COLUMN, DROP COLUMN, ADD COLUMN, " +
+          "ADD/DROP CONSTRAINT ... CHECK " +
           "(type changes are refused; the log is widening-only)")
     }
     loadTable(ident)
@@ -281,8 +316,29 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       snap.tombstones.size.toString)
     if (snap.dvs.nonEmpty) m.put("pending-deletion-vectors",
       snap.dvs.size.toString)
+    val checks = log.constraints()
+    if (checks.nonEmpty) m.put("check-constraints",
+      checks.toSeq.sortBy(_._1).map { case (n, sql) => s"$n: $sql" }
+        .mkString("; "))
     m
   }
+
+  /** Declared CHECK constraints in the V2 shape — `DESCRIBE EXTENDED`
+    * renders them, and the analyzer's ResolveTableConstraints adds its
+    * own pre-write validation to SQL INSERTs on top of the log's
+    * staging-observation gate (two independent enforcement points, the
+    * log's being authoritative: it aborts the commit). ENFORCED +
+    * VALID because [[SnapshotLog.addConstraint]] refuses a violated
+    * table and every committed write since was checked. */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    log.constraints().toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .rely(true).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** The manifest's hidden partition spec rendered as V2 transforms —
     * DESCRIBE/SHOW surfaces, and the declared shape behind the scan's

@@ -2506,6 +2506,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(!cur.tombstones.exists(_.column == from),
       s"pending key tombstones on '$from' — compact() to materialize " +
         "them before renaming (their key files carry the old name)")
+    constraints().foreach { case (n, sql) =>
+      require(!constraintRefs(sql).contains(from),
+        s"CHECK constraint '$n' ($sql) references '$from' — drop or " +
+          "redefine the constraint before renaming")
+    }
     val withIds = SnapshotLog.withFids(schema)
     val renamed = org.apache.spark.sql.types.StructType(
       withIds.fields.map(f => if (f.name == from) f.copy(name = to) else f))
@@ -2563,6 +2568,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(!cur.tombstones.exists(_.column == name),
       s"pending key tombstones on '$name' — compact() to materialize " +
         "them before dropping (their key files carry the column)")
+    constraints().foreach { case (n, sql) =>
+      require(!constraintRefs(sql).contains(name),
+        s"CHECK constraint '$n' ($sql) references '$name' — drop or " +
+          "redefine the constraint before dropping the column")
+    }
     val withIds = SnapshotLog.withFids(schema)
     val dropped = org.apache.spark.sql.types.StructType(
       withIds.fields.filterNot(_.name == name))
@@ -2902,6 +2912,81 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       mapper.readTree(b).get("version").asLong())
 
   private def refName(name: String) = s"$RefPrefix$name.json"
+
+  // ---- CHECK constraints -------------------------------------------
+
+  private def constraintRefName(name: String) = s"$ConstraintPrefix$name.json"
+
+  /** Column names a constraint expression references (parsed with the
+    * catalyst SQL parser, not resolved — `functions.expr` wraps the
+    * text in a lazily-parsed node that hides the attribute tree). The
+    * guard surfaces check these against the current schema. */
+  private def constraintRefs(sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.distinct
+
+  /** Declare a CHECK constraint: every future write commit (append,
+    * merge, update survivors+copies, overwrite, compaction restage)
+    * must satisfy `sql` on every row or the WHOLE commit aborts before
+    * anything publishes — enforcement rides the staging write's
+    * existing `Observation` (one violation counter per constraint on
+    * the same pass that counts rows, zero extra jobs). SQL CHECK
+    * semantics: a row violates only when the expression is FALSE —
+    * NULL passes; a constraint referencing columns absent from a
+    * particular write's frame passes that write (those rows read the
+    * column as NULL). EXISTING rows are validated now, one pass — a
+    * table already in violation refuses the constraint, like
+    * production formats' ADD CONSTRAINT.
+    *
+    * Constraints are table POLICY, stored as refs beside the manifests
+    * (`check-<name>.json`, same namespace pattern as tags) rather than
+    * per-snapshot state: they bind the live table and every branch
+    * (audit work does not get to skip validation), are not
+    * time-travel-versioned, and do not replicate through [[LogMirror]]
+    * (the replica declares its own policy). [[renameColumn]] /
+    * [[dropColumn]] refuse while a constraint references the column. */
+  def addConstraint(name: String, sql: String): Unit = {
+    require(SnapshotLog.TagNameRe.matches(name),
+      s"constraint '$name' — names are [A-Za-z0-9][A-Za-z0-9._-]*")
+    val refs = constraintRefs(sql) // also fails fast on unparseable SQL
+    if (currentVersion() > 0) {
+      val cols = read().columns.toSet
+      val present = refs.filter(cols)
+      if (present.size == refs.size) {
+        val bad = read().where(
+          org.apache.spark.sql.functions.expr(sql) <=> lit(false)).limit(1).count()
+        require(bad == 0,
+          s"cannot add CHECK '$name' ($sql) to $tableDir: existing rows " +
+            "violate it — fix the data first (deleteWhere/updateWhere)")
+      }
+    }
+    val payload = mapper.createObjectNode()
+    payload.put("name", name).put("sql", sql)
+    if (!store.putIfAbsent(constraintRefName(name),
+        mapper.writeValueAsBytes(payload))) {
+      val existing = constraints().get(name)
+      require(existing.contains(sql),
+        s"constraint '$name' on $tableDir already reads '${existing.orNull}' — " +
+          "dropConstraint first to redefine")
+    }
+  }
+
+  /** Remove constraint `name` (idempotent): later writes stop checking. */
+  def dropConstraint(name: String): Unit =
+    store.delete(constraintRefName(name))
+
+  /** All declared constraints as name → CHECK expression. */
+  def constraints(): Map[String, String] =
+    store.list().filter(n => n.startsWith(ConstraintPrefix) && n.endsWith(".json"))
+      .flatMap { n =>
+        store.get(n).map { bytes =>
+          val node = mapper.readTree(bytes)
+          node.get("name").asText() -> node.get("sql").asText()
+        }
+      }.toMap
 
   // ---- branches: write-audit-publish -------------------------------
 
@@ -3249,8 +3334,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // manifest's per-file partition tuples. One file holds exactly one
     // tuple by construction of the dynamic-partition write.
     val partCols = spec.indices.map(i => s"_gp$i")
+    // CHECK constraints ride the SAME observation as the row count —
+    // one violation counter per constraint, no extra pass, enforced
+    // only on table-shaped stages (partitioned=true; DV position files
+    // and CDC image files are not table rows). A constraint whose
+    // referenced columns are absent from THIS write's frame passes it
+    // (the rows read those columns as NULL, and CHECK-NULL passes).
+    val dfCols = df.columns.toSet
+    val checks: Seq[(String, String)] =
+      if (!partitioned) Nil
+      else constraints().toSeq.sortBy(_._1)
+        .filter { case (_, sql) => constraintRefs(sql).forall(dfCols) }
+    val obsCols = count(lit(1)).as("rows") +: checks.map { case (n, sql) =>
+      count(org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.expr(sql) <=> lit(false), 1))
+        .as(s"chk_$n")
+    }
     val partedDf = spec.zipWithIndex.foldLeft(
-      writeDf.observe(obs, count(lit(1)).as("rows"))) { case (d, (f, i)) =>
+      writeDf.observe(obs, obsCols.head, obsCols.tail: _*)) { case (d, (f, i)) =>
       d.withColumn(s"_gp$i", f.writeExpr(writeDf))
     }
     // write-time clustering: a declared sort order arranges EVERY stage
@@ -3297,6 +3398,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // its metric must still fail loudly rather than under-count
     val rows =
       if (found.isEmpty) 0L else obs.get("rows").asInstanceOf[Long]
+    // constraint gate: abort BEFORE any file moves into data/ — a
+    // violated commit leaves only the scratch dir, which is swept
+    if (found.nonEmpty) checks.foreach { case (n, sql) =>
+      val bad = obs.get(s"chk_$n").asInstanceOf[Long]
+      if (bad > 0) {
+        fs.delete(scratch, true)
+        throw new IllegalStateException(
+          s"CHECK constraint '$n' ($sql) on $tableDir: $bad staged row(s) " +
+            "violate it — the commit was aborted, nothing published")
+      }
+    }
     val moved = found.zipWithIndex.map { case (f, idx) =>
       // dynamic partition writes reuse part-file names across partition
       // dirs; the flat data/ name needs the index to stay unique
@@ -3622,6 +3734,7 @@ object SnapshotLog {
     * manifest regex never matches them, so listings stay exact. */
   private[table] val RefPrefix = "ref-"
   private[table] val BranchRefPrefix = "branchref-"
+  private[table] val ConstraintPrefix = "check-"
   private[table] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20

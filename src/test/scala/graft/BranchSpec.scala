@@ -125,5 +125,15 @@ class BranchSpec extends AnyFunSuite {
     assert(s.sql(
       s"SELECT count(*) AS n FROM graft_log('${log.tableDir}') WHERE id = 9999")
       .head().getLong(0) == 0L, "main SQL reads never see branch rows")
+    // catalog spelling of the audit read: VERSION AS OF 'branch:<name>'
+    val root = java.nio.file.Paths.get(log.tableDir).getParent.toString
+    val cat = "gbr1"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val tname = java.nio.file.Paths.get(log.tableDir).getFileName.toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.$tname VERSION AS OF 'branch:g' WHERE id = 9999")
+      .head().getLong(0) == 1L)
   }
 }
