@@ -58,7 +58,8 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     skipChangeCommits: Boolean, readChangeFeed: Boolean = false,
     fourTypeCdc: Boolean = false,
     maxVersionsPerTrigger: Long = 0L,
-    maxFilesPerTrigger: Long = 0L) extends Source {
+    maxFilesPerTrigger: Long = 0L,
+    startingVersion0: String = "") extends Source {
   require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
     "rate limits must be positive (0 = unlimited)")
   require(!fourTypeCdc || readChangeFeed,
@@ -73,6 +74,17 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
   // live on the handle, and a per-poll `def` would re-GET and re-parse
   // every manifest segment on each trigger of a segmented table
   private val log = SnapshotLog(spark, tableDir)
+
+  /** Where a FRESH stream (no checkpoint) starts: version 0 (full
+    * history) by default, an explicit version, or `'latest'` — resolved
+    * ONCE at source creation, so only changes after stream start ship
+    * (the Delta `startingVersion` contract). A checkpointed restart
+    * always resumes from its own offsets; this only seeds the first
+    * batch. */
+  private val startVersion: Long =
+    if (startingVersion0.isEmpty) 0L
+    else if (startingVersion0.equalsIgnoreCase("latest")) log.currentVersion()
+    else startingVersion0.toLong
 
   /** Commits that can remove rows a consumer already received — a gap
     * in an insert-only feed. `restore` belongs here: rolling back past
@@ -103,8 +115,9 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     // each trigger admits at most maxVersionsPerTrigger versions /
     // maxFilesPerTrigger delta files — always at least ONE version, or
     // a single over-cap commit could never be admitted. One manifest
-    // walk per trigger, control-plane sized.
-    val from = math.min(lastEnd, v)
+    // walk per trigger, control-plane sized. The floor also respects
+    // `startingVersion` on a fresh stream.
+    val from = math.min(math.max(lastEnd, startVersion), v)
     if (from >= v) return Some(LongOffset(v))
     var admitted = 0L
     var files = 0L
@@ -128,7 +141,7 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(0L)
+    val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
     if (to > lastEnd) lastEnd = to // rate-limiter floor (incl. recovery sync)
     val l = log
@@ -186,7 +199,8 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
       parameters.get("readChangeFeed").exists(_.toBoolean),
       parameters.get("fourTypeCdc").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
-      parameters.get("maxFilesPerTrigger").map(_.toLong).getOrElse(0L))
+      parameters.get("maxFilesPerTrigger").map(_.toLong).getOrElse(0L),
+      parameters.getOrElse("startingVersion", ""))
 }
 
 object LogChangeFeed {

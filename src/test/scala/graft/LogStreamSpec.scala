@@ -132,6 +132,46 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("startingVersion seeds a fresh stream past history; 'latest' ships only new commits") {
+    val table = freshDir("graft-feed-sv-") + "/t"
+    val log = SnapshotLog(spark, table)
+    (0 until 3).foreach(run =>
+      log.append(mkRows(run, 3).toDF("id", "payload").coalesce(1)))
+    // explicit version: only (2, head] ships
+    val seen = new ConcurrentLinkedQueue[(Int, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.LogChangeFeedProvider].getName)
+      .option("path", table).option("startingVersion", "2")
+      .load().writeStream
+      .option("checkpointLocation", freshDir("graft-feed-sv-ckpt-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen.add((r.getInt(0), r.getString(1))))
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == mkRows(2, 3).sorted,
+        "startingVersion=2 must ship only the post-v2 history")
+    } finally q.stop()
+    // 'latest': nothing from history, only commits after stream start
+    val seen2 = new ConcurrentLinkedQueue[(Int, String)]()
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.LogChangeFeedProvider].getName)
+      .option("path", table).option("startingVersion", "latest")
+      .load().writeStream
+      .option("checkpointLocation", freshDir("graft-feed-sv-ckpt2-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen2.add((r.getInt(0), r.getString(1))))
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(drained(seen2).isEmpty, "'latest' must skip the backlog")
+      log.append(mkRows(7, 2).toDF("id", "payload"))
+      q2.processAllAvailable()
+      assert(drained(seen2) == mkRows(7, 2).sorted,
+        "commits after stream start must flow")
+    } finally q2.stop()
+  }
+
   test("restart from checkpoint resumes at the committed version, not the beginning") {
     val table = freshDir("graft-feed-") + "/t"
     val ckpt = freshDir("graft-feed-ckpt-")
