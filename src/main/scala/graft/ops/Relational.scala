@@ -748,6 +748,54 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded CREATE TABLE AS SELECT through the DSv2 catalog
+    * ([[graft.table.GraftTableCatalog.createTable]]): the full SQL
+    * lifecycle — declare a bucket-partitioned, sort-ordered log table
+    * and populate it in one statement, where the create half commits
+    * v1 (schema + spec + order in the manifest) and the populate half
+    * is the SAME transactional append every other writer uses, so the
+    * CTAS files land bucket-tupled, clustered and stats-carrying. The
+    * graded aggregate reads the new table back through SQL; a CTAS
+    * that dropped rows, double-wrote under commit retry, or ignored
+    * the declared spec (breaking the pruning the follow-up filter
+    * exercises) hash-mismatches DuckDB computing the same selection
+    * directly. At 100 TB this is the one-statement curated-subset
+    * materialization: no temp paths, no second pass to fix layout. */
+  def q46LogSqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"ctas46:$dir", _ => {
+      val root = java.nio.file.Files.createTempDirectory("graft-qlog-ctas-")
+        .toString
+      spark.conf.set("spark.sql.catalog.gq46",
+        classOf[graft.table.GraftTableCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gq46.root", root)
+      t(spark, dir, "part").createOrReplaceTempView("q46_part_src")
+      spark.sql(
+        """CREATE TABLE gq46.parts
+          |PARTITIONED BY (bucket(8, p_partkey))
+          |TBLPROPERTIES ('sort-order'='p_partkey', 'stats-columns'='p_partkey')
+          |AS SELECT p_partkey, p_brand, p_size, p_retailprice
+          |FROM q46_part_src WHERE p_size <= 25""".stripMargin)
+      root
+    })
+    spark.conf.set("spark.sql.catalog.gq46",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gq46.root", path)
+    spark.sql(
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM gq46.parts
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  def q46Oracle: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      |FROM part
+      |WHERE p_size <= 25
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

@@ -68,11 +68,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    result stays SQL-readable; the typed API keeps the DV+append
   *    merge-on-read arm for sparse updates.
   * `ALTER TABLE RENAME/DROP/ADD COLUMN` commits the log's metadata-only
-  * schema evolution (field-id renames/drops, explicit widens — see
-  * [[GraftTableCatalog.alterTable]]). Table-lifecycle DDL stays out of
-  * SQL deliberately: `createTable`/`dropTable` name the data-lifecycle
-  * API instead of half-implementing it (a log table IS its first
-  * transactional commit). Tables with PENDING merge-on-read
+  * schema evolution (field-id renames/drops, explicit widens) and
+  * `ADD/DROP CONSTRAINT ... CHECK` the write-time quality gates — see
+  * [[GraftTableCatalog.alterTable]]. `CREATE TABLE`/CTAS commit the
+  * table's first transactional append under the declared partition
+  * spec/sort order ([[GraftTableCatalog.createTable]]); `DROP TABLE`
+  * removes the directory. Tables with PENDING merge-on-read
   * tombstones refuse the scan (a raw parquet read would resurrect
   * deleted rows): compact first, or read through the tombstone-applying
   * surfaces (`PreparedTable.read`, `graft_log(...)`).
@@ -161,12 +162,93 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
       .toArray
   }
 
+  /** `CREATE TABLE` / the create half of CTAS: the table's first
+    * transactional commit is an EMPTY append under the declared shape —
+    * v1 records the schema, hidden-partition spec, sort order and
+    * change-feed flag in the manifest, so every later writer (SQL
+    * INSERT/MERGE, typed handles built from just the path, streaming
+    * sinks) inherits them. `PARTITIONED BY` accepts the log's transform
+    * set (identity columns, `hours/days/months/years(ts)`,
+    * `bucket(n, col)`, `truncate(w, col)`); table properties declare
+    * write-time metadata maintenance (`sort-order`, `stats-columns`,
+    * `bloom-columns`, `change-feed`). Location is the catalog root by
+    * construction — an explicit LOCATION is refused rather than
+    * silently ignored. Spark's non-atomic CTAS contract (create, write,
+    * [[dropTable]] on failure) composes: the INSERT that follows is the
+    * same transactional append as any other. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft log tables are created by their first transactional commit " +
-        "(SnapshotLog.append / PreparedTable); once created, SQL DML " +
-        "(INSERT/DELETE/MERGE/TRUNCATE) applies — catalog DDL does not")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions._
+    import scala.jdk.CollectionConverters._
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
+      require(Set("graft", "graft-log", "graft_log").contains(p.toLowerCase),
+        s"CREATE TABLE ${ident}: USING $p — this catalog creates graft " +
+          "log tables only (omit USING, or say USING graft)"))
+    require(!props.contains(TableCatalog.PROP_LOCATION) &&
+        !props.contains(TableCatalog.PROP_EXTERNAL),
+      s"CREATE TABLE ${ident}: a log table's location IS " +
+        s"<catalog root>/${ident.name()} — LOCATION/EXTERNAL are refused")
+    def single(refs: Array[NamedReference], what: String): String = {
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"CREATE TABLE ${ident}: $what must reference one top-level column")
+      refs.head.fieldNames().head
+    }
+    def litArg(t: Transform, what: String): Int =
+      t.arguments().collectFirst {
+        case l: Literal[_] => l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE ${ident}: $what needs a literal parameter"))
+    val spec = partitions.toSeq.map { t =>
+      t.name().toLowerCase match {
+        case "identity" => PartitionField(single(t.references(), "identity"), "identity")
+        case "hours"    => PartitionField(single(t.references(), "hours"), "hour")
+        case "days"     => PartitionField(single(t.references(), "days"), "day")
+        case "months"   => PartitionField(single(t.references(), "months"), "month")
+        case "years"    => PartitionField(single(t.references(), "years"), "year")
+        case "bucket"   => PartitionField(single(t.references(), "bucket"),
+          s"bucket[${litArg(t, "bucket")}]")
+        case "truncate" => PartitionField(single(t.references(), "truncate"),
+          s"truncate[${litArg(t, "truncate")}]")
+        case _ => throw new UnsupportedOperationException(
+          s"CREATE TABLE ${ident}: unsupported partition transform $t " +
+            "(identity | hours | days | months | years | bucket | truncate)")
+      }
+    }
+    def csv(key: String): Seq[String] =
+      props.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val log = new SnapshotLog(SparkSession.active, dirOf(ident),
+      statsColumns = csv("stats-columns"), store0 = None,
+      bloomColumns = csv("bloom-columns"), partitionBy = spec,
+      sortBy = csv("sort-order"),
+      changeFeed = props.get("change-feed").exists(_.toBoolean))
+    log.append(SparkSession.active.createDataFrame(
+      SparkSession.active.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema))
+    loadTable(ident)
+  }
+
+  /** The modern create entry (what Spark actually calls): routes to
+    * [[createTable]] above, then attaches constraints declared INLINE
+    * (`CREATE TABLE t (id BIGINT, CONSTRAINT c CHECK (id > 0))`) —
+    * add-time validation is trivially true on the empty v1, and every
+    * write from the first INSERT on is gated. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val table = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    try info.constraints().foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        logFor(ident).addConstraint(c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE ${ident}: only CHECK constraints are enforceable " +
+          s"at write time — ${other.toDDL} is informational DDL this " +
+          "format does not record")
+    } catch { case e: Throwable => dropTable(ident); throw e }
+    table
+  }
 
   /** `ALTER TABLE` — the SQL spelling of the log's metadata-only schema
     * evolution, one transactional commit per change:
@@ -230,10 +312,17 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "dropping a log table is a data-lifecycle operation (vacuum + " +
-        "directory removal), not catalog DDL")
+  /** `DROP TABLE`: removes the table DIRECTORY — manifests, refs and
+    * data files — in one recursive delete (also what Spark's non-atomic
+    * CTAS calls to clean up a failed create-then-write). Branch
+    * manifests and staged scratch live under the same directory, so
+    * nothing survives to resurrect the name. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(dirOf(ident))
+    val fs = dir.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    fs.exists(dir) && logFor(ident).currentVersion() > 0 && fs.delete(dir, true)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -138,14 +138,78 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 18)
   }
 
-  test("the catalog is read-only: DDL names the transactional API instead") {
+  test("CREATE TABLE: declared shape lands in v1; every later writer inherits it") {
     val (root, _) = freshRoot()
     val cat = mount(root)
-    val ex = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT) USING parquet")
+    spark.sql(
+      s"""CREATE TABLE $cat.t2 (id BIGINT, ts TIMESTAMP, v STRING)
+         |PARTITIONED BY (days(ts), bucket(4, id))
+         |TBLPROPERTIES ('sort-order'='id', 'stats-columns'='id')""".stripMargin)
+    val log = SnapshotLog(spark, s"$root/t2")
+    val s = log.snapshot()
+    assert(s.version == 1 && s.files.isEmpty && s.rows == 0)
+    assert(s.partitionSpec.map(f => (f.source, f.transform)) ==
+      Seq(("ts", "day"), ("id", "bucket[4]")))
+    assert(s.sortOrder == Seq("id"))
+    assert(spark.sql(s"SELECT * FROM $cat.t2").count() == 0, "empty but queryable")
+    // a USING that isn't this format refuses; LOCATION refuses
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t3 (id BIGINT) USING parquet")
     }
-    assert(ex.getMessage.contains("SnapshotLog") ||
-      Option(ex.getCause).exists(_.getMessage.contains("SnapshotLog")))
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t3 (id BIGINT) LOCATION '/tmp/elsewhere'")
+    }
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("t3"))
+    // INSERT through SQL inherits the spec: files carry partition tuples
+    spark.sql(s"INSERT INTO $cat.t2 VALUES " +
+      "(1L, TIMESTAMP'2024-01-01 10:00:00', 'a'), " +
+      "(2L, TIMESTAMP'2024-03-05 11:00:00', 'b')")
+    val s2 = SnapshotLog(spark, s"$root/t2").snapshot()
+    assert(s2.rows == 2 && s2.partitions.values.forall(_.size == 2),
+      "SQL-inserted files must carry (day, bucket) partition tuples")
+    // IF NOT EXISTS tolerates the existing table; bare CREATE refuses
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.t2 (id BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT)") }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t2").head().getLong(0) == 2)
+  }
+
+  test("CTAS writes through the same transactional append; DROP TABLE removes everything") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.t_big TBLPROPERTIES ('stats-columns'='id')
+         |AS SELECT id, v FROM $cat.t1 WHERE id >= 1000""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t_big").head().getLong(0) == 10)
+    val s = SnapshotLog(spark, s"$root/t_big").snapshot()
+    assert(s.version == 2 && s.rows == 10, "CTAS = create(v1) + append(v2)")
+    assert(s.stats.values.forall(_.contains("id")),
+      "declared stats-columns must apply to the CTAS write itself")
+    spark.sql(s"DROP TABLE $cat.t_big")
+    assert(!new java.io.File(s"$root/t_big").exists(), "the directory is gone")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.t_big") }
+    spark.sql(s"DROP TABLE IF EXISTS $cat.t_big") // idempotent spelling
+  }
+
+  test("inline CHECK in CREATE TABLE; CREATE OR REPLACE swaps the shape") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.gated (id BIGINT, qty BIGINT,
+         |  CONSTRAINT qty_pos CHECK (qty > 0))""".stripMargin)
+    assert(SnapshotLog(spark, s"$root/gated").constraints() ==
+      Map("qty_pos" -> "qty > 0"))
+    intercept[Exception] { spark.sql(s"INSERT INTO $cat.gated VALUES (1L, -2L)") }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 0)
+    spark.sql(s"INSERT INTO $cat.gated VALUES (1L, 2L)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 1)
+    // CREATE OR REPLACE = drop + create (Spark's non-atomic contract):
+    // new schema, fresh history, the old constraint does not survive
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.gated (id BIGINT, note STRING)")
+    val log = SnapshotLog(spark, s"$root/gated")
+    assert(log.snapshot().version == 1 && log.constraints().isEmpty)
+    spark.sql(s"INSERT INTO $cat.gated VALUES (7L, 'ok')")
+    assert(spark.sql(s"SELECT note FROM $cat.gated").head().getString(0) == "ok")
   }
 
   test("INSERT INTO commits one append: visible at head, absent from the pinned past") {
