@@ -175,6 +175,15 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
         logOf(input).dropConstraint(n)
         Seq(u(n))
       }),
+    new P("set_sort_order",
+      Array(in("table", StringType), in("columns", StringType)),
+      result("version" -> LongType),
+      { input =>
+        val log = logOf(input)
+        log.setSortOrder(input.getUTF8String(1).toString
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        Seq(log.currentVersion())
+      }),
     new P("cluster",
       Array(in("table", StringType), in("columns", StringType),
         inDefault("target_file_bytes", LongType, (128L << 20).toString)),

@@ -297,6 +297,11 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
               s"enforceable at write time — ${other.toDDL} is informational " +
               "DDL this format does not record")
         }
+      case sp: TableChange.SetProperty if sp.property() == "sort-order" =>
+        log.setSortOrder(
+          sp.value().split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      case rp: TableChange.RemoveProperty if rp.property() == "sort-order" =>
+        log.setSortOrder(Nil)
       case dc: TableChange.DropConstraint =>
         if (!dc.ifExists())
           require(log.constraints().contains(dc.name()),

@@ -66,7 +66,8 @@ object LogMirror {
   /** Source ops with nothing logical to ship: physical rewrites, and
     * the metadata-only spec evolution (the replica keeps its OWN
     * layout/spec — maintenance and partitioning are per-replica). */
-  private val PhysicalOnly = Set("compact", "cluster", "zorder", "evolve_spec")
+  private val PhysicalOnly =
+    Set("compact", "cluster", "zorder", "evolve_spec", "set_sort")
 
   /** Apply every source version after the destination's watermark, in
     * order. `appId` identifies THIS replication lane in the

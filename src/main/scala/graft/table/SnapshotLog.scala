@@ -2694,6 +2694,37 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Re-declare the table's write-time clustering as ONE metadata-only
+    * commit (op `set_sort`): every FUTURE stage — appends, compaction
+    * restages, merge survivors — arranges rows by `cols` before
+    * writing, so files land with tight stats ranges from here on.
+    * Always sound (the scaladoc contract on [[commitSort]]): a sort
+    * order shapes future files' internal order, never the
+    * interpretation of recorded metadata — existing files keep their
+    * layout until a rewrite drains them. `Nil` clears the order. A
+    * handle constructed with its own declared order keeps it (the
+    * constructor's declaration wins); spec-less writers — the SQL DML
+    * surface — inherit the new manifest order on their next commit.
+    * The SQL spellings: `ALTER TABLE ... SET TBLPROPERTIES
+    * ('sort-order'='a,b')` and `CALL system.set_sort_order`. */
+  def setSortOrder(cols: Seq[String]): Snapshot = {
+    val cur = snapshot()
+    if (cur.schemaJson.nonEmpty) {
+      val fields = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      cols.foreach(c => require(fields(c),
+        s"sort column '$c' is not a column of $tableDir"))
+    }
+    require(cols != cur.sortOrder,
+      s"$tableDir already sorts by [${cur.sortOrder.mkString(", ")}]")
+    val next = cur.copy(version = cur.version + 1, op = "set_sort",
+      parent = cur.version, sortOrder = cols, cdc = commitCdc(cur),
+      changes = None, ts = 0L)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"set_sort on $tableDir: concurrent commit since v${cur.version}; rerun")
+    next
+  }
+
   def restore(version: Long): Snapshot = {
     require(version >= 1, s"restore needs a committed version, got $version")
     val target = snapshot(version)
@@ -3408,6 +3439,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           s"CHECK constraint '$n' ($sql) on $tableDir: $bad staged row(s) " +
             "violate it — the commit was aborted, nothing published")
       }
+    }
+    // a ZERO-ROW stage publishes no files at all: the unpartitioned
+    // write path emits one empty part file (unlike the dynamic-
+    // partition path, which runs zero tasks), and registering it would
+    // leave a dead file in the manifest per empty commit — CREATE
+    // TABLE's schema-declaring v1 being the canonical producer. The
+    // schema still records (it comes from the frame, not the files).
+    if (rows == 0L && found.nonEmpty) {
+      fs.delete(scratch, true)
+      return Staged(Nil, 0L, 0L, Map.empty, df.schema.json, Map.empty,
+        Map.empty, Map.empty, Map.empty, spec)
     }
     val moved = found.zipWithIndex.map { case (f, idx) =>
       // dynamic partition writes reuse part-file names across partition

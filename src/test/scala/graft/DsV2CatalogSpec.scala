@@ -191,6 +191,35 @@ class DsV2CatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_big") // idempotent spelling
   }
 
+  test("SET TBLPROPERTIES sort-order: one metadata commit re-clusters every future write") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(s"CREATE TABLE $cat.s (id BIGINT, v STRING)")
+    spark.sql(s"ALTER TABLE $cat.s SET TBLPROPERTIES ('sort-order'='id')")
+    val log = SnapshotLog(spark, s"$root/s")
+    val s1 = log.snapshot()
+    assert(s1.op == "set_sort" && s1.sortOrder == Seq("id") && s1.files.isEmpty)
+    // a spec-less SQL INSERT inherits the new order: the staged file is
+    // internally ascending even though the values arrive shuffled
+    spark.sql(s"INSERT INTO $cat.s VALUES (9L,'i'),(3L,'c'),(7L,'g'),(1L,'a'),(5L,'e')")
+    val f = SnapshotLog(spark, s"$root/s").snapshot().files.head
+    val ids = spark.read.parquet(s"$root/s/data/$f")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted, s"file rows must land clustered, got $ids")
+    // UNSET clears; unknown sort columns and other property keys refuse
+    spark.sql(s"ALTER TABLE $cat.s UNSET TBLPROPERTIES ('sort-order')")
+    assert(SnapshotLog(spark, s"$root/s").snapshot().sortOrder.isEmpty)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.s SET TBLPROPERTIES ('sort-order'='nope')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.s SET TBLPROPERTIES ('owner'='x')")
+    }
+    // the CALL spelling routes to the same commit
+    spark.sql(s"CALL $cat.system.set_sort_order(table => 's', columns => 'id')")
+    assert(SnapshotLog(spark, s"$root/s").snapshot().sortOrder == Seq("id"))
+  }
+
   test("inline CHECK in CREATE TABLE; CREATE OR REPLACE swaps the shape") {
     val (root, _) = freshRoot()
     val cat = mount(root)
