@@ -175,6 +175,14 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
         logOf(input).dropConstraint(n)
         Seq(u(n))
       }),
+    new P("enable_change_feed",
+      Array(in("table", StringType)),
+      result("version" -> LongType),
+      { input =>
+        val log = logOf(input)
+        log.enableChangeFeed()
+        Seq(log.currentVersion())
+      }),
     new P("set_sort_order",
       Array(in("table", StringType), in("columns", StringType)),
       result("version" -> LongType),

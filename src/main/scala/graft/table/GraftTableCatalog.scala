@@ -302,6 +302,11 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
           sp.value().split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       case rp: TableChange.RemoveProperty if rp.property() == "sort-order" =>
         log.setSortOrder(Nil)
+      case sp: TableChange.SetProperty if sp.property() == "change-feed" =>
+        require(sp.value().toBoolean,
+          s"ALTER TABLE on ${log.tableDir}: the change feed is sticky — " +
+            "consumers may depend on the images; it cannot be disabled")
+        log.enableChangeFeed()
       case dc: TableChange.DropConstraint =>
         if (!dc.ifExists())
           require(log.constraints().contains(dc.name()),

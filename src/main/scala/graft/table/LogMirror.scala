@@ -67,7 +67,8 @@ object LogMirror {
     * the metadata-only spec evolution (the replica keeps its OWN
     * layout/spec — maintenance and partitioning are per-replica). */
   private val PhysicalOnly =
-    Set("compact", "cluster", "zorder", "evolve_spec", "set_sort")
+    Set("compact", "cluster", "zorder", "evolve_spec", "set_sort",
+      "enable_feed")
 
   /** Apply every source version after the destination's watermark, in
     * order. `appId` identifies THIS replication lane in the

@@ -2725,6 +2725,30 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     next
   }
 
+  /** Turn on row-level CDC for an EXISTING table as ONE metadata-only
+    * commit (op `enable_feed`) — the post-creation spelling of
+    * [[SnapshotLog.withChangeFeed]] for tables that discover a
+    * downstream consumer after the fact. Sticky like the constructor
+    * flag (no off switch — consumers may already depend on the
+    * images), and the feed's contract starts HERE: change images are
+    * recorded for commits from this version on, so a consumer reads
+    * `readChangeRows(thisVersion, ...)` — spans reaching further back
+    * hit the recorded-images guard exactly as they should. Idempotent.
+    * SQL spellings: `ALTER TABLE ... SET TBLPROPERTIES
+    * ('change-feed'='true')` and `CALL system.enable_change_feed`. */
+  def enableChangeFeed(): Snapshot = {
+    require(currentVersion() > 0,
+      s"$tableDir has no commit yet — declare the feed at creation " +
+        "(withChangeFeed / CREATE TABLE ... ('change-feed'='true'))")
+    val cur = snapshot()
+    if (cur.cdc) return cur
+    val next = cur.copy(version = cur.version + 1, op = "enable_feed",
+      parent = cur.version, cdc = true, changes = None, ts = 0L)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"enable_feed on $tableDir: concurrent commit since v${cur.version}; rerun")
+    next
+  }
+
   def restore(version: Long): Snapshot = {
     require(version >= 1, s"restore needs a committed version, got $version")
     val target = snapshot(version)

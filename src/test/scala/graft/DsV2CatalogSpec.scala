@@ -220,6 +220,36 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(SnapshotLog(spark, s"$root/s").snapshot().sortOrder == Seq("id"))
   }
 
+  test("change-feed enable post-creation: sticky, contract starts at the enabling commit") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(s"CREATE TABLE $cat.cf (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.cf VALUES (1L,'a'),(2L,'b'),(3L,'c')")
+    // a PRE-feed row-removing commit has no images — spans over it refuse
+    val log = SnapshotLog(spark, s"$root/cf")
+    log.deleteWhere(("id", 3L, 3L))
+    val vPre = log.currentVersion()
+    spark.sql(s"ALTER TABLE $cat.cf SET TBLPROPERTIES ('change-feed'='true')")
+    val s = SnapshotLog(spark, s"$root/cf").snapshot()
+    assert(s.op == "enable_feed" && s.cdc && s.version == vPre + 1)
+    // post-enable row-removing commits record images; the feed nets
+    SnapshotLog(spark, s"$root/cf").deleteWhere(("id", 2L, 2L))
+    val net = SnapshotLog(spark, s"$root/cf")
+      .readChangeRows(s.version).collect()
+    assert(net.map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+      .toSet == Set((2L, "delete")))
+    intercept[IllegalStateException] { // the pre-feed delete blocks older spans
+      SnapshotLog(spark, s"$root/cf").readChangeRows(0).collect()
+    }
+    // sticky: disable refuses; re-enable is idempotent (no new commit)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.cf SET TBLPROPERTIES ('change-feed'='false')")
+    }
+    val vNow = SnapshotLog(spark, s"$root/cf").currentVersion()
+    spark.sql(s"CALL $cat.system.enable_change_feed(table => 'cf')")
+    assert(SnapshotLog(spark, s"$root/cf").currentVersion() == vNow)
+  }
+
   test("inline CHECK in CREATE TABLE; CREATE OR REPLACE swaps the shape") {
     val (root, _) = freshRoot()
     val cat = mount(root)
