@@ -59,7 +59,8 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     fourTypeCdc: Boolean = false,
     maxVersionsPerTrigger: Long = 0L,
     maxFilesPerTrigger: Long = 0L,
-    startingVersion0: String = "") extends Source {
+    startingVersion0: String = "",
+    metadataPath: String = "") extends Source {
   require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
     "rate limits must be positive (0 = unlimited)")
   require(!fourTypeCdc || readChangeFeed,
@@ -75,16 +76,37 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
   // every manifest segment on each trigger of a segmented table
   private val log = SnapshotLog(spark, tableDir)
 
-  /** Where a FRESH stream (no checkpoint) starts: version 0 (full
-    * history) by default, an explicit version, or `'latest'` — resolved
-    * ONCE at source creation, so only changes after stream start ship
-    * (the Delta `startingVersion` contract). A checkpointed restart
-    * always resumes from its own offsets; this only seeds the first
-    * batch. */
+  /** Where a FRESH stream (no checkpoint) starts, as the EXCLUSIVE
+    * lower bound of the first batch: 0 (full history) by default; an
+    * explicit `startingVersion = N` ships version N and later
+    * (INCLUSIVE of N — the Delta contract — so the bound is N-1); or
+    * `'latest'`, which ships only commits after stream start.
+    *
+    * `'latest'` is non-deterministic, so its resolution is PERSISTED
+    * under the stream's metadata path on first start: a restart that
+    * must re-plan an uncommitted batch 0 (the engine re-calls
+    * `getBatch(None, plannedEnd)`) re-reads the SAME bound instead of
+    * re-resolving against a head that moved while the stream was down —
+    * re-resolving would silently drop the planned span (or invert the
+    * range and crash the recovery). Checkpointed restarts past batch 0
+    * resume from their own offsets; this only seeds the first batch. */
   private val startVersion: Long =
     if (startingVersion0.isEmpty) 0L
-    else if (startingVersion0.equalsIgnoreCase("latest")) log.currentVersion()
-    else startingVersion0.toLong
+    else if (startingVersion0.equalsIgnoreCase("latest"))
+      LogChangeFeed.resolveLatestOnce(spark, metadataPath,
+        () => log.currentVersion())
+    else {
+      val n = startingVersion0.toLong
+      val head = log.currentVersion()
+      require(n >= 1 && n <= head + 1,
+        s"startingVersion $n is outside $tableDir's history " +
+          s"(versions 1..$head; ${head + 1} = only future commits)")
+      n - 1 // inclusive-of-N contract; offsets are exclusive bounds
+    }
+
+  /** Test seam: the resolved exclusive start bound (what a batch-0
+    * recovery getBatch(None, end) replays from). */
+  private[graft] def resolvedStartVersion: Long = startVersion
 
   /** Commits that can remove rows a consumer already received — a gap
     * in an insert-only feed. `restore` belongs here: rolling back past
@@ -200,10 +222,39 @@ class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister
       parameters.get("fourTypeCdc").exists(_.toBoolean),
       parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
       parameters.get("maxFilesPerTrigger").map(_.toLong).getOrElse(0L),
-      parameters.getOrElse("startingVersion", ""))
+      parameters.getOrElse("startingVersion", ""),
+      metadataPath)
 }
 
 object LogChangeFeed {
+
+  /** Resolve `startingVersion='latest'` exactly once per checkpoint:
+    * the first start writes the head version to
+    * `<metadataPath>/graft-starting-version` (create-if-absent — a
+    * racing twin reads the winner's value); every later construction,
+    * including batch-0 recovery after a crash, reads the SAME bound.
+    * A source built without a metadata path (tests driving the class
+    * directly) just resolves fresh. */
+  private[streaming] def resolveLatestOnce(spark: SparkSession,
+      metadataPath: String, head: () => Long): Long = {
+    if (metadataPath.isEmpty) return head()
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-starting-version")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val resolved = head()
+      try {
+        val out = fs.create(p, false) // no overwrite: first writer wins
+        try out.write(resolved.toString.getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => () } // lost the race: read below
+    }
+    val in = fs.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      .trim.toLong
+    finally in.close()
+  }
+
   private[streaming] def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("option 'path' (the log table dir) is required"))

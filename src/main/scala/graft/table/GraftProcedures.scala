@@ -75,6 +75,15 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
 
   private def u(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** Comma-separated column list: blanks dropped, empty refused — a
+    * `columns => ''` argument should fail HERE with a clear message,
+    * not as an unresolved-column error deep in the layout job. */
+  private def cols(csv: String, what: String): Seq[String] = {
+    val out = csv.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(out.nonEmpty, s"CALL $what: 'columns' needs at least one column name")
+    out
+  }
+
   val all: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
     new P("compact",
       Array(in("table", StringType),
@@ -199,7 +208,7 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
       { input =>
         val log = logOf(input)
         graft.jobs.LayoutJob.clusterByLog(log,
-          input.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          cols(input.getUTF8String(1).toString, "cluster"),
           input.getLong(2))
         Seq(log.currentVersion())
       }),
@@ -210,7 +219,7 @@ private[graft] final class GraftProcedures(rootOf: () => String) {
       { input =>
         val log = logOf(input)
         graft.jobs.LayoutJob.zorderByLog(log,
-          input.getUTF8String(1).toString.split(',').toSeq.map(_.trim),
+          cols(input.getUTF8String(1).toString, "zorder"),
           input.getLong(2))
         Seq(log.currentVersion())
       })

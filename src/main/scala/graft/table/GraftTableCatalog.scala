@@ -331,7 +331,7 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
     val dir = new org.apache.hadoop.fs.Path(dirOf(ident))
     val fs = dir.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
-    fs.exists(dir) && logFor(ident).currentVersion() > 0 && fs.delete(dir, true)
+    fs.exists(dir) && fs.delete(dir, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

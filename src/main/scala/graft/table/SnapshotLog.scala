@@ -1521,6 +1521,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
         else snapshot(parent)
       specGuard(staged, base)
+      policyGuard(staged)
       val merged =
         try mergeSchemaJson(base, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1566,6 +1567,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         return None
       }
       specGuard(staged, base)
+      policyGuard(staged)
       val merged =
         try mergeSchemaJson(base, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -1670,6 +1672,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       // spec-less table would slip through the op check — the guard
       // catches that the staged files carry no (or stale) tuples
       specGuard(staged, cur)
+      policyGuard(staged)
       val merged =
         try mergeSchemaJson(cur, staged.schemaJson)
         catch { case e: IllegalStateException => discard(staged); throw e }
@@ -2507,7 +2510,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"pending key tombstones on '$from' — compact() to materialize " +
         "them before renaming (their key files carry the old name)")
     constraints().foreach { case (n, sql) =>
-      require(!constraintRefs(sql).contains(from),
+      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(from)),
         s"CHECK constraint '$n' ($sql) references '$from' — drop or " +
           "redefine the constraint before renaming")
     }
@@ -2569,7 +2572,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"pending key tombstones on '$name' — compact() to materialize " +
         "them before dropping (their key files carry the column)")
     constraints().foreach { case (n, sql) =>
-      require(!constraintRefs(sql).contains(name),
+      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(name)),
         s"CHECK constraint '$n' ($sql) references '$name' — drop or " +
           "redefine the constraint before dropping the column")
     }
@@ -2677,6 +2680,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return base // replay detected — nothing stages, nothing commits
     val staged = stage(df, base = Some(base))
+    policyGuard(staged)
     val merged =
       try mergeSchemaJson(base, staged.schemaJson)
       catch { case e: IllegalStateException => discard(staged); throw e }
@@ -2715,8 +2719,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       cols.foreach(c => require(fields(c),
         s"sort column '$c' is not a column of $tableDir"))
     }
-    require(cols != cur.sortOrder,
-      s"$tableDir already sorts by [${cur.sortOrder.mkString(", ")}]")
+    if (cols == cur.sortOrder) return cur // idempotent: re-run DDL is a no-op
     val next = cur.copy(version = cur.version + 1, op = "set_sort",
       parent = cur.version, sortOrder = cols, cdc = commitCdc(cur),
       changes = None, ts = 0L)
@@ -3007,17 +3010,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(SnapshotLog.TagNameRe.matches(name),
       s"constraint '$name' — names are [A-Za-z0-9][A-Za-z0-9._-]*")
     val refs = constraintRefs(sql) // also fails fast on unparseable SQL
-    if (currentVersion() > 0) {
-      val cols = read().columns.toSet
-      val present = refs.filter(cols)
-      if (present.size == refs.size) {
-        val bad = read().where(
-          org.apache.spark.sql.functions.expr(sql) <=> lit(false)).limit(1).count()
-        require(bad == 0,
-          s"cannot add CHECK '$name' ($sql) to $tableDir: existing rows " +
-            "violate it — fix the data first (deleteWhere/updateWhere)")
-      }
-    }
+    // CLAIM the ref FIRST, validate second, roll the claim back on
+    // violation. The ordering is what makes concurrent writes sound:
+    // once the ref is published, every staging write that lists
+    // constraints sees it, and a write staged EARLIER (against the
+    // pre-constraint set) aborts at its commit-time [[policyGuard]] —
+    // so the validation scan below, reading a snapshot taken after the
+    // publish, covers every commit that can ever land unchecked.
     val payload = mapper.createObjectNode()
     payload.put("name", name).put("sql", sql)
     if (!store.putIfAbsent(constraintRefName(name),
@@ -3026,6 +3025,21 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       require(existing.contains(sql),
         s"constraint '$name' on $tableDir already reads '${existing.orNull}' — " +
           "dropConstraint first to redefine")
+      return // identical redefinition: already validated when first added
+    }
+    if (currentVersion() > 0) {
+      val table = read()
+      val cols = table.columns.toSeq
+      if (refs.forall(r => cols.exists(_.equalsIgnoreCase(r)))) {
+        val bad = table.where(
+          org.apache.spark.sql.functions.expr(sql) <=> lit(false)).limit(1).count()
+        if (bad > 0) {
+          store.delete(constraintRefName(name)) // roll the claim back
+          throw new IllegalArgumentException(
+            s"cannot add CHECK '$name' ($sql) to $tableDir: existing rows " +
+              "violate it — fix the data first (deleteWhere/updateWhere)")
+        }
+      }
     }
   }
 
@@ -3255,6 +3269,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       fileRows: Map[String, Long], blooms: Map[String, Map[String, String]],
       fileBytes: Map[String, Long],
       partitions: Map[String, Seq[String]] = Map.empty,
+      /** CHECK-constraint names LISTED at stage time (table-shaped
+        * stages only; None = image/DV stage, enforcement inapplicable).
+        * [[policyGuard]] compares against the refs at commit time — a
+        * constraint published between stage and commit aborts the
+        * commit, the other half of [[addConstraint]]'s claim-then-
+        * validate ordering. */
+      checkedNames: Option[Set[String]] = None,
       /** The partition spec the files' tuples were COMPUTED under — the
         * commit loop re-checks it against the spec in force at publish
         * time ([[specGuard]]): a concurrent [[evolvePartitionSpec]]
@@ -3270,6 +3291,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * past a concurrent `evolve_spec` would mis-tag the staged files'
     * partition tuples (see [[Staged.spec]]). Loud
     * [[CommitConflictException]], same contract as restore/evolve. */
+  /** Commit-time constraint re-check — the writer-side half of
+    * [[addConstraint]]'s claim-then-validate protocol: a CHECK
+    * published AFTER this write staged (so its rows were never counted
+    * against it) whose referenced columns this frame CARRIES aborts
+    * the commit; the rerun stages with enforcement. One ref listing
+    * per commit attempt, control-plane sized. Constraints this stage
+    * already checked, and constraints on columns absent from the frame
+    * (CHECK-NULL passes), never abort. */
+  private def policyGuard(staged: Staged): Unit =
+    staged.checkedNames.foreach { seen =>
+      val frameCols = org.apache.spark.sql.types.DataType
+        .fromJson(staged.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      constraints().foreach { case (n, sql) =>
+        if (!seen(n) && staged.rows > 0 &&
+            constraintRefs(sql).forall(r =>
+              frameCols.exists(_.equalsIgnoreCase(r)))) {
+          discard(staged)
+          throw new CommitConflictException(
+            s"commit to $tableDir: CHECK constraint '$n' ($sql) was added " +
+              "while this write was staged — its rows were never validated; " +
+              "rerun (the restage enforces it)")
+        }
+      }
+    }
+
   private def specGuard(staged: Staged, base: Snapshot): Unit = {
     val want = commitSpec(base)
     if (staged.spec != want) {
@@ -3395,11 +3442,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // and CDC image files are not table rows). A constraint whose
     // referenced columns are absent from THIS write's frame passes it
     // (the rows read those columns as NULL, and CHECK-NULL passes).
-    val dfCols = df.columns.toSet
-    val checks: Seq[(String, String)] =
-      if (!partitioned) Nil
-      else constraints().toSeq.sortBy(_._1)
-        .filter { case (_, sql) => constraintRefs(sql).forall(dfCols) }
+    val dfCols = df.columns.toSeq
+    // Spark resolves columns case-insensitively by default — the
+    // presence test must match, or a CHECK spelled `QTY > 0` against a
+    // column `qty` would be silently skipped while still reported
+    // ENFORCED
+    val listed: Map[String, String] =
+      if (!partitioned) Map.empty else constraints()
+    val checks: Seq[(String, String)] = listed.toSeq.sortBy(_._1)
+      .filter { case (_, sql) =>
+        constraintRefs(sql).forall(r => dfCols.exists(_.equalsIgnoreCase(r)))
+      }
     val obsCols = count(lit(1)).as("rows") +: checks.map { case (n, sql) =>
       count(org.apache.spark.sql.functions.when(
         org.apache.spark.sql.functions.expr(sql) <=> lit(false), 1))
@@ -3473,7 +3526,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (rows == 0L && found.nonEmpty) {
       fs.delete(scratch, true)
       return Staged(Nil, 0L, 0L, Map.empty, df.schema.json, Map.empty,
-        Map.empty, Map.empty, Map.empty, spec)
+        Map.empty, Map.empty, Map.empty,
+        if (partitioned) Some(listed.keySet) else None, spec)
     }
     val moved = found.zipWithIndex.map { case (f, idx) =>
       // dynamic partition writes reuse part-file names across partition
@@ -3505,6 +3559,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       stagedBlooms,
       moved.map(m => m._1 -> m._2).toMap,
       moved.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap,
+      if (partitioned) Some(listed.keySet) else None,
       spec)
   }
 

@@ -50,6 +50,24 @@ class ConstraintSpec extends AnyFunSuite {
     assert(log.read().count() == 5)
   }
 
+  test("constraints match columns case-insensitively, like Spark's resolution") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append(Seq((1, 5)).toDF("id", "qty"))
+    log.addConstraint("qty_pos", "QTY > 0") // spelled differently from the column
+    intercept[IllegalStateException] { // still enforced on writes
+      log.append(Seq((2, -1)).toDF("id", "qty"))
+    }
+    intercept[IllegalArgumentException] { // still guards evolution
+      log.renameColumn("qty", "amount")
+    }
+    log.dropConstraint("qty_pos")
+    log.append(Seq((2, -1)).toDF("id", "qty"))
+    // add-time validation matches too, and a failed add rolls its claim back
+    intercept[IllegalArgumentException] { log.addConstraint("qty_pos", "QTY > 0") }
+    assert(log.constraints().isEmpty)
+  }
+
   test("UPDATE and MERGE enforce; a constraint on absent columns passes the write") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))

@@ -206,6 +206,10 @@ class DsV2CatalogSpec extends AnyFunSuite {
     val ids = spark.read.parquet(s"$root/s/data/$f")
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(ids == ids.sorted, s"file rows must land clustered, got $ids")
+    // re-running the identical DDL is a no-op (idempotent migrations)
+    val vSame = SnapshotLog(spark, s"$root/s").currentVersion()
+    spark.sql(s"ALTER TABLE $cat.s SET TBLPROPERTIES ('sort-order'='id')")
+    assert(SnapshotLog(spark, s"$root/s").currentVersion() == vSame)
     // UNSET clears; unknown sort columns and other property keys refuse
     spark.sql(s"ALTER TABLE $cat.s UNSET TBLPROPERTIES ('sort-order')")
     assert(SnapshotLog(spark, s"$root/s").snapshot().sortOrder.isEmpty)

@@ -137,7 +137,7 @@ class LogStreamSpec extends AnyFunSuite {
     val log = SnapshotLog(spark, table)
     (0 until 3).foreach(run =>
       log.append(mkRows(run, 3).toDF("id", "payload").coalesce(1)))
-    // explicit version: only (2, head] ships
+    // explicit version is INCLUSIVE (the Delta contract): v2 and v3 ship
     val seen = new ConcurrentLinkedQueue[(Int, String)]()
     val q = spark.readStream
       .format(classOf[graft.streaming.LogChangeFeedProvider].getName)
@@ -149,19 +149,35 @@ class LogStreamSpec extends AnyFunSuite {
       }.start()
     try {
       q.processAllAvailable()
-      assert(drained(seen) == mkRows(2, 3).sorted,
-        "startingVersion=2 must ship only the post-v2 history")
+      assert(drained(seen) == (mkRows(1, 3) ++ mkRows(2, 3)).sorted,
+        "startingVersion=2 must ship v2 and later (inclusive of 2)")
     } finally q.stop()
-    // 'latest': nothing from history, only commits after stream start
+    // out-of-history versions refuse loudly at start
+    val bad = spark.readStream
+      .format(classOf[graft.streaming.LogChangeFeedProvider].getName)
+      .option("path", table).option("startingVersion", "99")
+      .load().writeStream
+      .option("checkpointLocation", freshDir("graft-feed-sv-ckptbad-"))
+      .format("noop").start()
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        bad.processAllAvailable()
+      }
+    } finally bad.stop()
+    // 'latest': nothing from history, only commits after stream start;
+    // the resolved bound persists in the checkpoint, so a restarted
+    // stream keeps the ORIGINAL stream-start boundary
+    val ckpt2 = freshDir("graft-feed-sv-ckpt2-")
     val seen2 = new ConcurrentLinkedQueue[(Int, String)]()
-    val q2 = spark.readStream
+    def latestQuery() = spark.readStream
       .format(classOf[graft.streaming.LogChangeFeedProvider].getName)
       .option("path", table).option("startingVersion", "latest")
       .load().writeStream
-      .option("checkpointLocation", freshDir("graft-feed-sv-ckpt2-"))
+      .option("checkpointLocation", ckpt2)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.collect().foreach(r => seen2.add((r.getInt(0), r.getString(1))))
       }.start()
+    val q2 = latestQuery()
     try {
       q2.processAllAvailable()
       assert(drained(seen2).isEmpty, "'latest' must skip the backlog")
@@ -170,6 +186,38 @@ class LogStreamSpec extends AnyFunSuite {
       assert(drained(seen2) == mkRows(7, 2).sorted,
         "commits after stream start must flow")
     } finally q2.stop()
+    log.append(mkRows(8, 2).toDF("id", "payload")) // lands while down
+    val q3 = latestQuery()
+    try {
+      q3.processAllAvailable()
+      val got = drained(seen2).toSet
+      // foreachBatch is at-least-once across a stop (the final commit-log
+      // write can race the stop) — the contract here is NO LOSS and no
+      // re-resolution past the original stream-start boundary
+      assert(mkRows(8, 2).toSet.subsetOf(got) &&
+        got.subsetOf((mkRows(7, 2) ++ mkRows(8, 2)).toSet),
+        s"restart must ship the down-time commits and nothing pre-start: $got")
+    } finally q3.stop()
+    // batch-0 recovery determinism (the case the persistence exists for):
+    // a source REBUILT over the same metadata path — what a crash before
+    // batch 0's commit does — re-reads the persisted 'latest' bound
+    // instead of re-resolving against a head that moved while down
+    val meta = freshDir("graft-feed-sv-meta-")
+    val h0 = log.currentVersion()
+    val src1 = new graft.streaming.LogChangeFeedSource(spark, table,
+      false, false, false, 0L, 0L, "latest", meta)
+    assert(src1.resolvedStartVersion == h0)
+    log.append(mkRows(9, 2).toDF("id", "payload")) // head moves past h0
+    val src2 = new graft.streaming.LogChangeFeedSource(spark, table,
+      false, false, false, 0L, 0L, "latest", meta) // "restarted" source
+    assert(src2.resolvedStartVersion == h0,
+      "recovery must replay from the ORIGINAL (persisted) bound — " +
+        "re-resolving 'latest' against the moved head would drop the " +
+        "planned batch-0 span")
+    // a source with NO metadata path (direct construction) resolves fresh
+    val src3 = new graft.streaming.LogChangeFeedSource(spark, table,
+      false, false, false, 0L, 0L, "latest", "")
+    assert(src3.resolvedStartVersion == h0 + 1)
   }
 
   test("restart from checkpoint resumes at the committed version, not the beginning") {
