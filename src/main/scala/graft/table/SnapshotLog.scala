@@ -2148,6 +2148,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val newDvs = (base.dvs -- gone) ++ dvStaged.fold(
       Map.empty[String, Seq[String]])(st => dvSet.map(f =>
         f -> (base.dvs.getOrElse(f, Nil) :+ st.files.head)).toMap)
+    // updated copies carry NEW values — a CHECK published since this
+    // write staged must abort it (policyGuard discards updStaged;
+    // the sibling stages clean up here)
+    try policyGuard(updStaged)
+    catch { case e: Throwable =>
+      survivorsOpt.foreach(discard); dvStaged.foreach(discard)
+      changeStaged.foreach(discard); throw e }
     val next = Snapshot(base.version + 1, "update", base.version,
       base.rows, // an update never changes the row count
       base.bytes - rewriteBytes + survBytes + updStaged.bytes,
@@ -2292,6 +2299,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       if (!recordCdc) None
       else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
         keyColumn = column))
+    // merge upserts carry NEW values — same commit-time re-check as
+    // appends (policyGuard discards staged; the image stage cleans here)
+    try policyGuard(staged)
+    catch { case e: Throwable => changeStaged.foreach(discard); throw e }
     val merged =
       try mergeSchemaJson(base, staged.schemaJson)
       catch { case e: IllegalStateException =>
