@@ -57,6 +57,19 @@ final case class RollupSpec(name: String, key: String,
       s"rollup aggregate '${a.out}' (${a.fn}) needs an \"in\" column"))
 }
 
+/** A config-declared CHECK constraint on the prepared table
+  * ([[graft.table.SnapshotLog.addConstraint]]): every promoted run must
+  * satisfy `check` on every row or the WHOLE promotion aborts before
+  * publish — the pipeline's data-quality gate declared beside the
+  * schema, enforced on the same Observation pass that counts rows
+  * (zero extra jobs per drain). Declared in config because the gate is
+  * pipeline POLICY like the rollup, not a property of a run. */
+final case class CheckSpec(name: String, check: String) {
+  require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+    s"constraint name must be [A-Za-z0-9][A-Za-z0-9._-]*: '$name'")
+  require(check.trim.nonEmpty, s"constraint '$name' needs a CHECK expression")
+}
+
 final case class LayoutPolicy(columns: Seq[String], zorder: Boolean = false) {
   require(columns.nonEmpty, "layout policy needs at least one column")
   require(!zorder || columns.size >= 2,
@@ -98,7 +111,8 @@ final case class PipelineConfig(
     partitionBy: Seq[graft.table.PartitionField] = Nil,
     sortBy: Seq[String] = Nil,
     changeFeed: Boolean = false,
-    rollup: Option[RollupSpec] = None
+    rollup: Option[RollupSpec] = None,
+    constraints: Seq[CheckSpec] = Nil
 ) {
   require(!(layoutAdvised && layout.isDefined),
     "layout_mode 'advised' means NO declared cluster_by — a declared policy always wins")
@@ -132,6 +146,12 @@ final case class PipelineConfig(
         "in the transaction log's manifests)")
     require(useLog || rollup.isEmpty,
       "rollup needs table_format 'log' (it folds the log's change feed)")
+    require(useLog || constraints.isEmpty,
+      "constraints need table_format 'log' (enforcement rides the " +
+        "log's transactional staging — the bare directory has no " +
+        "abort-before-publish point)")
+    require(constraints.map(_.name).distinct.size == constraints.size,
+      s"duplicate constraint names: ${constraints.map(_.name).mkString(", ")}")
     rollup.foreach { r =>
       require(known(r.key), s"rollup key '${r.key}' not in the declared schema")
       val badIn = r.aggs.filter(a => a.in.nonEmpty && !known(a.in))
@@ -293,7 +313,16 @@ object PipelineConfig {
             graft.table.AggCol(req(a, "out").asText(), req(a, "fn").asText(),
               Option(a.get("in")).map(_.asText()).getOrElse(""))
           }.toSeq)
-      }
+      },
+      // optional: declared CHECK constraints — the drain attaches them
+      // before promoting, every promotion enforces them or aborts whole
+      // — [{"name":…, "check":…}]
+      constraints = Option(prepared.get("constraints")).map { cn =>
+        (0 until cn.size()).map { i =>
+          val c = cn.get(i)
+          CheckSpec(req(c, "name").asText(), req(c, "check").asText())
+        }.toSeq
+      }.getOrElse(Nil)
     )
   }
 
@@ -362,6 +391,11 @@ object PipelineConfig {
         an.put("out", a.out).put("fn", a.fn)
         if (a.in.nonEmpty) an.put("in", a.in)
       }
+    }
+    if (c.constraints.nonEmpty) {
+      val ca = prep.putArray("constraints")
+      c.constraints.foreach(k =>
+        ca.addObject().put("name", k.name).put("check", k.check))
     }
     val d = node.putObject("data_object")
     d.put("name", c.tableName)

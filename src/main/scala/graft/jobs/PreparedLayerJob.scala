@@ -146,10 +146,26 @@ object PreparedLayerJob {
     * — all newly-promoted runs fold as one change-feed delta. */
   def promoteAll(spark: SparkSession, cfg: PipelineConfig,
       ledger: RunLedger): Seq[JobMetrics] = {
+    ensureConstraints(spark, cfg)
     val out = ledger.pending(spark, cfg.jobSrc).map(promote(spark, cfg, ledger, _))
     refreshRollup(spark, cfg)
     out
   }
+
+  /** Attach the config-declared CHECK constraints
+    * ([[graft.config.CheckSpec]] → [[graft.table.SnapshotLog
+    * .addConstraint]]) before anything promotes: every run in this
+    * drain then validates on its staging pass or aborts whole.
+    * Idempotent per name+expression (identical re-declaration is a
+    * no-op); a config that REDEFINES an existing name refuses loudly —
+    * changing a live gate is an operator action (drop, fix data, add),
+    * not a silent config push. One ref listing; no-op without
+    * declarations. */
+  def ensureConstraints(spark: SparkSession, cfg: PipelineConfig): Unit =
+    if (cfg.constraints.nonEmpty) {
+      val log = graft.table.PreparedTable.log(spark, cfg)
+      cfg.constraints.foreach(c => log.addConstraint(c.name, c.check))
+    }
 
   /** Fold the prepared log's change feed into the config-declared
     * rollup ([[graft.config.RollupSpec]] →

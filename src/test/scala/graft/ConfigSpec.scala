@@ -150,6 +150,28 @@ class ConfigSpec extends AnyFunSuite {
       withRollup.replace("\"in\": \"id\"", "\"in\": \"nope\"")))
   }
 
+  test("constraints: parse, round-trip, require the log format, refuse duplicates") {
+    val chkJson =
+      "\"constraints\": [{\"name\": \"qty_pos\", \"check\": \"id > 0\"}]"
+    val withChk = refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      s""""preparedBucket": "/tmp/prepared", "table_format": "log", $chkJson""")
+    val c = PipelineConfig.parse(withChk)
+    assert(c.constraints == Seq(graft.config.CheckSpec("qty_pos", "id > 0")))
+    assert(PipelineConfig.parse(PipelineConfig.render(c)) == c)
+    // enforcement rides the log's staging — the bare directory has no
+    // abort-before-publish point
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(refShaped.replace(
+      "\"preparedBucket\": \"/tmp/prepared\"",
+      s""""preparedBucket": "/tmp/prepared", $chkJson""")))
+    // duplicate names and empty expressions fail at config time
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(withChk.replace(
+      "[{\"name\": \"qty_pos\", \"check\": \"id > 0\"}]",
+      "[{\"name\": \"a\", \"check\": \"id > 0\"}, {\"name\": \"a\", \"check\": \"id < 9\"}]")))
+    assertThrows[IllegalArgumentException](PipelineConfig.parse(
+      withChk.replace("id > 0", " ")))
+  }
+
   test("layout policy: parses cluster_by + layout_mode, round-trips, validates") {
     import graft.config.LayoutPolicy
     val withLayout = refShaped.replace(

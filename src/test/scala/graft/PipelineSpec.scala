@@ -414,6 +414,38 @@ class PipelineSpec extends AnyFunSuite {
       fixture.select("text").distinct().count() + 5)
   }
 
+  test("config-declared constraints gate every promotion; a violating run publishes nothing") {
+    val spark = TestSpark.spark
+    val tmp = Files.createTempDirectory("graft-log-chk-")
+    val cfg = cfgFor(tmp).copy(tableFormat = PipelineConfig.FormatLog,
+      constraints = Seq(graft.config.CheckSpec("qty_pos", "l_quantity > 0")))
+    val ledger = new LocalJsonLedger(tmp.resolve("ledger"))
+    // clean run: the drain attaches the declared gate, then promotes
+    RawLayerJob.run(spark, cfg, src, ledger, "run1")
+    Orchestrator.drain(spark, cfg, ledger)
+    val log = graft.table.PreparedTable.log(spark, cfg)
+    assert(log.constraints() == Map("qty_pos" -> "l_quantity > 0"))
+    val goodRows = log.read().count()
+    assert(goodRows == fixtureRows(spark))
+    // violating run: the promotion aborts WHOLE — nothing publishes,
+    // the table and its version are untouched, the run stays pending
+    val badSrc = tmp.resolve("badsrc").toString
+    spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet").limit(5)
+      .withColumn("l_quantity", org.apache.spark.sql.functions.lit(-1.0))
+      .write.parquet(badSrc)
+    RawLayerJob.run(spark, cfg, ParquetSource(badSrc), ledger, "run2")
+    val v = log.currentVersion()
+    val ex = intercept[IllegalStateException] {
+      Orchestrator.drain(spark, cfg, ledger)
+    }
+    assert(ex.getMessage.contains("qty_pos"))
+    assert(log.currentVersion() == v && log.read().count() == goodRows)
+    // operator action releases the gate; the pending run then promotes
+    log.dropConstraint("qty_pos")
+    Orchestrator.drain(spark, cfg.copy(constraints = Nil), ledger)
+    assert(log.read().count() == goodRows + 5)
+  }
+
   test("config-declared rollup stays fresh across drains; a CoW delete folds through") {
     import org.apache.spark.sql.functions.{col, count, max, min, sum}
     val spark = TestSpark.spark
