@@ -168,6 +168,10 @@ class DsV2CatalogSpec extends AnyFunSuite {
     val s2 = SnapshotLog(spark, s"$root/t2").snapshot()
     assert(s2.rows == 2 && s2.partitions.values.forall(_.size == 2),
       "SQL-inserted files must carry (day, bucket) partition tuples")
+    // SHOW CREATE TABLE renders the declared shape back as DDL
+    val ddl = spark.sql(s"SHOW CREATE TABLE $cat.t2").head().getString(0)
+    assert(ddl.contains("days(ts)") && ddl.contains("bucket(4, id)") &&
+      ddl.contains("sort-order"), ddl)
     // IF NOT EXISTS tolerates the existing table; bare CREATE refuses
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.t2 (id BIGINT)")
     intercept[Exception] { spark.sql(s"CREATE TABLE $cat.t2 (id BIGINT)") }
