@@ -277,6 +277,12 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(log.snapshot().version == 1 && log.constraints().isEmpty)
     spark.sql(s"INSERT INTO $cat.gated VALUES (7L, 'ok')")
     assert(spark.sql(s"SELECT note FROM $cat.gated").head().getString(0) == "ok")
+    // ... AS SELECT composes: replace + populate in one statement
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.gated AS " +
+      s"SELECT id, v FROM $cat.t1 WHERE id < 5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 5)
+    assert(SnapshotLog(spark, s"$root/gated").snapshot().version == 2,
+      "RTAS = fresh create(v1) + one transactional append(v2)")
   }
 
   test("INSERT INTO commits one append: visible at head, absent from the pinned past") {
