@@ -65,7 +65,9 @@ final case class RollupSpec(name: String, key: String,
   * (zero extra jobs per drain). Declared in config because the gate is
   * pipeline POLICY like the rollup, not a property of a run. */
 final case class CheckSpec(name: String, check: String) {
-  require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+  // the SAME name grammar addConstraint enforces — one definition, so a
+  // config that validates here cannot crash the drain on the name
+  require(graft.table.SnapshotLog.TagNameRe.matches(name),
     s"constraint name must be [A-Za-z0-9][A-Za-z0-9._-]*: '$name'")
   require(check.trim.nonEmpty, s"constraint '$name' needs a CHECK expression")
 }

@@ -156,15 +156,35 @@ object PreparedLayerJob {
     * ([[graft.config.CheckSpec]] → [[graft.table.SnapshotLog
     * .addConstraint]]) before anything promotes: every run in this
     * drain then validates on its staging pass or aborts whole.
-    * Idempotent per name+expression (identical re-declaration is a
-    * no-op); a config that REDEFINES an existing name refuses loudly —
-    * changing a live gate is an operator action (drop, fix data, add),
-    * not a silent config push. One ref listing; no-op without
-    * declarations. */
+    *
+    * Each expression's referenced columns are checked against the
+    * DECLARED schema (+ the audit column) first — a typo'd column
+    * would otherwise attach a gate that every staging pass silently
+    * skips (CHECK on an absent column passes by NULL semantics) while
+    * DESCRIBE reports it enforced; the sibling config references
+    * (layout/bloom/partition/sort/rollup) all fail fast the same way.
+    *
+    * Steady state costs ONE ref listing per drain: already-identical
+    * declarations are skipped before calling addConstraint. A config
+    * that REDEFINES an existing name refuses loudly — changing a live
+    * gate is an operator action (drop, fix data, re-add), not a
+    * silent config push. No-op without declarations. */
   def ensureConstraints(spark: SparkSession, cfg: PipelineConfig): Unit =
     if (cfg.constraints.nonEmpty) {
       val log = graft.table.PreparedTable.log(spark, cfg)
-      cfg.constraints.foreach(c => log.addConstraint(c.name, c.check))
+      val known = cfg.schema.map(_.name).toSeq :+ "ETL_PART_KEY"
+      cfg.constraints.foreach { c =>
+        val unknown = log.constraintRefs(c.check)
+          .filterNot(r => known.exists(_.equalsIgnoreCase(r)))
+        require(unknown.isEmpty,
+          s"constraint '${c.name}' (${c.check}) references columns not in " +
+            s"the declared schema: ${unknown.mkString(", ")} — the gate " +
+            "would never fire (CHECK on an absent column passes)")
+      }
+      val existing = log.constraints()
+      cfg.constraints
+        .filterNot(c => existing.get(c.name).contains(c.check))
+        .foreach(c => log.addConstraint(c.name, c.check))
     }
 
   /** Fold the prepared log's change feed into the config-declared

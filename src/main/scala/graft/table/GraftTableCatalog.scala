@@ -241,7 +241,16 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
       info.properties())
     try info.constraints().foreach {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        logFor(ident).addConstraint(c.name(), c.predicateSql())
+        val log = logFor(ident)
+        // the declared schema is RIGHT HERE — a constraint referencing
+        // a column outside it would attach as a silent no-op (CHECK on
+        // an absent column passes); refuse at create instead
+        val unknown = log.constraintRefs(c.predicateSql()).filterNot(r =>
+          info.schema().fieldNames.exists(_.equalsIgnoreCase(r)))
+        require(unknown.isEmpty,
+          s"CREATE TABLE ${ident}: CHECK '${c.name()}' references columns " +
+            s"not in the table: ${unknown.mkString(", ")}")
+        log.addConstraint(c.name(), c.predicateSql())
       case other => throw new UnsupportedOperationException(
         s"CREATE TABLE ${ident}: only CHECK constraints are enforceable " +
           s"at write time — ${other.toDDL} is informational DDL this " +

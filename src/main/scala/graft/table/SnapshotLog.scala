@@ -2990,7 +2990,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * catalyst SQL parser, not resolved — `functions.expr` wraps the
     * text in a lazily-parsed node that hides the attribute tree). The
     * guard surfaces check these against the current schema. */
-  private def constraintRefs(sql: String): Seq[String] =
+  private[graft] def constraintRefs(sql: String): Seq[String] =
     spark.sessionState.sqlParser.parseExpression(sql)
       .collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -3280,13 +3280,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       fileRows: Map[String, Long], blooms: Map[String, Map[String, String]],
       fileBytes: Map[String, Long],
       partitions: Map[String, Seq[String]] = Map.empty,
-      /** CHECK-constraint names LISTED at stage time (table-shaped
-        * stages only; None = image/DV stage, enforcement inapplicable).
-        * [[policyGuard]] compares against the refs at commit time — a
-        * constraint published between stage and commit aborts the
-        * commit, the other half of [[addConstraint]]'s claim-then-
-        * validate ordering. */
-      checkedNames: Option[Set[String]] = None,
+      /** CHECK constraints (name → expression) LISTED at stage time
+        * (table-shaped stages only; None = image/DV stage, enforcement
+        * inapplicable). [[policyGuard]] compares against the refs at
+        * commit time — a constraint published OR redefined between
+        * stage and commit aborts the commit, the other half of
+        * [[addConstraint]]'s claim-then-validate ordering. */
+      checkedNames: Option[Map[String, String]] = None,
       /** The partition spec the files' tuples were COMPUTED under — the
         * commit loop re-checks it against the spec in force at publish
         * time ([[specGuard]]): a concurrent [[evolvePartitionSpec]]
@@ -3304,28 +3304,41 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * [[CommitConflictException]], same contract as restore/evolve. */
   /** Commit-time constraint re-check — the writer-side half of
     * [[addConstraint]]'s claim-then-validate protocol: a CHECK
-    * published AFTER this write staged (so its rows were never counted
-    * against it) whose referenced columns this frame CARRIES aborts
-    * the commit; the rerun stages with enforcement. One ref listing
-    * per commit attempt, control-plane sized. Constraints this stage
-    * already checked, and constraints on columns absent from the frame
-    * (CHECK-NULL passes), never abort. */
+    * published (or REDEFINED via drop + re-add) after this write
+    * staged — so its rows were never counted against the CURRENT
+    * expression — aborts the commit when the frame carries the
+    * referenced columns; the rerun stages with enforcement. Matching
+    * is by (name, expression), not name alone: a same-named constraint
+    * whose text changed mid-flight is exactly as unvalidated as a new
+    * one. One ref listing per commit attempt, control-plane sized.
+    * ANY failure here (including a ref-store I/O error) discards the
+    * staged files — nothing may leak into data/ on an aborted path.
+    *
+    * Residual window, stated honestly: this listing and the manifest
+    * CAS are not one atomic step — a constraint published after the
+    * guard ran but before tryCommit lands (the snapshot-build +
+    * segment-write span) is not seen by this writer, and
+    * [[addConstraint]]'s validation scan may pin a head that predates
+    * the commit. Closing it fully would need constraints to live IN
+    * the versioned manifest (rejected: policy binds every branch and
+    * is deliberately not time-travel-versioned). The window is one
+    * driver-side commit assembly, not a data-plane span. */
   private def policyGuard(staged: Staged): Unit =
     staged.checkedNames.foreach { seen =>
-      val frameCols = org.apache.spark.sql.types.DataType
-        .fromJson(staged.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-      constraints().foreach { case (n, sql) =>
-        if (!seen(n) && staged.rows > 0 &&
-            constraintRefs(sql).forall(r =>
-              frameCols.exists(_.equalsIgnoreCase(r)))) {
-          discard(staged)
-          throw new CommitConflictException(
-            s"commit to $tableDir: CHECK constraint '$n' ($sql) was added " +
-              "while this write was staged — its rows were never validated; " +
-              "rerun (the restage enforces it)")
+      try {
+        val frameCols = org.apache.spark.sql.types.DataType
+          .fromJson(staged.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        constraints().foreach { case (n, sql) =>
+          if (!seen.get(n).contains(sql) && staged.rows > 0 &&
+              constraintRefs(sql).forall(r =>
+                frameCols.exists(_.equalsIgnoreCase(r))))
+            throw new CommitConflictException(
+              s"commit to $tableDir: CHECK constraint '$n' ($sql) was added " +
+                "or redefined while this write was staged — its rows were " +
+                "never validated against it; rerun (the restage enforces it)")
         }
-      }
+      } catch { case e: Throwable => discard(staged); throw e }
     }
 
   private def specGuard(staged: Staged, base: Snapshot): Unit = {
@@ -3538,7 +3551,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       fs.delete(scratch, true)
       return Staged(Nil, 0L, 0L, Map.empty, df.schema.json, Map.empty,
         Map.empty, Map.empty, Map.empty,
-        if (partitioned) Some(listed.keySet) else None, spec)
+        if (partitioned) Some(listed) else None, spec)
     }
     val moved = found.zipWithIndex.map { case (f, idx) =>
       // dynamic partition writes reuse part-file names across partition
@@ -3570,7 +3583,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       stagedBlooms,
       moved.map(m => m._1 -> m._2).toMap,
       moved.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap,
-      if (partitioned) Some(listed.keySet) else None,
+      if (partitioned) Some(listed) else None,
       spec)
   }
 
@@ -3867,7 +3880,7 @@ object SnapshotLog {
   private[table] val RefPrefix = "ref-"
   private[table] val BranchRefPrefix = "branchref-"
   private[table] val ConstraintPrefix = "check-"
-  private[table] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+  private[graft] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
 

@@ -444,6 +444,15 @@ class PipelineSpec extends AnyFunSuite {
     log.dropConstraint("qty_pos")
     Orchestrator.drain(spark, cfg.copy(constraints = Nil), ledger)
     assert(log.read().count() == goodRows + 5)
+    // a typo'd column refuses at the drain instead of attaching a gate
+    // that would never fire (CHECK on an absent column passes by NULL)
+    val typo = cfg.copy(constraints =
+      Seq(graft.config.CheckSpec("typo", "l_quantty > 0")))
+    val e2 = intercept[IllegalArgumentException] {
+      PreparedLayerJob.ensureConstraints(spark, typo)
+    }
+    assert(e2.getMessage.contains("l_quantty"))
+    assert(log.constraints().isEmpty, "nothing may attach on refusal")
   }
 
   test("config-declared rollup stays fresh across drains; a CoW delete folds through") {
