@@ -796,6 +796,67 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded merge-on-read SQL read ([[graft.table.LogDebtScan]]): the
+    * fixture stacks BOTH debt kinds on a shipdate-clustered lineitem
+    * log table — a sparse predicate delete the planner commits as a
+    * positional DELETION VECTOR (asserted, as in q38) and then a
+    * scattered-key `deleteKeys` that commits a KEY TOMBSTONE (asserted)
+    * — and the graded aggregate reads the table through the DSv2
+    * CATALOG while both pend: the debt scan must prune candidates from
+    * the manifest, apply the DV position anti-join and the tombstone
+    * key anti-join on the survivors, and hand Spark exactly the live
+    * rows. A resurrected position, a swallowed key, a double-applied
+    * vector, or the pre-r12 refusal all fail against DuckDB computing
+    * the same survivors from raw lineitem. At 100 TB this is the
+    * read-during-debt window every GDPR/backfill pipeline lives in:
+    * SELECT keeps working between the delete and the maintenance
+    * drain. */
+  def q47LogSqlMorRead(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"mor47:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-mor-")
+        .resolve("t").toString
+      val log = graft.table.SnapshotLog(spark, tmp,
+        statsColumns = Seq("l_shipdate", "l_orderkey"))
+      log.append(t(spark, dir, "lineitem"))
+      graft.jobs.LayoutJob.clusterByLog(log, Seq("l_shipdate"),
+        targetFileBytes = 256L << 10)
+      val s = log.deleteWhere(
+        ("l_shipdate", java.time.LocalDateTime.of(1995, 6, 1, 0, 0, 0),
+          java.time.LocalDateTime.of(1995, 6, 30, 23, 59, 59)),
+        ("l_quantity", 1.0, 10.0)).get
+      require(s.dvs.nonEmpty,
+        "q47 fixture: the sparse delete was expected to commit a " +
+          s"deletion vector, planner chose otherwise (files=${s.files.size})")
+      val keys = t(spark, dir, "lineitem").select(col("l_orderkey"))
+        .where(col("l_orderkey") % 1000 === 7).distinct()
+      val s2 = log.deleteKeys("l_orderkey", keys).get
+      require(s2.tombstones.nonEmpty,
+        "q47 fixture: the key delete must commit a merge-on-read tombstone")
+      tmp
+    })
+    spark.sql(
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+         |  count(*) AS n_rows
+         |FROM ${mountCatalog(spark, path)}
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  def q47Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE NOT (l_shipdate BETWEEN TIMESTAMP '1995-06-01 00:00:00'
+      |                          AND TIMESTAMP '1995-06-30 23:59:59'
+      |       AND l_quantity BETWEEN 1 AND 10)
+      |  AND l_orderkey % 1000 <> 7
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table
@@ -927,9 +988,9 @@ object Relational {
       spark.sql(
         "INSERT INTO gq41.li VALUES (1, 'Z', 10.0, 7), (2, 'Z', 32.0, 9)")
     }
-    // read through the TVF: with rename/drop debt still pending it is
-    // the surface that epoch-aligns BY FIELD ID (the raw catalog scan
-    // deliberately refuses until maintenance drains the debt)
+    // read through the TVF: with rename/drop debt still pending the
+    // debt-aware scan epoch-aligns BY FIELD ID over the manifest-pruned
+    // file list (maintenance later drains the debt back to codegen)
     val s = org.apache.spark.sql.GraftBridge
       .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
     s.sql(

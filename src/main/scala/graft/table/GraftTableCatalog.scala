@@ -73,10 +73,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[GraftTableCatalog.alterTable]]. `CREATE TABLE`/CTAS commit the
   * table's first transactional append under the declared partition
   * spec/sort order ([[GraftTableCatalog.createTable]]); `DROP TABLE`
-  * removes the directory. Tables with PENDING merge-on-read
-  * tombstones refuse the scan (a raw parquet read would resurrect
-  * deleted rows): compact first, or read through the tombstone-applying
-  * surfaces (`PreparedTable.read`, `graft_log(...)`).
+  * removes the directory. Tables with PENDING merge-on-read debt —
+  * key tombstones, deletion vectors, pre-rename schema epochs — stay
+  * readable: the scan builder plans [[LogDebtScan]] (manifest-pruned
+  * file list + the typed read's debt composition) instead of the raw
+  * vectorized batch, so `SELECT` after a typed `deleteKeys` returns
+  * the survivors; maintenance draining the debt restores the
+  * codegen path.
   *
   * Scale: planning is one manifest GET + driver-side string compares;
   * execution is Spark's stock distributed parquet scan. Nothing here is
@@ -467,25 +470,8 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       }
     }.toArray
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    require(snap.fileSchemaIdx.isEmpty,
-      s"${log.tableDir} has files written before a column rename — the " +
-        "raw parquet scan resolves by NAME and would null the renamed " +
-        "column for them; compact() to materialize the rename, or read " +
-        "through the field-id-aligning surfaces (SnapshotLog.read, " +
-        "graft_log(...))")
-    require(snap.dvs.isEmpty,
-      s"${log.tableDir} has pending deletion vectors — a raw parquet " +
-        "scan would resurrect position-deleted rows; run " +
-        "materializeDeletes()/compact() first, or read through the " +
-        "vector-applying surfaces (SnapshotLog.read, graft_log(...))")
-    require(snap.tombstones.isEmpty,
-      s"${log.tableDir} has pending merge-on-read tombstones — a raw " +
-        "parquet scan would resurrect deleted rows; compact() first or " +
-        "read via the tombstone-applying surfaces (PreparedTable.read, " +
-        "graft_log(...))")
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(log, snap.version, schema())
-  }
 
   private def requireHead(verb: String): Unit =
     require(version < 0,
@@ -624,8 +610,94 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new LogBatchScan(log, version, dataSchema, required, pushed)
+  /** Debt-free snapshots (the steady state) plan the vectorized
+    * [[LogBatchScan]]; a snapshot carrying merge-on-read debt — key
+    * tombstones, deletion vectors, or files from a pre-rename schema
+    * epoch — plans [[LogDebtScan]], which keeps the manifest FILE
+    * pruning and composes the debt (anti-joins, position filters,
+    * field-id alignment) on the survivors. SELECT works either way;
+    * maintenance draining the debt restores the vectorized path. */
+  override def build(): Scan = {
+    val s = log.snapshot(version)
+    if (s.tombstones.isEmpty && s.dvs.isEmpty && s.fileSchemaIdx.isEmpty)
+      new LogBatchScan(log, version, dataSchema, required, pushed)
+    else new LogDebtScan(log, version, required, pushed)
+  }
+}
+
+/** The merge-on-read scan: serves a snapshot with PENDING debt (key
+  * tombstones / deletion vectors / rename epochs) through the V1 scan
+  * bridge — the file list is still manifest-pruned by the pushed
+  * conjunction (sound: debt only REMOVES rows, so a file the stats
+  * gate drops cannot hold a surviving match; per-file stats are
+  * epoch-translated inside the gate), and the row stream is the SAME
+  * composed plan the typed [[SnapshotLog.read]] builds (tombstone
+  * anti-joins, DV position filters, field-id alignment), restricted
+  * to the surviving files. Every pushed filter stays residual — Spark
+  * re-applies it above the bridge, so pruning only ever removes I/O.
+  *
+  * The V1 row bridge costs one Row↔InternalRow conversion at the scan
+  * boundary (the parquet reads INSIDE the composed plan stay
+  * vectorized); that is the deliberate price of serving reads during
+  * the debt window — maintenance ([[SnapshotLog.compact]] /
+  * `materializeDeletes` / `materializeRenames`) drains the debt and
+  * the table returns to [[LogBatchScan]]'s codegen path. Statistics
+  * report pruned-set BYTES only: physical row counts over-count
+  * tombstoned/DV'd rows, and a wrong exact row count is worse for
+  * join planning than none. */
+private[graft] final class LogDebtScan(private val log: SnapshotLog,
+    private val version: Long, private val required: StructType,
+    private val pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.V1Scan
+    with SupportsReportStatistics {
+
+  /** Manifest-pruned survivors; pinned by specs (same observability
+    * contract as [[LogBatchScan.plannedFiles]]). */
+  private[graft] val plannedFiles: Seq[String] =
+    log.filesMatching(LogScanBuilder.boundsOf(pushed), version)
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        log.readFiles(version, plannedFiles)
+          .select(required.fieldNames.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+          .rdd
+    }.asInstanceOf[T]
+
+  override def description(): String =
+    s"graft-log(debt) ${log.tableDir} v$version files=${plannedFiles.size} " +
+      s"pushed=${pushed.mkString(", ")}"
+
+  override def estimateStatistics(): Statistics = {
+    val s = log.snapshot(version)
+    val bytes: java.util.OptionalLong =
+      if (plannedFiles.forall(s.fileBytes.contains))
+        java.util.OptionalLong.of(plannedFiles.map(s.fileBytes).sum)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def equals(other: Any): Boolean = other match {
+    case o: LogDebtScan =>
+      o.log.tableDir == log.tableDir && o.version == version &&
+        o.plannedFiles == plannedFiles && o.pushed.toSeq == pushed.toSeq &&
+        o.required == required
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (log.tableDir, version, plannedFiles, pushed.toSeq, required).hashCode()
 }
 
 /** The scan the manifest plans: Spark's vectorized parquet batch over

@@ -27,11 +27,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * relation the [[GraftTableCatalog]] builds ([[LogTable]] →
   * [[LogScanBuilder]]), so `FROM graft_log('/lake/t') WHERE day = X`
   * gets manifest-level FILE pruning — not just parquet row-group
-  * pushdown — identically to `FROM graft.t`. The one divergence:
-  * a snapshot with PENDING merge-on-read tombstones falls back to the
-  * tombstone-applying composed plan (`SnapshotLog.read`) that the DSv2
-  * scan deliberately refuses — correctness first, file pruning resumes
-  * at the next compaction.
+  * pushdown — identically to `FROM graft.t`, including over snapshots
+  * with PENDING merge-on-read debt: the builder plans [[LogDebtScan]]
+  * there, which prunes candidates from the manifest and composes the
+  * tombstone/vector/alignment debt on the survivors.
   */
 object LogTableFunction {
 
@@ -105,20 +104,17 @@ object LogTableFunction {
     val version = if (branchOf.isDefined) -1L
       else args.lift(1).map(versionArg("graft_log", log, _)).getOrElse(-1L)
     val snap = log.snapshot(version) // resolve -1 → head ONCE, here
-    if (snap.tombstones.isEmpty && snap.dvs.isEmpty &&
-        snap.fileSchemaIdx.isEmpty) {
-      // the DSv2 relation: WHERE clauses reach LogScanBuilder before
-      // planning, so selective predicates open 1-of-N files (manifest
-      // stats/partition/bloom gates), exactly like the catalog path
-      val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
-        Array.empty, new org.apache.hadoop.fs.Path(path).getName)
-      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-        .create(new LogTable(log, ident, snap.version), None, None)
-    } else // pending MoR tombstones/deletion vectors/rename debt: the
-      // composed plan that applies them (anti-joins, field-id
-      // alignment) — correctness first, manifest file pruning resumes
-      // at the next materialization
-      org.apache.spark.sql.GraftBridge.logicalPlan(log.read(version))
+    // the DSv2 relation: WHERE clauses reach LogScanBuilder before
+    // planning, so selective predicates open 1-of-N files (manifest
+    // stats/partition/bloom gates), exactly like the catalog path.
+    // Merge-on-read debt (tombstones/DVs/rename epochs) no longer
+    // forfeits pruning: the builder plans [[LogDebtScan]], which
+    // prunes candidates from the manifest and composes the debt on
+    // the survivors.
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, new org.apache.hadoop.fs.Path(path).getName)
+    org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      .create(new LogTable(log, ident, snap.version), None, None)
   }
 
   /** The `injectTableFunction` description tuple for

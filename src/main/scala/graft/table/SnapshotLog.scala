@@ -822,6 +822,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (s.files.isEmpty) emptySnap(s) else scan(s, s.files)
   }
 
+  /** Debt-aware read of a SUBSET of a version's live files — what the
+    * DSv2 scan ([[graft.table.GraftTableCatalog]]) composes when the
+    * snapshot carries merge-on-read debt: key tombstones, deletion
+    * vectors and field-id epoch alignment apply to the subset exactly
+    * as [[read]] applies them to the full set. Callers prune the list
+    * FIRST ([[filesMatching]]) — sound under every debt kind, because
+    * debt only ever REMOVES rows from a file (a pruned-out file cannot
+    * contain a surviving matching row) and per-file stats/tuples are
+    * epoch-translated by the pruning gate itself. */
+  private[graft] def readFiles(version: Long, files: Seq[String]): DataFrame = {
+    val s = snapshot(version)
+    if (files.isEmpty) emptySnap(s) else scan(s, files)
+  }
+
   /** A zero-row frame under `s`'s manifest schema — what an emptied
     * version (truncate, full delete) reads as. Pre-schema manifests
     * (written before the field existed) cannot shape one — loud. */

@@ -75,7 +75,7 @@ class DropColumnSpec extends AnyFunSuite {
       org.apache.spark.sql.types.IntegerType)) // case-insensitive dup
   }
 
-  test("maintenance drains drop debt; the raw DSv2 scan is refused until it does") {
+  test("maintenance drains drop debt; the DSv2 scan epoch-aligns until it does") {
     val root = Files.createTempDirectory("graft-drop-sql-").toString
     val log = SnapshotLog(spark, s"$root/t", statsColumns = Seq("id"))
     log.append((0 until 8).map(i => (i, s"a$i", i.toString))
@@ -83,10 +83,11 @@ class DropColumnSpec extends AnyFunSuite {
     log.dropColumn("junk")
     spark.conf.set("spark.sql.catalog.gdrop", classOf[GraftTableCatalog].getName)
     spark.conf.set("spark.sql.catalog.gdrop.root", root)
-    val refused = intercept[Exception](
-      spark.sql("SELECT * FROM gdrop.t").collect())
-    assert(refused.getMessage.contains("rename") ||
-      refused.getMessage.contains("compact"))
+    // the debt scan serves the dropped shape during the window — the
+    // dropped column is gone, the survivors are intact
+    val during = spark.sql("SELECT * FROM gdrop.t ORDER BY id")
+    assert(during.columns.toSeq == Seq("id", "v"))
+    assert(during.count() == 8)
     val drained = log.materializeRenames().get
     assert(drained.fileSchemaIdx.isEmpty)
     assert(spark.sql("SELECT count(*) FROM gdrop.t").head().getLong(0) == 8)

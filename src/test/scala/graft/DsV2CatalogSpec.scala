@@ -9,7 +9,7 @@ import java.nio.file.Files
 /** [[GraftTableCatalog]] — the DSv2 SQL surface of the log format:
   * identifier→directory resolution, manifest-pruned + Spark-executed
   * scans, filter/column pushdown, `VERSION AS OF` time travel, the
-  * read-only contract, and the tombstone refusal. */
+  * read-only contract, and the merge-on-read debt scan. */
 class DsV2CatalogSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   import spark.implicits._
@@ -104,34 +104,47 @@ class DsV2CatalogSpec extends AnyFunSuite {
     }.getMessage.toLowerCase.contains("table"))
   }
 
-  test("pending tombstones refuse the raw scan; compaction unblocks it") {
+  test("pending tombstones: the SQL scan serves the typed read's rows; compaction restores codegen") {
     val (root, log) = freshRoot()
     val cat = mount(root)
     log.deleteKeys("id", Seq(3L).toDF("id"))
-    val ex = intercept[Exception] {
-      spark.sql(s"SELECT count(*) FROM $cat.t1").collect()
-    }
-    assert(ex.getMessage.contains("tombstone") ||
-      Option(ex.getCause).exists(_.getMessage.contains("tombstone")))
+    // the first thing a SQL user does after a typed deleteKeys must
+    // WORK: the debt scan composes the tombstone anti-join
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
+    assert(spark.sql(s"SELECT id, v FROM $cat.t1 ORDER BY id").collect().toSeq ==
+      log.read().orderBy("id").collect().toSeq,
+      "debt scan == typed read, row for row")
+    // manifest pruning still engages under debt: only the file whose
+    // stats admit the range is planned
+    val b = new graft.table.LogScanBuilder(log, log.currentVersion(),
+      log.read().schema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    b.pushFilters(Array(
+      And(GreaterThanOrEqual("id", 1000L), LessThanOrEqual("id", 1004L))))
+    val debt = b.build().asInstanceOf[graft.table.LogDebtScan]
+    assert(debt.plannedFiles.length == 1,
+      s"debt scan must keep manifest pruning, planned ${debt.plannedFiles}")
     log.compact()
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
+    // drained debt returns the vectorized batch path
+    val b2 = new graft.table.LogScanBuilder(log, log.currentVersion(),
+      log.read().schema)
+    assert(b2.build().isInstanceOf[graft.table.LogBatchScan])
   }
 
-  test("pending deletion vectors refuse the raw scan; SQL DELETE stays CoW-readable") {
+  test("pending deletion vectors: the SQL scan applies positions; SQL DELETE stays CoW-readable") {
     val (root, log) = freshRoot()
     val cat = mount(root)
-    // typed-API sparse delete → vector; the catalog's raw batch scan
-    // cannot compose the position anti-join, so it must refuse
+    // typed-API sparse delete → vector; the debt scan composes the
+    // position anti-join, so SELECT keeps working during the window
     log.deleteBetween("id", 3L, 3L)
     assert(log.snapshot().dvs.nonEmpty, "precondition: the delete vectored")
-    val ex = intercept[Exception] {
-      spark.sql(s"SELECT count(*) FROM $cat.t1").collect()
-    }
-    assert(ex.getMessage.contains("deletion vector") ||
-      Option(ex.getCause).exists(_.getMessage.contains("deletion vector")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.t1 WHERE id < 100")
+      .head().getLong(0) == (0L until 10L).sum - 3L)
     log.materializeDeletes()
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
-    // SQL DELETE pins mode=cow: the table stays SQL-readable afterwards
+    // SQL DELETE pins mode=cow: the table stays on the codegen scan path
     spark.sql(s"DELETE FROM $cat.t1 WHERE id = 1005")
     assert(log.snapshot().dvs.isEmpty,
       "the SQL verb must never strand the SQL surface behind a vector")

@@ -83,20 +83,21 @@ class RenameSpec extends AnyFunSuite {
     assert(vals == Set("upd", "new"))
   }
 
-  test("compaction materializes the rename; SQL surfaces refuse until it does") {
+  test("compaction materializes the rename; SQL surfaces field-id-align until it does") {
     val root = Files.createTempDirectory("graft-ren-sql-").toString
     val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
     log.append((0 until 5).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
     log.renameColumn("v", "payload")
-    // catalog: raw name-resolving scan must refuse while debt pends
+    // catalog: the debt scan resolves pre-rename files BY FIELD ID —
+    // renamed values surface under the new name, never as nulls
     spark.conf.set("spark.sql.catalog.grent",
       classOf[graft.table.GraftTableCatalog].getName)
     spark.conf.set("spark.sql.catalog.grent.root", root)
-    val ex = intercept[Exception](
-      spark.sql("SELECT count(*) FROM grent.t1").collect())
-    assert(ex.getMessage.contains("rename") ||
-      Option(ex.getCause).exists(_.getMessage.contains("rename")))
-    // the TVF falls back to the aligning composed plan — exact NOW
+    assert(spark.sql("SELECT count(*) FROM grent.t1").head().getLong(0) == 5)
+    assert(spark.sql(
+      "SELECT count(*) FROM grent.t1 WHERE payload IS NOT NULL")
+      .head().getLong(0) == 5, "pre-rename values must alias, not null")
+    // the TVF rides the same debt-aware scan — exact NOW
     val s = org.apache.spark.sql.GraftBridge
       .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
     assert(s.sql(s"SELECT sum(id) AS n FROM graft_log('$root/t1')")

@@ -1628,25 +1628,37 @@ class TableLogSpec extends AnyFunSuite {
     }.getMessage.contains("neither an integer version, a tag, nor a parseable"))
   }
 
-  test("graft_log applies pending deletion vectors via the composed fallback") {
+  test("graft_log applies pending deletion vectors and keeps manifest pruning") {
     val dir = freshTable()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    // TWO clustered files so the debt scan's pruning is observable
     log.append((0 until 100).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1100).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1))
     log.deleteBetween("id", 7, 9) // sparse → deletion vector, no rewrite
     assert(log.snapshot().dvs.nonEmpty, "precondition: the delete vectored")
     val s = org.apache.spark.sql.GraftBridge
       .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
-    // the TVF must NOT hand the raw file list to the DSv2 scan here —
-    // it falls back to the vector-applying composed plan
+    // the TVF rides the debt-aware scan: vectors apply...
     assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir')")
-      .head().getLong(0) == 97)
+      .head().getLong(0) == 197)
     assert(s.sql(
       s"SELECT count(*) AS n FROM graft_log('$dir') WHERE id BETWEEN 5 AND 10")
       .head().getLong(0) == 3) // 5, 6, 10 — 7-9 vectored away
-    // materialization restores the pruning-capable DSv2 path
+    // ...and a selective predicate still opens only the stats-surviving
+    // file (manifest pruning does not forfeit under debt)
+    val b = new graft.table.LogScanBuilder(log, log.currentVersion(),
+      log.read().schema)
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThanOrEqual}
+    b.pushFilters(Array(
+      And(GreaterThanOrEqual("id", 1000), LessThanOrEqual("id", 1010))))
+    val debt = b.build().asInstanceOf[graft.table.LogDebtScan]
+    assert(debt.plannedFiles.length == 1,
+      s"selective predicate over a DV-pending table must open only " +
+        s"stats-surviving files, planned ${debt.plannedFiles}")
+    // materialization restores the vectorized DSv2 path
     log.materializeDeletes()
     assert(s.sql(s"SELECT count(*) AS n FROM graft_log('$dir')")
-      .head().getLong(0) == 97)
+      .head().getLong(0) == 197)
   }
 
   test("graft_log_changes: SQL change feed spans appends/update/delete; four-type flag; tag cursor") {
