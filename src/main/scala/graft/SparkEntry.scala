@@ -110,6 +110,7 @@ object SparkEntry {
     "q45_log_sql_constraint" -> (Relational.q45LogSqlConstraint _), // oracle: ALTER TABLE ADD CONSTRAINT CHECK gate, violating INSERT aborts whole == declarative survivors
     "q46_log_sql_ctas" -> (Relational.q46LogSqlCtas _), // oracle: CREATE TABLE AS SELECT with declared bucket spec/sort == direct selection
     "q47_log_sql_mor_read" -> (Relational.q47LogSqlMorRead _), // oracle: DSv2 catalog SELECT over pending DV + tombstone debt == DuckDB survivors
+    "q48_log_sql_merge_full" -> (Relational.q48LogSqlMergeFull _), // oracle: full-clause SQL MERGE (conditional update/delete/insert + by-source, composite key) == set-algebraic recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -246,6 +247,7 @@ object SparkEntry {
     "q45_log_sql_constraint" -> Relational.q45Oracle,
     "q46_log_sql_ctas" -> Relational.q46Oracle,
     "q47_log_sql_mor_read" -> Relational.q47Oracle,
+    "q48_log_sql_merge_full" -> Relational.q48Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

@@ -857,6 +857,83 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Graded FULL SQL MERGE ([[graft.table.MergeIntoLogRule]] general
+    * tier → [[graft.table.SnapshotLog.mergeClauses]]): the complete
+    * clause matrix in ONE transactional `merge` commit — composite
+    * equality key with differing side names (`t.c_custkey = s.k AND
+    * t.c_nationkey = s.n`), a conditional matched DELETE, a conditional
+    * matched partial-column UPDATE over both sides, two NOT MATCHED
+    * insert clauses exercising first-wins order, and a conditional
+    * NOT MATCHED BY SOURCE re-segmentation. The graded query lists the
+    * full post-merge table; any mis-dispatch — a clause applied out of
+    * order, a delete resurrected, a by-source update hitting matched
+    * rows, an insert clause double-firing — shifts rows and
+    * hash-mismatches DuckDB computing the same result set-algebraically
+    * from raw customer. */
+  def q48LogSqlMergeFull(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"mrg48:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-mrg-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")).coalesce(1))                          // v1
+      val tbl = mountCatalog(s, tmp)
+      t(s, dir, "customer").createOrReplaceTempView("q48_customer_src")
+      s.sql(                                                         // v2
+        s"""MERGE INTO $tbl t
+           |USING (
+           |  SELECT c_custkey AS k, c_nationkey AS n, c_acctbal AS bal
+           |  FROM q48_customer_src WHERE c_custkey % 2 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 1000000, c_nationkey, CAST(555.0 AS DOUBLE)
+           |  FROM q48_customer_src WHERE c_custkey % 100 = 1
+           |) s
+           |ON t.c_custkey = s.k AND t.c_nationkey = s.n
+           |WHEN MATCHED AND s.bal < 1000 THEN DELETE
+           |WHEN MATCHED AND s.bal >= 8000 THEN
+           |  UPDATE SET c_acctbal = t.c_acctbal + s.bal, c_mktsegment = 'VIP'
+           |WHEN NOT MATCHED AND s.n >= 10 THEN
+           |  INSERT (c_custkey, c_nationkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.k, s.n, s.bal, 'NEW_HI')
+           |WHEN NOT MATCHED THEN
+           |  INSERT (c_custkey, c_nationkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.k, s.n, s.bal, 'NEW')
+           |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN
+           |  UPDATE SET c_mktsegment = 'STALE_NEG'""".stripMargin)
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "merge",
+        "q48 fixture: the clause merge must land as one merge commit")
+      tmp
+    })
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+         |FROM ${mountCatalog(s, path)}
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def q48Oracle: String =
+    """WITH survivors AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CASE WHEN c_custkey % 2 = 0 AND c_acctbal >= 8000
+      |         THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 2 = 0 AND c_acctbal >= 8000 THEN 'VIP'
+      |         WHEN c_custkey % 2 <> 0 AND c_acctbal < 0 THEN 'STALE_NEG'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer
+      |  WHERE NOT (c_custkey % 2 = 0 AND c_acctbal < 1000)
+      |), inserted AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey, c_nationkey,
+      |    CAST(555.0 AS DOUBLE) AS c_acctbal,
+      |    CASE WHEN c_nationkey >= 10 THEN 'NEW_HI' ELSE 'NEW' END
+      |      AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 100 = 1
+      |)
+      |SELECT * FROM survivors
+      |UNION ALL SELECT * FROM inserted
+      |ORDER BY c_custkey""".stripMargin
+
   /** Star join over the DSv2 catalog with DYNAMIC file pruning: fact
     * lineitem lives in a bucket(l_orderkey)-partitioned
     * [[graft.table.SnapshotLog]] mounted through [[graft.table

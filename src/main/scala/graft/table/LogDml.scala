@@ -4,41 +4,48 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, IsNotNull, LessThanOrEqual, NamedExpression, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.col
 
 /** `MERGE INTO` for [[SnapshotLog]] tables mounted through
-  * [[GraftTableCatalog]] — the SQL spelling of [[SnapshotLog.mergeByKey]],
-  * installed as a resolution rule by [[graft.plans.GraftExtensions]]
-  * (the same extension-point production lakehouse formats use for their
-  * MERGE: intercept the analyzed [[MergeIntoTable]] before Spark's
-  * row-level-operation rewrite, and route it to the format's own
-  * transactional upsert).
+  * [[GraftTableCatalog]], installed as a resolution rule by
+  * [[graft.plans.GraftExtensions]] (the same extension-point production
+  * lakehouse formats use for their MERGE: intercept the analyzed
+  * [[MergeIntoTable]] before Spark's row-level-operation rewrite, and
+  * route it to the format's own transactional merge).
   *
-  * Supported shape — the canonical key'd upsert, which is EXACTLY
-  * `mergeByKey`'s semantics:
-  * {{{
-  * MERGE INTO graft.t USING <source> s
-  *   ON t.k = s.k                       -- one equality, same column name
-  * WHEN MATCHED THEN UPDATE SET *       -- whole row from the source
-  * WHEN NOT MATCHED THEN INSERT *       -- whole row from the source
-  * }}}
-  * Both the pre-expansion star actions and the analyzer-expanded
-  * per-column assignment form are recognized (the resolution batch runs
-  * to fixpoint, so the rule may see either). Any other shape —
-  * conditional actions, partial-column updates, `WHEN NOT MATCHED BY
-  * SOURCE`, delete actions — is left for Spark to refuse with its own
-  * row-level-operations error; the typed API covers those cases.
+  * Two tiers, chosen by shape:
   *
-  * The rewrite targets the LIVE head: the command re-resolves the
-  * table's log at execution and commits through `mergeByKey`'s
-  * stats-targeted copy-on-write path (per-key file routing, CDC images
-  * on feed-enabled tables, one CAS'd manifest). SQL MERGE requires each
-  * target row to match at most ONE source row — enforced with a
-  * batch-sized duplicate probe before anything stages. */
+  *  1. The CANONICAL key'd upsert — one same-name equality key,
+  *     unconditional `WHEN MATCHED THEN UPDATE SET *` +
+  *     `WHEN NOT MATCHED THEN INSERT *` — routes to
+  *     [[SnapshotLog.mergeByKey]] (per-key file routing, the fastest
+  *     path for the CDC-apply shape). Both the pre-expansion star
+  *     actions and the analyzer-expanded per-column assignment form are
+  *     recognized (the resolution batch runs to fixpoint, so the rule
+  *     may see either).
+  *  2. Everything else SQL MERGE can say — composite equality keys
+  *     (any column names on either side), multi-clause conditional
+  *     `WHEN MATCHED [AND c] THEN UPDATE SET .../DELETE`,
+  *     `WHEN NOT MATCHED [AND c] THEN INSERT (...) VALUES (...)`,
+  *     `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE/DELETE` —
+  *     routes to [[SnapshotLog.mergeClauses]] (envelope file routing,
+  *     one full-outer classification join, first-wins clause order).
+  *
+  * Genuinely inexpressible shapes refuse LOUDLY at analysis with the
+  * typed API named: non-equality/disjunctive ON conditions (a range
+  * merge is not a keyed merge), subqueries or non-deterministic
+  * expressions in clauses, nested assignment targets, and
+  * `WITH SCHEMA EVOLUTION`. DML against a time-travelled snapshot is
+  * refused — history is immutable.
+  *
+  * Cardinality: SQL's "a target row may be updated/deleted by at most
+  * one source row" is enforced on GENUINE ambiguity only — a duplicated
+  * source key aborts iff it matches a target row; duplicates that only
+  * insert are standard MERGE and insert them all. */
 final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -50,7 +57,13 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[LogTable] => r
       case _ => return None
     }
-    if (!m.sourceTable.resolved || m.notMatchedBySourceActions.nonEmpty)
+    if (!m.sourceTable.resolved || !m.mergeCondition.resolved) return None
+    canonical(m, target).orElse(general(m, target))
+  }
+
+  private def canonical(m: MergeIntoTable,
+      target: DataSourceV2Relation): Option[LogicalPlan] = {
+    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
       return None
     val key = keyOf(m.mergeCondition, target).getOrElse(return None)
     if (!wholeRowAction(m.matchedActions, isUpdate = true, target) ||
@@ -67,8 +80,123 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       Alias(e, t.name)(): NamedExpression
     }
     val table = target.table.asInstanceOf[LogTable]
+    requireHead(table, "MERGE")
     Some(MergeIntoLogCommand(table.log.tableDir, key,
       Project(projected, m.sourceTable)))
+  }
+
+  private def requireHead(table: LogTable, verb: String): Unit =
+    if (table.pinnedVersion >= 0) throw new UnsupportedOperationException(
+      s"$verb on ${table.log.tableDir} VERSION/TIMESTAMP AS OF is not " +
+        "allowed — committed history is immutable; run DML against the " +
+        "head table")
+
+  /** The general tier: translate the analyzed actions into
+    * [[SnapshotLog.mergeClauses]]'s clause form — target attributes
+    * stay under their own names, source attributes move under
+    * [[SnapshotLog.MergeSrcPrefix]] (the namespace of the merge's
+    * classification join), re-anchored as unresolved names so they
+    * resolve against the joined frame at execution. */
+  private def general(m: MergeIntoTable,
+      target: DataSourceV2Relation): Option[LogicalPlan] = {
+    val table = target.table.asInstanceOf[LogTable]
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"MERGE INTO ${table.log.tableDir}: $why")
+    requireHead(table, "MERGE")
+    if (m.withSchemaEvolution)
+      refuse("WITH SCHEMA EVOLUTION is not supported — evolve the table " +
+        "with ALTER TABLE first, then merge")
+    val tgtSet = target.outputSet
+    val srcSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      m.sourceTable.output)
+    // every clause expression must be resolved before translation —
+    // return None (not an error) so the fixpoint comes back after the
+    // analyzer finishes resolving/expanding the actions
+    val exprsPending = (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).exists {
+      case UpdateStarAction(c) => c.exists(!_.resolved)
+      case InsertStarAction(c) => c.exists(!_.resolved)
+      case a => a.children.exists(!_.resolved)
+    }
+    if (exprsPending) return None
+    val keys = keyPairs(m.mergeCondition, tgtSet, srcSet).getOrElse(refuse(
+      "the ON condition must be a conjunction of equalities, each " +
+        "between one target column and one source column — range or " +
+        "disjunctive merges are not keyed merges; use the typed " +
+        s"SnapshotLog API for those (condition: ${m.mergeCondition})"))
+    val SP = SnapshotLog.MergeSrcPrefix
+    def xlate(e: Expression, what: String): Expression = {
+      if (!e.deterministic) refuse(
+        s"$what is non-deterministic — the merge would not replay exactly")
+      if (e.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
+        s"$what contains a subquery; compute it into the source first")
+      e.transform {
+        case a: AttributeReference if tgtSet.contains(a) =>
+          UnresolvedAttribute.quoted(a.name)
+        case a: AttributeReference if srcSet.contains(a) =>
+          UnresolvedAttribute.quoted(SP + a.name)
+        case a: AttributeReference =>
+          refuse(s"$what references '$a' from neither merge side")
+      }
+    }
+    def assignsOf(assigns: Seq[Assignment],
+        what: String): Seq[(String, Expression)] = assigns.map { a =>
+      val name = UpdateLogRule.stripAlias(a.key) match {
+        case k: AttributeReference if tgtSet.contains(k) => k.name
+        case other => refuse(
+          s"$what assignment target $other is not a top-level column " +
+            "of the table (nested-field assignment is not supported)")
+      }
+      name -> xlate(UpdateLogRule.stripAlias(a.value),
+        s"$what assignment to '$name'")
+    }
+    def wholeRow(what: String): Seq[(String, Expression)] =
+      target.output.map { t =>
+        val s = m.sourceTable.output.find(a => conf.resolver(a.name, t.name))
+          .getOrElse(refuse(
+            s"$what * needs a source column named '${t.name}'"))
+        t.name -> (UnresolvedAttribute.quoted(SP + s.name): Expression)
+      }
+    def clausesOf(actions: Seq[MergeAction],
+        what: String): Seq[MergeClausesLogCommand.RawClause] = actions.map {
+      case UpdateStarAction(c) =>
+        (c.map(xlate(_, s"$what condition")), "update",
+          wholeRow(s"$what UPDATE SET"))
+      case InsertStarAction(c) =>
+        (c.map(xlate(_, s"$what condition")), "insert",
+          wholeRow(s"$what INSERT"))
+      case UpdateAction(c, assigns, _) =>
+        (c.map(xlate(_, s"$what condition")), "update",
+          assignsOf(assigns, s"$what UPDATE"))
+      case InsertAction(c, assigns) =>
+        (c.map(xlate(_, s"$what condition")), "insert",
+          assignsOf(assigns, s"$what INSERT"))
+      case DeleteAction(c) =>
+        (c.map(xlate(_, s"$what condition")), "delete", Nil)
+      case other => refuse(s"unsupported $what action $other")
+    }
+    Some(MergeClausesLogCommand(table.log.tableDir, keys,
+      clausesOf(m.matchedActions, "WHEN MATCHED"),
+      clausesOf(m.notMatchedActions, "WHEN NOT MATCHED"),
+      clausesOf(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE"),
+      m.sourceTable))
+  }
+
+  /** The ON condition as (target column, source column) equality pairs —
+    * None unless EVERY conjunct is one equality with exactly one side
+    * from each relation. */
+  private def keyPairs(cond: Expression,
+      tgtSet: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      srcSet: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Option[Seq[(String, String)]] = cond match {
+    case And(l, r) =>
+      for { a <- keyPairs(l, tgtSet, srcSet)
+            b <- keyPairs(r, tgtSet, srcSet) } yield a ++ b
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      if (tgtSet.contains(a) && srcSet.contains(b)) Some(Seq((a.name, b.name)))
+      else if (tgtSet.contains(b) && srcSet.contains(a)) Some(Seq((b.name, a.name)))
+      else None
+    case _ => None
   }
 
   /** The merge key iff the condition is ONE equality between a target
@@ -288,29 +416,73 @@ final case class UpdateLogCommand(tableDir: String,
   }
 }
 
-/** The executable MERGE: a driver-side command (the batch itself is a
-  * fully distributed upsert inside [[SnapshotLog.mergeByKey]] — staging
-  * write, anti-join, stats lift; only the commit decision is local,
-  * like every log commit). */
+/** The executable canonical MERGE: a driver-side command (the batch
+  * itself is a fully distributed upsert inside
+  * [[SnapshotLog.mergeByKey]] — staging write, anti-join, stats lift;
+  * only the commit decision is local, like every log commit). */
 final case class MergeIntoLogCommand(tableDir: String, key: String,
     source: LogicalPlan) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val log = SnapshotLog.inheriting(spark, tableDir)
     val updates = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
       .localCheckpoint(true) // feeds the dup probe AND the merge once
     try {
-      // SQL MERGE semantics: a target row may match at most one source
-      // row — also exactly mergeByKey's key-uniqueness contract
-      val dup = updates.groupBy(col(key)).count()
-        .where(col("count") > 1).limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalStateException(
-        s"MERGE INTO $tableDir: source has multiple rows for key " +
-          s"$key = ${dup.head.get(0)} — each target row may match at " +
-          "most one source row (dedupe the source, e.g. latest-wins)")
-      SnapshotLog.inheriting(spark, tableDir).mergeByKey(updates, key)
+      // SQL MERGE cardinality: a target row may be updated by at most
+      // one source row. Only GENUINE ambiguity aborts — a duplicated
+      // source key that actually matches a target row; duplicates that
+      // only insert are standard MERGE (mergeByKey inserts them all).
+      // The probe pays a key-column table read only when duplicates
+      // exist at all.
+      val dups = updates.groupBy(col(key)).count()
+        .where(col("count") > 1).drop("count")
+      if (dups.limit(1).collect().nonEmpty) {
+        val clash = log.read().select(col(key))
+          .join(dups, Seq(key), "left_semi").limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"MERGE INTO $tableDir: source has multiple rows for matched " +
+            s"key $key = ${clash.head.get(0)} — a target row may be " +
+            "updated by at most one source row (dedupe the source, " +
+            "e.g. latest-wins)")
+      }
+      log.mergeByKey(updates, key)
     } finally updates.unpersist()
+    Seq.empty
+  }
+}
+
+private[graft] object MergeClausesLogCommand {
+  /** (condition, action, assignments) — the serializable clause form
+    * the resolution rule hands the command; Columns are rebuilt from
+    * the re-anchored expressions at execution. */
+  type RawClause = (Option[Expression], String, Seq[(String, Expression)])
+}
+
+/** The executable general MERGE: resolves the table's log at execution
+  * and commits through [[SnapshotLog.mergeClauses]] (envelope file
+  * routing, one full-outer classification join, first-wins clauses,
+  * CDC images) — fully distributed; only the commit decision is local. */
+final case class MergeClausesLogCommand(tableDir: String,
+    keys: Seq[(String, String)],
+    matched: Seq[MergeClausesLogCommand.RawClause],
+    notMatched: Seq[MergeClausesLogCommand.RawClause],
+    bySource: Seq[MergeClausesLogCommand.RawClause],
+    source: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+    def mk(raw: Seq[MergeClausesLogCommand.RawClause]): Seq[MergeWhen] =
+      raw.map { case (c, action, assigns) =>
+        MergeWhen(c.map(org.apache.spark.sql.GraftBridge.toCol), action,
+          assigns.map { case (n, e) =>
+            n -> org.apache.spark.sql.GraftBridge.toCol(e) })
+      }
+    SnapshotLog.inheriting(spark, tableDir).mergeClauses(src, keys,
+      mk(matched), mk(notMatched), mk(bySource))
     Seq.empty
   }
 }

@@ -43,6 +43,11 @@ import org.apache.hadoop.fs.Path
   *    key-unique update batch) replay as `dst.mergeByKey` on the
   *    recorded key column, same watermark: an upsert against identical
   *    pre-state produces the identical post-state. O(batch) shipped.
+  *    A CLAUSE merge ([[SnapshotLog.mergeClauses]] — composite keys
+  *    and/or matched-DELETE images with no paired post-image) replays
+  *    as one `dst.mergeClauses` call instead: pure-delete keys carry a
+  *    marker column and dispatch to a DELETE clause, every other image
+  *    upserts — same watermark, same O(batch).
   *  - `update` — the recorded predicates + post-images replay as
   *    `dst.applyUpdate` on the lane watermark: the replica retires its
   *    own rows matching the predicates (exactly the source's
@@ -215,16 +220,51 @@ object LogMirror {
             // which would wedge the replica at this version forever
             dst.appendStream(emptyFrame(src, s), lane, v)
           } else {
-            // the insert images ARE the source's key-unique update
-            // batch; upserting them against identical pre-state
-            // reproduces the source's post-state exactly
             materializePending(dst)
+            import org.apache.spark.sql.functions.{col, lit, not}
+            val ks = cs.keyColumn.split(",").toSeq
             val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
-            val inserts = src.session.read
+            val img = src.session.read
               .parquet(cs.files.map(f => new Path(dataDir, f).toString): _*)
-              .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            val inserts = img.where(col("_change_type") === "insert")
               .drop("_change_type")
-            dst.mergeByKey(inserts, cs.keyColumn, Some((lane, v)))
+            // pure deletes = delete images whose key has NO post-image —
+            // only clause merges produce them (mergeByKey images deletes
+            // solely for replaced keys)
+            val pureDel = img.where(col("_change_type") === "delete")
+              .select(ks.map(col): _*).distinct()
+              .join(inserts.select(ks.map(col): _*).distinct(), ks, "left_anti")
+            if (ks.size == 1 && pureDel.limit(1).collect().isEmpty) {
+              // the insert images ARE the source's key-unique update
+              // batch; upserting them against identical pre-state
+              // reproduces the source's post-state exactly
+              dst.mergeByKey(inserts, cs.keyColumn, Some((lane, v)))
+            } else {
+              // clause-merge replay: one dst.mergeClauses call — marked
+              // pure-delete keys dispatch to a DELETE clause, everything
+              // else upserts whole-row. A pure delete with a NULL key
+              // component is key-unaddressable (SQL equality never
+              // matches NULL) — refuse with the resync contract.
+              if (pureDel.where(ks.map(col(_).isNull).reduce(_ || _))
+                  .limit(1).collect().nonEmpty)
+                throw new IllegalStateException(
+                  s"cannot mirror ${src.tableDir} v$v: a merge deleted " +
+                    "rows with NULL key components — key-based replay " +
+                    "cannot address them; resync the replica from a full read")
+              val marker = "__graft_mirror_del"
+              val srcRep = inserts.withColumn(marker, lit(false))
+                .unionByName(pureDel.withColumn(marker, lit(true)),
+                  allowMissingColumns = true)
+              val SP = SnapshotLog.MergeSrcPrefix
+              val whole = inserts.columns.toSeq.map(c => c -> col(SP + c))
+              dst.mergeClauses(srcRep, ks.map(k => (k, k)),
+                matched = Seq(
+                  MergeWhen(Some(col(SP + marker)), "delete"),
+                  MergeWhen(None, "update", whole)),
+                notMatched = Seq(
+                  MergeWhen(Some(not(col(SP + marker))), "insert", whole)),
+                txn = Some((lane, v)))
+            }
           }
           newlyApplied += 1
         case other =>

@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 import java.util.UUID
@@ -289,6 +289,18 @@ object ChangePred {
 final case class ChangeSet(files: Seq[String] = Nil,
     deletedDataFiles: Seq[String] = Nil,
     keyColumn: String = "", preds: Seq[ChangePred] = Nil)
+
+/** One WHEN clause of a general merge ([[SnapshotLog.mergeClauses]]).
+  * `cond` is evaluated over the JOINED row: target columns under their
+  * own names, source columns under [[SnapshotLog.MergeSrcPrefix]]
+  * (`None` = unconditional). `action` is `"update"` / `"delete"` (for
+  * matched and not-matched-by-source clauses) or `"insert"` (for
+  * not-matched clauses). `assigns` maps target column name →
+  * expression over the joined row; update clauses keep unassigned
+  * columns, insert clauses null-pad them. Clauses evaluate FIRST-WINS,
+  * SQL MERGE's clause order semantics. */
+final case class MergeWhen(cond: Option[Column], action: String,
+    assigns: Seq[(String, Column)] = Nil)
 
 /** One data file's metadata row inside a manifest SEGMENT — the unit
   * the segmented-manifest layout ([[SnapshotLog]] past
@@ -1360,13 +1372,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     *    delete(pre-image) + insert(post-image) pairs for replaced keys
     *    — the two-type default, deliberately simpler than four-type CDF
     *    feeds; `fourType = true` re-types a merge's pairs on its
-    *    recorded key: pre-images become 'update_preimage', replaced
-    *    keys' post-images 'update_postimage', genuinely-new keys stay
-    *    'insert' — the consumer can then tell an update from an
-    *    unrelated delete+insert (every delete image in a merge IS a
-    *    replacement pre-image by construction: [[mergeByKey]] images
-    *    deletes only for matched keys, whose post-images are all in the
-    *    insert batch). An `update` commit's images re-type
+    *    recorded key (comma-joined when composite): a pre-image whose
+    *    key also has a post-image becomes 'update_preimage' and that
+    *    post-image 'update_postimage'; a pre-image with NO post-image
+    *    stays 'delete' (a [[mergeClauses]] matched-DELETE), a
+    *    post-image with no pre-image stays 'insert' — the consumer can
+    *    tell an update from an unrelated delete+insert, and clause
+    *    merges type exactly. An `update` commit's images re-type
     *    UNCONDITIONALLY under `fourType` — every image is half of an
     *    update pair by construction ([[updateWhere]] stages one
     *    post-image per pre-image). Non-merge deletes keep their types
@@ -1438,20 +1450,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
               else if (!fourType || s.op != "merge" || cs.keyColumn.isEmpty)
                 Seq(img)
               else {
-                // four-type pairing on the recorded merge key: replaced
-                // keys' delete/insert pairs re-type to update_*; keys
-                // with no pre-image are genuine inserts. One
-                // replaced-key join per merge version, O(batch) — AQE
-                // broadcasts the typical bounded update batch.
-                val k = cs.keyColumn
+                // four-type pairing on the recorded merge key (comma-
+                // joined for composite-key clause merges): a delete
+                // image whose key also has an insert post-image is half
+                // of an update pair; a delete with NO post-image is a
+                // genuine delete (a matched-DELETE clause), an insert
+                // with no pre-image a genuine insert. Symmetric by
+                // construction, so [[mergeByKey]]'s images (where every
+                // pre-image has a post-image) re-type exactly as
+                // before. Two semi/anti joins per merge version,
+                // O(batch) — AQE broadcasts the bounded update batch.
+                val ks = cs.keyColumn.split(",").toSeq
                 val pre = img.where(col("_change_type") === "delete")
-                val replaced = pre.select(col(k)).distinct()
                 val ins = img.where(col("_change_type") === "insert")
+                val preKeys = pre.select(ks.map(col): _*).distinct()
+                val insKeys = ins.select(ks.map(col): _*).distinct()
                 Seq(
-                  pre.withColumn("_change_type", lit("update_preimage"))
-                    .unionByName(ins.join(replaced, Seq(k), "left_semi")
+                  pre.join(insKeys, ks, "left_semi")
+                    .withColumn("_change_type", lit("update_preimage"))
+                    .unionByName(pre.join(insKeys, ks, "left_anti"))
+                    .unionByName(ins.join(preKeys, ks, "left_semi")
                       .withColumn("_change_type", lit("update_postimage")))
-                    .unionByName(ins.join(replaced, Seq(k), "left_anti")))
+                    .unionByName(ins.join(preKeys, ks, "left_anti")))
               }
             }
           val wholeFiles =
@@ -2342,6 +2362,254 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"merge on $tableDir: concurrent commit since v${base.version}; rerun")
     }
     next
+  }
+
+  /** General multi-clause MERGE — the full SQL shape [[mergeByKey]]'s
+    * canonical whole-row upsert cannot express:
+    * {{{
+    * MERGE INTO t USING s
+    *   ON t.k1 = s.a AND t.k2 = s.b              -- composite equality
+    * WHEN MATCHED AND <cond> THEN UPDATE SET ... -- conditional, partial
+    * WHEN MATCHED AND <cond> THEN DELETE
+    * WHEN NOT MATCHED AND <cond> THEN INSERT ...
+    * WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE
+    * }}}
+    * `keys` pairs (target column, source column); clause conditions and
+    * assignment values are Columns over the JOINED row — target columns
+    * under their own names, source columns under
+    * `[[SnapshotLog.MergeSrcPrefix]] + name`. Clauses apply FIRST-WINS
+    * per row; a matched/by-source row no clause accepts is KEPT
+    * unchanged, an unmatched source row no clause accepts is dropped —
+    * SQL MERGE semantics exactly.
+    *
+    * Cardinality: SQL's "a target row may be updated/deleted by at most
+    * one source row" is enforced on GENUINE ambiguity only — a source
+    * key tuple duplicated in the batch aborts the merge iff it actually
+    * matches a target row; duplicated tuples that only insert are legal
+    * (standard MERGE inserts them all). NULL keys never match (SQL
+    * equality): null-key source rows flow to the NOT MATCHED clauses,
+    * null-key target rows to NOT MATCHED BY SOURCE.
+    *
+    * Scale: the rewrite set routes by the source keys' per-column
+    * [min, max] envelope against file stats + partition tuples —
+    * O(candidate files) rewritten, like [[mergeByKey]]'s envelope arm.
+    * An insert-only merge (no matched / by-source clauses) rewrites
+    * NOTHING: the join only classifies, and the staged output is the
+    * insert set alone. `WHEN NOT MATCHED BY SOURCE` inspects every
+    * target row by definition — the whole table joins (still one pass,
+    * one shuffle at the join keys), the honest cost of that clause.
+    * CDC images on feed-enabled tables: pre-images for every updated/
+    * deleted row, post-images for updates and inserts, recorded with
+    * the comma-joined key so [[readChangeRows]]'s four-type mode pairs
+    * update halves per key and leaves genuine deletes/inserts typed
+    * as-is. */
+  def mergeClauses(source: DataFrame, keys: Seq[(String, String)],
+      matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
+      notMatchedBySource: Seq[MergeWhen] = Nil,
+      txn: Option[(String, Long)] = None): Snapshot = {
+    val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return base // replay detected — nothing stages, nothing commits
+    require(keys.nonEmpty, "mergeClauses needs at least one (target, source) key pair")
+    require(keys.map(_._1).distinct.size == keys.size &&
+      keys.map(_._2).distinct.size == keys.size,
+      s"mergeClauses keys must be distinct per side, got $keys")
+    require(base.schemaJson.nonEmpty,
+      s"$tableDir is pre-schema; commit one append before clause merges")
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a copy-on-write merge (rewriting covered files raw would " +
+        "resurrect tombstoned rows)")
+    def okActions(cs: Seq[MergeWhen], allowed: Set[String], what: String): Unit =
+      cs.foreach(c => require(allowed(c.action),
+        s"mergeClauses: $what clauses take ${allowed.mkString("/")}, " +
+          s"got '${c.action}'"))
+    okActions(matched, Set("update", "delete"), "matched")
+    okActions(notMatched, Set("insert"), "not-matched")
+    okActions(notMatchedBySource, Set("update", "delete"), "not-matched-by-source")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeClauses needs at least one WHEN clause")
+    require(!source.columns.exists(_.startsWith(SnapshotLog.MergeSrcPrefix)),
+      s"source columns may not start with ${SnapshotLog.MergeSrcPrefix}")
+    // materialize the batch once: it feeds the routing bounds, the
+    // ambiguity probe and the join
+    val u = source.localCheckpoint(true)
+    try mergeClausesImpl(u, base, keys, matched, notMatched,
+      notMatchedBySource, txn)
+    finally u.unpersist()
+  }
+
+  private def mergeClausesImpl(u: DataFrame, base: Snapshot,
+      keys: Seq[(String, String)], matched: Seq[MergeWhen],
+      notMatched: Seq[MergeWhen], notMatchedBySource: Seq[MergeWhen],
+      txn: Option[(String, Long)]): Snapshot = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val tgtSchema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    keys.foreach { case (tk, _) =>
+      require(tgtSchema.fieldNames.exists(_.equalsIgnoreCase(tk)),
+        s"mergeClauses: '$tk' is not a column of $tableDir") }
+    val tKeys = keys.map { case (tk, _) =>
+      tgtSchema.fieldNames.find(_.equalsIgnoreCase(tk)).get }
+    def tgtType(c: String) = tgtSchema(tgtSchema.fieldIndex(c)).dataType
+    // ROUTING — which files can hold a matched target row. By-source
+    // clauses inspect every row by definition: all files join. Without
+    // them, the source keys' per-column [min, max] envelope (cast to
+    // the target type so stats compare in the column's own type) gates
+    // files through stats + partition tuples; a key column that is
+    // all-NULL in the source matches nothing.
+    val wholesale = notMatchedBySource.nonEmpty
+    val joinFiles: Seq[String] =
+      if (wholesale || base.files.isEmpty) base.files
+      else {
+        val aggs = keys.zip(tKeys).flatMap { case ((_, sk), tk) =>
+          Seq(min(col(sk).cast(tgtType(tk))), max(col(sk).cast(tgtType(tk)))) }
+        val b = u.agg(aggs.head, aggs.tail: _*).head()
+        if (keys.indices.exists(i => b.isNullAt(2 * i))) Nil
+        else candidateFiles(base,
+          tKeys.zipWithIndex.map { case (tk, i) => (tk, b.get(2 * i), b.get(2 * i + 1)) })
+      }
+    val rewriteTouched = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val rewritten = if (rewriteTouched) joinFiles else Nil
+    val untouched = base.files.filterNot(rewritten.toSet)
+    // GENUINE-AMBIGUITY probe: a duplicated source key tuple aborts the
+    // merge iff it matches a target row (SQL cardinality violation);
+    // duplicated tuples that only insert are standard MERGE
+    if (matched.nonEmpty && joinFiles.nonEmpty) {
+      val sk = keys.map(_._2)
+      val dups = u.na.drop(sk).groupBy(sk.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n")).where(col("__graft_n") > 1)
+        .drop("__graft_n")
+      if (dups.limit(1).collect().nonEmpty) {
+        val tgtKeys = scan(base, joinFiles).select(tKeys.map(col): _*)
+          .toDF(sk: _*)
+        val clash = dups.join(tgtKeys, sk, "left_semi").limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"MERGE on $tableDir: source has multiple rows for matched key " +
+            s"(${sk.mkString(", ")}) = (${clash.head.toSeq.mkString(", ")}) — " +
+            "a target row may be updated/deleted by at most one source row " +
+            "(dedupe the source, e.g. latest-wins)")
+      }
+    }
+    // THE JOIN — one full-outer pass classifying every row: target
+    // columns under their own names, source under MergeSrcPrefix,
+    // presence markers on both sides (keys can be NULL, markers can't)
+    val SP = SnapshotLog.MergeSrcPrefix
+    val srcP = u.columns.foldLeft(u)((d, c) => d.withColumnRenamed(c, SP + c))
+      .withColumn(SnapshotLog.MergeSrcMark, lit(true))
+    val tgtRaw = if (joinFiles.isEmpty) emptySnap(base) else scan(base, joinFiles)
+    val tgtM = tgtRaw.withColumn(SnapshotLog.MergeTgtMark, lit(true))
+    val cond = keys.zip(tKeys).map { case ((_, sk), tk) =>
+      tgtM(tk) === srcP(SP + sk) }.reduce(_ && _)
+    val joined = tgtM.join(srcP, cond, "full_outer").localCheckpoint(true)
+    try {
+      val isT = col(SnapshotLog.MergeTgtMark).isNotNull
+      val isS = col(SnapshotLog.MergeSrcMark).isNotNull
+      val act = SnapshotLog.MergeActCol
+      // first-matching-clause index (-1 = none): a NULL condition is
+      // false, falling through to the next clause — SQL semantics
+      def withAct(rows: DataFrame, clauses: Seq[MergeWhen]): DataFrame =
+        rows.withColumn(act, clauses.zipWithIndex.foldRight(lit(-1)) {
+          case ((c, i), els) => when(c.cond.getOrElse(lit(true)), lit(i))
+            .otherwise(els)
+        })
+      // rows under `clauses` projected to the target schema: update
+      // clauses keep unassigned columns (defaultKeep), insert clauses
+      // null-pad; delete-actioned rows (and, without defaultKeep,
+      // unclaimed rows) drop
+      def project(rows: DataFrame, clauses: Seq[MergeWhen],
+          defaultKeep: Boolean): DataFrame = {
+        val deletes = clauses.zipWithIndex
+          .collect { case (c, i) if c.action == "delete" => i }
+        val keep = deletes.map(i => col(act) =!= i)
+          .foldLeft(if (defaultKeep) lit(true) else col(act) =!= -1)(_ && _)
+        rows.where(keep).select(tgtSchema.fields.toSeq.map { f =>
+          val base0: Column =
+            if (defaultKeep) col(f.name) else lit(null).cast(f.dataType)
+          clauses.zipWithIndex.foldLeft(base0) { case (acc, (c, i)) =>
+            if (c.action == "delete") acc
+            else c.assigns.collectFirst {
+              case (n, e) if n.equalsIgnoreCase(f.name) => e
+            } match {
+              case Some(e) =>
+                when(col(act) === i, e.cast(f.dataType)).otherwise(acc)
+              case None => acc // update keeps, insert stays null-padded
+            }
+          }.as(f.name)
+        }: _*)
+      }
+      val mAct = withAct(joined.where(isT && isS), matched)
+      val tAct = withAct(joined.where(isT && !isS), notMatchedBySource)
+      val sAct = withAct(joined.where(!isT && isS), notMatched)
+      val outM = project(mAct, matched, defaultKeep = true)
+      val outT = project(tAct, notMatchedBySource, defaultKeep = true)
+      val outS = project(sAct, notMatched, defaultKeep = false)
+      val stagedDf =
+        if (rewriteTouched) outM.unionByName(outT).unionByName(outS)
+        else outS // insert-only merge: no target file rewrites
+      val touchedRows =
+        if (rewritten.isEmpty) 0L
+        else if (rewritten.forall(base.fileRows.contains) &&
+            !rewritten.exists(base.dvs.contains))
+          rewritten.map(base.fileRows).sum
+        else tgtRaw.count() // live count: physical minus DV'd
+      val touchedBytes = rewritten.map(f => base.fileBytes.getOrElse(f,
+        fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+      val staged = stage(stagedDf, base = Some(base))
+      // CDC images: pre-images (type delete) for every row a matched or
+      // by-source clause updated/deleted; post-images (type insert) for
+      // the update results and the inserted rows. The comma-joined key
+      // lets four-type readers pair the update halves.
+      val recordCdc = commitCdc(base)
+      val changeStaged =
+        if (!recordCdc) None
+        else {
+          val tCols = tgtSchema.fieldNames.toSeq
+          def updIdx(cs: Seq[MergeWhen]) = cs.zipWithIndex
+            .collect { case (c, i) if c.action == "update" => i }
+          val preM = mAct.where(col(act) =!= -1).select(tCols.map(col): _*)
+          val preT = tAct.where(col(act) =!= -1).select(tCols.map(col): _*)
+          val postM = project(mAct.where(col(act).isin(updIdx(matched): _*)),
+            matched, defaultKeep = true)
+          val postT = project(
+            tAct.where(col(act).isin(updIdx(notMatchedBySource): _*)),
+            notMatchedBySource, defaultKeep = true)
+          val all = preM.unionByName(preT)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(postM.unionByName(postT).unionByName(outS)
+              .withColumn("_change_type", lit("insert")))
+          val st = stage(all, partitioned = false)
+          if (st.rows == 0) { discard(st); None } else Some(st)
+        }
+      val changeSet =
+        if (!recordCdc) None
+        else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
+          keyColumn = tKeys.mkString(",")))
+      try policyGuard(staged)
+      catch { case e: Throwable => changeStaged.foreach(discard); throw e }
+      val next = Snapshot(base.version + 1, "merge", base.version,
+        base.rows - touchedRows + staged.rows,
+        base.bytes - touchedBytes + staged.bytes,
+        untouched ++ staged.files,
+        (base.stats -- rewritten) ++ staged.stats,
+        base.schemaJson,
+        txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+        (base.fileRows -- rewritten) ++ staged.fileRows,
+        (base.blooms -- rewritten) ++ staged.blooms,
+        (base.fileBytes -- rewritten) ++ staged.fileBytes,
+        commitSpec(base), (base.partitions -- rewritten) ++ staged.partitions,
+        commitSort(base), recordCdc, changeSet,
+        base.priorSpecs, base.fileSpecIdx -- rewritten,
+        // rewritten files read through the DV-applied scan — materialized
+        base.dvs -- rewritten, base.priorSchemas,
+        base.fileSchemaIdx -- rewritten)
+      if (!tryCommit(next)) {
+        discard(staged)
+        changeStaged.foreach(discard)
+        throw new CommitConflictException(
+          s"merge on $tableDir: concurrent commit since v${base.version}; rerun")
+      }
+      next
+    } finally joined.unpersist()
   }
 
   /** Merge-on-read sparse-key delete: commit a TOMBSTONE file of the
@@ -3918,6 +4186,17 @@ object SnapshotLog {
     * plausible user column. */
   private[table] val DvFileCol = "__graft_dv_file"
   private[table] val DvPosCol = "__graft_dv_pos"
+
+  /** Prefix under which [[SnapshotLog.mergeClauses]] exposes SOURCE
+    * columns on the joined row (target columns keep their own names) —
+    * clause conditions/assignments reference `__graft_src_<col>` for
+    * the source side. Underscored past any plausible user column. */
+  val MergeSrcPrefix = "__graft_src_"
+  /** Join-side presence markers + first-matching-clause index column
+    * used inside [[SnapshotLog.mergeClauses]]. */
+  private[table] val MergeTgtMark = "__graft_m_t"
+  private[table] val MergeSrcMark = "__graft_m_s"
+  private[table] val MergeActCol = "__graft_m_act"
 
   /** StructField-metadata key carrying a column's STABLE field id —
     * what lets a rename be metadata-only while old files keep
