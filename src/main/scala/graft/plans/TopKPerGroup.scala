@@ -209,5 +209,8 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // UPDATE ... SET ... WHERE on catalog-mounted log tables →
     // SnapshotLog.updateWhere (stats-targeted copy-on-write)
     ext.injectResolutionRule(s => new graft.table.UpdateLogRule(s))
+    // INSERT INTO/OVERWRITE pre-arrangement: one AQE-visible exchange
+    // clustering the write to the table's declared layout
+    ext.injectResolutionRule(s => new graft.table.InsertArrangeRule(s))
   }
 }

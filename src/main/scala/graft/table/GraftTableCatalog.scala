@@ -118,9 +118,11 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier): Table = {
     if (logFor(ident).currentVersion() == 0) throw new NoSuchTableException(ident)
     // the head handle may WRITE (SQL DML) — inherit the table's
-    // stats/bloom maintenance so its staged files stay prunable
-    new LogTable(SnapshotLog.inheriting(SparkSession.active, dirOf(ident)),
-      ident, -1L)
+    // stats/bloom maintenance so its staged files stay prunable; under
+    // a session WAP branch ([[GraftTableCatalog.WapBranchConf]]) the
+    // whole SQL surface pins to the branch chain
+    new LogTable(GraftTableCatalog.sessionLog(SparkSession.active,
+      dirOf(ident)), ident, -1L)
   }
 
   /** `VERSION AS OF <v | 'tag'>` — the snapshot pinned at plan time:
@@ -273,29 +275,25 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val log = SnapshotLog.inheriting(SparkSession.active, dirOf(ident))
     if (log.currentVersion() == 0) throw new NoSuchTableException(ident)
-    def topLevel(fieldNames: Array[String], what: String): String = {
-      require(fieldNames.length == 1,
-        s"$what on ${log.tableDir}: nested field " +
-          s"'${fieldNames.mkString(".")}' — the log's schema evolution " +
-          "is top-level only")
-      fieldNames.head
-    }
+    // nested fields spell as dotted paths — the log's evolution verbs
+    // navigate struct levels by per-level field id
+    def pathOf(fieldNames: Array[String]): String = fieldNames.mkString(".")
     changes.foreach {
       case r: TableChange.RenameColumn =>
-        log.renameColumn(topLevel(r.fieldNames(), "RENAME COLUMN"), r.newName())
+        log.renameColumn(pathOf(r.fieldNames()), r.newName())
       case d: TableChange.DeleteColumn =>
-        val name = topLevel(d.fieldNames(), "DROP COLUMN")
-        val have = org.apache.spark.sql.types.DataType
+        val path = pathOf(d.fieldNames())
+        val have = SnapshotLog.hasPath(org.apache.spark.sql.types.DataType
           .fromJson(log.snapshot().schemaJson)
-          .asInstanceOf[StructType].fieldNames.contains(name)
-        if (have) log.dropColumn(name)
+          .asInstanceOf[StructType], d.fieldNames().toSeq)
+        if (have) log.dropColumn(path)
         else if (!d.ifExists()) throw new IllegalArgumentException(
-          s"${log.tableDir} has no column '$name' to drop")
+          s"${log.tableDir} has no column '$path' to drop")
       case a: TableChange.AddColumn =>
         require(a.position() == null && a.defaultValue() == null,
           s"ADD COLUMN on ${log.tableDir}: positions and defaults are " +
             "not supported — columns append, existing rows read NULL")
-        log.addColumn(topLevel(a.fieldNames(), "ADD COLUMN"), a.dataType())
+        log.addColumn(pathOf(a.fieldNames()), a.dataType())
       case ac: TableChange.AddConstraint =>
         ac.constraint() match {
           // Spark's AddCheckConstraintExec has ALREADY validated the
@@ -488,14 +486,25 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     * the data write inside append() is already fully distributed.) */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireHead("INSERT")
+    // set by [[InsertArrangeRule]] when it already clustered the INSERT
+    // query by the table's partition transforms + sort order — the
+    // staging choke point must not shuffle a second time. (Implementing
+    // RequiresDistributionAndOrdering here would NOT achieve this:
+    // Spark's V1 write fallback hands the InsertableRelation the
+    // ANALYZED query, not the optimizer-prepared one, so a
+    // write-reported distribution is silently ignored on this path —
+    // verified empirically; the resolution rule is the hook that works.)
+    val preArranged =
+      info.options().getBoolean(GraftTableCatalog.PreArrangedOption, false)
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, ovr: Boolean) => {
-            if (overwrite || ovr) log.overwriteAll(data)
-            else log.append(data)
+            if (overwrite || ovr)
+              log.overwriteAll(data, preArranged = preArranged)
+            else log.append(data, preArranged = preArranged)
             ()
           }
       }
@@ -534,6 +543,40 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
           "does not convert exactly to point/range predicates — use the " +
           "SnapshotLog API (deleteWhere/deleteKeys) for this shape")
     }
+  }
+}
+
+object GraftTableCatalog {
+  /** Write option [[InsertArrangeRule]] sets after clustering an INSERT
+    * query by the table's partition transforms + declared sort order —
+    * tells the staging write to skip its own repartition+sort, so the
+    * plan carries exactly one (AQE-visible) exchange. */
+  val PreArrangedOption = "graft.pre-arranged"
+
+  /** Session conf pinning the whole SQL surface to a WRITE-AUDIT-PUBLISH
+    * branch: while set, `cat.t` resolves to the branch's chain for reads
+    * AND every DML verb (INSERT/OVERWRITE/DELETE/UPDATE/MERGE/TRUNCATE),
+    * so the full WAP loop — write, audit, corrective writes, publish —
+    * runs in pure SQL while MAIN stays untouched until
+    * `CALL system.publish_branch`. The branch must exist
+    * (`CALL system.create_branch`) — a typo'd name refuses loudly
+    * instead of silently writing main. Time travel
+    * (`VERSION/TIMESTAMP AS OF`) keeps addressing MAIN's history; the
+    * explicit `VERSION AS OF 'branch:x'` spelling reads any branch
+    * regardless of this conf. */
+  val WapBranchConf = "spark.graft.wap.branch"
+
+  /** The log handle the SQL surface should resolve `tableDir` to: the
+    * session's WAP branch when [[WapBranchConf]] is set, else main.
+    * Used by [[GraftTableCatalog.loadTable]] AND re-resolved at
+    * execution by the DML commands ([[UpdateLogCommand]] /
+    * [[MergeIntoLogCommand]] / [[MergeClausesLogCommand]]) so a
+    * command planned under the conf cannot escape to main. */
+  private[graft] def sessionLog(spark: SparkSession,
+      tableDir: String): SnapshotLog = {
+    val main = SnapshotLog.inheriting(spark, tableDir)
+    val wap = spark.conf.get(WapBranchConf, "")
+    if (wap.isEmpty) main else main.branch(wap)
   }
 }
 

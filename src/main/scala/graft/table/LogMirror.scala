@@ -73,7 +73,10 @@ object LogMirror {
     * layout/spec — maintenance and partitioning are per-replica). */
   private val PhysicalOnly =
     Set("compact", "cluster", "zorder", "evolve_spec", "set_sort",
-      "enable_feed")
+      "enable_feed",
+      // a constraint-attach anchor: policy does not replicate (the
+      // replica declares its own), and the commit moves no rows
+      "policy")
 
   /** Apply every source version after the destination's watermark, in
     * order. `appId` identifies THIS replication lane in the
@@ -116,11 +119,14 @@ object LogMirror {
           // on appends): a replica that already renamed re-skips, like
           // the physical-only ops
           val dstHasOld = dst.currentVersion() > 0 &&
-            org.apache.spark.sql.types.DataType
+            SnapshotLog.hasPath(org.apache.spark.sql.types.DataType
               .fromJson(dst.snapshot().schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fieldNames.contains(oldName)
-          if (dstHasOld) dst.renameColumn(oldName, newName)
+              .asInstanceOf[org.apache.spark.sql.types.StructType],
+              oldName.split('.').toSeq)
+          // a nested pair's path segments agree (one rename per commit);
+          // the replica renames the LEAF at the old path
+          if (dstHasOld)
+            dst.renameColumn(oldName, newName.split('.').last)
           newlyApplied += 1
         case "drop" =>
           // metadata-only replay, recovered like renames: the parent
@@ -132,31 +138,31 @@ object LogMirror {
           if (gone.isEmpty) throw new IllegalStateException(
             s"cannot mirror ${src.tableDir} v$v: 'drop' with no " +
               "recoverable dropped field")
-          val dstCols =
-            if (dst.currentVersion() == 0) Set.empty[String]
-            else org.apache.spark.sql.types.DataType
+          val dstSchema =
+            if (dst.currentVersion() == 0) None
+            else Some(org.apache.spark.sql.types.DataType
               .fromJson(dst.snapshot().schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fieldNames.toSet
-          gone.filter(dstCols).foreach(dst.dropColumn)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          gone.filter(p => dstSchema.exists(s =>
+            SnapshotLog.hasPath(s, p.split('.').toSeq)))
+            .foreach(dst.dropColumn)
           newlyApplied += 1
         case "widen" =>
           // metadata-only replay: declare the added columns on the
           // replica so a reader there sees the same schema even before
           // any post-widen append ships rows
           val from = src.snapshot(s.parent).schemaJson
-          val dstCols =
-            if (dst.currentVersion() == 0) Set.empty[String]
-            else org.apache.spark.sql.types.DataType
-              .fromJson(dst.snapshot().schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fieldNames.toSet
           // an empty replica has no schema to widen yet — the first
           // replayed append carries the merged schema itself
-          if (dst.currentVersion() > 0)
+          if (dst.currentVersion() > 0) {
+            val dstSchema = org.apache.spark.sql.types.DataType
+              .fromJson(dst.snapshot().schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
             SnapshotLog.addedFieldsOf(from, s.schemaJson)
-              .filterNot(f => dstCols.contains(f.name))
-              .foreach(f => dst.addColumn(f.name, f.dataType))
+              .filterNot { case (p, _) =>
+                SnapshotLog.hasPath(dstSchema, p.split('.').toSeq) }
+              .foreach { case (p, f) => dst.addColumn(p, f.dataType) }
+          }
           newlyApplied += 1
         case "truncate" =>
           // rides the replica's own commit for exactly-once; the

@@ -910,19 +910,25 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   }
 
   /** A frame read under epoch `ep`'s names, projected onto the CURRENT
-    * schema by stable field id: renamed columns alias, columns widened
-    * after `ep` read as null (the same schema-on-read rule as before
-    * renames existed). `keep` columns (read-path helpers) pass through
-    * untouched. Identity for the current epoch. */
+    * schema by stable field id: renamed columns alias (including fields
+    * INSIDE structs — [[SnapshotLog.alignColumn]] recurses by per-level
+    * id), columns widened after `ep` read as null (the same
+    * schema-on-read rule as before renames existed). `keep` columns
+    * (read-path helpers) pass through untouched. Identity for the
+    * current epoch. */
   private def alignTo(s: Snapshot, ep: Int, df: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
     if (ep >= s.priorSchemas.length) df
     else {
-      val names = s.epochNameOf(ep) // currentName -> epoch name
-      df.select(s.epochSchemas.last.fields.map { f =>
-        names.get(f.name) match {
-          case Some(old) => col(old).as(f.name)
-          case None      => lit(null).cast(f.dataType).as(f.name)
+      val epoch = s.epochSchemas(ep)
+      val byFid = epoch.fields.zipWithIndex.map { case (f, i) =>
+        SnapshotLog.fidOf(f, i) -> f }.toMap
+      df.select(s.epochSchemas.last.fields.zipWithIndex.map { case (f, i) =>
+        byFid.get(SnapshotLog.fidOf(f, i)) match {
+          case Some(ef) =>
+            SnapshotLog.alignColumn(ef.dataType, f.dataType, col(ef.name))
+              .as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toSeq ++ keep.map(col): _*)
     }
@@ -941,12 +947,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
       val to = DataType.fromJson(toJson).asInstanceOf[StructType]
       val fromByFid = from.fields.zipWithIndex.map { case (f, i) =>
-        SnapshotLog.fidOf(f, i) -> f.name }.toMap
+        SnapshotLog.fidOf(f, i) -> f }.toMap
       val keepPresent = keep.filter(df.columns.contains)
       df.select(to.fields.zipWithIndex.map { case (f, i) =>
         fromByFid.get(SnapshotLog.fidOf(f, i)) match {
-          case Some(old) => col(old).as(f.name)
-          case None      => lit(null).cast(f.dataType).as(f.name)
+          case Some(ff) =>
+            SnapshotLog.alignColumn(ff.dataType, f.dataType, col(ff.name))
+              .as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
         }
       }.toSeq ++ keepPresent.map(col): _*)
     }
@@ -1545,9 +1553,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * read schema; older files read them as null) but may not change an
     * existing column's type — that aborts before anything commits.
     * Columns absent from this append but present in the table read as
-    * null from the new files the same way. */
-  def append(df: DataFrame): Snapshot = {
-    val staged = stage(df)
+    * null from the new files the same way.
+    *
+    * `preArranged` — the caller already clustered `df` by the table's
+    * partition transforms and sorted within partitions (the SQL write
+    * path's [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+    * exchange): the stage skips its own repartition+sort, so the plan
+    * carries exactly ONE AQE-visible exchange. */
+  def append(df: DataFrame, preArranged: Boolean = false): Snapshot = {
+    val staged = stage(df, preArranged = preArranged)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val parent = currentVersion()
@@ -2789,32 +2803,56 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val cur = snapshot()
     require(cur.schemaJson.nonEmpty,
       s"$tableDir has no committed schema to rename in")
+    require(!to.contains('.'),
+      s"rename target '$to' must be a bare field name (the path stays)")
     val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(schema.fieldNames.contains(from),
-      s"$tableDir has no column '$from' (schema: ${schema.fieldNames.mkString(", ")})")
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"$tableDir already has a column '$to'")
+    val parts = from.split('.').toSeq
+    val head = parts.head
+    if (parts.size == 1) {
+      require(schema.fieldNames.contains(from),
+        s"$tableDir has no column '$from' (schema: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"$tableDir already has a column '$to'")
+    }
+    // plane references bind the TOP-LEVEL column: a nested rename under
+    // a referenced head refuses conservatively (stats/partition tuples/
+    // tombstone key files/constraint texts all record head-anchored
+    // names)
     (cur.priorSpecs :+ cur.partitionSpec).flatten.foreach(pf =>
-      require(pf.source != from,
-        s"'$from' sources partition transform ${pf.transform} — evolve " +
+      require(pf.source != head,
+        s"'$head' sources partition transform ${pf.transform} — evolve " +
           "the partition spec off it before renaming"))
-    require(!cur.tombstones.exists(_.column == from),
-      s"pending key tombstones on '$from' — compact() to materialize " +
+    require(!cur.tombstones.exists(_.column == head),
+      s"pending key tombstones on '$head' — compact() to materialize " +
         "them before renaming (their key files carry the old name)")
     constraints().foreach { case (n, sql) =>
-      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(from)),
-        s"CHECK constraint '$n' ($sql) references '$from' — drop or " +
+      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(head)),
+        s"CHECK constraint '$n' ($sql) references '$head' — drop or " +
           "redefine the constraint before renaming")
     }
     val withIds = SnapshotLog.withFids(schema)
-    val renamed = org.apache.spark.sql.types.StructType(
-      withIds.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val renamed =
+      if (parts.size == 1)
+        org.apache.spark.sql.types.StructType(
+          withIds.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      else SnapshotLog.rewriteStructAt(withIds, parts.init,
+          s"rename '$from' on $tableDir") { st =>
+        require(st.fieldNames.contains(parts.last),
+          s"rename on $tableDir: struct '${parts.init.mkString(".")}' has " +
+            s"no field '${parts.last}' (fields: ${st.fieldNames.mkString(", ")})")
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"struct '${parts.init.mkString(".")}' of $tableDir already has " +
+            s"a field '$to'")
+        org.apache.spark.sql.types.StructType(
+          st.fields.map(f => if (f.name == parts.last) f.copy(name = to) else f))
+      }
+    val toPath = (parts.init :+ to).mkString(".")
     val next = Snapshot(cur.version + 1, "rename", cur.version,
       cur.rows, cur.bytes, cur.files, cur.stats, renamed.json, cur.txns,
       cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
       cur.partitionSpec, cur.partitions,
-      cur.sortOrder.map(c => if (c == from) to else c),
+      cur.sortOrder.map(c => if (c == from) toPath else c),
       commitCdc(cur), None, cur.priorSpecs, cur.fileSpecIdx, cur.dvs,
       // every live file pins to the epoch that wrote it (the RETAINED
       // epoch normalized with explicit ids, so matching is id-exact)
@@ -2823,9 +2861,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (!tryCommit(next)) throw new CommitConflictException(
       s"rename on $tableDir: concurrent commit since v${cur.version}; rerun")
     // this handle keeps maintaining the same columns under the new name
-    statsCols = statsCols.map(c => if (c == from) to else c)
-    bloomCols = bloomCols.map(c => if (c == from) to else c)
-    sortCols = sortCols.map(c => if (c == from) to else c)
+    statsCols = statsCols.map(c => if (c == from) toPath else c)
+    bloomCols = bloomCols.map(c => if (c == from) toPath else c)
+    sortCols = sortCols.map(c => if (c == from) toPath else c)
     next
   }
 
@@ -2853,25 +2891,42 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$tableDir has no committed schema to drop from")
     val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(schema.fieldNames.contains(name),
-      s"$tableDir has no column '$name' (schema: ${schema.fieldNames.mkString(", ")})")
-    require(schema.fields.length > 1,
-      s"cannot drop '$name' — it is the only column of $tableDir")
+    val parts = name.split('.').toSeq
+    val head = parts.head
+    if (parts.size == 1) {
+      require(schema.fieldNames.contains(name),
+        s"$tableDir has no column '$name' (schema: ${schema.fieldNames.mkString(", ")})")
+      require(schema.fields.length > 1,
+        s"cannot drop '$name' — it is the only column of $tableDir")
+    }
     (cur.priorSpecs :+ cur.partitionSpec).flatten.foreach(pf =>
-      require(pf.source != name,
-        s"'$name' sources partition transform ${pf.transform} — evolve " +
+      require(pf.source != head,
+        s"'$head' sources partition transform ${pf.transform} — evolve " +
           "the partition spec off it before dropping"))
-    require(!cur.tombstones.exists(_.column == name),
-      s"pending key tombstones on '$name' — compact() to materialize " +
+    require(!cur.tombstones.exists(_.column == head),
+      s"pending key tombstones on '$head' — compact() to materialize " +
         "them before dropping (their key files carry the column)")
     constraints().foreach { case (n, sql) =>
-      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(name)),
-        s"CHECK constraint '$n' ($sql) references '$name' — drop or " +
+      require(!constraintRefs(sql).exists(_.equalsIgnoreCase(head)),
+        s"CHECK constraint '$n' ($sql) references '$head' — drop or " +
           "redefine the constraint before dropping the column")
     }
     val withIds = SnapshotLog.withFids(schema)
-    val dropped = org.apache.spark.sql.types.StructType(
-      withIds.fields.filterNot(_.name == name))
+    val dropped =
+      if (parts.size == 1)
+        org.apache.spark.sql.types.StructType(
+          withIds.fields.filterNot(_.name == name))
+      else SnapshotLog.rewriteStructAt(withIds, parts.init,
+          s"drop '$name' on $tableDir") { st =>
+        require(st.fieldNames.contains(parts.last),
+          s"drop on $tableDir: struct '${parts.init.mkString(".")}' has no " +
+            s"field '${parts.last}' (fields: ${st.fieldNames.mkString(", ")})")
+        require(st.fields.length > 1,
+          s"cannot drop '$name' — it is the only field of its struct; " +
+            "drop the struct column itself instead")
+        org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(_.name == parts.last))
+      }
     val next = Snapshot(cur.version + 1, "drop", cur.version,
       cur.rows, cur.bytes, cur.files, cur.stats, dropped.json, cur.txns,
       cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
@@ -2904,12 +2959,49 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$tableDir has no committed schema to widen")
     val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"$tableDir already has a column '$name'")
-    val widened = org.apache.spark.sql.types.DataType.fromJson(mergeSchemaJson(
-      cur, org.apache.spark.sql.types.StructType(schema.fields :+
-        org.apache.spark.sql.types.StructField(name, dataType)).json))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val parts = name.split('.').toSeq
+    val widened =
+      if (parts.size == 1) {
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"$tableDir already has a column '$name'")
+        org.apache.spark.sql.types.DataType.fromJson(mergeSchemaJson(
+          cur, org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(name, dataType)).json))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      } else SnapshotLog.rewriteStructAt(schema, parts.init,
+          s"add '$name' on $tableDir") { st =>
+        // nested widen: existing files read the new field as NULL
+        // (parquet clips nested projections by name and null-pads the
+        // absent field — no epoch tag needed, like a top-level widen).
+        // Fresh id = per-struct max+1 once ids are in use there, so a
+        // drop/re-add inside the struct can never leak old values; an
+        // id-free struct appends positionally, which the index
+        // convention reads exactly.
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(parts.last)),
+          s"struct '${parts.init.mkString(".")}' of $tableDir already " +
+            s"has a field '${parts.last}'")
+        val f = org.apache.spark.sql.types.StructField(parts.last, dataType)
+        // once ids are in use in this struct, the fresh id must clear
+        // EVERY epoch's ids (a dropped inner field's id lives only in
+        // the retained epochs — reusing it would alias old files'
+        // dropped values into the new field); the global max over all
+        // levels of all epochs is a safe upper bound
+        def allFids(s0: org.apache.spark.sql.types.StructType): Iterator[Long] =
+          s0.fields.zipWithIndex.iterator.flatMap { case (sf, i) =>
+            Iterator.single(SnapshotLog.fidOf(sf, i)) ++ (sf.dataType match {
+              case inner: org.apache.spark.sql.types.StructType => allFids(inner)
+              case _ => Iterator.empty
+            })
+          }
+        val tagged =
+          if (!st.fields.exists(_.metadata.contains(SnapshotLog.FidKey))) f
+          else f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong(SnapshotLog.FidKey,
+                cur.epochSchemas.iterator.flatMap(allFids).max + 1)
+              .build())
+        org.apache.spark.sql.types.StructType(st.fields :+ tagged)
+      }
     val next = cur.copy(version = cur.version + 1, op = "widen",
       parent = cur.version, schemaJson = widened.json, changes = None,
       cdc = commitCdc(cur), ts = 0L)
@@ -2965,14 +3057,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * watermark. A concurrent commit aborts (an overwrite is
     * row-removing — retrying past an unseen append would silently drop
     * its rows). */
-  def overwriteAll(df: DataFrame, txn: Option[(String, Long)] = None): Snapshot = {
+  def overwriteAll(df: DataFrame, txn: Option[(String, Long)] = None,
+      preArranged: Boolean = false): Snapshot = {
     val cur = currentVersion()
     val base =
       if (cur == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
       else snapshot(cur)
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return base // replay detected — nothing stages, nothing commits
-    val staged = stage(df, base = Some(base))
+    val staged = stage(df, base = Some(base), preArranged = preArranged)
     policyGuard(staged)
     val merged =
       try mergeSchemaJson(base, staged.schemaJson)
@@ -3307,9 +3400,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // violation. The ordering is what makes concurrent writes sound:
     // once the ref is published, every staging write that lists
     // constraints sees it, and a write staged EARLIER (against the
-    // pre-constraint set) aborts at its commit-time [[policyGuard]] —
-    // so the validation scan below, reading a snapshot taken after the
-    // publish, covers every commit that can ever land unchecked.
+    // pre-constraint set) aborts at its commit-time [[policyGuard]].
     val payload = mapper.createObjectNode()
     payload.put("name", name).put("sql", sql)
     if (!store.putIfAbsent(constraintRefName(name),
@@ -3320,19 +3411,44 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           "dropConstraint first to redefine")
       return // identical redefinition: already validated when first added
     }
-    if (currentVersion() > 0) {
-      val table = read()
-      val cols = table.columns.toSeq
-      if (refs.forall(r => cols.exists(_.equalsIgnoreCase(r)))) {
-        val bad = table.where(
-          org.apache.spark.sql.functions.expr(sql) <=> lit(false)).limit(1).count()
-        if (bad > 0) {
-          store.delete(constraintRefName(name)) // roll the claim back
-          throw new IllegalArgumentException(
+    // VALIDATE-then-ANCHOR loop: validate the existing rows at the
+    // current head, then publish a metadata-only `policy` manifest at
+    // head+1. The anchor is what CLOSES the guard-vs-CAS window
+    // [[policyGuard]] alone could not: the manifest chain's CAS totally
+    // orders this attach against every write commit — a writer whose
+    // guard listing predates the claim must CAS a version slot, and
+    // exactly one of {that writer, this anchor} wins it. If the writer
+    // wins, this loop re-validates at the NEW head (its rows included);
+    // if the anchor wins, the writer's CAS fails and its rerun stages
+    // with enforcement. No span remains in which an unvalidated commit
+    // can land, however slow the writer. (An EMPTY table has no chain
+    // to anchor on — and no rows to validate; the first commit's own
+    // CAS at v1 plays the anchor's role.)
+    try {
+      var attempts = 0
+      while (attempts < SnapshotLog.MaxCommitAttempts) {
+        if (currentVersion() == 0) return
+        val cur = snapshot()
+        val table = read(cur.version)
+        if (refs.forall(r => table.columns.exists(_.equalsIgnoreCase(r)))) {
+          val bad = table.where(
+            org.apache.spark.sql.functions.expr(sql) <=> lit(false))
+            .limit(1).count()
+          if (bad > 0) throw new IllegalArgumentException(
             s"cannot add CHECK '$name' ($sql) to $tableDir: existing rows " +
               "violate it — fix the data first (deleteWhere/updateWhere)")
         }
+        val next = cur.copy(version = cur.version + 1, op = "policy",
+          parent = cur.version, cdc = commitCdc(cur), changes = None, ts = 0L)
+        if (tryCommit(next)) return
+        attempts += 1 // lost the slot: re-validate the new head
       }
+      throw new CommitConflictException(
+        s"addConstraint '$name' on $tableDir lost the anchor-commit race " +
+          s"${SnapshotLog.MaxCommitAttempts} times")
+    } catch { case e: Throwable =>
+      store.delete(constraintRefName(name)) // roll the claim back
+      throw e
     }
   }
 
@@ -3596,15 +3712,17 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * ANY failure here (including a ref-store I/O error) discards the
     * staged files — nothing may leak into data/ on an aborted path.
     *
-    * Residual window, stated honestly: this listing and the manifest
-    * CAS are not one atomic step — a constraint published after the
-    * guard ran but before tryCommit lands (the snapshot-build +
-    * segment-write span) is not seen by this writer, and
-    * [[addConstraint]]'s validation scan may pin a head that predates
-    * the commit. Closing it fully would need constraints to live IN
-    * the versioned manifest (rejected: policy binds every branch and
-    * is deliberately not time-travel-versioned). The window is one
-    * driver-side commit assembly, not a data-plane span. */
+    * This listing and the manifest CAS are still not one atomic step,
+    * but the former residual window is CLOSED by [[addConstraint]]'s
+    * anchor commit: the attach publishes a metadata-only `policy`
+    * manifest after validating, so the version chain totally orders it
+    * against every write — a writer whose guard predates the claim
+    * either loses its CAS slot to the anchor (rerun re-guards with
+    * enforcement) or wins it, in which case the attach's anchor loop
+    * re-validates the head that now includes the writer's rows.
+    * Constraints themselves stay refs (policy binds every branch and
+    * is deliberately not time-travel-versioned); only the ORDERING
+    * rides the manifest chain. */
   private def policyGuard(staged: Staged): Unit =
     staged.checkedNames.foreach { seen =>
       try {
@@ -3657,9 +3775,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           s"column '${f.name}' of $tableDir was RENAMED — this writer is " +
             "staging under the old name; rebuild it against the current schema")
       byName.get(f.name).foreach { b =>
-        // `.sql` is the nullability-free public type rendering (sameType
-        // is private[sql])
-        if (b.dataType.sql != f.dataType.sql)
+        // nullability-insensitive compare at EVERY level (sameType is
+        // private[sql], and `.sql` renders inner NOT NULL markers — a
+        // writer's non-nullable struct field must still match the
+        // table's nullable one)
+        if (SnapshotLog.normalizedSql(b.dataType) !=
+            SnapshotLog.normalizedSql(f.dataType))
           throw new IllegalStateException(
             s"schema evolution of $tableDir cannot change column '${f.name}' " +
               s"from ${b.dataType.simpleString} to ${f.dataType.simpleString}")
@@ -3701,7 +3822,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * per commit — the one-time cost that buys listing-and-footer-free
     * pruned reads forever after). */
   private def stage(df: DataFrame, partitioned: Boolean = true,
-      base: Option[Snapshot] = None): Staged = {
+      base: Option[Snapshot] = None, preArranged: Boolean = false): Staged = {
     // the partition spec + sort order in force: from the caller's
     // already-loaded snapshot when it has one (zero extra reads), else
     // ONE currentVersion listing + ONE manifest parse for both
@@ -3776,7 +3897,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // tuple, not one per task×tuple) and pre-satisfies the dynamic
     // write's partition-column ordering so no extra sort sneaks in.
     val arranged =
-      if (spec.nonEmpty)
+      if (preArranged) partedDf // the caller's exchange already
+        // clustered by the spec transforms and sorted within partitions
+        // (RequiresDistributionAndOrdering) — the `_gp<i>` columns equal
+        // those transform values, so a second shuffle would move nothing
+      else if (spec.nonEmpty)
         partedDf.repartition(partCols.map(col): _*)
           .sortWithinPartitions((partCols ++ order).map(col): _*)
       else if (order.nonEmpty) partedDf.sortWithinPartitions(order.map(col): _*)
@@ -4213,68 +4338,203 @@ object SnapshotLog {
       idx: Int): Long =
     if (f.metadata.contains(FidKey)) f.metadata.getLong(FidKey) else idx.toLong
 
-  /** The (oldName, newName) pair between two schema epochs, recovered
-    * by FIELD-ID diff — Some iff exactly one field changed name (the
+  /** The (oldPath, newPath) rename between two schema epochs (dotted
+    * paths for nested fields), recovered by PER-LEVEL field-id diff —
+    * Some iff exactly one field changed name anywhere in the tree (the
     * shape one `rename` commit produces; [[LogMirror]] replays from
-    * this, so no extra manifest field is needed). */
+    * this, so no extra manifest field is needed). Parent segments of a
+    * nested pair agree on both sides by construction (a single rename
+    * commit never touches its ancestors). */
   private[graft] def renamePairOf(fromJson: String,
       toJson: String): Option[(String, String)] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (fromJson.isEmpty || toJson.isEmpty) return None
     val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
     val to = DataType.fromJson(toJson).asInstanceOf[StructType]
-    val fromByFid = from.fields.zipWithIndex.map { case (f, i) =>
-      fidOf(f, i) -> f.name }.toMap
-    val pairs = to.fields.zipWithIndex.flatMap { case (f, i) =>
-      fromByFid.get(fidOf(f, i)).collect {
-        case old if old != f.name => (old, f.name) }
+    def diff(f: StructType, t: StructType, prefix: String): Seq[(String, String)] = {
+      val byFid = f.fields.zipWithIndex.map { case (ff, i) =>
+        fidOf(ff, i) -> ff }.toMap
+      t.fields.zipWithIndex.flatMap { case (tf, i) =>
+        byFid.get(fidOf(tf, i)).toSeq.flatMap { ff =>
+          val here =
+            if (ff.name != tf.name)
+              Seq((prefix + ff.name, prefix + tf.name)) else Nil
+          val nested = (ff.dataType, tf.dataType) match {
+            case (fs: StructType, ts: StructType) =>
+              diff(fs, ts, prefix + tf.name + ".")
+            case _ => Nil
+          }
+          here ++ nested
+        }
+      }.toSeq
     }
-    pairs match {
-      case Array(one) => Some(one)
-      case _          => None
+    diff(from, to, "") match {
+      case Seq(one) => Some(one)
+      case _        => None
     }
   }
 
-  /** The field names present in `fromJson` (by field id) but absent
-    * from `toJson` — the shape one `drop` commit produces, recovered
-    * from the manifests themselves (the mirror replays from this, like
-    * [[renamePairOf]]). */
+  /** Dotted paths present in `fromJson` (by per-level field id) but
+    * absent from `toJson` — the shape one `drop` commit produces,
+    * recovered from the manifests themselves (the mirror replays from
+    * this, like [[renamePairOf]]). Nested drops report the full path. */
   private[graft] def droppedNamesOf(fromJson: String,
       toJson: String): Seq[String] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (fromJson.isEmpty || toJson.isEmpty) return Nil
     val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
     val to = DataType.fromJson(toJson).asInstanceOf[StructType]
-    val toFids = to.fields.zipWithIndex.map { case (f, i) => fidOf(f, i) }.toSet
-    from.fields.zipWithIndex.collect {
-      case (f, i) if !toFids.contains(fidOf(f, i)) => f.name }.toSeq
+    def diff(f: StructType, t: StructType, prefix: String): Seq[String] = {
+      val byFid = t.fields.zipWithIndex.map { case (tf, i) =>
+        fidOf(tf, i) -> tf }.toMap
+      f.fields.zipWithIndex.flatMap { case (ff, i) =>
+        byFid.get(fidOf(ff, i)) match {
+          case None => Seq(prefix + ff.name)
+          case Some(tf) => (ff.dataType, tf.dataType) match {
+            case (fs: StructType, ts: StructType) =>
+              diff(fs, ts, prefix + tf.name + ".")
+            case _ => Nil
+          }
+        }
+      }.toSeq
+    }
+    diff(from, to, "")
   }
 
-  /** The fields present in `toJson` but absent (by field id) from
-    * `fromJson` — the shape one `widen` commit produces. */
-  private[graft] def addedFieldsOf(fromJson: String,
-      toJson: String): Seq[org.apache.spark.sql.types.StructField] = {
+  /** (dotted path, field) pairs present in `toJson` but absent (by
+    * per-level field id) from `fromJson` — the shape one `widen` commit
+    * produces; nested additions report the full path. */
+  private[graft] def addedFieldsOf(fromJson: String, toJson: String)
+      : Seq[(String, org.apache.spark.sql.types.StructField)] = {
     import org.apache.spark.sql.types.{DataType, StructType}
     if (fromJson.isEmpty || toJson.isEmpty) return Nil
     val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
     val to = DataType.fromJson(toJson).asInstanceOf[StructType]
-    val fromFids = from.fields.zipWithIndex
-      .map { case (f, i) => fidOf(f, i) }.toSet
-    to.fields.zipWithIndex.collect {
-      case (f, i) if !fromFids.contains(fidOf(f, i)) => f }.toSeq
+    def diff(f: StructType, t: StructType,
+        prefix: String): Seq[(String, org.apache.spark.sql.types.StructField)] = {
+      val byFid = f.fields.zipWithIndex.map { case (ff, i) =>
+        fidOf(ff, i) -> ff }.toMap
+      t.fields.zipWithIndex.flatMap { case (tf, i) =>
+        byFid.get(fidOf(tf, i)) match {
+          case None => Seq((prefix + tf.name, tf))
+          case Some(ff) => (ff.dataType, tf.dataType) match {
+            case (fs: StructType, ts: StructType) =>
+              diff(fs, ts, prefix + tf.name + ".")
+            case _ => Nil
+          }
+        }
+      }.toSeq
+    }
+    diff(from, to, "")
   }
 
-  /** `schema` with every field carrying an explicit id (existing ids
-    * kept, absent ones materialized at their index). */
+  /** `schema` with every field — nested struct fields included —
+    * carrying an explicit id (existing ids kept, absent ones
+    * materialized at their per-level index: the same positional
+    * convention [[fidOf]] reads, so normalizing is a no-op for
+    * matching). */
   private[table] def withFids(schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
-      schema.fields.zipWithIndex.map { case (f, i) =>
+      schema.fields.zipWithIndex.map { case (f0, i) =>
+        val f = f0.dataType match {
+          case s: org.apache.spark.sql.types.StructType =>
+            f0.copy(dataType = withFids(s))
+          case _ => f0
+        }
         if (f.metadata.contains(FidKey)) f
         else f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putLong(FidKey, i.toLong).build())
       })
+
+  /** `srcCol` (valued under `from`'s shape) projected onto `to`'s shape
+    * by PER-LEVEL stable field ids — the nested half of epoch
+    * alignment: renamed struct fields alias, dropped ones stop being
+    * selected, fields widened after `from` null-pad, and recursion
+    * handles struct-of-struct. Non-struct leaves pass through (the
+    * log's widening-only contract: a leaf's type never changes under
+    * one field id). A NULL struct value stays NULL — the rebuild guards
+    * on `isNull` so null-ness survives the projection. Identity (the
+    * column untouched) when the shapes agree, which is every column a
+    * rename commit did not touch. */
+  private[table] def alignColumn(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType,
+      srcCol: Column): Column = (from, to) match {
+    case (fs: org.apache.spark.sql.types.StructType,
+          ts: org.apache.spark.sql.types.StructType) if fs != ts =>
+      import org.apache.spark.sql.functions.{struct, when}
+      val byFid = fs.fields.zipWithIndex.map { case (f, i) =>
+        fidOf(f, i) -> f }.toMap
+      val inner = ts.fields.zipWithIndex.map { case (tf, i) =>
+        (byFid.get(fidOf(tf, i)) match {
+          case Some(ff) =>
+            alignColumn(ff.dataType, tf.dataType, srcCol.getField(ff.name))
+          case None => lit(null).cast(tf.dataType)
+        }).as(tf.name)
+      }.toSeq
+      when(srcCol.isNull, lit(null).cast(ts)).otherwise(struct(inner: _*))
+    case _ => srcCol
+  }
+
+  /** Rewrite the struct at dotted `path` inside `schema` with `f` —
+    * the shared navigation of nested [[SnapshotLog.renameColumn]] /
+    * `dropColumn` / `addColumn`. Empty path = the top level. Loud on a
+    * missing segment or a non-struct intermediate (evolution inside
+    * arrays/maps needs element rewrites this format does not do). */
+  private[table] def rewriteStructAt(
+      schema: org.apache.spark.sql.types.StructType, path: Seq[String],
+      where: String)(f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    if (path.isEmpty) f(schema)
+    else {
+      val name = path.head
+      require(schema.fieldNames.contains(name),
+        s"$where: no field '$name' " +
+          s"(fields: ${schema.fieldNames.mkString(", ")})")
+      org.apache.spark.sql.types.StructType(schema.fields.map { sf =>
+        if (sf.name != name) sf
+        else sf.dataType match {
+          case inner: org.apache.spark.sql.types.StructType =>
+            sf.copy(dataType = rewriteStructAt(inner, path.tail, where)(f))
+          case other => throw new UnsupportedOperationException(
+            s"$where: '$name' is ${other.simpleString}, not a struct — " +
+              "evolution inside arrays/maps is not supported")
+        }
+      })
+    }
+
+  /** `dt` rendered as SQL with nullability (and field metadata)
+    * normalized away at every nesting level — the public spelling of a
+    * recursive `sameType` compare. */
+  private[table] def normalizedSql(
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, Metadata, StructType}
+    def norm(d: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = d match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(
+        dataType = norm(f.dataType), nullable = true,
+        metadata = Metadata.empty)))
+      case a: ArrayType => ArrayType(norm(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(norm(m.keyType), norm(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    norm(dt).sql
+  }
+
+  /** Does dotted `path` name a field of `schema` (navigating structs)? */
+  private[graft] def hasPath(schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Boolean =
+    schema.fields.find(_.name == path.head) match {
+      case None => false
+      case Some(f) if path.tail.isEmpty => true
+      case Some(f) => f.dataType match {
+        case s: org.apache.spark.sql.types.StructType => hasPath(s, path.tail)
+        case _ => false
+      }
+    }
 
 
   /** Live-file count above which manifests go SEGMENTED: the per-file

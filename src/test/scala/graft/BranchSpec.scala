@@ -136,4 +136,55 @@ class BranchSpec extends AnyFunSuite {
       s"SELECT count(*) AS n FROM $cat.$tname VERSION AS OF 'branch:g' WHERE id = 9999")
       .head().getLong(0) == 1L)
   }
+
+  test("SQL-only WAP: the session branch conf routes every verb; main untouched until publish") {
+    val root = Files.createTempDirectory("graft-br-sql-").toString
+    val log = SnapshotLog(spark, s"$root/t", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, i * 10.0, "base"))
+      .toDF("id", "bal", "seg").coalesce(1))
+    val s0 = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gbrsql"
+    s0.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.table.GraftTableCatalog].getName)
+    s0.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s0.sql(s"CALL $cat.system.create_branch(`table` => 't', name => 'wap')")
+    // a typo'd branch refuses loudly instead of silently writing main
+    s0.conf.set(graft.table.GraftTableCatalog.WapBranchConf, "nope")
+    assert(intercept[Exception] {
+      s0.sql(s"SELECT count(*) FROM $cat.t").collect()
+    }.getMessage.contains("createBranch"))
+    s0.conf.set(graft.table.GraftTableCatalog.WapBranchConf, "wap")
+    try {
+      // the WHOLE verb surface lands on the branch
+      s0.sql(s"INSERT INTO $cat.t VALUES (100L, 1.0, 'new')")
+      s0.sql(s"UPDATE $cat.t SET seg = 'upd' WHERE id BETWEEN 0 AND 2")
+      s0.sql(s"DELETE FROM $cat.t WHERE id = 9")
+      s0.createDataFrame(Seq((5L, 555.0), (200L, 2.0))).toDF("k", "b")
+        .createOrReplaceTempView("wap_src")
+      s0.sql(
+        s"""MERGE INTO $cat.t t USING wap_src s ON t.id = s.k
+           |WHEN MATCHED THEN UPDATE SET bal = s.b
+           |WHEN NOT MATCHED THEN INSERT (id, bal, seg) VALUES (s.k, s.b, 'mrg')
+           |""".stripMargin)
+      // the session READS its branch: all four verbs visible
+      val seen = s0.sql(s"SELECT id, bal, seg FROM $cat.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      assert(seen.length == 11)
+      assert(seen.exists(_ == ((100L, 1.0, "new"))), "INSERT on branch")
+      assert(seen.count(_._3 == "upd") == 3, "UPDATE on branch")
+      assert(!seen.exists(_._1 == 9L), "DELETE on branch")
+      assert(seen.exists(_ == ((5L, 555.0, "base"))) &&
+        seen.exists(_ == ((200L, 2.0, "mrg"))), "MERGE on branch")
+    } finally s0.conf.unset(graft.table.GraftTableCatalog.WapBranchConf)
+    // conf released: main is UNTOUCHED
+    assert(s0.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 10)
+    assert(log.read().where(col("seg") =!= "base").count() == 0)
+    // publish in SQL; main fast-forwards to the audited state
+    s0.sql(s"CALL $cat.system.publish_branch(`table` => 't', name => 'wap')")
+    assert(s0.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 11)
+    assert(s0.sql(s"SELECT bal FROM $cat.t WHERE id = 5").head().getDouble(0)
+      == 555.0)
+  }
+
 }

@@ -151,6 +151,41 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 18)
   }
 
+  test("INSERT pre-arranges to the bucket spec: one plan-visible exchange, one file per bucket") {
+    val (root, _) = freshRoot()
+    val s0 = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = mount(root)
+    s0.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s0.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s0.sql(
+      s"""CREATE TABLE $cat.tb (id BIGINT, v STRING)
+         |PARTITIONED BY (bucket(4, id))
+         |TBLPROPERTIES ('sort-order'='id', 'stats-columns'='id')""".stripMargin)
+    // plan pin: the INSERT's analyzed plan carries the exchange on the
+    // bucket transform expression (AQE-visible), flagged pre-arranged so
+    // the staging write adds no second shuffle
+    s0.range(0, 100, 1, 8).createOrReplaceTempView("dist_src")
+    val ins = s0.sql(s"INSERT INTO $cat.tb " +
+      "SELECT id, CAST(id AS STRING) AS v FROM dist_src")
+    val tree = ins.queryExecution.optimizedPlan.treeString
+    assert(tree.contains("RepartitionByExpression") &&
+      tree.contains("xxhash64") && tree.contains("graft.pre-arranged"),
+      tree.take(2000))
+    // e2e: a many-partition INSERT lands ONE file per bucket — the
+    // planner's exchange did the clustering, the stage added none
+    val s = SnapshotLog(spark, s"$root/tb").snapshot()
+    assert(s.files.size == 4,
+      s"4 buckets must land as 4 files (one per bucket), got ${s.files.size}")
+    assert(s.partitions.values.toSeq.distinct.size == 4)
+    assert(s0.sql(s"SELECT count(*), sum(id) FROM $cat.tb").head().toSeq ==
+      Seq(100L, 4950L))
+    // a plain session (no extensions) keeps the stage-side arrangement:
+    // same layout, correct rows
+    spark.sql(s"INSERT INTO $cat.tb VALUES (200L, 'x')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tb").head().getLong(0) == 101)
+  }
+
   test("CREATE TABLE: declared shape lands in v1; every later writer inherits it") {
     val (root, _) = freshRoot()
     val cat = mount(root)

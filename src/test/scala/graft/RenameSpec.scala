@@ -198,4 +198,95 @@ class RenameSpec extends AnyFunSuite {
     assert(s2.stats.get(newFile).exists(_.contains("key")),
       "the handle must lift stats under the NEW name after its own rename")
   }
+
+  test("nested evolution: rename/drop/add inside a struct is metadata-only across the epoch boundary") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    val mkRow = (i: Int) => (i, (s"u$i", i * 1.5, s"c$i"))
+    log.append((0 until 5).map(mkRow)
+      .toDF("id", "meta").coalesce(1)) // v1: meta = struct(_1, _2, _3)
+    // name the inner fields via a typed schema instead of _1/_2/_3
+    val dir2 = freshTable()
+    val log2 = SnapshotLog(spark, dir2, statsColumns = Seq("id"))
+    log2.append(spark.sql(
+      """SELECT id, named_struct('user', concat('u', id), 'score', CAST(id * 1.5 AS DOUBLE),
+        |  'city', concat('c', id)) AS meta
+        |FROM range(5)""".stripMargin).coalesce(1))                   // v1
+    val r = log2.renameColumn("meta.user", "handle")                  // v2
+    assert(r.op == "rename" && r.fileSchemaIdx.nonEmpty,
+      "a nested rename pins old files to their epoch")
+    log2.dropColumn("meta.city")                                      // v3
+    log2.addColumn("meta.tier", org.apache.spark.sql.types.IntegerType) // v4
+    // old files read across the boundary BY PER-LEVEL FIELD ID:
+    // renamed values alias, dropped stop being selected, added is NULL
+    val out = log2.read().selectExpr("id", "meta.handle", "meta.score",
+      "meta.tier").collect().map(x =>
+      (x.getLong(0), x.getString(1), x.getDouble(2),
+        if (x.isNullAt(3)) -1 else x.getInt(3))).sortBy(_._1)
+    assert(out.toSeq == (0L until 5L).map(i =>
+      (i, s"u$i", i * 1.5, -1)), out.mkString(", "))
+    assert(!log2.read().schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("city"))
+    // a post-evolution append under the NEW shape lands and reads whole
+    log2.append(spark.sql(
+      """SELECT CAST(100 AS BIGINT) AS id,
+        |  named_struct('handle', 'u100', 'score', CAST(9.0 AS DOUBLE),
+        |    'tier', 3) AS meta""".stripMargin))                      // v5
+    assert(log2.read().where(col("id") === 100)
+      .selectExpr("meta.tier").head().getInt(0) == 3)
+    assert(log2.read().count() == 6)
+    // maintenance drains the nested debt; reads unchanged
+    val drained = log2.materializeRenames().get
+    assert(drained.fileSchemaIdx.isEmpty)
+    assert(log2.read().selectExpr("sum(meta.score)").head().getDouble(0) ==
+      (0 until 5).map(_ * 1.5).sum + 9.0)
+    // guards: intermediate non-struct, missing leaf, collision,
+    // drop-the-last-field
+    assertThrows[UnsupportedOperationException](
+      log2.renameColumn("id.x", "y"))
+    assertThrows[IllegalArgumentException](
+      log2.renameColumn("meta.nope", "y"))
+    assertThrows[IllegalArgumentException](
+      log2.renameColumn("meta.score", "HANDLE"))
+    val dir3 = freshTable()
+    val log3 = SnapshotLog(spark, dir3)
+    log3.append(spark.sql(
+      "SELECT 1 AS id, named_struct('only', 'x') AS s").coalesce(1))
+    assertThrows[IllegalArgumentException](log3.dropColumn("s.only"))
+  }
+
+  test("nested evolution: SQL ALTER TABLE spellings route; mirror replays the nested verbs") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ren-nest-sql-")
+      .toString
+    val log = SnapshotLog(spark, s"$root/t", statsColumns = Seq("id"))
+    log.append(spark.sql(
+      """SELECT id, named_struct('user', concat('u', id), 'score', CAST(id * 1.5 AS DOUBLE))
+        |  AS meta
+        |FROM range(4)""".stripMargin).coalesce(1))
+    spark.conf.set("spark.sql.catalog.gnest",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnest.root", root)
+    spark.sql("ALTER TABLE gnest.t RENAME COLUMN meta.user TO handle")
+    spark.sql("ALTER TABLE gnest.t ADD COLUMN meta.tier INT")
+    assert(spark.sql(
+      "SELECT count(meta.handle) FROM gnest.t").head().getLong(0) == 4,
+      "the debt scan aliases the renamed nested field for old files")
+    spark.sql("ALTER TABLE gnest.t DROP COLUMN meta.score")
+    assert(spark.sql("SELECT * FROM gnest.t").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("handle", "tier"))
+    // mirror: nested rename/drop/widen replay on a replica seeded pre-evolution
+    val src = SnapshotLog(spark, s"$root/t")
+    val dst = SnapshotLog(spark, freshTable())
+    graft.table.LogMirror.mirror(src, dst)
+    assert(dst.read().schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("handle", "tier"))
+    assert(dst.read().selectExpr("meta.handle").as[String]
+      .collect().sorted.toSeq == (0 until 4).map(i => s"u$i"))
+    graft.table.LogMirror.mirror(src, dst) // idempotent re-walk
+    assert(dst.read().count() == 4)
+  }
+
 }
