@@ -31,8 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * never be cached or re-planned away. */
 private[graft] final class GraftProcedures(rootOf: () => String) {
 
-  private def dirOf(table: String): String =
-    (rootOf() +: table.split('.').toSeq).mkString("/")
+  private def dirOf(table: String): String = {
+    val segs = table.split('.').toSeq
+    // not a security boundary in this trust model — but a '..' or empty
+    // segment is always a typo, and catching it here keeps the SQL
+    // surface inert to it instead of resolving outside the root
+    require(segs.nonEmpty && segs.forall(s =>
+      s.nonEmpty && s != ".." && !s.contains('/')),
+      s"CALL: table identifier '$table' must be dot-separated plain names")
+    (rootOf() +: segs).mkString("/")
+  }
 
   private def logOf(input: InternalRow): SnapshotLog = {
     val table = input.getUTF8String(0).toString

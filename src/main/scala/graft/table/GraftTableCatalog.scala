@@ -59,14 +59,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    is refused at analysis (use the typed API or `deleteKeys`);
   *  - `DELETE FROM` (no WHERE) / `TRUNCATE TABLE` →
   *    [[SnapshotLog.truncate]] (one metadata-only commit);
-  *  - `MERGE INTO` (canonical upsert shape) → [[SnapshotLog.mergeByKey]]
-  *    via the resolution rule [[MergeIntoLogRule]] installed by
-  *    [[graft.plans.GraftExtensions]];
+  *  - `MERGE INTO` → the canonical whole-row upsert routes to
+  *    [[SnapshotLog.mergeByKey]], everything else SQL MERGE can say
+  *    (composite keys, conditional multi-clause matched UPDATE/DELETE,
+  *    conditional inserts, NOT MATCHED BY SOURCE) to
+  *    [[SnapshotLog.mergeClauses]] — both via the resolution rule
+  *    [[MergeIntoLogRule]] installed by [[graft.plans.GraftExtensions]];
   *  - `UPDATE ... SET ... WHERE` → [[SnapshotLog.updateWhereTxn]] via
   *    [[UpdateLogRule]] (same extensions install), under the same
   *    exact-condition contract as DELETE — copy-on-write pinned so the
   *    result stays SQL-readable; the typed API keeps the DV+append
   *    merge-on-read arm for sparse updates.
+  * INSERTs on spec/sort-declaring tables are PRE-ARRANGED by
+  * [[InsertArrangeRule]] (one AQE-visible exchange clustering the write
+  * to the table's layout; the staging write then skips its own
+  * shuffle), and the session conf
+  * [[GraftTableCatalog.WapBranchConf]] pins reads AND every DML verb
+  * to a write-audit-publish branch for the SQL-only WAP loop.
   * `ALTER TABLE RENAME/DROP/ADD COLUMN` commits the log's metadata-only
   * schema evolution (field-id renames/drops, explicit widens) and
   * `ADD/DROP CONSTRAINT ... CHECK` the write-time quality gates — see
