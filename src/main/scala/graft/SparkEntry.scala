@@ -111,6 +111,8 @@ object SparkEntry {
     "q46_log_sql_ctas" -> (Relational.q46LogSqlCtas _), // oracle: CREATE TABLE AS SELECT with declared bucket spec/sort == direct selection
     "q47_log_sql_mor_read" -> (Relational.q47LogSqlMorRead _), // oracle: DSv2 catalog SELECT over pending DV + tombstone debt == DuckDB survivors
     "q48_log_sql_merge_full" -> (Relational.q48LogSqlMergeFull _), // oracle: full-clause SQL MERGE (conditional update/delete/insert + by-source, composite key) == set-algebraic recompute
+    "q49_log_sql_wap" -> (Relational.q49LogSqlWap _), // oracle: SQL-only write-audit-publish loop (branch DML under the session conf, publish fast-forward) == recomputed final state
+    "q50_log_sql_nested_evolution" -> (Relational.q50LogSqlNestedEvolution _), // oracle: nested struct rename/drop/add via ALTER TABLE, read across the epoch boundary == textual recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -248,6 +250,8 @@ object SparkEntry {
     "q46_log_sql_ctas" -> Relational.q46Oracle,
     "q47_log_sql_mor_read" -> Relational.q47Oracle,
     "q48_log_sql_merge_full" -> Relational.q48Oracle,
+    "q49_log_sql_wap" -> Relational.q49Oracle,
+    "q50_log_sql_nested_evolution" -> Relational.q50Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

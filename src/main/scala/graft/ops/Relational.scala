@@ -913,6 +913,127 @@ object Relational {
          |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Graded SQL-only WRITE-AUDIT-PUBLISH
+    * ([[graft.table.GraftTableCatalog.WapBranchConf]]): the full WAP
+    * loop in pure SQL — `CALL create_branch`, then UPDATE + DELETE +
+    * INSERT under the session branch conf (each verb one transactional
+    * commit on the BRANCH chain), then `CALL publish_branch`
+    * fast-forwarding main. The graded aggregate reads main AFTER
+    * publish; a verb that escaped to main early, a lost branch commit,
+    * or a publish that reordered/dropped work shifts counts/sums and
+    * hash-mismatches DuckDB recomputing the same final state from raw
+    * supplier. */
+  def q49LogSqlWap(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"wap49:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-wapsql-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("s_suppkey"))
+        .append(t(spark, dir, "supplier").select(
+          col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .coalesce(1))                                              // v1
+      val tbl = mountCatalog(s, tmp)
+      val cat = tbl.split('.').head
+      val name = tbl.split('.').last.stripPrefix("`").stripSuffix("`")
+      s.sql(s"CALL $cat.system.create_branch(`table` => '$name', " +
+        "name => 'audit')")
+      s.conf.set(graft.table.GraftTableCatalog.WapBranchConf, "audit")
+      try {
+        val main0 = graft.table.SnapshotLog(spark, tmp).currentVersion()
+        s.sql(s"UPDATE $tbl SET s_acctbal = s_acctbal + 100.0 " +
+          "WHERE s_nationkey BETWEEN 0 AND 4")
+        s.sql(s"DELETE FROM $tbl WHERE s_suppkey BETWEEN 1 AND 5")
+        t(s, dir, "supplier").createOrReplaceTempView("q49_supplier_src")
+        s.sql(s"INSERT INTO $tbl SELECT s_suppkey + 1000000, s_nationkey, " +
+          "CAST(555.0 AS DOUBLE) FROM q49_supplier_src WHERE s_suppkey % 100 = 1")
+        require(graft.table.SnapshotLog(spark, tmp).currentVersion() == main0,
+          "q49 fixture: no DML may land on MAIN while the WAP conf is set")
+      } finally s.conf.unset(graft.table.GraftTableCatalog.WapBranchConf)
+      s.sql(s"CALL $cat.system.publish_branch(`table` => '$name', " +
+        "name => 'audit')")
+      tmp
+    })
+    s.sql(
+      s"""SELECT s_nationkey, count(*) AS n_supp,
+         |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+         |FROM ${mountCatalog(s, path)}
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey""".stripMargin)
+  }
+
+  def q49Oracle: String =
+    """WITH updated AS (
+      |  SELECT s_suppkey, s_nationkey,
+      |    CASE WHEN s_nationkey BETWEEN 0 AND 4 THEN s_acctbal + 100.0
+      |         ELSE s_acctbal END AS s_acctbal
+      |  FROM supplier
+      |  WHERE NOT (s_suppkey BETWEEN 1 AND 5)
+      |), inserted AS (
+      |  SELECT s_suppkey + 1000000 AS s_suppkey, s_nationkey,
+      |    CAST(555.0 AS DOUBLE) AS s_acctbal
+      |  FROM supplier WHERE s_suppkey % 100 = 1
+      |), final AS (
+      |  SELECT * FROM updated UNION ALL SELECT * FROM inserted
+      |)
+      |SELECT s_nationkey, count(*) AS n_supp,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin
+
+  /** Graded NESTED schema evolution through SQL: the fixture table
+    * carries a STRUCT column built from customer; `ALTER TABLE` then
+    * renames a field inside it (`info.name` → `handle`), drops another
+    * (`info.seg`), adds a third (`info.tier INT`) — all metadata-only
+    * commits on per-level field ids — and a post-evolution INSERT lands
+    * rows under the NEW shape. The graded query reads the whole table
+    * flattened across the epoch boundary through the debt-aware catalog
+    * scan: pre-evolution files must resolve the renamed inner field BY
+    * FIELD ID (never null), never leak the dropped one, and read the
+    * added one as NULL. The oracle recomputes from raw customer with
+    * the evolution applied textually — any nested misalignment changes
+    * the hash. */
+  def q50LogSqlNestedEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"nest50:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-nest-")
+        .resolve("t").toString
+      t(spark, dir, "customer").createOrReplaceTempView("q50_customer_src")
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("id"))
+        .append(spark.sql(
+          """SELECT c_custkey AS id,
+            |  named_struct('name', c_name,
+            |    'bal', CAST(c_acctbal AS DOUBLE),
+            |    'seg', c_mktsegment) AS info
+            |FROM q50_customer_src""".stripMargin).coalesce(1))      // v1
+      val tbl = mountCatalog(spark, tmp)
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN info.name TO handle") // v2
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN info.seg")              // v3
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMN info.tier INT")          // v4
+      spark.sql(s"""INSERT INTO $tbl
+        |SELECT c_custkey + 1000000,
+        |  named_struct('handle', concat('h', c_custkey),
+        |    'bal', CAST(555.0 AS DOUBLE), 'tier', 1)
+        |FROM q50_customer_src WHERE c_custkey % 100 = 1""".stripMargin) // v5
+      tmp
+    })
+    spark.sql(
+      s"""SELECT id, info.handle AS handle, info.bal AS bal,
+         |  info.tier AS tier
+         |FROM ${mountCatalog(spark, path)}
+         |ORDER BY id""".stripMargin)
+  }
+
+  def q50Oracle: String =
+    """SELECT c_custkey AS id, c_name AS handle,
+      |  CAST(c_acctbal AS DOUBLE) AS bal, CAST(NULL AS INT) AS tier
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, 'h' || c_custkey,
+      |  CAST(555.0 AS DOUBLE), 1
+      |FROM customer WHERE c_custkey % 100 = 1
+      |ORDER BY id""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,
