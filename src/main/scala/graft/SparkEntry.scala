@@ -113,6 +113,7 @@ object SparkEntry {
     "q48_log_sql_merge_full" -> (Relational.q48LogSqlMergeFull _), // oracle: full-clause SQL MERGE (conditional update/delete/insert + by-source, composite key) == set-algebraic recompute
     "q49_log_sql_wap" -> (Relational.q49LogSqlWap _), // oracle: SQL-only write-audit-publish loop (branch DML under the session conf, publish fast-forward) == recomputed final state
     "q50_log_sql_nested_evolution" -> (Relational.q50LogSqlNestedEvolution _), // oracle: nested struct rename/drop/add via ALTER TABLE, read across the epoch boundary == textual recompute
+    "q51_log_sql_overwrite_partition" -> (Relational.q51LogSqlOverwritePartition _), // oracle: INSERT OVERWRITE PARTITION fused replace_where swap == recomputed final state
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -252,6 +253,7 @@ object SparkEntry {
     "q48_log_sql_merge_full" -> Relational.q48Oracle,
     "q49_log_sql_wap" -> Relational.q49Oracle,
     "q50_log_sql_nested_evolution" -> Relational.q50Oracle,
+    "q51_log_sql_overwrite_partition" -> Relational.q51Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

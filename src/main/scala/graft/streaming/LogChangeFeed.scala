@@ -114,7 +114,7 @@ final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
     * `truncate`/`overwrite`, which drop the whole prior table. */
   private val ChangeOps =
     Set("delete", "merge", "delete_keys", "update", "restore", "truncate",
-      "overwrite")
+      "overwrite", "replace_where")
 
   override val schema: StructType =
     LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)

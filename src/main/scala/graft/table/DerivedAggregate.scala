@@ -124,7 +124,8 @@ final class DerivedAggregate(base: SnapshotLog, derived: SnapshotLog,
   require(!aggs.exists(_.out == key), "an AggCol cannot shadow the group key")
 
   private val RowRemoving =
-    Set("delete", "merge", "delete_keys", "update", "truncate", "overwrite")
+    Set("delete", "merge", "delete_keys", "update", "truncate", "overwrite",
+      "replace_where")
 
   /** Whether removals fold ALGEBRAICALLY (pure subtraction, no base
     * read): every aggregate must be subtractable (count/sum) AND a

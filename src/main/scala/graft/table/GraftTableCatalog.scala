@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{And, EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -415,7 +415,8 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** Manifest facts as table properties — `DESCRIBE TABLE EXTENDED` /
     * `SHOW TBLPROPERTIES` read the log's own metadata plane (version,
@@ -505,15 +506,39 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     // verified empirically; the resolution rule is the hook that works.)
     val preArranged =
       info.options().getBoolean(GraftTableCatalog.PreArrangedOption, false)
-    new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+    // SupportsOverwrite: the unconditioned INSERT OVERWRITE (its default
+    // truncate() = overwrite(AlwaysTrue)) maps to the atomic
+    // overwriteAll; a STATIC partition overwrite
+    // (`INSERT OVERWRITE t PARTITION (c = v) ...`) hands its filters
+    // here and maps to [[SnapshotLog.overwriteWhere]] — the region swap
+    // as ONE fused delete+append commit (metadata-only drops for
+    // whole-partition regions). An inexact region refuses loudly with
+    // the typed API named, mirroring SQL DELETE's contract.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var region: Option[Array[Filter]] = None
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        region = Some(filters); this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, ovr: Boolean) => {
-            if (overwrite || ovr)
-              log.overwriteAll(data, preArranged = preArranged)
-            else log.append(data, preArranged = preArranged)
+            region match {
+              case None =>
+                if (ovr) log.overwriteAll(data, preArranged = preArranged)
+                else log.append(data, preArranged = preArranged)
+              case Some(fs) => LogTable.exactRanges(fs) match {
+                case Some(Nil) =>
+                  log.overwriteAll(data, preArranged = preArranged)
+                case Some(ranges) =>
+                  log.overwriteWhere(ranges, data, preArranged = preArranged)
+                case None => throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE on ${log.tableDir}: condition " +
+                    s"${fs.mkString(" AND ")} does not convert exactly to " +
+                    "point/range predicates — use the typed " +
+                    "SnapshotLog.overwriteWhere for this shape")
+              }
+            }
             ()
           }
       }
@@ -533,20 +558,22 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     version < 0 && LogTable.exactRanges(filters).isDefined
 
-  /** `DELETE FROM ... WHERE` → the stats-targeted copy-on-write delete:
-    * only files whose recorded ranges/partition tuples can match
-    * rewrite; provably-all-matching files drop as pure manifest
-    * arithmetic. Exactly [[SnapshotLog.deleteWhere]]'s semantics — NULLs
-    * never match, matching SQL's own `WHERE` behavior. */
+  /** `DELETE FROM ... WHERE` → the stats-targeted delete with the FULL
+    * three-arm planner: only files whose recorded ranges/partition
+    * tuples can match participate; provably-all-matching files drop as
+    * pure manifest arithmetic, densely-matched straddlers rewrite
+    * copy-on-write, sparsely-matched ones commit a positional DELETION
+    * VECTOR — O(matched rows) written, the 100 TB GDPR/backfill shape.
+    * SQL SELECT keeps working through the debt window because the scan
+    * builder plans [[LogDebtScan]] over pending vectors (which is what
+    * let this verb drop its former copy-on-write pin). Exactly
+    * [[SnapshotLog.deleteWhere]]'s semantics — NULLs never match,
+    * matching SQL's own `WHERE` behavior. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     requireHead("DELETE")
     LogTable.exactRanges(filters) match {
       case Some(Nil)    => log.truncate() // unconditioned DELETE FROM
-      // mode=cow: the catalog's own scan is a raw parquet batch read
-      // that cannot compose the DV anti-join, so SQL DELETE must leave
-      // the table SQL-readable — the typed API's auto planner owns the
-      // deletion-vector path (deleteWhere / materializeDeletes)
-      case Some(ranges) => log.deleteWhereTxn(ranges, None, mode = "cow")
+      case Some(ranges) => log.deleteWhereTxn(ranges, None, mode = "auto")
       case None => throw new UnsupportedOperationException(
         s"DELETE on ${log.tableDir}: condition ${filters.mkString(" AND ")} " +
           "does not convert exactly to point/range predicates — use the " +
@@ -613,6 +640,10 @@ private[graft] object LogTable {
     val notNull = collection.mutable.Set.empty[String]
     val ok = ls.forall {
       case EqualTo(c, v) if v != null =>
+        points(c) = v :: points.getOrElse(c, Nil); true
+      // null-safe equality against a NON-NULL literal is plain equality
+      // (the static partition-overwrite spelling produces this shape)
+      case EqualNullSafe(c, v) if v != null =>
         points(c) = v :: points.getOrElse(c, Nil); true
       case GreaterThanOrEqual(c, v) if v != null =>
         lo(c) = v :: lo.getOrElse(c, Nil); true

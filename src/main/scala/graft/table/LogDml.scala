@@ -349,11 +349,12 @@ final class InsertArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * of columns, no WHERE at all — is refused loudly with the typed API
   * named: approximating would update the wrong rows.
   *
-  * The command pins `mode = "cow"`, like SQL DELETE: SQL DML must
-  * leave the table SQL-readable, and the catalog's raw batch scan
-  * cannot compose a deletion vector's anti-join. The typed
-  * [[SnapshotLog.updateWhere]] keeps the DV+append merge-on-read arm
-  * for low-selectivity updates at scale. */
+  * The command runs the FULL auto planner, like SQL DELETE: a
+  * sparsely-matched straddler takes the deletion-vector + post-image
+  * merge-on-read arm (O(updated rows) committed at any table size),
+  * densely-matched files rewrite copy-on-write — and SQL SELECT keeps
+  * working through the debt window because the catalog's scan builder
+  * plans [[LogDebtScan]] over pending vectors. */
 final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -478,7 +479,8 @@ private[graft] object UpdateLogRule {
 
 /** The executable UPDATE: resolves the table's log at execution and
   * commits through [[SnapshotLog.updateWhereTxn]]'s stats-targeted
-  * copy-on-write path (`mode = "cow"` — SQL-readable result, see
+  * three-arm planner (`mode = "auto"` — sparse matches take the
+  * deletion-vector merge-on-read arm, dense ones rewrite; see
   * [[UpdateLogRule]]); the counting, survivor rewrite and updated-batch
   * staging inside are fully distributed — only the commit decision is
   * local, like every log commit. */
@@ -490,7 +492,7 @@ final case class UpdateLogCommand(tableDir: String,
     GraftTableCatalog.sessionLog(spark, tableDir).updateWhereTxn(preds,
       set.map { case (n, e) =>
         n -> org.apache.spark.sql.GraftBridge.toCol(e) },
-      txn = None, mode = "cow")
+      txn = None, mode = "auto")
     Seq.empty
   }
 }

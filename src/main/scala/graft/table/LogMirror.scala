@@ -199,6 +199,49 @@ object LogMirror {
           dst.deleteWhereTxn(s.changes.get.preds.map(ChangePred.decode),
             Some((lane, v)))
           newlyApplied += 1
+        case "replace_where" if s.changes.exists(_.preds.nonEmpty) =>
+          // predicate + insert-image replay: the replica replaces ITS
+          // OWN region matching the predicates with the shipped batch,
+          // one commit on the lane watermark — zero pre-image bytes
+          materializePending(dst)
+          val rcs = s.changes.get
+          val rdataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          val batch =
+            if (rcs.files.isEmpty)
+              emptyFrame(src, s) // region emptied, nothing inserted
+            else src.session.read
+              .parquet(rcs.files.map(f => new Path(rdataDir, f).toString): _*)
+              .where(org.apache.spark.sql.functions
+                .col("_change_type") === "insert")
+              .drop("_change_type")
+          dst.overwriteWhere(rcs.preds.map(ChangePred.decode), batch,
+            Some((lane, v)))
+          newlyApplied += 1
+        case "replace_where" if s.changes.exists(c =>
+            c.preds.isEmpty && c.files.nonEmpty) =>
+          // DYNAMIC partition overwrite (no predicates recorded): the
+          // swapped region is defined by the data's partition tuples,
+          // so replay is sound only when the replica shares the
+          // source's spec — otherwise the tuples name different rows
+          materializePending(dst)
+          val dcs = s.changes.get
+          val dSpec =
+            if (dst.currentVersion() == 0) Nil
+            else dst.snapshot().partitionSpec
+          if (dst.currentVersion() > 0 && dSpec != s.partitionSpec)
+            throw new IllegalStateException(
+              s"cannot mirror ${src.tableDir} v$v: a dynamic partition " +
+                s"overwrite replays by tuple, but the replica's spec " +
+                s"($dSpec) differs from the source's " +
+                s"(${s.partitionSpec}) — resync from a full read")
+          val ddataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          val dBatch = src.session.read
+            .parquet(dcs.files.map(f => new Path(ddataDir, f).toString): _*)
+            .where(org.apache.spark.sql.functions
+              .col("_change_type") === "insert")
+            .drop("_change_type")
+          dst.overwritePartitions(dBatch, Some((lane, v)))
+          newlyApplied += 1
         case "update" if s.changes.exists(c =>
             c.preds.nonEmpty && c.files.nonEmpty) =>
           // predicate + post-image replay: the replica retires its OWN

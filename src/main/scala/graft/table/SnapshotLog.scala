@@ -1438,7 +1438,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             else Some(reader(s).parquet(s.files.map(path): _*)
               .withColumn("_change_type", lit("insert")))
           (dels.toSeq ++ ins.toSeq).map(_.withColumn("_commit_version", lit(v)))
-        case "delete" | "merge" | "delete_keys" | "update" =>
+        case "delete" | "merge" | "delete_keys" | "update" | "replace_where" =>
           val cs = s.changes.getOrElse(throw new IllegalStateException(
             s"$tableDir v$v is a '${s.op}' with no recorded change images " +
               "(committed before the table was changeFeed-enabled) — " +
@@ -2017,8 +2017,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     *    the file untouched) and the updated rows stage as new files.
     * Either way the updated rows are written exactly once and `rows`
     * is unchanged. `mode = "cow"` pins every straddler to the rewrite
-    * (the SQL surface does — its raw batch scan cannot compose the DV
-    * anti-join, and SQL DML must leave the table SQL-readable).
+    * for callers that need a debt-free result NOW; the SQL surface
+    * runs `"auto"` since r12 — its scan serves pending vectors through
+    * [[graft.table.LogDebtScan]].
     *
     * CDC: on a feed-enabled table the commit records pre-images
     * (`delete`) and post-images (`insert`) plus the predicates when
@@ -3082,6 +3083,236 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         s"overwrite of $tableDir: concurrent commit since v${base.version}; rerun")
     }
     next
+  }
+
+  /** Replace the REGION matching a conjunction of [lo, hi] ranges with
+    * `df` in ONE atomic commit (op `replace_where`) — delete-the-region
+    * + append fused so readers never observe the half-replaced state:
+    * the `INSERT OVERWRITE t PARTITION (c = v)` / replace-where verb.
+    * The classic shape — recompute one day/partition and swap it in —
+    * costs O(region): provably-all-matching files DROP as pure manifest
+    * arithmetic (on an identity/day-partitioned table the whole swap's
+    * delete half is metadata-only), straddling files rewrite their
+    * SURVIVORS copy-on-write (no deletion-vector arm: an overwrite
+    * replaces the region by definition, so the region's bytes die with
+    * the commit), untouched files carry by name. NULL-keyed rows never
+    * match (SQL semantics) and always survive. The new batch stages
+    * through the normal choke point (partition transforms, sort order,
+    * stats/bloom lift, constraint gate) and need not itself fall inside
+    * the region — SQL's static-overwrite contract already guarantees it
+    * there, and the typed caller owns the semantics otherwise.
+    *
+    * Empty `preds` = full-table overwrite → use [[overwriteAll]]. An
+    * uncoercible bound (no value of the column's type can match) makes
+    * the delete half a provable no-op: the batch simply appends, op
+    * still `replace_where`. Pending key tombstones refuse (CoW
+    * rewrites would resurrect covered rows); pending DVs on touched
+    * files apply during the survivor read and die with the region.
+    *
+    * CDC on feed-enabled tables: whole-file drops ship BY REFERENCE,
+    * straddlers' matching rows image as deletes, the batch images as
+    * inserts, and the predicates record when manifest-encodable so
+    * [[LogMirror]] replays the swap on a replica from preds +
+    * insert images with zero pre-image bytes shipped. `txn` rides the
+    * exactly-once watermark. A concurrent commit aborts (row-removing,
+    * like [[overwriteAll]]). */
+  def overwriteWhere(preds0: Seq[(String, Any, Any)], df: DataFrame,
+      txn: Option[(String, Long)] = None,
+      preArranged: Boolean = false): Snapshot = {
+    require(preds0.nonEmpty,
+      "overwriteWhere needs at least one (column, lo, hi) — use " +
+        "overwriteAll for the full-table overwrite")
+    val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return base // replay detected — nothing stages, nothing commits
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a region overwrite (rewriting covered files raw would " +
+        "resurrect tombstoned rows)")
+    val preds = coercePreds(base, preds0).getOrElse(Seq.empty)
+    val dts = preds.map { case (c, _, _) => c -> schemaType(base, c) }.toMap
+    val touched = if (preds.isEmpty) Nil else candidateFiles(base, preds)
+    val (dropped, straddle) = touched.partition(f =>
+      base.fileRows.contains(f) && !base.dvs.contains(f) &&
+        fullyContained(base, f, preds, dts))
+    val matches =
+      if (preds.isEmpty) lit(false)
+      else preds.map { case (c, lo, hi) =>
+        col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    // survivors of straddling files, DV-applied and epoch-aligned; a
+    // NULL in a predicate column survives explicitly (matches is null)
+    val survivorsDf =
+      if (straddle.isEmpty) None
+      else Some(scan(base, straddle).where(
+        org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(matches, lit(false)))))
+    val straddleLive =
+      if (straddle.isEmpty) 0L
+      else if (straddle.forall(base.fileRows.contains) &&
+          !straddle.exists(base.dvs.contains))
+        straddle.map(base.fileRows).sum
+      else scan(base, straddle).count()
+    val droppedRows = dropped.map(base.fileRows).sum
+    val touchedBytes = touched.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+    val stagedNew = stage(df, base = Some(base), preArranged = preArranged)
+    // the new batch carries NEW rows — constraint-gate it like appends
+    // (policyGuard discards stagedNew itself on failure); survivors are
+    // carried old rows (already validated), like deletes
+    policyGuard(stagedNew)
+    val stagedSurv = survivorsDf.map(s => stage(s, base = Some(base)))
+    val recordCdc = commitCdc(base)
+    val changeStaged =
+      if (!recordCdc) None
+      else {
+        val ins = df.withColumn("_change_type", lit("insert"))
+        val all =
+          if (straddle.isEmpty) ins
+          else scan(base, straddle)
+            .where(org.apache.spark.sql.functions
+              .coalesce(matches, lit(false)))
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(ins, allowMissingColumns = true)
+        val st = stage(all, partitioned = false)
+        if (st.rows == 0 && dropped.isEmpty) { discard(st); None }
+        else Some(st)
+      }
+    val encodedPreds = preds.map { case (c, lo, hi) =>
+      ChangePred.encode(c, lo, hi) }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(
+        files = changeStaged.map(_.files).getOrElse(Nil),
+        deletedDataFiles = dropped,
+        preds = if (preds.nonEmpty && encodedPreds.forall(_.isDefined))
+          encodedPreds.flatten else Nil))
+    val merged =
+      try mergeSchemaJson(base, stagedNew.schemaJson)
+      catch { case e: IllegalStateException =>
+        discard(stagedNew); stagedSurv.foreach(discard)
+        changeStaged.foreach(discard); throw e }
+    def sv[T](f: Staged => Map[String, T]): Map[String, T] =
+      stagedSurv.fold(Map.empty[String, T])(f)
+    val survRows = stagedSurv.fold(0L)(_.rows)
+    val survBytes = stagedSurv.fold(0L)(_.bytes)
+    val gone = touched.toSet
+    val next = Snapshot(base.version + 1, "replace_where", base.version,
+      base.rows - droppedRows - straddleLive + survRows + stagedNew.rows,
+      base.bytes - touchedBytes + survBytes + stagedNew.bytes,
+      base.files.filterNot(gone) ++
+        stagedSurv.fold(Seq.empty[String])(_.files) ++ stagedNew.files,
+      (base.stats -- gone) ++ sv(_.stats) ++ stagedNew.stats,
+      merged,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+      (base.fileRows -- gone) ++ sv(_.fileRows) ++ stagedNew.fileRows,
+      (base.blooms -- gone) ++ sv(_.blooms) ++ stagedNew.blooms,
+      (base.fileBytes -- gone) ++ sv(_.fileBytes) ++ stagedNew.fileBytes,
+      commitSpec(base),
+      (base.partitions -- gone) ++ sv(_.partitions) ++ stagedNew.partitions,
+      commitSort(base), recordCdc, changeSet,
+      base.priorSpecs, base.fileSpecIdx -- gone,
+      // touched straddlers rewrote through the DV-applied read —
+      // materialized; dropped files' vectors die with them
+      base.dvs -- gone, base.priorSchemas, base.fileSchemaIdx -- gone)
+    if (!tryCommit(next)) {
+      discard(stagedNew)
+      stagedSurv.foreach(discard)
+      changeStaged.foreach(discard)
+      throw new CommitConflictException(
+        s"replace_where on $tableDir: concurrent commit since " +
+          s"v${base.version}; rerun")
+    }
+    next
+  }
+
+  /** DYNAMIC partition overwrite: replace exactly the partitions `df`'s
+    * rows land in — stage the batch through the normal choke point,
+    * then swap out every live file whose partition TUPLE matches a
+    * staged tuple, in ONE atomic commit (op `replace_where`). The
+    * `INSERT OVERWRITE` dynamic-mode verb, typed (Spark has no V1 write
+    * fallback for `OverwritePartitionsDynamic`, so the SQL spelling is
+    * the static `PARTITION (c = v)` form → [[overwriteWhere]]; this is
+    * the orchestration-side sibling for recompute-what-I-produced
+    * backfills). The delete half is PURE manifest arithmetic — tuples
+    * are exact per file, no stats proof needed — so a daily recompute
+    * writes the new day's files and drops the old day's by name,
+    * touching nothing else at any table size.
+    *
+    * Requires a partition spec (partition-wise by definition) and every
+    * live file on the CURRENT spec (evolve debt makes old tuples
+    * incomparable — compact first); tombstones refuse like every
+    * rewrite. An empty batch replaces nothing and commits nothing
+    * (None). CDC: dropped files ship by reference, the batch images as
+    * inserts; [[LogMirror]] replays by re-running the same dynamic
+    * overwrite on the replica from the insert images — the tuples
+    * derive from the DATA, so the replica swaps exactly the same
+    * logical partitions. `txn` rides the exactly-once watermark. */
+  def overwritePartitions(df: DataFrame,
+      txn: Option[(String, Long)] = None): Option[Snapshot] = {
+    val base = snapshot()
+    if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
+      return None // replay detected — nothing stages, nothing commits
+    require(commitSpec(base).nonEmpty,
+      s"$tableDir has no partition spec — dynamic partition overwrite " +
+        "is partition-wise by definition; use overwriteAll/overwriteWhere")
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() first")
+    require(base.files.forall(f => base.specOf(f) == base.partitionSpec),
+      s"$tableDir carries partition-spec evolution debt — old-spec " +
+        "tuples are incomparable; compact() to converge the layout first")
+    val staged = stage(df, base = Some(base))
+    if (staged.rows == 0) { discard(staged); return None }
+    policyGuard(staged)
+    val tuples = staged.partitions.values.toSet
+    val dropped = base.files.filter(f =>
+      base.partitions.get(f).exists(tuples.contains))
+    val droppedRows =
+      if (dropped.forall(base.fileRows.contains) &&
+          !dropped.exists(base.dvs.contains))
+        dropped.map(base.fileRows).sum
+      else if (dropped.isEmpty) 0L
+      else scan(base, dropped).count()
+    val droppedBytes = dropped.map(f => base.fileBytes.getOrElse(f,
+      fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
+    val recordCdc = commitCdc(base)
+    val changeStaged =
+      if (!recordCdc) None
+      else {
+        val st = stage(df.withColumn("_change_type", lit("insert")),
+          partitioned = false)
+        if (st.rows == 0) { discard(st); None } else Some(st)
+      }
+    val changeSet =
+      if (!recordCdc) None
+      else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
+        deletedDataFiles = dropped))
+    val merged =
+      try mergeSchemaJson(base, staged.schemaJson)
+      catch { case e: IllegalStateException =>
+        discard(staged); changeStaged.foreach(discard); throw e }
+    val gone = dropped.toSet
+    val next = Snapshot(base.version + 1, "replace_where", base.version,
+      base.rows - droppedRows + staged.rows,
+      base.bytes - droppedBytes + staged.bytes,
+      base.files.filterNot(gone) ++ staged.files,
+      (base.stats -- gone) ++ staged.stats,
+      merged,
+      txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) }, Nil,
+      (base.fileRows -- gone) ++ staged.fileRows,
+      (base.blooms -- gone) ++ staged.blooms,
+      (base.fileBytes -- gone) ++ staged.fileBytes,
+      commitSpec(base), (base.partitions -- gone) ++ staged.partitions,
+      commitSort(base), recordCdc, changeSet,
+      base.priorSpecs, base.fileSpecIdx -- gone,
+      base.dvs -- gone, base.priorSchemas, base.fileSchemaIdx -- gone)
+    if (!tryCommit(next)) {
+      discard(staged)
+      changeStaged.foreach(discard)
+      throw new CommitConflictException(
+        s"replace_where on $tableDir: concurrent commit since " +
+          s"v${base.version}; rerun")
+    }
+    Some(next)
   }
 
   /** Re-declare the table's write-time clustering as ONE metadata-only

@@ -144,11 +144,15 @@ class DsV2CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == (0L until 10L).sum - 3L)
     log.materializeDeletes()
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 19)
-    // SQL DELETE pins mode=cow: the table stays on the codegen scan path
+    // SQL DELETE runs the full auto planner: a sparse match commits a
+    // deletion vector (O(matched rows), no rewrite) and the table stays
+    // SQL-readable through the debt scan
     spark.sql(s"DELETE FROM $cat.t1 WHERE id = 1005")
-    assert(log.snapshot().dvs.isEmpty,
-      "the SQL verb must never strand the SQL surface behind a vector")
+    assert(log.snapshot().dvs.nonEmpty,
+      "a 1-of-10 match must take the deletion-vector arm")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 18)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t1 WHERE id = 1005")
+      .head().getLong(0) == 0, "the vectored row must not resurrect in SQL")
   }
 
   test("INSERT pre-arranges to the bucket spec: one plan-visible exchange, one file per bucket") {

@@ -200,16 +200,22 @@ class UpdateSpec extends AnyFunSuite {
     s.sql(s"UPDATE $cat.t1 SET v = concat(v, '!') WHERE id BETWEEN 1000 AND 1004")
     assert(log.snapshot().op == "update",
       "SQL UPDATE must land as one transactional update commit")
-    assert(log.snapshot().dvs.isEmpty,
-      "the SQL surface pins copy-on-write — the table stays SQL-readable")
+    // the SQL verb runs the full auto planner — a 5-of-10 match sits at
+    // the CoW threshold and rewrites; a sparse one below would vector,
+    // and the debt scan keeps the table SQL-readable either way
     val out = s.sql(s"SELECT id, v FROM $cat.t1 WHERE id >= 1000 ORDER BY id")
       .as[(Long, String)].collect().toSeq
     assert(out.take(5) == (1000L to 1004L).map(i => (i, s"b$i!")) &&
       out.drop(5) == (1005L until 1010L).map(i => (i, s"b$i")))
     assert(log.read().count() == 20)
-    // point condition + expression over the old row
+    // point condition + expression over the old row: a 1-of-10 match
+    // takes the merge-on-read arm (deletion vector + post-image append)
+    // and the catalog's debt scan serves the SQL read exactly
     s.sql(s"UPDATE $cat.t1 SET v = upper(v) WHERE id = 3")
+    assert(log.snapshot().dvs.nonEmpty,
+      "a sparse SQL UPDATE must take the deletion-vector arm")
     assert(rowsOf(s, cat)(3L) == "A3")
+    assert(rowsOf(s, cat).size == 20, "no row may duplicate or vanish")
     def refused(sql: String, frag: String): Unit = {
       val ex = intercept[Exception] { s.sql(sql) }
       def msgs(t: Throwable): Seq[String] =
