@@ -218,7 +218,8 @@ object LogMirror {
             Some((lane, v)))
           newlyApplied += 1
         case "replace_where" if s.changes.exists(c =>
-            c.preds.isEmpty && c.files.nonEmpty) =>
+            c.keyColumn == SnapshotLog.DynamicOverwriteMarker &&
+              c.files.nonEmpty) =>
           // DYNAMIC partition overwrite (no predicates recorded): the
           // swapped region is defined by the data's partition tuples,
           // so replay is sound only when the replica shares the
@@ -241,6 +242,37 @@ object LogMirror {
               .col("_change_type") === "insert")
             .drop("_change_type")
           dst.overwritePartitions(dBatch, Some((lane, v)))
+          newlyApplied += 1
+        case "replace_where" if s.changes.exists(c =>
+            c.keyColumn.isEmpty && c.preds.isEmpty &&
+              c.deletedDataFiles.isEmpty) =>
+          // STATIC replace_where whose predicates were not manifest-
+          // encodable but whose delete half provably dropped nothing
+          // whole (no files by reference). Straddling rewrites would
+          // still image deletes, so verify the images are insert-only
+          // before replaying as a plain append; any delete image means
+          // real removals behind unencodable bounds — the replica has
+          // no sound way to find those rows, refuse with the resync
+          // contract.
+          val acs = s.changes.get
+          if (acs.files.isEmpty)
+            dst.appendStream(emptyFrame(src, s), lane, v)
+          else {
+            import org.apache.spark.sql.functions.col
+            val adataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+            val img = src.session.read.parquet(
+              acs.files.map(f => new Path(adataDir, f).toString): _*)
+            if (img.where(col("_change_type") === "delete")
+                .limit(1).collect().nonEmpty)
+              throw new IllegalStateException(
+                s"cannot mirror ${src.tableDir} v$v: a region overwrite " +
+                  "removed rows under predicate bounds the manifest " +
+                  "cannot encode — the replica cannot locate its copies " +
+                  "of the removed rows; resync the replica from a full " +
+                  "read of the source")
+            dst.appendStream(img.where(col("_change_type") === "insert")
+              .drop("_change_type"), lane, v)
+          }
           newlyApplied += 1
         case "update" if s.changes.exists(c =>
             c.preds.nonEmpty && c.files.nonEmpty) =>

@@ -3285,7 +3285,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val changeSet =
       if (!recordCdc) None
       else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
-        deletedDataFiles = dropped))
+        deletedDataFiles = dropped,
+        // marks the commit as tuple-defined so the mirror knows a
+        // dynamic replay is SOUND (see DynamicOverwriteMarker)
+        keyColumn = SnapshotLog.DynamicOverwriteMarker))
     val merged =
       try mergeSchemaJson(base, staged.schemaJson)
       catch { case e: IllegalStateException =>
@@ -4548,6 +4551,16 @@ object SnapshotLog {
     * clause conditions/assignments reference `__graft_src_<col>` for
     * the source side. Underscored past any plausible user column. */
   val MergeSrcPrefix = "__graft_src_"
+
+  /** [[ChangeSet.keyColumn]] sentinel marking a `replace_where` commit
+    * as a DYNAMIC partition overwrite ([[SnapshotLog.overwritePartitions]]
+    * — region defined by the batch's tuples, no predicates): the mirror
+    * replays ONLY marked commits dynamically. A preds-less STATIC
+    * replace_where (uncoercible bound / unencodable predicate types)
+    * carries no marker and refuses replay with the resync contract —
+    * replaying it by tuples would swap partitions the source never
+    * touched. */
+  private[graft] val DynamicOverwriteMarker = "__graft_dynamic_tuples__"
   /** Join-side presence markers + first-matching-clause index column
     * used inside [[SnapshotLog.mergeClauses]]. */
   private[table] val MergeTgtMark = "__graft_m_t"
