@@ -704,7 +704,17 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
     val s = log.snapshot(version)
     if (s.tombstones.isEmpty && s.dvs.isEmpty && s.fileSchemaIdx.isEmpty)
       new LogBatchScan(log, version, dataSchema, required, pushed)
-    else new LogDebtScan(log, version, required, pushed)
+    else {
+      // Spark 4.1 pushes NESTED-pruned struct shapes through
+      // pruneColumns (e.g. `SELECT info.bal` → `info: struct<bal>`),
+      // but the V1 bridge serves whole top-level columns — the composed
+      // debt plan returns full structs. Re-resolve each required
+      // top-level name to its FULL type from dataSchema so readSchema()
+      // matches the rows buildScan produces; Spark's projection above
+      // the scan extracts the nested fields. Top-level pruning is kept.
+      val topLevel = StructType(required.fields.map(f => dataSchema(f.name)))
+      new LogDebtScan(log, version, topLevel, pushed)
+    }
   }
 }
 

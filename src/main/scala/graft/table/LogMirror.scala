@@ -307,6 +307,9 @@ object LogMirror {
             val dataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
             val img = src.session.read
               .parquet(cs.files.map(f => new Path(dataDir, f).toString): _*)
+              // the update-pair tag is feed-internal; replay keys off
+              // _change_type alone (drop is lenient when untagged)
+              .drop(SnapshotLog.PairCol)
             val inserts = img.where(col("_change_type") === "insert")
               .drop("_change_type")
             // pure deletes = delete images whose key has NO post-image —

@@ -1446,7 +1446,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           val images =
             if (cs.files.isEmpty) Nil
             else {
-              val img = spark.read.parquet(cs.files.map(path): _*)
+              val img0 = spark.read.parquet(cs.files.map(path): _*)
+              val hasPair = img0.columns.contains(SnapshotLog.PairCol)
+              // the pair tag is internal: it re-types four-type merge
+              // images below and never leaves this method
+              val img =
+                if (hasPair && !(fourType && s.op == "merge"))
+                  img0.drop(SnapshotLog.PairCol)
+                else img0
               if (fourType && s.op == "update")
                 // every image of an `update` commit is half of an
                 // update pair BY CONSTRUCTION (updateCore stages one
@@ -1457,6 +1464,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
                     .otherwise("update_postimage")))
               else if (!fourType || s.op != "merge" || cs.keyColumn.isEmpty)
                 Seq(img)
+              else if (hasPair)
+                // clause-merge images tagged at write time: re-type by
+                // the recorded pair flag — exact (no key-collision
+                // ambiguity) and join-free
+                Seq(img.withColumn("_change_type",
+                  org.apache.spark.sql.functions.when(
+                    col(SnapshotLog.PairCol) &&
+                      col("_change_type") === "delete", "update_preimage")
+                    .when(col(SnapshotLog.PairCol) &&
+                      col("_change_type") === "insert", "update_postimage")
+                    .otherwise(col("_change_type")))
+                  .drop(SnapshotLog.PairCol))
               else {
                 // four-type pairing on the recorded merge key (comma-
                 // joined for composite-key clause merges): a delete
@@ -2555,7 +2574,24 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val mAct = withAct(joined.where(isT && isS), matched)
       val tAct = withAct(joined.where(isT && !isS), notMatchedBySource)
       val sAct = withAct(joined.where(!isT && isS), notMatched)
-      val outM = project(mAct, matched, defaultKeep = true)
+      // With matched clauses the genuine-ambiguity probe above already
+      // aborted on duplicate source keys that match, so mAct carries at
+      // most one joined row per target row. WITHOUT matched clauses the
+      // probe doesn't run (duplicated source tuples are legal — they may
+      // all insert), but the full-outer join still fans a matched target
+      // row out once per duplicate; those rows are pure pass-through, so
+      // derive them by SEMI-join against the distinct source keys — each
+      // kept exactly once, SQL's semantics for an unactioned match.
+      val outM =
+        if (matched.nonEmpty) project(mAct, matched, defaultKeep = true)
+        else {
+          val srcKeys = u.select(keys.map { case (_, sk) => col(sk) }: _*)
+            .distinct()
+          val skCond = keys.zip(tKeys).map { case ((_, sk), tk) =>
+            tgtRaw(tk) === srcKeys(sk) }.reduce(_ && _)
+          tgtRaw.join(srcKeys, skCond, "left_semi")
+            .select(tgtSchema.fieldNames.toSeq.map(col): _*)
+        }
       val outT = project(tAct, notMatchedBySource, defaultKeep = true)
       val outS = project(sAct, notMatched, defaultKeep = false)
       val stagedDf =
@@ -2581,8 +2617,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           val tCols = tgtSchema.fieldNames.toSeq
           def updIdx(cs: Seq[MergeWhen]) = cs.zipWithIndex
             .collect { case (c, i) if c.action == "update" => i }
-          val preM = mAct.where(col(act) =!= -1).select(tCols.map(col): _*)
-          val preT = tAct.where(col(act) =!= -1).select(tCols.map(col): _*)
+          // tag update halves at write time ([[SnapshotLog.PairCol]]):
+          // pre-images of update-actioned rows and all post-images are
+          // pair halves; delete-actioned pre-images and inserts are not
+          def pairFlag(cs: Seq[MergeWhen]): Column = {
+            val u = updIdx(cs)
+            if (u.isEmpty) lit(false) else col(act).isin(u: _*)
+          }
+          val PC = SnapshotLog.PairCol
+          val preM = mAct.where(col(act) =!= -1)
+            .select(tCols.map(col) :+ pairFlag(matched).as(PC): _*)
+          val preT = tAct.where(col(act) =!= -1)
+            .select(tCols.map(col) :+ pairFlag(notMatchedBySource).as(PC): _*)
           val postM = project(mAct.where(col(act).isin(updIdx(matched): _*)),
             matched, defaultKeep = true)
           val postT = project(
@@ -2590,7 +2636,9 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             notMatchedBySource, defaultKeep = true)
           val all = preM.unionByName(preT)
             .withColumn("_change_type", lit("delete"))
-            .unionByName(postM.unionByName(postT).unionByName(outS)
+            .unionByName(postM.unionByName(postT)
+              .withColumn(PC, lit(true))
+              .unionByName(outS.withColumn(PC, lit(false)))
               .withColumn("_change_type", lit("insert")))
           val st = stage(all, partitioned = false)
           if (st.rows == 0) { discard(st); None } else Some(st)
@@ -3275,17 +3323,32 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val droppedBytes = dropped.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val recordCdc = commitCdc(base)
+    // A dropped file carrying a PENDING deletion vector must not ship
+    // by reference: [[readChangeRows]] images referenced files via the
+    // raw epoch-aligned read (no DVs applied), so positions the vector
+    // already deleted would re-image as delete pre-images and the feed
+    // would overcount. Materialize the LIVE rows of DV'd dropped files
+    // into the staged change file (the DV-applied [[scan]]); DV-free
+    // files still ship by reference — zero new bytes in the steady
+    // state. The mirror's dynamic replay filters inserts, so the extra
+    // delete images are invisible to it.
+    val (dvDropped, refDropped) = dropped.partition(base.dvs.contains)
     val changeStaged =
       if (!recordCdc) None
       else {
-        val st = stage(df.withColumn("_change_type", lit("insert")),
-          partitioned = false)
+        val ins = df.withColumn("_change_type", lit("insert"))
+        val all =
+          if (dvDropped.isEmpty) ins
+          else ins.unionByName(
+            scan(base, dvDropped).withColumn("_change_type", lit("delete")),
+            allowMissingColumns = true)
+        val st = stage(all, partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
       }
     val changeSet =
       if (!recordCdc) None
       else Some(ChangeSet(files = changeStaged.map(_.files).getOrElse(Nil),
-        deletedDataFiles = dropped,
+        deletedDataFiles = refDropped,
         // marks the commit as tuple-defined so the mirror knows a
         // dynamic replay is SOUND (see DynamicOverwriteMarker)
         keyColumn = SnapshotLog.DynamicOverwriteMarker))
@@ -4566,6 +4629,15 @@ object SnapshotLog {
   private[table] val MergeTgtMark = "__graft_m_t"
   private[table] val MergeSrcMark = "__graft_m_s"
   private[table] val MergeActCol = "__graft_m_act"
+
+  /** Column in clause-merge CHANGE files tagging update-half images at
+    * WRITE time (true = the image is one half of an update pair). The
+    * four-type reader re-types tagged images by column map — no key
+    * joins, and key-based pairing's inherent ambiguity (a matched
+    * DELETE of key K plus an unrelated insert producing key K in the
+    * same commit would pair as an update) cannot mislabel. Change files
+    * written before this tag existed fall back to key pairing. */
+  private[graft] val PairCol = "_graft_pair"
 
   /** StructField-metadata key carrying a column's STABLE field id —
     * what lets a rename be metadata-only while old files keep

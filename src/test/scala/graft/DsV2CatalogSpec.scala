@@ -155,6 +155,31 @@ class DsV2CatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 0, "the vectored row must not resurrect in SQL")
   }
 
+  test("debt scan under nested pruning: struct field selects return the right members") {
+    // Spark 4.1 pushes nested-pruned struct shapes through pruneColumns
+    // (SELECT info.bal → required carries info: struct<bal> only); the
+    // V1 debt bridge serves whole top-level columns, so the scan must
+    // re-declare the FULL struct type or the positional Row conversion
+    // misaligns members (bal would read nm's value or throw)
+    val root = Files.createTempDirectory("graft-dsv2-nest-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((1L, "x1", 10.0), (2L, "x2", 20.0), (3L, "x3", 30.0))
+      .toDF("id", "nm", "bal")
+      .select(col("id"),
+        org.apache.spark.sql.functions.struct(col("nm"), col("bal"))
+          .as("info")).coalesce(1))
+    log.deleteKeys("id", Seq(2L).toDF("id")) // tombstone debt → LogDebtScan
+    val cat = mount(root)
+    assert(spark.sql(s"SELECT info.bal FROM $cat.t1 ORDER BY info.bal")
+      .as[Double].collect().toSeq == Seq(10.0, 30.0))
+    assert(spark.sql(s"SELECT id, info.nm FROM $cat.t1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "x1"), (3L, "x3")))
+    // whole-struct reads and mixed selects stay correct too
+    assert(spark.sql(s"SELECT info FROM $cat.t1 WHERE id = 1")
+      .select("info.nm", "info.bal").as[(String, Double)].head() ==
+      (("x1", 10.0)))
+  }
+
   test("INSERT pre-arranges to the bucket spec: one plan-visible exchange, one file per bucket") {
     val (root, _) = freshRoot()
     val s0 = org.apache.spark.sql.GraftBridge

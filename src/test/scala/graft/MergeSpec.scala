@@ -123,6 +123,45 @@ class MergeSpec extends AnyFunSuite {
     assert(log.read().where(col("id") === 1).count() == 1, "matched row kept once")
   }
 
+  test("by-source-only merge: duplicate source keys cannot duplicate kept matched rows") {
+    val log = fresh()
+    log.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1))
+    // the source mentions id 1 TWICE — legal (no matched clauses act on
+    // it; duplicated tuples only abort when a matched clause would fire
+    // ambiguously). The matched row must flow through exactly once: the
+    // full-outer join fans it out per duplicate, so the pass-through set
+    // derives by semi-join, not from the join.
+    log.mergeClauses(Seq((1L, "x"), (1L, "y")).toDF("id", "v"),
+      keys = Seq(("id", "id")),
+      matched = Nil, notMatched = Nil,
+      notMatchedBySource = Seq(
+        MergeWhen(None, "update", Seq("v" -> lit("stale")))))
+    val out = log.read().select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out == Seq((1L, "a"), (2L, "stale"), (3L, "stale")),
+      s"matched row kept once and untouched, got $out")
+  }
+
+  test("CDC fourType: matched DELETE + unrelated insert landing the same key stay delete/insert") {
+    val log = fresh(feed = true)
+    log.append(Seq((1L, "old")).toDF("id", "v").coalesce(1)) // v1
+    // key-based pairing would label these two images an update pair;
+    // the write-time pair tag keeps them genuine
+    log.mergeClauses(Seq((1L, "dead"), (50L, "new")).toDF("k", "nv"),
+      keys = Seq(("id", "k")),
+      matched = Seq(MergeWhen(None, "delete")),
+      notMatched = Seq(MergeWhen(None, "insert",
+        Seq("id" -> lit(1L), "v" -> col(s"${SP}nv"))))) // v2
+    val four = log.readChangeRows(1, 2, fourType = true)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(four == Set((1L, "old", "delete"), (1L, "new", "insert")),
+      s"got $four")
+    // the two-type view never sees the internal pair tag
+    val cols = log.readChangeRows(1, 2).columns.toSet
+    assert(!cols.contains(SnapshotLog.PairCol), cols.toString)
+  }
+
   test("CDC: clause merge images pair under fourType; pure deletes/inserts keep their types") {
     val log = fresh(feed = true)
     log.append((0 until 6).map(i => (i.toLong, i * 10)).toDF("id", "x")

@@ -159,6 +159,36 @@ class OverwriteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("spec"), ex.getMessage)
   }
 
+  test("CDC: a dropped file carrying a deletion vector images only its LIVE rows") {
+    val src = new SnapshotLog(spark, fresh(), Seq("id"),
+      partitionBy = Seq(PartitionField.identity("grp")),
+      changeFeed = true)
+    src.append((0 until 12).map(i => (i.toLong, (i % 2).toLong, s"a$i"))
+      .toDF("id", "grp", "v")) // v1: grp 0 (even ids), grp 1 (odd ids)
+    src.deleteBetween("id", 2L, 2L) // v2: sparse match → deletion vector
+    assert(src.snapshot().dvs.nonEmpty, "precondition: the delete vectored")
+    val v2 = src.currentVersion()
+    // the swap drops the DV-carrying grp-0 file; its pre-images must be
+    // the LIVE rows (position 2 already died at v2 — re-imaging it would
+    // double-count the delete in any signed fold over the feed)
+    src.overwritePartitions(Seq((100L, 0L, "n")).toDF("id", "grp", "v"))
+    val feed = src.readChangeRows(v2, v2 + 1)
+    val dels = feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(dels == Set(0L, 4L, 6L, 8L, 10L),
+      s"live grp-0 rows only, got $dels")
+    assert(feed.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSeq == Seq(100L))
+    // the mirror's dynamic replay (insert-filtered) is unaffected
+    val dst = SnapshotLog.partitioned(spark, fresh(),
+      Seq(PartitionField.identity("grp")))
+    graft.table.LogMirror.mirror(src, dst)
+    assert(dst.read().select("id", "grp", "v")
+      .as[(Long, Long, String)].collect().toSet ==
+      src.read().select("id", "grp", "v")
+        .as[(Long, Long, String)].collect().toSet)
+  }
+
   test("guards: pending tombstones refuse; constraint gate covers the new batch") {
     val dir = fresh()
     val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
