@@ -47,10 +47,25 @@ object Relational {
     * re-mutated on every query (racy under concurrent queries in one
     * session). */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(spark)
     normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
   }
+
+  /** Ensure `spark.sql.legacy.parquet.nanosAsLong` is on — the ONE
+    * conf the query paths set without restoring, by design: the events
+    * fixture is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    * without it, and the conf is consulted at PHYSICAL planning (the
+    * scan's hadoopConf), which runs only when the driver materializes
+    * the returned frame — after the query function returned, so a
+    * save/restore would un-set it before it is read. Every entry point
+    * we own sets it at session BUILD time (Bench/Verify/RunOne/Smoke/
+    * Main/TestSpark); this guarded set is the defensive fallback for
+    * caller-supplied sessions. Order-independence-safe by
+    * construction: monotonic (every reader requires the same value)
+    * and idempotent. */
+  private[graft] def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   /** Exact, order-independent sum of a double column: decimal in, double out. */
   private def dsum(c: Column, alias: String): Column =
@@ -354,15 +369,16 @@ object Relational {
     // name would pin the first fixture's root for the JVM's lifetime,
     // so the name derives from the root it serves
     val cat = s"graft_ro_${math.abs(p.getParent.toString.hashCode)}"
-    spark.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
-    spark.sql(
+    withConfs(spark,
+      s"spark.sql.catalog.$cat" ->
+        classOf[graft.table.GraftTableCatalog].getName,
+      s"spark.sql.catalog.$cat.root" -> p.getParent.toString
+    )(spark.sql(
       s"""SELECT n_regionkey, count(*) AS n_nations,
          |       sum(n_nationkey) AS sum_key
          |FROM $cat.`${p.getFileName}` VERSION AS OF 2
          |GROUP BY n_regionkey
-         |ORDER BY n_regionkey""".stripMargin)
+         |ORDER BY n_regionkey""".stripMargin))
   }
 
   def q35Oracle: String =
@@ -385,16 +401,68 @@ object Relational {
       |) AS t(version, op, parent, rows, n_files, n_txns, n_tombstones)
       |ORDER BY version""".stripMargin
 
+  /** Set `pairs` on `session`, run `body`, then restore every key to
+    * its PRIOR value (unset when previously unset) — the scoped-conf
+    * idiom `withStreamShuffle` uses, generalized. Safe for catalog
+    * registrations because `spark.sql` analyzes EAGERLY: the resolved
+    * DSv2 `Table` is captured in the returned DataFrame's plan, so the
+    * conf is never consulted again when the driver materializes the
+    * frame later. NOT safe for confs read at PHYSICAL planning time
+    * (executed lazily, after the query function returns) — e.g.
+    * `spark.sql.sources.v2.bucketing.enabled`, which scopes via a
+    * derived session instead ([[spjSession]]). */
+  private[graft] def withConfs[A](session: SparkSession,
+      pairs: (String, String)*)(body: => A): A = {
+    val prev = pairs.map { case (k, _) => k -> session.conf.getOption(k) }
+    pairs.foreach { case (k, v) => session.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => session.conf.set(k, v)
+      case (k, None)    => session.conf.unset(k)
+    }
+  }
+
   /** Mount `tableDir`'s PARENT as a [[graft.table.GraftTableCatalog]]
-    * on `session` and return the catalog-qualified table name — one
-    * catalog per parent directory (CatalogManager caches per name). */
-  private def mountCatalog(session: SparkSession, tableDir: String): String = {
+    * on `session` for the duration of `body` (handed the
+    * catalog-qualified table name), then restore the session conf —
+    * no registration outlives the query function. One catalog name per
+    * parent directory: CatalogManager caches initialized catalogs BY
+    * NAME for the session's lifetime, so a fixed name would pin the
+    * first fixture's root; the hash-derived name keeps the cached
+    * instance consistent with every re-registration of the same root. */
+  /** A session derived from `spark` with
+    * `spark.sql.sources.v2.bucketing.enabled` on — scoped for queries
+    * whose plan depends on the conf at PHYSICAL planning time, which
+    * runs only when the driver materializes the returned frame, i.e.
+    * after any try/finally here would already have restored it. The
+    * conf lives on the derived session for its whole life and never
+    * touches the caller's; `newSession` starts from the shared
+    * SparkConf, so the parent's RUNTIME confs (shuffle partitions,
+    * session timezone) are copied across explicitly. Cached per parent
+    * session identity: session-state construction is not free and the
+    * bench re-enters per rep. */
+  private val spjSessions =
+    new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]
+  private def spjSession(spark: SparkSession): SparkSession =
+    spjSessions.computeIfAbsent(System.identityHashCode(spark), _ => {
+      val s = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf
+      }
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s
+    })
+
+  private def withMountedCatalog[A](session: SparkSession,
+      tableDir: String)(body: String => A): A = {
     val p = java.nio.file.Paths.get(tableDir)
     val cat = s"graft_dml_${math.abs(p.getParent.toString.hashCode)}"
-    session.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.table.GraftTableCatalog].getName)
-    session.conf.set(s"spark.sql.catalog.$cat.root", p.getParent.toString)
-    s"$cat.`${p.getFileName}`"
+    withConfs(session,
+      s"spark.sql.catalog.$cat" ->
+        classOf[graft.table.GraftTableCatalog].getName,
+      s"spark.sql.catalog.$cat.root" -> p.getParent.toString
+    )(body(s"$cat.`${p.getFileName}`"))
   }
 
   /** Graded SQL DML — INSERT INTO + DELETE FROM on the DSv2 catalog
@@ -415,19 +483,22 @@ object Relational {
       val nat = t(spark, dir, "nation")
       graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("n_nationkey"))
         .append(nat.where(col("n_nationkey") < 10).coalesce(1))      // v1
-      val tbl = mountCatalog(spark, tmp)
-      nat.createOrReplaceTempView("q36_nation_src")
-      spark.sql(s"INSERT INTO $tbl " +                               // v2
-        "SELECT * FROM q36_nation_src WHERE n_nationkey >= 10")
-      spark.sql(s"DELETE FROM $tbl WHERE n_nationkey BETWEEN 0 AND 4") // v3
+      withMountedCatalog(spark, tmp) { tbl =>
+        nat.createOrReplaceTempView("q36_nation_src")
+        spark.sql(s"INSERT INTO $tbl " +                             // v2
+          "SELECT * FROM q36_nation_src WHERE n_nationkey >= 10")
+        spark.sql(s"DELETE FROM $tbl WHERE n_nationkey BETWEEN 0 AND 4") // v3
+      }
       tmp
     })
-    spark.sql(
-      s"""SELECT n_regionkey, count(*) AS n_nations,
-         |       sum(n_nationkey) AS sum_key
-         |FROM ${mountCatalog(spark, path)}
-         |GROUP BY n_regionkey
-         |ORDER BY n_regionkey""".stripMargin)
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT n_regionkey, count(*) AS n_nations,
+           |       sum(n_nationkey) AS sum_key
+           |FROM $tbl
+           |GROUP BY n_regionkey
+           |ORDER BY n_regionkey""".stripMargin)
+    }
   }
 
   def q36Oracle: String =
@@ -454,26 +525,29 @@ object Relational {
         .resolve("t").toString
       graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("n_nationkey"))
         .append(t(spark, dir, "nation").coalesce(1))                 // v1
-      val tbl = mountCatalog(s, tmp)
-      t(s, dir, "nation").createOrReplaceTempView("q37_nation_src")
-      s.sql(                                                         // v2
-        s"""MERGE INTO $tbl t
-           |USING (
-           |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
-           |  FROM q37_nation_src WHERE n_nationkey < 5
-           |  UNION ALL
-           |  SELECT n_nationkey + 100, concat('NEW_', n_name), n_regionkey
-           |  FROM q37_nation_src WHERE n_nationkey < 3
-           |) s
-           |ON t.n_nationkey = s.n_nationkey
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "nation").createOrReplaceTempView("q37_nation_src")
+        s.sql(                                                       // v2
+          s"""MERGE INTO $tbl t
+             |USING (
+             |  SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+             |  FROM q37_nation_src WHERE n_nationkey < 5
+             |  UNION ALL
+             |  SELECT n_nationkey + 100, concat('NEW_', n_name), n_regionkey
+             |  FROM q37_nation_src WHERE n_nationkey < 3
+             |) s
+             |ON t.n_nationkey = s.n_nationkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
       tmp
     })
-    s.sql(
-      s"""SELECT n_nationkey, n_name, n_regionkey
-         |FROM ${mountCatalog(s, path)}
-         |ORDER BY n_nationkey""".stripMargin)
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey
+           |FROM $tbl
+           |ORDER BY n_nationkey""".stripMargin)
+    }
   }
 
   def q37Oracle: String =
@@ -557,21 +631,24 @@ object Relational {
         .resolve("t").toString
       graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_nationkey"))
         .append(t(spark, dir, "customer"))                           // v1
-      val tbl = mountCatalog(s, tmp)
-      s.sql(                                                         // v2
-        s"""UPDATE $tbl
-           |SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'UPDATED'
-           |WHERE c_nationkey BETWEEN 5 AND 9""".stripMargin)
+      withMountedCatalog(s, tmp) { tbl =>
+        s.sql(                                                       // v2
+          s"""UPDATE $tbl
+             |SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'UPDATED'
+             |WHERE c_nationkey BETWEEN 5 AND 9""".stripMargin)
+      }
       require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "update",
         "q42 fixture: SQL UPDATE must land as one transactional update commit")
       tmp
     })
-    s.sql(
-      s"""SELECT c_mktsegment, count(*) AS n_cust,
-         |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
-         |FROM ${mountCatalog(s, path)}
-         |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin)
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
   }
 
   def q42Oracle: String =
@@ -714,30 +791,28 @@ object Relational {
         statsColumns = Seq("c_custkey"))
       val customer = t(spark, dir, "customer")
       log.append(customer.where(col("c_acctbal") >= 0))              // v1
-      spark.conf.set("spark.sql.catalog.gq45",
-        classOf[graft.table.GraftTableCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gq45.root", root)
-      spark.sql(
-        "ALTER TABLE gq45.t ADD CONSTRAINT bal_nonneg CHECK (c_acctbal >= 0)")
-      customer.where(col("c_acctbal") < 0)
-        .createOrReplaceTempView("q45_violators")
-      val threw = scala.util.Try(
-        spark.sql("INSERT INTO gq45.t SELECT * FROM q45_violators")).isFailure
-      require(threw && graft.table.SnapshotLog(spark, s"$root/t")
-          .constraints().contains("bal_nonneg"),
-        "q45 fixture: the violating INSERT must refuse with the " +
-          "constraint attached")
+      withMountedCatalog(spark, s"$root/t") { tbl =>
+        spark.sql(
+          s"ALTER TABLE $tbl ADD CONSTRAINT bal_nonneg CHECK (c_acctbal >= 0)")
+        customer.where(col("c_acctbal") < 0)
+          .createOrReplaceTempView("q45_violators")
+        val threw = scala.util.Try(
+          spark.sql(s"INSERT INTO $tbl SELECT * FROM q45_violators")).isFailure
+        require(threw && graft.table.SnapshotLog(spark, s"$root/t")
+            .constraints().contains("bal_nonneg"),
+          "q45 fixture: the violating INSERT must refuse with the " +
+            "constraint attached")
+      }
       root
     })
-    spark.conf.set("spark.sql.catalog.gq45",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gq45.root", path)
-    spark.sql(
-      """SELECT c_mktsegment, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
-        |FROM gq45.t
-        |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin)
+    withMountedCatalog(spark, s"$path/t") { tbl =>
+      spark.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
   }
 
   def q45Oracle: String =
@@ -765,27 +840,25 @@ object Relational {
     val path = logFixtureDirs.computeIfAbsent(s"ctas46:$dir", _ => {
       val root = java.nio.file.Files.createTempDirectory("graft-qlog-ctas-")
         .toString
-      spark.conf.set("spark.sql.catalog.gq46",
-        classOf[graft.table.GraftTableCatalog].getName)
-      spark.conf.set("spark.sql.catalog.gq46.root", root)
-      t(spark, dir, "part").createOrReplaceTempView("q46_part_src")
-      spark.sql(
-        """CREATE TABLE gq46.parts
-          |PARTITIONED BY (bucket(8, p_partkey))
-          |TBLPROPERTIES ('sort-order'='p_partkey', 'stats-columns'='p_partkey')
-          |AS SELECT p_partkey, p_brand, p_size, p_retailprice
-          |FROM q46_part_src WHERE p_size <= 25""".stripMargin)
+      withMountedCatalog(spark, s"$root/parts") { tbl =>
+        t(spark, dir, "part").createOrReplaceTempView("q46_part_src")
+        spark.sql(
+          s"""CREATE TABLE $tbl
+            |PARTITIONED BY (bucket(8, p_partkey))
+            |TBLPROPERTIES ('sort-order'='p_partkey', 'stats-columns'='p_partkey')
+            |AS SELECT p_partkey, p_brand, p_size, p_retailprice
+            |FROM q46_part_src WHERE p_size <= 25""".stripMargin)
+      }
       root
     })
-    spark.conf.set("spark.sql.catalog.gq46",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gq46.root", path)
-    spark.sql(
-      """SELECT p_brand, count(*) AS n_parts,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
-        |FROM gq46.parts
-        |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin)
+    withMountedCatalog(spark, s"$path/parts") { tbl =>
+      spark.sql(
+        s"""SELECT p_brand, count(*) AS n_parts,
+           |  CAST(sum(CAST(p_retailprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+           |FROM $tbl
+           |GROUP BY p_brand
+           |ORDER BY p_brand""".stripMargin)
+    }
   }
 
   def q46Oracle: String =
@@ -834,14 +907,16 @@ object Relational {
         "q47 fixture: the key delete must commit a merge-on-read tombstone")
       tmp
     })
-    spark.sql(
-      s"""SELECT l_returnflag,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
-         |  count(*) AS n_rows
-         |FROM ${mountCatalog(spark, path)}
-         |GROUP BY l_returnflag
-         |ORDER BY l_returnflag""".stripMargin)
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT l_returnflag,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+           |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+           |  count(*) AS n_rows
+           |FROM $tbl
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin)
+    }
   }
 
   def q47Oracle: String =
@@ -880,7 +955,7 @@ object Relational {
         .append(t(spark, dir, "customer").select(
           col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
           col("c_mktsegment")).coalesce(1))                          // v1
-      val tbl = mountCatalog(s, tmp)
+      withMountedCatalog(s, tmp) { tbl =>
       t(s, dir, "customer").createOrReplaceTempView("q48_customer_src")
       s.sql(                                                         // v2
         s"""MERGE INTO $tbl t
@@ -903,14 +978,17 @@ object Relational {
            |  VALUES (s.k, s.n, s.bal, 'NEW')
            |WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 0 THEN
            |  UPDATE SET c_mktsegment = 'STALE_NEG'""".stripMargin)
+      }
       require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "merge",
         "q48 fixture: the clause merge must land as one merge commit")
       tmp
     })
-    s.sql(
-      s"""SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
-         |FROM ${mountCatalog(s, path)}
-         |ORDER BY c_custkey""".stripMargin)
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+           |FROM $tbl
+           |ORDER BY c_custkey""".stripMargin)
+    }
   }
 
   /** Graded SQL-only WRITE-AUDIT-PUBLISH
@@ -933,33 +1011,35 @@ object Relational {
         .append(t(spark, dir, "supplier").select(
           col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
           .coalesce(1))                                              // v1
-      val tbl = mountCatalog(s, tmp)
-      val cat = tbl.split('.').head
-      val name = tbl.split('.').last.stripPrefix("`").stripSuffix("`")
-      s.sql(s"CALL $cat.system.create_branch(`table` => '$name', " +
-        "name => 'audit')")
-      s.conf.set(graft.table.GraftTableCatalog.WapBranchConf, "audit")
-      try {
-        val main0 = graft.table.SnapshotLog(spark, tmp).currentVersion()
-        s.sql(s"UPDATE $tbl SET s_acctbal = s_acctbal + 100.0 " +
-          "WHERE s_nationkey BETWEEN 0 AND 4")
-        s.sql(s"DELETE FROM $tbl WHERE s_suppkey BETWEEN 1 AND 5")
-        t(s, dir, "supplier").createOrReplaceTempView("q49_supplier_src")
-        s.sql(s"INSERT INTO $tbl SELECT s_suppkey + 1000000, s_nationkey, " +
-          "CAST(555.0 AS DOUBLE) FROM q49_supplier_src WHERE s_suppkey % 100 = 1")
-        require(graft.table.SnapshotLog(spark, tmp).currentVersion() == main0,
-          "q49 fixture: no DML may land on MAIN while the WAP conf is set")
-      } finally s.conf.unset(graft.table.GraftTableCatalog.WapBranchConf)
-      s.sql(s"CALL $cat.system.publish_branch(`table` => '$name', " +
-        "name => 'audit')")
+      withMountedCatalog(s, tmp) { tbl =>
+        val cat = tbl.split('.').head
+        val name = tbl.split('.').last.stripPrefix("`").stripSuffix("`")
+        s.sql(s"CALL $cat.system.create_branch(`table` => '$name', " +
+          "name => 'audit')")
+        withConfs(s, graft.table.GraftTableCatalog.WapBranchConf -> "audit") {
+          val main0 = graft.table.SnapshotLog(spark, tmp).currentVersion()
+          s.sql(s"UPDATE $tbl SET s_acctbal = s_acctbal + 100.0 " +
+            "WHERE s_nationkey BETWEEN 0 AND 4")
+          s.sql(s"DELETE FROM $tbl WHERE s_suppkey BETWEEN 1 AND 5")
+          t(s, dir, "supplier").createOrReplaceTempView("q49_supplier_src")
+          s.sql(s"INSERT INTO $tbl SELECT s_suppkey + 1000000, s_nationkey, " +
+            "CAST(555.0 AS DOUBLE) FROM q49_supplier_src WHERE s_suppkey % 100 = 1")
+          require(graft.table.SnapshotLog(spark, tmp).currentVersion() == main0,
+            "q49 fixture: no DML may land on MAIN while the WAP conf is set")
+        }
+        s.sql(s"CALL $cat.system.publish_branch(`table` => '$name', " +
+          "name => 'audit')")
+      }
       tmp
     })
-    s.sql(
-      s"""SELECT s_nationkey, count(*) AS n_supp,
-         |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
-         |FROM ${mountCatalog(s, path)}
-         |GROUP BY s_nationkey
-         |ORDER BY s_nationkey""".stripMargin)
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT s_nationkey, count(*) AS n_supp,
+           |  CAST(sum(CAST(s_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY s_nationkey
+           |ORDER BY s_nationkey""".stripMargin)
+    }
   }
 
   def q49Oracle: String =
@@ -1006,22 +1086,25 @@ object Relational {
             |    'bal', CAST(c_acctbal AS DOUBLE),
             |    'seg', c_mktsegment) AS info
             |FROM q50_customer_src""".stripMargin).coalesce(1))      // v1
-      val tbl = mountCatalog(spark, tmp)
-      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN info.name TO handle") // v2
-      spark.sql(s"ALTER TABLE $tbl DROP COLUMN info.seg")              // v3
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMN info.tier INT")          // v4
-      spark.sql(s"""INSERT INTO $tbl
-        |SELECT c_custkey + 1000000,
-        |  named_struct('handle', concat('h', c_custkey),
-        |    'bal', CAST(555.0 AS DOUBLE), 'tier', 1)
-        |FROM q50_customer_src WHERE c_custkey % 100 = 1""".stripMargin) // v5
+      withMountedCatalog(spark, tmp) { tbl =>
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN info.name TO handle") // v2
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMN info.seg")              // v3
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN info.tier INT")          // v4
+        spark.sql(s"""INSERT INTO $tbl
+          |SELECT c_custkey + 1000000,
+          |  named_struct('handle', concat('h', c_custkey),
+          |    'bal', CAST(555.0 AS DOUBLE), 'tier', 1)
+          |FROM q50_customer_src WHERE c_custkey % 100 = 1""".stripMargin) // v5
+      }
       tmp
     })
-    spark.sql(
-      s"""SELECT id, info.handle AS handle, info.bal AS bal,
-         |  info.tier AS tier
-         |FROM ${mountCatalog(spark, path)}
-         |ORDER BY id""".stripMargin)
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT id, info.handle AS handle, info.bal AS bal,
+           |  info.tier AS tier
+           |FROM $tbl
+           |ORDER BY id""".stripMargin)
+    }
   }
 
   def q50Oracle: String =
@@ -1056,14 +1139,15 @@ object Relational {
         statsColumns = Seq("c_custkey"))
         .append(t(spark, dir, "customer").select(
           col("c_custkey"), col("c_nationkey"), col("c_acctbal")))  // v1
-      val tbl = mountCatalog(spark, tmp)
       val before = graft.table.SnapshotLog(spark, tmp).snapshot()
       val keep = before.files.filter(f => before.partitions(f).head != "3")
-      t(spark, dir, "customer").createOrReplaceTempView("q51_customer_src")
-      spark.sql(                                                     // v2
-        s"""INSERT OVERWRITE $tbl PARTITION (c_nationkey = 3)
-           |SELECT c_custkey + 500000, CAST(c_acctbal * 2 AS DOUBLE)
-           |FROM q51_customer_src WHERE c_nationkey = 3""".stripMargin)
+      withMountedCatalog(spark, tmp) { tbl =>
+        t(spark, dir, "customer").createOrReplaceTempView("q51_customer_src")
+        spark.sql(                                                   // v2
+          s"""INSERT OVERWRITE $tbl PARTITION (c_nationkey = 3)
+             |SELECT c_custkey + 500000, CAST(c_acctbal * 2 AS DOUBLE)
+             |FROM q51_customer_src WHERE c_nationkey = 3""".stripMargin)
+      }
       val after = graft.table.SnapshotLog(spark, tmp).snapshot()
       require(after.op == "replace_where",
         s"q51 fixture: the partition overwrite must fuse, got '${after.op}'")
@@ -1071,13 +1155,15 @@ object Relational {
         "q51 fixture: untouched partitions must carry by name")
       tmp
     })
-    spark.sql(
-      s"""SELECT c_nationkey, count(*) AS n_cust,
-         |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
-         |  min(c_custkey) AS min_key
-         |FROM ${mountCatalog(spark, path)}
-         |GROUP BY c_nationkey
-         |ORDER BY c_nationkey""".stripMargin)
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT c_nationkey, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+           |  min(c_custkey) AS min_key
+           |FROM $tbl
+           |GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin)
+    }
   }
 
   def q51Oracle: String =
@@ -1139,22 +1225,21 @@ object Relational {
       log.append(t(spark, dir, "lineitem"))
       tmp
     })
-    spark.conf.set("spark.sql.catalog.gq39",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gq39.root", root)
-    t(spark, dir, "orders").createOrReplaceTempView("q39_orders")
-    spark.sql(
-      """SELECT l.l_returnflag,
-        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_rows
-        |FROM gq39.lineitem_b l
-        |JOIN q39_orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderpriority = '1-URGENT'
-        |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
-        |                        AND TIMESTAMP '1995-03-07 23:59:59'
-        |GROUP BY l.l_returnflag
-        |ORDER BY l.l_returnflag""".stripMargin)
+    withMountedCatalog(spark, s"$root/lineitem_b") { tbl =>
+      t(spark, dir, "orders").createOrReplaceTempView("q39_orders")
+      spark.sql(
+        s"""SELECT l.l_returnflag,
+           |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+           |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_rows
+           |FROM $tbl l
+           |JOIN q39_orders o ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderpriority = '1-URGENT'
+           |  AND o.o_orderdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+           |                        AND TIMESTAMP '1995-03-07 23:59:59'
+           |GROUP BY l.l_returnflag
+           |ORDER BY l.l_returnflag""".stripMargin)
+    }
   }
 
   def q39Oracle: String =
@@ -1178,9 +1263,11 @@ object Relational {
     * function, and Spark joins the co-bucketed sides with ZERO
     * shuffle — at 100 TB the fact-fact join moves nothing over the
     * network (StoragePartitionJoinSpec pins the exchange-free plan;
-    * this query grades the end-to-end SQL result). The conf is enabled
-    * globally and left on: it only activates key-grouped planning for
-    * scans that report a grouped layout — inert for every other query. */
+    * this query grades the end-to-end SQL result). The conf is read at
+    * physical-planning time — after this function returns — so it
+    * scopes via [[spjSession]] (a derived session that owns it for
+    * life) instead of a save/restore on the caller's session, which
+    * stays untouched. */
   def q40LogSpj(spark: SparkSession, dir: String): DataFrame = {
     val root = logFixtureDirs.computeIfAbsent(s"spj40:$dir", _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-spj-").toString
@@ -1192,19 +1279,19 @@ object Relational {
       ord.append(t(spark, dir, "orders"))
       tmp
     })
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.catalog.gq40",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gq40.root", root)
-    spark.sql(
-      """SELECT o.o_orderpriority,
-        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-        |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_rows
-        |FROM gq40.lineitem_b16 l
-        |JOIN gq40.orders_b16 o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY o.o_orderpriority
-        |ORDER BY o.o_orderpriority""".stripMargin)
+    val s = spjSession(spark)
+    withMountedCatalog(s, s"$root/lineitem_b16") { tbl =>
+      val cat = tbl.split('.').head
+      s.sql(
+        s"""SELECT o.o_orderpriority,
+           |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+           |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           |  count(*) AS n_rows
+           |FROM $tbl l
+           |JOIN $cat.orders_b16 o ON l.l_orderkey = o.o_orderkey
+           |GROUP BY o.o_orderpriority
+           |ORDER BY o.o_orderpriority""".stripMargin)
+    }
   }
 
   def q40Oracle: String =
@@ -1237,17 +1324,15 @@ object Relational {
         col("l_linestatus")))
       tmp
     })
-    spark.conf.set("spark.sql.catalog.gq41",
-      classOf[graft.table.GraftTableCatalog].getName)
-    spark.conf.set("spark.sql.catalog.gq41.root", root)
     // idempotent across reruns in one JVM: evolve only on first touch
-    if (graft.table.SnapshotLog(spark, s"$root/li").currentVersion() == 1L) {
-      spark.sql("ALTER TABLE gq41.li RENAME COLUMN l_quantity TO qty")
-      spark.sql("ALTER TABLE gq41.li DROP COLUMN l_linestatus")
-      spark.sql("ALTER TABLE gq41.li ADD COLUMN priority INT")
-      spark.sql(
-        "INSERT INTO gq41.li VALUES (1, 'Z', 10.0, 7), (2, 'Z', 32.0, 9)")
-    }
+    if (graft.table.SnapshotLog(spark, s"$root/li").currentVersion() == 1L)
+      withMountedCatalog(spark, s"$root/li") { tbl =>
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN l_quantity TO qty")
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMN l_linestatus")
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN priority INT")
+        spark.sql(
+          s"INSERT INTO $tbl VALUES (1, 'Z', 10.0, 7), (2, 'Z', 32.0, 9)")
+      }
     // read through the TVF: with rename/drop debt still pending the
     // debt-aware scan epoch-aligns BY FIELD ID over the manifest-pruned
     // file list (maintenance later drains the debt back to codegen)

@@ -46,8 +46,7 @@ object EventStreams {
     // events.ts is parquet TIMESTAMP(NANOS) — same legacy-conf + µs
     // truncation as the batch reader (graft.ops.Relational.events);
     // guarded set: the builders we own set this at session build time
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the fixture is a bare file; FileStreamSource needs a directory, so
     // stream the parent dir with a glob filter selecting just events
@@ -90,8 +89,7 @@ object EventStreams {
     * streaming face of the exact-dedup family (dd_exact's twin at the
     * delivery layer). */
   def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def stream() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -144,8 +142,7 @@ object EventStreams {
     * deterministically from the same fixture (user_id mod 3 → tier) so
     * the batch oracle reproduces it exactly. */
   def enrichedStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val dim = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id")).distinct()
@@ -202,8 +199,7 @@ object EventStreams {
     * append mode over the bounded backlog yields the complete pair set.
     * The join shuffles both streams once, on user_id. */
   def attributionJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // ONE file-stream source, self-joined: both join sides are filtered
     // branches of the same stream (supported stream-stream self-join), so

@@ -107,8 +107,7 @@ object StatefulSessions {
     import spark.implicits._
     // nanos fixture gotcha — set defensively iff missing (the session
     // builders set it at build time; see graft.ops.Relational.events)
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val typed = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

@@ -66,8 +66,7 @@ object UserProfiles {
   /** The streaming profile query over the events fixture dir. */
   def profileStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.ops.Relational.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

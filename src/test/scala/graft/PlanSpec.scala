@@ -447,4 +447,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "a sort-merge join here would shuffle both sides of a calendar-sized join")
   }
+
+  test("session confs do not leak across queries: q39/q40 in both orders") {
+    val spark = TestSpark.spark
+    def leaked: Seq[String] = spark.conf.getAll.keys.toSeq.filter(k =>
+      k == "spark.sql.sources.v2.bucketing.enabled" ||
+        k.startsWith("spark.sql.catalog.graft_") ||
+        k.startsWith("spark.sql.catalog.gq"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // order A: runtime-pruned star join, then the SPJ query (which
+    // needs v2.bucketing at physical planning — scoped to its derived
+    // session, never the caller's)
+    val a39 = rows(Relational.q39LogRuntimePrune(spark, TestSpark.Sf0001))
+    val a40 = rows(Relational.q40LogSpj(spark, TestSpark.Sf0001))
+    assert(leaked.isEmpty, s"confs leaked onto the caller session: $leaked")
+    // order B: reversed — identical results either way
+    val b40 = rows(Relational.q40LogSpj(spark, TestSpark.Sf0001))
+    val b39 = rows(Relational.q39LogRuntimePrune(spark, TestSpark.Sf0001))
+    assert(a39 == b39 && a40 == b40,
+      "query results must be independent of execution order")
+    assert(leaked.isEmpty, s"confs leaked onto the caller session: $leaked")
+    // and the SPJ itself survives the scoping: with broadcast disabled
+    // on the derived session, the co-bucketed join still plans with no
+    // shuffle below it (the GROUP BY/ORDER BY exchanges above the join
+    // are legitimate; StoragePartitionJoinSpec pins the mechanism)
+    val s40 = Relational.q40LogSpj(spark, TestSpark.Sf0001).sparkSession
+    val prev = s40.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    s40.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q40LogSpj(spark, TestSpark.Sf0001))
+      val joinAt = p.indexOf("SortMergeJoin")
+      assert(joinAt >= 0,
+        s"expected a sort-merge join with broadcast off:\n${p.take(1200)}")
+      assert(!p.substring(joinAt).contains("Exchange"),
+        s"the storage-partitioned join must plan shuffle-free below the " +
+          s"join:\n${p.substring(joinAt).take(1200)}")
+    } finally prev match {
+      case Some(v) => s40.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => s40.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
