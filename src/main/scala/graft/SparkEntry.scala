@@ -114,6 +114,9 @@ object SparkEntry {
     "q49_log_sql_wap" -> (Relational.q49LogSqlWap _), // oracle: SQL-only write-audit-publish loop (branch DML under the session conf, publish fast-forward) == recomputed final state
     "q50_log_sql_nested_evolution" -> (Relational.q50LogSqlNestedEvolution _), // oracle: nested struct rename/drop/add via ALTER TABLE, read across the epoch boundary == textual recompute
     "q51_log_sql_overwrite_partition" -> (Relational.q51LogSqlOverwritePartition _), // oracle: INSERT OVERWRITE PARTITION fused replace_where swap == recomputed final state
+    "q52_log_sql_merge_evolve" -> (Relational.q52LogSqlMergeEvolve _), // oracle: MERGE WITH SCHEMA EVOLUTION (analyzer AddColumn + upsert in one statement) == set-algebraic recompute
+    "q53_log_sql_element_evolution" -> (Relational.q53LogSqlElementEvolution _), // oracle: array<struct> element rename/add via ALTER, exploded read across the epoch boundary == textual recompute
+    "q54_log_sql_general_dml" -> (Relational.q54LogSqlGeneralDml _), // oracle: OR-tree UPDATE + arithmetic-predicate DELETE through the expr counting planner == declarative recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -254,6 +257,9 @@ object SparkEntry {
     "q49_log_sql_wap" -> Relational.q49Oracle,
     "q50_log_sql_nested_evolution" -> Relational.q50Oracle,
     "q51_log_sql_overwrite_partition" -> Relational.q51Oracle,
+    "q52_log_sql_merge_evolve" -> Relational.q52Oracle,
+    "q53_log_sql_element_evolution" -> Relational.q53Oracle,
+    "q54_log_sql_general_dml" -> Relational.q54Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

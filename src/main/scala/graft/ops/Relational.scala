@@ -413,7 +413,11 @@ object Relational {
     * derived session instead ([[spjSession]]). */
   private[graft] def withConfs[A](session: SparkSession,
       pairs: (String, String)*)(body: => A): A = {
-    val prev = pairs.map { case (k, _) => k -> session.conf.getOption(k) }
+    // capture EXPLICIT settings only (getAll), not getOption: for a
+    // registered conf getOption returns its DEFAULT, and restoring that
+    // would convert an unset key into an explicit entry
+    val all = session.conf.getAll
+    val prev = pairs.map { case (k, _) => k -> all.get(k) }
     pairs.foreach { case (k, v) => session.conf.set(k, v) }
     try body
     finally prev.foreach {
@@ -1181,6 +1185,204 @@ object Relational {
       |FROM final
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
+
+  /** Graded `MERGE WITH SCHEMA EVOLUTION` (Spark's
+    * ResolveMergeIntoSchemaEvolution → [[graft.table.GraftTableCatalog
+    * .alterTable]] AddColumn → [[graft.table.MergeIntoLogRule]]): the
+    * target starts WITHOUT c_mktsegment; the merge source carries it,
+    * so the analyzer evolves the table (one metadata-only `addColumn`
+    * commit — existing rows read NULL) and the upsert lands under the
+    * evolved schema in the same statement. The graded aggregate groups
+    * on the NEW column with legacy rows coalesced to a sentinel; a
+    * mis-evolution (column values leaking into old rows, the new
+    * column dropped from updates/inserts, null-padding misaligned by
+    * field id) shifts group counts/sums and hash-mismatches DuckDB
+    * applying the same merge set-algebraically. */
+  def q52LogSqlMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"evo52:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-mrgevo-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal")).coalesce(1))           // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "customer").createOrReplaceTempView("q52_customer_src")
+        s.sql(                 // v2: addColumn (evolution), v3: merge
+          s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t
+             |USING (
+             |  SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal,
+             |         c_mktsegment
+             |  FROM q52_customer_src WHERE c_custkey % 3 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, CAST(42.0 AS DOUBLE), 'EVOLVED'
+             |  FROM q52_customer_src WHERE c_custkey % 100 = 1
+             |) s
+             |ON t.c_custkey = s.c_custkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "merge",
+        "q52 fixture: the evolving merge must land as one merge commit")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT coalesce(c_mktsegment, 'LEGACY') AS c_mktsegment,
+           |  count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY 1
+           |ORDER BY 1""".stripMargin)
+    }
+  }
+
+  def q52Oracle: String =
+    """WITH merged AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 1000.0
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+      |         ELSE NULL END AS c_mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, CAST(42.0 AS DOUBLE), 'EVOLVED'
+      |  FROM customer WHERE c_custkey % 100 = 1
+      |)
+      |SELECT coalesce(c_mktsegment, 'LEGACY') AS c_mktsegment,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM merged
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Graded ELEMENT-FIELD schema evolution ([[graft.table.SnapshotLog
+    * .renameColumn]]/`addColumn` through `array<struct<...>>` — the
+    * `items.element.<field>` ALTER spellings): the fixture's array
+    * column takes a rename + an add inside the ELEMENT struct
+    * (metadata-only commits; per-level field ids extend through the
+    * container) and a post-evolution INSERT under the new shape. The
+    * graded aggregate explodes the array across the epoch boundary —
+    * old files must alias the renamed element field BY ID and read the
+    * added one as NULL per element; any misalignment (value leak,
+    * null hole, the insert's elements misplaced) shifts the per-label
+    * counts/sums and hash-mismatches DuckDB recomputing the same
+    * exploded rows from raw customer. */
+  def q53LogSqlElementEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"elem53:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-elem-")
+        .resolve("t").toString
+      t(spark, dir, "customer").createOrReplaceTempView("q53_customer_src")
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("id"))
+        .append(spark.sql(
+          """SELECT c_custkey AS id, array(
+            |  named_struct('tag', c_mktsegment,
+            |    'bal', CAST(c_acctbal AS DOUBLE)),
+            |  named_struct('tag', 'B',
+            |    'bal', CAST(c_acctbal * 2 AS DOUBLE))) AS items
+            |FROM q53_customer_src""".stripMargin).coalesce(1))      // v1
+      withMountedCatalog(spark, tmp) { tbl =>
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN items.element.tag TO label") // v2
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN items.element.rank INT")        // v3
+        spark.sql(s"""INSERT INTO $tbl
+          |SELECT c_custkey + 1000000, array(
+          |  named_struct('label', 'NEW', 'bal', CAST(5.0 AS DOUBLE),
+          |    'rank', 1))
+          |FROM q53_customer_src WHERE c_custkey % 100 = 1""".stripMargin)      // v4
+      }
+      tmp
+    })
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT e.label AS label, count(*) AS n_items,
+           |  CAST(sum(CAST(e.bal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+           |  count(e.rank) AS n_rank
+           |FROM (SELECT explode(items) AS e FROM $tbl)
+           |GROUP BY e.label
+           |ORDER BY e.label""".stripMargin)
+    }
+  }
+
+  def q53Oracle: String =
+    """WITH exploded AS (
+      |  SELECT c_mktsegment AS label, CAST(c_acctbal AS DOUBLE) AS bal,
+      |    CAST(NULL AS INT) AS rank
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'B', CAST(c_acctbal * 2 AS DOUBLE), NULL FROM customer
+      |  UNION ALL
+      |  SELECT 'NEW', CAST(5.0 AS DOUBLE), 1
+      |  FROM customer WHERE c_custkey % 100 = 1
+      |)
+      |SELECT label, count(*) AS n_items,
+      |  CAST(sum(CAST(bal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+      |  count(rank) AS n_rank
+      |FROM exploded
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Graded GENERAL-predicate SQL DML ([[graft.table.DeleteLogRule]] /
+    * [[graft.table.UpdateLogRule]]'s expr tier →
+    * [[graft.table.SnapshotLog.deleteWhereExpr]]/`updateWhereExpr`):
+    * conditions the V2 filter path cannot encode — an OR-tree UPDATE
+    * and an arithmetic-predicate DELETE — land as transactional
+    * commits through the exact counting planner (range-convertible
+    * conjuncts prune candidate files; the FULL predicate decides every
+    * row; sparse matches commit O(matched) through the deletion-vector
+    * arm and the debt scan serves the read). The graded aggregate
+    * recomputes the final state; any approximation of the predicates
+    * (the classic failure: pruning deciding rows) shifts counts/sums
+    * and hash-mismatches DuckDB applying the same WHERE clauses
+    * declaratively. */
+  def q54LogSqlGeneralDml(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"gdml54:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-gdml-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment")).coalesce(1))                          // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        s.sql(                                                       // v2
+          s"""UPDATE $tbl SET c_acctbal = c_acctbal + 500.0
+             |WHERE c_mktsegment = 'BUILDING' OR c_nationkey % 10 = 7
+             |""".stripMargin)
+        s.sql(                                                       // v3
+          s"""DELETE FROM $tbl
+             |WHERE c_custkey % 7 = 3 AND c_acctbal < 5000.0""".stripMargin)
+      }
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "delete",
+        "q54 fixture: the general DELETE must land as one delete commit")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  def q54Oracle: String =
+    """WITH updated AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_mktsegment = 'BUILDING' OR c_nationkey % 10 = 7
+      |         THEN c_acctbal + 500.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |), survivors AS (
+      |  SELECT * FROM updated
+      |  WHERE NOT (c_custkey % 7 = 3 AND c_acctbal < 5000.0)
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM survivors
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   def q48Oracle: String =
     """WITH survivors AS (

@@ -209,6 +209,9 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // UPDATE ... SET ... WHERE on catalog-mounted log tables →
     // SnapshotLog.updateWhere (stats-targeted copy-on-write)
     ext.injectResolutionRule(s => new graft.table.UpdateLogRule(s))
+    // DELETE ... WHERE with conditions the V2 filter path can't encode
+    // (OR-trees, strict bounds, expressions) → SnapshotLog.deleteWhereExpr
+    ext.injectResolutionRule(s => new graft.table.DeleteLogRule(s))
     // INSERT INTO/OVERWRITE pre-arrangement: one AQE-visible exchange
     // clustering the write to the table's declared layout
     ext.injectResolutionRule(s => new graft.table.InsertArrangeRule(s))

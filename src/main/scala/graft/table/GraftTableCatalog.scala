@@ -413,10 +413,20 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     else log.read(snap.version).schema // pre-schema manifest: one footer
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION is what makes
+    * `MERGE INTO ... WITH SCHEMA EVOLUTION` work: the analyzer's own
+    * ResolveMergeIntoSchemaEvolution computes the source-minus-target
+    * column set, calls [[GraftTableCatalog.alterTable]] (AddColumn →
+    * [[SnapshotLog.addColumn]], one metadata-only commit, nested paths
+    * included) and swaps in the reloaded table — then
+    * [[MergeIntoLogRule]] translates the merge against the EVOLVED
+    * schema. Type changes are not part of Spark's evolution set, and
+    * the log refuses them independently. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Manifest facts as table properties — `DESCRIBE TABLE EXTENDED` /
     * `SHOW TBLPROPERTIES` read the log's own metadata plane (version,

@@ -35,12 +35,22 @@ import org.apache.spark.sql.functions.col
   *     routes to [[SnapshotLog.mergeClauses]] (envelope file routing,
   *     one full-outer classification join, first-wins clause order).
   *
+  * `WITH SCHEMA EVOLUTION` is supported through Spark's own analysis:
+  * [[LogTable]] declares `AUTOMATIC_SCHEMA_EVOLUTION`, so the
+  * analyzer's ResolveMergeIntoSchemaEvolution adds the source's new
+  * columns to the table (metadata-only [[SnapshotLog.addColumn]]
+  * commits, nested struct fields included) and reloads the relation
+  * before this rule translates — existing rows read the new columns as
+  * NULL, and the merge itself stages under the evolved schema. The
+  * evolution commits are separate from (and precede) the merge commit,
+  * matching Spark's analysis-time contract; a merge that subsequently
+  * aborts leaves the added columns in place, like every ALTER.
+  *
   * Genuinely inexpressible shapes refuse LOUDLY at analysis with the
   * typed API named: non-equality/disjunctive ON conditions (a range
   * merge is not a keyed merge), subqueries or non-deterministic
-  * expressions in clauses, nested assignment targets, and
-  * `WITH SCHEMA EVOLUTION`. DML against a time-travelled snapshot is
-  * refused — history is immutable.
+  * expressions in clauses, and nested assignment targets. DML against
+  * a time-travelled snapshot is refused — history is immutable.
   *
   * Cardinality: SQL's "a target row may be updated/deleted by at most
   * one source row" is enforced on GENUINE ambiguity only — a duplicated
@@ -58,12 +68,20 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!m.sourceTable.resolved || !m.mergeCondition.resolved) return None
+    // WITH SCHEMA EVOLUTION: Spark's own ResolveMergeIntoSchemaEvolution
+    // (same Resolution fixpoint batch) computes the source-minus-target
+    // column set, ALTERs the table through the catalog (LogTable
+    // declares AUTOMATIC_SCHEMA_EVOLUTION; each AddColumn is one
+    // metadata-only SnapshotLog.addColumn commit) and swaps in the
+    // reloaded relation. Defer until that has happened — translating
+    // first would freeze the merge against the pre-evolution schema.
+    if (m.withSchemaEvolution && m.needSchemaEvolution) return None
     canonical(m, target).orElse(general(m, target))
   }
 
   private def canonical(m: MergeIntoTable,
       target: DataSourceV2Relation): Option[LogicalPlan] = {
-    if (m.notMatchedBySourceActions.nonEmpty || m.withSchemaEvolution)
+    if (m.notMatchedBySourceActions.nonEmpty)
       return None
     val key = keyOf(m.mergeCondition, target).getOrElse(return None)
     if (!wholeRowAction(m.matchedActions, isUpdate = true, target) ||
@@ -103,9 +121,6 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       s"MERGE INTO ${table.log.tableDir}: $why")
     requireHead(table, "MERGE")
-    if (m.withSchemaEvolution)
-      refuse("WITH SCHEMA EVOLUTION is not supported — evolve the table " +
-        "with ALTER TABLE first, then merge")
     val tgtSet = target.outputSet
     val srcSet = org.apache.spark.sql.catalyst.expressions.AttributeSet(
       m.sourceTable.output)
@@ -338,16 +353,21 @@ final class InsertArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * (intercepting the analyzed [[UpdateTable]] before Spark's
   * row-level-operation rewrite would refuse it).
   *
-  * Supported shape, mirroring SQL DELETE's contract on this catalog
-  * ([[LogTable.exactRanges]]): the condition must be a conjunction
-  * whose per-column shape is EXACTLY a point (`c = lit`) or a closed
-  * range (`c >= lit AND c <= lit`, which is what `BETWEEN` analyzes
-  * to), each on a BARE target column against a foldable literal;
-  * `IsNotNull` is accepted where implied. Assignments may set any
-  * top-level column to a deterministic expression over the OLD row
-  * (subqueries refused). Anything else — strict bounds, OR, functions
-  * of columns, no WHERE at all — is refused loudly with the typed API
-  * named: approximating would update the wrong rows.
+  * Two condition tiers. Conjunctions of exact points (`c = lit`) and
+  * closed ranges (`c BETWEEN lo AND hi`) on bare columns
+  * ([[UpdateLogRule.exactRangeExprs]]) take the fast path: stats
+  * pruning scopes candidates AND the predicates are manifest-encodable
+  * (mirrors replay them). Every OTHER subquery-free deterministic
+  * condition — OR-trees, strict bounds, expressions over columns —
+  * routes through [[SnapshotLog.updateWhereExpr]]: the convertible
+  * conjuncts (possibly none) still prune candidate files, and the FULL
+  * predicate drives the exact per-file counting pass, so correctness
+  * never depends on the pruning; the change feed degrades to rows-only
+  * images for those (no predicate replay). Assignments may set any
+  * top-level column to a deterministic expression over the OLD row.
+  * Subqueries and non-deterministic conditions refuse loudly with the
+  * typed API named; no WHERE at all refuses (a full-table rewrite
+  * should be said explicitly).
   *
   * The command runs the FULL auto planner, like SQL DELETE: a
   * sparsely-matched straddler takes the deletion-vector + post-image
@@ -374,11 +394,6 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val cond = u.condition.getOrElse(refuse(
       "an unconditioned UPDATE rewrites the whole table — add a WHERE " +
         "clause, or use the typed rewrite() API for full-table transforms"))
-    val preds = UpdateLogRule.exactRangeExprs(cond, target).getOrElse(refuse(
-      "only conjunctions of exact points (c = lit) and closed ranges " +
-        "(c BETWEEN lo AND hi) on bare columns convert to the log's " +
-        "stats-targeted update; use the typed SnapshotLog.updateWhere " +
-        s"for anything richer (condition: $cond)"))
     val set = u.assignments.map { a =>
       val name = a.key match {
         case k: AttributeReference if target.outputSet.contains(k) => k.name
@@ -397,7 +412,19 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
       }
     }
-    Some(UpdateLogCommand(table.log.tableDir, preds, set))
+    UpdateLogRule.exactRangeExprs(cond, target) match {
+      // the fast shape: conjunction of points/closed ranges — stats
+      // pruning AND metadata-encodable change predicates (mirror replay)
+      case Some(preds) =>
+        Some(UpdateLogCommand(table.log.tableDir, preds, set))
+      // anything else a WHERE can say, short of a subquery: the full
+      // predicate drives the exact per-file counting pass, the
+      // convertible conjuncts (possibly none) keep pruning candidates
+      case None =>
+        Some(UpdateExprLogCommand(table.log.tableDir,
+          ("where", UpdateLogRule.generalCond(cond, target, refuse)),
+          UpdateLogRule.rangeHints(cond, target), set))
+    }
   }
 }
 
@@ -474,6 +501,135 @@ private[graft] object UpdateLogRule {
     if (cols.isEmpty || ranges.exists(_.isEmpty) ||
         !notNull.forall(cols.contains)) None
     else Some(ranges.flatten)
+  }
+
+  /** Validate + re-anchor an ARBITRARY condition for the expr planners:
+    * must be deterministic, subquery-free, and reference only target
+    * columns; attribute references re-anchor BY NAME so the Column
+    * rebuilds against the planner's counting frame at execution. */
+  private[table] def generalCond(cond: Expression,
+      target: DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    if (!cond.deterministic) refuse(
+      "the WHERE condition is non-deterministic — the DML would not " +
+        "replay exactly")
+    if (cond.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
+      "the WHERE condition contains a subquery; compute it into the " +
+        "condition first (e.g. a literal IN-list), or use the typed API")
+    if (!cond.references.subsetOf(target.outputSet)) refuse(
+      s"the WHERE condition references columns from outside the table " +
+        s"(condition: $cond)")
+    // expand analysis-time sugar BEFORE re-anchoring: a BETWEEN carries
+    // its replacement under a `With` common-subexpression block whose
+    // defs compute dataType eagerly — an UnresolvedAttribute planted
+    // inside would blow up on any tree rebuild
+    val expanded = cond.transformUp {
+      case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+        r.replacement
+    }.transformUp {
+      case w: org.apache.spark.sql.catalyst.expressions.With =>
+        val byId = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case ref: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+            byId.getOrElse(ref.id, ref)
+        }
+    }
+    expanded.transform {
+      case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+    }
+  }
+
+  /** The range-convertible TOP-LEVEL conjuncts of `cond` — a sound
+    * pruning-hint set for [[SnapshotLog.deleteWhereExpr]] /
+    * `updateWhereExpr`: every returned range is implied by the full
+    * condition (a row matching `cond` matches every hint), because
+    * only conjuncts at the top of the AND tree convert — anything
+    * under an OR could be voided by the other branch. */
+  private[table] def rangeHints(cond: Expression,
+      target: DataSourceV2Relation): Seq[(String, Any, Any)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    conjuncts(cond).flatMap(c =>
+      exactRangeExprs(c, target).getOrElse(Nil))
+  }
+}
+
+/** `DELETE FROM ... WHERE` with an ARBITRARY subquery-free condition on
+  * [[SnapshotLog]] tables — the resolution-rule companion of the
+  * catalog's `SupportsDelete` path: conditions [[LogTable.exactRanges]]
+  * CAN encode stay on the native V2 route (stats pruning + metadata-only
+  * whole-file drops + replayable change predicates); everything else a
+  * WHERE can say — OR-trees, strict bounds, expressions over columns —
+  * would refuse there, so this rule intercepts the analyzed
+  * [[org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable]] and
+  * routes it through [[SnapshotLog.deleteWhereExpr]]: convertible
+  * conjuncts prune candidates, the FULL predicate drives the exact
+  * counting pass and the three-arm plan (drop/rewrite/deletion-vector),
+  * committing O(matched) through the DV arm at any table size. */
+final class DeleteLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case d: DeleteFromTable if d.table.resolved && d.condition.resolved =>
+      rewrite(d).getOrElse(d)
+  }
+
+  private def rewrite(d: DeleteFromTable): Option[LogicalPlan] = {
+    val target = EliminateSubqueryAliases(d.table) match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[LogTable] => r
+      case _ => return None
+    }
+    // foldable conditions (TRUE = unconditioned DELETE FROM) and
+    // exact-convertible ones keep the native SupportsDelete route:
+    // truncate / metadata-only drops / replayable predicates
+    if (d.condition.foldable ||
+        UpdateLogRule.exactRangeExprs(d.condition, target).isDefined)
+      return None
+    val table = target.table.asInstanceOf[LogTable]
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"DELETE on ${table.log.tableDir}: $why")
+    if (table.pinnedVersion >= 0)
+      refuse("committed history is immutable; run DML against the head table")
+    Some(DeleteExprLogCommand(table.log.tableDir,
+      ("where", UpdateLogRule.generalCond(d.condition, target, refuse)),
+      UpdateLogRule.rangeHints(d.condition, target)))
+  }
+}
+
+/** The executable general-predicate DELETE: resolves the table's log at
+  * execution (WAP-branch aware, like every DML command) and commits
+  * through [[SnapshotLog.deleteWhereExpr]]'s counting planner. */
+final case class DeleteExprLogCommand(tableDir: String,
+    cond: (String, Expression), // tuple-wrapped: the re-anchored names
+    // resolve against the planner's counting frame at EXECUTION, so the
+    // expression must stay out of this command's `expressions` (same
+    // convention as every DML command here)
+    hints: Seq[(String, Any, Any)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTableCatalog.sessionLog(spark, tableDir).deleteWhereExpr(
+      org.apache.spark.sql.GraftBridge.toCol(cond._2), hints,
+      txn = None, mode = "auto")
+    Seq.empty
+  }
+}
+
+/** The executable general-predicate UPDATE — [[UpdateLogCommand]]'s
+  * expr twin, committing through [[SnapshotLog.updateWhereExpr]]. */
+final case class UpdateExprLogCommand(tableDir: String,
+    cond: (String, Expression), // tuple-wrapped, like DeleteExprLogCommand
+    hints: Seq[(String, Any, Any)],
+    set: Seq[(String, Expression)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTableCatalog.sessionLog(spark, tableDir).updateWhereExpr(
+      org.apache.spark.sql.GraftBridge.toCol(cond._2),
+      set.map { case (n, e) =>
+        n -> org.apache.spark.sql.GraftBridge.toCol(e) },
+      hints, txn = None, mode = "auto")
+    Seq.empty
   }
 }
 

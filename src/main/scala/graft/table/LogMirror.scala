@@ -229,19 +229,27 @@ object LogMirror {
           val dSpec =
             if (dst.currentVersion() == 0) Nil
             else dst.snapshot().partitionSpec
-          if (dst.currentVersion() > 0 && dSpec != s.partitionSpec)
-            throw new IllegalStateException(
-              s"cannot mirror ${src.tableDir} v$v: a dynamic partition " +
-                s"overwrite replays by tuple, but the replica's spec " +
-                s"($dSpec) differs from the source's " +
-                s"(${s.partitionSpec}) — resync from a full read")
-          val ddataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
-          val dBatch = src.session.read
-            .parquet(dcs.files.map(f => new Path(ddataDir, f).toString): _*)
-            .where(org.apache.spark.sql.functions
-              .col("_change_type") === "insert")
-            .drop("_change_type")
-          dst.overwritePartitions(dBatch, Some((lane, v)))
+          if (dst.currentVersion() > 0 && dSpec != s.partitionSpec) {
+            // the replica is behind a spec evolution (evolve_spec is
+            // physical-only — replicas keep their own layout), so tuple
+            // replay would name DIFFERENT rows. Converge automatically:
+            // adopt the source's spec (tuple replays need spec
+            // agreement from here on) and fold THIS version to a full
+            // refresh of the source's state at v, riding the same lane
+            // watermark — exactly the documented manual resync, without
+            // the operator. One overwrite commit; later versions replay
+            // incrementally as usual.
+            dst.evolvePartitionSpec(s.partitionSpec)
+            dst.overwriteAll(src.read(v), txn = Some((lane, v)))
+          } else {
+            val ddataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+            val dBatch = src.session.read
+              .parquet(dcs.files.map(f => new Path(ddataDir, f).toString): _*)
+              .where(org.apache.spark.sql.functions
+                .col("_change_type") === "insert")
+              .drop("_change_type")
+            dst.overwritePartitions(dBatch, Some((lane, v)))
+          }
           newlyApplied += 1
         case "replace_where" if s.changes.exists(c =>
             c.keyColumn.isEmpty && c.preds.isEmpty &&

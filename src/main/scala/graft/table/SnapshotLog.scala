@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, when}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 
 import java.util.UUID
@@ -1824,12 +1824,42 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * (its raw batch scan cannot compose the DV anti-join, so SQL DELETE
     * must leave the table SQL-readable). Metadata-only whole-file drops
     * apply in both modes. */
+  /** [[deleteWhereTxn]] generalized to an ARBITRARY deterministic row
+    * predicate — OR-trees, expressions over columns, anything a
+    * `WHERE` clause can say short of a subquery. `hints` are the
+    * range-convertible conjuncts of the SAME condition (each must be
+    * implied by `cond` — a row matching `cond` matches every hint):
+    * they scope the candidate set through stats/partition pruning
+    * exactly like [[deleteWhere]]'s predicates, while the EXACT
+    * per-file match counts (and the rewrite/DV staging) come from the
+    * full predicate, so correctness never depends on the hints. With
+    * no hints every file is a candidate — the honest cost of an
+    * arbitrary predicate (one counting pass over the table; still
+    * O(matched) committed through the DV arm). Metadata-only
+    * whole-file drops don't apply (file stats cannot prove an
+    * arbitrary predicate matches every row), and the change feed
+    * records rows-only images (the predicate is not manifest-encodable
+    * — mirrors resync per the documented contract). NULL-valued
+    * conditions never match, matching SQL `WHERE`. */
+  def deleteWhereExpr(cond: Column,
+      hints: Seq[(String, Any, Any)] = Nil,
+      txn: Option[(String, Long)] = None,
+      mode: String = "auto"): Option[Snapshot] =
+    deleteCore(hints, Some(cond), txn, mode)
+
   def deleteWhereTxn(preds0: Seq[(String, Any, Any)],
       txn: Option[(String, Long)] = None,
       mode: String = "auto"): Option[Snapshot] = {
+    require(preds0.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
+    deleteCore(preds0, None, txn, mode)
+  }
+
+  private def deleteCore(preds0: Seq[(String, Any, Any)],
+      extraCond: Option[Column],
+      txn: Option[(String, Long)],
+      mode: String): Option[Snapshot] = {
     require(mode == "auto" || mode == "cow",
       s"unknown delete mode '$mode' (auto | cow)")
-    require(preds0.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     val base = snapshot()
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return None // replay detected — nothing stages, nothing commits
@@ -1840,7 +1870,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // driver-side bound coercion, same contract as readWhere: an
     // unparseable bound matches no row of the column's type → no-op
     val preds = coercePreds(base, preds0).getOrElse(return None)
-    val touched = candidateFiles(base, preds)
+    val touched =
+      if (preds.isEmpty) base.files else candidateFiles(base, preds)
     if (touched.isEmpty) return None
     // metadata-only drops: a file EVERY row of which provably matches
     // (contained footer range with zero nulls, or a contained partition
@@ -1852,17 +1883,23 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // covered file's physical count overstates its live rows — it
     // routes to the exact-counting straddling plan instead).
     val dts = preds.map { case (c, _, _) => c -> schemaType(base, c) }.toMap
-    val (dropped, rem) = touched.partition(f =>
-      base.fileRows.contains(f) && !base.dvs.contains(f) &&
-        fullyContained(base, f, preds, dts))
+    // metadata-only drops need PROOF every row matches — file stats can
+    // give it for range conjunctions, never for an arbitrary predicate
+    val (dropped, rem) =
+      if (extraCond.isDefined) (Nil, touched)
+      else touched.partition(f =>
+        base.fileRows.contains(f) && !base.dvs.contains(f) &&
+          fullyContained(base, f, preds, dts))
     val droppedRows = dropped.map(base.fileRows).sum
     val droppedBytes = dropped.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     // a row is deleted iff every predicate matches; NULL keys never
     // match (between is NULL for NULL inputs, and the survivor filter
-    // keeps NULL explicitly — a bare negation would DROP those rows)
-    val matches = preds.map { case (c, lo, hi) =>
-      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    // keeps NULL explicitly — a bare negation would DROP those rows).
+    // The general predicate coalesces NULL→false for the same reason.
+    val matches = (preds.map { case (c, lo, hi) =>
+      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) } ++
+      extraCond.map(c => coalesce(c, lit(false)))).reduce(_ && _)
     val recordCdc = commitCdc(base)
     // ---- plan the straddling set ------------------------------------
     // `rem` read position-tagged with PRIOR deletion vectors applied —
@@ -1943,7 +1980,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val st = stage(deleted, partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
       }
-    val encodedPreds = preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
+    // with a general predicate the hints are a SUPERSET of the matched
+    // rows — recording them as the change predicates would replay a
+    // WIDER delete on a replica; rows-only CDC instead (resync contract)
+    val encodedPreds =
+      if (extraCond.isDefined) Seq(None)
+      else preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
     val changeSet =
       if (!recordCdc) None
       else Some(ChangeSet(
@@ -2059,10 +2101,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       set: Seq[(String, Column)],
       txn: Option[(String, Long)] = None,
       mode: String = "auto"): Option[Snapshot] = {
+    require(preds0.nonEmpty, "updateWhere needs at least one (column, lo, hi)")
     require(set.nonEmpty, "updateWhere needs at least one (column, value)")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate assignment columns: ${set.map(_._1).mkString(", ")}")
-    updateCore(preds0, Left(set), txn, mode)
+    updateCore(preds0, None, Left(set), txn, mode)
+  }
+
+  /** [[updateWhereTxn]] generalized to an ARBITRARY deterministic row
+    * predicate, with the same hint/counting split as
+    * [[deleteWhereExpr]]: `hints` (range conjuncts implied by `cond`)
+    * scope the candidate files through stats/partition pruning; the
+    * exact per-file match counts, the rewrite/DV arm choice and the
+    * updated batch all come from the FULL predicate. The change feed
+    * records rows-only images (no predicate replay on mirrors). */
+  def updateWhereExpr(cond: Column, set: Seq[(String, Column)],
+      hints: Seq[(String, Any, Any)] = Nil,
+      txn: Option[(String, Long)] = None,
+      mode: String = "auto"): Option[Snapshot] = {
+    require(set.nonEmpty, "updateWhereExpr needs at least one (column, value)")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate assignment columns: ${set.map(_._1).mkString(", ")}")
+    updateCore(hints, Some(cond), Left(set), txn, mode)
   }
 
   /** Replay half of a mirrored `update` ([[LogMirror]]): the source's
@@ -2074,14 +2134,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * riding the lane watermark. */
   private[table] def applyUpdate(preds0: Seq[(String, Any, Any)],
       postImages: DataFrame, txn: Option[(String, Long)]): Option[Snapshot] =
-    updateCore(preds0, Right(postImages), txn, "auto")
+    updateCore(preds0, None, Right(postImages), txn, "auto")
 
   private def updateCore(preds0: Seq[(String, Any, Any)],
+      extraCond: Option[Column],
       newValues: Either[Seq[(String, Column)], DataFrame],
       txn: Option[(String, Long)], mode: String): Option[Snapshot] = {
     require(mode == "auto" || mode == "cow",
       s"unknown update mode '$mode' (auto | cow)")
-    require(preds0.nonEmpty, "updateWhere needs at least one (column, lo, hi)")
     val base = snapshot()
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return None // replay detected — nothing stages, nothing commits
@@ -2101,10 +2161,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           " — UPDATE cannot add columns (use addColumn/append for evolution)")
     }
     val preds = coercePreds(base, preds0).getOrElse(return None)
-    val touched = candidateFiles(base, preds)
+    val touched =
+      if (preds.isEmpty) base.files else candidateFiles(base, preds)
     if (touched.isEmpty) return None
-    val matches = preds.map { case (c, lo, hi) =>
-      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) }.reduce(_ && _)
+    val matches = (preds.map { case (c, lo, hi) =>
+      col(c).isNotNull && col(c).between(lit(lo), lit(hi)) } ++
+      extraCond.map(c => coalesce(c, lit(false)))).reduce(_ && _)
     val recordCdc = commitCdc(base)
     // ONE exact counting pass over the straddling set (see
     // deleteWhereTxn — same planner, same prior-DV-applied shape)
@@ -2195,7 +2257,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val st = stage(pre.unionByName(post), partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
       }
-    val encodedPreds = preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
+    // general-predicate updates record rows-only images: the hints are
+    // a superset of the matched rows, so replaying them as predicates
+    // would retire too many replica rows (same contract as deleteCore)
+    val encodedPreds =
+      if (extraCond.isDefined) Seq(None)
+      else preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
     val changeSet =
       if (!recordCdc) None
       else Some(ChangeSet(
@@ -3035,12 +3102,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         // the retained epochs — reusing it would alias old files'
         // dropped values into the new field); the global max over all
         // levels of all epochs is a safe upper bound
+        def fidsIn(dt: org.apache.spark.sql.types.DataType): Iterator[Long] =
+          dt match {
+            case inner: org.apache.spark.sql.types.StructType => allFids(inner)
+            case a: org.apache.spark.sql.types.ArrayType => fidsIn(a.elementType)
+            case m: org.apache.spark.sql.types.MapType => fidsIn(m.valueType)
+            case _ => Iterator.empty
+          }
         def allFids(s0: org.apache.spark.sql.types.StructType): Iterator[Long] =
           s0.fields.zipWithIndex.iterator.flatMap { case (sf, i) =>
-            Iterator.single(SnapshotLog.fidOf(sf, i)) ++ (sf.dataType match {
-              case inner: org.apache.spark.sql.types.StructType => allFids(inner)
-              case _ => Iterator.empty
-            })
+            Iterator.single(SnapshotLog.fidOf(sf, i)) ++ fidsIn(sf.dataType)
           }
         val tagged =
           if (!st.fields.exists(_.metadata.contains(SnapshotLog.FidKey))) f
@@ -4753,16 +4824,29 @@ object SnapshotLog {
       : org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(
       schema.fields.zipWithIndex.map { case (f0, i) =>
-        val f = f0.dataType match {
-          case s: org.apache.spark.sql.types.StructType =>
-            f0.copy(dataType = withFids(s))
-          case _ => f0
-        }
+        val f = f0.copy(dataType = fidsInside(f0.dataType))
         if (f.metadata.contains(FidKey)) f
         else f.copy(metadata =
           new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata).putLong(FidKey, i.toLong).build())
       })
+
+  /** [[withFids]] pushed through container types: structs inside
+    * arrays and map VALUES get per-level ids too, so element-field
+    * evolution has the same by-id alignment mechanics as struct
+    * fields (parquet keeps list/map element groups, making the
+    * positional fallback sound there exactly as for structs). Map
+    * KEYS never evolve — key identity defines the map — so their
+    * shape passes through untouched. */
+  private def fidsInside(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType => withFids(s)
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = fidsInside(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = fidsInside(m.valueType))
+    case other => other
+  }
 
   /** `srcCol` (valued under `from`'s shape) projected onto `to`'s shape
     * by PER-LEVEL stable field ids — the nested half of epoch
@@ -4790,14 +4874,35 @@ object SnapshotLog {
         }).as(tf.name)
       }.toSeq
       when(srcCol.isNull, lit(null).cast(ts)).otherwise(struct(inner: _*))
+    // element-field evolution: project each element onto the current
+    // element shape (codegen'd transform — no shuffle, no UDF); a NULL
+    // array/map stays NULL (transform/map_entries are null-propagating)
+    case (fa: org.apache.spark.sql.types.ArrayType,
+          ta: org.apache.spark.sql.types.ArrayType) if fa != ta =>
+      org.apache.spark.sql.functions.transform(srcCol,
+        e => alignColumn(fa.elementType, ta.elementType, e))
+    // map VALUES align entry-wise; keys never evolve (their shape is
+    // the map's identity), so they pass through
+    case (fm: org.apache.spark.sql.types.MapType,
+          tm: org.apache.spark.sql.types.MapType) if fm != tm =>
+      import org.apache.spark.sql.functions.{map_entries, map_from_entries, struct, transform}
+      map_from_entries(transform(map_entries(srcCol), e =>
+        struct(e.getField("key").as("key"),
+          alignColumn(fm.valueType, tm.valueType, e.getField("value"))
+            .as("value"))))
     case _ => srcCol
   }
 
   /** Rewrite the struct at dotted `path` inside `schema` with `f` —
     * the shared navigation of nested [[SnapshotLog.renameColumn]] /
-    * `dropColumn` / `addColumn`. Empty path = the top level. Loud on a
-    * missing segment or a non-struct intermediate (evolution inside
-    * arrays/maps needs element rewrites this format does not do). */
+    * `dropColumn` / `addColumn`. Empty path = the top level. Container
+    * types navigate through their Spark-standard pseudo-segments —
+    * `a.element.x` addresses field x of `array<struct<...>>` a,
+    * `m.value.x` the value struct of a map (the spellings Spark's own
+    * ALTER TABLE resolver and TableChange.fieldNames use) — so
+    * element-field evolution rides the same per-level id machinery as
+    * structs. Map KEYS refuse: key shape is the map's identity. Loud
+    * on a missing segment or a non-navigable intermediate. */
   private[table] def rewriteStructAt(
       schema: org.apache.spark.sql.types.StructType, path: Seq[String],
       where: String)(f: org.apache.spark.sql.types.StructType =>
@@ -4811,15 +4916,43 @@ object SnapshotLog {
           s"(fields: ${schema.fieldNames.mkString(", ")})")
       org.apache.spark.sql.types.StructType(schema.fields.map { sf =>
         if (sf.name != name) sf
-        else sf.dataType match {
-          case inner: org.apache.spark.sql.types.StructType =>
-            sf.copy(dataType = rewriteStructAt(inner, path.tail, where)(f))
-          case other => throw new UnsupportedOperationException(
-            s"$where: '$name' is ${other.simpleString}, not a struct — " +
-              "evolution inside arrays/maps is not supported")
-        }
+        else sf.copy(dataType = rewriteInner(sf.dataType, path.tail, where, name)(f))
       })
     }
+
+  /** [[rewriteStructAt]]'s step through ONE field's type: recurse into
+    * structs directly, into array elements / map values through their
+    * pseudo-segments. */
+  private def rewriteInner(dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String], where: String, name: String)(
+      f: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case inner: org.apache.spark.sql.types.StructType =>
+      rewriteStructAt(inner, path, where)(f)
+    case a: org.apache.spark.sql.types.ArrayType =>
+      if (!path.headOption.contains("element"))
+        throw new UnsupportedOperationException(
+          s"$where: '$name' is ${a.simpleString} — address element " +
+            s"fields as '$name.element.<field>'")
+      a.copy(elementType =
+        rewriteInner(a.elementType, path.tail, where, s"$name.element")(f))
+    case m: org.apache.spark.sql.types.MapType
+        if path.headOption.contains("value") =>
+      m.copy(valueType =
+        rewriteInner(m.valueType, path.tail, where, s"$name.value")(f))
+    case m: org.apache.spark.sql.types.MapType
+        if path.headOption.contains("key") =>
+      throw new UnsupportedOperationException(
+        s"$where: map KEYS cannot evolve — key identity defines the " +
+          "map; rebuild the column instead")
+    case m: org.apache.spark.sql.types.MapType =>
+      throw new UnsupportedOperationException(
+        s"$where: '$name' is ${m.simpleString} — address value fields " +
+          s"as '$name.value.<field>'")
+    case other => throw new UnsupportedOperationException(
+      s"$where: '$name' is ${other.simpleString}, not a struct")
+  }
 
   /** `dt` rendered as SQL with nullability (and field metadata)
     * normalized away at every nesting level — the public spelling of a
@@ -4840,17 +4973,27 @@ object SnapshotLog {
     norm(dt).sql
   }
 
-  /** Does dotted `path` name a field of `schema` (navigating structs)? */
+  /** Does dotted `path` name a field of `schema` (navigating structs
+    * and the array/map pseudo-segments)? */
   private[graft] def hasPath(schema: org.apache.spark.sql.types.StructType,
       path: Seq[String]): Boolean =
     schema.fields.find(_.name == path.head) match {
       case None => false
       case Some(f) if path.tail.isEmpty => true
-      case Some(f) => f.dataType match {
-        case s: org.apache.spark.sql.types.StructType => hasPath(s, path.tail)
-        case _ => false
-      }
+      case Some(f) => hasInner(f.dataType, path.tail)
     }
+
+  private def hasInner(dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String]): Boolean = dt match {
+    case s: org.apache.spark.sql.types.StructType => hasPath(s, path)
+    case a: org.apache.spark.sql.types.ArrayType
+        if path.headOption.contains("element") =>
+      if (path.tail.isEmpty) true else hasInner(a.elementType, path.tail)
+    case m: org.apache.spark.sql.types.MapType
+        if path.headOption.contains("value") =>
+      if (path.tail.isEmpty) true else hasInner(m.valueType, path.tail)
+    case _ => false
+  }
 
 
   /** Live-file count above which manifests go SEGMENTED: the per-file

@@ -270,7 +270,61 @@ class MergeSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
-  test("SQL MERGE refusals: non-equality ON, subquery assignment, schema evolution") {
+  test("SQL MERGE WITH SCHEMA EVOLUTION: new source columns land; old rows null-pad") {
+    val root = Files.createTempDirectory("graft-mergec-evo-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((0L, 100.0), (1L, 200.0), (2L, 300.0))
+      .toDF("id", "bal").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gmrgevo1"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.createDataFrame(Seq((1L, 999.0, "gold"), (5L, 50.0, "new")))
+      .toDF("id", "bal", "tier").createOrReplaceTempView("mrg_evo_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t1 t
+         |USING mrg_evo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the evolution is its own metadata commit(s) before the merge
+    assert(log.snapshot().op == "merge")
+    val out = s.sql(s"SELECT id, bal, tier FROM $cat.t1 ORDER BY id")
+      .as[(Long, Double, Option[String])].collect().toSeq
+    assert(out == Seq((0L, 100.0, None), (1L, 999.0, Some("gold")),
+      (2L, 300.0, None), (5L, 50.0, Some("new"))))
+    // pre-evolution history still reads under its own schema
+    assert(log.read(1).columns.toSeq == Seq("id", "bal"))
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION: explicit assignments to a new nested field") {
+    val root = Files.createTempDirectory("graft-mergec-evo2-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    log.append(s.sql(
+      "SELECT id, named_struct('a', id * 10) AS info FROM range(3)")
+      .coalesce(1))
+    val cat = "gmrgevo2"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the source's struct carries an extra field `b` — evolution adds
+    // info.b (nested AddColumn through the catalog), old rows read NULL
+    s.sql("SELECT id, named_struct('a', id * 10, 'b', concat('x', id)) AS info " +
+      "FROM range(1, 5)").createOrReplaceTempView("mrg_evo2_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t1 t
+         |USING mrg_evo2_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val out = s.sql(
+      s"SELECT id, info.a, info.b FROM $cat.t1 ORDER BY id")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(out == Seq((0L, 0L, None), (1L, 10L, Some("x1")),
+      (2L, 20L, Some("x2")), (3L, 30L, Some("x3")), (4L, 40L, Some("x4"))))
+  }
+
+  test("SQL MERGE refusals: non-equality ON, subquery assignment") {
     val root = Files.createTempDirectory("graft-mergec-sql3-").toString
     val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
     log.append(Seq((1L, "a")).toDF("id", "v").coalesce(1))

@@ -146,17 +146,57 @@ class OverwriteSpec extends AnyFunSuite {
         .collect().toSet)
     graft.table.LogMirror.mirror(src, dst) // idempotent re-walk
     assert(dst.read().count() == 6)
-    // a replica on a DIFFERENT spec refuses with the resync contract
+    // a replica on a DIFFERENT spec CONVERGES automatically: the mirror
+    // adopts the source's spec and folds that version to a full refresh
+    // (the old manual-resync contract, performed by the mirror itself)
     val src2 = new SnapshotLog(spark, fresh(),
       partitionBy = Seq(PartitionField.identity("grp")),
       changeFeed = true)
-    src2.append(Seq((1L, 0L, "a")).toDF("id", "grp", "v"))
+    src2.append(Seq((1L, 0L, "a"), (3L, 1L, "c")).toDF("id", "grp", "v"))
     src2.overwritePartitions(Seq((2L, 0L, "b")).toDF("id", "grp", "v"))
     val dstFlat = SnapshotLog(spark, fresh())
-    val ex = intercept[IllegalStateException] {
-      graft.table.LogMirror.mirror(src2, dstFlat)
-    }
-    assert(ex.getMessage.contains("spec"), ex.getMessage)
+    graft.table.LogMirror.mirror(src2, dstFlat)
+    assert(dstFlat.snapshot().partitionSpec ==
+      Seq(PartitionField.identity("grp")),
+      "the resync must adopt the source's spec for future tuple replays")
+    assert(dstFlat.read().select("id", "grp", "v")
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((2L, 0L, "b"), (3L, 1L, "c")))
+    graft.table.LogMirror.mirror(src2, dstFlat) // idempotent re-walk
+    assert(dstFlat.read().count() == 2)
+    // and AFTER convergence, the next dynamic overwrite replays
+    // incrementally by tuple — no second refresh
+    src2.overwritePartitions(Seq((5L, 1L, "d")).toDF("id", "grp", "v"))
+    graft.table.LogMirror.mirror(src2, dstFlat)
+    assert(dstFlat.read().select("id", "grp", "v")
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((2L, 0L, "b"), (5L, 1L, "d")))
+  }
+
+  test("mirror converges across an evolve_spec boundary without operator action") {
+    // source: identity(grp) → evolve to bucket(id) → dynamic overwrite
+    val src = new SnapshotLog(spark, fresh(), Seq("id"),
+      partitionBy = Seq(PartitionField.identity("grp")),
+      changeFeed = true)
+    src.append((0 until 8).map(i => (i.toLong, (i % 2).toLong, s"a$i"))
+      .toDF("id", "grp", "v"))                                       // v1
+    val dst = SnapshotLog.partitioned(spark, fresh(),
+      Seq(PartitionField.identity("grp")))
+    graft.table.LogMirror.mirror(src, dst) // in sync, same spec
+    src.evolvePartitionSpec(Seq(PartitionField.identity("v")))       // v2
+    src.compact()                      // v3: source converges its layout
+    src.overwritePartitions(Seq((100L, 9L, "a1")).toDF("id", "grp", "v")) // v4
+    // the replica is two spec generations behind at the dynamic replay:
+    // evolve_spec was physical-only, so its spec still says grp — the
+    // mirror must fold to a refresh and adopt identity(v), not refuse
+    graft.table.LogMirror.mirror(src, dst)
+    assert(dst.snapshot().partitionSpec == Seq(PartitionField.identity("v")))
+    assert(dst.read().select("id", "grp", "v")
+      .as[(Long, Long, String)].collect().toSet ==
+      src.read().select("id", "grp", "v")
+        .as[(Long, Long, String)].collect().toSet)
+    graft.table.LogMirror.mirror(src, dst) // idempotent re-walk
+    assert(dst.read().count() == src.read().count())
   }
 
   test("CDC: a dropped file carrying a deletion vector images only its LIVE rows") {

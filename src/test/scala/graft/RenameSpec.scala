@@ -256,6 +256,80 @@ class RenameSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](log3.dropColumn("s.only"))
   }
 
+  test("element evolution: rename/drop/add inside array<struct> across the epoch boundary") {
+    val dir = freshTable()
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append(spark.sql(
+      """SELECT id, array(
+        |  named_struct('kind', concat('k', id), 'val', CAST(id AS DOUBLE),
+        |    'extra', 'junk'),
+        |  named_struct('kind', 'fixed', 'val', CAST(id * 2 AS DOUBLE),
+        |    'extra', 'junk2')) AS events
+        |FROM range(4)""".stripMargin).coalesce(1))                   // v1
+    val r = log.renameColumn("events.element.kind", "type")           // v2
+    assert(r.op == "rename" && r.fileSchemaIdx.nonEmpty,
+      "an element rename pins old files to their epoch")
+    log.dropColumn("events.element.extra")                            // v3
+    log.addColumn("events.element.w", org.apache.spark.sql.types.IntegerType) // v4
+    // old files align per ELEMENT by per-level field id
+    val out = log.read().selectExpr("id",
+      "events[0].type", "events[0].val", "events[0].w").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2),
+        x.isNullAt(3))).sortBy(_._1)
+    assert(out.toSeq == (0L until 4L).map(i => (i, s"k$i", i.toDouble, true)),
+      out.mkString(", "))
+    assert(!log.read().schema("events").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("extra"))
+    // post-evolution append under the NEW element shape
+    log.append(spark.sql(
+      """SELECT CAST(100 AS BIGINT) AS id, array(
+        |  named_struct('type', 'new', 'val', CAST(9.0 AS DOUBLE), 'w', 7))
+        |  AS events""".stripMargin))                                 // v5
+    val whole = log.read().selectExpr("explode(events) AS e")
+      .selectExpr("e.type", "e.val", "e.w")
+    assert(whole.count() == 9 &&
+      whole.where(col("w").isNotNull).count() == 1)
+    // time travel: pre-evolution version reads under its OWN element names
+    assert(log.read(1).selectExpr("events[0].kind").count() == 4)
+    // maintenance drains the element debt; totals unchanged
+    val drained = log.materializeRenames().get
+    assert(drained.fileSchemaIdx.isEmpty)
+    assert(log.read().selectExpr("aggregate(events, CAST(0.0 AS DOUBLE), " +
+      "(a, e) -> a + e.val)").as[Double].collect().sum ==
+      (0 until 4).map(i => i + i * 2.0).sum + 9.0)
+  }
+
+  test("element evolution: map values evolve; map keys refuse") {
+    val log = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    log.append(spark.sql(
+      """SELECT id, map('m', named_struct('a', concat('a', id), 'b', id * 10))
+        |  AS props
+        |FROM range(3)""".stripMargin).coalesce(1))                   // v1
+    log.renameColumn("props.value.a", "x")                            // v2
+    log.dropColumn("props.value.b")                                   // v3
+    log.addColumn("props.value.c", org.apache.spark.sql.types.LongType) // v4
+    val out = log.read().selectExpr("id", "props['m'].x", "props['m'].c")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.isNullAt(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == (0L until 3L).map(i => (i, s"a$i", true)),
+      out.mkString(", "))
+    // new-shape append + drain
+    log.append(spark.sql(
+      """SELECT CAST(50 AS BIGINT) AS id,
+        |  map('m', named_struct('x', 'fresh', 'c', CAST(5 AS BIGINT)))
+        |  AS props""".stripMargin))                                  // v5
+    assert(log.materializeRenames().get.fileSchemaIdx.isEmpty)
+    assert(log.read().selectExpr("props['m'].x").as[String]
+      .collect().sorted.toSeq == Seq("a0", "a1", "a2", "fresh"))
+    // refusals: key evolution, wrong pseudo-segment spelling
+    assertThrows[UnsupportedOperationException](
+      log.renameColumn("props.key.k", "j"))
+    assertThrows[UnsupportedOperationException](
+      log.renameColumn("props.a", "j"))
+  }
+
   test("nested evolution: SQL ALTER TABLE spellings route; mirror replays the nested verbs") {
     val root = java.nio.file.Files.createTempDirectory("graft-ren-nest-sql-")
       .toString
@@ -289,4 +363,41 @@ class RenameSpec extends AnyFunSuite {
     assert(dst.read().count() == 4)
   }
 
+  test("element evolution: SQL ALTER spellings (a.element.x) route; the debt scan aligns") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ren-elem-sql-")
+      .toString
+    val log = SnapshotLog(spark, s"$root/t", statsColumns = Seq("id"))
+    log.append(spark.sql(
+      """SELECT id, array(named_struct('kind', concat('k', id),
+        |  'val', CAST(id AS DOUBLE))) AS evs
+        |FROM range(4)""".stripMargin).coalesce(1))
+    graft.ops.Relational.withConfs(spark,
+      "spark.sql.catalog.gelem" -> classOf[graft.table.GraftTableCatalog].getName,
+      "spark.sql.catalog.gelem.root" -> root) {
+      spark.sql("ALTER TABLE gelem.t RENAME COLUMN evs.element.kind TO type")
+      spark.sql("ALTER TABLE gelem.t ADD COLUMN evs.element.w INT")
+      // debt scan: old files alias the renamed element field by id and
+      // read the added one as NULL — through plain SQL
+      val got = spark.sql(
+        """SELECT e.type, e.val, e.w
+          |FROM (SELECT explode(evs) AS e FROM gelem.t)
+          |ORDER BY e.val""".stripMargin).collect()
+        .map(x => (x.getString(0), x.getDouble(1), x.isNullAt(2)))
+      assert(got.toSeq == (0 until 4).map(i => (s"k$i", i.toDouble, true)),
+        got.mkString(", "))
+      spark.sql("ALTER TABLE gelem.t DROP COLUMN evs.element.val")
+      assert(spark.sql("SELECT * FROM gelem.t").schema("evs").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("type", "w"))
+      // post-evolution INSERT under the new element shape + read back
+      spark.sql("INSERT INTO gelem.t VALUES " +
+        "(100, array(named_struct('type', 'new', 'w', 7)))")
+      assert(spark.sql(
+        "SELECT count(*) FROM gelem.t WHERE evs[0].w IS NOT NULL")
+        .head().getLong(0) == 1)
+      assert(spark.sql("SELECT count(evs[0].type) FROM gelem.t")
+        .head().getLong(0) == 5)
+    }
+  }
 }

@@ -31,7 +31,10 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
   }
 
   private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
-    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    // getAll = explicit settings only; getOption would return a
+    // registered conf's DEFAULT and restore would pin it explicitly
+    val all = spark.conf.getAll
+    val saved = pairs.map { case (k, _) => k -> all.get(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)

@@ -223,9 +223,60 @@ class UpdateSpec extends AnyFunSuite {
       assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
     }
     refused(s"UPDATE $cat.t1 SET v = 'x'", "WHERE")
-    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE id = 1 OR id = 5", "exact points")
-    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE v LIKE 'a%'", "exact points")
+    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE id = (SELECT max(id) FROM " +
+      s"$cat.t1)", "subquery")
+    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE rand() > 2", "non-deterministic")
   }
+
+  test("SQL UPDATE/DELETE general predicates: OR-trees and expressions hit the expr planner") {
+    val root = Files.createTempDirectory("graft-upd-expr-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    log.append((1000 until 1010).map(i => (i.toLong, s"b$i")).toDF("id", "v").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdx"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // OR across both files: 1-of-10 per file is sparse — the expr
+    // planner's auto mode takes the deletion-vector arm; the debt scan
+    // keeps the table SQL-readable through the window
+    s.sql(s"UPDATE $cat.t1 SET v = upper(v) WHERE id = 1 OR id = 1005")
+    assert(log.snapshot().op == "update" && log.snapshot().dvs.nonEmpty,
+      "a sparse OR-update must land one update commit through the DV arm")
+    val m1 = rowsOf(s, cat)
+    assert(m1(1L) == "A1" && m1(1005L) == "B1005" && m1.size == 20)
+    assert(m1(2L) == "a2" && m1(1004L) == "b1004")
+    // expression predicate with a range-convertible conjunct: the
+    // conjunct prunes candidates (only the first file), the full
+    // predicate decides the rows
+    s.sql(s"UPDATE $cat.t1 SET v = concat(v, '?') " +
+      s"WHERE v LIKE 'a%' AND id BETWEEN 0 AND 3")
+    val m2 = rowsOf(s, cat)
+    assert(m2(0L) == "a0?" && m2(2L) == "a2?" && m2(3L) == "a3?")
+    assert(m2(1L) == "A1", "the earlier update's row no longer matches a%")
+    assert(m2(4L) == "a4" && m2.size == 20)
+    // general DELETE: arithmetic predicate — previously refused at the
+    // V2 filter boundary, now exact through the counting planner
+    s.sql(s"DELETE FROM $cat.t1 WHERE id % 2 = 1 AND id < 100")
+    assert(log.snapshot().op == "delete")
+    val m3 = rowsOf(s, cat)
+    assert(!m3.contains(3L) && !m3.contains(5L) && !m3.contains(7L) &&
+      !m3.contains(9L) && !m3.contains(1L))
+    assert(m3.contains(0L) && m3.contains(2L) && m3.contains(1005L))
+    assert(m3.size == 15)
+    // exactly-one-pass row accounting survives both verbs
+    assert(log.read().count() == 15)
+    def refused(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception] { s.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
+    }
+    refused(s"DELETE FROM $cat.t1 WHERE id IN (SELECT id FROM $cat.t1 " +
+      "WHERE id > 1000)", "subquery")
+  }
+
 
   private def rowsOf(s: org.apache.spark.sql.SparkSession,
       cat: String): Map[Long, String] = {
