@@ -212,8 +212,8 @@ final class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions
     // DELETE ... WHERE with conditions the V2 filter path can't encode
     // (OR-trees, strict bounds, expressions) → SnapshotLog.deleteWhereExpr
     ext.injectResolutionRule(s => new graft.table.DeleteLogRule(s))
-    // INSERT INTO/OVERWRITE pre-arrangement: one AQE-visible exchange
-    // clustering the write to the table's declared layout
-    ext.injectResolutionRule(s => new graft.table.InsertArrangeRule(s))
+    // (INSERT arrangement needs no rule since the native DSv2 batch
+    // write: LogAppendWrite's RequiresDistributionAndOrdering makes
+    // Spark's own write planning insert the exchange, extensions or not)
   }
 }

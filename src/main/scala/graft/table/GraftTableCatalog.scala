@@ -70,10 +70,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    exact-condition contract as DELETE — copy-on-write pinned so the
   *    result stays SQL-readable; the typed API keeps the DV+append
   *    merge-on-read arm for sparse updates.
-  * INSERTs on spec/sort-declaring tables are PRE-ARRANGED by
-  * [[InsertArrangeRule]] (one AQE-visible exchange clustering the write
-  * to the table's layout; the staging write then skips its own
-  * shuffle), and the session conf
+  * INSERTs run the NATIVE DSv2 batch write ([[LogAppendWrite]]) —
+  * Spark's own write planning inserts the one AQE-visible exchange
+  * from the Write's required distribution/ordering (every partition
+  * transform resolves through this catalog's function surface), and
+  * per-task writers land parquet straight in `data/`. The session conf
   * [[GraftTableCatalog.WapBranchConf]] pins reads AND every DML verb
   * to a write-audit-publish branch for the SQL-only WAP loop.
   * `ALTER TABLE RENAME/DROP/ADD COLUMN` commits the log's metadata-only
@@ -384,11 +385,13 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      GraftTableCatalog.Functions.keys
+        .map(n => Identifier.of(Array.empty, n)).toArray
     else Array.empty
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name() == "bucket") GraftBucketUnbound
-    else throw new NoSuchFunctionException(ident)
+    GraftTableCatalog.Functions.getOrElse(ident.name(),
+      throw new NoSuchFunctionException(ident))
 }
 
 /** One [[SnapshotLog]] snapshot as a DSv2 table (version pinned at
@@ -424,7 +427,12 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     * the log refuses them independently. */
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // the NATIVE batch write serves every INSERT form (per-task
+      // writers + RequiresDistributionAndOrdering; overwrite regions
+      // route the driver commit) — V1_BATCH_WRITE is gone: declaring it
+      // would force EVERY write back onto the V1 fallback (Spark
+      // requires one tier per table)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
@@ -504,53 +512,39 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     * distributed-DataWriter protocol would bypass that choke point and
     * re-implement footer lifting per task for zero gain at any scale —
     * the data write inside append() is already fully distributed.) */
+  /** `INSERT INTO` / `INSERT OVERWRITE` as the NATIVE DSv2 batch write
+    * ([[LogAppendWrite]]): per-task parquet writers landing files
+    * straight in `data/` (inert until a manifest names them), per-task
+    * commit messages with exact (file, tuple, rows), and
+    * `RequiresDistributionAndOrdering` reporting the table's partition
+    * transforms — Spark's own write planning inserts the one
+    * AQE-visible exchange, every transform resolving through this
+    * catalog's function surface. The driver commit runs the SAME
+    * manifest arithmetic as the typed API (append / overwriteAll /
+    * fused replace_where per the SupportsOverwrite region): one
+    * transactional commit, stats/bloom lift, constraint gate.
+    * A STATIC partition overwrite (`INSERT OVERWRITE t PARTITION
+    * (c = v)`) maps its filters through `exactRanges` to ONE
+    * replace_where; an inexact region refuses loudly with the typed
+    * API named, mirroring SQL DELETE's contract. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireHead("INSERT")
-    // set by [[InsertArrangeRule]] when it already clustered the INSERT
-    // query by the table's partition transforms + sort order — the
-    // staging choke point must not shuffle a second time. (Implementing
-    // RequiresDistributionAndOrdering here would NOT achieve this:
-    // Spark's V1 write fallback hands the InsertableRelation the
-    // ANALYZED query, not the optimizer-prepared one, so a
-    // write-reported distribution is silently ignored on this path —
-    // verified empirically; the resolution rule is the hook that works.)
-    val preArranged =
-      info.options().getBoolean(GraftTableCatalog.PreArrangedOption, false)
-    // SupportsOverwrite: the unconditioned INSERT OVERWRITE (its default
-    // truncate() = overwrite(AlwaysTrue)) maps to the atomic
-    // overwriteAll; a STATIC partition overwrite
-    // (`INSERT OVERWRITE t PARTITION (c = v) ...`) hands its filters
-    // here and maps to [[SnapshotLog.overwriteWhere]] — the region swap
-    // as ONE fused delete+append commit (metadata-only drops for
-    // whole-partition regions). An inexact region refuses loudly with
-    // the typed API named, mirroring SQL DELETE's contract.
     new WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var region: Option[Array[Filter]] = None
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
         region = Some(filters); this
       }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
-          (data: org.apache.spark.sql.DataFrame, ovr: Boolean) => {
-            region match {
-              case None =>
-                if (ovr) log.overwriteAll(data, preArranged = preArranged)
-                else log.append(data, preArranged = preArranged)
-              case Some(fs) => LogTable.exactRanges(fs) match {
-                case Some(Nil) =>
-                  log.overwriteAll(data, preArranged = preArranged)
-                case Some(ranges) =>
-                  log.overwriteWhere(ranges, data, preArranged = preArranged)
-                case None => throw new UnsupportedOperationException(
-                  s"INSERT OVERWRITE on ${log.tableDir}: condition " +
-                    s"${fs.mkString(" AND ")} does not convert exactly to " +
-                    "point/range predicates — use the typed " +
-                    "SnapshotLog.overwriteWhere for this shape")
-              }
-            }
-            ()
-          }
+      override def build(): Write = {
+        val ranges: Option[Seq[(String, Any, Any)]] = region.map { fs =>
+          LogTable.exactRanges(fs).getOrElse(
+            throw new UnsupportedOperationException(
+              s"INSERT OVERWRITE on ${log.tableDir}: condition " +
+                s"${fs.mkString(" AND ")} does not convert exactly to " +
+                "point/range predicates — use the typed " +
+                "SnapshotLog.overwriteWhere for this shape"))
+        }
+        LogAppendWrite.build(log, info, ranges)
       }
     }
   }
@@ -593,10 +587,26 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
 }
 
 object GraftTableCatalog {
-  /** Write option [[InsertArrangeRule]] sets after clustering an INSERT
-    * query by the table's partition transforms + declared sort order —
-    * tells the staging write to skip its own repartition+sort, so the
-    * plan carries exactly one (AQE-visible) exchange. */
+  /** The function-catalog surface: every hidden partition transform,
+    * resolvable by Spark's storage-partitioned-join planning (scan
+    * side) and by the native write's clustered distribution (write
+    * side — [[LogAppendWrite]]). Each reproduces
+    * [[PartitionField.writeExpr]]'s arithmetic exactly. */
+  private[table] val Functions: Map[String, org.apache.spark.sql.connector
+      .catalog.functions.UnboundFunction] = Map(
+    "bucket" -> GraftBucketUnbound,
+    "days" -> GraftDaysUnbound,
+    "hours" -> GraftHoursUnbound,
+    "months" -> GraftMonthsUnbound,
+    "years" -> GraftYearsUnbound,
+    "truncate" -> GraftTruncateUnbound)
+
+  /** Write option a TYPED caller may set when it already clustered the
+    * frame by the table's partition transforms + declared sort order
+    * (`append(df, preArranged = true)` and friends) — tells the staging
+    * write to skip its own repartition+sort. The SQL surface no longer
+    * needs it: the native batch write's required distribution/ordering
+    * puts the one exchange into Spark's own write plan. */
   val PreArrangedOption = "graft.pre-arranged"
 
   /** Session conf pinning the whole SQL surface to a WRITE-AUDIT-PUBLISH

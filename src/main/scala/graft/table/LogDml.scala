@@ -267,85 +267,6 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** Pre-arranges SQL `INSERT INTO` / `INSERT OVERWRITE` on
-  * [[SnapshotLog]] tables ([[graft.plans.GraftExtensions]] resolution
-  * rule): when the target declares a partition spec and/or sort order,
-  * the rule rewrites the write's QUERY to
-  * `repartition(<transform exprs>).sortWithinPartitions(<transforms> ++
-  * <sort order>)` — the exact write-path expressions
-  * ([[PartitionField.writeExpr]]) that stage the partition tuples — and
-  * flags the write ([[GraftTableCatalog.PreArrangedOption]]) so the
-  * staging choke point skips its own repartition+sort. The INSERT's
-  * plan then carries exactly ONE exchange, visible to AQE (skew/
-  * coalesce handling, metrics), instead of a hidden shuffle inside the
-  * V1 write job; each partition tuple lands ≤1 file per task either
-  * way.
-  *
-  * Why a rule and not `RequiresDistributionAndOrdering`: Spark's V1
-  * write fallback hands the `InsertableRelation` the ANALYZED query —
-  * the optimizer-prepared distribution never reaches it (verified
-  * empirically), so a write-reported distribution is inert on this
-  * path. Rewriting at resolution puts the exchange into the analyzed
-  * plan itself, which both the V1 fallback and the optimizer see. */
-final class InsertArrangeRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{AppendData, OverwriteByExpression}
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case a: AppendData if a.write.isEmpty &&
-        !a.writeOptions.contains(GraftTableCatalog.PreArrangedOption) &&
-        a.query.resolved && a.outputResolved =>
-      tableOf(a.table) match {
-        case Some(t) => arranged(t, a.query) match {
-          case Some(q) => a.copy(query = q, writeOptions = a.writeOptions +
-            (GraftTableCatalog.PreArrangedOption -> "true"))
-          case None => a
-        }
-        case None => a
-      }
-    case o: OverwriteByExpression if o.write.isEmpty &&
-        !o.writeOptions.contains(GraftTableCatalog.PreArrangedOption) &&
-        o.query.resolved && o.outputResolved =>
-      tableOf(o.table) match {
-        case Some(t) => arranged(t, o.query) match {
-          case Some(q) => o.copy(query = q, writeOptions = o.writeOptions +
-            (GraftTableCatalog.PreArrangedOption -> "true"))
-          case None => o
-        }
-        case None => o
-      }
-  }
-
-  private def tableOf(
-      rel: org.apache.spark.sql.catalyst.analysis.NamedRelation): Option[LogTable] =
-    EliminateSubqueryAliases(rel) match {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[LogTable] =>
-        Some(r.table.asInstanceOf[LogTable])
-      case _ => None
-    }
-
-  /** The query clustered + locally sorted to the table's declared
-    * layout — None when the table declares none (nothing to arrange) or
-    * a transform source is absent from the aligned query (leave the
-    * stage-side arrangement to handle it). */
-  private def arranged(table: LogTable,
-      query: LogicalPlan): Option[LogicalPlan] = {
-    val snap = table.log.snapshot(table.pinnedVersion)
-    val spec = snap.partitionSpec
-    val order = snap.sortOrder
-    if (spec.isEmpty && order.isEmpty) return None
-    val df = org.apache.spark.sql.GraftBridge.ofRows(spark, query)
-    if (spec.exists(pf => !df.columns.contains(pf.source)) ||
-        order.exists(c => !df.columns.contains(c))) return None
-    val pcols = spec.map(_.writeExpr(df))
-    val scols = order.map(col)
-    val out =
-      if (spec.nonEmpty)
-        df.repartition(pcols: _*).sortWithinPartitions(pcols ++ scols: _*)
-      else df.sortWithinPartitions(scols: _*)
-    Some(org.apache.spark.sql.GraftBridge.logicalPlan(out))
-  }
-}
-
 /** `UPDATE ... SET ... WHERE` for [[SnapshotLog]] tables mounted
   * through [[GraftTableCatalog]] — the SQL spelling of
   * [[SnapshotLog.updateWhere]], installed as a resolution rule by

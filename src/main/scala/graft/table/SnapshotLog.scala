@@ -429,7 +429,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private val fs: FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private val logDir = new Path(root, LogDirName)
-  private val dataDir = new Path(root, DataDirName)
+  private[table] val dataDir = new Path(root, DataDirName)
   private val mapper = new ObjectMapper()
 
   /** All manifest I/O — the metadata plane — goes through this seam;
@@ -593,6 +593,20 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   /** Latest committed version; 0 means no commit yet. Staged manifests
     * (`.tmp-*`) and foreign files are ignored — only a fully published
     * `v<digits>.json` counts, so a half-written commit is invisible. */
+  /** The partition spec + sort order a write staged NOW must honor —
+    * what [[stage]] resolves internally, exposed for the native DSv2
+    * batch write ([[graft.table.LogAppendWrite]]), which computes its
+    * partition tuples executor-side and must capture the shape at plan
+    * time (the commit re-guards via [[specGuard]]). */
+  private[graft] def liveWriteShape(): (Seq[PartitionField], Seq[String]) = {
+    val v = currentVersion()
+    if (v == 0) (declaredSpec, sortCols)
+    else {
+      val s = snapshot(v)
+      (commitSpec(s), commitSort(s))
+    }
+  }
+
   def currentVersion(): Long =
     store.list().flatMap {
       case ManifestRe(d) => Some(d.toLong)
@@ -1579,8 +1593,96 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * path's [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
     * exchange): the stage skips its own repartition+sort, so the plan
     * carries exactly ONE AQE-visible exchange. */
-  def append(df: DataFrame, preArranged: Boolean = false): Snapshot = {
-    val staged = stage(df, preArranged = preArranged)
+  def append(df: DataFrame, preArranged: Boolean = false): Snapshot =
+    commitStagedAppend(stage(df, preArranged = preArranged))
+
+  /** Commit files the NATIVE DSv2 batch write already landed in `data/`
+    * ([[graft.table.LogAppendWrite]] — per-task parquet writers, exact
+    * per-file row counts and partition tuples in the commit messages):
+    * the driver half of staging (footer stats lift, bloom build, byte
+    * accounting) runs here, then the SAME append-commit loop as the
+    * DataFrame path — spec guard, policy guard, schema merge, CAS.
+    * `listedChecks` are the CHECK constraints in force when the write
+    * planned (the writers counted violations; the caller aborted on
+    * any) — [[policyGuard]] re-compares at commit time, closing the
+    * claim-then-validate window exactly like [[stage]]'s listing. */
+  private[graft] def commitNativeAppend(
+      files: Seq[(String, Seq[String], Long)], // (name, tuple, rows)
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Snapshot =
+    commitStagedAppend(nativeStaged(files, schemaJson, spec, listedChecks))
+
+  /** [[commitNativeAppend]]'s sibling for the unconditioned
+    * `INSERT OVERWRITE`: same driver-side lift, the overwrite commit
+    * (single CAS attempt — a full replace retried past an unseen
+    * commit would silently drop that commit's rows). */
+  private[graft] def commitNativeOverwriteAll(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Snapshot = {
+    val cur = currentVersion()
+    val base =
+      if (cur == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+      else snapshot(cur)
+    overwriteAllStaged(base,
+      nativeStaged(files, schemaJson, spec, listedChecks), None)
+  }
+
+  /** The native write's `INSERT OVERWRITE ... PARTITION` commit: the
+    * fused replace_where over a pre-written batch. CDC insert images
+    * read BACK from the written files (the staged path images the
+    * incoming frame — same rows either way). */
+  private[graft] def commitNativeOverwriteWhere(
+      preds0: Seq[(String, Any, Any)],
+      files: Seq[(String, Seq[String], Long)],
+      writeSchema: org.apache.spark.sql.types.StructType,
+      spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Snapshot = {
+    val base = snapshot()
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() before " +
+        "a region overwrite (rewriting covered files raw would " +
+        "resurrect tombstoned rows)")
+    def newRows: DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+      else spark.read.schema(writeSchema).parquet(
+        files.map(f => new Path(dataDir, f._1).toString): _*)
+    overwriteWhereStaged(base, preds0,
+      nativeStaged(files, writeSchema.json, spec, listedChecks),
+      newRows, None)
+  }
+
+  /** Driver-side lift for files the NATIVE write already landed in
+    * `data/`: footer stats, blooms, byte accounting — the half of
+    * [[stage]] that is not the data write itself. */
+  private def nativeStaged(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Staged = {
+    val infos = files.map { case (n, tuple, rows) =>
+      val p = new Path(dataDir, n)
+      val len = fs.getFileStatus(p).getLen
+      val (fRows, fStats) = footerInfo(p, wantRows = true)
+      (n, len, fStats, if (fRows >= 0) fRows else rows, tuple)
+    }
+    val rowsTotal = infos.map(_._4).sum
+    val blooms: Map[String, Map[String, String]] =
+      if (bloomCols.isEmpty || infos.isEmpty) Map.empty
+      else FileBlooms.build(spark,
+        infos.map(i => new Path(dataDir, i._1).toString),
+        bloomCols, expectedItems = rowsTotal / infos.size + 64)
+    Staged(infos.map(_._1), rowsTotal, infos.map(_._2).sum,
+      infos.collect { case (n, _, st, _, _) if st.nonEmpty => n -> st }.toMap,
+      schemaJson,
+      infos.map(i => i._1 -> i._4).toMap,
+      blooms,
+      infos.map(i => i._1 -> i._2).toMap,
+      infos.collect { case (n, _, _, _, t) if t.nonEmpty => n -> t }.toMap,
+      Some(listedChecks), spec)
+  }
+
+  private def commitStagedAppend(staged: Staged): Snapshot = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val parent = currentVersion()
@@ -3185,7 +3287,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       else snapshot(cur)
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return base // replay detected — nothing stages, nothing commits
-    val staged = stage(df, base = Some(base), preArranged = preArranged)
+    overwriteAllStaged(base,
+      stage(df, base = Some(base), preArranged = preArranged), txn)
+  }
+
+  private def overwriteAllStaged(base: Snapshot, staged: Staged,
+      txn: Option[(String, Long)]): Snapshot = {
     policyGuard(staged)
     val merged =
       try mergeSchemaJson(base, staged.schemaJson)
@@ -3248,6 +3355,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       s"$tableDir has unmaterialized key tombstones; run compact() before " +
         "a region overwrite (rewriting covered files raw would " +
         "resurrect tombstoned rows)")
+    overwriteWhereStaged(base, preds0,
+      stage(df, base = Some(base), preArranged = preArranged), df, txn)
+  }
+
+  /** The commit half of [[overwriteWhere]], shared with the NATIVE
+    * write ([[commitNativeOverwriteWhere]]): `stagedNew` is the
+    * already-staged replacement batch; `newRows` re-reads its rows for
+    * the CDC insert images (the incoming frame on the staged path, the
+    * written files on the native one — same rows either way, evaluated
+    * only on feed-enabled tables). */
+  private def overwriteWhereStaged(base: Snapshot,
+      preds0: Seq[(String, Any, Any)], stagedNew: Staged,
+      newRows: => DataFrame, txn: Option[(String, Long)]): Snapshot = {
     val preds = coercePreds(base, preds0).getOrElse(Seq.empty)
     val dts = preds.map { case (c, _, _) => c -> schemaType(base, c) }.toMap
     val touched = if (preds.isEmpty) Nil else candidateFiles(base, preds)
@@ -3274,7 +3394,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val droppedRows = dropped.map(base.fileRows).sum
     val touchedBytes = touched.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
-    val stagedNew = stage(df, base = Some(base), preArranged = preArranged)
     // the new batch carries NEW rows — constraint-gate it like appends
     // (policyGuard discards stagedNew itself on failure); survivors are
     // carried old rows (already validated), like deletes
@@ -3284,7 +3403,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val changeStaged =
       if (!recordCdc) None
       else {
-        val ins = df.withColumn("_change_type", lit("insert"))
+        val ins = newRows.withColumn("_change_type", lit("insert"))
         val all =
           if (straddle.isEmpty) ins
           else scan(base, straddle)
@@ -4497,7 +4616,39 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * [[SnapshotLog.MaxManifestSegments]] via consolidation commits.
     * Orphan segments from lost CAS races are garbage that [[vacuum]]
     * sweeps. */
-  private def tryCommit(s: Snapshot): Boolean =
+  /** Publish this handle's DECLARED stats/bloom columns as a table ref
+    * (once per handle, first commit): what lets a LATER handle —
+    * [[SnapshotLog.inheriting]], i.e. every SQL write — keep lifting
+    * the same footer stats even when the table has no files yet to
+    * infer them from (the CREATE TABLE + first-INSERT-via-SQL shape,
+    * where inference alone would silently lose the declaration). */
+  @volatile private var declPublished = false
+  private def publishDeclaredCols(): Unit =
+    if (!declPublished) {
+      declPublished = true
+      if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+        val n = mapper.createObjectNode()
+        val sa = n.putArray("stats")
+        statsCols.foreach(sa.add)
+        val ba = n.putArray("blooms")
+        bloomCols.foreach(ba.add)
+        store.putIfAbsent(SnapshotLog.DeclColsRefName,
+          mapper.writeValueAsBytes(n))
+      }
+    }
+
+  /** The declared-columns ref, (stats, blooms) — empty when never
+    * published (pre-existing tables keep pure inference). */
+  private[table] def declaredColsRef(): (Seq[String], Seq[String]) =
+    store.get(SnapshotLog.DeclColsRefName).map { bytes =>
+      val n = mapper.readTree(bytes)
+      def arr(k: String): Seq[String] = Option(n.get(k)).map(a =>
+        (0 until a.size()).map(a.get(_).asText()).toSeq).getOrElse(Nil)
+      (arr("stats"), arr("blooms"))
+    }.getOrElse((Nil, Nil))
+
+  private def tryCommit(s: Snapshot): Boolean = {
+    publishDeclaredCols()
     if (s.files.size <= InlineFileLimit) tryCommitInline(s)
     else {
       val nextFiles = s.files.toSet
@@ -4519,6 +4670,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       if (ok) segNamesCache.put(s.version, segs)
       ok
     }
+  }
 
   /** The layout-independent manifest fields. */
   private def manifestCommon(s: Snapshot): com.fasterxml.jackson.databind.node.ObjectNode = {
@@ -4655,6 +4807,7 @@ object SnapshotLog {
   private[table] val RefPrefix = "ref-"
   private[table] val BranchRefPrefix = "branchref-"
   private[table] val ConstraintPrefix = "check-"
+  private[table] val DeclColsRefName = "decl-columns.json"
   private[graft] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20
@@ -5069,8 +5222,14 @@ object SnapshotLog {
     if (probe.currentVersion() == 0) probe
     else {
       val s = probe.snapshot()
-      val stats = s.stats.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
-      val blooms = s.blooms.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+      // inference (what files actually carry) UNIONED with the
+      // declared-columns ref — the declaration survives an empty table
+      // (CREATE TABLE then SQL INSERT), where inference has no files
+      val (declStats, declBlooms) = probe.declaredColsRef()
+      val stats = (s.stats.valuesIterator.flatMap(_.keys).toSeq ++
+        declStats).distinct.sorted
+      val blooms = (s.blooms.valuesIterator.flatMap(_.keys).toSeq ++
+        declBlooms).distinct.sorted
       if (stats.isEmpty && blooms.isEmpty) probe
       else new SnapshotLog(spark, tableDir, stats, store, blooms)
     }

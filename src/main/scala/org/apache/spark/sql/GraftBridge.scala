@@ -225,3 +225,85 @@ private[sql] final class UnwrappingReaderFactory(
   override def supportColumnarReads(p: connector.read.InputPartition): Boolean =
     delegate.supportColumnarReads(unwrap(p))
 }
+
+/** Bridges for the NATIVE DSv2 batch write (graft.table.LogAppendWrite):
+  * per-task parquet writing through Spark's own `ParquetFileFormat`
+  * writer factory (the exact row→parquet path `df.write.parquet` uses,
+  * minus the job-commit protocol the log's manifest replaces), and
+  * driver-side resolution of DataFrame-API expressions to BOUND
+  * catalyst expressions executors can evaluate per `InternalRow`. All
+  * the `private[sql]`/`private[spark]` touches live here. */
+object GraftWriteBridge {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression}
+  import org.apache.spark.sql.types.StructType
+
+  /** Serializable task-writer setup: the parquet `OutputWriterFactory`
+    * prepared at the driver (schema + compression + TIMESTAMP_MICROS
+    * pinned into the job conf — INT96 carries no usable footer stats)
+    * plus that conf, shippable to executors. */
+  final class TaskWriterSetup private[GraftWriteBridge] (
+      factory: execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      schema: StructType) extends Serializable {
+    /** Open a parquet writer at `path` (created on open; the log's
+      * files are inert until a manifest names them). */
+    def open(path: String, partitionId: Int, attempt: Long): TaskFileWriter = {
+      val jobId = new org.apache.hadoop.mapreduce.JobID("graft-write", 0)
+      val tid = new org.apache.hadoop.mapreduce.TaskAttemptID(
+        new org.apache.hadoop.mapreduce.TaskID(jobId,
+          org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+        (attempt % Int.MaxValue).toInt)
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf.value, tid)
+      new TaskFileWriter(factory.newInstance(path, schema, ctx))
+    }
+
+    /** The prepared job conf — executor-side filesystem access for
+      * abort-time cleanup. */
+    def hadoopConf: org.apache.hadoop.conf.Configuration = conf.value
+  }
+
+  final class TaskFileWriter private[GraftWriteBridge] (
+      w: execution.datasources.OutputWriter) {
+    def write(row: InternalRow): Unit = w.write(row)
+    def close(): Unit = w.close()
+  }
+
+  /** Driver half: prepare the parquet writer factory for `schema`. */
+  def parquetWriterSetup(spark: SparkSession,
+      schema: StructType): TaskWriterSetup = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      cs.sessionState.newHadoopConf())
+    val factory = new execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(cs, job, Map("compression" -> "snappy"), schema)
+    // time columns as TIMESTAMP_MICROS, same as the staged write path:
+    // footer-prunable min/max (INT96, the deprecated default, has none)
+    job.getConfiguration.set(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
+    new TaskWriterSetup(factory,
+      new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+      schema)
+  }
+
+  /** Resolve `cols` against `schema` and return them BOUND to the
+    * schema's attribute order — per-row evaluation on executors of the
+    * exact expressions the DataFrame API would compute (the write
+    * path's partition transforms and CHECK predicates). */
+  def boundExprs(spark: SparkSession, schema: StructType,
+      cols: Seq[Column]): Seq[Expression] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val dummy = cs.createDataFrame(
+      cs.sparkContext.emptyRDD[Row], schema)
+    val analyzed = dummy.select(cols: _*).queryExecution.analyzed
+    val project = analyzed.asInstanceOf[catalyst.plans.logical.Project]
+    val childOut = project.child.output
+    project.projectList.map { e =>
+      val bare = e match { case a: Alias => a.child; case other => other }
+      BindReferences.bindReference(bare,
+        catalyst.expressions.AttributeSeq(childOut))
+    }
+  }
+}

@@ -180,39 +180,72 @@ class DsV2CatalogSpec extends AnyFunSuite {
       (("x1", 10.0)))
   }
 
-  test("INSERT pre-arranges to the bucket spec: one plan-visible exchange, one file per bucket") {
+  test("native INSERT: Spark plans the write exchange from the required distribution; one file per bucket") {
     val (root, _) = freshRoot()
-    val s0 = org.apache.spark.sql.GraftBridge
-      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
     val cat = mount(root)
-    s0.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
-    s0.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s0.sql(
+    spark.sql(
       s"""CREATE TABLE $cat.tb (id BIGINT, v STRING)
          |PARTITIONED BY (bucket(4, id))
          |TBLPROPERTIES ('sort-order'='id', 'stats-columns'='id')""".stripMargin)
-    // plan pin: the INSERT's analyzed plan carries the exchange on the
-    // bucket transform expression (AQE-visible), flagged pre-arranged so
-    // the staging write adds no second shuffle
-    s0.range(0, 100, 1, 8).createOrReplaceTempView("dist_src")
-    val ins = s0.sql(s"INSERT INTO $cat.tb " +
+    spark.range(0, 100, 1, 8).createOrReplaceTempView("dist_src")
+    // plan pin: the PHYSICAL write plan carries the exchange Spark
+    // inserted from LogAppendWrite's RequiresDistributionAndOrdering —
+    // clustering by the catalog-resolved bucket function, sorted within
+    // partitions, with NO extension rule involved (this is a plain
+    // session; the former InsertArrangeRule is retired)
+    val explained = spark.sql(s"EXPLAIN FORMATTED INSERT INTO $cat.tb " +
       "SELECT id, CAST(id AS STRING) AS v FROM dist_src")
-    val tree = ins.queryExecution.optimizedPlan.treeString
-    assert(tree.contains("RepartitionByExpression") &&
-      tree.contains("xxhash64") && tree.contains("graft.pre-arranged"),
-      tree.take(2000))
+      .head().getString(0)
+    assert(explained.contains("Exchange") && explained.contains("Sort") &&
+      explained.contains("hashpartitioning") &&
+      explained.contains("GraftBucketFunction"),
+      explained.take(2500))
+    spark.sql(s"INSERT INTO $cat.tb " +
+      "SELECT id, CAST(id AS STRING) AS v FROM dist_src")
     // e2e: a many-partition INSERT lands ONE file per bucket — the
-    // planner's exchange did the clustering, the stage added none
+    // planner's exchange clustered, the rolling writer split per tuple
     val s = SnapshotLog(spark, s"$root/tb").snapshot()
     assert(s.files.size == 4,
       s"4 buckets must land as 4 files (one per bucket), got ${s.files.size}")
     assert(s.partitions.values.toSeq.distinct.size == 4)
-    assert(s0.sql(s"SELECT count(*), sum(id) FROM $cat.tb").head().toSeq ==
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.tb").head().toSeq ==
       Seq(100L, 4950L))
-    // a plain session (no extensions) keeps the stage-side arrangement:
-    // same layout, correct rows
+    // per-file footer stats lifted by the native commit: the point
+    // lookup prunes to the one bucket file
+    val log = SnapshotLog(spark, s"$root/tb")
+    assert(log.snapshot().stats.nonEmpty, "native commit must lift stats")
     spark.sql(s"INSERT INTO $cat.tb VALUES (200L, 'x')")
     assert(spark.sql(s"SELECT count(*) FROM $cat.tb").head().getLong(0) == 101)
+  }
+
+  test("native INSERT into a days(ts)×bucket spec: tuples match the write path, files roll per tuple") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.tt (id BIGINT, ts TIMESTAMP, v STRING)
+         |PARTITIONED BY (days(ts), bucket(2, id))
+         |TBLPROPERTIES ('stats-columns'='id')""".stripMargin)
+    // two days × two buckets: the required distribution resolves days()
+    // and bucket() through the catalog's function surface
+    spark.sql(s"""INSERT INTO $cat.tt
+      |SELECT id, timestamp_micros(CAST(id % 2 AS BIGINT) * 86400000000 +
+      |  CAST(1700000000 AS BIGINT) * 1000000), CAST(id AS STRING)
+      |FROM range(0, 40, 1, 8)""".stripMargin)
+    val s = SnapshotLog(spark, s"$root/tt").snapshot()
+    val tuples = s.partitions.values.toSeq
+    assert(tuples.distinct.size == 4 && s.files.size == 4,
+      s"2 days × 2 buckets must land 4 files, got ${s.files.size} " +
+        s"(${tuples.distinct})")
+    // tuple VALUES must be the write path's rendering: epoch days
+    val epochDay = 1700000000L / 86400
+    assert(tuples.map(_.head).toSet ==
+      Set(epochDay.toString, (epochDay + 1).toString),
+      s"day tuples must be epoch days, got ${tuples.map(_.head).toSet}")
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $cat.tt")
+      .head().toSeq == Seq(40L, 780L))
+    // stats lifted under the DECLARED columns (the table had no files
+    // at create time — the declaration rides the table ref)
+    assert(s.stats.valuesIterator.flatMap(_.keys).toSet == Set("id"))
   }
 
   test("CREATE TABLE: declared shape lands in v1; every later writer inherits it") {
