@@ -117,6 +117,7 @@ object SparkEntry {
     "q52_log_sql_merge_evolve" -> (Relational.q52LogSqlMergeEvolve _), // oracle: MERGE WITH SCHEMA EVOLUTION (analyzer AddColumn + upsert in one statement) == set-algebraic recompute
     "q53_log_sql_element_evolution" -> (Relational.q53LogSqlElementEvolution _), // oracle: array<struct> element rename/add via ALTER, exploded read across the epoch boundary == textual recompute
     "q54_log_sql_general_dml" -> (Relational.q54LogSqlGeneralDml _), // oracle: OR-tree UPDATE + arithmetic-predicate DELETE through the expr counting planner == declarative recompute
+    "q55_log_spj_days" -> (Relational.q55LogSpjDays _), // oracle: day-aligned storage-partitioned join (days transform key-grouped scan reporting) == self-join recompute
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -260,6 +261,7 @@ object SparkEntry {
     "q52_log_sql_merge_evolve" -> Relational.q52Oracle,
     "q53_log_sql_element_evolution" -> Relational.q53Oracle,
     "q54_log_sql_general_dml" -> Relational.q54Oracle,
+    "q55_log_spj_days" -> Relational.q55Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

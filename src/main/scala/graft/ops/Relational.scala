@@ -1384,6 +1384,51 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded TIME-ALIGNED storage-partitioned join: two
+    * [[graft.table.SnapshotLog]] tables month(ts)-partitioned, joined
+    * on the timestamp — [[graft.table.LogBatchScan]] reports
+    * KeyGroupedPartitioning over the `months` transform (resolved
+    * through the catalog's function surface, same epoch arithmetic as
+    * the write path) and Spark aligns the two scans' month groups: at
+    * 100 TB a date-aligned fact-fact join moves NOTHING over the
+    * network, the time-spec sibling of q40's bucket join
+    * (StoragePartitionJoinSpec pins the shuffle-free plan at day
+    * granularity; this grades the end-to-end result — month keeps the
+    * fixture's file-per-tuple count bench-sized). */
+  def q55LogSpjDays(spark: SparkSession, dir: String): DataFrame = {
+    val root = logFixtureDirs.computeIfAbsent(s"spj55:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-spjd-").toString
+      val orders = t(spark, dir, "orders")
+      val a = graft.table.SnapshotLog.partitioned(spark, s"$tmp/ord_days_a",
+        Seq(graft.table.PartitionField("ts", "month")))
+      a.append(orders.select(col("o_orderdate").as("ts"),
+        col("o_totalprice").as("price"), col("o_orderkey")))
+      val b = graft.table.SnapshotLog.partitioned(spark, s"$tmp/ord_days_b",
+        Seq(graft.table.PartitionField("ts", "month")))
+      b.append(orders.select(col("o_orderdate").as("ts"),
+        col("o_custkey")))
+      tmp
+    })
+    val s = spjSession(spark)
+    withMountedCatalog(s, s"$root/ord_days_a") { tbl =>
+      val cat = tbl.split('.').head
+      s.sql(
+        s"""SELECT year(a.ts) AS yr, count(*) AS n_pairs,
+           |  CAST(sum(CAST(a.price AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+           |FROM $tbl a
+           |JOIN $cat.ord_days_b b ON a.ts = b.ts
+           |GROUP BY year(a.ts)
+           |ORDER BY yr""".stripMargin)
+    }
+  }
+
+  def q55Oracle: String =
+    """SELECT CAST(year(a.o_orderdate) AS INT) AS yr, count(*) AS n_pairs,
+      |  CAST(sum(CAST(a.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+      |FROM orders a JOIN orders b ON a.o_orderdate = b.o_orderdate
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,

@@ -481,20 +481,7 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     * DESCRIBE/SHOW surfaces, and the declared shape behind the scan's
     * reported key-grouped partitioning. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    snap.partitionSpec.map { pf =>
-      pf.transform match {
-        case "identity" => Expressions.identity(pf.source)
-        case "hour"     => Expressions.hours(pf.source)
-        case "day"      => Expressions.days(pf.source)
-        case "month"    => Expressions.months(pf.source)
-        case "year"     => Expressions.years(pf.source)
-        case t if t.startsWith("bucket") =>
-          Expressions.bucket(pf.bucketCount.get, pf.source)
-        case t => // truncate[W] and any future parametrized transform
-          Expressions.apply(t.takeWhile(_ != '['),
-            Expressions.column(pf.source))
-      }
-    }.toArray
+    snap.partitionSpec.map(_.v2Transform).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(log, snap.version, schema())
@@ -884,33 +871,48 @@ private[graft] final class LogBatchScan(private val log: SnapshotLog,
       case Some(groups) =>
         val s = log.snapshot(version)
         new KeyGroupedPartitioning(
-          s.partitionSpec.map(pf => Expressions.bucket(pf.bucketCount.get,
-            pf.source): org.apache.spark.sql.connector.expressions.Expression)
-            .toArray,
+          s.partitionSpec.map(pf => pf.v2Transform:
+            org.apache.spark.sql.connector.expressions.Expression).toArray,
           groups.size)
       case None => new UnknownPartitioning(0)
     }
 
-  /** `files` grouped by their bucket tuple — Some only when the whole
-    * planned set is uniformly bucket-partitioned under the CURRENT
-    * spec with parseable tuples (recorded as stringified ints; the
-    * Hive null marker never appears for bucket transforms, whose
-    * write expression maps NULL keys to the seed's bucket). */
+  /** `files` grouped by their partition tuple, each value decoded to
+    * the TYPED key the catalog's transform function produces for the
+    * same row ([[PartitionField.keyDecoder]] — int buckets, long epoch
+    * days/hours/months/years, column-typed identity/truncate keys) —
+    * Some only when the whole planned set sits under the CURRENT spec
+    * with decodable tuples. Storage-partitioned execution then aligns
+    * this scan's groups with any co-partitioned sibling: day-aligned
+    * fact-fact joins move ZERO rows, same as bucket joins. A tuple
+    * carrying the Hive NULL marker degrades to UnknownPartitioning —
+    * sound, never wrong (bucket/time transforms never write it; only
+    * identity/truncate over a nullable source can). */
   private def spjGroups(files: Seq[String])
       : Option[Seq[(InternalRow, Seq[String])]] = {
     val s = log.snapshot(version)
     val spec = s.partitionSpec
-    if (files.isEmpty || spec.isEmpty ||
-      !spec.forall(_.bucketCount.isDefined)) return None
+    if (files.isEmpty || spec.isEmpty) return None
     if (files.exists(f => s.specOf(f) != spec)) return None
+    val schema: Option[StructType] =
+      if (s.schemaJson.isEmpty) None
+      else Some(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+    val decoders = spec.map { pf =>
+      pf.keyDecoder(schema.flatMap(
+        _.fields.find(_.name == pf.source)).map(_.dataType))
+    }
+    if (decoders.exists(_.isEmpty)) return None
+    val ds = decoders.flatten
     val parsed = files.map { f =>
       s.partitions.get(f).filter(_.size == spec.size)
-        .flatMap(t => scala.util.Try(t.map(_.toInt)).toOption)
+        .filterNot(_.contains(PartitionField.NullPartition))
+        .flatMap(t => scala.util.Try(
+          t.zip(ds).map { case (v, d) => d(v) }).toOption)
         .map(f -> _)
     }
     if (parsed.exists(_.isEmpty)) return None
     Some(parsed.flatten.groupBy(_._2).toSeq.map { case (tuple, fs) =>
-      (new GenericInternalRow(tuple.map(v => v: Any).toArray): InternalRow,
+      (new GenericInternalRow(tuple.toArray[Any]): InternalRow,
         fs.map(_._1))
     })
   }

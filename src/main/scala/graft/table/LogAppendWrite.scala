@@ -81,31 +81,15 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
     region: Option[Seq[(String, Any, Any)]])
     extends Write with RequiresDistributionAndOrdering {
 
-  private def transformOf(pf: PartitionField): Transform = pf.transform match {
-    case "identity" => Expressions.identity(pf.source)
-    case "hour"     => Expressions.hours(pf.source)
-    case "day"      => Expressions.days(pf.source)
-    case "month"    => Expressions.months(pf.source)
-    case "year"     => Expressions.years(pf.source)
-    case t if t.startsWith("bucket") =>
-      Expressions.bucket(pf.bucketCount.get, pf.source)
-    case t if t.startsWith("truncate") =>
-      Expressions.apply("truncate",
-        Expressions.literal(t.stripPrefix("truncate[").stripSuffix("]").toInt),
-        Expressions.column(pf.source))
-    case other => throw new IllegalStateException(
-      s"native write planned over unknown transform $other")
-  }
-
   override def requiredDistribution(): Distribution =
     if (spec.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      spec.map(pf => transformOf(pf): VExpression).toArray)
+      spec.map(pf => pf.v2Transform: VExpression).toArray)
 
   /** Transforms first (one file per tuple per task), then the declared
     * sort order — the same arrangement [[SnapshotLog.stage]] produces. */
   override def requiredOrdering(): Array[VSortOrder] =
-    (spec.map(pf => Expressions.sort(transformOf(pf),
+    (spec.map(pf => Expressions.sort(pf.v2Transform,
       SortDirection.ASCENDING)) ++
       sortCols.map(c => Expressions.sort(Expressions.column(c),
         SortDirection.ASCENDING))).toArray

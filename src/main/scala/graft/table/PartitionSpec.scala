@@ -303,6 +303,59 @@ final case class PartitionField(source: String, transform: String) {
 
   /** Some(bucket count) iff this is a bucket transform — the
     * storage-partitioned-join surface ([[LogBatchScan]]) keys on it. */
+  /** This field as the DSv2 connector transform — ONE rendering shared
+    * by DESCRIBE surfaces ([[graft.table.GraftTableCatalog]]
+    * partitioning), the native write's required distribution and the
+    * scan's key-grouped reporting, so every consumer resolves the same
+    * function through the catalog ([[GraftTableCatalog.Functions]]).
+    * Truncate carries its WIDTH as a literal argument (bucket-style) —
+    * the function needs it to bind. */
+  private[table] def v2Transform: org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    kind match {
+      case PartitionField.Identity => Expressions.identity(source)
+      case PartitionField.Hour     => Expressions.hours(source)
+      case PartitionField.Day      => Expressions.days(source)
+      case PartitionField.Month    => Expressions.months(source)
+      case PartitionField.Year     => Expressions.years(source)
+      case PartitionField.Bucket   => Expressions.bucket(param, source)
+      case PartitionField.Truncate => Expressions.apply("truncate",
+        Expressions.literal(param), Expressions.column(source))
+    }
+  }
+
+  /** Decode this field's recorded partition-tuple STRING back to the
+    * typed key value the catalog function produces for the same row —
+    * what key-grouped scan reporting feeds Spark as the group key. None
+    * when the shape isn't soundly decodable (an identity/truncate over
+    * a type the spec machinery doesn't model). `colType` is the source
+    * column's declared type (identity/truncate keys take it). */
+  private[table] def keyDecoder(colType: Option[DataType])
+      : Option[String => Any] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    kind match {
+      case PartitionField.Bucket => Some(v => v.toInt)
+      case PartitionField.Hour | PartitionField.Day |
+           PartitionField.Month | PartitionField.Year =>
+        Some(v => v.toLong)
+      case PartitionField.Identity => colType.collect {
+        case ByteType    => (v: String) => v.toByte
+        case ShortType   => (v: String) => v.toShort
+        case IntegerType => (v: String) => v.toInt
+        case LongType    => (v: String) => v.toLong
+        case StringType  => (v: String) => UTF8String.fromString(v)
+      }
+      case PartitionField.Truncate => colType.collect {
+        // integral truncates render (and bind) as LONG; string keeps
+        // the prefix
+        case ByteType | ShortType | IntegerType | LongType =>
+          (v: String) => v.toLong
+        case StringType => (v: String) => UTF8String.fromString(v)
+      }
+    }
+  }
+
   private[table] def bucketCount: Option[Int] =
     if (kind == Bucket) Some(param) else None
 

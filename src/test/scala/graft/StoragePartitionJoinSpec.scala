@@ -91,18 +91,29 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("irregular layouts degrade to UnknownPartitioning, never a wrong plan") {
+  test("layout reporting: typed tuples group; null-marker tuples degrade to Unknown") {
     val root = Files.createTempDirectory("graft-spj-").toString
-    // non-bucket spec: day transform → no key-grouped report
+    // mixed bucket+identity: both decode to typed keys → key-grouped
     val t = SnapshotLog.partitioned(spark, s"$root/t",
       Seq(PartitionField.bucket("id", 4), PartitionField("id2", "identity")))
-    t.append((0 until 20).map(i => (i.toLong, i.toLong, s"x$i"))
+    t.append((0 until 20).map(i => (i.toLong, (i % 2).toLong, s"x$i"))
       .toDF("id", "id2", "v"))
     val scan = new graft.table.LogScanBuilder(t, t.currentVersion(),
       t.read().schema).build().asInstanceOf[graft.table.LogBatchScan]
     assert(scan.outputPartitioning()
+      .isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning],
+      "a mixed bucket+identity spec with decodable tuples groups")
+    // a NULL identity value lands the Hive null-marker tuple — the scan
+    // must degrade to Unknown rather than invent a key for it
+    val n = SnapshotLog.partitioned(spark, s"$root/n",
+      Seq(PartitionField("id2", "identity")))
+    n.append(Seq((1L, Some(5L), "a"), (2L, None, "b"))
+      .toDF("id", "id2", "v"))
+    val ns = new graft.table.LogScanBuilder(n, n.currentVersion(),
+      n.read().schema).build().asInstanceOf[graft.table.LogBatchScan]
+    assert(ns.outputPartitioning()
       .isInstanceOf[org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning],
-      "a mixed bucket+identity spec must not claim key-grouped layout")
+      "null-marker tuples must not claim key-grouped layout")
     // pure-bucket spec reports the grouped layout
     val u = SnapshotLog.partitioned(spark, s"$root/u",
       Seq(PartitionField.bucket("id", 4)))
@@ -113,5 +124,42 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     assert(kg.isInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning])
     assert(kg.asInstanceOf[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]
       .numPartitions() == 4)
+  }
+
+  test("day-partitioned tables join with ZERO shuffle: time transforms group like buckets") {
+    val root = Files.createTempDirectory("graft-spj-day-").toString
+    import org.apache.spark.sql.functions.{col, expr}
+    def dayed(n: String): SnapshotLog = {
+      val log = SnapshotLog.partitioned(spark, s"$root/$n",
+        Seq(PartitionField("ts", "day")))
+      log.append(spark.range(0, 120, 1, 4)
+        .withColumn("ts", expr(
+          "timestamp_micros((id % 3) * 86400000000 + 1700000000000000)"))
+        .withColumn(if (n == "a") "v" else "w", expr("CAST(id AS STRING)"))
+        .drop("id"))
+      log
+    }
+    dayed("a")
+    dayed("b")
+    val cat = mount(root)
+    val q = s"""SELECT f.ts, count(*) AS n FROM $cat.a f
+               |JOIN $cat.b d ON f.ts = d.ts GROUP BY f.ts""".stripMargin
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      // 3 days × 40 rows per side, all rows of a day share one ts value?
+      // no — ts has 3 distinct values; the join is 40×40 per day
+      assert(df.collect().map(_.getLong(1)).sorted.toSeq == Seq(1600L, 1600L, 1600L))
+      val joinShuffles = shuffles(df.queryExecution.executedPlan)
+      // the GROUP BY may shuffle; the JOIN itself must not — no exchange
+      // may sit BELOW the join
+      val plan = df.queryExecution.executedPlan.toString
+      val joinAt = plan.indexOf("SortMergeJoin")
+      assert(joinAt >= 0, plan.take(1500))
+      assert(!plan.substring(joinAt).contains("Exchange"),
+        s"day-aligned sides must join with no shuffle below the join:\n" +
+          plan.substring(joinAt).take(1200))
+    }
   }
 }
