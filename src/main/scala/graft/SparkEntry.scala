@@ -118,6 +118,7 @@ object SparkEntry {
     "q53_log_sql_element_evolution" -> (Relational.q53LogSqlElementEvolution _), // oracle: array<struct> element rename/add via ALTER, exploded read across the epoch boundary == textual recompute
     "q54_log_sql_general_dml" -> (Relational.q54LogSqlGeneralDml _), // oracle: OR-tree UPDATE + arithmetic-predicate DELETE through the expr counting planner == declarative recompute
     "q55_log_spj_days" -> (Relational.q55LogSpjDays _), // oracle: day-aligned storage-partitioned join (days transform key-grouped scan reporting) == self-join recompute
+    "q56_log_sql_dynamic_overwrite" -> (Relational.q56LogSqlDynamicOverwrite _), // oracle: INSERT OVERWRITE under dynamic mode swaps exactly the touched tuples (native-write-only SQL verb) == recomputed final state
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -262,6 +263,7 @@ object SparkEntry {
     "q53_log_sql_element_evolution" -> Relational.q53Oracle,
     "q54_log_sql_general_dml" -> Relational.q54Oracle,
     "q55_log_spj_days" -> Relational.q55Oracle,
+    "q56_log_sql_dynamic_overwrite" -> Relational.q56Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

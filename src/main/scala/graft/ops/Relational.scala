@@ -1429,6 +1429,75 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded SQL DYNAMIC partition overwrite ([[graft.table.SnapshotLog
+    * .commitNativeOverwritePartitions]] via the native batch write —
+    * Spark's OverwritePartitionsDynamic has NO V1 fallback, so this SQL
+    * spelling only exists because of it): under
+    * `partitionOverwriteMode=dynamic`, `INSERT OVERWRITE` with no
+    * PARTITION clause swaps exactly the partitions the batch's tuples
+    * touch (nations 3 and 7 here, recomputed with shifted keys and
+    * doubled balances), pure manifest arithmetic for the delete half,
+    * untouched partitions carrying by name. The per-nation aggregate
+    * exposes any slip — an over-wide swap (static semantics leaking
+    * in), a lost partition, rows landing outside their tuples — as a
+    * hash mismatch against DuckDB's recompute. */
+  def q56LogSqlDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"dyn56:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-dyn-")
+        .resolve("t").toString
+      graft.table.SnapshotLog.partitioned(spark, tmp,
+        Seq(graft.table.PartitionField.identity("c_nationkey")),
+        statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal")))  // v1
+      val before = graft.table.SnapshotLog(spark, tmp).snapshot()
+      val keep = before.files.filter(f =>
+        !Set("3", "7").contains(before.partitions(f).head))
+      withMountedCatalog(spark, tmp) { tbl =>
+        t(spark, dir, "customer").createOrReplaceTempView("q56_customer_src")
+        withConfs(spark,
+          "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+          spark.sql(                                                 // v2
+            s"""INSERT OVERWRITE $tbl
+               |SELECT c_custkey + 700000, c_nationkey,
+               |  CAST(c_acctbal * 2 AS DOUBLE)
+               |FROM q56_customer_src WHERE c_nationkey IN (3, 7)""".stripMargin)
+        }
+      }
+      val after = graft.table.SnapshotLog(spark, tmp).snapshot()
+      require(after.op == "replace_where",
+        s"q56 fixture: the dynamic overwrite must swap tuples, got '${after.op}'")
+      require(keep.forall(after.files.contains),
+        "q56 fixture: untouched partitions must carry by name")
+      tmp
+    })
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT c_nationkey, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+           |  min(c_custkey) AS min_key
+           |FROM $tbl
+           |GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin)
+    }
+  }
+
+  def q56Oracle: String =
+    """WITH final AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal
+      |  FROM customer WHERE c_nationkey NOT IN (3, 7)
+      |  UNION ALL
+      |  SELECT c_custkey + 700000, c_nationkey,
+      |    CAST(c_acctbal * 2 AS DOUBLE)
+      |  FROM customer WHERE c_nationkey IN (3, 7)
+      |)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal,
+      |  min(c_custkey) AS min_key
+      |FROM final
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,

@@ -434,6 +434,7 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       // requires one tier per table)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** Manifest facts as table properties — `DESCRIBE TABLE EXTENDED` /
@@ -517,22 +518,29 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireHead("INSERT")
     new WriteBuilder
-        with org.apache.spark.sql.connector.write.SupportsOverwrite {
-      private var region: Option[Array[Filter]] = None
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      private var mode: LogAppendWrite.Mode = LogAppendWrite.Append
       override def overwrite(filters: Array[Filter]): WriteBuilder = {
-        region = Some(filters); this
-      }
-      override def build(): Write = {
-        val ranges: Option[Seq[(String, Any, Any)]] = region.map { fs =>
-          LogTable.exactRanges(fs).getOrElse(
-            throw new UnsupportedOperationException(
-              s"INSERT OVERWRITE on ${log.tableDir}: condition " +
-                s"${fs.mkString(" AND ")} does not convert exactly to " +
-                "point/range predicates — use the typed " +
-                "SnapshotLog.overwriteWhere for this shape"))
+        mode = LogTable.exactRanges(filters) match {
+          case Some(Nil)    => LogAppendWrite.OverwriteAll
+          case Some(ranges) => LogAppendWrite.OverwriteWhere(ranges)
+          case None => throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE on ${log.tableDir}: condition " +
+              s"${filters.mkString(" AND ")} does not convert exactly to " +
+              "point/range predicates — use the typed " +
+              "SnapshotLog.overwriteWhere for this shape")
         }
-        LogAppendWrite.build(log, info, ranges)
+        this
       }
+      // `INSERT OVERWRITE` under partitionOverwriteMode=dynamic: swap
+      // exactly the partitions the batch's tuples touch — the typed
+      // overwritePartitions, SQL-reachable only through the native write
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        mode = LogAppendWrite.OverwriteDynamic
+        this
+      }
+      override def build(): Write = LogAppendWrite.build(log, info, mode)
     }
   }
 

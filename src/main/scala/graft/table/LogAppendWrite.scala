@@ -1,9 +1,9 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, GraftWriteBridge, SparkSession}
+import org.apache.spark.sql.{GraftWriteBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, Transform, SortOrder => VSortOrder, Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder, Expression => VExpression}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.types.StructType
 
@@ -38,12 +38,21 @@ import org.apache.spark.sql.types.StructType
   * overwrite-all / replace_where cores) instead of the append core. */
 private[graft] object LogAppendWrite {
 
+  /** Which commit the driver runs over the written files. */
+  sealed trait Mode
+  case object Append extends Mode
+  case object OverwriteAll extends Mode
+  final case class OverwriteWhere(ranges: Seq[(String, Any, Any)]) extends Mode
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` —
+    * Spark's OverwritePartitionsDynamic has no V1 fallback, so the
+    * native write is what makes the SQL spelling possible at all. */
+  case object OverwriteDynamic extends Mode
+
   /** Build the write: captures the table's live shape, prepares the
     * parquet writer factory and resolves the tuple/check expressions —
-    * all driver-side, before any task runs. `region` — None = append,
-    * Some(Nil) = full overwrite, Some(ranges) = replace_where. */
+    * all driver-side, before any task runs. */
   def build(log: SnapshotLog, info: LogicalWriteInfo,
-      region: Option[Seq[(String, Any, Any)]]): Write = {
+      mode: Mode): Write = {
     val spark = SparkSession.active
     val writeSchema = info.schema()
     val (spec, sortCols) = log.liveWriteShape()
@@ -68,7 +77,7 @@ private[graft] object LogAppendWrite {
     val setup = GraftWriteBridge.parquetWriterSetup(spark, writeSchema)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     new LogAppendWriteImpl(log, writeSchema, spec, sortCols, tupleExprs,
-      checks, listed, setup, commitId, region)
+      checks, listed, setup, commitId, mode)
   }
 }
 
@@ -78,7 +87,7 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     listedChecks: Map[String, String],
     setup: GraftWriteBridge.TaskWriterSetup, commitId: String,
-    region: Option[Seq[(String, Any, Any)]])
+    mode: LogAppendWrite.Mode)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -114,15 +123,18 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
             "nothing published")
       }
       val fileTuples = files.map(f => (f.name, f.tuple, f.rows))
-      try region match {
-        case None =>
+      try mode match {
+        case LogAppendWrite.Append =>
           log.commitNativeAppend(fileTuples, writeSchema.json, spec,
             listedChecks)
-        case Some(Nil) =>
+        case LogAppendWrite.OverwriteAll =>
           log.commitNativeOverwriteAll(fileTuples, writeSchema.json, spec,
             listedChecks)
-        case Some(ranges) =>
+        case LogAppendWrite.OverwriteWhere(ranges) =>
           log.commitNativeOverwriteWhere(ranges, fileTuples,
+            writeSchema, spec, listedChecks)
+        case LogAppendWrite.OverwriteDynamic =>
+          log.commitNativeOverwritePartitions(fileTuples,
             writeSchema, spec, listedChecks)
       }
       catch { case e: Throwable => deleteFiles(files); throw e }

@@ -3498,7 +3498,41 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(base.files.forall(f => base.specOf(f) == base.partitionSpec),
       s"$tableDir carries partition-spec evolution debt — old-spec " +
         "tuples are incomparable; compact() to converge the layout first")
-    val staged = stage(df, base = Some(base))
+    overwritePartitionsStaged(base, stage(df, base = Some(base)), df, txn)
+  }
+
+  /** The native write's dynamic-partition overwrite commit (`INSERT
+    * OVERWRITE` under `partitionOverwriteMode=dynamic` — Spark's
+    * OverwritePartitionsDynamic plan, which has NO V1 fallback; the
+    * native BatchWrite is what makes the SQL spelling possible). Same
+    * guards and commit as [[overwritePartitions]]. */
+  private[graft] def commitNativeOverwritePartitions(
+      files: Seq[(String, Seq[String], Long)],
+      writeSchema: org.apache.spark.sql.types.StructType,
+      spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Option[Snapshot] = {
+    val base = snapshot()
+    require(commitSpec(base).nonEmpty,
+      s"$tableDir has no partition spec — dynamic partition overwrite " +
+        "is partition-wise by definition; use overwriteAll/overwriteWhere")
+    require(base.tombstones.isEmpty,
+      s"$tableDir has unmaterialized key tombstones; run compact() first")
+    require(base.files.forall(f => base.specOf(f) == base.partitionSpec),
+      s"$tableDir carries partition-spec evolution debt — old-spec " +
+        "tuples are incomparable; compact() to converge the layout first")
+    def newRows: DataFrame =
+      if (files.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+      else spark.read.schema(writeSchema).parquet(
+        files.map(f => new Path(dataDir, f._1).toString): _*)
+    overwritePartitionsStaged(base,
+      nativeStaged(files, writeSchema.json, spec, listedChecks),
+      newRows, None)
+  }
+
+  private def overwritePartitionsStaged(base: Snapshot, staged: Staged,
+      newRows: => DataFrame,
+      txn: Option[(String, Long)]): Option[Snapshot] = {
     if (staged.rows == 0) { discard(staged); return None }
     policyGuard(staged)
     val tuples = staged.partitions.values.toSet
@@ -3526,7 +3560,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val changeStaged =
       if (!recordCdc) None
       else {
-        val ins = df.withColumn("_change_type", lit("insert"))
+        val ins = newRows.withColumn("_change_type", lit("insert"))
         val all =
           if (dvDropped.isEmpty) ins
           else ins.unionByName(

@@ -173,6 +173,43 @@ class OverwriteSpec extends AnyFunSuite {
       Set((2L, 0L, "b"), (5L, 1L, "d")))
   }
 
+  test("SQL dynamic partition overwrite: INSERT OVERWRITE under dynamic mode swaps touched tuples") {
+    val root = Files.createTempDirectory("graft-ovw-dyn-").toString
+    val log = SnapshotLog.partitioned(spark, s"$root/t",
+      Seq(PartitionField.identity("grp")), statsColumns = Seq("id"))
+    log.append((0 until 12).map(i => (i.toLong, (i % 3).toLong, s"a$i"))
+      .toDF("id", "grp", "v")) // grp 0, 1, 2
+    val before = log.snapshot()
+    val keep = before.files.filter(f => before.partitions(f).head == "0")
+    graft.ops.Relational.withConfs(spark,
+      "spark.sql.catalog.govd" -> classOf[GraftTableCatalog].getName,
+      "spark.sql.catalog.govd.root" -> root,
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      // no PARTITION clause: under dynamic mode the batch's tuples
+      // (grp 1 and 2) define the swap — OverwritePartitionsDynamic has
+      // no V1 fallback; this runs the native batch write end-to-end
+      spark.sql(
+        """INSERT OVERWRITE govd.t
+          |VALUES (100L, 1L, 'n1'), (101L, 2L, 'n2')""".stripMargin)
+    }
+    val s = log.snapshot()
+    assert(s.op == "replace_where",
+      s"dynamic SQL overwrite must commit the tuple swap, got '${s.op}'")
+    assert(keep.forall(s.files.contains), "grp=0 must carry by name")
+    assert(log.read().select("id", "grp", "v")
+      .as[(Long, Long, String)].collect().toSet ==
+      ((0 until 12).filter(_ % 3 == 0)
+        .map(i => (i.toLong, (i % 3).toLong, s"a$i")).toSet ++
+        Set((100L, 1L, "n1"), (101L, 2L, "n2"))))
+    // STATIC mode (the default) on the same table still replaces ALL
+    graft.ops.Relational.withConfs(spark,
+      "spark.sql.catalog.govd" -> classOf[GraftTableCatalog].getName,
+      "spark.sql.catalog.govd.root" -> root) {
+      spark.sql("INSERT OVERWRITE govd.t VALUES (200L, 0L, 'z')")
+    }
+    assert(log.read().count() == 1 && log.snapshot().op == "overwrite")
+  }
+
   test("mirror converges across an evolve_spec boundary without operator action") {
     // source: identity(grp) → evolve to bucket(id) → dynamic overwrite
     val src = new SnapshotLog(spark, fresh(), Seq("id"),
