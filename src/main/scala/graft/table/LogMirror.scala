@@ -199,6 +199,16 @@ object LogMirror {
           dst.deleteWhereTxn(s.changes.get.preds.map(ChangePred.decode),
             Some((lane, v)))
           newlyApplied += 1
+        case "delete" if s.changes.exists(_.predSql.nonEmpty) =>
+          // GENERAL-predicate replay: the source validated the SQL text
+          // round-trips at commit time; the replica re-evaluates the
+          // same deterministic expression over its own rows (in-sync
+          // invariant — same rows match), full counting planner
+          materializePending(dst)
+          dst.deleteWhereExpr(
+            org.apache.spark.sql.functions.expr(s.changes.get.predSql),
+            Nil, Some((lane, v)))
+          newlyApplied += 1
         case "replace_where" if s.changes.exists(_.preds.nonEmpty) =>
           // predicate + insert-image replay: the replica replaces ITS
           // OWN region matching the predicates with the shipped batch,
@@ -298,6 +308,21 @@ object LogMirror {
             .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
             .drop("_change_type")
           dst.applyUpdate(ucs.preds.map(ChangePred.decode), posts,
+            Some((lane, v)))
+          newlyApplied += 1
+        case "update" if s.changes.exists(c =>
+            c.predSql.nonEmpty && c.files.nonEmpty) =>
+          // general-predicate update: recorded SQL text + post-images,
+          // same matched == post-image count assertion inside
+          materializePending(dst)
+          val xcs = s.changes.get
+          val xdataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
+          val xposts = src.session.read
+            .parquet(xcs.files.map(f => new Path(xdataDir, f).toString): _*)
+            .where(org.apache.spark.sql.functions.col("_change_type") === "insert")
+            .drop("_change_type")
+          dst.applyUpdateExpr(
+            org.apache.spark.sql.functions.expr(xcs.predSql), xposts,
             Some((lane, v)))
           newlyApplied += 1
         case "merge" if s.changes.exists(_.keyColumn.nonEmpty) =>

@@ -288,7 +288,13 @@ object ChangePred {
   *    its recorded post-images). */
 final case class ChangeSet(files: Seq[String] = Nil,
     deletedDataFiles: Seq[String] = Nil,
-    keyColumn: String = "", preds: Seq[ChangePred] = Nil)
+    keyColumn: String = "", preds: Seq[ChangePred] = Nil,
+    /** A GENERAL row predicate (deleteWhereExpr/updateWhereExpr) as
+      * round-trippable SQL text — recorded when the expression renders
+      * and re-parses (validated at commit); empty otherwise. What lets
+      * [[LogMirror]] replay an expr delete/update on a replica instead
+      * of refusing to the resync contract. */
+    predSql: String = "")
 
 /** One WHEN clause of a general merge ([[SnapshotLog.mergeClauses]]).
   * `cond` is evaluated over the JOINED row: target columns under their
@@ -730,7 +736,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             ChangePred(p.get("c").asText(), p.get("t").asText(),
               p.get("lo").asText(), p.get("hi").asText())
           }.toSeq
-        }.getOrElse(Nil))
+        }.getOrElse(Nil),
+        Option(cn.get("predSql")).map(_.asText()).getOrElse(""))
     }
     segNamesCache.put(v, segNames)
     if (segNames.isEmpty)
@@ -1939,21 +1946,67 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * arbitrary predicate (one counting pass over the table; still
     * O(matched) committed through the DV arm). Metadata-only
     * whole-file drops don't apply (file stats cannot prove an
-    * arbitrary predicate matches every row), and the change feed
-    * records rows-only images (the predicate is not manifest-encodable
-    * — mirrors resync per the documented contract). NULL-valued
-    * conditions never match, matching SQL `WHERE`. */
+    * arbitrary predicate matches every row). The change feed records
+    * the predicate as round-trip-validated SQL TEXT
+    * ([[ChangeSet.predSql]]) so mirrors replay it; an unrenderable
+    * expression degrades to rows-only images + the resync contract.
+    * NULL-valued conditions never match, matching SQL `WHERE`. */
   def deleteWhereExpr(cond: Column,
       hints: Seq[(String, Any, Any)] = Nil,
       txn: Option[(String, Long)] = None,
-      mode: String = "auto"): Option[Snapshot] =
+      mode: String = "auto"): Option[Snapshot] = {
+    requireDeterministic(cond, "deleteWhereExpr")
     deleteCore(hints, Some(cond), txn, mode)
+  }
+
+  /** A general predicate must be deterministic: the exact-counting
+    * planner re-evaluates it across the counting, rewrite and DV
+    * staging passes (they must agree row-for-row), and the change feed
+    * replays it on mirrors. Spark itself refuses non-deterministic
+    * expressions inside the counting aggregate — this guard says it in
+    * this API's words, before any work runs. Determinism is only
+    * decidable on the RESOLVED expression (an unresolved function node
+    * reports deterministic vacuously), so the condition resolves
+    * against the table's schema here; an unresolvable condition passes
+    * through to fail with the planner's own error. */
+  private def requireDeterministic(cond: Column, what: String): Unit = {
+    val base = snapshot()
+    if (base.schemaJson.isEmpty) return
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    scala.util.Try(org.apache.spark.sql.GraftBridge
+      .logicalPlan(dummy.where(cond))).foreach { plan =>
+      val det = plan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.deterministic
+      }.getOrElse(true)
+      require(det,
+        s"$what on $tableDir: the predicate is non-deterministic — the " +
+          "planner's counting, rewrite and staging passes must agree " +
+          "row-for-row; compute the condition into a column first")
+    }
+  }
 
   def deleteWhereTxn(preds0: Seq[(String, Any, Any)],
       txn: Option[(String, Long)] = None,
       mode: String = "auto"): Option[Snapshot] = {
     require(preds0.nonEmpty, "deleteWhere needs at least one (column, lo, hi)")
     deleteCore(preds0, None, txn, mode)
+  }
+
+  /** `cond` as round-trippable SQL text — empty when the expression is
+    * non-deterministic or does not survive a render→parse round trip
+    * (the change feed then records rows-only images and mirrors use
+    * the resync contract). Validated HERE, at commit time, so a
+    * recorded predicate always replays. */
+  private def renderPredSql(cond: Column): String = {
+    val e = org.apache.spark.sql.GraftBridge.toExprEager(spark, cond)
+    if (!e.deterministic) return ""
+    scala.util.Try(e.sql).toOption.filter(sql =>
+      scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql))
+        .isSuccess).getOrElse("")
   }
 
   private def deleteCore(preds0: Seq[(String, Any, Any)],
@@ -2084,7 +2137,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       }
     // with a general predicate the hints are a SUPERSET of the matched
     // rows — recording them as the change predicates would replay a
-    // WIDER delete on a replica; rows-only CDC instead (resync contract)
+    // WIDER delete on a replica; the FULL predicate records as SQL text
+    // instead when it round-trips (else rows-only + resync contract)
     val encodedPreds =
       if (extraCond.isDefined) Seq(None)
       else preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
@@ -2094,7 +2148,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         files = changeStaged.map(_.files).getOrElse(Nil),
         deletedDataFiles = dropped,
         preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
-          else Nil)) // one unencodable bound → rows-only CDC, no replay
+          else Nil, // one unencodable bound → rows-only CDC, no replay
+        predSql = extraCond.map(renderPredSql).getOrElse("")))
     val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
@@ -2224,6 +2279,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     require(set.nonEmpty, "updateWhereExpr needs at least one (column, value)")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate assignment columns: ${set.map(_._1).mkString(", ")}")
+    requireDeterministic(cond, "updateWhereExpr")
     updateCore(hints, Some(cond), Left(set), txn, mode)
   }
 
@@ -2237,6 +2293,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private[table] def applyUpdate(preds0: Seq[(String, Any, Any)],
       postImages: DataFrame, txn: Option[(String, Long)]): Option[Snapshot] =
     updateCore(preds0, None, Right(postImages), txn, "auto")
+
+  /** [[applyUpdate]]'s sibling for GENERAL-predicate updates: the
+    * replica retires its rows matching the recorded predicate SQL
+    * ([[ChangeSet.predSql]] — validated round-trippable at the source's
+    * commit) and lands the shipped post-images, same matched-count
+    * assertion, same lane watermark. */
+  private[table] def applyUpdateExpr(cond: Column,
+      postImages: DataFrame, txn: Option[(String, Long)]): Option[Snapshot] =
+    updateCore(Nil, Some(cond), Right(postImages), txn, "auto")
 
   private def updateCore(preds0: Seq[(String, Any, Any)],
       extraCond: Option[Column],
@@ -2359,9 +2424,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         val st = stage(pre.unionByName(post), partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
       }
-    // general-predicate updates record rows-only images: the hints are
-    // a superset of the matched rows, so replaying them as predicates
-    // would retire too many replica rows (same contract as deleteCore)
+    // general-predicate updates: the hints are a superset of the
+    // matched rows, so replaying them as predicates would retire too
+    // many replica rows — the FULL predicate records as SQL text when
+    // it round-trips (same contract as deleteCore)
     val encodedPreds =
       if (extraCond.isDefined) Seq(None)
       else preds.map { case (c, lo, hi) => ChangePred.encode(c, lo, hi) }
@@ -2370,7 +2436,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       else Some(ChangeSet(
         files = changeStaged.map(_.files).getOrElse(Nil),
         preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
-          else Nil)) // one unencodable bound → rows-only CDC, no replay
+          else Nil, // one unencodable bound → rows-only CDC, no replay
+        predSql = extraCond.map(renderPredSql).getOrElse("")))
     val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val (survFiles, survBytes, survStats, survFileRows, survBlooms,
@@ -4782,6 +4849,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             .put("lo", p.lo).put("hi", p.hi)
         }
       }
+      if (cs.predSql.nonEmpty) cn.put("predSql", cs.predSql)
     }
     node
   }

@@ -277,6 +277,35 @@ class UpdateSpec extends AnyFunSuite {
       "WHERE id > 1000)", "subquery")
   }
 
+  test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
+    val src = clustered(freshTable(), feed = true)
+    val dst = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
+    graft.table.LogMirror.mirror(src, dst) // in sync at v4
+    // general-predicate UPDATE: OR across files — recorded as SQL text
+    src.updateWhereExpr(col("id") === 5 || col("id") === 305,
+      Seq("payload" -> concat(col("payload"), lit("!"))))
+    // general-predicate DELETE: arithmetic condition
+    src.deleteWhereExpr(col("id") % 100 === 7 && col("id") < 200)
+    graft.table.LogMirror.mirror(src, dst)
+    assert(dst.read().count() == src.read().count())
+    assert(dst.read().where(col("id").isin(5, 305))
+      .select("payload").as[String].collect().toSet ==
+      Set("r0-5!", "r3-5!"))
+    assert(dst.read().where(col("id").isin(7, 107)).count() == 0)
+    assert(dst.read().where(col("id") === 207).count() == 1,
+      "the delete's < 200 bound must replay exactly")
+    graft.table.LogMirror.mirror(src, dst) // idempotent re-walk
+    assert(dst.read().count() == src.read().count())
+    // a non-deterministic predicate refuses up front (the counting
+    // planner's passes must agree row-for-row — Spark would refuse it
+    // inside the aggregate anyway; this names the contract)
+    val ex = intercept[IllegalArgumentException] {
+      src.deleteWhereExpr(col("id") >= 390 &&
+        org.apache.spark.sql.functions.rand(7) >= -1)
+    }
+    assert(ex.getMessage.contains("non-deterministic"), ex.getMessage)
+  }
+
 
   private def rowsOf(s: org.apache.spark.sql.SparkSession,
       cat: String): Map[Long, String] = {
