@@ -104,8 +104,8 @@ private[graft] object GraftYearsUnbound extends GraftTimeUnbound("years") {
 }
 
 private[graft] final class GraftTimeFunction(fname: String, dt: DataType)
-    extends ScalarFunction[Long] {
-  import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    extends ScalarFunction[java.lang.Long] { // boxed: a NULL source returns null
+  import org.apache.spark.sql.types.DateType
 
   override def inputTypes(): Array[DataType] = Array(dt)
   override def resultType(): DataType = org.apache.spark.sql.types.LongType
@@ -121,18 +121,23 @@ private[graft] final class GraftTimeFunction(fname: String, dt: DataType)
     case _        => Math.floorDiv(input.getLong(0), 86400000000L)
   }
 
-  override def produceResult(input: InternalRow): Long = fname match {
-    case "hours" =>
-      dt match {
-        case DateType => epochDay(input) * 24L // midnight of the date
-        case _        => Math.floorDiv(input.getLong(0), 3600000000L)
-      }
-    case "days" => epochDay(input)
-    case "months" =>
-      val d = java.time.LocalDate.ofEpochDay(epochDay(input))
-      (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
-    case "years" =>
-      (java.time.LocalDate.ofEpochDay(epochDay(input)).getYear - 1970).toLong
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    // a NULL source stays NULL, like writeExpr's null-propagating
+    // arithmetic (null rows land the Hive default partition)
+    if (input.isNullAt(0)) return null
+    fname match {
+      case "hours" =>
+        dt match {
+          case DateType => epochDay(input) * 24L // midnight of the date
+          case _        => Math.floorDiv(input.getLong(0), 3600000000L)
+        }
+      case "days" => epochDay(input)
+      case "months" =>
+        val d = java.time.LocalDate.ofEpochDay(epochDay(input))
+        (d.getYear - 1970).toLong * 12L + (d.getMonthValue - 1)
+      case "years" =>
+        (java.time.LocalDate.ofEpochDay(epochDay(input)).getYear - 1970).toLong
+    }
   }
 }
 
@@ -162,17 +167,20 @@ private[graft] final class GraftTruncateFunction(colType: DataType)
   override def inputTypes(): Array[DataType] = Array(IntegerType, colType)
   override def resultType(): DataType =
     if (colType == StringType) StringType else LongType
+  override def isResultNullable: Boolean = true
   override def name(): String = "truncate"
   override def canonicalName(): String =
     s"graft.truncate(${colType.catalogString})"
 
   override def produceResult(input: InternalRow): Any = {
+    // a NULL source stays NULL, like writeExpr (null rows land the
+    // Hive default partition; the write distribution may see them)
+    if (input.isNullAt(1)) return null
     val w = input.getInt(0)
     colType match {
       case StringType =>
-        val s = input.getUTF8String(1)
         // writeExpr uses substring(c, 1, w) — character semantics
-        s.substringSQL(1, w)
+        input.getUTF8String(1).substringSQL(1, w)
       case ByteType  => floorTo(input.getByte(1).toLong, w)
       case ShortType => floorTo(input.getShort(1).toLong, w)
       case IT        => floorTo(input.getInt(1).toLong, w)

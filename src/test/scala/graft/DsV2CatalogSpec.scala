@@ -248,6 +248,30 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(s.stats.valuesIterator.flatMap(_.keys).toSet == Set("id"))
   }
 
+  test("native INSERT with NULL transform sources: null rows land the default partition") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.tn (id BIGINT, ts TIMESTAMP, s STRING)
+         |PARTITIONED BY (days(ts), truncate(2, s))""".stripMargin)
+    // one row with NULL ts AND NULL s: both transform functions must
+    // return null (not 0 / not NPE) so the row lands the Hive default
+    // partition, exactly like the staged write path
+    spark.sql(s"INSERT INTO $cat.tn VALUES " +
+      "(1, timestamp_micros(1700000000000000), 'abcd'), " +
+      "(2, timestamp_micros(1700000000000000), 'abzz'), " +
+      "(3, NULL, NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tn").head().getLong(0) == 3)
+    val s = SnapshotLog(spark, s"$root/tn").snapshot()
+    val tuples = s.partitions.values.toSeq
+    assert(tuples.exists(_.forall(_ == "__HIVE_DEFAULT_PARTITION__")),
+      s"the null row must land the default partition, got $tuples")
+    assert(tuples.exists(_.last == "ab"),
+      s"truncate(2) must prefix non-null strings, got $tuples")
+    assert(spark.sql(s"SELECT id FROM $cat.tn WHERE ts IS NULL")
+      .head().getLong(0) == 3)
+  }
+
   test("CREATE TABLE: declared shape lands in v1; every later writer inherits it") {
     val (root, _) = freshRoot()
     val cat = mount(root)
