@@ -302,8 +302,39 @@ object GraftWriteBridge {
     val childOut = project.child.output
     project.projectList.map { e =>
       val bare = e match { case a: Alias => a.child; case other => other }
-      BindReferences.bindReference(bare,
+      BindReferences.bindReference(expandReplaceable(bare),
         catalyst.expressions.AttributeSeq(childOut))
     }
+  }
+
+  /** Expand analysis-time sugar so the bound expression is EVALUABLE.
+    * The plans here are analyzed but never optimized ([[boundExprs]]
+    * evaluates per row on executors, outside any query), so
+    * `RuntimeReplaceable` nodes — `to_date`/`date_trunc` inside the
+    * partition-transform write expressions, BETWEEN / `nvl` in CHECK
+    * SQL — still carry their unevaluable sugar form: the optimizer's
+    * ReplaceExpressions rule is what normally swaps in `replacement`,
+    * and `UnsafeProjection.create`/`Predicate.create` assert on the
+    * sugar node. Replacements can nest further sugar and share inputs
+    * through `With` common-subexpression blocks, so expand to fixpoint
+    * and inline `CommonExpressionRef`s (same decomposition as
+    * `graft.table.LogDml.generalCond`). */
+  private def expandReplaceable(expr: Expression): Expression = {
+    import catalyst.expressions.{CommonExpressionRef, RuntimeReplaceable, With}
+    var cur = expr
+    var rounds = 0
+    while (rounds < 32 && cur.exists(e =>
+        e.isInstanceOf[RuntimeReplaceable] || e.isInstanceOf[With])) {
+      rounds += 1
+      cur = cur.transformUp {
+        case r: RuntimeReplaceable => r.replacement
+        case w: With =>
+          val byId = w.defs.map(d => d.id -> d.child).toMap
+          w.child.transformUp {
+            case ref: CommonExpressionRef => byId.getOrElse(ref.id, ref)
+          }
+      }
+    }
+    cur
   }
 }

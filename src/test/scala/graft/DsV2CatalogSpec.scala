@@ -248,6 +248,40 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(s.stats.valuesIterator.flatMap(_.keys).toSet == Set("id"))
   }
 
+  test("native INSERT through sugar-bearing transforms: months(ts), days(DATE), BETWEEN CHECK") {
+    // regression: these write expressions carry RuntimeReplaceable
+    // sugar (to_date/date_add in the month and days-on-DATE paths,
+    // BETWEEN's With block in CHECK SQL) that the optimizer never
+    // expands on boundExprs' analyzed-only plans — the bound
+    // projection must still be evaluable on executors
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.tm (id BIGINT, ts TIMESTAMP, d DATE,
+         |  CONSTRAINT id_band CHECK (id BETWEEN 0 AND 1000))
+         |PARTITIONED BY (months(ts), days(d))""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.tm VALUES " +
+      "(1, TIMESTAMP'2024-01-15 10:00:00', DATE'2024-01-15'), " +
+      "(2, TIMESTAMP'2024-03-05 11:00:00', DATE'2024-03-05')")
+    val s = SnapshotLog(spark, s"$root/tm").snapshot()
+    val tuples = s.partitions.values.toSeq
+    // month tuples are epoch months ((y-1970)*12 + m-1); day tuples epoch days
+    assert(tuples.map(_.head).toSet == Set("648", "650"),
+      s"month tuples must be epoch months, got $tuples")
+    assert(tuples.map(_.last).toSet ==
+      Set(java.time.LocalDate.parse("2024-01-15").toEpochDay.toString,
+        java.time.LocalDate.parse("2024-03-05").toEpochDay.toString),
+      s"days(DATE) tuples must be epoch days, got $tuples")
+    // the BETWEEN CHECK evaluates per row in the task writers
+    intercept[Exception] { spark.sql(s"INSERT INTO $cat.tm VALUES " +
+      "(5000, TIMESTAMP'2024-01-15 10:00:00', DATE'2024-01-15')") }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.tm").head().getLong(0) == 2)
+    // month pruning works over the natively written tuples
+    assert(spark.sql(
+      s"SELECT id FROM $cat.tm WHERE ts >= TIMESTAMP'2024-03-01 00:00:00'")
+      .head().getLong(0) == 2)
+  }
+
   test("native INSERT with NULL transform sources: null rows land the default partition") {
     val (root, _) = freshRoot()
     val cat = mount(root)
