@@ -117,8 +117,9 @@ object SparkEntry {
     "q52_log_sql_merge_evolve" -> (Relational.q52LogSqlMergeEvolve _), // oracle: MERGE WITH SCHEMA EVOLUTION (analyzer AddColumn + upsert in one statement) == set-algebraic recompute
     "q53_log_sql_element_evolution" -> (Relational.q53LogSqlElementEvolution _), // oracle: array<struct> element rename/add via ALTER, exploded read across the epoch boundary == textual recompute
     "q54_log_sql_general_dml" -> (Relational.q54LogSqlGeneralDml _), // oracle: OR-tree UPDATE + arithmetic-predicate DELETE through the expr counting planner == declarative recompute
-    "q55_log_spj_days" -> (Relational.q55LogSpjDays _), // oracle: day-aligned storage-partitioned join (days transform key-grouped scan reporting) == self-join recompute
+    "q55_log_spj_months" -> (Relational.q55LogSpjMonths _), // oracle: month-aligned storage-partitioned join (time-transform key-grouped scan reporting) == self-join recompute
     "q56_log_sql_dynamic_overwrite" -> (Relational.q56LogSqlDynamicOverwrite _), // oracle: INSERT OVERWRITE under dynamic mode swaps exactly the touched tuples (native-write-only SQL verb) == recomputed final state
+    "q57_log_sql_merge_residual" -> (Relational.q57LogSqlMergeResidual _), // oracle: MERGE with residual ON conjunct (update-newer-only CDC) == recomputed final state
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -139,6 +140,7 @@ object SparkEntry {
     "ev_log_changefeed" -> (graft.streaming.LogChangeFeed.evLogChangefeed _), // oracle: streamed log change feed == plain table aggregate
     "ev_log_sink_pipeline" -> (graft.streaming.LogChangeFeed.evLogSinkPipeline _), // oracle: log→log streaming pipeline (CDF source → graft-log sink) == plain aggregate
     "ev_log_changefeed_cdc" -> (graft.streaming.LogChangeFeed.evLogChangefeedCdc _), // oracle: streamed ROW-LEVEL CDC netted == surviving-row aggregate
+    "ev_log_stream_table" -> (graft.streaming.LogChangeFeed.evLogStreamTable _), // oracle: readStream.table over the catalog (DSv2 micro-batch) == plain aggregate
     "mv_incremental" -> (graft.table.DerivedAggregate.mvIncremental _), // oracle: 3-fold incrementally-maintained rollup == full recompute
     "mv_incremental_cdc" -> (graft.table.DerivedAggregate.mvIncrementalCdc _), // oracle: rollup after folding two copy-on-write deletes == survivor recompute
     "mv_distinct" -> (graft.table.DerivedAggregate.mvDistinct _), // oracle: HLL-sketch distinct-user rollup (3 union folds) == exact COUNT(DISTINCT)
@@ -262,8 +264,9 @@ object SparkEntry {
     "q52_log_sql_merge_evolve" -> Relational.q52Oracle,
     "q53_log_sql_element_evolution" -> Relational.q53Oracle,
     "q54_log_sql_general_dml" -> Relational.q54Oracle,
-    "q55_log_spj_days" -> Relational.q55Oracle,
+    "q55_log_spj_months" -> Relational.q55Oracle,
     "q56_log_sql_dynamic_overwrite" -> Relational.q56Oracle,
+    "q57_log_sql_merge_residual" -> Relational.q57Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,
@@ -291,6 +294,7 @@ object SparkEntry {
     "ev_log_changefeed" -> graft.streaming.LogChangeFeed.evLogChangefeedOracle,
     "ev_log_sink_pipeline" -> graft.streaming.LogChangeFeed.evLogSinkPipelineOracle,
     "ev_log_changefeed_cdc" -> graft.streaming.LogChangeFeed.evLogChangefeedCdcOracle,
+    "ev_log_stream_table" -> graft.streaming.LogChangeFeed.evLogStreamTableOracle,
     "mv_incremental" -> graft.table.DerivedAggregate.mvIncrementalOracle,
     "mv_incremental_cdc" -> graft.table.DerivedAggregate.mvIncrementalCdcOracle,
     "mv_distinct" -> graft.table.DerivedAggregate.mvDistinctOracle,

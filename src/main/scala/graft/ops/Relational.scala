@@ -445,10 +445,15 @@ object Relational {
     * session timezone) are copied across explicitly. Cached per parent
     * session identity: session-state construction is not free and the
     * bench re-enters per rep. */
+  // keyed by sessionUUID, not identityHashCode: identity hashes can
+  // collide (or a fresh session can reuse a GC'd parent's hash), which
+  // would hand back a derived session carrying the WRONG parent's
+  // runtime confs. One entry per distinct parent session per JVM.
   private val spjSessions =
-    new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]
+    new java.util.concurrent.ConcurrentHashMap[String, SparkSession]
   private def spjSession(spark: SparkSession): SparkSession =
-    spjSessions.computeIfAbsent(System.identityHashCode(spark), _ => {
+    spjSessions.computeIfAbsent(
+      org.apache.spark.sql.GraftBridge.sessionUUID(spark), _ => {
       val s = spark.newSession()
       spark.conf.getAll.foreach { case (k, v) =>
         try s.conf.set(k, v)
@@ -828,12 +833,14 @@ object Relational {
       |ORDER BY 1""".stripMargin
 
   /** Graded CREATE TABLE AS SELECT through the DSv2 catalog
-    * ([[graft.table.GraftTableCatalog.createTable]]): the full SQL
-    * lifecycle — declare a bucket-partitioned, sort-ordered log table
-    * and populate it in one statement, where the create half commits
-    * v1 (schema + spec + order in the manifest) and the populate half
-    * is the SAME transactional append every other writer uses, so the
-    * CTAS files land bucket-tupled, clustered and stats-carrying. The
+    * ([[graft.table.GraftTableCatalog.stageCreate]] — the catalog is a
+    * StagingTableCatalog, so the CTAS is ONE atomic commit): the full
+    * SQL lifecycle — declare a bucket-partitioned, sort-ordered log
+    * table and populate it in one statement, the staged native write
+    * landing inert per-tuple files and the publish committing v1 with
+    * schema + spec + order + files together, so the CTAS files land
+    * bucket-tupled, clustered and stats-carrying (and a failed CTAS
+    * leaves no table at all). The
     * graded aggregate reads the new table back through SQL; a CTAS
     * that dropped rows, double-wrote under commit retry, or ignored
     * the declared spec (breaking the pruning the follow-up filter
@@ -1395,7 +1402,7 @@ object Relational {
     * (StoragePartitionJoinSpec pins the shuffle-free plan at day
     * granularity; this grades the end-to-end result — month keeps the
     * fixture's file-per-tuple count bench-sized). */
-  def q55LogSpjDays(spark: SparkSession, dir: String): DataFrame = {
+  def q55LogSpjMonths(spark: SparkSession, dir: String): DataFrame = {
     val root = logFixtureDirs.computeIfAbsent(s"spj55:$dir", _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-spjd-").toString
       val orders = t(spark, dir, "orders")
@@ -1497,6 +1504,80 @@ object Relational {
       |FROM final
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
+
+  /** Graded RESIDUAL-ON SQL MERGE ([[graft.table.MergeIntoLogRule]]
+    * splitting the ON conjunction into equality keys + residual; the
+    * residual rides into [[graft.table.SnapshotLog.mergeClauses]]'
+    * classification join): the CDC update-newer-only shape —
+    * `ON t.key = s.key AND s.version > t.version` — where a STALE
+    * source row is NOT a match at all (no update, and it must NOT
+    * insert a duplicate under an unconditional NOT MATCHED INSERT,
+    * because... it IS not-matched — so the fixture uses a keyed insert
+    * filter). Customers carry `c_acctbal` as the version: the batch
+    * re-sends every customer with half newer (balance+1000, updates
+    * land) and half stale (balance-1000, dropped — no insert clause
+    * fires for an existing key because the insert condition requires
+    * key > 700000), plus genuinely new keys that insert. A merge that
+    * treated residual-failing pairs as matches, applied stale updates,
+    * or mis-probed cardinality shifts the aggregate and
+    * hash-mismatches DuckDB's recompute. */
+  def q57LogSqlMergeResidual(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"res57:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-res-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal")))           // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "customer").createOrReplaceTempView("q57_customer_src")
+        s.sql(                                                        // v2
+          s"""MERGE INTO $tbl t
+             |USING (
+             |  SELECT c_custkey, c_mktsegment,
+             |    CAST(c_acctbal + CASE WHEN c_custkey % 2 = 0
+             |      THEN 1000.0 ELSE -1000.0 END AS DOUBLE) AS c_acctbal
+             |  FROM q57_customer_src
+             |  UNION ALL
+             |  SELECT c_custkey + 700000, 'FRESH', CAST(1.0 AS DOUBLE)
+             |  FROM q57_customer_src WHERE c_custkey % 100 = 1
+             |) s
+             |ON t.c_custkey = s.c_custkey AND s.c_acctbal > t.c_acctbal
+             |WHEN MATCHED THEN UPDATE SET
+             |  c_acctbal = s.c_acctbal, c_mktsegment = 'NEWER'
+             |WHEN NOT MATCHED AND s.c_custkey > 700000 THEN INSERT *""".stripMargin)
+      }
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  def q57Oracle: String =
+    """WITH final AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 2 = 0 THEN 'NEWER' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1000.0
+      |         ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 700000, 'FRESH', CAST(1.0 AS DOUBLE)
+      |  FROM customer WHERE c_custkey % 100 = 1
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 
   def q48Oracle: String =
     """WITH survivors AS (

@@ -1,11 +1,10 @@
 package graft.streaming
 
 import graft.table.SnapshotLog
-import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.functions.{col, count, countDistinct, lit, pmod}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over a [[SnapshotLog]] table's change
@@ -48,182 +47,83 @@ import org.apache.spark.sql.types.StructType
   * batch projects onto the pinned columns, which widening-only
   * evolution guarantees still exist.
   *
-  * Implemented as a V1 `Source` deliberately: `getBatch` can hand back
-  * a driver-planned DataFrame (the manifest decides the file list), so
-  * the read path reuses the log's pruned parquet scan unchanged instead
-  * of reimplementing a DSv2 `PartitionReader`. The V1 API is what
-  * Spark's own FileStreamSource runs on.
-  */
-final class LogChangeFeedSource(spark: SparkSession, tableDir: String,
-    skipChangeCommits: Boolean, readChangeFeed: Boolean = false,
-    fourTypeCdc: Boolean = false,
-    maxVersionsPerTrigger: Long = 0L,
-    maxFilesPerTrigger: Long = 0L,
-    startingVersion0: String = "",
-    metadataPath: String = "") extends Source {
-  require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
-    "rate limits must be positive (0 = unlimited)")
-  require(!fourTypeCdc || readChangeFeed,
-    "fourTypeCdc re-types the ROW-LEVEL feed's merge images — it " +
-      "requires readChangeFeed=true")
-  require(!(skipChangeCommits && readChangeFeed),
-    "skipChangeCommits and readChangeFeed are mutually exclusive: the " +
-      "row-level feed's contract is completeness — a skipped removal " +
-      "would be a silent hole in it")
+  * Implemented on the DSv2 streaming tier ([[LogMicroBatchStream]]:
+  * `MicroBatchStream` + `SupportsAdmissionControl`) — each micro-batch
+  * plans as Spark's own vectorized parquet partitions over the files
+  * the versions in range added ([[SnapshotLog.streamBatchGroups]]),
+  * retiring the former V1 `Source`'s internal streaming-frame bridge.
+  *
+  * This table is the `format("graft-log-changes")` face; the
+  * `MICRO_BATCH_READ` capability routes the engine to
+  * [[LogMicroBatchStream]], and the schema is the table's committed
+  * schema pinned at stream start (plus `_change_type`/`_commit_version`
+  * in row-level CDC mode) — the same contract the V1 source declared. */
+private[graft] final class LogFeedTable(spark: SparkSession,
+    tableDir: String, pinned: StructType,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
 
-  // ONE handle for the source's lifetime: the segment/manifest caches
-  // live on the handle, and a per-poll `def` would re-GET and re-parse
-  // every manifest segment on each trigger of a segmented table
-  private val log = SnapshotLog(spark, tableDir)
+  override def name(): String = s"graft-log-changes(`$tableDir`)"
+  override def schema(): StructType = pinned
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
-  /** Where a FRESH stream (no checkpoint) starts, as the EXCLUSIVE
-    * lower bound of the first batch: 0 (full history) by default; an
-    * explicit `startingVersion = N` ships version N and later
-    * (INCLUSIVE of N — the Delta contract — so the bound is N-1); or
-    * `'latest'`, which ships only commits after stream start.
-    *
-    * `'latest'` is non-deterministic, so its resolution is PERSISTED
-    * under the stream's metadata path on first start: a restart that
-    * must re-plan an uncommitted batch 0 (the engine re-calls
-    * `getBatch(None, plannedEnd)`) re-reads the SAME bound instead of
-    * re-resolving against a head that moved while the stream was down —
-    * re-resolving would silently drop the planned span (or invert the
-    * range and crash the recovery). Checkpointed restarts past batch 0
-    * resume from their own offsets; this only seeds the first batch. */
-  private val startVersion: Long =
-    if (startingVersion0.isEmpty) 0L
-    else if (startingVersion0.equalsIgnoreCase("latest"))
-      LogChangeFeed.resolveLatestOnce(spark, metadataPath,
-        () => log.currentVersion())
-    else {
-      val n = startingVersion0.toLong
-      val head = log.currentVersion()
-      require(n >= 1 && n <= head + 1,
-        s"startingVersion $n is outside $tableDir's history " +
-          s"(versions 1..$head; ${head + 1} = only future commits)")
-      n - 1 // inclusive-of-N contract; offsets are exclusive bounds
+  override def newScanBuilder(
+      scanOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
+    // readStream options arrive both here and at getTable — prefer the
+    // scan's copy (it is what the engine recorded for this query)
+    val opts = if (scanOptions.isEmpty) options else scanOptions
+    def flag(k: String) = Option(opts.get(k)).exists(_.toBoolean)
+    def num(k: String) = Option(opts.get(k)).map(_.toLong).getOrElse(0L)
+    () => new Scan {
+      override def readSchema(): StructType = pinned
+      override def description(): String = name()
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new LogMicroBatchStream(spark, tableDir, pinned,
+          skipChangeCommits = flag("skipChangeCommits"),
+          readChangeFeed = flag("readChangeFeed"),
+          fourTypeCdc = flag("fourTypeCdc"),
+          maxVersionsPerTrigger = num("maxVersionsPerTrigger"),
+          maxFilesPerTrigger = num("maxFilesPerTrigger"),
+          startingVersion0 = Option(opts.get("startingVersion")).getOrElse(""),
+          checkpointLocation = checkpointLocation)
     }
-
-  /** Test seam: the resolved exclusive start bound (what a batch-0
-    * recovery getBatch(None, end) replays from). */
-  private[graft] def resolvedStartVersion: Long = startVersion
-
-  /** Commits that can remove rows a consumer already received — a gap
-    * in an insert-only feed. `restore` belongs here: rolling back past
-    * an append un-commits rows this stream may have shipped; so do
-    * `truncate`/`overwrite`, which drop the whole prior table. */
-  private val ChangeOps =
-    Set("delete", "merge", "delete_keys", "update", "restore", "truncate",
-      "overwrite", "replace_where")
-
-  override val schema: StructType =
-    LogChangeFeed.streamSchema(spark, tableDir, readChangeFeed)
-
-  /** The end version of the last batch this source PLANNED — what the
-    * rate limiter caps relative to. Synced on restart by the engine's
-    * recovery `getBatch` call (the V1 contract: the committed range is
-    * re-requested before new offsets are asked for), so a checkpointed
-    * stream never reports an offset behind its own progress. */
-  @volatile private var lastEnd: Long = 0L
-
-  override def getOffset: Option[Offset] = {
-    val v = log.currentVersion()
-    if (v <= 0) return None
-    if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0)
-      return Some(LongOffset(v))
-    // ADMISSION CONTROL for backfills: a stream started against a
-    // long-lived table would otherwise take the ENTIRE history as one
-    // micro-batch (version-ranged offsets). Cap the reported offset so
-    // each trigger admits at most maxVersionsPerTrigger versions /
-    // maxFilesPerTrigger delta files — always at least ONE version, or
-    // a single over-cap commit could never be admitted. One manifest
-    // walk per trigger, control-plane sized. The floor also respects
-    // `startingVersion` on a fresh stream.
-    val from = math.min(math.max(lastEnd, startVersion), v)
-    if (from >= v) return Some(LongOffset(v))
-    var admitted = 0L
-    var files = 0L
-    var end = from
-    log.changes(from, v).iterator.takeWhile { d =>
-      val fits = admitted == 0 ||
-        ((maxVersionsPerTrigger <= 0 || admitted < maxVersionsPerTrigger) &&
-          (maxFilesPerTrigger <= 0 || files + d.addedFiles.size <= maxFilesPerTrigger))
-      if (fits) { admitted += 1; files += d.addedFiles.size; end = d.version }
-      fits
-    }.foreach(_ => ())
-    Some(LongOffset(end))
   }
-
-  /** Offsets round-trip through checkpoint JSON as plain numbers;
-    * `json.toLong` covers live [[LongOffset]]s and the serialized form
-    * the engine hands back after a restart alike. */
-  private def versionOf(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
-  }
-
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(startVersion)
-    val to = versionOf(end)
-    if (to > lastEnd) lastEnd = to // rate-limiter floor (incl. recovery sync)
-    val l = log
-    if (readChangeFeed) {
-      // row-level CDC batch: inserts AND recorded delete images, with
-      // _change_type/_commit_version — fails (stream-visibly) on a
-      // restore or an image-less removing commit, the completeness
-      // contract
-      val delta = l.readChangeRows(from, to, fourType = fourTypeCdc)
-        .select(schema.map(f => col(f.name)): _*)
-      return GraftBridge.asStreamingFrame(spark, delta)
-    }
-    // ONE manifest walk serves both the guard and the read
-    val deltas = l.changes(from, to)
-    if (!skipChangeCommits) {
-      val changing = deltas.filter(d => ChangeOps(d.op))
-      if (changing.nonEmpty) throw new IllegalStateException(
-        s"change feed of $tableDir is insert-only but version " +
-          s"${changing.head.version} is a '${changing.head.op}'; resync the " +
-          "consumer from a full read, set skipChangeCommits=true to " +
-          "stream past row-removing commits, or set readChangeFeed=true " +
-          "on a feed-enabled table to receive them as row-level deletes")
-    }
-    // project onto the pinned stream schema: widening evolution after
-    // stream start may have added columns this stream never declared
-    val delta = l.readAdded(deltas, to).select(schema.map(f => col(f.name)): _*)
-    GraftBridge.asStreamingFrame(spark, delta)
-  }
-
-  override def stop(): Unit = ()
 }
 
-class LogChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+/** `readStream.format("graft-log-changes")` — the DSv2 provider
+  * (TableProvider replaced the former V1 StreamSourceProvider; the
+  * short name and every option are unchanged, and offsets still
+  * serialize as bare versions, so existing checkpoints keep working). */
+class LogChangeFeedProvider
+    extends org.apache.spark.sql.connector.catalog.TableProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-log-changes"
 
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    // a user-supplied schema would diverge from what getBatch returns
-    // (the source always ships the table's committed schema) — reject it
-    // loudly instead of letting the plan and the batches disagree
-    require(schema.isEmpty,
-      "the change feed's schema IS the table's committed schema; " +
-        "drop .schema(...) from the readStream")
-    (shortName(),
-      LogChangeFeed.streamSchema(ctx.sparkSession,
-        LogChangeFeed.path(parameters),
-        parameters.get("readChangeFeed").exists(_.toBoolean)))
+  // the feed's schema IS the table's committed schema — a user-supplied
+  // .schema(...) is rejected by Spark itself (supportsExternalMetadata
+  // stays false)
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    LogChangeFeed.streamSchema(spark, LogChangeFeed.path(options),
+      Option(options.get("readChangeFeed")).exists(_.toBoolean))
   }
 
-  override def createSource(ctx: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new LogChangeFeedSource(ctx.sparkSession, LogChangeFeed.path(parameters),
-      parameters.get("skipChangeCommits").exists(_.toBoolean),
-      parameters.get("readChangeFeed").exists(_.toBoolean),
-      parameters.get("fourTypeCdc").exists(_.toBoolean),
-      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
-      parameters.get("maxFilesPerTrigger").map(_.toLong).getOrElse(0L),
-      parameters.getOrElse("startingVersion", ""),
-      metadataPath)
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    require(partitioning.isEmpty,
+      "the change feed is read-only — partitioning is declared on the table")
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties)
+    new LogFeedTable(SparkSession.active, LogChangeFeed.path(opts),
+      schema, opts)
+  }
 }
 
 object LogChangeFeed {
@@ -257,6 +157,11 @@ object LogChangeFeed {
 
   private[streaming] def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
+      throw new IllegalArgumentException("option 'path' (the log table dir) is required"))
+
+  private[streaming] def path(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("option 'path' (the log table dir) is required"))
 
   /** The table's committed read schema (requires >= 1 version). */
@@ -347,6 +252,37 @@ object LogChangeFeed {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
   }
+
+  /** Graded entry: the same per-type event stats computed by streaming
+    * the feed table through its CATALOG face — `readStream.table(...)`
+    * over the DSv2 micro-batch stream (the table path, vs
+    * [[evLogChangefeed]]'s provider-format path): same three-append +
+    * mid-history-compaction fixture, same exactly-once accounting the
+    * oracle hash-checks — and the steady-state batches pass through the
+    * vectorized parquet partitions UNPROJECTED (identity groups). */
+  def evLogStreamTable(spark: SparkSession, dir: String): DataFrame = {
+    val table = eventsFeedTable(spark, dir)
+    val root = new java.io.File(table).getParent
+    spark.conf.set("spark.sql.catalog.graft_feed_cat",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_feed_cat.root", root)
+    val name = "ev_log_stream_table_sink"
+    spark.catalog.dropTempView(name)
+    val q = spark.readStream.table("graft_feed_cat.t").writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  def evLogStreamTableOracle: String = evLogChangefeedOracle
 
   def evLogChangefeedOracle: String =
     """SELECT event_type, count(*) AS n_events,

@@ -96,7 +96,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * O(table) on the driver.
   */
 final class GraftTableCatalog extends TableCatalog with FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -191,12 +192,17 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
     * silently ignored. Spark's non-atomic CTAS contract (create, write,
     * [[dropTable]] on failure) composes: the INSERT that follows is the
     * same transactional append as any other. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+  /** Declared-shape resolution shared by CREATE TABLE and the staged
+    * CTAS/RTAS path: validates the properties, parses the PARTITIONED
+    * BY transforms into the manifest's [[PartitionField]]s, and builds
+    * the handle carrying the declared spec/sort/stats — WITHOUT
+    * committing anything. Returns (handle, declared spec, sort). */
+  private[table] def declaredLog(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : (SnapshotLog, Seq[PartitionField], Seq[String]) = {
     import org.apache.spark.sql.connector.expressions._
     import scala.jdk.CollectionConverters._
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val props = properties.asScala
     props.get(TableCatalog.PROP_PROVIDER).foreach(p =>
       require(Set("graft", "graft-log", "graft_log").contains(p.toLowerCase),
@@ -239,6 +245,14 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
       bloomColumns = csv("bloom-columns"), partitionBy = spec,
       sortBy = csv("sort-order"),
       changeFeed = props.get("change-feed").exists(_.toBoolean))
+    (log, spec, csv("sort-order"))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val (log, _, _) = declaredLog(ident, schema, partitions, properties)
     log.append(SparkSession.active.createDataFrame(
       SparkSession.active.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema))
@@ -273,6 +287,87 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
     } catch { case e: Throwable => dropTable(ident); throw e }
     table
   }
+
+  /** Validate-and-attach the declared CHECK constraints against the
+    * declared schema — shared by [[createTable]] (above, via its own
+    * inline loop) and the staged CTAS/RTAS publish. */
+  private[table] def attachConstraints(log: SnapshotLog, ident: Identifier,
+      schema: StructType,
+      constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint]): Unit =
+    constraints.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        val unknown = log.constraintRefs(c.predicateSql()).filterNot(r =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(r)))
+        require(unknown.isEmpty,
+          s"CREATE TABLE ${ident}: CHECK '${c.name()}' references columns " +
+            s"not in the table: ${unknown.mkString(", ")}")
+        log.addConstraint(c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE ${ident}: only CHECK constraints are enforceable " +
+          s"at write time — ${other.toDDL} is informational DDL this " +
+          "format does not record")
+    }
+
+  /** ATOMIC CTAS/RTAS ([[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]):
+    * the staged table's writer lands inert files in `data/` through the
+    * native write ([[LogAppendWrite.Stash]] — nothing is named by any
+    * manifest), and `commitStagedChanges` is the ONE publish: the
+    * table's first commit (v1) carries the declared shape AND the
+    * written files together. A failed or aborted CTAS therefore leaves
+    * NO table and no directory — the create-write-dropOnFailure window
+    * of the non-staged contract is gone. RTAS keeps the fresh-history
+    * semantics (version resets, old constraints do not survive —
+    * documented at the CREATE OR REPLACE spec pin), with the no-table
+    * window shrunk from the whole query to the driver-local clear+
+    * publish between a fully-written batch and its commit. */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    new StagedLogTable(this, ident, info, existed = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedLogTable(this, ident, info, existed = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    new StagedLogTable(this, ident, info, existed = tableExists(ident))
+
+  // the deprecated StructType spellings route to the TableInfo ones
+  // (the interface defaults chain the other way around)
+  private def tableInfoOf(schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.TableInfo =
+    new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(schema.fields.map(f =>
+        org.apache.spark.sql.connector.catalog.Column.create(
+          f.name, f.dataType, f.nullable)))
+      .withPartitions(partitions).withProperties(properties).build()
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreate(ident, tableInfoOf(schema, partitions, properties))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplace(ident, tableInfoOf(schema, partitions, properties))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreateOrReplace(ident, tableInfoOf(schema, partitions, properties))
 
   /** `ALTER TABLE` — the SQL spelling of the log's metadata-only schema
     * evolution, one transactional commit per change:
@@ -333,11 +428,17 @@ final class GraftTableCatalog extends TableCatalog with FunctionCatalog
             s"${log.tableDir} has no constraint '${dc.name()}' to drop " +
               "(DROP CONSTRAINT IF EXISTS to make this a no-op)")
         log.dropConstraint(dc.name())
+      // `ALTER TABLE ... ALTER COLUMN c TYPE t`: the metadata-only
+      // LOSSLESS widen (int→long, float→double, ... ) — old files read
+      // cast-up through their retained epoch, time travel intact; any
+      // non-widening type change refuses inside the verb
+      case ut: TableChange.UpdateColumnType =>
+        log.widenColumnType(ut.fieldNames().mkString("."), ut.newDataType())
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on ${log.tableDir}: unsupported change $other — " +
           "supported verbs: RENAME COLUMN, DROP COLUMN, ADD COLUMN, " +
-          "ADD/DROP CONSTRAINT ... CHECK " +
-          "(type changes are refused; the log is widening-only)")
+          "ALTER COLUMN TYPE (lossless widening), " +
+          "ADD/DROP CONSTRAINT ... CHECK")
     }
     loadTable(ident)
   }
@@ -435,7 +536,14 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
+      // streaming faces of the SAME table: readStream.table(...) plans
+      // the change feed through LogMicroBatchStream (insert feed;
+      // row-level CDC streams via format("graft-log-changes"), whose
+      // schema carries the CDC columns), writeStream.toTable(...)
+      // rides the native write's per-epoch txn commit
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   /** Manifest facts as table properties — `DESCRIBE TABLE EXTENDED` /
     * `SHOW TBLPROPERTIES` read the log's own metadata plane (version,
@@ -485,7 +593,7 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
     snap.partitionSpec.map(_.v2Transform).toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogScanBuilder(log, snap.version, schema())
+    new LogScanBuilder(log, snap.version, schema(), options)
 
   private def requireHead(verb: String): Unit =
     require(version < 0,
@@ -691,8 +799,84 @@ private[graft] object LogTable {
   * (and row groups inside Spark's parquet scan); columns prune the read
   * schema. All filters are returned as residuals — exactness is always
   * Spark's, the manifest only removes I/O. */
+/** The staged CTAS/RTAS table ([[GraftTableCatalog.stageCreate]]):
+  * accepts the native batch write under the DECLARED shape (partition
+  * transforms cluster the exchange, CHECKs from the declaration gate
+  * rows) with the driver commit stashed here instead of published —
+  * `commitStagedChanges` then makes the table exist in ONE commit
+  * whose v1 carries both the declared shape and the written files. */
+private[graft] final class StagedLogTable(catalog: GraftTableCatalog,
+    ident: Identifier,
+    info: org.apache.spark.sql.connector.catalog.TableInfo,
+    existed: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private val spark = SparkSession.active
+  private val (log, declaredSpec, declaredSort) =
+    catalog.declaredLog(ident, info.schema(), info.partitions(),
+      info.properties())
+  private val declaredChecks: Map[String, String] =
+    info.constraints().collect {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        c.name() -> c.predicateSql()
+    }.toMap
+
+  /** The staged write's validated output — files are on disk (inert),
+    * named by no manifest until [[commitStagedChanges]]. */
+  @volatile private var pending
+      : Option[(Seq[(String, Seq[String], Long)], StructType)] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = info.schema()
+  override def partitioning(): Array[Transform] = info.partitions()
+  override def properties(): java.util.Map[String, String] = info.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans a truncate/overwrite against the staged table; the
+      // REPLACE itself is the staged publish, so the builder shape is
+      // irrelevant — accept and stash either way
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = LogAppendWrite.build(log, winfo,
+        LogAppendWrite.Stash((files, ws) => pending = Some((files, ws))),
+        shapeOverride = Some((declaredSpec, declaredSort)),
+        checksOverride = Some(declaredChecks))
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val (files, writeSchema) = pending match {
+      case Some((f, ws)) => (f, ws)
+      case None => (Nil, info.schema()) // plain REPLACE TABLE (no AS)
+    }
+    if (existed)
+      log.clearForReplace(files.map(_._1).toSet)
+    // fresh handle: the staged one may have parsed the OLD manifest
+    val (fresh, _, _) = catalog.declaredLog(ident, info.schema(),
+      info.partitions(), info.properties())
+    fresh.commitNativeAppend(files, writeSchema.json, declaredSpec,
+      declaredChecks)
+    try catalog.attachConstraints(fresh, ident, info.schema(),
+      info.constraints())
+    catch { case e: Throwable => catalog.dropTable(ident); throw e }
+  }
+
+  override def abortStagedChanges(): Unit =
+    // the write's own abort already deleted its task files; for a
+    // CREATE the directory holds nothing named — remove it entirely.
+    // For a REPLACE the old table is untouched (that is the atomicity
+    // win) — leave it.
+    if (!existed) { catalog.dropTable(ident); () }
+}
+
 private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
-    dataSchema: StructType) extends ScanBuilder
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -718,7 +902,7 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
   override def build(): Scan = {
     val s = log.snapshot(version)
     if (s.tombstones.isEmpty && s.dvs.isEmpty && s.fileSchemaIdx.isEmpty)
-      new LogBatchScan(log, version, dataSchema, required, pushed)
+      new LogBatchScan(log, version, dataSchema, required, pushed, options)
     else {
       // Spark 4.1 pushes NESTED-pruned struct shapes through
       // pruneColumns (e.g. `SELECT info.bal` → `info: struct<bal>`),
@@ -728,8 +912,39 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
       // matches the rows buildScan produces; Spark's projection above
       // the scan extracts the nested fields. Top-level pruning is kept.
       val topLevel = StructType(required.fields.map(f => dataSchema(f.name)))
-      new LogDebtScan(log, version, topLevel, pushed)
+      new LogDebtScan(log, version, topLevel, pushed, options)
     }
+  }
+}
+
+private[graft] object LogScanStream {
+  /** The `readStream.table("cat.t")` face of the change feed: the SAME
+    * [[graft.streaming.LogMicroBatchStream]] the provider format plans,
+    * parameterized by the scan options (`startingVersion`,
+    * `skipChangeCommits`, `maxVersionsPerTrigger`, `maxFilesPerTrigger`).
+    * Row-level CDC mode is refused here — the relation's columns come
+    * from the TABLE's schema, which has no `_change_type` — and routed
+    * to `format("graft-log-changes")`, whose declared schema carries
+    * the CDC columns. */
+  def microBatch(log: SnapshotLog, pinned: StructType,
+      options: CaseInsensitiveStringMap,
+      checkpointLocation: String): graft.streaming.LogMicroBatchStream = {
+    def flag(k: String) = Option(options.get(k)).exists(_.toBoolean)
+    require(!flag("readChangeFeed") && !flag("fourTypeCdc"),
+      "readStream.table streams the INSERT feed (the table's own " +
+        "columns); for the row-level CDC feed use " +
+        "readStream.format(\"graft-log-changes\").option(\"path\", ...)" +
+        ".option(\"readChangeFeed\", \"true\")")
+    new graft.streaming.LogMicroBatchStream(log.session, log.tableDir,
+      pinned,
+      skipChangeCommits = flag("skipChangeCommits"),
+      readChangeFeed = false, fourTypeCdc = false,
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger"))
+        .map(_.toLong).getOrElse(0L),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger"))
+        .map(_.toLong).getOrElse(0L),
+      startingVersion0 = Option(options.get("startingVersion")).getOrElse(""),
+      checkpointLocation = checkpointLocation)
   }
 }
 
@@ -755,9 +970,17 @@ private[graft] final class LogScanBuilder(log: SnapshotLog, version: Long,
   * join planning than none. */
 private[graft] final class LogDebtScan(private val log: SnapshotLog,
     private val version: Long, private val required: StructType,
-    private val pushed: Array[Filter])
+    private val pushed: Array[Filter],
+    scanOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends org.apache.spark.sql.connector.read.V1Scan
     with SupportsReportStatistics {
+
+  /** Streaming reads don't prune, so `required` is the full committed
+    * schema here; the feed reads delta files RAW (debt never applies to
+    * at-commit-time feed rows), so a debt snapshot streams fine. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    LogScanStream.microBatch(log, required, scanOptions, checkpointLocation)
 
   /** Manifest-pruned survivors; pinned by specs (same observability
     * contract as [[LogBatchScan.plannedFiles]]). */
@@ -839,9 +1062,17 @@ private[graft] final class LogDebtScan(private val log: SnapshotLog,
   * `filter(...)` (that re-plan IS the pruning taking effect). */
 private[graft] final class LogBatchScan(private val log: SnapshotLog,
     private val version: Long, private val dataSchema: StructType,
-    private val required: StructType, private val pushed: Array[Filter])
+    private val required: StructType, private val pushed: Array[Filter],
+    scanOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
+
+  /** `readStream.table(...)`: the insert feed as the DSv2 micro-batch
+    * stream, pinned to the table's full committed schema (streaming
+    * scans are not column-pruned). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    LogScanStream.microBatch(log, dataSchema, scanOptions, checkpointLocation)
 
   private val initialKept: Seq[String] =
     log.filesMatching(LogScanBuilder.boundsOf(pushed), version)

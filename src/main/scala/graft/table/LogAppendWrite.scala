@@ -47,15 +47,28 @@ private[graft] object LogAppendWrite {
     * Spark's OverwritePartitionsDynamic has no V1 fallback, so the
     * native write is what makes the SQL spelling possible at all. */
   case object OverwriteDynamic extends Mode
+  /** Atomic CTAS/RTAS staging ([[GraftTableCatalog]] as a
+    * StagingTableCatalog): the driver commit hands the validated
+    * (file, tuple, rows) list + write schema to the staged table
+    * instead of touching any manifest — `commitStagedChanges` owns the
+    * ONE atomic publish, so a failed CTAS leaves nothing named. */
+  final case class Stash(
+      sink: (Seq[(String, Seq[String], Long)], StructType) => Unit)
+      extends Mode
 
   /** Build the write: captures the table's live shape, prepares the
     * parquet writer factory and resolves the tuple/check expressions —
     * all driver-side, before any task runs. */
   def build(log: SnapshotLog, info: LogicalWriteInfo,
-      mode: Mode): Write = {
+      mode: Mode,
+      /** Staged CTAS/RTAS write against a DECLARED shape the manifest
+        * doesn't hold yet (create) or still holds the OLD table's
+        * version of (replace). */
+      shapeOverride: Option[(Seq[PartitionField], Seq[String])] = None,
+      checksOverride: Option[Map[String, String]] = None): Write = {
     val spark = SparkSession.active
     val writeSchema = info.schema()
-    val (spec, sortCols) = log.liveWriteShape()
+    val (spec, sortCols) = shapeOverride.getOrElse(log.liveWriteShape())
     // the exact write-path expressions the staged path computes (string
     // valued; the manifest tuple is their rendering), resolved + bound
     // against the WRITE schema for executor-side row evaluation
@@ -67,7 +80,7 @@ private[graft] object LogAppendWrite {
     // a check whose referenced columns are absent from this write's
     // frame passes it (rows read them as NULL — CHECK-NULL passes),
     // detected here by the resolution failure of its expression
-    val listed = log.constraints()
+    val listed = checksOverride.getOrElse(log.constraints())
     val checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)] =
       listed.toSeq.sortBy(_._1).flatMap { case (n, sql) =>
         scala.util.Try(GraftWriteBridge.boundExprs(spark, writeSchema,
@@ -77,7 +90,8 @@ private[graft] object LogAppendWrite {
     val setup = GraftWriteBridge.parquetWriterSetup(spark, writeSchema)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     new LogAppendWriteImpl(log, writeSchema, spec, sortCols, tupleExprs,
-      checks, listed, setup, commitId, mode)
+      checks, listed, setup, commitId, mode,
+      Option(info.options.get("txnAppId")))
   }
 }
 
@@ -87,7 +101,7 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     listedChecks: Map[String, String],
     setup: GraftWriteBridge.TaskWriterSetup, commitId: String,
-    mode: LogAppendWrite.Mode)
+    mode: LogAppendWrite.Mode, txnAppId: Option[String])
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -103,6 +117,35 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
       sortCols.map(c => Expressions.sort(Expressions.column(c),
         SortDirection.ASCENDING))).toArray
 
+  /** Task files named by the commit messages, after failing loudly on
+    * any counted CHECK violation (files deleted first — nothing inert
+    * survives an aborted write). Shared by the batch and streaming
+    * driver commits. */
+  private def validatedFiles(
+      messages: Array[WriterCommitMessage]): Seq[LogFileInfo] = {
+    val msgs = messages.map(_.asInstanceOf[LogWriteCommit])
+    val files = msgs.toSeq.flatMap(_.files)
+    val violations = msgs.flatMap(_.violations).groupBy(_._1)
+      .map { case (n, vs) => n -> vs.map(_._2).sum }.filter(_._2 > 0)
+    if (violations.nonEmpty) {
+      deleteFiles(files)
+      val (n, bad) = violations.head
+      throw new IllegalStateException(
+        s"CHECK constraint '$n' (${listedChecks(n)}) on ${log.tableDir}: " +
+          s"$bad written row(s) violate it — the commit was aborted, " +
+          "nothing published")
+    }
+    files
+  }
+
+  private def deleteFiles(files: Seq[LogFileInfo]): Unit = {
+    val dir = log.dataDir
+    val fs = dir.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    files.foreach(f => scala.util.Try(
+      fs.delete(new org.apache.hadoop.fs.Path(dir, f.name), false)))
+  }
+
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
@@ -110,18 +153,7 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
         tupleExprs, checks)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val msgs = messages.map(_.asInstanceOf[LogWriteCommit])
-      val files = msgs.toSeq.flatMap(_.files)
-      val violations = msgs.flatMap(_.violations).groupBy(_._1)
-        .map { case (n, vs) => n -> vs.map(_._2).sum }.filter(_._2 > 0)
-      if (violations.nonEmpty) {
-        deleteFiles(files)
-        val (n, bad) = violations.head
-        throw new IllegalStateException(
-          s"CHECK constraint '$n' (${listedChecks(n)}) on ${log.tableDir}: " +
-            s"$bad written row(s) violate it — the commit was aborted, " +
-            "nothing published")
-      }
+      val files = validatedFiles(messages)
       val fileTuples = files.map(f => (f.name, f.tuple, f.rows))
       try mode match {
         case LogAppendWrite.Append =>
@@ -136,6 +168,9 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
         case LogAppendWrite.OverwriteDynamic =>
           log.commitNativeOverwritePartitions(fileTuples,
             writeSchema, spec, listedChecks)
+        case LogAppendWrite.Stash(sink) =>
+          // no manifest touch: the staged table owns the atomic publish
+          sink(fileTuples, writeSchema)
       }
       catch { case e: Throwable => deleteFiles(files); throw e }
     }
@@ -144,13 +179,58 @@ private final class LogAppendWriteImpl(log: SnapshotLog,
       deleteFiles(messages.collect {
         case m: LogWriteCommit => m.files
       }.toSeq.flatten)
+  }
 
-    private def deleteFiles(files: Seq[LogFileInfo]): Unit = {
-      val dir = log.dataDir
-      val fs = dir.getFileSystem(
-        SparkSession.active.sparkContext.hadoopConfiguration)
-      files.foreach(f => scala.util.Try(
-        fs.delete(new org.apache.hadoop.fs.Path(dir, f.name), false)))
+  /** The STREAMING face of the same write: identical task writers
+    * (rolling per partition tuple under the required clustering), and a
+    * per-epoch driver commit through the log's EXACTLY-ONCE transaction
+    * watermark — appId = `option("txnAppId", ...)` when given, else the
+    * streaming query's persistent id (stamped by the engine on the
+    * micro-batch thread, checkpoint-stable across restarts), batchId =
+    * the epoch. A replayed epoch (crash between sink commit and the
+    * engine's own commit-log write) deletes its re-written files and
+    * commits nothing. Append mode appends; Complete mode (the builder's
+    * truncate()) atomically replaces the table per epoch. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    mode match {
+      case LogAppendWrite.Append | LogAppendWrite.OverwriteAll => ()
+      case other => throw new UnsupportedOperationException(
+        s"streaming writes to ${log.tableDir} support Append and Complete " +
+          s"output modes only, got write mode $other")
+    }
+    new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+      override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+        new LogDataWriterFactory(log.dataDir.toString, commitId, setup,
+          tupleExprs, checks)
+
+      override def commit(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit = {
+        val files = validatedFiles(messages)
+        val fileTuples = files.map(f => (f.name, f.tuple, f.rows))
+        val appId = txnAppId
+          .orElse(Option(SparkSession.active.sparkContext
+            .getLocalProperty("sql.streaming.queryId")))
+          .getOrElse(s"graft-stream:${log.tableDir}")
+        try mode match {
+          case LogAppendWrite.Append =>
+            log.commitNativeAppendTxn(fileTuples, writeSchema.json, spec,
+              listedChecks, appId, epochId)
+          case LogAppendWrite.OverwriteAll =>
+            log.commitNativeOverwriteAllTxn(fileTuples, writeSchema.json,
+              spec, listedChecks, appId, epochId)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        catch { case e: Throwable => deleteFiles(files); throw e }
+        () // None = replayed epoch; the commit core deleted the files
+      }
+
+      override def abort(epochId: Long,
+          messages: Array[WriterCommitMessage]): Unit =
+        deleteFiles(messages.collect {
+          case m: LogWriteCommit => m.files
+        }.toSeq.flatten)
     }
   }
 }
@@ -165,11 +245,18 @@ private final class LogDataWriterFactory(dataDir: String, commitId: String,
     setup: GraftWriteBridge.TaskWriterSetup,
     tupleExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)])
-    extends DataWriterFactory {
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LogDataWriter(dataDir, commitId, setup, tupleExprs, checks,
       partitionId, taskId)
+
+  /** Streaming epochs share the batch writer: file names carry the
+    * session-unique taskId, so epochs never collide. */
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId)
 }
 
 /** One task's writer: rows arrive clustered + ordered by the partition

@@ -134,11 +134,30 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case a => a.children.exists(!_.resolved)
     }
     if (exprsPending) return None
-    val keys = keyPairs(m.mergeCondition, tgtSet, srcSet).getOrElse(refuse(
-      "the ON condition must be a conjunction of equalities, each " +
-        "between one target column and one source column — range or " +
-        "disjunctive merges are not keyed merges; use the typed " +
-        s"SnapshotLog API for those (condition: ${m.mergeCondition})"))
+    // split the ON conjunction: equality key pairs anchor the merge
+    // (routing, ambiguity probe), everything else rides into the
+    // classification join as a RESIDUAL condition — `ON a.k = b.k AND
+    // b.ts > a.ts` (the CDC update-newer-only shape) translates instead
+    // of refusing. At least one equality must remain: a keyless merge
+    // is a range join per target row, not a keyed merge.
+    val (rawKeys, residual0) = splitOn(m.mergeCondition, tgtSet, srcSet)
+    // one anchoring equality per column per side — surplus equalities
+    // (ON t.k = s.a AND t.k = s.b) stay correct as residual conjuncts
+    val seenT = scala.collection.mutable.Set.empty[String]
+    val seenS = scala.collection.mutable.Set.empty[String]
+    val (anchor, extraEq) = rawKeys.partition { case (t, s, _) =>
+      val fresh = !seenT.contains(t) && !seenS.contains(s)
+      if (fresh) { seenT += t; seenS += s }
+      fresh
+    }
+    val keys = anchor.map { case (t, s, _) => (t, s) }
+    val residualRaw = residual0 ++ extraEq.map(_._3)
+    if (keys.isEmpty) refuse(
+      "the ON condition must contain at least one equality between a " +
+        "target column and a source column (non-equality conjuncts ride " +
+        "along as residual match conditions) — a merge with no equality " +
+        "key is a range join; use the typed SnapshotLog API " +
+        s"(condition: ${m.mergeCondition})")
     val SP = SnapshotLog.MergeSrcPrefix
     def xlate(e: Expression, what: String): Expression = {
       if (!e.deterministic) refuse(
@@ -194,7 +213,30 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       clausesOf(m.matchedActions, "WHEN MATCHED"),
       clausesOf(m.notMatchedActions, "WHEN NOT MATCHED"),
       clausesOf(m.notMatchedBySourceActions, "WHEN NOT MATCHED BY SOURCE"),
-      m.sourceTable))
+      m.sourceTable,
+      residual = residualRaw.map(e =>
+        "on" -> xlate(e, "ON residual condition"))))
+  }
+
+  /** The ON conjunction split into cross-side equality KEY pairs
+    * (target name, source name, the original conjunct) and everything
+    * else (the RESIDUAL conjuncts, carried verbatim into the
+    * classification join). */
+  private def splitOn(cond: Expression,
+      tgtSet: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      srcSet: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : (Seq[(String, String, Expression)], Seq[Expression]) = cond match {
+    case And(l, r) =>
+      val (ka, ra) = splitOn(l, tgtSet, srcSet)
+      val (kb, rb) = splitOn(r, tgtSet, srcSet)
+      (ka ++ kb, ra ++ rb)
+    case e @ EqualTo(a: AttributeReference, b: AttributeReference) =>
+      if (tgtSet.contains(a) && srcSet.contains(b))
+        (Seq((a.name, b.name, e)), Nil)
+      else if (tgtSet.contains(b) && srcSet.contains(a))
+        (Seq((b.name, a.name, e)), Nil)
+      else (Nil, Seq(e))
+    case other => (Nil, Seq(other))
   }
 
   /** The ON condition as (target column, source column) equality pairs —
@@ -342,9 +384,11 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // predicate drives the exact per-file counting pass, the
       // convertible conjuncts (possibly none) keep pruning candidates
       case None =>
+        val (rest, subs) =
+          UpdateLogRule.splitSubqueries(cond, target, refuse)
         Some(UpdateExprLogCommand(table.log.tableDir,
-          ("where", UpdateLogRule.generalCond(cond, target, refuse)),
-          UpdateLogRule.rangeHints(cond, target), set))
+          ("where", UpdateLogRule.generalCond(rest, target, refuse)),
+          UpdateLogRule.rangeHints(rest, target), set, subs))
     }
   }
 }
@@ -424,6 +468,48 @@ private[graft] object UpdateLogRule {
     else Some(ranges.flatten)
   }
 
+  /** Split the top-level conjunction into UNCORRELATED single-column
+    * `IN (SELECT ...)` / `NOT IN (SELECT ...)` conjuncts — returned for
+    * execution-time materialization to a bounded literal key list
+    * ([[SubqueryPred.conjoin]]) — and everything else (which
+    * [[generalCond]] then validates; a CORRELATED subquery stays there
+    * and refuses with the typed API named). Only conjuncts at the top
+    * of the AND tree split: a subquery under an OR cannot be evaluated
+    * independently of its sibling. */
+  private[table] def splitSubqueries(cond: Expression,
+      target: DataSourceV2Relation, refuse: String => Nothing)
+      : (Expression, Seq[SubqueryPred]) = {
+    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery, Literal, Not}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def anchored(values: Seq[Expression], neg: Boolean): Expression = {
+      if (values.length != 1) refuse(
+        "multi-column IN-subqueries are not supported — join the key " +
+          "set in, or use the typed mergeByKey/deleteKeys APIs")
+      val v = values.head
+      if (!v.deterministic) refuse(
+        "the IN-subquery's left side is non-deterministic")
+      if (!v.references.subsetOf(target.outputSet)) refuse(
+        "the IN-subquery's left side references columns from outside " +
+          s"the table (${if (neg) "NOT " else ""}IN left side: $v)")
+      v.transform {
+        case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+      }
+    }
+    val (subs, rest) = conjuncts(cond).partitionMap {
+      case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, neg = false)),
+          l.plan, negated = false))
+      case Not(InSubquery(values, l: ListQuery)) if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, neg = true)),
+          l.plan, negated = true))
+      case other => Right(other)
+    }
+    (rest.reduceOption(And(_, _)).getOrElse(Literal.TrueLiteral), subs)
+  }
+
   /** Validate + re-anchor an ARBITRARY condition for the expr planners:
     * must be deterministic, subquery-free, and reference only target
     * columns; attribute references re-anchor BY NAME so the Column
@@ -435,8 +521,10 @@ private[graft] object UpdateLogRule {
       "the WHERE condition is non-deterministic — the DML would not " +
         "replay exactly")
     if (cond.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
-      "the WHERE condition contains a subquery; compute it into the " +
-        "condition first (e.g. a literal IN-list), or use the typed API")
+      "the WHERE condition contains a correlated (or non-IN, or " +
+        "OR-nested) subquery — uncorrelated top-level IN/NOT IN " +
+        "subqueries are supported; rewrite to that shape, compute the " +
+        "subquery into a literal list, or use the typed API")
     if (!cond.references.subsetOf(target.outputSet)) refuse(
       s"the WHERE condition references columns from outside the table " +
         s"(condition: $cond)")
@@ -513,9 +601,74 @@ final class DeleteLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"DELETE on ${table.log.tableDir}: $why")
     if (table.pinnedVersion >= 0)
       refuse("committed history is immutable; run DML against the head table")
+    val (rest, subs) =
+      UpdateLogRule.splitSubqueries(d.condition, target, refuse)
     Some(DeleteExprLogCommand(table.log.tableDir,
-      ("where", UpdateLogRule.generalCond(d.condition, target, refuse)),
-      UpdateLogRule.rangeHints(d.condition, target)))
+      ("where", UpdateLogRule.generalCond(rest, target, refuse)),
+      UpdateLogRule.rangeHints(rest, target), subs))
+  }
+}
+
+/** One UNCORRELATED `IN (SELECT ...)` / `NOT IN (SELECT ...)` conjunct
+  * of a general DML predicate: the subquery materializes at EXECUTION
+  * to a bounded literal key list that folds back into the condition —
+  * the counting planner then sees plain literals (and the mirror's
+  * predicate-SQL replay gets a self-contained, session-free
+  * expression). `value` is the re-anchored left side, tuple-wrapped
+  * like every stored DML expression. */
+final case class SubqueryPred(value: (String, Expression),
+    plan: LogicalPlan, negated: Boolean)
+
+private[graft] object SubqueryPred {
+  /** Key-list bound: past this, a literal IN-list stops being a
+    * reasonable expression (driver memory + predicate size) — the
+    * typed `deleteKeys`/`mergeByKey` APIs own unbounded key sets. */
+  val MaxKeys = 100000
+
+  /** Fold the materialized subqueries into `base`, returning the full
+    * condition plus any derivable range hints (min/max of a non-negated
+    * key list over a bare column — sound: implied by the IN). */
+  def conjoin(spark: SparkSession, base: org.apache.spark.sql.Column,
+      subs: Seq[SubqueryPred])
+      : (org.apache.spark.sql.Column, Seq[(String, Any, Any)]) = {
+    import org.apache.spark.sql.functions.lit
+    val hints = Seq.newBuilder[(String, Any, Any)]
+    val full = subs.foldLeft(base) { (acc, s) =>
+      val df = org.apache.spark.sql.GraftBridge.ofRows(spark, s.plan)
+      require(df.schema.length == 1,
+        s"IN-subquery must return exactly one column, got ${df.schema}")
+      val rows = df.limit(MaxKeys + 1).collect()
+      if (rows.length > MaxKeys) throw new UnsupportedOperationException(
+        s"the IN-subquery materialized more than $MaxKeys keys — at that " +
+          "size a literal predicate stops scaling; use the typed " +
+          "deleteKeys (merge-on-read tombstone) or mergeByKey APIs")
+      val vals = rows.map(_.get(0)).toSeq
+      val nonNull = vals.filter(_ != null)
+      val c = org.apache.spark.sql.GraftBridge.toCol(s.value._2)
+      val inC =
+        if (!s.negated) {
+          // IN: NULL list elements can never equal anything — drop them
+          if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+        } else {
+          if (vals.isEmpty) lit(true) // NOT IN () is TRUE for every row
+          else if (nonNull.length < vals.length)
+            lit(false) // NOT IN with a NULL is never TRUE — SQL 3-valued
+          else !c.isin(nonNull: _*)
+        }
+      if (!s.negated && nonNull.nonEmpty) s.value._2 match {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          // bare-column IN-list: its min/max is a sound pruning hint
+          scala.util.Try {
+            val sorted = nonNull.sortWith((a, b) =>
+              a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+            hints += ((ua.name, sorted.head, sorted.last))
+          }
+          ()
+        case _ => ()
+      }
+      acc && inC
+    }
+    (full, hints.result())
   }
 }
 
@@ -527,11 +680,16 @@ final case class DeleteExprLogCommand(tableDir: String,
     // resolve against the planner's counting frame at EXECUTION, so the
     // expression must stay out of this command's `expressions` (same
     // convention as every DML command here)
-    hints: Seq[(String, Any, Any)]) extends LeafRunnableCommand {
+    hints: Seq[(String, Any, Any)],
+    subs: Seq[SubqueryPred] = Nil) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = subs.map(_.plan)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val (full, subHints) = SubqueryPred.conjoin(spark,
+      org.apache.spark.sql.GraftBridge.toCol(cond._2), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).deleteWhereExpr(
-      org.apache.spark.sql.GraftBridge.toCol(cond._2), hints,
+      full, hints ++ subHints,
       txn = None, mode = "auto")
     Seq.empty
   }
@@ -542,14 +700,19 @@ final case class DeleteExprLogCommand(tableDir: String,
 final case class UpdateExprLogCommand(tableDir: String,
     cond: (String, Expression), // tuple-wrapped, like DeleteExprLogCommand
     hints: Seq[(String, Any, Any)],
-    set: Seq[(String, Expression)]) extends LeafRunnableCommand {
+    set: Seq[(String, Expression)],
+    subs: Seq[SubqueryPred] = Nil) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = subs.map(_.plan)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val (full, subHints) = SubqueryPred.conjoin(spark,
+      org.apache.spark.sql.GraftBridge.toCol(cond._2), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).updateWhereExpr(
-      org.apache.spark.sql.GraftBridge.toCol(cond._2),
+      full,
       set.map { case (n, e) =>
         n -> org.apache.spark.sql.GraftBridge.toCol(e) },
-      hints, txn = None, mode = "auto")
+      hints ++ subHints, txn = None, mode = "auto")
     Seq.empty
   }
 }
@@ -627,7 +790,15 @@ final case class MergeClausesLogCommand(tableDir: String,
     matched: Seq[MergeClausesLogCommand.RawClause],
     notMatched: Seq[MergeClausesLogCommand.RawClause],
     bySource: Seq[MergeClausesLogCommand.RawClause],
-    source: LogicalPlan) extends LeafRunnableCommand {
+    source: LogicalPlan,
+    /** Non-equality ON conjuncts (re-anchored like clause conditions:
+      * target names bare, source names MergeSrcPrefix'd) — carried into
+      * the classification join, so `ON eq-keys AND residual` merges
+      * (the CDC update-newer-only shape) translate instead of refusing.
+      * Tuple-wrapped like RawClause so QueryPlan.expressions does NOT
+      * collect the deliberately-unresolved names (they resolve against
+      * the joined frame at execution, not against this command). */
+    residual: Seq[(String, Expression)] = Nil) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -640,7 +811,10 @@ final case class MergeClausesLogCommand(tableDir: String,
             n -> org.apache.spark.sql.GraftBridge.toCol(e) })
       }
     GraftTableCatalog.sessionLog(spark, tableDir).mergeClauses(src, keys,
-      mk(matched), mk(notMatched), mk(bySource))
+      mk(matched), mk(notMatched), mk(bySource),
+      residual = residual
+        .map(r => org.apache.spark.sql.GraftBridge.toCol(r._2))
+        .reduceOption(_ && _))
     Seq.empty
   }
 }

@@ -251,6 +251,19 @@ object LogMirror {
             // incrementally as usual.
             dst.evolvePartitionSpec(s.partitionSpec)
             dst.overwriteAll(src.read(v), txn = Some((lane, v)))
+          } else if (dst.currentVersion() > 0 && {
+            // crash-window recovery: a replay that died BETWEEN the
+            // spec adoption above and its overwriteAll leaves the
+            // replica's spec equal to the source's while its files
+            // still carry the OLD spec — tuple replay would throw the
+            // evolution-debt error and wedge the mirror. Detect the
+            // per-file debt and take the same full refresh the
+            // interrupted convergence was doing (idempotent on the
+            // lane watermark).
+            val dSnap = dst.snapshot()
+            dSnap.files.exists(f => dSnap.specOf(f) != dSnap.partitionSpec)
+          }) {
+            dst.overwriteAll(src.read(v), txn = Some((lane, v)))
           } else {
             val ddataDir = new Path(src.tableDir, SnapshotLog.DataDirName)
             val dBatch = src.session.read

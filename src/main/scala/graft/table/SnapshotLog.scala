@@ -215,6 +215,17 @@ final case class Tombstone(file: String, column: String, appliesTo: Seq[String])
   * the committed op and the files this version added over its parent. */
 final case class VersionDelta(version: Long, op: String, addedFiles: Seq[String])
 
+/** One file-granular unit of a streaming micro-batch plan
+  * ([[SnapshotLog.streamBatchGroups]]): `paths` read under `dataSchema`
+  * (Spark's own vectorized parquet batch), then projected by `outs`
+  * onto the stream's pinned output schema. `outs = None` marks the
+  * identity group — `dataSchema` IS the output, so the reader factory
+  * passes the columnar batches through unprojected (the steady-state
+  * insert feed keeps whole-stage codegen over vectorized reads). */
+private[graft] final case class StreamFileGroup(paths: Seq[String],
+    dataSchema: org.apache.spark.sql.types.StructType,
+    outs: Option[Seq[Column]])
+
 /** One [lo, hi] predicate of a copy-on-write delete, serialized with a
   * type tag so [[LogMirror]] can REPLAY the delete on a replica
   * ([[SnapshotLog.deleteWhereTxn]]) — replaying the predicate prunes on
@@ -1585,6 +1596,217 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
+  /** FILE-GRANULAR plan of the change feed over `(from, to]` for the
+    * DSv2 streaming source ([[graft.streaming.LogMicroBatchStream]]):
+    * each returned group is a set of data files read under ONE physical
+    * parquet schema plus the projection that lands them on the stream's
+    * pinned output — so the micro-batch plans as Spark's own vectorized
+    * parquet partitions (no driver-planned DataFrame, no internal-API
+    * streaming-frame bridge), and every projection is NARROW by
+    * construction (field-id rename alignment, null-padding for widened
+    * columns, constant `_change_type`/`_commit_version`, per-row
+    * four-type re-typing on the recorded pair tag). The rare shapes
+    * that genuinely need a JOIN to reconstruct — a truncate/overwrite
+    * pre-image over a parent carrying merge-on-read debt, four-type
+    * re-typing of PRE-PAIR-TAG merge images — refuse loudly with the
+    * batch [[readChangeRows]] named; everything else ships exactly the
+    * rows the V1 source shipped.
+    *
+    * Semantics match [[readChanges]] / [[readChangeRows]] exactly: the
+    * insert feed guards row-removing ops (unless `skipChangeCommits`),
+    * the CDC feed ships recorded images and by-reference deletes, a
+    * restore throws, physical rewrites contribute nothing. */
+  private[graft] def streamBatchGroups(from: Long, to: Long,
+      pinned: org.apache.spark.sql.types.StructType,
+      readChangeFeed: Boolean, fourType: Boolean,
+      skipChangeCommits: Boolean): Seq[StreamFileGroup] = {
+    import org.apache.spark.sql.types.StructType
+    def p(f: String) = new Path(dataDir, f).toString
+    val metaCols = Set("_change_type", "_commit_version", SnapshotLog.PairCol)
+    val pinnedBase = StructType(pinned.fields.filterNot(f => metaCols(f.name)))
+    // shape equality ignoring nullability/metadata: the provider-face
+    // pinned schema passed through a DataFrame (nullability forced),
+    // the manifest schema did not — identity detection must not care
+    def sameShape(a: StructType, b: StructType): Boolean =
+      a.fields.length == b.fields.length &&
+        a.fields.zip(b.fields).forall { case (x, y) =>
+          x.name == y.name && x.dataType == y.dataType }
+
+    // fid-aligned name→Column mapping of `fromS`'s columns onto `toS`'s
+    // (the alignTo/alignSchemas rule: renamed columns alias, widened
+    // columns null-pad) — as a MAP COMPOSITION so multi-hop alignment
+    // (epoch → version-current → to-current) folds into one projection
+    def aligned(fromS: StructType, toS: StructType,
+        in: String => Column): Seq[(String, Column)] =
+      if (fromS.isEmpty || toS.isEmpty || fromS == toS)
+        toS.fields.toSeq.map(f => f.name -> in(f.name))
+      else {
+        val byFid = fromS.fields.zipWithIndex.map { case (f, i) =>
+          SnapshotLog.fidOf(f, i) -> f }.toMap
+        toS.fields.zipWithIndex.toSeq.flatMap { case (f, i) =>
+          byFid.get(SnapshotLog.fidOf(f, i)) match {
+            case Some(ff) => Some(f.name ->
+              SnapshotLog.alignColumn(ff.dataType, f.dataType, col(ff.name)))
+            case None => Some(f.name -> lit(null).cast(f.dataType))
+          }
+        }
+      }
+
+    // one group: `files` under `dataSchema`, base columns via `m`
+    // (loud when a pinned column is unreachable — same failure the V1
+    // source's final select raised), `extras` appended. `mayId` marks a
+    // verbatim mapping, letting the steady state (current-epoch insert
+    // feed) pass the vectorized batches through UNPROJECTED.
+    def group(files: Seq[String], dataSchema: StructType,
+        m: Map[String, Column], extras: Seq[Column],
+        mayId: Boolean): StreamFileGroup = {
+      val outs = pinnedBase.fields.toSeq.map(f => m.getOrElse(f.name,
+        throw new IllegalStateException(
+          s"stream column '${f.name}' is not reachable from $tableDir's " +
+            "committed schema — the pinned stream schema predates a " +
+            "rename/drop; restart the stream")).as(f.name)) ++ extras
+      StreamFileGroup(files.map(p), dataSchema,
+        if (mayId && extras.isEmpty && sameShape(dataSchema, pinnedBase)) None
+        else Some(outs))
+    }
+
+    // driver-side physical schema of files the manifest carries no
+    // epoch schema for (pre-schema history, recorded image files):
+    // one footer read
+    def footerSchema(file: String): StructType =
+      spark.read.parquet(p(file)).schema
+
+    // `files` of `s` read under the epochs that wrote them, fid-aligned
+    // epoch → s-current → toCur, with `extras` — the group form of
+    // epochAlignedRead(+alignSchemas)
+    def epochGroups(s: Snapshot, files: Seq[String], toCur: StructType,
+        extras: Seq[Column]): Seq[StreamFileGroup] =
+      files.groupBy(s.schemaIdxOf).toSeq.sortBy(_._1).map { case (ep, g) =>
+        val epochS = s.epochSchemas(ep)
+        val dataSchema = if (epochS.nonEmpty) epochS else footerSchema(g.head)
+        val cur = s.epochSchemas.last
+        val m1 = aligned(dataSchema,
+          if (cur.isEmpty) dataSchema else cur, col).toMap
+        val m2 = aligned(if (cur.isEmpty) dataSchema else cur,
+          if (toCur.isEmpty) dataSchema else toCur, m1.apply).toMap
+        group(g, dataSchema, m2, extras,
+          mayId = extras.isEmpty &&
+            (cur.isEmpty || sameShape(cur, dataSchema)) &&
+            (toCur.isEmpty || sameShape(toCur, dataSchema)))
+      }
+
+    val toSnap = snapshot(to)
+    val toCur = toSnap.epochSchemas.last
+
+    if (!readChangeFeed) {
+      // INSERT-ONLY feed: the appended files of every version in range,
+      // read raw under their epochs — identical to readAdded
+      val deltas = changes(from, to)
+      if (!skipChangeCommits) {
+        val changing = deltas.filter(d => SnapshotLog.FeedChangeOps(d.op))
+        if (changing.nonEmpty) throw new IllegalStateException(
+          s"change feed of $tableDir is insert-only but version " +
+            s"${changing.head.version} is a '${changing.head.op}'; resync " +
+            "the consumer from a full read, set skipChangeCommits=true to " +
+            "stream past row-removing commits, or set readChangeFeed=true " +
+            "on a feed-enabled table to receive them as row-level deletes")
+      }
+      return epochGroups(toSnap,
+        deltas.filter(_.op == "append").flatMap(_.addedFiles), toCur, Nil)
+    }
+
+    // ROW-LEVEL CDC feed: per-version contributions, the group form of
+    // readChangeRows (same op routing, same completeness contract)
+    var prev: Option[Snapshot] = None
+    ((from + 1) to to).flatMap { v =>
+      val s = snapshot(v)
+      val parentSnap: Option[Snapshot] =
+        if (s.parent == 0) None
+        else Some(prev.filter(_.version == s.parent)
+          .getOrElse(snapshot(s.parent)))
+      prev = Some(s)
+      val cdcExtras = (ct: Column) =>
+        Seq(ct.as("_change_type"), lit(v).as("_commit_version"))
+      def versionAligned(dataSchema: StructType): Map[String, Column] =
+        aligned(dataSchema, if (toCur.isEmpty) dataSchema else toCur,
+          col).toMap
+      s.op match {
+        case "append" =>
+          val added = s.files.filterNot(
+            parentSnap.fold(Set.empty[String])(_.files.toSet))
+          if (added.isEmpty) Nil
+          else {
+            // version-schema read (the V1 reader(s) shape) — appended
+            // files are current-epoch at their own commit
+            val dataSchema =
+              if (s.schemaJson.nonEmpty) s.epochSchemas.last
+              else footerSchema(added.head)
+            Seq(group(added, dataSchema, versionAligned(dataSchema),
+              cdcExtras(lit("insert")), mayId = false))
+          }
+        case "truncate" | "overwrite" =>
+          val dels = parentSnap.filter(_.files.nonEmpty).map { par =>
+            // the deleted pre-images are the parent's LOGICAL table; a
+            // parent carrying merge-on-read debt would need anti-joins
+            // to reconstruct — not expressible as a narrow file scan
+            if (par.tombstones.nonEmpty || par.files.exists(par.dvs.contains))
+              throw new IllegalStateException(
+                s"$tableDir v$v ${s.op}s a snapshot with pending " +
+                  "tombstones/deletion vectors — the streamed pre-image " +
+                  "needs a join; compact before the overwrite, or " +
+                  "replay this span with the batch readChangeRows")
+            epochGroups(par, par.files, toCur, cdcExtras(lit("delete")))
+          }.getOrElse(Nil)
+          dels ++ epochGroups(s, s.files, toCur, cdcExtras(lit("insert")))
+        case "delete" | "merge" | "delete_keys" | "update" | "replace_where" =>
+          val cs = s.changes.getOrElse(throw new IllegalStateException(
+            s"$tableDir v$v is a '${s.op}' with no recorded change images " +
+              "(committed before the table was changeFeed-enabled) — " +
+              "row-level reads cannot span it; resync from a full read"))
+          val images =
+            if (cs.files.isEmpty) Nil
+            else {
+              val dataSchema = footerSchema(cs.files.head)
+              val hasPair = dataSchema.fieldNames.contains(SnapshotLog.PairCol)
+              val rawType = col("_change_type")
+              val ct =
+                if (fourType && s.op == "update")
+                  // every image of an update commit is half of a pair
+                  // by construction — re-type unconditionally
+                  org.apache.spark.sql.functions.when(
+                    rawType === "delete", "update_preimage")
+                    .otherwise("update_postimage")
+                else if (fourType && s.op == "merge" && hasPair)
+                  org.apache.spark.sql.functions.when(
+                    col(SnapshotLog.PairCol) && rawType === "delete",
+                    "update_preimage")
+                    .when(col(SnapshotLog.PairCol) && rawType === "insert",
+                      "update_postimage")
+                    .otherwise(rawType)
+                else if (fourType && s.op == "merge" && cs.keyColumn.nonEmpty)
+                  throw new IllegalStateException(
+                    s"$tableDir v$v carries merge images recorded before " +
+                      "pair tagging — four-type re-typing needs a key " +
+                      "join; replay this span with the batch " +
+                      "readChangeRows(fourType = true), or stream with " +
+                      "fourTypeCdc = false")
+                else rawType
+              Seq(group(cs.files, dataSchema, versionAligned(dataSchema),
+                cdcExtras(ct), mayId = false))
+            }
+          val wholeFiles =
+            if (cs.deletedDataFiles.isEmpty) Nil
+            else epochGroups(parentSnap.getOrElse(s), cs.deletedDataFiles,
+              toCur, cdcExtras(lit("delete")))
+          images ++ wholeFiles
+        case "restore" => throw new IllegalStateException(
+          s"$tableDir v$v is a restore — a rollback is not expressible " +
+            "as row changes; resync the consumer from a full read")
+        case _ => Nil // physical rewrite: the table changed, rows didn't
+      }
+    }
+  }
+
   /** Append `df` as a new version. Safe under concurrent appenders:
     * stage once, then retry the manifest CAS against the fresh parent —
     * appends commute, the staged files stay valid across retries.
@@ -1618,6 +1840,67 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       schemaJson: String, spec: Seq[PartitionField],
       listedChecks: Map[String, String]): Snapshot =
     commitStagedAppend(nativeStaged(files, schemaJson, spec, listedChecks))
+
+  /** [[commitNativeAppend]]'s EXACTLY-ONCE sibling for the DSv2
+    * STREAMING sink: the same (appId, batchId) transaction watermark as
+    * [[appendStream]], checked against the fresh parent inside the CAS
+    * loop. A replayed epoch (crash between the sink commit and the
+    * engine's checkpoint write re-runs the batch, so its tasks re-wrote
+    * physical files) deletes the re-written files and commits nothing —
+    * returns None. */
+  private[graft] def commitNativeAppendTxn(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String],
+      appId: String, batchId: Long): Option[Snapshot] = {
+    val cur = currentVersion()
+    if (cur > 0 && snapshot(cur).txns.get(appId).exists(_ >= batchId)) {
+      files.foreach(f => fs.delete(new Path(dataDir, f._1), false))
+      return None // replay detected before the footer lift
+    }
+    commitStagedAppendTxn(
+      nativeStaged(files, schemaJson, spec, listedChecks),
+      Some((appId, batchId)))
+  }
+
+  /** Complete-mode streaming sibling of [[commitNativeOverwriteAll]]:
+    * each epoch atomically REPLACES the table under the same
+    * transaction watermark; a replayed epoch deletes its files and
+    * commits nothing. */
+  private[graft] def commitNativeOverwriteAllTxn(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String],
+      appId: String, batchId: Long): Option[Snapshot] = {
+    val cur = currentVersion()
+    val base =
+      if (cur == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+      else snapshot(cur)
+    if (base.txns.get(appId).exists(_ >= batchId)) {
+      files.foreach(f => fs.delete(new Path(dataDir, f._1), false))
+      return None
+    }
+    Some(overwriteAllStaged(base,
+      nativeStaged(files, schemaJson, spec, listedChecks),
+      Some((appId, batchId))))
+  }
+
+  /** RTAS support ([[GraftTableCatalog]]'s StagingTableCatalog): drop
+    * every stored artifact of this table EXCEPT the given still-inert
+    * data files (the staged replacement batch) — the whole manifest
+    * log (versions, segments, constraint records) and the old data.
+    * After this the directory is version-0 with the staged files
+    * waiting to be named by the fresh create's first commit. Runs only
+    * between a fully-written staged batch and its publish, so the
+    * no-table window is driver-local milliseconds (vs the whole query
+    * under the non-staged drop-create-write contract). */
+  private[graft] def clearForReplace(keepDataFiles: Set[String]): Unit = {
+    fs.delete(logDir, true)
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).foreach { st =>
+        if (!keepDataFiles(st.getPath.getName)) fs.delete(st.getPath, true)
+      }
+  }
 
   /** [[commitNativeAppend]]'s sibling for the unconditioned
     * `INSERT OVERWRITE`: same driver-side lift, the overwrite commit
@@ -1689,13 +1972,27 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       Some(listedChecks), spec)
   }
 
-  private def commitStagedAppend(staged: Staged): Snapshot = {
+  private def commitStagedAppend(staged: Staged): Snapshot =
+    commitStagedAppendTxn(staged, None).get
+
+  /** The one append-commit loop every append tier runs — typed,
+    * native-batch, foreachBatch stream, DSv2 streaming sink. `txn`
+    * carries the exactly-once (appId, batchId) watermark: a replayed
+    * batch is detected against the FRESH parent inside the CAS loop
+    * (the check and the commit cannot race), the staged files are
+    * discarded, and None returns without committing. */
+  private def commitStagedAppendTxn(staged: Staged,
+      txn: Option[(String, Long)]): Option[Snapshot] = {
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val parent = currentVersion()
       val base =
         if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
         else snapshot(parent)
+      if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) }) {
+        discard(staged) // lost the race to our own replay twin
+        return None
+      }
       specGuard(staged, base)
       policyGuard(staged)
       val merged =
@@ -1704,14 +2001,15 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val next = Snapshot(parent + 1, "append", parent,
         base.rows + staged.rows, base.bytes + staged.bytes,
         base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns, base.tombstones, base.fileRows ++ staged.fileRows,
+        merged, txn.fold(base.txns) { case (a, b) => base.txns + (a -> b) },
+        base.tombstones, base.fileRows ++ staged.fileRows,
         base.blooms ++ staged.blooms, base.fileBytes ++ staged.fileBytes,
         commitSpec(base), base.partitions ++ staged.partitions,
         commitSort(base), commitCdc(base),
         priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
         dvs = base.dvs, priorSchemas = base.priorSchemas,
         fileSchemaIdx = base.fileSchemaIdx)
-      if (tryCommit(next)) return next
+      if (tryCommit(next)) return Some(next)
       attempts += 1
     }
     discard(staged)
@@ -1731,39 +2029,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val pre = if (cur > 0) Some(snapshot(cur)) else None
     if (pre.exists(_.txns.get(appId).exists(_ >= batchId)))
       return None // replay detected before staging any data
-    val staged = stage(df, base = pre)
-    var attempts = 0
-    while (attempts < MaxCommitAttempts) {
-      val parent = currentVersion()
-      val base =
-        if (parent == 0) Snapshot(0, "", 0, 0L, 0L, Seq.empty)
-        else snapshot(parent)
-      if (base.txns.get(appId).exists(_ >= batchId)) {
-        discard(staged) // lost the race to our own replay twin
-        return None
-      }
-      specGuard(staged, base)
-      policyGuard(staged)
-      val merged =
-        try mergeSchemaJson(base, staged.schemaJson)
-        catch { case e: IllegalStateException => discard(staged); throw e }
-      val next = Snapshot(parent + 1, "append", parent,
-        base.rows + staged.rows, base.bytes + staged.bytes,
-        base.files ++ staged.files, base.stats ++ staged.stats,
-        merged, base.txns + (appId -> batchId), base.tombstones,
-        base.fileRows ++ staged.fileRows, base.blooms ++ staged.blooms,
-        base.fileBytes ++ staged.fileBytes,
-        commitSpec(base), base.partitions ++ staged.partitions,
-        commitSort(base), commitCdc(base),
-        priorSpecs = base.priorSpecs, fileSpecIdx = base.fileSpecIdx,
-        dvs = base.dvs, priorSchemas = base.priorSchemas,
-        fileSchemaIdx = base.fileSchemaIdx)
-      if (tryCommit(next)) return Some(next)
-      attempts += 1
-    }
-    discard(staged)
-    throw new CommitConflictException(
-      s"stream append to $tableDir lost the commit race $MaxCommitAttempts times")
+    commitStagedAppendTxn(stage(df, base = pre), Some((appId, batchId)))
   }
 
   /** [[appendStream]] curried for `DataStreamWriter.foreachBatch`. */
@@ -2004,6 +2270,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def renderPredSql(cond: Column): String = {
     val e = org.apache.spark.sql.GraftBridge.toExprEager(spark, cond)
     if (!e.deterministic) return ""
+    // session-dependence guard: a syntactically round-trippable render
+    // can still change MEANING on replay — a timestamp Literal renders
+    // through the session timezone, and any TimeZoneAwareExpression
+    // (string↔timestamp casts, date_trunc, from_utc_timestamp, ...)
+    // re-evaluates under the REPLAY session's zone/ANSI confs, so a
+    // mirror in a different timezone would silently delete/update
+    // different rows. Refuse to record those (the mirror degrades to
+    // its resync contract, which is exact); the typed ChangePred path
+    // encodes bounds by value and stays unaffected.
+    val tzSensitive = e.exists {
+      // casts are TimeZoneAwareExpression unconditionally; only the
+      // from/to pairs that actually consult the zone are a replay risk
+      // (an int→long widening cast must not cost the mirror replay)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        c.needsTimeZone
+      case _: org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression => true
+      case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+        l.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+          l.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
+      case _ => false
+    }
+    if (tzSensitive) return ""
     scala.util.Try(e.sql).toOption.filter(sql =>
       scala.util.Try(spark.sessionState.sqlParser.parseExpression(sql))
         .isSuccess).getOrElse("")
@@ -2588,14 +2876,36 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val changeStaged =
       if (!recordCdc) None
       else {
-        val ins = u.withColumn("_change_type", lit("insert"))
-        val all =
-          if (touched.isEmpty) ins
-          else scan(base, touched) // DV-applied: a position-deleted row
-            // is not a pre-image — it was already gone
-            .join(u.select(col(column)).distinct(), Seq(column), "left_semi")
-            .withColumn("_change_type", lit("delete"))
-            .unionByName(ins, allowMissingColumns = true)
+        // pair-tagged at WRITE time (like clause merges): every
+        // pre-image has a post-image by upsert construction, and an
+        // insert is a post-image iff its key was present in the touched
+        // files — so four-type re-typing is a per-row expression on
+        // read (the streaming CDC source needs that; the batch reader's
+        // key-join branch remains only for pre-tag history). One extra
+        // broadcast-sized join on the bounded update batch, paid only
+        // on feed-enabled tables.
+        val pre =
+          if (touched.isEmpty) None
+          else Some(scan(base, touched) // DV-applied: a position-deleted
+            // row is not a pre-image — it was already gone
+            .join(u.select(col(column)).distinct(), Seq(column), "left_semi"))
+        val ins0 = u.withColumn("_change_type", lit("insert"))
+        val ins = pre.map(_.select(col(column)).distinct()) match {
+          case None => ins0.withColumn(SnapshotLog.PairCol, lit(false))
+          case Some(pk) =>
+            ins0.join(pk.withColumn("_graft_pre", lit(true)),
+              Seq(column), "left")
+              .withColumn(SnapshotLog.PairCol,
+                coalesce(col("_graft_pre"), lit(false)))
+              .drop("_graft_pre")
+        }
+        val all = pre match {
+          case None => ins
+          case Some(pr) =>
+            pr.withColumn("_change_type", lit("delete"))
+              .withColumn(SnapshotLog.PairCol, lit(true))
+              .unionByName(ins, allowMissingColumns = true)
+        }
         val st = stage(all, partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
       }
@@ -2676,7 +2986,18 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def mergeClauses(source: DataFrame, keys: Seq[(String, String)],
       matched: Seq[MergeWhen], notMatched: Seq[MergeWhen],
       notMatchedBySource: Seq[MergeWhen] = Nil,
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      /** Extra MATCH condition beyond the key equalities (`ON k = k
+        * AND residual` — the CDC update-newer-only shape): evaluated
+        * over the classification join's frame — target columns under
+        * their own names, source columns under
+        * [[SnapshotLog.MergeSrcPrefix]]. A key-equal pair failing the
+        * residual is NOT a match: the target row falls to the
+        * by-source clauses, the source row to the insert clauses —
+        * exactly SQL's ON semantics. Routing still prunes on the key
+        * envelope (a superset — sound), and the ambiguity probe
+        * becomes exact: only residual-PASSING duplicates abort. */
+      residual: Option[Column] = None): Snapshot = {
     val base = snapshot()
     if (txn.exists { case (a, b) => base.txns.get(a).exists(_ >= b) })
       return base // replay detected — nothing stages, nothing commits
@@ -2705,14 +3026,14 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // ambiguity probe and the join
     val u = source.localCheckpoint(true)
     try mergeClausesImpl(u, base, keys, matched, notMatched,
-      notMatchedBySource, txn)
+      notMatchedBySource, txn, residual)
     finally u.unpersist()
   }
 
   private def mergeClausesImpl(u: DataFrame, base: Snapshot,
       keys: Seq[(String, String)], matched: Seq[MergeWhen],
       notMatched: Seq[MergeWhen], notMatchedBySource: Seq[MergeWhen],
-      txn: Option[(String, Long)]): Snapshot = {
+      txn: Option[(String, Long)], residual: Option[Column]): Snapshot = {
     import org.apache.spark.sql.types.{DataType, StructType}
     val tgtSchema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
     keys.foreach { case (tk, _) =>
@@ -2743,8 +3064,11 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val untouched = base.files.filterNot(rewritten.toSet)
     // GENUINE-AMBIGUITY probe: a duplicated source key tuple aborts the
     // merge iff it matches a target row (SQL cardinality violation);
-    // duplicated tuples that only insert are standard MERGE
-    if (matched.nonEmpty && joinFiles.nonEmpty) {
+    // duplicated tuples that only insert are standard MERGE. With a
+    // RESIDUAL match condition this key-level probe would over-refuse
+    // (the residual may disambiguate duplicates, e.g. versioned CDC
+    // batches) — the exact per-target-row probe below replaces it.
+    if (matched.nonEmpty && joinFiles.nonEmpty && residual.isEmpty) {
       val sk = keys.map(_._2)
       val dups = u.na.drop(sk).groupBy(sk.map(col): _*)
         .agg(count(lit(1)).as("__graft_n")).where(col("__graft_n") > 1)
@@ -2767,13 +3091,39 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val srcP = u.columns.foldLeft(u)((d, c) => d.withColumnRenamed(c, SP + c))
       .withColumn(SnapshotLog.MergeSrcMark, lit(true))
     val tgtRaw = if (joinFiles.isEmpty) emptySnap(base) else scan(base, joinFiles)
-    val tgtM = tgtRaw.withColumn(SnapshotLog.MergeTgtMark, lit(true))
-    val cond = keys.zip(tKeys).map { case ((_, sk), tk) =>
+    // a residual merge needs a per-target-row identity for the exact
+    // ambiguity probe and the unactioned-match dedup; the id is
+    // non-deterministic per plan but `joined` checkpoints EAGERLY, so
+    // every downstream read sees the one materialized assignment
+    val Rid = "__graft_rid"
+    val tgtM0 = tgtRaw.withColumn(SnapshotLog.MergeTgtMark, lit(true))
+    val tgtM =
+      if (residual.isEmpty) tgtM0
+      else tgtM0.withColumn(Rid,
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+    val cond0 = keys.zip(tKeys).map { case ((_, sk), tk) =>
       tgtM(tk) === srcP(SP + sk) }.reduce(_ && _)
+    val cond = residual.fold(cond0)(cond0 && _)
     val joined = tgtM.join(srcP, cond, "full_outer").localCheckpoint(true)
     try {
       val isT = col(SnapshotLog.MergeTgtMark).isNotNull
       val isS = col(SnapshotLog.MergeSrcMark).isNotNull
+      if (matched.nonEmpty && residual.nonEmpty) {
+        // exact cardinality probe: >1 residual-passing source row for
+        // one target row is the SQL violation; key-duplicates that the
+        // residual filtered away are fine
+        val clash = joined.where(isT && isS).groupBy(col(Rid))
+          .agg(count(lit(1)).as("__graft_n"),
+            org.apache.spark.sql.functions
+              .first(org.apache.spark.sql.functions
+                .struct(tKeys.map(col): _*)).as("__graft_k"))
+          .where(col("__graft_n") > 1).limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"MERGE on $tableDir: multiple source rows match one target row " +
+            s"under the ON condition (target key ${clash.head.get(1)}) — " +
+            "a target row may be updated/deleted by at most one source " +
+            "row (dedupe the source, e.g. latest-wins)")
+      }
       val act = SnapshotLog.MergeActCol
       // first-matching-clause index (-1 = none): a NULL condition is
       // false, falling through to the next clause — SQL semantics
@@ -2820,6 +3170,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       // kept exactly once, SQL's semantics for an unactioned match.
       val outM =
         if (matched.nonEmpty) project(mAct, matched, defaultKeep = true)
+        else if (residual.nonEmpty)
+          // unactioned matches pass through once each — the rid dedups
+          // the full-outer fanout exactly (the key-only semi-join below
+          // would wrongly swallow rows whose match FAILED the residual,
+          // which belong to the by-source branch)
+          joined.where(isT && isS).dropDuplicates(Rid)
+            .select(tgtSchema.fieldNames.toSeq.map(col): _*)
         else {
           val srcKeys = u.select(keys.map { case (_, sk) => col(sk) }: _*)
             .distinct()
@@ -3149,6 +3506,89 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     statsCols = statsCols.map(c => if (c == from) toPath else c)
     bloomCols = bloomCols.map(c => if (c == from) toPath else c)
     sortCols = sortCols.map(c => if (c == from) toPath else c)
+    next
+  }
+
+  /** WIDEN a column's type as ONE metadata-only commit (op
+    * `widen_type`) — the `ALTER TABLE ... ALTER COLUMN ... TYPE` verb,
+    * on the same epoch machinery as renames: the pre-widen schema is
+    * retained, every live file pins to it, and the epoch-aligned read
+    * CASTS the column up ([[SnapshotLog.alignColumn]]'s scalar case),
+    * so old files read widened with zero data I/O and time travel to
+    * pre-widen versions still reads the narrow type. Only LOSSLESS
+    * numeric widenings are accepted (byte→short→int→long,
+    * float→double, int-family→double like Spark's own storeAssignment
+    * upcasts) — anything else would silently corrupt values.
+    *
+    * Refused while the column sources a partition transform (a bucket
+    * hash computed over the widened type need not match the recorded
+    * tuples) or carries per-file BLOOM filters (their hashes are
+    * type-dependent — a widened probe would produce false negatives
+    * and prune live rows). Range STATS survive: the recorded bound
+    * strings re-parse under the widened type exactly. Nested paths
+    * navigate like every evolution verb (`a.b`, `arr.element.x`). */
+  def widenColumnType(name: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    import org.apache.spark.sql.types._
+    val cur = snapshot()
+    require(cur.schemaJson.nonEmpty,
+      s"$tableDir has no committed schema to widen")
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val parts = name.split('.').toSeq
+    val head = parts.head
+    def widens(from: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+    (cur.priorSpecs :+ cur.partitionSpec).flatten.foreach(pf =>
+      require(pf.source != head,
+        s"'$head' sources partition transform ${pf.transform} — its " +
+          "recorded tuples were computed over the narrow type; evolve " +
+          "the partition spec off it before widening"))
+    require(!cur.tombstones.exists(_.column == head),
+      s"pending key tombstones on '$head' — compact() to materialize " +
+        "them before widening (their key files carry the narrow type)")
+    require(!bloomCols.contains(head) &&
+        !cur.blooms.valuesIterator.exists(_.contains(head)),
+      s"'$head' carries bloom filters — their hashes are type-dependent, " +
+        "a widened probe would false-negative and prune live rows; " +
+        "drop the bloom maintenance (compact without it) before widening")
+    val withIds = SnapshotLog.withFids(schema)
+    def widenField(f: StructField): StructField = {
+      require(widens(f.dataType),
+        s"widen on $tableDir: '$name' is ${f.dataType.simpleString} → " +
+          s"${to.simpleString} is not a lossless numeric widening " +
+          "(byte→short→int→long, float→double, int-family→double)")
+      f.copy(dataType = to)
+    }
+    val widened =
+      if (parts.size == 1) {
+        require(withIds.fieldNames.contains(name),
+          s"$tableDir has no column '$name' " +
+            s"(schema: ${schema.fieldNames.mkString(", ")})")
+        StructType(withIds.fields.map(f =>
+          if (f.name == name) widenField(f) else f))
+      } else SnapshotLog.rewriteStructAt(withIds, parts.init,
+          s"widen '$name' on $tableDir") { st =>
+        require(st.fieldNames.contains(parts.last),
+          s"widen on $tableDir: struct '${parts.init.mkString(".")}' has " +
+            s"no field '${parts.last}'")
+        StructType(st.fields.map(f =>
+          if (f.name == parts.last) widenField(f) else f))
+      }
+    val next = Snapshot(cur.version + 1, "widen_type", cur.version,
+      cur.rows, cur.bytes, cur.files, cur.stats, widened.json, cur.txns,
+      cur.tombstones, cur.fileRows, cur.blooms, cur.fileBytes,
+      cur.partitionSpec, cur.partitions, cur.sortOrder,
+      commitCdc(cur), None, cur.priorSpecs, cur.fileSpecIdx, cur.dvs,
+      cur.priorSchemas :+ withIds.json,
+      cur.files.map(f => f -> cur.schemaIdxOf(f)).toMap)
+    if (!tryCommit(next)) throw new CommitConflictException(
+      s"widen on $tableDir: concurrent commit since v${cur.version}; rerun")
     next
   }
 
@@ -4965,6 +5405,14 @@ object SnapshotLog {
     * written before this tag existed fall back to key pairing. */
   private[graft] val PairCol = "_graft_pair"
 
+  /** Commits that can remove rows an insert-only feed consumer already
+    * received — a gap in the feed. `restore` belongs here (rolling back
+    * past an append un-commits rows the stream may have shipped), as do
+    * `truncate`/`overwrite` (they drop the whole prior table). */
+  private[graft] val FeedChangeOps: Set[String] =
+    Set("delete", "merge", "delete_keys", "update", "restore", "truncate",
+      "overwrite", "replace_where")
+
   /** StructField-metadata key carrying a column's STABLE field id —
     * what lets a rename be metadata-only while old files keep
     * resolving ([[SnapshotLog.renameColumn]]). Ids are assigned in
@@ -5145,6 +5593,9 @@ object SnapshotLog {
         struct(e.getField("key").as("key"),
           alignColumn(fm.valueType, tm.valueType, e.getField("value"))
             .as("value"))))
+    // scalar TYPE WIDENING ([[SnapshotLog.widenColumnType]]): old
+    // epochs' narrow values cast up — lossless by the verb's whitelist
+    case _ if from != to => srcCol.cast(to)
     case _ => srcCol
   }
 

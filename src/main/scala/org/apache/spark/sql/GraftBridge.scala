@@ -24,30 +24,6 @@ object GraftBridge {
   def toExprEager(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
-  /** Re-wrap a batch DataFrame as a STREAMING one (`isStreaming=true`)
-    * for a V1 [[org.apache.spark.sql.execution.streaming.Source]]'s
-    * `getBatch`: MicroBatchExecution asserts the returned plan is
-    * streaming, and the blessed construction
-    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`, the
-    * one FileStreamSource uses) is `private[sql]`. The wrapped RDD is
-    * the batch plan's physical RDD — planned now, executed when the
-    * micro-batch runs. */
-  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame =
-    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
-      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
-      df.schema, isStreaming = true)
-
-  /** The inverse of [[asStreamingFrame]]: re-wrap a streaming
-    * micro-batch frame (a V1 `Sink.addBatch` argument) as a BATCH one
-    * so the ordinary write path can plan it — the already-planned
-    * incremental physical RDD executes once, when the downstream write
-    * job runs. */
-  def asBatchFrame(df: DataFrame): DataFrame = {
-    val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.sparkSession.internalCreateDataFrame(
-      ds.queryExecution.toRdd, df.schema, isStreaming = false)
-  }
-
   /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`); runs the analyzer, so custom logical nodes built
     * over unresolved column expressions resolve normally. */
@@ -59,6 +35,12 @@ object GraftBridge {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** The session's stable unique id (`sessionUUID` is `private[sql]`) —
+    * a cache key that, unlike `System.identityHashCode`, can neither
+    * collide nor be reused by a fresh session after a GC. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 
   /** Clone a session — shared SparkContext, COPIED session state
     * (runtime conf, temp views, registered functions). `cloneSession`

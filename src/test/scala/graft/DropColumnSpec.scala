@@ -118,6 +118,48 @@ class DropColumnSpec extends AnyFunSuite {
     assert(SnapshotLog(spark, s"$root/t").currentVersion() == 4L)
   }
 
+  test("ALTER COLUMN TYPE: lossless widen is metadata-only; old files read cast-up; time travel intact") {
+    val root = Files.createTempDirectory("graft-widen-type-").toString
+    spark.conf.set("spark.sql.catalog.gwt", classOf[GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwt.root", root)
+    spark.sql("CREATE TABLE gwt.t (id INT, score FLOAT, v STRING)")
+    spark.sql("INSERT INTO gwt.t VALUES (1, CAST(1.5 AS FLOAT), 'a'), " +
+      "(2, CAST(2.5 AS FLOAT), 'b')")
+    val preWiden = SnapshotLog(spark, s"$root/t").currentVersion()
+    spark.sql("ALTER TABLE gwt.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE gwt.t ALTER COLUMN score TYPE DOUBLE")
+    val log = SnapshotLog(spark, s"$root/t")
+    assert(log.currentVersion() == preWiden + 2 &&
+      log.snapshot().op == "widen_type", "two metadata-only commits")
+    // old files (written narrow) read under the WIDENED schema
+    val widened = spark.sql("SELECT id, score, v FROM gwt.t ORDER BY id")
+    assert(widened.schema("id").dataType.typeName == "long" &&
+      widened.schema("score").dataType.typeName == "double")
+    assert(widened.as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.5d, "a"), (2L, 2.5d, "b")))
+    // new writes land wide and mix with old files in one scan
+    spark.sql("INSERT INTO gwt.t VALUES (3000000000, 3.5, 'c')")
+    assert(spark.sql("SELECT sum(id) FROM gwt.t").head().getLong(0) ==
+      3000000003L, "a value past Int.MaxValue must land after the widen")
+    // stats pruning still works over narrow-written files (bound
+    // strings re-parse under the widened type)
+    assert(spark.sql("SELECT v FROM gwt.t WHERE id = 2").head().getString(0) == "b")
+    // time travel BEFORE the widen reads the narrow type
+    val tt = spark.sql(s"SELECT id FROM gwt.t VERSION AS OF $preWiden")
+    assert(tt.schema("id").dataType.typeName == "integer")
+    // non-widening changes refuse
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE gwt.t ALTER COLUMN id TYPE INT")) // narrow
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE gwt.t ALTER COLUMN v TYPE BIGINT")) // string
+    // a bucket-source column refuses (tuples hashed over the narrow type)
+    val bl = SnapshotLog.partitioned(spark, freshTable(),
+      Seq(PartitionField.bucket("k", 4)))
+    bl.append(Seq((1, "x")).toDF("k", "v").coalesce(1))
+    assertThrows[IllegalArgumentException](
+      bl.widenColumnType("k", org.apache.spark.sql.types.LongType))
+  }
+
   test("guards: partition sources, tombstoned keys, and the last column refuse") {
     val log = SnapshotLog.partitioned(spark, freshTable(),
       Seq(PartitionField.bucket("id", 4)))

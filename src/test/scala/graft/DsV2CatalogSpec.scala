@@ -346,7 +346,7 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t2").head().getLong(0) == 2)
   }
 
-  test("CTAS writes through the same transactional append; DROP TABLE removes everything") {
+  test("CTAS is ONE atomic staged commit; DROP TABLE removes everything") {
     val (root, _) = freshRoot()
     val cat = mount(root)
     spark.sql(
@@ -354,13 +354,54 @@ class DsV2CatalogSpec extends AnyFunSuite {
          |AS SELECT id, v FROM $cat.t1 WHERE id >= 1000""".stripMargin)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t_big").head().getLong(0) == 10)
     val s = SnapshotLog(spark, s"$root/t_big").snapshot()
-    assert(s.version == 2 && s.rows == 10, "CTAS = create(v1) + append(v2)")
+    assert(s.version == 1 && s.rows == 10,
+      "staged CTAS = ONE commit carrying the declared shape AND the files")
     assert(s.stats.values.forall(_.contains("id")),
       "declared stats-columns must apply to the CTAS write itself")
     spark.sql(s"DROP TABLE $cat.t_big")
     assert(!new java.io.File(s"$root/t_big").exists(), "the directory is gone")
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.t_big") }
     spark.sql(s"DROP TABLE IF EXISTS $cat.t_big") // idempotent spelling
+  }
+
+  test("failed CTAS leaves NO table and no directory; partitioned CTAS lands declared tuples") {
+    val (root, _) = freshRoot()
+    val cat = mount(root)
+    // crash injection: the SELECT fails at task runtime, AFTER the
+    // staged table was created and its writers opened files — the
+    // abort must leave nothing (the non-staged contract leaked an
+    // empty created table into the drop-on-failure window)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.t_boom AS " +
+        "SELECT id, raise_error('ctas crash injection') AS v FROM range(3)")
+    }
+    assert(!new java.io.File(s"$root/t_boom").exists(),
+      "a failed CTAS must leave no directory")
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("t_boom"), "and no table")
+    // the declared partition spec drives the staged write's exchange:
+    // v1 carries per-tuple files, pruning works from the first commit
+    spark.sql(
+      s"""CREATE TABLE $cat.t_part PARTITIONED BY (bucket(2, id))
+         |AS SELECT id, v FROM $cat.t1""".stripMargin)
+    val s = SnapshotLog(spark, s"$root/t_part").snapshot()
+    assert(s.version == 1 && s.rows == 20)
+    assert(s.partitions.values.toSeq.distinct.size == 2 &&
+      s.partitions.values.forall(_.size == 1),
+      s"bucket(2) CTAS must land per-tuple files, got ${s.partitions}")
+    // RTAS: fresh history in ONE staged publish; a failed RTAS leaves
+    // the OLD table intact (the real atomicity win over drop+create)
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TABLE $cat.t_part AS " +
+        "SELECT id, raise_error('rtas crash injection') AS v FROM range(3)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t_part").head().getLong(0) == 20,
+      "a failed RTAS must leave the old table fully readable")
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t_part AS " +
+      s"SELECT id FROM $cat.t1 WHERE id < 5")
+    val s2 = SnapshotLog(spark, s"$root/t_part").snapshot()
+    assert(s2.version == 1 && s2.rows == 5,
+      "RTAS = fresh history, one staged publish")
   }
 
   test("SET TBLPROPERTIES sort-order: one metadata commit re-clusters every future write") {
@@ -438,8 +479,8 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 0)
     spark.sql(s"INSERT INTO $cat.gated VALUES (1L, 2L)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 1)
-    // CREATE OR REPLACE = drop + create (Spark's non-atomic contract):
-    // new schema, fresh history, the old constraint does not survive
+    // CREATE OR REPLACE = fresh history in one STAGED publish: new
+    // schema, version resets, the old constraint does not survive
     spark.sql(s"CREATE OR REPLACE TABLE $cat.gated (id BIGINT, note STRING)")
     val log = SnapshotLog(spark, s"$root/gated")
     assert(log.snapshot().version == 1 && log.constraints().isEmpty)
@@ -449,8 +490,8 @@ class DsV2CatalogSpec extends AnyFunSuite {
     spark.sql(s"CREATE OR REPLACE TABLE $cat.gated AS " +
       s"SELECT id, v FROM $cat.t1 WHERE id < 5")
     assert(spark.sql(s"SELECT count(*) FROM $cat.gated").head().getLong(0) == 5)
-    assert(SnapshotLog(spark, s"$root/gated").snapshot().version == 2,
-      "RTAS = fresh create(v1) + one transactional append(v2)")
+    assert(SnapshotLog(spark, s"$root/gated").snapshot().version == 1,
+      "RTAS = fresh history, ONE staged commit carrying shape + files")
   }
 
   test("INSERT INTO commits one append: visible at head, absent from the pinned past") {

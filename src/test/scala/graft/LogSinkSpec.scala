@@ -72,15 +72,51 @@ class LogSinkSpec extends AnyFunSuite {
       "the final complete-mode state is the full aggregate")
   }
 
-  test("refusals: partitionBy and update mode; missing path") {
+  test("writeStream.toTable: per-epoch txn commits through the native write, table-declared layout") {
+    val root = fresh("graft-sink-cat-")
+    spark.conf.set("spark.sql.catalog.gsink1",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsink1.root", root)
+    spark.sql(
+      "CREATE TABLE gsink1.dst (id INT, v STRING) PARTITIONED BY (bucket(2, id))")
+    val srcDir = fresh("graft-sink-src-") + "/s"
+    val src = SnapshotLog(spark, srcDir)
+    src.append((0 until 8).map(i => (i, s"a$i")).toDF("id", "v"))
+    val q = LogChangeFeed.readChangesStream(spark, srcDir)
+      .writeStream
+      .option("checkpointLocation", fresh("graft-sink-cat-ckpt-"))
+      .toTable("gsink1.dst")
+    q.processAllAvailable()
+    src.append(Seq((100, "z")).toDF("id", "v"))
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM gsink1.dst").head().getLong(0) == 9)
+    val snap = SnapshotLog(spark, s"$root/dst").snapshot()
+    assert(snap.partitions.values.forall(_.size == 1),
+      "streamed files must carry the TABLE-declared bucket tuple")
+    assert(snap.txns.nonEmpty,
+      "per-epoch commits must record the exactly-once txn watermark")
+  }
+
+  test("refusals: partitionBy has no effect (layout is the table's); missing path") {
     val dstDir = fresh("graft-sink-dst-") + "/d"
     val feed = LogChangeFeed.readChangesStream(spark,
       { val d = fresh("graft-sink-src-") + "/s"
         val l = SnapshotLog(spark, d)
         l.append(Seq((1, "x")).toDF("id", "v")); d })
-    assertThrows[Exception](feed.writeStream.format("graft-log")
+    // on the DSv2 provider path Spark DROPS partitionBy before the
+    // sink ever sees it (same as every V2 format sink) — the contract
+    // holds the other way around: the written layout is whatever the
+    // TABLE declares, never the writer (the toTable case above pins
+    // that); a writer-passed partitioning can therefore never corrupt
+    // pruning
+    val q = feed.writeStream.format("graft-log")
       .option("path", dstDir).partitionBy("id")
-      .option("checkpointLocation", fresh("ck")).start())
+      .option("checkpointLocation", fresh("ck")).start()
+    q.processAllAvailable(); q.stop(); q.awaitTermination()
+    val snap = SnapshotLog(spark, dstDir).snapshot()
+    assert(snap.partitionSpec.isEmpty && snap.rows == 1,
+      "writer partitionBy must not invent a table layout")
     assertThrows[Exception](feed.writeStream.format("graft-log")
       .option("checkpointLocation", fresh("ck")).start())
   }

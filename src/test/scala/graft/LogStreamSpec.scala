@@ -199,25 +199,64 @@ class LogStreamSpec extends AnyFunSuite {
         s"restart must ship the down-time commits and nothing pre-start: $got")
     } finally q3.stop()
     // batch-0 recovery determinism (the case the persistence exists for):
-    // a source REBUILT over the same metadata path — what a crash before
-    // batch 0's commit does — re-reads the persisted 'latest' bound
-    // instead of re-resolving against a head that moved while down
+    // a stream REBUILT over the same checkpoint path — what a crash
+    // before batch 0's offset write does — re-reads the persisted
+    // 'latest' bound instead of re-resolving against a head that moved
     val meta = freshDir("graft-feed-sv-meta-")
     val h0 = log.currentVersion()
-    val src1 = new graft.streaming.LogChangeFeedSource(spark, table,
-      false, false, false, 0L, 0L, "latest", meta)
+    val pinned = log.read().schema
+    def mkStream(ckpt: String) = new graft.streaming.LogMicroBatchStream(
+      spark, table, pinned, false, false, false, 0L, 0L, "latest", ckpt)
+    val src1 = mkStream(meta)
     assert(src1.resolvedStartVersion == h0)
     log.append(mkRows(9, 2).toDF("id", "payload")) // head moves past h0
-    val src2 = new graft.streaming.LogChangeFeedSource(spark, table,
-      false, false, false, 0L, 0L, "latest", meta) // "restarted" source
+    val src2 = mkStream(meta) // "restarted" stream
     assert(src2.resolvedStartVersion == h0,
       "recovery must replay from the ORIGINAL (persisted) bound — " +
         "re-resolving 'latest' against the moved head would drop the " +
         "planned batch-0 span")
-    // a source with NO metadata path (direct construction) resolves fresh
-    val src3 = new graft.streaming.LogChangeFeedSource(spark, table,
-      false, false, false, 0L, 0L, "latest", "")
+    // a stream with NO checkpoint path (direct construction) resolves fresh
+    val src3 = mkStream("")
     assert(src3.resolvedStartVersion == h0 + 1)
+  }
+
+  test("readStream.table streams the catalog table's insert feed; CDC options refuse") {
+    val root = freshDir("graft-feed-cat-")
+    val table = root + "/t"
+    val log = SnapshotLog(spark, table)
+    log.append(mkRows(0, 8).toDF("id", "payload"))
+    spark.conf.set("spark.sql.catalog.gstream1",
+      classOf[graft.table.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gstream1.root", root)
+    val seen = new ConcurrentLinkedQueue[(Int, String)]()
+    val q = spark.readStream.table("gstream1.t").writeStream
+      .option("checkpointLocation", freshDir("graft-feed-cat-ckpt-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == mkRows(0, 8).sorted,
+        "the backlog must stream through the catalog table face")
+      log.append(mkRows(1, 4).toDF("id", "payload"))
+      q.processAllAvailable()
+      assert(drained(seen) == (mkRows(0, 8) ++ mkRows(1, 4)).sorted,
+        "later appends must arrive exactly once")
+    } finally q.stop()
+    // row-level CDC refuses on the table face (its relation schema has
+    // no _change_type) and points at the provider format
+    val bad = spark.readStream.option("readChangeFeed", "true")
+      .table("gstream1.t").writeStream
+      .option("checkpointLocation", freshDir("graft-feed-cat-ckptbad-"))
+      .format("noop").start()
+    try {
+      val ex = intercept[StreamingQueryException] { bad.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+      assert(chain(ex).exists(_.contains("graft-log-changes")),
+        s"the refusal must name the CDC format, got ${chain(ex)}")
+    } finally bad.stop()
   }
 
   test("restart from checkpoint resumes at the committed version, not the beginning") {
@@ -333,8 +372,11 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q2.stop()
     // the two stream modes are mutually exclusive by construction
     assertThrows[IllegalArgumentException] {
-      new graft.streaming.LogChangeFeedSource(spark, table,
-        skipChangeCommits = true, readChangeFeed = true)
+      new graft.streaming.LogMicroBatchStream(spark, table,
+        log.read().schema, skipChangeCommits = true, readChangeFeed = true,
+        fourTypeCdc = false, maxVersionsPerTrigger = 0L,
+        maxFilesPerTrigger = 0L, startingVersion0 = "",
+        checkpointLocation = "")
     }
   }
 }

@@ -344,7 +344,7 @@ class MergeSpec extends AnyFunSuite {
     refused(
       s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id >= s.id
          |WHEN MATCHED THEN DELETE""".stripMargin,
-      "conjunction of equalities")
+      "at least one equality")
     refused(
       s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id = s.id
          |WHEN MATCHED THEN UPDATE SET v = (SELECT max(v) FROM mrg_bad_src)""".stripMargin,
@@ -355,5 +355,92 @@ class MergeSpec extends AnyFunSuite {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(log.read().select("v").as[String].head() == "b")
+  }
+
+  test("residual ON: update-newer-only CDC shape; stale rows are NOT matches") {
+    // typed tier: ON id = k AND src.ver > ver
+    val log = fresh()
+    log.append(Seq((1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c"))
+      .toDF("id", "ver", "v").coalesce(1))
+    val src = Seq(
+      (1L, 11, "a2"),  // newer  -> update
+      (2L, 19, "bX"),  // STALE  -> no match: no update, and (with an
+                       // unconditional insert clause) it would insert —
+                       // here there is no insert clause, so it drops
+      (9L, 1, "new")   // new key, no insert clause -> drops
+    ).toDF("k", "sver", "sv")
+    log.mergeClauses(src, keys = Seq(("id", "k")),
+      matched = Seq(MergeWhen(None, "update",
+        Seq("ver" -> col(s"${SP}sver"), "v" -> col(s"${SP}sv")))),
+      notMatched = Nil,
+      residual = Some(col(s"${SP}sver") > col("ver")))
+    assert(log.read().as[(Long, Int, String)].collect().sorted.toSeq ==
+      Seq((1L, 11, "a2"), (2L, 20, "b"), (3L, 30, "c")),
+      "only the strictly-newer source row may update")
+    // a residual-failing match IS 'not matched' for both sides: the
+    // source row inserts, the target row falls to by-source clauses
+    val log2 = fresh()
+    log2.append(Seq((1L, 10, "a"), (2L, 20, "b"))
+      .toDF("id", "ver", "v").coalesce(1))
+    log2.mergeClauses(Seq((2L, 19, "b-old")).toDF("k", "sver", "sv"),
+      keys = Seq(("id", "k")),
+      matched = Seq(MergeWhen(None, "update", Seq("v" -> lit("upd")))),
+      notMatched = Seq(MergeWhen(None, "insert",
+        Seq("id" -> col(s"${SP}k"), "ver" -> col(s"${SP}sver"),
+          "v" -> col(s"${SP}sv")))),
+      notMatchedBySource = Seq(MergeWhen(None, "update",
+        Seq("v" -> lit("untouched")))),
+      residual = Some(col(s"${SP}sver") > col("ver")))
+    assert(log2.read().as[(Long, Int, String)].collect().sorted.toSeq ==
+      Seq((1L, 10, "untouched"), (2L, 19, "b-old"), (2L, 20, "untouched")),
+      "a stale source row inserts (NOT MATCHED) and every target row " +
+        "it failed to match takes the by-source clause")
+  }
+
+  test("residual ON: exact ambiguity probe — residual-disambiguated dups pass, true dups refuse") {
+    val log = fresh()
+    log.append(Seq((1L, 10, "a")).toDF("id", "ver", "v").coalesce(1))
+    // two source rows share key 1, but only ONE passes the residual —
+    // the key-level probe would refuse; the exact probe must not
+    log.mergeClauses(
+      Seq((1L, 11, "new"), (1L, 5, "stale")).toDF("k", "sver", "sv"),
+      keys = Seq(("id", "k")),
+      matched = Seq(MergeWhen(None, "update",
+        Seq("ver" -> col(s"${SP}sver"), "v" -> col(s"${SP}sv")))),
+      notMatched = Nil,
+      residual = Some(col(s"${SP}sver") > col("ver")))
+    assert(log.read().as[(Long, Int, String)].head() == ((1L, 11, "new")))
+    // BOTH pass the residual -> genuine SQL cardinality violation
+    val ex = intercept[IllegalStateException] {
+      log.mergeClauses(
+        Seq((1L, 20, "x"), (1L, 21, "y")).toDF("k", "sver", "sv"),
+        keys = Seq(("id", "k")),
+        matched = Seq(MergeWhen(None, "update",
+          Seq("ver" -> col(s"${SP}sver")))),
+        notMatched = Nil,
+        residual = Some(col(s"${SP}sver") > col("ver")))
+    }
+    assert(ex.getMessage.contains("at most one source row"))
+  }
+
+  test("SQL MERGE with residual ON conjuncts translates (update-newer-only)") {
+    val root = Files.createTempDirectory("graft-mergec-res-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("id", "ver", "v").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gmrgres"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.createDataFrame(Seq((1L, 11L, "a2"), (2L, 19L, "bX"), (9L, 1L, "new")))
+      .toDF("id", "ver", "v").createOrReplaceTempView("mrg_res_src")
+    s.sql(
+      s"""MERGE INTO $cat.t1 t USING mrg_res_src s
+         |ON t.id = s.id AND s.ver > t.ver
+         |WHEN MATCHED THEN UPDATE SET ver = s.ver, v = s.v""".stripMargin)
+    assert(log.read().as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 11L, "a2"), (2L, 20L, "b"), (3L, 30L, "c")),
+      "the SQL residual merge must update only the strictly-newer row")
   }
 }

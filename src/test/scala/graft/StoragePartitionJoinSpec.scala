@@ -126,6 +126,42 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
       .numPartitions() == 4)
   }
 
+  test("subset-key SPJ: bucket(8) joins bucket(8)+identity on the bucket key alone, zero shuffle") {
+    val root = Files.createTempDirectory("graft-spj-sub-").toString
+    val a = SnapshotLog.partitioned(spark, s"$root/a",
+      Seq(PartitionField.bucket("id", 8)))
+    a.append((0 until 120).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    // b carries a FINER spec: same bucket(8, id) plus identity(grp) —
+    // the join key (id) is a SUBSET of b's partition keys, the shape
+    // Spark's allowJoinKeysSubsetOfPartitionKeys serves by grouping
+    // b's finer key tuples under the shared bucket prefix
+    val b = SnapshotLog.partitioned(spark, s"$root/b",
+      Seq(PartitionField.bucket("id", 8), PartitionField("grp", "identity")))
+    b.append((0 until 120).map(i => (i.toLong, (i % 3).toLong, s"b$i"))
+      .toDF("id", "grp", "w"))
+    val cat = mount(root)
+    // d.grp must stay in the scan output: a partition expression whose
+    // source column is pruned away cannot be translated, and the scan
+    // degrades to UnknownPartitioning (Spark's own SPJ suites keep the
+    // partition columns selected for the same reason)
+    val q = s"SELECT f.id, f.v, d.w, d.grp " +
+      s"FROM $cat.a f JOIN $cat.b d ON f.id = d.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      val got = df.collect().map(r =>
+        r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(got ==
+        (0 until 120).map(i => i.toLong -> (s"a$i", s"b$i")).toMap)
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        "a join on the shared bucket prefix must not shuffle either side")
+    }
+  }
+
   test("day-partitioned tables join with ZERO shuffle: time transforms group like buckets") {
     val root = Files.createTempDirectory("graft-spj-day-").toString
     import org.apache.spark.sql.functions.{col, expr}

@@ -273,8 +273,53 @@ class UpdateSpec extends AnyFunSuite {
         Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
       assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
     }
-    refused(s"DELETE FROM $cat.t1 WHERE id IN (SELECT id FROM $cat.t1 " +
-      "WHERE id > 1000)", "subquery")
+    // uncorrelated IN-subquery: materialized to a literal key list at
+    // execution, routed through the same counting planner (with the
+    // key list's min/max as a pruning hint)
+    s.sql(s"DELETE FROM $cat.t1 WHERE id IN (SELECT id FROM $cat.t1 " +
+      "WHERE id > 1006)")
+    val m4 = rowsOf(s, cat)
+    assert(!m4.contains(1007L) && !m4.contains(1009L) &&
+      m4.contains(1005L) && m4.size == 12,
+      s"the IN-subquery delete must remove exactly ids > 1006: $m4")
+    // correlated subqueries still refuse with the contract named
+    refused(s"DELETE FROM $cat.t1 t WHERE EXISTS (SELECT 1 FROM $cat.t1 " +
+      "u WHERE u.id = t.id + 1)", "subquery")
+  }
+
+  test("SQL UPDATE/DELETE with IN/NOT IN subqueries: 3-valued NOT IN, update arm, refusal past the cap") {
+    val root = Files.createTempDirectory("graft-upd-subq-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v").coalesce(1))
+    val keysDir = s"$root/keys"
+    SnapshotLog(spark, keysDir).append(
+      Seq((2L, "x"), (4L, "x")).toDF("kid", "tag").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdsq"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // UPDATE with an IN-subquery against ANOTHER table + a plain conjunct
+    s.sql(s"UPDATE $cat.t1 SET v = upper(v) " +
+      s"WHERE id IN (SELECT kid FROM $cat.keys) AND id >= 3")
+    val m1 = rowsOf(s, cat)
+    assert(m1(4L) == "A4" && m1(2L) == "a2" && m1(3L) == "a3",
+      s"only ids in the key set AND >= 3 may update: $m1")
+    // NOT IN over a null-free set deletes the complement
+    s.sql(s"DELETE FROM $cat.t1 " +
+      s"WHERE id NOT IN (SELECT kid FROM $cat.keys) AND id >= 8")
+    assert(rowsOf(s, cat).size == 8 && !rowsOf(s, cat).contains(9L))
+    // NOT IN against a set CONTAINING NULL matches nothing (SQL
+    // 3-valued logic) — the delete is a no-op, not a full sweep
+    val vPre = log.currentVersion()
+    s.sql(s"DELETE FROM $cat.t1 WHERE id NOT IN " +
+      s"(SELECT CASE WHEN kid = 2 THEN NULL ELSE kid END FROM $cat.keys)")
+    assert(rowsOf(s, cat).size == 8 && log.currentVersion() == vPre,
+      "NOT IN with a NULL key must delete nothing (and commit nothing)")
+    // IN over an EMPTY set is likewise a no-op
+    s.sql(s"DELETE FROM $cat.t1 WHERE id IN " +
+      s"(SELECT kid FROM $cat.keys WHERE kid > 100)")
+    assert(rowsOf(s, cat).size == 8 && log.currentVersion() == vPre)
   }
 
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
