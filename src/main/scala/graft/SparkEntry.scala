@@ -120,6 +120,8 @@ object SparkEntry {
     "q55_log_spj_months" -> (Relational.q55LogSpjMonths _), // oracle: month-aligned storage-partitioned join (time-transform key-grouped scan reporting) == self-join recompute
     "q56_log_sql_dynamic_overwrite" -> (Relational.q56LogSqlDynamicOverwrite _), // oracle: INSERT OVERWRITE under dynamic mode swaps exactly the touched tuples (native-write-only SQL verb) == recomputed final state
     "q57_log_sql_merge_residual" -> (Relational.q57LogSqlMergeResidual _), // oracle: MERGE with residual ON conjunct (update-newer-only CDC) == recomputed final state
+    "q58_log_sql_subquery_dml" -> (Relational.q58LogSqlSubqueryDml _), // oracle: UPDATE/DELETE with uncorrelated IN/NOT IN subqueries == recomputed final state
+    "q59_log_sql_widen_type" -> (Relational.q59LogSqlWidenType _), // oracle: ALTER COLUMN TYPE widening (metadata-only epoch; old files cast up) == recomputed final state
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -267,6 +269,8 @@ object SparkEntry {
     "q55_log_spj_months" -> Relational.q55Oracle,
     "q56_log_sql_dynamic_overwrite" -> Relational.q56Oracle,
     "q57_log_sql_merge_residual" -> Relational.q57Oracle,
+    "q58_log_sql_subquery_dml" -> Relational.q58Oracle,
+    "q59_log_sql_widen_type" -> Relational.q59Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,
     "prof_drift" -> graft.ops.Profiling.profDriftOracle,

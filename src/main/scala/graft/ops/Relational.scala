@@ -1579,6 +1579,132 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded SUBQUERY-PREDICATE SQL DML ([[graft.table.SubqueryPred]] —
+    * uncorrelated `IN (SELECT ...)` / `NOT IN (SELECT ...)` conjuncts
+    * materialize at execution to a bounded literal key list and route
+    * through the same exact counting planner, the key list's min/max
+    * feeding the stats gate): an UPDATE keyed by a cross-table
+    * subquery (big-order customers doubled) then a DELETE of
+    * MACHINERY-segment customers who never ordered (NOT IN over the
+    * order keys — null-free, so the 3-valued rule keeps it live). The
+    * post-DML aggregate hash-checks the whole chain: a key set
+    * resolved at the wrong time, 3-valued NOT IN mishandled, or the
+    * counting planner double-applying a row all shift it. */
+  def q58LogSqlSubqueryDml(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"subq58:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-subq-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+          .coalesce(1))                                              // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "orders").createOrReplaceTempView("q58_orders_src")
+        s.sql(                                                       // v2
+          s"""UPDATE $tbl SET c_acctbal = c_acctbal * 2
+             |WHERE c_custkey IN (SELECT o_custkey FROM q58_orders_src
+             |                    WHERE o_totalprice > 300000)""".stripMargin)
+        s.sql(                                                       // v3
+          s"""DELETE FROM $tbl
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM q58_orders_src
+             |                        WHERE o_totalprice > 300000)
+             |  AND c_mktsegment = 'MACHINERY'""".stripMargin)
+      }
+      // at the graded SFs the NOT-IN delete matches rows and lands as a
+      // delete commit; the tiniest fixture may legitimately match none
+      // (zero-match = no commit — the same no-op both engines compute)
+      require(Set("delete", "update").contains(
+        graft.table.SnapshotLog(spark, tmp).snapshot().op),
+        "q58 fixture: the DML chain must end on a DML commit")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  def q58Oracle: String =
+    """WITH updated AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+      |                            WHERE o_totalprice > 300000)
+      |         THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |), survivors AS (
+      |  SELECT * FROM updated
+      |  WHERE NOT (c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                               WHERE o_totalprice > 300000)
+      |             AND c_mktsegment = 'MACHINERY')
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM survivors
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  /** Graded ALTER COLUMN TYPE widening ([[graft.table.SnapshotLog
+    * .widenColumnType]] via the catalog's UpdateColumnType dispatch):
+    * an INT-keyed table widens to BIGINT as ONE metadata-only epoch
+    * commit — zero data I/O — then an INSERT lands keys past
+    * Int.MaxValue; the graded aggregate reads narrow-written and
+    * wide-written files through ONE scan (old epochs cast up by field
+    * id). A widen that rewrote data, dropped the epoch tag (silently
+    * nulling old values), or broke stats re-parsing under the new type
+    * shifts counts/sums and hash-mismatches DuckDB computing the same
+    * final state. */
+  def q59LogSqlWidenType(spark: SparkSession, dir: String): DataFrame = {
+    val path = logFixtureDirs.computeIfAbsent(s"widen59:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-widen-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey").cast("int").as("c_custkey"),
+          col("c_nationkey"), col("c_acctbal"))
+          .coalesce(1))                                              // v1
+      withMountedCatalog(spark, tmp) { tbl =>
+        spark.sql(s"ALTER TABLE $tbl ALTER COLUMN c_custkey TYPE BIGINT") // v2
+        t(spark, dir, "customer").createOrReplaceTempView("q59_customer_src")
+        spark.sql(                                                   // v3
+          s"""INSERT INTO $tbl
+             |SELECT c_custkey + 3000000000, c_nationkey,
+             |  CAST(c_acctbal * 2 AS DOUBLE)
+             |FROM q59_customer_src WHERE c_nationkey = 5""".stripMargin)
+      }
+      tmp
+    })
+    withMountedCatalog(spark, path) { tbl =>
+      spark.sql(
+        s"""SELECT c_nationkey, count(*) AS n_cust,
+           |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_nationkey
+           |ORDER BY c_nationkey""".stripMargin)
+    }
+  }
+
+  def q59Oracle: String =
+    """WITH final AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey + 3000000000, c_nationkey,
+      |    CAST(c_acctbal * 2 AS DOUBLE)
+      |  FROM customer WHERE c_nationkey = 5
+      |)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,
