@@ -147,6 +147,22 @@ object LogMirror {
             SnapshotLog.hasPath(s, p.split('.').toSeq)))
             .foreach(dst.dropColumn)
           newlyApplied += 1
+        case "widen_type" =>
+          // metadata-only replay: the widened (path, type) pairs are
+          // recoverable by field-id diff; idempotent under re-walk (a
+          // replica whose field already carries the wide type re-skips)
+          val from = src.snapshot(s.parent).schemaJson
+          if (dst.currentVersion() > 0) {
+            val dstSchema = org.apache.spark.sql.types.DataType
+              .fromJson(dst.snapshot().schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            SnapshotLog.typeChangesOf(from, s.schemaJson)
+              .filterNot { case (p, t) =>
+                SnapshotLog.typeAtPath(dstSchema, p.split('.').toSeq)
+                  .contains(t) }
+              .foreach { case (p, t) => dst.widenColumnType(p, t) }
+          }
+          newlyApplied += 1
         case "widen" =>
           // metadata-only replay: declare the added columns on the
           // replica so a reader there sees the same schema even before

@@ -1727,9 +1727,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       prev = Some(s)
       val cdcExtras = (ct: Column) =>
         Seq(ct.as("_change_type"), lit(v).as("_commit_version"))
-      def versionAligned(dataSchema: StructType): Map[String, Column] =
-        aligned(dataSchema, if (toCur.isEmpty) dataSchema else toCur,
-          col).toMap
+      // base-column mapping for THIS version's rows: fid-align the
+      // version's MANIFEST schema onto the to-version's (name lookups
+      // then hit the files' columns by name) — never the footer schema,
+      // whose positional fid fallback would misalign against meta
+      // columns or a join-reordered image layout
+      val versionSchema = s.epochSchemas.last
+      def versionAligned(dataSchema: StructType): Map[String, Column] = {
+        val fromS = if (versionSchema.nonEmpty) versionSchema else dataSchema
+        aligned(fromS, if (toCur.isEmpty) fromS else toCur, col).toMap
+      }
       s.op match {
         case "append" =>
           val added = s.files.filterNot(
@@ -5518,6 +5525,36 @@ object SnapshotLog {
     diff(from, to, "")
   }
 
+  /** The SCALAR type changes between two schema epochs, by field id —
+    * the [[SnapshotLog.widenColumnType]] commits a mirror must replay:
+    * each (dotted path, widened type) where the same field's type
+    * differs (struct fields recurse; container element/value changes
+    * surface as the container path itself and are not widen-replayable
+    * — the verb never produces them). */
+  private[graft] def typeChangesOf(fromJson: String, toJson: String)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    if (fromJson.isEmpty || toJson.isEmpty) return Nil
+    val from = DataType.fromJson(fromJson).asInstanceOf[StructType]
+    val to = DataType.fromJson(toJson).asInstanceOf[StructType]
+    def diff(f: StructType, t: StructType, prefix: String)
+        : Seq[(String, DataType)] = {
+      val byFid = f.fields.zipWithIndex.map { case (ff, i) =>
+        fidOf(ff, i) -> ff }.toMap
+      t.fields.zipWithIndex.flatMap { case (tf, i) =>
+        byFid.get(fidOf(tf, i)).toSeq.flatMap { ff =>
+          (ff.dataType, tf.dataType) match {
+            case (fs: StructType, ts: StructType) =>
+              diff(fs, ts, prefix + tf.name + ".")
+            case (fd, td) if fd != td => Seq((prefix + tf.name, td))
+            case _ => Nil
+          }
+        }
+      }.toSeq
+    }
+    diff(from, to, "")
+  }
+
   /** `schema` with every field — nested struct fields included —
     * carrying an explicit id (existing ids kept, absent ones
     * materialized at their per-level index: the same positional
@@ -5687,6 +5724,19 @@ object SnapshotLog {
       case None => false
       case Some(f) if path.tail.isEmpty => true
       case Some(f) => hasInner(f.dataType, path.tail)
+    }
+
+  /** The declared type at a dotted path (struct navigation only — the
+    * shape [[typeChangesOf]] emits); None when the path is absent. */
+  private[graft] def typeAtPath(schema: org.apache.spark.sql.types.StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.DataType] =
+    schema.fields.find(_.name == path.head).flatMap { f =>
+      if (path.tail.isEmpty) Some(f.dataType)
+      else f.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          typeAtPath(s, path.tail)
+        case _ => None
+      }
     }
 
   private def hasInner(dt: org.apache.spark.sql.types.DataType,

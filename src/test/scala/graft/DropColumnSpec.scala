@@ -160,6 +160,23 @@ class DropColumnSpec extends AnyFunSuite {
       bl.widenColumnType("k", org.apache.spark.sql.types.LongType))
   }
 
+  test("the mirror replays a widen_type commit; reruns converge") {
+    val src = SnapshotLog(spark, freshTable())
+    src.append(Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1))
+    val dst = SnapshotLog(spark, freshTable())
+    LogMirror.mirror(src, dst)
+    src.widenColumnType("k", org.apache.spark.sql.types.LongType)
+    src.append(Seq((3000000000L, "c")).toDF("k", "v").coalesce(1))
+    LogMirror.mirror(src, dst)
+    val dstSchema = dst.read().schema
+    assert(dstSchema("k").dataType.typeName == "long",
+      "the replica must replay the widen before the wide append lands")
+    assert(dst.read().as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3000000000L, "c")))
+    LogMirror.mirror(src, dst) // idempotent re-walk
+    assert(dst.read().count() == 3)
+  }
+
   test("guards: partition sources, tombstoned keys, and the last column refuse") {
     val log = SnapshotLog.partitioned(spark, freshTable(),
       Seq(PartitionField.bucket("id", 4)))
