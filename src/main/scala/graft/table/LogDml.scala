@@ -162,8 +162,9 @@ final class MergeIntoLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
     def xlate(e: Expression, what: String): Expression = {
       if (!e.deterministic) refuse(
         s"$what is non-deterministic — the merge would not replay exactly")
-      if (e.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
-        s"$what contains a subquery; compute it into the source first")
+      if (SubqueryPred.hasUnmaterializableSubquery(e)) refuse(
+        s"$what contains a correlated subquery; compute it into the " +
+          "source first (uncorrelated subqueries materialize at execution)")
       e.transform {
         case a: AttributeReference if tgtSet.contains(a) =>
           UnresolvedAttribute.quoted(a.name)
@@ -366,9 +367,10 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val v = UpdateLogRule.stripAlias(a.value)
       if (!v.deterministic) refuse(s"assignment to '$name' is " +
         "non-deterministic — the update would not replay exactly")
-      if (v.exists(_.isInstanceOf[PlanExpression[_]]))
-        refuse(s"assignment to '$name' contains a subquery; compute it " +
-          "into a literal first, or use the typed API")
+      if (SubqueryPred.hasUnmaterializableSubquery(v))
+        refuse(s"assignment to '$name' contains a correlated subquery; " +
+          "uncorrelated scalar subqueries materialize at execution — " +
+          "decorrelate, or use the typed API")
       // re-anchor column references BY NAME so the expression resolves
       // against the staged update frame instead of this relation's ids
       name -> v.transform {
@@ -520,11 +522,11 @@ private[graft] object UpdateLogRule {
     if (!cond.deterministic) refuse(
       "the WHERE condition is non-deterministic — the DML would not " +
         "replay exactly")
-    if (cond.exists(_.isInstanceOf[PlanExpression[_]])) refuse(
-      "the WHERE condition contains a correlated (or non-IN, or " +
-        "OR-nested) subquery — uncorrelated top-level IN/NOT IN " +
-        "subqueries are supported; rewrite to that shape, compute the " +
-        "subquery into a literal list, or use the typed API")
+    if (SubqueryPred.hasUnmaterializableSubquery(cond)) refuse(
+      "the WHERE condition contains a CORRELATED subquery — " +
+        "uncorrelated scalar/EXISTS/IN subqueries materialize at " +
+        "execution; decorrelate (join the inner relation in), or use " +
+        "the typed API")
     if (!cond.references.subsetOf(target.outputSet)) refuse(
       s"the WHERE condition references columns from outside the table " +
         s"(condition: $cond)")
@@ -625,6 +627,60 @@ private[graft] object SubqueryPred {
     * typed `deleteKeys`/`mergeByKey` APIs own unbounded key sets. */
   val MaxKeys = 100000
 
+  /** True iff `e` contains a subquery the DML planners CANNOT
+    * materialize — anything correlated, or a kind outside
+    * scalar/EXISTS/IN. Uncorrelated scalar, EXISTS and IN subqueries
+    * (at any nesting — under OR, inside arithmetic) evaluate to
+    * constants/literal lists at execution via [[materialize]]. */
+  def hasUnmaterializableSubquery(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, ScalarSubquery}
+    e.exists {
+      case sc: ScalarSubquery => sc.outerAttrs.nonEmpty
+      case ex: Exists => ex.outerAttrs.nonEmpty
+      case InSubquery(_, l: ListQuery) => l.outerAttrs.nonEmpty
+      case l: ListQuery => l.outerAttrs.nonEmpty // visited as a node too
+      case pe: PlanExpression[_] => true // LATERAL et al — refuse
+      case _ => false
+    }
+  }
+
+  /** Replace every UNCORRELATED subquery in `e` with its materialized
+    * constant form: a scalar subquery becomes a typed Literal (empty →
+    * NULL, >1 row refuses — the SQL scalar contract), EXISTS becomes a
+    * boolean literal, IN becomes a literal `In` list (bounded by
+    * [[MaxKeys]]; empty → FALSE so `NOT IN ()` folds to TRUE; NULL
+    * elements keep SQL's 3-valued semantics through `In` itself).
+    * Works at ANY nesting — under OR-trees, inside arithmetic — which
+    * is what lets the DML refusal surface shrink to correlated
+    * subqueries only. The result is literal-only, so the change feed's
+    * predicate-SQL replay gets a session-free expression for free. */
+  def materialize(spark: SparkSession, e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, In, InSubquery, ListQuery, Literal, ScalarSubquery}
+    e.transformUp {
+      case sc: ScalarSubquery if sc.outerAttrs.isEmpty =>
+        val rows = org.apache.spark.sql.GraftBridge.ofRows(spark, sc.plan)
+          .limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          "scalar subquery in a DML statement returned more than one row")
+        Literal.create(rows.headOption.map(_.get(0)).orNull, sc.dataType)
+      case ex: Exists if ex.outerAttrs.isEmpty =>
+        Literal(org.apache.spark.sql.GraftBridge.ofRows(spark, ex.plan)
+          .limit(1).collect().nonEmpty)
+      case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
+        if (values.length != 1) throw new UnsupportedOperationException(
+          "multi-column IN-subqueries are not supported — join the key " +
+            "set in, or use the typed mergeByKey/deleteKeys APIs")
+        val df = org.apache.spark.sql.GraftBridge.ofRows(spark, l.plan)
+        val rows = df.limit(MaxKeys + 1).collect()
+        if (rows.length > MaxKeys) throw new UnsupportedOperationException(
+          s"the IN-subquery materialized more than $MaxKeys keys — use " +
+            "the typed deleteKeys/mergeByKey APIs for unbounded key sets")
+        val dt = df.schema.head.dataType
+        if (rows.isEmpty) Literal(false)
+        else In(values.head, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+    }
+  }
+
   /** Fold the materialized subqueries into `base`, returning the full
     * condition plus any derivable range hints (min/max of a non-negated
     * key list over a bare column — sound: implied by the IN). */
@@ -687,7 +743,8 @@ final case class DeleteExprLogCommand(tableDir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (full, subHints) = SubqueryPred.conjoin(spark,
-      org.apache.spark.sql.GraftBridge.toCol(cond._2), subs)
+      org.apache.spark.sql.GraftBridge.toCol(
+        SubqueryPred.materialize(spark, cond._2)), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).deleteWhereExpr(
       full, hints ++ subHints,
       txn = None, mode = "auto")
@@ -707,11 +764,13 @@ final case class UpdateExprLogCommand(tableDir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (full, subHints) = SubqueryPred.conjoin(spark,
-      org.apache.spark.sql.GraftBridge.toCol(cond._2), subs)
+      org.apache.spark.sql.GraftBridge.toCol(
+        SubqueryPred.materialize(spark, cond._2)), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).updateWhereExpr(
       full,
       set.map { case (n, e) =>
-        n -> org.apache.spark.sql.GraftBridge.toCol(e) },
+        n -> org.apache.spark.sql.GraftBridge.toCol(
+          SubqueryPred.materialize(spark, e)) },
       hints ++ subHints, txn = None, mode = "auto")
     Seq.empty
   }
@@ -731,7 +790,8 @@ final case class UpdateLogCommand(tableDir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     GraftTableCatalog.sessionLog(spark, tableDir).updateWhereTxn(preds,
       set.map { case (n, e) =>
-        n -> org.apache.spark.sql.GraftBridge.toCol(e) },
+        n -> org.apache.spark.sql.GraftBridge.toCol(
+          SubqueryPred.materialize(spark, e)) },
       txn = None, mode = "auto")
     Seq.empty
   }
@@ -804,17 +864,16 @@ final case class MergeClausesLogCommand(tableDir: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+    def c(e: Expression) = org.apache.spark.sql.GraftBridge.toCol(
+      SubqueryPred.materialize(spark, e))
     def mk(raw: Seq[MergeClausesLogCommand.RawClause]): Seq[MergeWhen] =
-      raw.map { case (c, action, assigns) =>
-        MergeWhen(c.map(org.apache.spark.sql.GraftBridge.toCol), action,
-          assigns.map { case (n, e) =>
-            n -> org.apache.spark.sql.GraftBridge.toCol(e) })
+      raw.map { case (cond, action, assigns) =>
+        MergeWhen(cond.map(c), action,
+          assigns.map { case (n, e) => n -> c(e) })
       }
     GraftTableCatalog.sessionLog(spark, tableDir).mergeClauses(src, keys,
       mk(matched), mk(notMatched), mk(bySource),
-      residual = residual
-        .map(r => org.apache.spark.sql.GraftBridge.toCol(r._2))
-        .reduceOption(_ && _))
+      residual = residual.map(r => c(r._2)).reduceOption(_ && _))
     Seq.empty
   }
 }

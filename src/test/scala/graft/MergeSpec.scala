@@ -345,10 +345,20 @@ class MergeSpec extends AnyFunSuite {
       s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id >= s.id
          |WHEN MATCHED THEN DELETE""".stripMargin,
       "at least one equality")
+    // an UNCORRELATED scalar subquery in an assignment materializes at
+    // execution (it was a refusal before r14's subquery materializer)
+    s.sql(
+      s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = (SELECT max(v) FROM mrg_bad_src)""".stripMargin)
+    assert(log.read().select("v").as[String].head() == "b",
+      "the scalar-subquery assignment must apply its materialized value")
+    // a CORRELATED one still refuses
     refused(
       s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id = s.id
-         |WHEN MATCHED THEN UPDATE SET v = (SELECT max(v) FROM mrg_bad_src)""".stripMargin,
-      "subquery")
+         |WHEN MATCHED THEN UPDATE SET v =
+         |  (SELECT max(u.v) FROM mrg_bad_src u WHERE u.id = t.id)""".stripMargin,
+      "subquer") // ours says "correlated subquery"; Spark's own analyzer
+                 // may refuse first with "subqueries" — accept either
     // the canonical whole-row shape still routes through mergeByKey
     s.sql(
       s"""MERGE INTO $cat.t1 t USING mrg_bad_src s ON t.id = s.id

@@ -223,8 +223,12 @@ class UpdateSpec extends AnyFunSuite {
       assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
     }
     refused(s"UPDATE $cat.t1 SET v = 'x'", "WHERE")
-    refused(s"UPDATE $cat.t1 SET v = 'x' WHERE id = (SELECT max(id) FROM " +
-      s"$cat.t1)", "subquery")
+    // an uncorrelated scalar subquery in the WHERE now materializes
+    // (it was a refusal before the r14 subquery materializer)
+    s.sql(s"UPDATE $cat.t1 SET v = 'top' WHERE id = (SELECT max(id) FROM " +
+      s"$cat.t1)")
+    assert(rowsOf(s, cat)(1009L) == "top",
+      "the scalar-subquery point update must land on max(id)")
     refused(s"UPDATE $cat.t1 SET v = 'x' WHERE rand() > 2", "non-deterministic")
   }
 
@@ -320,6 +324,27 @@ class UpdateSpec extends AnyFunSuite {
     s.sql(s"DELETE FROM $cat.t1 WHERE id IN " +
       s"(SELECT kid FROM $cat.keys WHERE kid > 100)")
     assert(rowsOf(s, cat).size == 8 && log.currentVersion() == vPre)
+    // UNCORRELATED SCALAR subqueries materialize — in the WHERE and in
+    // the SET (both were refusals before the materializer)
+    s.sql(s"UPDATE $cat.t1 SET v = concat(v, " +
+      s"CAST((SELECT max(kid) FROM $cat.keys) AS STRING)) " +
+      s"WHERE id >= (SELECT max(kid) FROM $cat.keys) + 3")
+    val m2 = rowsOf(s, cat)
+    assert(m2(7L) == "a74" && m2(6L) == "a6",
+      s"scalar thresholds must materialize: $m2")
+    // EXISTS (uncorrelated) folds to a constant; OR-nesting works too
+    // (the materializer substitutes at any depth, not just conjuncts)
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id = 0 OR id IN " +
+      s"(SELECT kid FROM $cat.keys WHERE kid = 2)) AND EXISTS " +
+      s"(SELECT 1 FROM $cat.keys WHERE tag = 'x')")
+    val m3 = rowsOf(s, cat)
+    assert(!m3.contains(0L) && !m3.contains(2L) && m3.size == 6,
+      s"the OR-nested IN + EXISTS delete must remove ids 0 and 2: $m3")
+    // EXISTS over an empty set folds FALSE: provable no-op, no commit
+    val vPre2 = log.currentVersion()
+    s.sql(s"DELETE FROM $cat.t1 WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.keys WHERE kid > 100)")
+    assert(rowsOf(s, cat).size == 6 && log.currentVersion() == vPre2)
   }
 
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
