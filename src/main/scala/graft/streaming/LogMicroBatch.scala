@@ -5,7 +5,7 @@ import org.apache.spark.sql.{GraftBridge, GraftWriteBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
@@ -46,7 +46,8 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     maxFilesPerTrigger: Long,
     startingVersion0: String,
     checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
     "rate limits must be positive (0 = unlimited)")
   require(!fourTypeCdc || readChangeFeed,
@@ -102,6 +103,17 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Native `Trigger.AvailableNow`: pin the drain target to the head
+    * version AT QUERY START, so the stream stops there even while
+    * writers keep committing — and, unlike the engine's generic
+    * wrapper (whose `latestOffset` returns the pre-fetched offset,
+    * DISCARDING admission control), the rate limits below keep
+    * applying per trigger: a capped backfill genuinely drains in
+    * bounded, individually-checkpointed batches and stops. */
+  @volatile private var availableNowCap: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = log.currentVersion()
+
   /** ADMISSION CONTROL for backfills: a stream started against a
     * long-lived table would otherwise take the ENTIRE history as one
     * micro-batch (version-ranged offsets). Cap the reported offset so
@@ -110,7 +122,8 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     * single over-cap commit could never be admitted. One manifest walk
     * per trigger, control-plane sized. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val v = log.currentVersion()
+    val head = log.currentVersion()
+    val v = if (availableNowCap >= 0) math.min(head, availableNowCap) else head
     val from = math.min(math.max(versionOf(start), startVersion), v)
     if (from >= v) return LogStreamOffset(from)
     if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0)

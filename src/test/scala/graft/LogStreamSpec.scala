@@ -132,6 +132,36 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("Trigger.AvailableNow drains a capped backlog in BOUNDED batches, then stops") {
+    val table = freshDir("graft-feed-an-") + "/t"
+    val log = SnapshotLog(spark, table)
+    (0 until 5).foreach(run =>
+      log.append(mkRows(run, 4).toDF("id", "payload").coalesce(1)))
+    val seen = new ConcurrentLinkedQueue[(Int, String)]()
+    val batchSizes = new ConcurrentLinkedQueue[Int]()
+    // the native SupportsTriggerAvailableNow keeps admission control
+    // live under AvailableNow (the engine's generic wrapper would
+    // discard the cap and drain the backlog as ONE batch)
+    val q = LogChangeFeed
+      .readChangesStream(spark, table, maxVersionsPerTrigger = 2L)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-feed-an-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect()
+        batchSizes.add(rows.length)
+        rows.foreach(r => seen.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    val sizes = { val b = Seq.newBuilder[Int]; batchSizes.forEach(b += _); b.result() }
+    assert(sizes.count(_ > 0) == 3 && sizes.forall(_ <= 8),
+      s"a 5-version backlog under maxVersionsPerTrigger=2 must drain in " +
+        s"3 bounded AvailableNow batches: $sizes")
+    assert(drained(seen) == (0 until 5).flatMap(mkRows(_, 4)).sorted,
+      "the bounded drain must ship everything exactly once, then stop")
+  }
+
   test("startingVersion seeds a fresh stream past history; 'latest' ships only new commits") {
     val table = freshDir("graft-feed-sv-") + "/t"
     val log = SnapshotLog(spark, table)
