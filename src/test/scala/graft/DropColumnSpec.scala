@@ -158,6 +158,20 @@ class DropColumnSpec extends AnyFunSuite {
     bl.append(Seq((1, "x")).toDF("k", "v").coalesce(1))
     assertThrows[IllegalArgumentException](
       bl.widenColumnType("k", org.apache.spark.sql.types.LongType))
+    // maintenance drains the widen epochs: compaction rewrites under
+    // the CURRENT schema, files untag, and the catalog returns to the
+    // vectorized scan
+    val wlog = SnapshotLog(spark, s"$root/t")
+    wlog.compact()
+    val drained = wlog.snapshot()
+    assert(drained.fileSchemaIdx.isEmpty,
+      "compaction must materialize the widen epochs away")
+    val scan = new graft.table.LogScanBuilder(wlog, wlog.currentVersion(),
+      wlog.read().schema).build()
+    assert(scan.isInstanceOf[graft.table.LogBatchScan],
+      "a drained table plans the vectorized scan again")
+    assert(spark.sql("SELECT sum(id) FROM gwt.t").head().getLong(0) ==
+      3000000003L, "the compacted wide values read back exactly")
   }
 
   test("the mirror replays a widen_type commit; reruns converge") {

@@ -162,6 +162,39 @@ class StoragePartitionJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered SPJ: a skewed side splits per file, still zero shuffle, exact rows") {
+    val root = Files.createTempDirectory("graft-spj-pc-").toString
+    val a = SnapshotLog.partitioned(spark, s"$root/a",
+      Seq(PartitionField.bucket("id", 4)))
+    a.append((0 until 40).map(i => (i.toLong % 8, s"a$i")).toDF("id", "v"))
+    // b is SKEWED: bucket of id=0 carries far more files/rows — three
+    // appends land three files in the hot bucket
+    val b = SnapshotLog.partitioned(spark, s"$root/b",
+      Seq(PartitionField.bucket("id", 4)))
+    (0 until 3).foreach(_ =>
+      b.append((0 until 30).map(i => (0L, s"b$i")).toDF("id", "w").coalesce(1)))
+    b.append((0 until 8).map(i => (i.toLong, s"c$i")).toDF("id", "w").coalesce(1))
+    val cat = mount(root)
+    val q = s"SELECT f.id, d.w FROM $cat.a f JOIN $cat.b d ON f.id = d.id"
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = spark.sql(q)
+      // exact expected multiset: per id, |a rows| × |b rows|
+      val aCnt = (0 until 40).groupBy(_ % 8).view.mapValues(_.size).toMap
+      val bCnt = Map(0L -> 91L) ++ (1L to 7L).map(_ -> 1L).toMap
+      val expect = (0 until 8).map(i =>
+        i.toLong -> aCnt(i).toLong * bCnt(i.toLong)).toMap
+      val got = df.groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"partially-clustered join rows: $got vs $expect")
+      assert(shuffles(df.queryExecution.executedPlan).isEmpty,
+        "the skew-split co-partitioned join must still move nothing")
+    }
+  }
+
   test("day-partitioned tables join with ZERO shuffle: time transforms group like buckets") {
     val root = Files.createTempDirectory("graft-spj-day-").toString
     import org.apache.spark.sql.functions.{col, expr}
