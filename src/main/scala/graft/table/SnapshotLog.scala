@@ -1671,10 +1671,22 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
 
     // driver-side physical schema of files the manifest carries no
-    // epoch schema for (pre-schema history, recorded image files):
-    // one footer read
-    def footerSchema(file: String): StructType =
-      spark.read.parquet(p(file)).schema
+    // epoch schema for (pre-schema history, recorded image files): ONE
+    // raw footer read — Spark embeds its schema JSON in the footer
+    // key-value metadata, so this is a few ms, not the 100ms+ of a
+    // full spark.read resolution per changing version per micro-batch
+    def footerSchema(file: String): StructType = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new Path(p(file)), spark.sparkContext.hadoopConfiguration))
+      val fromMeta =
+        try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+          .flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[StructType]).toOption)
+        finally r.close()
+      fromMeta.getOrElse(spark.read.parquet(p(file)).schema)
+    }
 
     // `files` of `s` read under the epochs that wrote them, fid-aligned
     // epoch → s-current → toCur, with `extras` — the group form of
