@@ -274,6 +274,29 @@ class LogStreamSpec extends AnyFunSuite {
       assert(drained(seen) == (mkRows(0, 8) ++ mkRows(1, 4)).sorted,
         "later appends must arrive exactly once")
     } finally q.stop()
+    // a table carrying merge-on-read DEBT still streams through the
+    // catalog face (the builder plans LogDebtScan, whose micro-batch
+    // face is the same stream — the feed reads delta files RAW, so
+    // debt never applies to it); the row-removing commit itself is
+    // skipped under the opt-in, and at-commit-time semantics mean the
+    // earlier append still ships the later-deleted row
+    log.deleteKeys("payload", Seq("row-1-0").toDF("payload"))
+    log.append(mkRows(2, 3).toDF("id", "payload"))
+    val seen2 = new ConcurrentLinkedQueue[(Int, String)]()
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("gstream1.t").writeStream
+      .option("checkpointLocation", freshDir("graft-feed-cat-ckpt2-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen2.add((r.getInt(0), r.getString(1))))
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(drained(seen2) ==
+        (mkRows(0, 8) ++ mkRows(1, 4) ++ mkRows(2, 3)).sorted,
+        "every APPEND ships raw across the debt window (at-commit-time " +
+          "feed semantics); the delete version ships nothing")
+    } finally q2.stop()
     // row-level CDC refuses on the table face (its relation schema has
     // no _change_type) and points at the provider format
     val bad = spark.readStream.option("readChangeFeed", "true")
