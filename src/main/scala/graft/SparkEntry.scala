@@ -122,6 +122,7 @@ object SparkEntry {
     "q57_log_sql_merge_residual" -> (Relational.q57LogSqlMergeResidual _), // oracle: MERGE with residual ON conjunct (update-newer-only CDC) == recomputed final state
     "q58_log_sql_subquery_dml" -> (Relational.q58LogSqlSubqueryDml _), // oracle: UPDATE/DELETE with uncorrelated IN/NOT IN subqueries == recomputed final state
     "q59_log_sql_widen_type" -> (Relational.q59LogSqlWidenType _), // oracle: ALTER COLUMN TYPE widening (metadata-only epoch; old files cast up) == recomputed final state
+    "q60_log_sql_correlated_dml" -> (Relational.q60LogSqlCorrelatedDml _), // oracle: correlated EXISTS/NOT EXISTS DML decorrelated to the materialized-key path == recomputed final state
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -270,6 +271,7 @@ object SparkEntry {
     "q56_log_sql_dynamic_overwrite" -> Relational.q56Oracle,
     "q57_log_sql_merge_residual" -> Relational.q57Oracle,
     "q58_log_sql_subquery_dml" -> Relational.q58Oracle,
+    "q60_log_sql_correlated_dml" -> Relational.q60Oracle,
     "q59_log_sql_widen_type" -> Relational.q59Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,

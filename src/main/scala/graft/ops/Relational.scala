@@ -1705,6 +1705,76 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded CORRELATED-SUBQUERY SQL DML ([[graft.table.SubqueryPred
+    * .decorrelate]]): `EXISTS`/`NOT EXISTS` whose correlation is one
+    * pure key equality decorrelates to the q58 materialized-key path —
+    * the GDPR-by-join spelling. A DELETE removes every customer some
+    * big order witnesses (`EXISTS (SELECT 1 FROM orders o WHERE
+    * o.o_custkey = t.c_custkey AND o_totalprice > 400000)`), then an
+    * UPDATE marks never-ordered survivors DORMANT via `NOT EXISTS` —
+    * the `coalesce(IN, false)` decorrelation keeps EXISTS's 2-valued
+    * truth table, so negation is exact (a NOT-IN translation would
+    * collapse under NULLs). The graded aggregate hash-checks the final
+    * state against DuckDB running the same correlated SQL natively. */
+  def q60LogSqlCorrelatedDml(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"corr60:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-corr-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+          .coalesce(1))                                              // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "orders").createOrReplaceTempView("q60_orders_src")
+        s.sql(                                                       // v2
+          s"""DELETE FROM $tbl t WHERE EXISTS
+             |  (SELECT 1 FROM q60_orders_src o
+             |   WHERE o.o_custkey = t.c_custkey
+             |     AND o.o_totalprice > 490000)""".stripMargin)
+        s.sql(                                                       // v3
+          s"""UPDATE $tbl t SET c_mktsegment = 'DORMANT'
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM q60_orders_src o
+             |   WHERE o.o_custkey = t.c_custkey
+             |     AND o.o_totalprice > 450000)""".stripMargin)
+      }
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "update",
+        "q60 fixture: the DML chain must end on the NOT EXISTS update")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  def q60Oracle: String =
+    """WITH survivors AS (
+      |  SELECT * FROM customer t
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = t.c_custkey
+      |                      AND o.o_totalprice > 490000)
+      |), final AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |                          WHERE o.o_custkey = s.c_custkey
+      |                            AND o.o_totalprice > 450000)
+      |         THEN 'DORMANT' ELSE c_mktsegment END AS c_mktsegment,
+      |    c_acctbal
+      |  FROM survivors s
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,

@@ -853,16 +853,38 @@ private[graft] final class StagedLogTable(catalog: GraftTableCatalog,
       case Some((f, ws)) => (f, ws)
       case None => (Nil, info.schema()) // plain REPLACE TABLE (no AS)
     }
-    if (existed)
+    if (existed) {
+      // ATOMIC REPLACE: render the replacement's complete v1 manifest
+      // and make it durable under the pending marker BEFORE anything is
+      // destroyed — a crash anywhere between the clear and the promote
+      // is recovered by SnapshotLog.currentVersion's pending-replace
+      // promotion, so the old drop-then-commit ordering's lost-table
+      // window is gone
+      val bytes = log.replacementV1Bytes(files, writeSchema.json,
+        declaredSpec, declaredChecks)
+      log.publishPendingReplace(bytes)
       log.clearForReplace(files.map(_._1).toSet)
-    // fresh handle: the staged one may have parsed the OLD manifest
-    val (fresh, _, _) = catalog.declaredLog(ident, info.schema(),
-      info.partitions(), info.properties())
-    fresh.commitNativeAppend(files, writeSchema.json, declaredSpec,
-      declaredChecks)
-    try catalog.attachConstraints(fresh, ident, info.schema(),
-      info.constraints())
-    catch { case e: Throwable => catalog.dropTable(ident); throw e }
+      // fresh handle: the staged one parsed the OLD manifest chain
+      val (fresh, _, _) = catalog.declaredLog(ident, info.schema(),
+        info.partitions(), info.properties())
+      fresh.promotePendingReplace(bytes)
+      // post-publish constraint failure must NOT drop the committed
+      // replacement — the replace happened; surface the attach error
+      // with the table intact (the atomic-replace contract)
+      catalog.attachConstraints(fresh, ident, info.schema(),
+        info.constraints())
+    } else {
+      // CREATE: the publish must land as VERSION 1 in one CAS attempt —
+      // of two concurrent staged CTAS exactly one wins the fresh slot;
+      // the retrying append loop would land the loser as a v2 append,
+      // silently merging two CTAS result sets
+      if (log.commitNativeCreate(files, writeSchema.json, declaredSpec,
+          declaredChecks).isEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+      try catalog.attachConstraints(log, ident, info.schema(),
+        info.constraints())
+      catch { case e: Throwable => catalog.dropTable(ident); throw e }
+    }
   }
 
   override def abortStagedChanges(): Unit =

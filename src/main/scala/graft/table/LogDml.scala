@@ -386,8 +386,8 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // predicate drives the exact per-file counting pass, the
       // convertible conjuncts (possibly none) keep pruning candidates
       case None =>
-        val (rest, subs) =
-          UpdateLogRule.splitSubqueries(cond, target, refuse)
+        val (rest, subs) = UpdateLogRule.splitSubqueries(
+          SubqueryPred.decorrelate(cond, target, refuse), target, refuse)
         Some(UpdateExprLogCommand(table.log.tableDir,
           ("where", UpdateLogRule.generalCond(rest, target, refuse)),
           UpdateLogRule.rangeHints(rest, target), set, subs))
@@ -603,8 +603,8 @@ final class DeleteLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"DELETE on ${table.log.tableDir}: $why")
     if (table.pinnedVersion >= 0)
       refuse("committed history is immutable; run DML against the head table")
-    val (rest, subs) =
-      UpdateLogRule.splitSubqueries(d.condition, target, refuse)
+    val (rest, subs) = UpdateLogRule.splitSubqueries(
+      SubqueryPred.decorrelate(d.condition, target, refuse), target, refuse)
     Some(DeleteExprLogCommand(table.log.tableDir,
       ("where", UpdateLogRule.generalCond(rest, target, refuse)),
       UpdateLogRule.rangeHints(rest, target), subs))
@@ -642,6 +642,84 @@ private[graft] object SubqueryPred {
       case pe: PlanExpression[_] => true // LATERAL et al — refuse
       case _ => false
     }
+  }
+
+  /** Decorrelate `EXISTS (SELECT ... FROM s WHERE s.k = t.k [AND ...])`
+    * conjuncts whose correlation is a SINGLE pure key equality into the
+    * uncorrelated materialized-key path ([[materialize]] / q58's IN
+    * machinery): the correlated equality lifts out as
+    * `coalesce(t.k IN (SELECT s.k FROM s WHERE inner AND s.k IS NOT
+    * NULL), false)` — exactly EXISTS's 3-valued truth table (EXISTS is
+    * never NULL: a NULL outer key can equal nothing → the coalesce
+    * pins FALSE; NULL inner keys can equal nothing → filtered before
+    * the list materializes), so `NOT EXISTS` and OR-nesting need no
+    * special casing. This is GDPR-by-join's classic spelling
+    * (`DELETE FROM t WHERE EXISTS (SELECT 1 FROM gdpr g WHERE
+    * g.id = t.id)`). Non-equality correlation, composite-key
+    * correlation, and correlation sitting under anything but the
+    * subquery's top Filter refuse loudly — never approximated. */
+  def decorrelate(cond: Expression,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Exists
+    cond.transformUp {
+      case ex: Exists if ex.outerAttrs.nonEmpty =>
+        rewriteExists(ex, target, refuse)
+    }
+  }
+
+  private def rewriteExists(ex: org.apache.spark.sql.catalyst.expressions.Exists,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Coalesce, EqualTo, InSubquery, IsNotNull, ListQuery, Literal, OuterReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    val (fc, child) = ex.plan match {
+      case LProject(_, LFilter(c, ch)) => (c, ch)
+      case LFilter(c, ch)              => (c, ch)
+      case _ => refuse("the correlated EXISTS subquery's correlation " +
+        "must be a WHERE predicate directly under its SELECT — " +
+        "decorrelate by hand (join the inner relation in), or use the " +
+        "typed API")
+    }
+    def conjs(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjs(l) ++ conjs(r)
+      case o         => Seq(o)
+    }
+    def hasOuter(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[OuterReference])
+    val (correlated, inner) = conjs(fc).partition(hasOuter)
+    val pairs = correlated.map {
+      case eq @ EqualTo(l, r) =>
+        def outerAttr(e: Expression): Option[AttributeReference] = e match {
+          case OuterReference(a: AttributeReference)
+              if target.outputSet.contains(a) => Some(a)
+          case _ => None
+        }
+        def innerSide(e: Expression): Boolean =
+          !hasOuter(e) && e.deterministic &&
+            e.references.subsetOf(child.outputSet)
+        (outerAttr(l), outerAttr(r)) match {
+          case (Some(a), None) if innerSide(r) => (r, a)
+          case (None, Some(a)) if innerSide(l) => (l, a)
+          case _ => refuse("the correlated EXISTS subquery's " +
+            s"predicate '${eq.sql}' is not a pure table-column = " +
+            "inner-expression equality — only a single key equality " +
+            "decorrelates to the materialized key list; use the typed API")
+        }
+      case other => refuse("the correlated EXISTS subquery's predicate " +
+        s"'${other.sql}' is not an equality — only a single pure key " +
+        "equality decorrelates; use the typed API")
+    }
+    if (pairs.length != 1) refuse(
+      "the EXISTS subquery correlates on more than one equality — " +
+        "composite-key correlation does not decorrelate to one key " +
+        "list; use the typed mergeByKey/deleteKeys APIs")
+    val (innerKey, outerA) = pairs.head
+    val innerCond = (inner :+ (IsNotNull(innerKey): Expression))
+      .reduce(And(_, _))
+    val sub = LProject(Seq(Alias(innerKey, "__graft_exists_key")()),
+      LFilter(innerCond, child))
+    Coalesce(Seq(InSubquery(Seq(outerA), ListQuery(sub)), Literal(false)))
   }
 
   /** Replace every UNCORRELATED subquery in `e` with its materialized

@@ -624,11 +624,28 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     }
   }
 
-  def currentVersion(): Long =
-    store.list().flatMap {
+  def currentVersion(): Long = {
+    val names = store.list()
+    val max = names.flatMap {
       case ManifestRe(d) => Some(d.toLong)
       case _               => None
     }.foldLeft(0L)(math.max)
+    // a REPLACE TABLE ... AS that crashed between clearing the old log
+    // and publishing its replacement leaves NO manifests but a durable
+    // pending-replace marker ([[publishPendingReplace]]) — complete the
+    // publish here, at the one choke point every open routes through:
+    // the first recoverer's CAS wins; a loser (or the resumed replacer)
+    // finds the identical bytes already at v1. Main chain only — RTAS
+    // never targets a branch.
+    if (max == 0L && branchName.isEmpty &&
+        names.contains(SnapshotLog.PendingReplaceName)) {
+      store.get(SnapshotLog.PendingReplaceName).foreach { bytes =>
+        store.putIfAbsent(manifestName(1), bytes)
+        store.delete(SnapshotLog.PendingReplaceName)
+      }
+      if (store.exists(manifestName(1))) 1L else 0L
+    } else max
+  }
 
   /** The committed manifest at `version` (latest when omitted). */
   def snapshot(version: Long = -1L): Snapshot = {
@@ -1624,6 +1641,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     def p(f: String) = new Path(dataDir, f).toString
     val metaCols = Set("_change_type", "_commit_version", SnapshotLog.PairCol)
     val pinnedBase = StructType(pinned.fields.filterNot(f => metaCols(f.name)))
+    val toSnap = snapshot(to)
+    val toCur = toSnap.epochSchemas.last
     // shape equality ignoring nullability/metadata: the provider-face
     // pinned schema passed through a DataFrame (nullability forced),
     // the manifest schema did not — identity detection must not care
@@ -1660,11 +1679,33 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     def group(files: Seq[String], dataSchema: StructType,
         m: Map[String, Column], extras: Seq[Column],
         mayId: Boolean): StreamFileGroup = {
-      val outs = pinnedBase.fields.toSeq.map(f => m.getOrElse(f.name,
-        throw new IllegalStateException(
-          s"stream column '${f.name}' is not reachable from $tableDir's " +
-            "committed schema — the pinned stream schema predates a " +
-            "rename/drop; restart the stream")).as(f.name)) ++ extras
+      // the alignment maps land each base column on the TO-version's
+      // type, but the stream's output schema stays PINNED for its whole
+      // life — reconcile per field: a produced type the pinned type
+      // holds losslessly casts up (a stream pinned post-widen replaying
+      // narrow history), while a widen_type committed AFTER the stream
+      // pinned fails loudly like the rename case — the engine reads the
+      // output ordinal by the pinned type, so emitting a LONG into a
+      // pinned INT column would silently truncate past Int.MaxValue
+      val srcS = if (toCur.nonEmpty) toCur else dataSchema
+      val outs = pinnedBase.fields.toSeq.map { f =>
+        val c = m.getOrElse(f.name,
+          throw new IllegalStateException(
+            s"stream column '${f.name}' is not reachable from $tableDir's " +
+              "committed schema — the pinned stream schema predates a " +
+              "rename/drop; restart the stream"))
+        srcS.find(_.name == f.name).map(_.dataType) match {
+          case Some(dt) if dt == f.dataType => c.as(f.name)
+          case Some(dt) if org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(dt, f.dataType) => c.cast(f.dataType).as(f.name)
+          case Some(dt) => throw new IllegalStateException(
+            s"stream column '${f.name}' of $tableDir is pinned at " +
+              s"${f.dataType.simpleString} but the table now produces " +
+              s"${dt.simpleString} — a type widening committed after the " +
+              "stream started; restart the stream to adopt the widened type")
+          case None => c.as(f.name) // pre-schema history: mapping is exact
+        }
+      } ++ extras
       StreamFileGroup(files.map(p), dataSchema,
         if (mayId && extras.isEmpty && sameShape(dataSchema, pinnedBase)) None
         else Some(outs))
@@ -1706,9 +1747,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             (cur.isEmpty || sameShape(cur, dataSchema)) &&
             (toCur.isEmpty || sameShape(toCur, dataSchema)))
       }
-
-    val toSnap = snapshot(to)
-    val toCur = toSnap.epochSchemas.last
 
     if (!readChangeFeed) {
       // INSERT-ONLY feed: the appended files of every version in range,
@@ -1906,19 +1944,107 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   /** RTAS support ([[GraftTableCatalog]]'s StagingTableCatalog): drop
     * every stored artifact of this table EXCEPT the given still-inert
-    * data files (the staged replacement batch) — the whole manifest
-    * log (versions, segments, constraint records) and the old data.
-    * After this the directory is version-0 with the staged files
-    * waiting to be named by the fresh create's first commit. Runs only
-    * between a fully-written staged batch and its publish, so the
-    * no-table window is driver-local milliseconds (vs the whole query
-    * under the non-staged drop-create-write contract). */
+    * data files (the staged replacement batch) and the durable
+    * [[publishPendingReplace]] marker — the whole manifest log
+    * (versions, segments, constraint records) and the old data. Routes
+    * metadata deletes through the COMMIT STORE, not the filesystem, so
+    * a remote-manifest table clears its actual metadata plane. Runs
+    * only after the replacement's v1 manifest is durable under the
+    * pending marker, so a crash at any point here is recovered by
+    * [[currentVersion]]'s pending-replace promotion — the table is
+    * never lost. */
   private[graft] def clearForReplace(keepDataFiles: Set[String]): Unit = {
-    fs.delete(logDir, true)
+    store.list().filterNot(_ == SnapshotLog.PendingReplaceName)
+      .foreach(store.delete)
+    segCache.clear(); segNamesCache.clear(); snapParseCache.clear()
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).foreach { st =>
         if (!keepDataFiles(st.getPath.getName)) fs.delete(st.getPath, true)
       }
+  }
+
+  /** The v1 snapshot of a FRESH chain from a native-write batch — the
+    * shared assembly of [[commitNativeCreate]] and
+    * [[replacementV1Bytes]]. No [[policyGuard]]: a create's directory
+    * has no constraint refs yet, and an RTAS's listed refs are the OLD
+    * table's policy, which fresh-history REPLACE deliberately drops
+    * (the staged write already enforced the DECLARED checks
+    * writer-side; they attach post-publish). */
+  private def freshRootSnapshot(staged: Staged): Snapshot = {
+    val base = Snapshot(0, "", 0, 0L, 0L, Seq.empty)
+    specGuard(staged, base)
+    val merged =
+      try mergeSchemaJson(base, staged.schemaJson)
+      catch { case e: IllegalStateException => discard(staged); throw e }
+    Snapshot(1, "append", 0, staged.rows, staged.bytes,
+      staged.files, staged.stats, merged, Map.empty, Nil,
+      staged.fileRows, staged.blooms, staged.fileBytes,
+      commitSpec(base), staged.partitions, commitSort(base),
+      commitCdc(base))
+  }
+
+  /** Atomic staged-CTAS publish: the table's FIRST commit, required to
+    * land at version 1 in a single CAS attempt — two concurrent staged
+    * CTAS for the same identifier race for the v1 slot and exactly one
+    * wins; the loser's files are discarded and None returns (the
+    * catalog surfaces TableAlreadyExistsException). The retrying append
+    * loop would instead land the loser as a v2 APPEND, silently merging
+    * two CTAS result sets. */
+  private[graft] def commitNativeCreate(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Option[Snapshot] = {
+    val staged = nativeStaged(files, schemaJson, spec, listedChecks)
+    val next = freshRootSnapshot(staged)
+    if (tryCommit(next)) Some(next)
+    else { discard(staged); None }
+  }
+
+  /** Step 1 of the atomic RTAS publish: render the replacement's
+    * COMPLETE v1 manifest (footer-stats lift, blooms, byte accounting —
+    * the full staged commit, serialized inline) without touching the
+    * live chain. Inline layout regardless of file count — always a
+    * valid manifest; later commits re-segment past the threshold. */
+  private[graft] def replacementV1Bytes(
+      files: Seq[(String, Seq[String], Long)],
+      schemaJson: String, spec: Seq[PartitionField],
+      listedChecks: Map[String, String]): Array[Byte] =
+    mapper.writeValueAsBytes(inlineManifestNode(
+      freshRootSnapshot(nativeStaged(files, schemaJson, spec, listedChecks))))
+
+  /** Step 2: make the replacement DURABLE under the pending marker
+    * while the old table is still fully intact — from here on a crash
+    * anywhere in the clear+promote span is recovered by
+    * [[currentVersion]], so the old contract's lost-table window is
+    * gone. A stale marker with live manifests is a prior RTAS that
+    * crashed before its clear (the old table stayed current) — swept
+    * here; a SECOND concurrent RTAS loses the marker CAS and aborts
+    * before destroying anything. */
+  private[graft] def publishPendingReplace(bytes: Array[Byte]): Unit = {
+    if (store.exists(SnapshotLog.PendingReplaceName))
+      store.delete(SnapshotLog.PendingReplaceName)
+    if (!store.putIfAbsent(SnapshotLog.PendingReplaceName, bytes))
+      throw new CommitConflictException(
+        s"concurrent REPLACE TABLE in flight on $tableDir")
+  }
+
+  /** Step 4 (after [[clearForReplace]]): promote the pending bytes to
+    * the v1 manifest and drop the marker. Tolerates having been raced
+    * by [[currentVersion]]'s recovery (identical bytes already at v1);
+    * a DIFFERENT v1 means a concurrent create won the fresh slot —
+    * refuse rather than clobber it. */
+  private[graft] def promotePendingReplace(bytes: Array[Byte]): Snapshot = {
+    publishDeclaredCols()
+    if (!store.putIfAbsent(manifestName(1), bytes) &&
+        !store.get(manifestName(1)).exists(_.sameElements(bytes))) {
+      store.delete(SnapshotLog.PendingReplaceName)
+      throw new CommitConflictException(
+        s"REPLACE TABLE on $tableDir lost its publish slot to a " +
+          "concurrent create")
+    }
+    store.delete(SnapshotLog.PendingReplaceName)
+    snapParseCache.clear()
+    snapshot(1)
   }
 
   /** [[commitNativeAppend]]'s sibling for the unconditioned
@@ -5313,7 +5439,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     node
   }
 
-  private def tryCommitInline(s: Snapshot): Boolean = {
+  private def tryCommitInline(s: Snapshot): Boolean =
+    store.putIfAbsent(manifestName(s.version),
+      mapper.writeValueAsBytes(inlineManifestNode(s)))
+
+  /** The INLINE manifest layout of `s` — shared by [[tryCommitInline]]
+    * and the RTAS pending-replace render ([[replacementV1Bytes]]). */
+  private def inlineManifestNode(s: Snapshot): com.fasterxml.jackson.databind.node.ObjectNode = {
     // one shared serializer for the layout-independent fields — a field
     // added in only one of the two layouts cannot happen by construction
     val node = manifestCommon(s)
@@ -5356,7 +5488,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       val fn = node.putObject("fileSpec")
       s.fileSpecIdx.foreach { case (f, i) => fn.put(f, i) }
     }
-    store.putIfAbsent(manifestName(s.version), mapper.writeValueAsBytes(node))
+    node
   }
 }
 
@@ -5369,6 +5501,11 @@ object SnapshotLog {
   private[table] val BranchRefPrefix = "branchref-"
   private[table] val ConstraintPrefix = "check-"
   private[table] val DeclColsRefName = "decl-columns.json"
+  /** The durable RTAS publish marker ([[SnapshotLog.publishPendingReplace]]):
+    * the replacement's complete v1 manifest, staged beside the old
+    * chain BEFORE anything is destroyed, promoted to `v…1.json` after
+    * the clear — never matched by [[SnapshotLog.ManifestRe]]. */
+  private[table] val PendingReplaceName = "pending-replace.json"
   private[graft] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20

@@ -404,6 +404,78 @@ class DsV2CatalogSpec extends AnyFunSuite {
       "RTAS = fresh history, one staged publish")
   }
 
+  /** Land one parquet file in `dir`'s data/ the way the native writer
+    * would (inert until a manifest names it); returns the file name. */
+  private def plantNativeFile(dir: String, name: String,
+      rows: Seq[(Long, String)]): String = {
+    val tmp = Files.createTempDirectory("graft-native-plant-").toString
+    rows.toDF("id", "v").coalesce(1).write.parquet(s"$tmp/p")
+    val part = new java.io.File(s"$tmp/p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dataDir = new java.io.File(s"$dir/data")
+    dataDir.mkdirs()
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(dataDir, name).toPath)
+    name
+  }
+
+  test("RTAS publish protocol: a crash after the clear never loses the table") {
+    val root = Files.createTempDirectory("graft-rtas-").toString
+    val dir = s"$root/rt"
+    val log = SnapshotLog(spark, dir, statsColumns = Seq("id"))
+    log.append(Seq((1L, "old"), (2L, "old")).toDF("id", "v"))
+    log.append(Seq((3L, "old")).toDF("id", "v"))
+    // the replacement batch, written native-style (inert in data/)
+    plantNativeFile(dir, "repl-0.parquet", Seq((100L, "new")))
+    val schemaJson = Seq((100L, "new")).toDF("id", "v").schema.json
+    val bytes = log.replacementV1Bytes(
+      Seq(("repl-0.parquet", Nil, 1L)), schemaJson, Nil, Map.empty)
+    log.publishPendingReplace(bytes)
+    // the marker alone changes nothing: the old table stays current
+    assert(SnapshotLog(spark, dir).read().count() == 3,
+      "a pending marker must not affect a live table")
+    log.clearForReplace(Set("repl-0.parquet"))
+    // CRASH HERE — no promote. A fresh open must recover the
+    // replacement from the durable pending manifest, not lose the table
+    val recovered = SnapshotLog(spark, dir)
+    assert(recovered.currentVersion() == 1,
+      "recovery must promote the pending replacement to v1")
+    assert(recovered.read().as[(Long, String)].collect().toSeq ==
+      Seq((100L, "new")), "the recovered table is the replacement")
+    assert(recovered.snapshot().rows == 1 &&
+      recovered.snapshot().stats.values.forall(_.contains("id")),
+      "the recovered v1 carries the full staged accounting")
+    // the resumed replacer's own promote tolerates having been raced
+    // by the recovery (identical bytes already at v1)
+    log.promotePendingReplace(bytes)
+    assert(SnapshotLog(spark, dir).read().count() == 1)
+    // and the table keeps working: appends land as v2 on the new chain
+    SnapshotLog(spark, dir).append(Seq((101L, "new2")).toDF("id", "v"))
+    assert(SnapshotLog(spark, dir).read().count() == 2)
+  }
+
+  test("two concurrent staged CTAS: exactly one wins version 1, the loser discards") {
+    val root = Files.createTempDirectory("graft-ctasrace-").toString
+    val dir = s"$root/race"
+    val schemaJson = Seq((0L, "x")).toDF("id", "v").schema.json
+    plantNativeFile(dir, "a-0.parquet", Seq((1L, "winner")))
+    plantNativeFile(dir, "b-0.parquet", Seq((2L, "loser")))
+    val log1 = SnapshotLog(spark, dir)
+    val log2 = SnapshotLog(spark, dir)
+    val won = log1.commitNativeCreate(
+      Seq(("a-0.parquet", Nil, 1L)), schemaJson, Nil, Map.empty)
+    assert(won.exists(_.version == 1))
+    val lost = log2.commitNativeCreate(
+      Seq(("b-0.parquet", Nil, 1L)), schemaJson, Nil, Map.empty)
+    assert(lost.isEmpty,
+      "the second create must LOSE the v1 slot, not land as a v2 append")
+    assert(SnapshotLog(spark, dir).read().as[(Long, String)]
+      .collect().toSeq == Seq((1L, "winner")),
+      "only the winner's result set is the table")
+    assert(!new java.io.File(s"$dir/data/b-0.parquet").exists(),
+      "the loser's files are discarded")
+  }
+
   test("SET TBLPROPERTIES sort-order: one metadata commit re-clusters every future write") {
     val (root, _) = freshRoot()
     val cat = mount(root)

@@ -354,6 +354,46 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("widen_type mid-stream fails loudly; a restarted stream adopts the wide type") {
+    import org.apache.spark.sql.types.LongType
+    val table = freshDir("graft-widen-") + "/t"
+    val log = SnapshotLog(spark, table)
+    log.append(Seq((1, "a"), (2, "b")).toDF("id", "payload")) // id INT
+    val (q, seen) = startFeed(table, freshDir("graft-widen-ckpt-"))
+    try {
+      q.processAllAvailable()
+      assert(drained(seen) == Seq((1, "a"), (2, "b")))
+      // the stream pinned id at INT; widen the table and land a value
+      // no INT can hold — emitting LONG bytes into the pinned INT
+      // ordinal would SILENTLY truncate, so the plan must refuse
+      log.widenColumnType("id", LongType)
+      log.append(Seq((3000000000L, "c")).toDF("id", "payload"))
+      val ex = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(ex).exists(m =>
+        m.contains("type widening") && m.contains("restart the stream")),
+        s"expected the widen refusal, got: ${chain(ex)}")
+    } finally q.stop()
+    // a FRESH stream pins the widened type: narrow history casts up,
+    // the wide row arrives intact
+    val seenWide = new ConcurrentLinkedQueue[(Long, String)]()
+    val q2 = LogChangeFeed.readChangesStream(spark, table)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-widen-ckpt2-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seenWide.add((r.getLong(0), r.getString(1))))
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      val out = { val b = Seq.newBuilder[(Long, String)]
+        seenWide.forEach(t => b += t); b.result().sorted }
+      assert(out == Seq((1L, "a"), (2L, "b"), (3000000000L, "c")),
+        "the restarted stream reads history cast up and the wide row exactly")
+    } finally q2.stop()
+  }
+
   test("row-removing commit fails the insert-only feed; skipChangeCommits streams past") {
     val table = freshDir("graft-feed-") + "/t"
     val log = SnapshotLog(spark, table,

@@ -347,6 +347,61 @@ class UpdateSpec extends AnyFunSuite {
     assert(rowsOf(s, cat).size == 6 && log.currentVersion() == vPre2)
   }
 
+  test("correlated EXISTS/NOT EXISTS DML decorrelates on a pure key equality; impure correlation refuses") {
+    val root = Files.createTempDirectory("graft-upd-corr-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append((0 until 10).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .coalesce(1))
+    SnapshotLog(spark, s"$root/gdpr").append(
+      Seq((2L, "erase"), (4L, "erase"), (7L, "keep"))
+        .toDF("uid", "why").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdcorr"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the GDPR-by-join spelling: correlated EXISTS on a pure key
+    // equality + an inner-only conjunct — decorrelates to the
+    // materialized key list {2, 4}
+    s.sql(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id AND g.why = 'erase')")
+    val m1 = rowsOf(s, cat)
+    assert(!m1.contains(2L) && !m1.contains(4L) && m1.contains(7L) &&
+      m1.size == 8, s"EXISTS-by-key must delete exactly ids 2 and 4: $m1")
+    // NOT EXISTS updates the complement — the coalesce(…, false) form
+    // keeps EXISTS's 2-valued truth table, so negation is exact
+    s.sql(s"UPDATE $cat.t1 t SET v = upper(v) WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id) AND t.id <= 3")
+    val m2 = rowsOf(s, cat)
+    assert(m2(0L) == "A0" && m2(1L) == "A1" && m2(3L) == "A3" &&
+      m2(7L) == "a7", s"NOT EXISTS must update the un-keyed ids <= 3: $m2")
+    // NULL inner keys never witness an EXISTS; NOT EXISTS over them
+    // still matches every row (the IsNotNull inner filter, not NOT IN's
+    // 3-valued collapse)
+    s.sql(s"DELETE FROM $cat.t1 t WHERE EXISTS (SELECT 1 FROM " +
+      s"$cat.gdpr g WHERE CASE WHEN g.why = 'keep' THEN NULL ELSE g.uid " +
+      "END = t.id AND g.uid > 5)")
+    assert(rowsOf(s, cat).size == 8,
+      "a NULL-keyed inner row must witness nothing")
+    def refused(sql: String, frag: String): Unit = {
+      val ex = intercept[Exception] { s.sql(sql) }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
+    }
+    // non-equality correlation refuses loudly
+    refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid > t.id)", "not an equality")
+    // expression-over-outer correlation refuses (not a pure key)
+    refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id + 1)",
+      "not a pure table-column")
+    // composite-key correlation refuses
+    refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id AND g.why = t.v)",
+      "more than one equality")
+  }
+
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
     val src = clustered(freshTable(), feed = true)
     val dst = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
