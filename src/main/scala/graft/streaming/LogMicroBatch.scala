@@ -47,7 +47,8 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     startingVersion0: String,
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
-    with SupportsTriggerAvailableNow {
+    with SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   require(maxVersionsPerTrigger >= 0 && maxFilesPerTrigger >= 0,
     "rate limits must be positive (0 = unlimited)")
   require(!fourTypeCdc || readChangeFeed,
@@ -121,83 +122,151 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     * maxFilesPerTrigger delta files — always at least ONE version, or a
     * single over-cap commit could never be admitted. One manifest walk
     * per trigger, control-plane sized. */
+  // per-trigger admission tallies, surfaced through ReportsSourceMetrics
+  // (already counted by the admission walk — zero extra manifest I/O)
+  @volatile private var lastAdmittedVersions = 0L
+  @volatile private var lastAdmittedFiles = 0L
+  @volatile private var lastBacklogVersions = 0L
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = log.currentVersion()
     val v = if (availableNowCap >= 0) math.min(head, availableNowCap) else head
     val from = math.min(math.max(versionOf(start), startVersion), v)
-    if (from >= v) return LogStreamOffset(from)
-    if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0)
-      return LogStreamOffset(v)
-    var admitted = 0L
-    var files = 0L
-    var end = from
-    log.changes(from, v).iterator.takeWhile { d =>
-      val fits = admitted == 0 ||
-        ((maxVersionsPerTrigger <= 0 || admitted < maxVersionsPerTrigger) &&
-          (maxFilesPerTrigger <= 0 || files + d.addedFiles.size <= maxFilesPerTrigger))
-      if (fits) { admitted += 1; files += d.addedFiles.size; end = d.version }
-      fits
-    }.foreach(_ => ())
+    if (from >= v) {
+      lastAdmittedVersions = 0L; lastAdmittedFiles = 0L
+      lastBacklogVersions = math.max(head - from, 0L)
+      return LogStreamOffset(from)
+    }
+    val deltas = log.changes(from, v)
+    val end =
+      if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0) {
+        lastAdmittedVersions = deltas.size.toLong
+        lastAdmittedFiles = deltas.iterator.map(_.addedFiles.size.toLong).sum
+        v
+      } else {
+        var admitted = 0L
+        var files = 0L
+        var e = from
+        deltas.iterator.takeWhile { d =>
+          val fits = admitted == 0 ||
+            ((maxVersionsPerTrigger <= 0 || admitted < maxVersionsPerTrigger) &&
+              (maxFilesPerTrigger <= 0 || files + d.addedFiles.size <= maxFilesPerTrigger))
+          if (fits) { admitted += 1; files += d.addedFiles.size; e = d.version }
+          fits
+        }.foreach(_ => ())
+        lastAdmittedVersions = admitted
+        lastAdmittedFiles = files
+        e
+      }
+    lastBacklogVersions = math.max(head - end, 0L)
     LogStreamOffset(end)
   }
 
-  /** The factory for the batch planned LAST — the engine builds one
-    * scan exec per micro-batch and asks for the factory right after
-    * planning its partitions (the V1 `getBatch` handoff, DSv2-shaped). */
-  @volatile private var lastFactory: PartitionReaderFactory =
-    new GroupProjectingFactory(Array.empty, Array.empty)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val groups = log.streamBatchGroups(versionOf(start), versionOf(end),
-      pinned, readChangeFeed, fourTypeCdc, skipChangeCommits)
-    val delegates = new Array[PartitionReaderFactory](groups.size)
-    val projections = new Array[Option[Seq[Expression]]](groups.size)
-    val parts = groups.zipWithIndex.flatMap { case (g, gi) =>
-      val batch = GraftBridge.parquetBatchScan(spark, g.paths,
-        g.dataSchema, g.dataSchema, Array.empty).toBatch
-      delegates(gi) = batch.createReaderFactory()
-      projections(gi) = g.outs.map(outs =>
-        GraftWriteBridge.boundExprs(spark, g.dataSchema, outs))
-      batch.planInputPartitions().map(p =>
-        new ProjectedGroupPartition(p, gi): InputPartition)
-    }.toArray
-    lastFactory = new GroupProjectingFactory(delegates, projections)
-    parts
+  /** [[org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics]]:
+    * what the last trigger admitted (versions, delta files) and the
+    * backlog still unadmitted behind it — the numbers an operator needs
+    * to size `maxVersionsPerTrigger`/`maxFilesPerTrigger` against lag,
+    * surfaced in each progress event's `sources[].metrics`. */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("versionsAdmitted", lastAdmittedVersions.toString)
+    m.put("filesAdmitted", lastAdmittedFiles.toString)
+    m.put("backlogVersions", lastBacklogVersions.toString)
+    m
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = lastFactory
+  /** Scratch for contributions that need a JOIN to reconstruct (a
+    * truncate/overwrite pre-image over a debt-carrying parent;
+    * four-type re-typing of pre-pair-tag merge images): the planner
+    * spills the composed batch read here once per version and plans
+    * the spilled parquet like any other group. Per-source checkpoint
+    * path → unique per stream, deterministic across restarts, swept on
+    * [[commit]]. */
+  private val spillDir = s"$checkpointLocation/graft-spill"
 
-  override def commit(end: Offset): Unit = () // retention = the vacuum horizon
+  /** Each partition CARRIES its group's delegate factory and bound
+    * projection, so [[createReaderFactory]] is stateless — no
+    * plan→factory mutable handoff depending on the engine calling
+    * `planInputPartitions` then `createReaderFactory` in order per
+    * micro-batch (true under today's single-threaded driver loop, but
+    * nothing here breaks if that ever changes). Whether columnar reads
+    * are allowed must still be ONE answer per scan exec (Spark's
+    * contract), so the batch-wide all-identity verdict is stamped onto
+    * every partition. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val groups = log.streamBatchGroups(versionOf(start), versionOf(end),
+      pinned, readChangeFeed, fourTypeCdc, skipChangeCommits,
+      spillDir = Some(spillDir))
+    val planned = groups.map { g =>
+      val batch = GraftBridge.parquetBatchScan(spark, g.paths,
+        g.dataSchema, g.dataSchema, Array.empty).toBatch
+      val projection = g.outs.map(outs =>
+        GraftWriteBridge.boundExprs(spark, g.dataSchema, outs))
+      (batch, batch.createReaderFactory(), projection)
+    }
+    val allIdentity = planned.forall(_._3.isEmpty)
+    planned.flatMap { case (batch, factory, projection) =>
+      batch.planInputPartitions().map(p =>
+        new ProjectedGroupPartition(p, factory, projection,
+          allIdentity): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GroupProjectingFactory
+
+  /** Retention = the vacuum horizon; the only per-commit bookkeeping is
+    * sweeping spill scratch for versions at or below the committed end
+    * (the engine never replays a committed batch, so those spills are
+    * dead). Best-effort — a missed sweep is re-swept next commit. */
+  override def commit(end: Offset): Unit = {
+    val v = versionOf(end)
+    try {
+      val dir = new org.apache.hadoop.fs.Path(spillDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName // v<version>-<kind>
+        if (n.startsWith("v"))
+          scala.util.Try(n.drop(1).takeWhile(_.isDigit).toLong).toOption
+            .filter(_ <= v).foreach(_ => fs.delete(st.getPath, true))
+      }
+    } catch { case _: Exception => () }
+  }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"LogMicroBatchStream[$tableDir]"
 }
 
-/** A delegate parquet partition tagged with its projection group. */
+/** A delegate parquet partition carrying its group's reader factory,
+  * bound projection (None = identity), and the batch-wide columnar
+  * verdict — everything the stateless [[GroupProjectingFactory]] needs,
+  * shipped with the partition itself. */
 private[graft] final class ProjectedGroupPartition(
-    val delegate: InputPartition, val group: Int) extends InputPartition {
+    val delegate: InputPartition,
+    val factory: PartitionReaderFactory,
+    val projection: Option[Seq[Expression]],
+    val columnarOk: Boolean) extends InputPartition {
   override def preferredLocations(): Array[String] =
     delegate.preferredLocations()
 }
 
-/** Reader factory dispatching each partition to its group's vectorized
-  * parquet factory; identity groups (`projection = None`) pass columnar
-  * batches straight through, projected groups read row-based and apply
-  * the group's bound projection per row (codegen'd `UnsafeProjection`,
-  * built once per partition on the executor). Columnar reads are
-  * reported only when EVERY group is identity — Spark requires one mode
-  * per scan exec. */
-private[graft] final class GroupProjectingFactory(
-    delegates: Array[PartitionReaderFactory],
-    projections: Array[Option[Seq[Expression]]])
+/** Stateless reader factory: dispatches each partition to the
+  * vectorized parquet factory it carries; identity groups
+  * (`projection = None`) pass columnar batches straight through,
+  * projected groups read row-based and apply the group's bound
+  * projection per row (codegen'd `UnsafeProjection`, built once per
+  * partition on the executor). Columnar reads are reported only when
+  * EVERY group in the batch is identity (the stamped `columnarOk`) —
+  * Spark requires one mode per scan exec. */
+private[graft] final class GroupProjectingFactory
     extends PartitionReaderFactory {
-  private val allIdentity = projections.forall(_.isEmpty)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[ProjectedGroupPartition]
-    val inner = delegates(gp.group).createReader(gp.delegate)
-    projections(gp.group) match {
+    val inner = gp.factory.createReader(gp.delegate)
+    gp.projection match {
       case None => inner
       case Some(exprs) => new PartitionReader[InternalRow] {
         private val proj = UnsafeProjection.create(exprs)
@@ -210,11 +279,11 @@ private[graft] final class GroupProjectingFactory(
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val gp = p.asInstanceOf[ProjectedGroupPartition]
-    delegates(gp.group).createColumnarReader(gp.delegate)
+    gp.factory.createColumnarReader(gp.delegate)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val gp = p.asInstanceOf[ProjectedGroupPartition]
-    allIdentity && delegates(gp.group).supportColumnarReads(gp.delegate)
+    gp.columnarOk && gp.factory.supportColumnarReads(gp.delegate)
   }
 }

@@ -1636,7 +1636,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private[graft] def streamBatchGroups(from: Long, to: Long,
       pinned: org.apache.spark.sql.types.StructType,
       readChangeFeed: Boolean, fourType: Boolean,
-      skipChangeCommits: Boolean): Seq[StreamFileGroup] = {
+      skipChangeCommits: Boolean,
+      spillDir: Option[String] = None): Seq[StreamFileGroup] = {
     import org.apache.spark.sql.types.StructType
     def p(f: String) = new Path(dataDir, f).toString
     val metaCols = Set("_change_type", "_commit_version", SnapshotLog.PairCol)
@@ -1678,7 +1679,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // feed) pass the vectorized batches through UNPROJECTED.
     def group(files: Seq[String], dataSchema: StructType,
         m: Map[String, Column], extras: Seq[Column],
-        mayId: Boolean): StreamFileGroup = {
+        mayId: Boolean, abs: Boolean = false): StreamFileGroup = {
       // the alignment maps land each base column on the TO-version's
       // type, but the stream's output schema stays PINNED for its whole
       // life — reconcile per field: a produced type the pinned type
@@ -1706,9 +1707,49 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
           case None => c.as(f.name) // pre-schema history: mapping is exact
         }
       } ++ extras
-      StreamFileGroup(files.map(p), dataSchema,
+      StreamFileGroup(if (abs) files else files.map(p), dataSchema,
         if (mayId && extras.isEmpty && sameShape(dataSchema, pinnedBase)) None
         else Some(outs))
+    }
+
+    // Materialize a JOIN-NEEDING contribution (a pre-image over a
+    // debt-carrying parent; a pre-pair-tag four-type merge re-typing)
+    // ONCE as plain parquet under the stream's checkpoint scratch and
+    // plan THAT like any other group. Deterministic path per (version,
+    // kind); a replayed plan overwrites with identical rows (debt reads
+    // of immutable versions are deterministic), so restart recovery
+    // stays exact. `withMeta` marks a frame already carrying
+    // `_change_type`/`_commit_version` per row (the extras then read
+    // the file's own columns instead of constants).
+    def spillGroups(sd: String, v: Long, kind: String, df: DataFrame,
+        extras: Seq[Column]): Seq[StreamFileGroup] = {
+      val dir = new Path(s"$sd/v$v-$kind")
+      // the engine may plan the same batch more than once (the sink's
+      // execution re-plans the scan) — the spill must be WRITE-ONCE
+      // with stable file names, or the second write's fresh part names
+      // invalidate the first plan's partitions mid-read: write to a
+      // tmp dir and rename into place; a loser (or a later re-plan)
+      // reuses the winner's files, which are row-identical by
+      // determinism of debt reads over immutable versions
+      val done = new Path(dir, "_SUCCESS")
+      if (!fs.exists(done)) {
+        if (fs.exists(dir)) fs.delete(dir, true) // crashed partial spill
+        val tmp = new Path(s"$sd/.tmp-v$v-$kind-${UUID.randomUUID()}")
+        df.write.parquet(tmp.toString)
+        if (!fs.rename(tmp, dir)) fs.delete(tmp, true)
+      }
+      val files = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      if (files.isEmpty) Nil
+      else {
+        // meta columns carry no field ids — strip them before fid
+        // alignment (their positional-fallback ids could collide with
+        // the base columns' explicit ids and alias the wrong column)
+        val baseS = StructType(df.schema.fields.filterNot(f => metaCols(f.name)))
+        val m = aligned(baseS, if (toCur.isEmpty) baseS else toCur, col).toMap
+        Seq(group(files, df.schema, m, extras, mayId = false, abs = true))
+      }
     }
 
     // driver-side physical schema of files the manifest carries no
@@ -1804,15 +1845,23 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         case "truncate" | "overwrite" =>
           val dels = parentSnap.filter(_.files.nonEmpty).map { par =>
             // the deleted pre-images are the parent's LOGICAL table; a
-            // parent carrying merge-on-read debt would need anti-joins
-            // to reconstruct — not expressible as a narrow file scan
+            // parent carrying merge-on-read debt needs anti-joins to
+            // reconstruct — not expressible as a narrow file scan, so
+            // SPILL the composed batch read (the same `scan` the batch
+            // readChangeRows pre-image uses) under the stream's
+            // checkpoint and plan the spilled files
             if (par.tombstones.nonEmpty || par.files.exists(par.dvs.contains))
-              throw new IllegalStateException(
-                s"$tableDir v$v ${s.op}s a snapshot with pending " +
-                  "tombstones/deletion vectors — the streamed pre-image " +
-                  "needs a join; compact before the overwrite, or " +
-                  "replay this span with the batch readChangeRows")
-            epochGroups(par, par.files, toCur, cdcExtras(lit("delete")))
+              spillDir match {
+                case Some(sd) =>
+                  spillGroups(sd, v, "pre", scan(par, par.files),
+                    cdcExtras(lit("delete")))
+                case None => throw new IllegalStateException(
+                  s"$tableDir v$v ${s.op}s a snapshot with pending " +
+                    "tombstones/deletion vectors — the streamed pre-image " +
+                    "needs a join; compact before the overwrite, or " +
+                    "replay this span with the batch readChangeRows")
+              }
+            else epochGroups(par, par.files, toCur, cdcExtras(lit("delete")))
           }.getOrElse(Nil)
           dels ++ epochGroups(s, s.files, toCur, cdcExtras(lit("insert")))
         case "delete" | "merge" | "delete_keys" | "update" | "replace_where" =>
@@ -1820,6 +1869,26 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             s"$tableDir v$v is a '${s.op}' with no recorded change images " +
               "(committed before the table was changeFeed-enabled) — " +
               "row-level reads cannot span it; resync from a full read"))
+          // PRE-PAIR-TAG merge history: four-type re-typing needs a key
+          // join (no recorded pair bit) — spill the batch key-join read
+          // of JUST this version (its whole contribution, by-reference
+          // deletes included, so nothing double-ships)
+          val preTagKeyJoin = fourType && s.op == "merge" &&
+            cs.files.nonEmpty && cs.keyColumn.nonEmpty &&
+            !footerSchema(cs.files.head).fieldNames
+              .contains(SnapshotLog.PairCol)
+          if (preTagKeyJoin) spillDir match {
+            case Some(sd) =>
+              spillGroups(sd, v, "fourtype",
+                readChangeRows(v - 1, v, fourType = true),
+                Seq(col("_change_type"), col("_commit_version")))
+            case None => throw new IllegalStateException(
+              s"$tableDir v$v carries merge images recorded before " +
+                "pair tagging — four-type re-typing needs a key " +
+                "join; replay this span with the batch " +
+                "readChangeRows(fourType = true), or stream with " +
+                "fourTypeCdc = false")
+          } else {
           val images =
             if (cs.files.isEmpty) Nil
             else {
@@ -1840,13 +1909,6 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
                     .when(col(SnapshotLog.PairCol) && rawType === "insert",
                       "update_postimage")
                     .otherwise(rawType)
-                else if (fourType && s.op == "merge" && cs.keyColumn.nonEmpty)
-                  throw new IllegalStateException(
-                    s"$tableDir v$v carries merge images recorded before " +
-                      "pair tagging — four-type re-typing needs a key " +
-                      "join; replay this span with the batch " +
-                      "readChangeRows(fourType = true), or stream with " +
-                      "fourTypeCdc = false")
                 else rawType
               Seq(group(cs.files, dataSchema, versionAligned(dataSchema),
                 cdcExtras(ct), mayId = false))
@@ -1856,6 +1918,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
             else epochGroups(parentSnap.getOrElse(s), cs.deletedDataFiles,
               toCur, cdcExtras(lit("delete")))
           images ++ wholeFiles
+          }
         case "restore" => throw new IllegalStateException(
           s"$tableDir v$v is a restore — a rollback is not expressible " +
             "as row changes; resync the consumer from a full read")

@@ -132,6 +132,38 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q3.stop()
   }
 
+  test("source metrics report per-trigger admission (versions/files/backlog)") {
+    val table = freshDir("graft-feed-met-") + "/t"
+    val log = SnapshotLog(spark, table)
+    (0 until 4).foreach(run =>
+      log.append(mkRows(run, 3).toDF("id", "payload").coalesce(1)))
+    val q = LogChangeFeed
+      .readChangesStream(spark, table, maxVersionsPerTrigger = 2L)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-feed-met-ckpt-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect(); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => p.sources.toSeq)
+        .map(_.metrics)
+        .filter(m => m != null && !m.isEmpty)
+      assert(metrics.nonEmpty, "progress events must carry source metrics")
+      // a capped trigger admitted exactly 2 versions / 2 delta files
+      // with backlog still pending behind it
+      assert(metrics.exists(m =>
+        m.get("versionsAdmitted") == "2" && m.get("filesAdmitted") == "2" &&
+          m.get("backlogVersions").toLong > 0),
+        s"expected a capped-admission tick in: $metrics")
+      // the drain's final tick reports an empty backlog
+      assert(metrics.exists(m => m.get("backlogVersions") == "0"),
+        s"expected a drained tick in: $metrics")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a capped backlog in BOUNDED batches, then stops") {
     val table = freshDir("graft-feed-an-") + "/t"
     val log = SnapshotLog(spark, table)
@@ -420,6 +452,93 @@ class LogStreamSpec extends AnyFunSuite {
       assert(drained(seen2) == (mkRows(0, 10) ++ mkRows(1, 6)).sorted,
         "skipChangeCommits must deliver all appends and only appends")
     } finally q2.stop()
+  }
+
+  test("truncate over a debt-carrying parent streams the composed pre-image (checkpoint spill)") {
+    val table = freshDir("graft-spill-") + "/t"
+    val ckpt = freshDir("graft-spill-ckpt-")
+    val log = SnapshotLog.withChangeFeed(spark, table, statsColumns = Seq("id"))
+    log.append(mkRows(0, 10).toDF("id", "payload"))   // v1: 10 inserts
+    log.deleteKeys("id", Seq(3, 4).toDF("id"))        // v2: tombstones PENDING
+    log.truncate()                                    // v3: over merge-on-read debt
+    log.append(mkRows(1, 2).toDF("id", "payload"))    // v4: 2 inserts
+    val seen = new ConcurrentLinkedQueue[(Int, String, Long)]()
+    val q = LogChangeFeed.readChangesStream(spark, table, readChangeFeed = true)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id", "_change_type", "_commit_version").collect()
+          .foreach(r => seen.add((r.getInt(0), r.getString(1), r.getLong(2))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = { val b = Seq.newBuilder[(Int, String, Long)]
+        seen.forEach(t => b += t); b.result() }
+      // the truncate's pre-image is the parent's LOGICAL table: the
+      // tombstoned keys 3 and 4 must NOT re-image (the raw files would
+      // ship them) — the refusal this replaces would have failed here
+      val v3dels = out.filter(t => t._3 == 3L && t._2 == "delete").map(_._1)
+      assert(v3dels.sorted == (0 until 10).filterNot(Set(3, 4)).toSeq,
+        s"the spilled pre-image must be the debt-applied survivors: $v3dels")
+      // and the whole stream nets to the batch feed exactly
+      val batchRef = log.readChangeRows(0)
+        .select("id", "_change_type", "_commit_version")
+        .as[(Int, String, Long)].collect().toSeq.sorted
+      assert(out.sorted == batchRef, "stream == batch feed, row for row")
+    } finally q.stop()
+  }
+
+  test("four-type stream over pre-pair-tag merge images spills the key-join re-typing") {
+    val table = freshDir("graft-4t-") + "/t"
+    val log = SnapshotLog.withChangeFeed(spark, table, statsColumns = Seq("id"))
+    log.append(Seq((1, "a"), (2, "b")).toDF("id", "payload"))
+    log.mergeByKey(Seq((2, "B2"), (3, "c")).toDF("id", "payload"), "id")
+    // simulate PRE-PAIR-TAG history: strip the recorded pair bit from
+    // the image files in place (what r13-and-earlier tables carry)
+    val cs = log.snapshot().changes.get
+    cs.files.foreach { f =>
+      val p = new java.io.File(s"$table/data/$f")
+      val df = spark.read.parquet(p.toString)
+      assert(df.columns.contains(SnapshotLog.PairCol))
+      val stripped = df.drop(SnapshotLog.PairCol)
+      val tmp = freshDir("graft-4t-strip-")
+      stripped.coalesce(1).write.parquet(s"$tmp/out")
+      val part = new java.io.File(s"$tmp/out").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(p.delete())
+      java.nio.file.Files.copy(part.toPath, p.toPath)
+      // sweep the checksum sibling so the local FS does not reject the
+      // swapped bytes against the old file's CRC
+      val crc = new java.io.File(p.getParent, s".${p.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    // batch reference: the key-join re-typing branch
+    val batchRef = log.readChangeRows(0, fourType = true)
+      .select("id", "payload", "_change_type", "_commit_version")
+      .as[(Int, String, String, Long)].collect().toSeq.sorted
+    assert(batchRef.exists(_._3 == "update_preimage") &&
+      batchRef.exists(_._3 == "update_postimage"),
+      s"fixture must exercise re-typing: $batchRef")
+    // streamed: the planner must spill the key-join read instead of
+    // refusing (the pair column is gone from the image footers)
+    val seen = new ConcurrentLinkedQueue[(Int, String, String, Long)]()
+    val q = LogChangeFeed.readChangesStream(spark, table,
+      readChangeFeed = true, fourTypeCdc = true)
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-4t-ckpt-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.select("id", "payload", "_change_type", "_commit_version")
+          .collect().foreach(r =>
+            seen.add((r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = { val b = Seq.newBuilder[(Int, String, String, Long)]
+        seen.forEach(t => b += t); b.result() }
+      assert(out.sorted == batchRef, "stream four-type == batch four-type")
+    } finally q.stop()
   }
 
   test("readChangeFeed streams row-level deletes; checkpoint restart resumes mid-history") {

@@ -367,6 +367,37 @@ class MergeSpec extends AnyFunSuite {
     assert(log.read().select("v").as[String].head() == "b")
   }
 
+  test("uncorrelated subqueries in WHEN-clause CONDITIONS materialize at execution") {
+    val root = Files.createTempDirectory("graft-mergec-subc-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((1L, 10.0, "a"), (2L, 90.0, "b"), (3L, 50.0, "c"))
+      .toDF("id", "score", "v").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gmrgsubc"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.createDataFrame(Seq((1L, 95.0, "A"), (2L, 5.0, "B"), (4L, 80.0, "D"),
+      (5L, 1.0, "E"))).toDF("id", "score", "v")
+      .createOrReplaceTempView("mrg_subc_src")
+    // the WHEN conditions gate on an UNCORRELATED scalar subquery (the
+    // source's mean score) — materialized to a literal at execution:
+    // matched rows update only when the source's score beats the mean;
+    // not-matched rows insert under the same gate
+    s.sql(
+      s"""MERGE INTO $cat.t1 t USING mrg_subc_src s ON t.id = s.id
+         |WHEN MATCHED AND s.score > (SELECT avg(score) FROM mrg_subc_src)
+         |  THEN UPDATE SET score = s.score, v = s.v
+         |WHEN NOT MATCHED AND s.score > (SELECT avg(score) FROM mrg_subc_src)
+         |  THEN INSERT (id, score, v) VALUES (s.id, s.score, s.v)""".stripMargin)
+    // mean = (95+5+80+1)/4 = 45.25: id 1 updates (95 > mean), id 2 does
+    // NOT (5 < mean), id 4 inserts (80 > mean), id 5 does not
+    val out = log.read().orderBy("id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(out == Seq((1L, 95.0, "A"), (2L, 90.0, "b"), (3L, 50.0, "c"),
+      (4L, 80.0, "D")), s"clause-condition subquery gate: $out")
+  }
+
   test("residual ON: update-newer-only CDC shape; stale rows are NOT matches") {
     // typed tier: ON id = k AND src.ver > ver
     val log = fresh()
