@@ -46,8 +46,29 @@ object ScaleData {
     documentsTimesK(spark, src, dst, k)
     ordersTimesK(spark, src, dst, k)
     eventsTimesK(spark, src, dst, k)
-    println(s"[scaledata] wrote documents/orders/events x$k to $dst")
+    embeddingsTimesK(spark, src, dst, k)
+    println(s"[scaledata] wrote documents/orders/events/embeddings x$k to $dst")
     spark.stop()
+  }
+
+  /** `embeddings` ×K: replica k applies a cyclic rotation of k
+    * positions to each vector — norms, within-replica pairwise dot
+    * products and the label geometry are preserved EXACTLY (the ANN
+    * recall structure is the same per replica), while cross-replica
+    * similarities decorrelate; ids shift by a stride. */
+  private def embeddingsTimesK(spark: SparkSession, src: String,
+      dst: String, k: Int): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val reps = (1 until k).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+        expr(s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))").as("embedding"),
+        col("label"))
+    }
+    reps.foldLeft(emb)(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
   /** Frequency-weighted vocabulary of the corpus, as (word, cumulative

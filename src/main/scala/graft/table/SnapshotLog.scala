@@ -4904,6 +4904,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         }
       }
     }
+    // a stale RTAS pending marker (the replace crashed BEFORE its
+    // clear — the old table stayed current; a marker that survived a
+    // clear was promoted by recovery at the next open) sweeps past the
+    // grace like every staged artifact; an in-flight replace's fresh
+    // marker is mtime-protected. FS-backed stores only, like segments.
+    if (store0.isEmpty && fs.exists(logDir)) {
+      val pr = new Path(logDir, SnapshotLog.PendingReplaceName)
+      if (fs.exists(pr) && fs.getFileStatus(pr).getModificationTime < cutoff)
+        fs.delete(pr, false)
+    }
     deleted
   }
 

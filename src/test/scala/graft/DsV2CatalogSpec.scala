@@ -454,6 +454,29 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(SnapshotLog(spark, dir).read().count() == 2)
   }
 
+  test("stale pending-replace marker: inert beside a live chain, swept by vacuum past grace") {
+    val root = Files.createTempDirectory("graft-rtas-stale-").toString
+    val dir = s"$root/t"
+    val log = SnapshotLog(spark, dir)
+    log.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    log.append(Seq((3L, "c")).toDF("id", "v"))
+    // an RTAS that crashed BEFORE its clear leaves the marker beside
+    // live manifests — the old table stays current and recovery never
+    // promotes while manifests exist
+    log.publishPendingReplace("{\"version\":1}".getBytes)
+    assert(SnapshotLog(spark, dir).read().count() == 3,
+      "a stale marker must not perturb the live chain")
+    val marker = new java.io.File(
+      s"$dir/${SnapshotLog.LogDirName}/pending-replace.json")
+    assert(marker.exists())
+    // fresh markers are mtime-protected (an in-flight replace)
+    log.vacuum(keepLast = 2, graceMs = 3600000L)
+    assert(marker.exists(), "a fresh marker survives the grace window")
+    log.vacuum(keepLast = 2, graceMs = 0L)
+    assert(!marker.exists(), "a stale marker sweeps past the grace")
+    assert(SnapshotLog(spark, dir).read().count() == 3)
+  }
+
   test("two concurrent staged CTAS: exactly one wins version 1, the loser discards") {
     val root = Files.createTempDirectory("graft-ctasrace-").toString
     val dir = s"$root/race"
