@@ -487,9 +487,6 @@ private[graft] object UpdateLogRule {
       case other     => Seq(other)
     }
     def anchored(values: Seq[Expression], neg: Boolean): Expression = {
-      if (values.length != 1) refuse(
-        "multi-column IN-subqueries are not supported — join the key " +
-          "set in, or use the typed mergeByKey/deleteKeys APIs")
       val v = values.head
       if (!v.deterministic) refuse(
         "the IN-subquery's left side is non-deterministic")
@@ -501,10 +498,16 @@ private[graft] object UpdateLogRule {
       }
     }
     val (subs, rest) = conjuncts(cond).partitionMap {
-      case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
+      // single-column forms take the split path (pruning-hint min/max);
+      // MULTI-column row-IN falls through to `rest` and materializes at
+      // execution as an OR-of-AND literal fold ([[SubqueryPred
+      // .materialize]]) — correct, just hint-less
+      case InSubquery(values, l: ListQuery)
+          if l.outerAttrs.isEmpty && values.length == 1 =>
         Left(SubqueryPred(("in", anchored(values, neg = false)),
           l.plan, negated = false))
-      case Not(InSubquery(values, l: ListQuery)) if l.outerAttrs.isEmpty =>
+      case Not(InSubquery(values, l: ListQuery))
+          if l.outerAttrs.isEmpty && values.length == 1 =>
         Left(SubqueryPred(("in", anchored(values, neg = true)),
           l.plan, negated = true))
       case other => Right(other)
@@ -627,6 +630,11 @@ private[graft] object SubqueryPred {
     * typed `deleteKeys`/`mergeByKey` APIs own unbounded key sets. */
   val MaxKeys = 100000
 
+  /** Tuple-list bound for MULTI-COLUMN row-IN: the fold is an OR tree
+    * of per-tuple AND equalities (no `InSet` fast path), so the cap is
+    * tighter than the single-column list's. */
+  val MaxTupleKeys = 10000
+
   /** True iff `e` contains a subquery the DML planners CANNOT
     * materialize — anything correlated, or a kind outside
     * scalar/EXISTS/IN. Uncorrelated scalar, EXISTS and IN subqueries
@@ -661,19 +669,57 @@ private[graft] object SubqueryPred {
   def decorrelate(cond: Expression,
       target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
       refuse: String => Nothing): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.Exists
-    cond.transformUp {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, OuterReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    def conjs(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjs(l) ++ conjs(r)
+      case o         => Seq(o)
+    }
+    // a TOP-LEVEL correlated `v IN (SELECT x FROM s WHERE corr)`
+    // conjunct canonicalizes to the EXISTS shape (`EXISTS (SELECT 1
+    // FROM s WHERE x = v AND corr)`) and decorrelates with it — sound
+    // at the top of the AND tree, where WHERE semantics make NULL and
+    // FALSE indistinguishable (the EXISTS form is 2-valued). Correlated
+    // NOT IN stays refused: a NULL inner value makes SQL's NOT IN
+    // match NOTHING, which NOT EXISTS over a null-filtered key list
+    // cannot reproduce.
+    val canon = conjs(cond).map {
+      case InSubquery(values, l: ListQuery) if l.outerAttrs.nonEmpty =>
+        val (proj, fc, child) = l.plan match {
+          case LProject(ps, LFilter(c, ch)) => (ps, c, ch)
+          case _ => refuse("the correlated IN-subquery's shape is not " +
+            "SELECT <exprs> FROM ... WHERE <correlation> — decorrelate " +
+            "by hand, or use the typed API")
+        }
+        if (proj.length != values.length) refuse(
+          "the correlated IN-subquery's select list does not match its " +
+            "left side")
+        val eqs = proj.zip(values).map { case (p, v) =>
+          val vo = v match {
+            case a: AttributeReference if target.outputSet.contains(a) =>
+              OuterReference(a)
+            case other => refuse("the correlated IN-subquery's left " +
+              s"side '$other' is not a bare table column — only " +
+              "column-keyed forms decorrelate; use the typed API")
+          }
+          EqualTo(UpdateLogRule.stripAlias(p), vo): Expression
+        }
+        rewritePlanAsExists(LFilter((eqs :+ fc).reduce(And(_, _)), child),
+          target, refuse)
+      case other => other
+    }
+    canon.reduce(And(_, _)).transformUp {
       case ex: Exists if ex.outerAttrs.nonEmpty =>
-        rewriteExists(ex, target, refuse)
+        rewritePlanAsExists(ex.plan, target, refuse)
     }
   }
 
-  private def rewriteExists(ex: org.apache.spark.sql.catalyst.expressions.Exists,
+  private def rewritePlanAsExists(plan: LogicalPlan,
       target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
       refuse: String => Nothing): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Coalesce, EqualTo, InSubquery, IsNotNull, ListQuery, Literal, OuterReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
-    val (fc, child) = ex.plan match {
+    val (fc, child) = plan match {
       case LProject(_, LFilter(c, ch)) => (c, ch)
       case LFilter(c, ch)              => (c, ch)
       case _ => refuse("the correlated EXISTS subquery's correlation " +
@@ -703,23 +749,29 @@ private[graft] object SubqueryPred {
           case (None, Some(a)) if innerSide(l) => (l, a)
           case _ => refuse("the correlated EXISTS subquery's " +
             s"predicate '${eq.sql}' is not a pure table-column = " +
-            "inner-expression equality — only a single key equality " +
-            "decorrelates to the materialized key list; use the typed API")
+            "inner-expression equality — only key equalities " +
+            "decorrelate to the materialized key list; use the typed API")
         }
       case other => refuse("the correlated EXISTS subquery's predicate " +
-        s"'${other.sql}' is not an equality — only a single pure key " +
-        "equality decorrelates; use the typed API")
+        s"'${other.sql}' is not an equality — only pure key " +
+        "equalities decorrelate; use the typed API")
     }
-    if (pairs.length != 1) refuse(
-      "the EXISTS subquery correlates on more than one equality — " +
-        "composite-key correlation does not decorrelate to one key " +
-        "list; use the typed mergeByKey/deleteKeys APIs")
-    val (innerKey, outerA) = pairs.head
-    val innerCond = (inner :+ (IsNotNull(innerKey): Expression))
+    if (pairs.isEmpty) refuse(
+      "the EXISTS subquery carries no key-equality correlation the " +
+        "decorrelator can anchor on; use the typed API")
+    // composite keys materialize as a multi-column row-IN (OR-of-AND
+    // literal fold, MaxTupleKeys-capped); the IsNotNull inner filter
+    // plus the coalesce(…, false) wrapper keep EXISTS's exact 2-valued
+    // truth table for any key arity (equality with NULL never
+    // witnesses an EXISTS)
+    val innerCond = (inner ++ pairs.map(p => IsNotNull(p._1): Expression))
       .reduce(And(_, _))
-    val sub = LProject(Seq(Alias(innerKey, "__graft_exists_key")()),
+    val sub = LProject(
+      pairs.zipWithIndex.map { case ((k, _), i) =>
+        Alias(k, s"__graft_exists_key$i")(): org.apache.spark.sql.catalyst.expressions.NamedExpression },
       LFilter(innerCond, child))
-    Coalesce(Seq(InSubquery(Seq(outerA), ListQuery(sub)), Literal(false)))
+    Coalesce(Seq(
+      InSubquery(pairs.map(_._2), ListQuery(sub)), Literal(false)))
   }
 
   /** Replace every UNCORRELATED subquery in `e` with its materialized
@@ -745,17 +797,29 @@ private[graft] object SubqueryPred {
         Literal(org.apache.spark.sql.GraftBridge.ofRows(spark, ex.plan)
           .limit(1).collect().nonEmpty)
       case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
-        if (values.length != 1) throw new UnsupportedOperationException(
-          "multi-column IN-subqueries are not supported — join the key " +
-            "set in, or use the typed mergeByKey/deleteKeys APIs")
         val df = org.apache.spark.sql.GraftBridge.ofRows(spark, l.plan)
-        val rows = df.limit(MaxKeys + 1).collect()
-        if (rows.length > MaxKeys) throw new UnsupportedOperationException(
-          s"the IN-subquery materialized more than $MaxKeys keys — use " +
+        val cap = if (values.length == 1) MaxKeys else MaxTupleKeys
+        val rows = df.limit(cap + 1).collect()
+        if (rows.length > cap) throw new UnsupportedOperationException(
+          s"the IN-subquery materialized more than $cap keys — use " +
             "the typed deleteKeys/mergeByKey APIs for unbounded key sets")
-        val dt = df.schema.head.dataType
         if (rows.isEmpty) Literal(false)
-        else In(values.head, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+        else if (values.length == 1) {
+          val dt = df.schema.head.dataType
+          In(values.head, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
+        } else {
+          // MULTI-COLUMN row-IN: fold to an OR of per-tuple AND
+          // equalities — NULL propagation through EqualTo/And/Or
+          // reproduces SQL's row-wise IN (and NOT IN via the enclosing
+          // Not) exactly, with no special casing
+          import org.apache.spark.sql.catalyst.expressions.Or
+          val dts = df.schema.map(_.dataType)
+          rows.toSeq.map { r =>
+            values.zipWithIndex.map { case (v, i) =>
+              EqualTo(v, Literal.create(r.get(i), dts(i))): Expression
+            }.reduce(And(_, _))
+          }.reduce(Or(_, _))
+        }
     }
   }
 

@@ -396,11 +396,55 @@ class UpdateSpec extends AnyFunSuite {
     refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
       s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id + 1)",
       "not a pure table-column")
-    // composite-key correlation refuses
-    refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
-      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id AND g.why = t.v)",
-      "more than one equality")
+    // correlated NOT IN stays refused (SQL's NULL-in-the-set semantics
+    // cannot ride the EXISTS translation)
+    refused(s"DELETE FROM $cat.t1 t WHERE t.id NOT IN " +
+      s"(SELECT g.uid FROM $cat.gdpr g WHERE g.why = t.v)", "subquer")
   }
+
+  test("composite-key EXISTS, correlated IN, and multi-column IN decorrelate/materialize") {
+    val root = Files.createTempDirectory("graft-upd-comp-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((1L, "x", "a1"), (2L, "y", "a2"), (3L, "x", "a3"),
+      (4L, "z", "a4")).toDF("id", "grp", "v").coalesce(1))
+    SnapshotLog(spark, s"$root/ref").append(
+      Seq((1L, "x", 10), (3L, "q", 30), (4L, "z", 40))
+        .toDF("rid", "rgrp", "amt").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdcomp"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // COMPOSITE-key correlated EXISTS: both (id, grp) must match —
+    // rows 1 (1,x matches 1,x) and 4 (4,z matches 4,z); row 3's rid
+    // matches but rgrp 'q' does not
+    s.sql(s"UPDATE $cat.t1 t SET v = upper(v) WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.ref r WHERE r.rid = t.id AND r.rgrp = t.grp)")
+    val m1 = rowsOf3(s, cat)
+    assert(m1(1L) == "A1" && m1(4L) == "A4" && m1(2L) == "a2" &&
+      m1(3L) == "a3", s"composite EXISTS must update rows 1 and 4: $m1")
+    // correlated IN (top-level conjunct) canonicalizes to EXISTS:
+    // t.id IN (rids of rows whose rgrp = t.grp) — row 1 (rid 1, grp x)
+    // and row 4 (rid 4, grp z); row 3 fails (rid 3 has rgrp q ≠ x)
+    s.sql(s"UPDATE $cat.t1 t SET v = concat(v, '!') WHERE t.id IN " +
+      s"(SELECT r.rid FROM $cat.ref r WHERE r.rgrp = t.grp)")
+    val m2 = rowsOf3(s, cat)
+    assert(m2(1L) == "A1!" && m2(4L) == "A4!" && m2(3L) == "a3",
+      s"correlated IN must hit rows 1 and 4: $m2")
+    // MULTI-COLUMN uncorrelated row-IN materializes as the OR-of-AND
+    // literal fold
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, grp) IN " +
+      s"(SELECT rid, rgrp FROM $cat.ref)")
+    val m3 = rowsOf3(s, cat)
+    assert(!m3.contains(1L) && !m3.contains(4L) &&
+      m3.contains(2L) && m3.contains(3L),
+      s"row-IN must delete exactly (1,x) and (4,z): $m3")
+  }
+
+  private def rowsOf3(s: org.apache.spark.sql.SparkSession,
+      cat: String): Map[Long, String] =
+    s.sql(s"SELECT id, v FROM $cat.t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
 
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
     val src = clustered(freshTable(), feed = true)
