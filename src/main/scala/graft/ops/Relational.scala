@@ -1775,6 +1775,79 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded COMPOSITE-KEY correlated DML ([[graft.table.SubqueryPred]]'s
+    * r15 extension): a DELETE keyed by a MULTI-COLUMN row-IN
+    * (`(c_custkey, c_nationkey) IN (SELECT ...)` — materialized as the
+    * OR-of-AND literal fold) and an UPDATE gated by a TWO-equality
+    * correlated EXISTS (decorrelated to the same multi-column row-IN
+    * path; the inner side of one equality is an expression,
+    * `o_custkey % 25`). DuckDB runs both natively as EXISTS; any drift
+    * in tuple matching, NULL handling, or the fold's 3-valued algebra
+    * hash-mismatches. */
+  def q61LogSqlCompositeDml(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"comp61:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-comp-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+          .coalesce(1))                                              // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "orders").createOrReplaceTempView("q61_orders_src")
+        s.sql(                                                       // v2
+          s"""DELETE FROM $tbl
+             |WHERE (c_custkey, c_nationkey) IN
+             |  (SELECT o_custkey, o_custkey % 25 FROM q61_orders_src
+             |   WHERE o_totalprice > 480000)""".stripMargin)
+        s.sql(                                                       // v3
+          s"""UPDATE $tbl t SET c_mktsegment = 'PAIRED'
+             |WHERE EXISTS
+             |  (SELECT 1 FROM q61_orders_src o
+             |   WHERE o.o_custkey = t.c_custkey
+             |     AND o.o_custkey % 25 = t.c_nationkey
+             |     AND o.o_totalprice BETWEEN 460000 AND 480000)""".stripMargin)
+      }
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "update",
+        "q61 fixture: the DML chain must end on the composite-EXISTS update")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  def q61Oracle: String =
+    """WITH survivors AS (
+      |  SELECT * FROM customer t
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = t.c_custkey
+      |                      AND o.o_custkey % 25 = t.c_nationkey
+      |                      AND o.o_totalprice > 480000)
+      |), final AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |                      WHERE o.o_custkey = s.c_custkey
+      |                        AND o.o_custkey % 25 = s.c_nationkey
+      |                        AND o.o_totalprice BETWEEN 460000 AND 480000)
+      |         THEN 'PAIRED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM survivors s
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,

@@ -695,12 +695,13 @@ private[graft] object SubqueryPred {
           "the correlated IN-subquery's select list does not match its " +
             "left side")
         val eqs = proj.zip(values).map { case (p, v) =>
-          val vo = v match {
-            case a: AttributeReference if target.outputSet.contains(a) =>
-              OuterReference(a)
-            case other => refuse("the correlated IN-subquery's left " +
-              s"side '$other' is not a bare table column — only " +
+          if (!v.deterministic || v.references.isEmpty ||
+              !v.references.subsetOf(target.outputSet))
+            refuse("the correlated IN-subquery's left side " +
+              s"'$v' is not an expression over table columns — only " +
               "column-keyed forms decorrelate; use the typed API")
+          val vo = v.transform {
+            case a: AttributeReference => OuterReference(a)
           }
           EqualTo(UpdateLogRule.stripAlias(p), vo): Expression
         }
@@ -736,21 +737,34 @@ private[graft] object SubqueryPred {
     val (correlated, inner) = conjs(fc).partition(hasOuter)
     val pairs = correlated.map {
       case eq @ EqualTo(l, r) =>
-        def outerAttr(e: Expression): Option[AttributeReference] = e match {
-          case OuterReference(a: AttributeReference)
-              if target.outputSet.contains(a) => Some(a)
-          case _ => None
+        // the OUTER side may be any deterministic expression over
+        // target columns only — the analyzer itself interposes casts
+        // (`int` key vs `bigint` inner side), and `t.id + 1`-style
+        // computed keys decorrelate just as soundly: the SAME
+        // expression becomes the row-IN's left value, evaluated
+        // against the counting frame. Leaf outer refs unwrap to bare
+        // attrs (re-anchored by name downstream).
+        def outerSide(e: Expression): Option[Expression] = {
+          val outers = e.collect {
+            case OuterReference(a: AttributeReference) => a }
+          if (e.deterministic && outers.nonEmpty &&
+              e.references.isEmpty && // no inner refs mixed in
+              outers.forall(target.outputSet.contains))
+            Some(e.transform {
+              case OuterReference(a: AttributeReference) => a })
+          else None
         }
         def innerSide(e: Expression): Boolean =
           !hasOuter(e) && e.deterministic &&
             e.references.subsetOf(child.outputSet)
-        (outerAttr(l), outerAttr(r)) match {
-          case (Some(a), None) if innerSide(r) => (r, a)
-          case (None, Some(a)) if innerSide(l) => (l, a)
+        (outerSide(l), outerSide(r)) match {
+          case (Some(v), None) if innerSide(r) => (r, v)
+          case (None, Some(v)) if innerSide(l) => (l, v)
           case _ => refuse("the correlated EXISTS subquery's " +
-            s"predicate '${eq.sql}' is not a pure table-column = " +
-            "inner-expression equality — only key equalities " +
-            "decorrelate to the materialized key list; use the typed API")
+            s"predicate '${eq.sql}' does not split into one " +
+            "table-side expression and one inner-side expression — " +
+            "only key equalities decorrelate to the materialized key " +
+            "list; use the typed API")
         }
       case other => refuse("the correlated EXISTS subquery's predicate " +
         s"'${other.sql}' is not an equality — only pure key " +

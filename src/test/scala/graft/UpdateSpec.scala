@@ -286,9 +286,10 @@ class UpdateSpec extends AnyFunSuite {
     assert(!m4.contains(1007L) && !m4.contains(1009L) &&
       m4.contains(1005L) && m4.size == 12,
       s"the IN-subquery delete must remove exactly ids > 1006: $m4")
-    // correlated subqueries still refuse with the contract named
+    // correlated subqueries beyond key equality still refuse with the
+    // contract named (equality-correlated forms decorrelate since r15)
     refused(s"DELETE FROM $cat.t1 t WHERE EXISTS (SELECT 1 FROM $cat.t1 " +
-      "u WHERE u.id = t.id + 1)", "subquery")
+      "u WHERE u.id > t.id)", "subquery")
   }
 
   test("SQL UPDATE/DELETE with IN/NOT IN subqueries: 3-valued NOT IN, update arm, refusal past the cap") {
@@ -389,13 +390,21 @@ class UpdateSpec extends AnyFunSuite {
         Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
       assert(msgs(ex).exists(_.contains(frag)), msgs(ex).mkString(" | "))
     }
+    // expression-over-outer correlation decorrelates too (the computed
+    // key becomes the row-IN's left value): uid = id + 1 hits ids 1, 3
+    // and 6 (uids 2, 4, 7) among the 8 survivors
+    s.sql(s"UPDATE $cat.t1 t SET v = concat(v, '+') WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id + 1)")
+    val m3 = rowsOf(s, cat)
+    assert(m3(1L) == "A1+" && m3(3L) == "A3+" && m3(6L) == "a6+" &&
+      m3(0L) == "A0", s"computed-key correlation must hit ids 1,3,6: $m3")
     // non-equality correlation refuses loudly
     refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
       s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid > t.id)", "not an equality")
-    // expression-over-outer correlation refuses (not a pure key)
+    // a conjunct MIXING both sides in one expression cannot split
     refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
-      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid = t.id + 1)",
-      "not a pure table-column")
+      s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid + t.id = 9)",
+      "does not split")
     // correlated NOT IN stays refused (SQL's NULL-in-the-set semantics
     // cannot ride the EXISTS translation)
     refused(s"DELETE FROM $cat.t1 t WHERE t.id NOT IN " +
