@@ -512,10 +512,17 @@ private[graft] final class LogTable(private[graft] val log: SnapshotLog,
 
   override def name(): String = ident.toString
 
+  /** NULLABLE-forced: the manifest records the first writer's encoder
+    * nullability (Scala primitives encode non-null), but updates may
+    * legally SET any column NULL — reporting a falsely non-nullable
+    * column here would make the plan's output attributes skip null
+    * checks and read the slot's raw bits (0.0) instead of NULL. NOT
+    * NULL-style write gates are CHECK constraints, not schema flags. */
   override def schema(): StructType =
-    if (snap.schemaJson.nonEmpty)
-      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    else log.read(snap.version).schema // pre-schema manifest: one footer
+    org.apache.spark.sql.GraftBridge.asNullable(
+      if (snap.schemaJson.nonEmpty)
+        DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+      else log.read(snap.version).schema) // pre-schema manifest: one footer
 
   /** AUTOMATIC_SCHEMA_EVOLUTION is what makes
     * `MERGE INTO ... WITH SCHEMA EVOLUTION` work: the analyzer's own

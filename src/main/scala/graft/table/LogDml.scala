@@ -364,7 +364,11 @@ final class UpdateLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case other => refuse(s"assignment target $other is not a top-level " +
           "column of the table")
       }
-      val v = UpdateLogRule.stripAlias(a.value)
+      // key-equality-correlated scalar subqueries in SET decorrelate
+      // to a literal key→value map lookup (the enrichment-UPDATE
+      // shape); anything still correlated after refuses below
+      val v = SubqueryPred.decorrelateValue(
+        UpdateLogRule.stripAlias(a.value), target, refuse)
       if (!v.deterministic) refuse(s"assignment to '$name' is " +
         "non-deterministic — the update would not replay exactly")
       if (SubqueryPred.hasUnmaterializableSubquery(v))
@@ -712,7 +716,117 @@ private[graft] object SubqueryPred {
     canon.reduce(And(_, _)).transformUp {
       case ex: Exists if ex.outerAttrs.nonEmpty =>
         rewritePlanAsExists(ex.plan, target, refuse)
+      case sc: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if sc.outerAttrs.nonEmpty =>
+        rewriteScalarMap(sc, target, refuse)
     }
+  }
+
+  /** [[decorrelate]] for VALUE contexts (UPDATE SET assignments): the
+    * per-expression rewrites only — no top-level-conjunct
+    * canonicalization (a value is not a WHERE). */
+  def decorrelateValue(e: Expression,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Exists
+    e.transformUp {
+      case ex: Exists if ex.outerAttrs.nonEmpty =>
+        rewritePlanAsExists(ex.plan, target, refuse)
+      case sc: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+          if sc.outerAttrs.nonEmpty =>
+        rewriteScalarMap(sc, target, refuse)
+    }
+  }
+
+  /** Sentinel alias name of the one-row key→value collection a
+    * decorrelated correlated SCALAR subquery materializes —
+    * [[materialize]] bounds arrays under this name by [[MaxTupleKeys]]
+    * (a per-key aggregate map is a predicate-sized literal, not a data
+    * structure). */
+  private[table] val ScalarMapAlias = "__graft_scalar_map"
+
+  /** Decorrelate `(SELECT agg(x) FROM s WHERE s.k = t.k [AND inner])`
+    * — the per-key-aggregate shape (enrichment UPDATEs, threshold
+    * WHEREs) — into `element_at(map_from_entries(<uncorrelated scalar
+    * collecting (k, agg) pairs>), t.k)`: the inner aggregate re-groups
+    * by its correlation key, ONE uncorrelated scalar subquery collects
+    * the bounded (key, value) list, [[materialize]] folds it to a
+    * literal at execution, and the map lookup reproduces SQL's scalar
+    * semantics exactly (no matching key → NULL, the empty-subquery
+    * answer). Single key equality; the outer side may be any
+    * deterministic expression over table columns. */
+  private def rewriteScalarMap(
+      sc: org.apache.spark.sql.catalyst.expressions.ScalarSubquery,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CreateStruct, ElementAt, IsNotNull, MapFromEntries, OuterReference, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Complete}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    val (aggs, fc, child) = sc.plan match {
+      case Aggregate(ge, as, LFilter(c, ch), _) if ge.isEmpty => (as, c, ch)
+      case _ => refuse("the correlated scalar subquery is not an " +
+        "ungrouped aggregate over a correlated WHERE — only the " +
+        "per-key-aggregate shape decorrelates; use the typed API")
+    }
+    val aggAlias = aggs match {
+      case Seq(a: Alias) => a
+      case _ => refuse("the correlated scalar subquery must select " +
+        "exactly one aggregate")
+    }
+    def conjsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjsOf(l) ++ conjsOf(r)
+      case o         => Seq(o)
+    }
+    def hasOuter(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[OuterReference])
+    val (correlated, inner) = conjsOf(fc).partition(hasOuter)
+    val pairs = correlated.map {
+      case eq @ EqualTo(l, r) =>
+        def outerSide(e: Expression): Option[Expression] = {
+          val outers = e.collect {
+            case OuterReference(a: AttributeReference) => a }
+          if (e.deterministic && outers.nonEmpty &&
+              e.references.isEmpty &&
+              outers.forall(target.outputSet.contains))
+            Some(e.transform {
+              case OuterReference(a: AttributeReference) => a })
+          else None
+        }
+        def innerSide(e: Expression): Boolean =
+          !hasOuter(e) && e.deterministic &&
+            e.references.subsetOf(child.outputSet)
+        (outerSide(l), outerSide(r)) match {
+          case (Some(v), None) if innerSide(r) => (r, v)
+          case (None, Some(v)) if innerSide(l) => (l, v)
+          case _ => refuse("the correlated scalar subquery's " +
+            s"predicate '${eq.sql}' does not split into one " +
+            "table-side expression and one inner-side expression; " +
+            "use the typed API")
+        }
+      case other => refuse("the correlated scalar subquery's " +
+        s"predicate '${other.sql}' is not an equality; use the typed API")
+    }
+    val (innerKey, outerVal) = pairs match {
+      case Seq(p) => p
+      case _ => refuse("the correlated scalar subquery must correlate " +
+        "on exactly one key equality; use the typed API")
+    }
+    val innerCond = (inner :+ (IsNotNull(innerKey): Expression))
+      .reduce(And(_, _))
+    val keyAlias = Alias(innerKey, "__graft_sm_k")()
+    val perKey = Aggregate(Seq(innerKey), Seq(keyAlias, aggAlias),
+      LFilter(innerCond, child))
+    val kv = Alias(
+      AggregateExpression(
+        CollectList(CreateStruct(Seq(keyAlias.toAttribute,
+          aggAlias.toAttribute))),
+        Complete, isDistinct = false),
+      ScalarMapAlias)()
+    val collected = Aggregate(Nil, Seq(kv), perKey)
+    // failOnError=false = the `try_element_at` form: a missing key
+    // answers NULL — exactly SQL's empty correlated scalar
+    ElementAt(MapFromEntries(ScalarSubquery(collected)), outerVal,
+      None, failOnError = false)
   }
 
   private def rewritePlanAsExists(plan: LogicalPlan,
@@ -806,7 +920,20 @@ private[graft] object SubqueryPred {
           .limit(2).collect()
         if (rows.length > 1) throw new IllegalStateException(
           "scalar subquery in a DML statement returned more than one row")
-        Literal.create(rows.headOption.map(_.get(0)).orNull, sc.dataType)
+        val v = rows.headOption.map(_.get(0)).orNull
+        v match {
+          // the decorrelated-scalar key→value map: bound like every
+          // tuple list — past the cap a literal stops being a predicate
+          case s: scala.collection.Seq[_]
+              if s.length > MaxTupleKeys &&
+                sc.plan.output.headOption.exists(_.name == ScalarMapAlias) =>
+            throw new UnsupportedOperationException(
+              s"the correlated scalar subquery materialized more than " +
+                s"$MaxTupleKeys distinct keys — use the typed API for " +
+                "unbounded per-key aggregates")
+          case _ => ()
+        }
+        Literal.create(v, sc.dataType)
       case ex: Exists if ex.outerAttrs.isEmpty =>
         Literal(org.apache.spark.sql.GraftBridge.ofRows(spark, ex.plan)
           .limit(1).collect().nonEmpty)

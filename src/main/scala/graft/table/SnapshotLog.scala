@@ -911,8 +911,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
 
   private def reader(s: Snapshot) =
     if (s.schemaJson.isEmpty) spark.read
-    else spark.read.schema(org.apache.spark.sql.types.DataType
-      .fromJson(s.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType])
+    // nullable-forced: updates may SET any column NULL, and a falsely
+    // non-nullable read schema turns real NULLs into raw slot bits on
+    // the vectorized path (see GraftBridge.asNullable)
+    else spark.read.schema(org.apache.spark.sql.GraftBridge.asNullable(
+      org.apache.spark.sql.types.DataType
+        .fromJson(s.schemaJson).asInstanceOf[org.apache.spark.sql.types.StructType]))
 
   /** Scan `files` of snapshot `s`, applying any key tombstones that
     * cover them. Files sharing a tombstone-coverage set scan as one

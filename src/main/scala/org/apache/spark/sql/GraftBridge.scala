@@ -97,16 +97,30 @@ object GraftBridge {
     * (vectorized reader, whole-stage codegen, row-group/page skipping
     * from `filters`). `ParquetScan`/`InMemoryFileIndex`/`sessionState`
     * are `private[sql]`, hence this bridge hop. */
+  /** Deep-nullable view of a schema (`asNullable` is `private[spark]`).
+    * The manifest records whatever nullability the FIRST writer's
+    * encoder happened to carry (Scala primitives encode non-null), but
+    * the files can genuinely hold NULLs later — an UPDATE may SET a
+    * column NULL — and a vectorized parquet read under a falsely
+    * non-nullable schema returns the slot's raw bits (0.0) instead of
+    * NULL. Every schema handed to a scan must pass through here. */
+  def asNullable(st: types.StructType): types.StructType =
+    st.asNullable
+
   def parquetBatchScan(spark: SparkSession, files: Seq[String],
       dataSchema: types.StructType, readSchema: types.StructType,
       filters: Array[sources.Filter]): connector.read.Scan = {
     val cs = spark.asInstanceOf[classic.SparkSession]
+    // nullable-forced: see [[asNullable]] — a falsely non-nullable
+    // schema makes the vectorized reader emit 0/0.0 for real NULLs
+    val ds = asNullable(dataSchema)
+    val rs = asNullable(readSchema)
     val index = new execution.datasources.InMemoryFileIndex(
       cs, files.map(f => new org.apache.hadoop.fs.Path(f)),
-      Map.empty, Some(dataSchema),
+      Map.empty, Some(ds),
       execution.datasources.NoopCache, None, None)
     execution.datasources.v2.parquet.ParquetScan(cs,
-      cs.sessionState.newHadoopConf(), index, dataSchema, readSchema,
+      cs.sessionState.newHadoopConf(), index, ds, rs,
       new types.StructType(), filters,
       new util.CaseInsensitiveStringMap(java.util.Collections.emptyMap()),
       None, Nil, Nil, Array.empty)

@@ -454,6 +454,27 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(SnapshotLog(spark, dir).read().count() == 2)
   }
 
+  test("NULLs written into a non-nullable-history column read back NULL on every surface") {
+    val root = Files.createTempDirectory("graft-nullfid-").toString
+    val dir = s"$root/t"
+    val log = SnapshotLog(spark, dir)
+    // Scala Double encodes NON-NULLABLE — the manifest schema records
+    // that, but an UPDATE may legally SET the column NULL; a falsely
+    // non-nullable scan schema would read the slot's raw bits (0.0)
+    log.append(Seq((1L, 5.0), (2L, 6.0)).toDF("id", "score").coalesce(1))
+    log.updateWhere(Seq(("id", 1L, 1L)),
+      Seq("score" -> org.apache.spark.sql.functions.lit(null)))
+    assert(log.read().collect().map(r => Option(r.get(1))).count(_.isEmpty) == 1,
+      "the typed read must surface the NULL")
+    val cat = mount(root)
+    val viaSql = spark.sql(s"SELECT id, score FROM $cat.t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaSql(1L).isEmpty && viaSql(2L).contains(6.0),
+      s"the DSv2 vectorized scan must surface the NULL, not 0.0: $viaSql")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE score IS NULL")
+      .head().getLong(0) == 1)
+  }
+
   test("stale pending-replace marker: inert beside a live chain, swept by vacuum past grace") {
     val root = Files.createTempDirectory("graft-rtas-stale-").toString
     val dir = s"$root/t"

@@ -455,6 +455,58 @@ class UpdateSpec extends AnyFunSuite {
     s.sql(s"SELECT id, v FROM $cat.t1").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("correlated SCALAR subqueries decorrelate to a literal key-to-value map") {
+    val root = Files.createTempDirectory("graft-upd-smap-").toString
+    val log = SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id"))
+    log.append(Seq((1L, 5.0, "a"), (2L, 5.0, "b"), (3L, 5.0, "c"),
+      (4L, 5.0, "d")).toDF("id", "score", "v").coalesce(1))
+    SnapshotLog(spark, s"$root/ref").append(
+      Seq((1L, 10.0), (1L, 30.0), (3L, 7.0), (9L, 99.0))
+        .toDF("rid", "amt").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdsmap"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // the enrichment-UPDATE shape: SET from a per-key aggregate — id 1
+    // gets max(10,30)=30, id 3 gets 7, ids 2/4 have no ref rows →
+    // SQL's empty-scalar answer NULL
+    s.sql(s"UPDATE $cat.t1 t SET score = " +
+      s"(SELECT max(amt) FROM $cat.ref r WHERE r.rid = t.id) " +
+      "WHERE id <= 4")
+    val m1 = s.sql(s"SELECT id, score FROM $cat.t1").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(m1(1L).contains(30.0) && m1(3L).contains(7.0) &&
+      m1(2L).isEmpty && m1(4L).isEmpty,
+      s"per-key aggregate SET with NULL for unmatched keys: $m1")
+    // the WHERE form: threshold on a correlated sum — id 1 (sum 40)
+    // qualifies; id 3 (7) does not; unmatched ids give NULL > 20 →
+    // no match, exactly SQL
+    s.sql(s"DELETE FROM $cat.t1 t WHERE " +
+      s"(SELECT sum(amt) FROM $cat.ref r WHERE r.rid = t.id) > 20")
+    val ids = s.sql(s"SELECT id FROM $cat.t1").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 4L),
+      s"the correlated-sum threshold must delete only id 1: $ids")
+    // compound aggregates are ONE aliased expression — they re-group
+    // per key and decorrelate too
+    s.sql(s"UPDATE $cat.t1 t SET score = (SELECT max(amt) + min(amt) " +
+      s"FROM $cat.ref r WHERE r.rid = t.id) WHERE id = 3")
+    val m2 = s.sql(s"SELECT score FROM $cat.t1 WHERE id = 3").collect()
+    assert(m2.head.getDouble(0) == 14.0, // max 7 + min 7
+      s"compound per-key aggregate must apply: ${m2.toSeq}")
+    // non-equality correlation refuses with the contract named
+    val ex = intercept[Exception] {
+      s.sql(s"UPDATE $cat.t1 t SET score = (SELECT max(amt) " +
+        s"FROM $cat.ref r WHERE r.rid > t.id) WHERE id = 2")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(m => m.contains("scalar") || m.contains("subquer")),
+      msgs(ex).mkString(" | "))
+  }
+
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
     val src = clustered(freshTable(), feed = true)
     val dst = SnapshotLog(spark, freshTable(), statsColumns = Seq("id"))
