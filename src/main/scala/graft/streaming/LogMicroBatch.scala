@@ -122,8 +122,10 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     * maxFilesPerTrigger delta files — always at least ONE version, or a
     * single over-cap commit could never be admitted. One manifest walk
     * per trigger, control-plane sized. */
-  // per-trigger admission tallies, surfaced through ReportsSourceMetrics
-  // (already counted by the admission walk — zero extra manifest I/O)
+  // per-trigger admission tallies, surfaced through ReportsSourceMetrics.
+  // Capped triggers count them during their admission walk; the
+  // unlimited path derives versions arithmetically and reports files
+  // as -1 (not counted) rather than walk the manifests just for a metric
   @volatile private var lastAdmittedVersions = 0L
   @volatile private var lastAdmittedFiles = 0L
   @volatile private var lastBacklogVersions = 0L
@@ -134,16 +136,23 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
     val from = math.min(math.max(versionOf(start), startVersion), v)
     if (from >= v) {
       lastAdmittedVersions = 0L; lastAdmittedFiles = 0L
-      lastBacklogVersions = math.max(head - from, 0L)
+      // backlog = what THIS stream still intends to admit: under an
+      // AvailableNow cap, versions past the cap are out of scope and
+      // must not read as lag
+      lastBacklogVersions = math.max(v - from, 0L)
       return LogStreamOffset(from)
     }
-    val deltas = log.changes(from, v)
     val end =
       if (maxVersionsPerTrigger <= 0 && maxFilesPerTrigger <= 0) {
-        lastAdmittedVersions = deltas.size.toLong
-        lastAdmittedFiles = deltas.iterator.map(_.addedFiles.size.toLong).sum
+        // unlimited admission takes the whole range — no manifest walk
+        // at all on this path; the file tally is only known to capped
+        // triggers (-1 = not counted), keeping the default path's
+        // latestOffset O(1)
+        lastAdmittedVersions = v - from
+        lastAdmittedFiles = -1L
         v
       } else {
+        val deltas = log.changes(from, v)
         var admitted = 0L
         var files = 0L
         var e = from
@@ -158,14 +167,16 @@ private[graft] final class LogMicroBatchStream(spark: SparkSession,
         lastAdmittedFiles = files
         e
       }
-    lastBacklogVersions = math.max(head - end, 0L)
+    lastBacklogVersions = math.max(v - end, 0L)
     LogStreamOffset(end)
   }
 
   /** [[org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics]]:
-    * what the last trigger admitted (versions, delta files) and the
-    * backlog still unadmitted behind it — the numbers an operator needs
-    * to size `maxVersionsPerTrigger`/`maxFilesPerTrigger` against lag,
+    * what the last trigger admitted (versions, delta files; -1 files =
+    * not counted, the unlimited path) and the backlog still unadmitted
+    * behind it (clamped to the AvailableNow cap when set — out-of-scope
+    * versions are not lag) — the numbers an operator needs to size
+    * `maxVersionsPerTrigger`/`maxFilesPerTrigger` against lag,
     * surfaced in each progress event's `sources[].metrics`. */
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {

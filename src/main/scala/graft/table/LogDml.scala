@@ -485,35 +485,41 @@ private[graft] object UpdateLogRule {
   private[table] def splitSubqueries(cond: Expression,
       target: DataSourceV2Relation, refuse: String => Nothing)
       : (Expression, Seq[SubqueryPred]) = {
-    import org.apache.spark.sql.catalyst.expressions.{InSubquery, ListQuery, Literal, Not}
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, InSubquery, ListQuery, Literal, Not}
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    def anchored(values: Seq[Expression], neg: Boolean): Expression = {
-      val v = values.head
-      if (!v.deterministic) refuse(
-        "the IN-subquery's left side is non-deterministic")
-      if (!v.references.subsetOf(target.outputSet)) refuse(
-        "the IN-subquery's left side references columns from outside " +
-          s"the table (${if (neg) "NOT " else ""}IN left side: $v)")
-      v.transform {
-        case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+    def anchored(values: Seq[Expression], what: String): Seq[Expression] =
+      values.map { v =>
+        if (!v.deterministic) refuse(
+          s"the $what's left side is non-deterministic")
+        if (!v.references.subsetOf(target.outputSet)) refuse(
+          s"the $what's left side references columns from outside " +
+            s"the table (left side: $v)")
+        v.transform {
+          case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+        }
       }
-    }
+    // every top-level IN-subquery conjunct splits — single- or
+    // multi-column, either polarity, and the decorrelated-EXISTS
+    // `coalesce(IN, false)` wrapper — so [[SubqueryPred.conjoin]] can
+    // pick literal fold vs join arm by materialized size
     val (subs, rest) = conjuncts(cond).partitionMap {
-      // single-column forms take the split path (pruning-hint min/max);
-      // MULTI-column row-IN falls through to `rest` and materializes at
-      // execution as an OR-of-AND literal fold ([[SubqueryPred
-      // .materialize]]) — correct, just hint-less
-      case InSubquery(values, l: ListQuery)
-          if l.outerAttrs.isEmpty && values.length == 1 =>
-        Left(SubqueryPred(("in", anchored(values, neg = false)),
+      case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, "IN-subquery")),
           l.plan, negated = false))
-      case Not(InSubquery(values, l: ListQuery))
-          if l.outerAttrs.isEmpty && values.length == 1 =>
-        Left(SubqueryPred(("in", anchored(values, neg = true)),
+      case Not(InSubquery(values, l: ListQuery)) if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, "NOT IN-subquery")),
           l.plan, negated = true))
+      case Coalesce(Seq(InSubquery(values, l: ListQuery), Literal(false, _)))
+          if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, "EXISTS key list")),
+          l.plan, negated = false, nullCollapse = true))
+      case Not(Coalesce(Seq(InSubquery(values, l: ListQuery),
+          Literal(false, _)))) if l.outerAttrs.isEmpty =>
+        Left(SubqueryPred(("in", anchored(values, "NOT EXISTS key list")),
+          l.plan, negated = true, nullCollapse = true))
       case other => Right(other)
     }
     (rest.reduceOption(And(_, _)).getOrElse(Literal.TrueLiteral), subs)
@@ -618,15 +624,24 @@ final class DeleteLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** One UNCORRELATED `IN (SELECT ...)` / `NOT IN (SELECT ...)` conjunct
-  * of a general DML predicate: the subquery materializes at EXECUTION
-  * to a bounded literal key list that folds back into the condition —
-  * the counting planner then sees plain literals (and the mirror's
-  * predicate-SQL replay gets a self-contained, session-free
-  * expression). `value` is the re-anchored left side, tuple-wrapped
-  * like every stored DML expression. */
-final case class SubqueryPred(value: (String, Expression),
-    plan: LogicalPlan, negated: Boolean)
+/** One UNCORRELATED `IN (SELECT ...)` / `NOT IN (SELECT ...)` /
+  * decorrelated-EXISTS conjunct of a general DML predicate. At
+  * EXECUTION the subquery materializes to a bounded literal key list
+  * that folds back into the condition — the counting planner then sees
+  * plain literals and the mirror's predicate-SQL replay gets a
+  * self-contained, session-free expression. PAST the key-list cap
+  * ([[SubqueryPred.MaxKeys]]/[[SubqueryPred.MaxTupleKeys]]) the
+  * conjunct executes as a [[graft.table.SemiTag]] JOIN against the key
+  * frame instead — the 100 TB shape for `DELETE WHERE id IN
+  * (SELECT …)` with millions of keys (mirrors then degrade to the
+  * rows-only resync contract, a join not being renderable SQL).
+  * `values` are the re-anchored left-side expressions (one per
+  * subquery output column — multi-column row-IN supported),
+  * tuple-wrapped like every stored DML expression. `nullCollapse`
+  * marks the EXISTS translation's `coalesce(…, false)` wrapper (the
+  * 2-valued truth table), letting both polarities split and scale. */
+final case class SubqueryPred(values: (String, Seq[Expression]),
+    plan: LogicalPlan, negated: Boolean, nullCollapse: Boolean = false)
 
 private[graft] object SubqueryPred {
   /** Key-list bound: past this, a literal IN-list stops being a
@@ -634,9 +649,10 @@ private[graft] object SubqueryPred {
     * typed `deleteKeys`/`mergeByKey` APIs own unbounded key sets. */
   val MaxKeys = 100000
 
-  /** Tuple-list bound for MULTI-COLUMN row-IN: the fold is an OR tree
-    * of per-tuple AND equalities (no `InSet` fast path), so the cap is
-    * tighter than the single-column list's. */
+  /** Tuple-list bound for MULTI-COLUMN row-IN ([[rowIn]]): the struct
+    * literals are heavier per entry than scalar ones (and the
+    * null-pattern dispatch carries up to 2^k projections of the list),
+    * so the cap is tighter than the single-column list's. */
   val MaxTupleKeys = 10000
 
   /** True iff `e` contains a subquery the DML planners CANNOT
@@ -738,12 +754,15 @@ private[graft] object SubqueryPred {
     }
   }
 
-  /** Sentinel alias name of the one-row key→value collection a
+  /** Alias-METADATA marker on the one-row key→value collection a
     * decorrelated correlated SCALAR subquery materializes —
-    * [[materialize]] bounds arrays under this name by [[MaxTupleKeys]]
-    * (a per-key aggregate map is a predicate-sized literal, not a data
-    * structure). */
-  private[table] val ScalarMapAlias = "__graft_scalar_map"
+    * [[materialize]] bounds arrays carrying it by [[MaxTupleKeys]] (a
+    * per-key aggregate map is a predicate-sized literal, not a data
+    * structure). A metadata key, not an alias NAME: user SQL can alias
+    * a column `__graft_scalar_map` but cannot attach metadata, so a
+    * user's own large-array scalar subquery is never falsely refused
+    * at the tuple cap. */
+  private[table] val ScalarMapMetaKey = "graft.scalarMap"
 
   /** Decorrelate `(SELECT agg(x) FROM s WHERE s.k = t.k [AND inner])`
     * — the per-key-aggregate shape (enrichment UPDATEs, threshold
@@ -762,10 +781,10 @@ private[graft] object SubqueryPred {
     import org.apache.spark.sql.catalyst.expressions.{Alias, CreateStruct, ElementAt, IsNotNull, MapFromEntries, OuterReference, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, Complete}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
-    val (aggs, fc, child) = sc.plan match {
-      case Aggregate(ge, as, LFilter(c, ch), _) if ge.isEmpty => (as, c, ch)
+    val (groupExprs, aggs, fc, child) = sc.plan match {
+      case Aggregate(ge, as, LFilter(c, ch), _) => (ge, as, c, ch)
       case _ => refuse("the correlated scalar subquery is not an " +
-        "ungrouped aggregate over a correlated WHERE — only the " +
+        "aggregate over a correlated WHERE — only the " +
         "per-key-aggregate shape decorrelates; use the typed API")
     }
     val aggAlias = aggs match {
@@ -811,6 +830,18 @@ private[graft] object SubqueryPred {
       case _ => refuse("the correlated scalar subquery must correlate " +
         "on exactly one key equality; use the typed API")
     }
+    // an EXPLICIT `GROUP BY <correlation key>` is the same per-key
+    // aggregate the rewrite regroups to anyway — accept it (users write
+    // `SET x = (SELECT agg FROM s WHERE s.k = t.k GROUP BY s.k)`);
+    // grouping by anything else could return >1 row per key, which is
+    // not a scalar — refuse with the contract scoped to non-key grouping
+    groupExprs.foreach { g =>
+      if (!UpdateLogRule.stripAlias(g).semanticEquals(innerKey))
+        refuse("the correlated scalar subquery groups by an expression " +
+          s"other than its correlation key ('${g.sql}' vs " +
+          s"'${innerKey.sql}') — only key-grouped (or ungrouped) " +
+          "per-key aggregates decorrelate; use the typed API")
+    }
     val innerCond = (inner :+ (IsNotNull(innerKey): Expression))
       .reduce(And(_, _))
     val keyAlias = Alias(innerKey, "__graft_sm_k")()
@@ -821,7 +852,9 @@ private[graft] object SubqueryPred {
         CollectList(CreateStruct(Seq(keyAlias.toAttribute,
           aggAlias.toAttribute))),
         Complete, isDistinct = false),
-      ScalarMapAlias)()
+      "__graft_scalar_map")(explicitMetadata = Some(
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(ScalarMapMetaKey, value = true).build()))
     val collected = Aggregate(Nil, Seq(kv), perKey)
     // failOnError=false = the `try_element_at` form: a missing key
     // answers NULL — exactly SQL's empty correlated scalar
@@ -887,8 +920,8 @@ private[graft] object SubqueryPred {
     if (pairs.isEmpty) refuse(
       "the EXISTS subquery carries no key-equality correlation the " +
         "decorrelator can anchor on; use the typed API")
-    // composite keys materialize as a multi-column row-IN (OR-of-AND
-    // literal fold, MaxTupleKeys-capped); the IsNotNull inner filter
+    // composite keys materialize as a multi-column row-IN (flat
+    // struct-IN, MaxTupleKeys-capped); the IsNotNull inner filter
     // plus the coalesce(…, false) wrapper keep EXISTS's exact 2-valued
     // truth table for any key arity (equality with NULL never
     // witnesses an EXISTS)
@@ -926,7 +959,8 @@ private[graft] object SubqueryPred {
           // tuple list — past the cap a literal stops being a predicate
           case s: scala.collection.Seq[_]
               if s.length > MaxTupleKeys &&
-                sc.plan.output.headOption.exists(_.name == ScalarMapAlias) =>
+                sc.plan.output.headOption.exists(
+                  _.metadata.contains(ScalarMapMetaKey)) =>
             throw new UnsupportedOperationException(
               s"the correlated scalar subquery materialized more than " +
                 s"$MaxTupleKeys distinct keys — use the typed API for " +
@@ -948,66 +982,201 @@ private[graft] object SubqueryPred {
         else if (values.length == 1) {
           val dt = df.schema.head.dataType
           In(values.head, rows.toSeq.map(r => Literal.create(r.get(0), dt)))
-        } else {
-          // MULTI-COLUMN row-IN: fold to an OR of per-tuple AND
-          // equalities — NULL propagation through EqualTo/And/Or
-          // reproduces SQL's row-wise IN (and NOT IN via the enclosing
-          // Not) exactly, with no special casing
-          import org.apache.spark.sql.catalyst.expressions.Or
-          val dts = df.schema.map(_.dataType)
-          rows.toSeq.map { r =>
-            values.zipWithIndex.map { case (v, i) =>
-              EqualTo(v, Literal.create(r.get(i), dts(i))): Expression
-            }.reduce(And(_, _))
-          }.reduce(Or(_, _))
-        }
+        } else rowIn(values, rows.toSeq, df.schema)
     }
   }
 
+  /** The flat MULTI-COLUMN row-IN: `(v1..vk) IN (<tuples>)` as
+    * constant-DEPTH Catalyst nodes. The r15 form — a left-deep
+    * `reduce(Or)` over per-tuple AND-equality folds — made expression
+    * tree depth equal the tuple count, and every recursive Catalyst
+    * walk (`transformUp`/`mapChildren`) then blew the thread stack once
+    * the materialized key set reached the thousands (q61 at sf0.1).
+    * This form is stack-safe at ANY list size and exact on SQL's
+    * 3-valued row-wise IN:
+    *
+    *  - NULL-free tuples become ONE `In(CreateStruct(values), lits)`
+    *    node — Spark's own parse shape for a literal row-IN, which
+    *    `OptimizeIn` hashes into `InSet`: O(1) evaluation per row
+    *    instead of the fold's O(tuples);
+    *  - a NULL-carrying LEFT row answers NULL when some tuple matches
+    *    every non-NULL position and FALSE otherwise (struct equality
+    *    alone would say FALSE for both — observable under NOT IN), so
+    *    a null-pattern dispatch over the 2^k - 1 partial patterns
+    *    (k = tuple arity ≤ the select-list width) tests each with a
+    *    flat position-projected `In`; arity > 4 falls back to the
+    *    balanced fold rather than build 2^k projections;
+    *  - NULL-carrying LIST tuples (which can only answer NULL or
+    *    FALSE) keep the explicit equality fold, BALANCED (depth
+    *    log n), OR'd in under Catalyst's own 3-valued `Or`. */
+  private[table] def rowIn(values: Seq[Expression], rows: Seq[Row],
+      schema: org.apache.spark.sql.types.StructType): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateStruct, If, In, IsNull, Or}
+    import org.apache.spark.sql.catalyst.expressions.{Literal => Lit}
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val dts = schema.map(_.dataType)
+    val k = values.length
+    def balanced(es: Seq[Expression], mk: (Expression, Expression) => Expression)
+        : Expression =
+      if (es.length == 1) es.head
+      else mk(balanced(es.take(es.length / 2), mk),
+        balanced(es.drop(es.length / 2), mk))
+    def foldOf(tuples: Seq[Row]): Expression = balanced(
+      tuples.map { r =>
+        balanced(values.zipWithIndex.map { case (v, i) =>
+          EqualTo(v, Lit.create(r.get(i), dts(i))): Expression
+        }, And(_, _))
+      }, Or(_, _))
+    val (clean, dirty) = rows.partition(r => (0 until k).forall(!r.isNullAt(_)))
+    // field names mirror the left values where nameable, so struct type
+    // coercion (InConversion) lines the sides up even on widened types
+    def fieldName(i: Int): String = values(i) match {
+      case ua: UnresolvedAttribute => ua.nameParts.last
+      case a: AttributeReference   => a.name
+      case _                       => s"c$i"
+    }
+    def projIn(pos: Seq[Int]): Expression = {
+      val projected = clean.map(r => pos.map(r.get)).distinct
+      if (pos.length == 1)
+        In(values(pos.head),
+          projected.map(p => Lit.create(p.head, dts(pos.head))))
+      else {
+        val st = StructType(pos.map(i => StructField(fieldName(i), dts(i))))
+        In(CreateStruct(pos.map(values)),
+          projected.map(p => Lit.create(Row(p: _*), st)))
+      }
+    }
+    val cleanExpr: Expression =
+      if (clean.isEmpty) Lit(false)
+      else if (k > 4) foldOf(clean) // 2^k dispatch stops paying; exact fold
+      else {
+        // recursive null-pattern dispatch: at each position branch on
+        // IsNull, leaves hold the pattern's flat partial-match test
+        def dispatch(i: Int, nonNull: List[Int]): Expression =
+          if (i == k) {
+            val pos = nonNull.reverse
+            if (pos.length == k) projIn(pos) // no NULLs: strict row-IN
+            else if (pos.isEmpty) Lit.create(null, BooleanType)
+            else If(projIn(pos), Lit.create(null, BooleanType), Lit(false))
+          } else If(IsNull(values(i)), dispatch(i + 1, nonNull),
+            dispatch(i + 1, i :: nonNull))
+        dispatch(0, Nil)
+      }
+    if (dirty.isEmpty) cleanExpr else Or(cleanExpr, foldOf(dirty))
+  }
+
   /** Fold the materialized subqueries into `base`, returning the full
-    * condition plus any derivable range hints (min/max of a non-negated
-    * key list over a bare column — sound: implied by the IN). */
+    * condition, any derivable range hints (min/max of a non-negated
+    * key set over a bare column — sound: implied by the IN), and the
+    * [[graft.table.SemiTag]]s for key sets PAST the literal cap.
+    *
+    * Two execution arms per conjunct, chosen by materialized size:
+    *  - at or under [[MaxKeys]]/[[MaxTupleKeys]]: the key list folds to
+    *    a literal predicate (renderable SQL → mirror replay; `InSet`
+    *    evaluation) — identical to the historical behavior;
+    *  - past the cap: NO literal materializes at all — the DISTINCT
+    *    key frame rides to the counting planner as a join
+    *    ([[SnapshotLog]] broadcast or shuffle, Spark's choice), which
+    *    is the only shape that survives a 10M-key GDPR delete. The
+    *    pruning hint still derives from a min/max AGGREGATE of the key
+    *    frame (two scalars, never the keys themselves). The one refusal
+    *    left: multi-column NOT IN past the cap (its 3-valued NULL
+    *    semantics need the literal partial-match dispatch). */
   def conjoin(spark: SparkSession, base: org.apache.spark.sql.Column,
       subs: Seq[SubqueryPred])
-      : (org.apache.spark.sql.Column, Seq[(String, Any, Any)]) = {
-    import org.apache.spark.sql.functions.lit
+      : (org.apache.spark.sql.Column, Seq[(String, Any, Any)],
+         Seq[graft.table.SemiTag]) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, max, min}
     val hints = Seq.newBuilder[(String, Any, Any)]
+    val tags = Seq.newBuilder[graft.table.SemiTag]
+    def toC(e: Expression) = org.apache.spark.sql.GraftBridge.toCol(e)
     val full = subs.foldLeft(base) { (acc, s) =>
-      val df = org.apache.spark.sql.GraftBridge.ofRows(spark, s.plan)
-      require(df.schema.length == 1,
-        s"IN-subquery must return exactly one column, got ${df.schema}")
-      val rows = df.limit(MaxKeys + 1).collect()
-      if (rows.length > MaxKeys) throw new UnsupportedOperationException(
-        s"the IN-subquery materialized more than $MaxKeys keys — at that " +
-          "size a literal predicate stops scaling; use the typed " +
-          "deleteKeys (merge-on-read tombstone) or mergeByKey APIs")
-      val vals = rows.map(_.get(0)).toSeq
-      val nonNull = vals.filter(_ != null)
-      val c = org.apache.spark.sql.GraftBridge.toCol(s.value._2)
-      val inC =
-        if (!s.negated) {
-          // IN: NULL list elements can never equal anything — drop them
-          if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
-        } else {
-          if (vals.isEmpty) lit(true) // NOT IN () is TRUE for every row
-          else if (nonNull.length < vals.length)
-            lit(false) // NOT IN with a NULL is never TRUE — SQL 3-valued
-          else !c.isin(nonNull: _*)
-        }
-      if (!s.negated && nonNull.nonEmpty) s.value._2 match {
-        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
-          // bare-column IN-list: its min/max is a sound pruning hint
-          scala.util.Try {
-            val sorted = nonNull.sortWith((a, b) =>
-              a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
-            hints += ((ua.name, sorted.head, sorted.last))
+      val df0 = org.apache.spark.sql.GraftBridge.ofRows(spark, s.plan)
+      val vexprs = s.values._2
+      require(df0.schema.length == vexprs.length,
+        s"IN-subquery arity mismatch: left side has ${vexprs.length} " +
+          s"column(s), subquery returns ${df0.schema.length}")
+      val arity = vexprs.length
+      val cap = if (arity == 1) MaxKeys else MaxTupleKeys
+      val df = df0.toDF(vexprs.indices.map(i => s"k$i"): _*)
+      val rows = df.limit(cap + 1).collect()
+      val inC: org.apache.spark.sql.Column = if (rows.length > cap) {
+        // ---- join arm: the key set never materializes on the driver
+        if (s.negated && !s.nullCollapse && arity > 1)
+          throw new UnsupportedOperationException(
+            s"multi-column NOT IN materialized more than $cap tuples — " +
+              "its NULL semantics need the literal partial-match form; " +
+              "use the typed API for unbounded negated tuple sets")
+        if (s.negated && !s.nullCollapse &&
+            df.where(col("k0").isNull).limit(1).count() > 0)
+          // NOT IN over a set containing NULL is never TRUE (SQL
+          // 3-valued) — the conjunct short-circuits the whole DML
+          lit(false)
+        else {
+          // distinct + null-free (a NULL key can never equal anything;
+          // the NOT IN null case was handled above) + checkpointed so
+          // the planner's counting/staging/CDC passes see identical
+          // keys even over a nondeterministic subquery
+          val keys = df.na.drop("any").distinct().localCheckpoint(true)
+          tags += graft.table.SemiTag(vexprs.map(toC), keys,
+            s.negated, s.nullCollapse)
+          if (!s.negated && arity == 1) vexprs.head match {
+            case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+              // two scalars off the key frame — the stats-pruning
+              // envelope without materializing a single key
+              val mm = keys.agg(min(col("k0")), max(col("k0"))).head()
+              if (!mm.isNullAt(0)) hints += ((ua.name, mm.get(0), mm.get(1)))
+            case _ => ()
           }
-          ()
-        case _ => ()
+          lit(true) // matching happens through the SemiTag flag
+        }
+      } else if (arity == 1) {
+        // ---- literal arm, single column (the historical fold)
+        val vals = rows.map(_.get(0)).toSeq
+        val nonNull = vals.filter(_ != null)
+        val c = toC(vexprs.head)
+        val raw =
+          if (s.nullCollapse) {
+            // the EXISTS translation: coalesce(IN, false) BEFORE any
+            // negation — a NULL left key witnesses no EXISTS (→ false),
+            // so NOT EXISTS must match it (inner keys are already
+            // null-filtered by the decorrelator)
+            val in2 = coalesce(
+              if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*),
+              lit(false))
+            if (s.negated) !in2 else in2
+          } else if (!s.negated) {
+            // IN: NULL list elements can never equal anything — drop
+            // them (sound at a WHERE top level, where NULL ≡ FALSE)
+            if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+          } else {
+            if (vals.isEmpty) lit(true) // NOT IN () is TRUE for every row
+            else if (nonNull.length < vals.length)
+              lit(false) // NOT IN with a NULL is never TRUE — 3-valued
+            else !c.isin(nonNull: _*)
+          }
+        if (!s.negated && nonNull.nonEmpty) vexprs.head match {
+          case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+            // bare-column IN-list: its min/max is a sound pruning hint
+            scala.util.Try {
+              val sorted = nonNull.sortWith((a, b) =>
+                a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+              hints += ((ua.name, sorted.head, sorted.last))
+            }
+            ()
+          case _ => ()
+        }
+        raw
+      } else {
+        // ---- literal arm, multi column: the flat struct-IN (exact
+        // 3-valued row-wise semantics via the null-pattern dispatch)
+        val raw = toC(rowIn(vexprs, rows.toSeq, df0.schema))
+        val wrapped = if (s.nullCollapse) coalesce(raw, lit(false)) else raw
+        if (s.negated) !wrapped else wrapped
       }
       acc && inC
     }
-    (full, hints.result())
+    (full, hints.result(), tags.result())
   }
 }
 
@@ -1025,12 +1194,12 @@ final case class DeleteExprLogCommand(tableDir: String,
   override def innerChildren: Seq[LogicalPlan] = subs.map(_.plan)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (full, subHints) = SubqueryPred.conjoin(spark,
+    val (full, subHints, semis) = SubqueryPred.conjoin(spark,
       org.apache.spark.sql.GraftBridge.toCol(
         SubqueryPred.materialize(spark, cond._2)), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).deleteWhereExpr(
       full, hints ++ subHints,
-      txn = None, mode = "auto")
+      txn = None, mode = "auto", semis = semis)
     Seq.empty
   }
 }
@@ -1046,7 +1215,7 @@ final case class UpdateExprLogCommand(tableDir: String,
   override def innerChildren: Seq[LogicalPlan] = subs.map(_.plan)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (full, subHints) = SubqueryPred.conjoin(spark,
+    val (full, subHints, semis) = SubqueryPred.conjoin(spark,
       org.apache.spark.sql.GraftBridge.toCol(
         SubqueryPred.materialize(spark, cond._2)), subs)
     GraftTableCatalog.sessionLog(spark, tableDir).updateWhereExpr(
@@ -1054,7 +1223,7 @@ final case class UpdateExprLogCommand(tableDir: String,
       set.map { case (n, e) =>
         n -> org.apache.spark.sql.GraftBridge.toCol(
           SubqueryPred.materialize(spark, e)) },
-      hints ++ subHints, txn = None, mode = "auto")
+      hints ++ subHints, txn = None, mode = "auto", semis = semis)
     Seq.empty
   }
 }

@@ -307,6 +307,25 @@ final case class ChangeSet(files: Seq[String] = Nil,
       * of refusing to the resync contract. */
     predSql: String = "")
 
+/** One OVER-CAP `IN (SELECT ...)` / EXISTS conjunct of a general DML
+  * predicate, executed as a JOIN against the materialized key frame
+  * instead of a literal fold — the scale arm past
+  * [[graft.table.SubqueryPred.MaxKeys]]: a 10M-key GDPR delete joins
+  * (broadcast or shuffle, Spark's choice) rather than building a 10M-
+  * literal predicate on the driver. `keys` is the DISTINCT, null-free,
+  * locally-checkpointed key frame (checkpointed so the planner's
+  * counting, staging and CDC passes see byte-identical keys); `values`
+  * are the re-anchored left-side expressions, one per key column.
+  * Polarity: `negated=false` → matched means key present;
+  * `negated=true, nullCollapse=true` (NOT EXISTS) → matched means
+  * absent, any left NULL counts as absent-by-coalesce; `negated=true,
+  * nullCollapse=false` (single-column NOT IN, pre-checked null-free
+  * key set) → matched means left non-NULL and absent. The change feed
+  * cannot render a join as predicate SQL, so mirrors degrade to
+  * rows-only images + the resync contract. */
+final case class SemiTag(values: Seq[org.apache.spark.sql.Column],
+    keys: DataFrame, negated: Boolean, nullCollapse: Boolean)
+
 /** One WHEN clause of a general merge ([[SnapshotLog.mergeClauses]]).
   * `cond` is evaluated over the JOINED row: target columns under their
   * own names, source columns under [[SnapshotLog.MergeSrcPrefix]]
@@ -1728,6 +1747,12 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     def spillGroups(sd: String, v: Long, kind: String, df: DataFrame,
         extras: Seq[Column]): Seq[StreamFileGroup] = {
       val dir = new Path(s"$sd/v$v-$kind")
+      // the spill lives under the STREAM's checkpointLocation, which
+      // may sit on a different filesystem than the table (table on
+      // s3a://, checkpoint on file:/ or hdfs://) — resolve the handle
+      // from the spill path itself, as the micro-batch commit sweep
+      // already does; the table-rooted `fs` would throw "Wrong FS"
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // the engine may plan the same batch more than once (the sink's
       // execution re-plans the scan) — the spill must be WRITE-ONCE
       // with stable file names, or the second write's fresh part names
@@ -2083,16 +2108,34 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * while the old table is still fully intact — from here on a crash
     * anywhere in the clear+promote span is recovered by
     * [[currentVersion]], so the old contract's lost-table window is
-    * gone. A stale marker with live manifests is a prior RTAS that
-    * crashed before its clear (the old table stayed current) — swept
-    * here; a SECOND concurrent RTAS loses the marker CAS and aborts
-    * before destroying anything. */
+    * gone. An existing marker is treated as a LIVE concurrent RTAS —
+    * the second replacer loses the marker CAS and aborts before
+    * destroying anything — unless it is PROVABLY stale (FS-backed
+    * stores: mtime past the vacuum grace window — a prior RTAS that
+    * crashed before its clear; the old table stayed current), in which
+    * case it sweeps and the CAS retries once. Sweeping unconditionally
+    * would let two concurrent RTAS each delete the other's fresh
+    * marker and both proceed into clearForReplace — each clears with
+    * `keepDataFiles = its own files`, deleting the other side's staged
+    * data while that side's manifest can still be promoted: a v1
+    * pointing at deleted files. Non-FS stores have no mtime to prove
+    * staleness with, so a crashed marker there is cleared by
+    * [[vacuum]]'s FS sibling on the same dir or operator action, never
+    * raced past here. */
   private[graft] def publishPendingReplace(bytes: Array[Byte]): Unit = {
-    if (store.exists(SnapshotLog.PendingReplaceName))
-      store.delete(SnapshotLog.PendingReplaceName)
-    if (!store.putIfAbsent(SnapshotLog.PendingReplaceName, bytes))
-      throw new CommitConflictException(
-        s"concurrent REPLACE TABLE in flight on $tableDir")
+    def conflict(): Nothing = throw new CommitConflictException(
+      s"concurrent REPLACE TABLE in flight on $tableDir")
+    if (!store.putIfAbsent(SnapshotLog.PendingReplaceName, bytes)) {
+      val staleSwept = store0.isEmpty && {
+        val pr = new Path(logDir, SnapshotLog.PendingReplaceName)
+        fs.exists(pr) && fs.getFileStatus(pr).getModificationTime <
+          System.currentTimeMillis() - SnapshotLog.ReplaceMarkerGraceMs &&
+          { fs.delete(pr, false); true }
+      }
+      if (!staleSwept || !store.putIfAbsent(SnapshotLog.PendingReplaceName,
+          bytes))
+        conflict()
+    }
   }
 
   /** Step 4 (after [[clearForReplace]]): promote the pending bytes to
@@ -2432,9 +2475,10 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def deleteWhereExpr(cond: Column,
       hints: Seq[(String, Any, Any)] = Nil,
       txn: Option[(String, Long)] = None,
-      mode: String = "auto"): Option[Snapshot] = {
+      mode: String = "auto",
+      semis: Seq[SemiTag] = Nil): Option[Snapshot] = {
     requireDeterministic(cond, "deleteWhereExpr")
-    deleteCore(hints, Some(cond), txn, mode)
+    deleteCore(hints, Some(cond), txn, mode, semis)
   }
 
   /** A general predicate must be deterministic: the exact-counting
@@ -2512,7 +2556,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def deleteCore(preds0: Seq[(String, Any, Any)],
       extraCond: Option[Column],
       txn: Option[(String, Long)],
-      mode: String): Option[Snapshot] = {
+      mode: String,
+      semis: Seq[SemiTag] = Nil): Option[Snapshot] = {
     require(mode == "auto" || mode == "cow",
       s"unknown delete mode '$mode' (auto | cow)")
     val base = snapshot()
@@ -2541,7 +2586,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // metadata-only drops need PROOF every row matches — file stats can
     // give it for range conjunctions, never for an arbitrary predicate
     val (dropped, rem) =
-      if (extraCond.isDefined) (Nil, touched)
+      if (extraCond.isDefined || semis.nonEmpty) (Nil, touched)
       else touched.partition(f =>
         base.fileRows.contains(f) && !base.dvs.contains(f) &&
           fullyContained(base, f, preds, dts))
@@ -2554,14 +2599,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     // The general predicate coalesces NULL→false for the same reason.
     val matches = (preds.map { case (c, lo, hi) =>
       col(c).isNotNull && col(c).between(lit(lo), lit(hi)) } ++
-      extraCond.map(c => coalesce(c, lit(false)))).reduce(_ && _)
+      extraCond.map(c => coalesce(c, lit(false))) ++
+      semis.zipWithIndex.map { case (t, i) => semiMatch(t, i) })
+      .reduce(_ && _)
     val recordCdc = commitCdc(base)
     // ---- plan the straddling set ------------------------------------
     // `rem` read position-tagged with PRIOR deletion vectors applied —
     // all three downstream frames (planner counts, survivor rewrite,
     // DV/CDC staging) derive from this one shape, so a row a prior DV
-    // already removed can never be re-counted, re-written or re-imaged
-    def alive(fs: Seq[String]): DataFrame = aliveTagged(base, fs)
+    // already removed can never be re-counted, re-written or re-imaged;
+    // over-cap key sets ride along as SemiTag join flags
+    def alive(fs: Seq[String]): DataFrame =
+      tagSemis(aliveTagged(base, fs), semis)
+    val semiFlags = semis.indices.map(semiFlag)
     // ONE exact counting job over just the straddling files decides
     // per file: untouched (0 matches — conservative stats sent it here,
     // nothing to do), COPY-ON-WRITE (matched fraction at or above
@@ -2596,7 +2646,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       if (rewriteSet.isEmpty || rewriteLive == rewriteMatched) None
       else {
         val st = stage(alive(rewriteSet).where(!matches)
-          .drop(DvFileCol, DvPosCol), base = Some(base))
+          .drop(DvFileCol, DvPosCol).drop(semiFlags: _*), base = Some(base))
         if (st.rows != rewriteLive - rewriteMatched) {
           discard(st)
           throw new IllegalStateException(
@@ -2630,7 +2680,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       if (!recordCdc || hit.isEmpty) None
       else {
         val deleted = alive(hit).where(matches)
-          .drop(DvFileCol, DvPosCol)
+          .drop(DvFileCol, DvPosCol).drop(semiFlags: _*)
           .withColumn("_change_type", lit("delete"))
         val st = stage(deleted, partitioned = false)
         if (st.rows == 0) { discard(st); None } else Some(st)
@@ -2649,7 +2699,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         deletedDataFiles = dropped,
         preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
           else Nil, // one unencodable bound → rows-only CDC, no replay
-        predSql = extraCond.map(renderPredSql).getOrElse("")))
+        predSql = if (semis.nonEmpty) "" // a join is not renderable SQL
+          else extraCond.map(renderPredSql).getOrElse("")))
     val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val (stagedFiles, stagedRows, stagedBytes, stagedStats, stagedFileRows,
@@ -2711,6 +2762,38 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
       // survivors both see the live schema
       alignTo(base, ep, undv, keep = Seq(DvFileCol, DvPosCol))
     }.reduce(_ unionByName _)
+
+  /** Flag column the i-th [[SemiTag]] contributes to the planner
+    * frames — the join-arm twin of a literal IN's boolean value. */
+  private def semiFlag(i: Int): String = s"__graft_semi_flag_$i"
+
+  /** Left-join each [[SemiTag]]'s key frame onto `df`, adding one
+    * boolean flag column per tag (true = key present) and dropping the
+    * key columns. Row-count-preserving by construction: the key frames
+    * are DISTINCT and null-free, so a left row joins at most one key
+    * row — the exact-counting planner's row accounting stays sound. */
+  private def tagSemis(df: DataFrame, semis: Seq[SemiTag]): DataFrame =
+    semis.zipWithIndex.foldLeft(df) { case (acc, (t, i)) =>
+      val kcols = t.values.indices.map(j => s"__graft_semi_${i}_k$j")
+      val keyed = t.keys.toDF(kcols: _*)
+        .withColumn(semiFlag(i), lit(true))
+      val cond = t.values.zip(kcols).map { case (v, k) =>
+        v === keyed(k) }.reduce(_ && _)
+      acc.join(keyed, cond, "left").drop(kcols: _*)
+    }
+
+  /** The i-th [[SemiTag]]'s contribution to the planner's `matches`
+    * conjunction, evaluated over a [[tagSemis]]-tagged frame. Exact on
+    * SQL's 3-valued WHERE truth table for each supported polarity (a
+    * NULL condition never matches, like every planner predicate). */
+  private def semiMatch(t: SemiTag, i: Int): Column = {
+    val flag = coalesce(col(semiFlag(i)), lit(false))
+    if (!t.negated) flag // IN / EXISTS: present means matched
+    else if (t.nullCollapse) !flag // NOT EXISTS: 2-valued by coalesce
+    else // single-column NOT IN over a pre-checked null-free key set:
+      // a NULL left value makes SQL's NOT IN unknown → never matched
+      t.values.map(_.isNotNull).reduce(_ && _) && !flag
+  }
 
   /** Predicate UPDATE: set columns to new values on every row matching
     * a conjunction of [lo, hi] ranges — `UPDATE t SET c = e, ... WHERE
@@ -2775,12 +2858,13 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   def updateWhereExpr(cond: Column, set: Seq[(String, Column)],
       hints: Seq[(String, Any, Any)] = Nil,
       txn: Option[(String, Long)] = None,
-      mode: String = "auto"): Option[Snapshot] = {
+      mode: String = "auto",
+      semis: Seq[SemiTag] = Nil): Option[Snapshot] = {
     require(set.nonEmpty, "updateWhereExpr needs at least one (column, value)")
     require(set.map(_._1).distinct.size == set.size,
       s"duplicate assignment columns: ${set.map(_._1).mkString(", ")}")
     requireDeterministic(cond, "updateWhereExpr")
-    updateCore(hints, Some(cond), Left(set), txn, mode)
+    updateCore(hints, Some(cond), Left(set), txn, mode, semis)
   }
 
   /** Replay half of a mirrored `update` ([[LogMirror]]): the source's
@@ -2806,7 +2890,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def updateCore(preds0: Seq[(String, Any, Any)],
       extraCond: Option[Column],
       newValues: Either[Seq[(String, Column)], DataFrame],
-      txn: Option[(String, Long)], mode: String): Option[Snapshot] = {
+      txn: Option[(String, Long)], mode: String,
+      semis: Seq[SemiTag] = Nil): Option[Snapshot] = {
     require(mode == "auto" || mode == "cow",
       s"unknown update mode '$mode' (auto | cow)")
     val base = snapshot()
@@ -2833,12 +2918,19 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     if (touched.isEmpty) return None
     val matches = (preds.map { case (c, lo, hi) =>
       col(c).isNotNull && col(c).between(lit(lo), lit(hi)) } ++
-      extraCond.map(c => coalesce(c, lit(false)))).reduce(_ && _)
+      extraCond.map(c => coalesce(c, lit(false))) ++
+      semis.zipWithIndex.map { case (t, i) => semiMatch(t, i) })
+      .reduce(_ && _)
+    // over-cap key sets ride along as SemiTag join flags on every
+    // planner frame (counting, survivors, DV, updated batch, CDC)
+    def lively(fs: Seq[String]): DataFrame =
+      tagSemis(aliveTagged(base, fs), semis)
+    val semiFlags = semis.indices.map(semiFlag)
     val recordCdc = commitCdc(base)
     // ONE exact counting pass over the straddling set (see
     // deleteWhereTxn — same planner, same prior-DV-applied shape)
     val perFile: Map[String, (Long, Long)] =
-      aliveTagged(base, touched).groupBy(col(DvFileCol))
+      lively(touched).groupBy(col(DvFileCol))
         .agg(count(lit(1)).as("live"),
           count(org.apache.spark.sql.functions.when(matches, 1)).as("matched"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
@@ -2860,8 +2952,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val survivorsOpt =
       if (rewriteSet.isEmpty || rewriteLive == rewriteMatched) None
       else {
-        val st = stage(aliveTagged(base, rewriteSet).where(!matches)
-          .drop(DvFileCol, DvPosCol), base = Some(base))
+        val st = stage(lively(rewriteSet).where(!matches)
+          .drop(DvFileCol, DvPosCol).drop(semiFlags: _*), base = Some(base))
         if (st.rows != rewriteLive - rewriteMatched) {
           discard(st)
           throw new IllegalStateException(
@@ -2874,7 +2966,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val dvStaged =
       if (dvSet.isEmpty) None
       else {
-        val st = stage(aliveTagged(base, dvSet).where(matches)
+        val st = stage(lively(dvSet).where(matches)
           .select(col(DvFileCol).as("_file"), col(DvPosCol).as("_pos"))
           .coalesce(1), partitioned = false)
         if (st.rows != dvMatched) {
@@ -2892,7 +2984,7 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val updatedDf = newValues match {
       case Left(set) =>
         val byName = set.toMap
-        aliveTagged(base, hit).where(matches).select(schema.fields.map { f =>
+        lively(hit).where(matches).select(schema.fields.map { f =>
           byName.get(f.name)
             .map(_.cast(f.dataType).as(f.name))
             .getOrElse(col(f.name))
@@ -2914,8 +3006,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     val changeStaged =
       if (!recordCdc) None
       else {
-        val pre = aliveTagged(base, hit).where(matches)
-          .drop(DvFileCol, DvPosCol)
+        val pre = lively(hit).where(matches)
+          .drop(DvFileCol, DvPosCol).drop(semiFlags: _*)
           .withColumn("_change_type", lit("delete"))
         val post = spark.read.parquet(
             updStaged.files.map(f => new Path(dataDir, f).toString): _*)
@@ -2937,7 +3029,8 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
         files = changeStaged.map(_.files).getOrElse(Nil),
         preds = if (encodedPreds.forall(_.isDefined)) encodedPreds.flatten
           else Nil, // one unencodable bound → rows-only CDC, no replay
-        predSql = extraCond.map(renderPredSql).getOrElse("")))
+        predSql = if (semis.nonEmpty) "" // a join is not renderable SQL
+          else extraCond.map(renderPredSql).getOrElse("")))
     val rewriteBytes = rewriteSet.map(f => base.fileBytes.getOrElse(f,
       fs.getFileStatus(new Path(dataDir, f)).getLen)).sum
     val (survFiles, survBytes, survStats, survFileRows, survBlooms,
@@ -5583,6 +5676,12 @@ object SnapshotLog {
     * chain BEFORE anything is destroyed, promoted to `v…1.json` after
     * the clear — never matched by [[SnapshotLog.ManifestRe]]. */
   private[table] val PendingReplaceName = "pending-replace.json"
+
+  /** Modification-time grace before [[SnapshotLog.publishPendingReplace]]
+    * treats an existing pending-replace marker as a crashed prior RTAS
+    * rather than a live concurrent one — matches [[SnapshotLog.vacuum]]'s
+    * default staged-artifact grace. */
+  private[graft] val ReplaceMarkerGraceMs = 3600000L
   private[graft] val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
   private val StagePrefix = "_staged-"
   private val MaxCommitAttempts = 20

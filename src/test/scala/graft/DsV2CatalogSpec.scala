@@ -498,6 +498,35 @@ class DsV2CatalogSpec extends AnyFunSuite {
     assert(SnapshotLog(spark, dir).read().count() == 3)
   }
 
+  test("concurrent RTAS: a FRESH marker makes the second publish abort; only a stale one sweeps") {
+    val root = Files.createTempDirectory("graft-rtas-race-").toString
+    val dir = s"$root/t"
+    val log = SnapshotLog(spark, dir)
+    log.append(Seq((1L, "a")).toDF("id", "v"))
+    // replacer A publishes its marker; B arriving moments later must
+    // LOSE the marker CAS, not sweep A's fresh marker (two sweepers
+    // would each clearForReplace keeping only their own files —
+    // deleting the other side's staged data under a promotable marker)
+    log.publishPendingReplace("{\"version\":1,\"who\":\"A\"}".getBytes)
+    val ex = intercept[graft.table.CommitConflictException] {
+      log.publishPendingReplace("{\"version\":1,\"who\":\"B\"}".getBytes)
+    }
+    assert(ex.getMessage.contains("concurrent REPLACE"), ex.getMessage)
+    val marker = new java.io.File(
+      s"$dir/${SnapshotLog.LogDirName}/pending-replace.json")
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      .contains("\"A\""), "the loser must not have replaced A's marker")
+    // a marker past the grace window is a crashed prior RTAS: the next
+    // publish sweeps it and wins
+    assert(marker.setLastModified(
+      System.currentTimeMillis() - SnapshotLog.ReplaceMarkerGraceMs - 60000L))
+    log.publishPendingReplace("{\"version\":1,\"who\":\"C\"}".getBytes)
+    assert(new String(java.nio.file.Files.readAllBytes(marker.toPath))
+      .contains("\"C\""), "a provably-stale marker sweeps")
+    // cleanup so later opens of this throwaway dir don't recover "C"
+    assert(marker.delete())
+  }
+
   test("two concurrent staged CTAS: exactly one wins version 1, the loser discards") {
     val root = Files.createTempDirectory("graft-ctasrace-").toString
     val dir = s"$root/race"

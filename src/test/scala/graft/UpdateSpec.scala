@@ -496,6 +496,23 @@ class UpdateSpec extends AnyFunSuite {
     val m2 = s.sql(s"SELECT score FROM $cat.t1 WHERE id = 3").collect()
     assert(m2.head.getDouble(0) == 14.0, // max 7 + min 7
       s"compound per-key aggregate must apply: ${m2.toSeq}")
+    // an EXPLICIT GROUP BY on the correlation key is the same per-key
+    // aggregate — accepted, identical answer to the implicit regroup
+    s.sql(s"UPDATE $cat.t1 t SET score = (SELECT sum(amt) " +
+      s"FROM $cat.ref r WHERE r.rid = t.id GROUP BY r.rid) WHERE id = 3")
+    val mg = s.sql(s"SELECT score FROM $cat.t1 WHERE id = 3").collect()
+    assert(mg.head.getDouble(0) == 7.0,
+      s"key-grouped correlated scalar must decorrelate: ${mg.toSeq}")
+    // grouping by a NON-key expression is not a per-key scalar — refuse
+    val exg = intercept[Exception] {
+      s.sql(s"UPDATE $cat.t1 t SET score = (SELECT max(amt) " +
+        s"FROM $cat.ref r WHERE r.rid = t.id GROUP BY r.amt) WHERE id = 3")
+    }
+    assert({
+      def ms(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ ms(e.getCause))
+      ms(exg).exists(_.contains("other than its correlation key"))
+    }, exg.getMessage)
     // non-equality correlation refuses with the contract named
     val ex = intercept[Exception] {
       s.sql(s"UPDATE $cat.t1 t SET score = (SELECT max(amt) " +
@@ -505,6 +522,18 @@ class UpdateSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(m => m.contains("scalar") || m.contains("subquer")),
       msgs(ex).mkString(" | "))
+    // the tuple cap detects the DECORRELATED map by alias METADATA, not
+    // by name: a user's own uncorrelated scalar that happens to alias a
+    // large array `__graft_scalar_map` is a plain literal, never refused
+    s.range(10050).select(col("id").as("n"))
+      .createOrReplaceTempView("q_smap_big")
+    s.sql(s"UPDATE $cat.t1 t SET score = CAST(size(" +
+      "(SELECT collect_list(n) AS __graft_scalar_map FROM q_smap_big)" +
+      ") AS DOUBLE) WHERE id = 2")
+    val m3 = s.sql(s"SELECT score FROM $cat.t1 WHERE id = 2").collect()
+    assert(m3.head.getDouble(0) == 10050.0,
+      s"a user alias colliding with the sentinel name must not refuse: " +
+        s"${m3.toSeq}")
   }
 
   test("mirror replays expr DML from recorded predicate SQL; reruns converge") {
@@ -536,6 +565,163 @@ class UpdateSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("non-deterministic"), ex.getMessage)
   }
 
+
+  test("multi-column row-IN stays stack-safe and exact past 5,000 materialized tuples") {
+    // r15 regression: the row-IN materialized as a LEFT-DEEP reduce(Or)
+    // whose tree depth equaled the tuple count — Catalyst's recursive
+    // transforms blew the thread stack in the thousands (q61 at sf0.1).
+    // SubqueryPred.rowIn is depth-constant: 6,000 tuples must plan and
+    // execute.
+    val root = Files.createTempDirectory("graft-upd-rowin-").toString
+    SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id")).append(
+      (0L until 12000L).map(i => (i, s"g${i % 7}", s"v$i"))
+        .toDF("id", "grp", "v").coalesce(2))
+    SnapshotLog(spark, s"$root/ref").append(
+      (0L until 12000L by 2).map(i => (i, s"g${i % 7}"))
+        .toDF("rid", "rgrp").coalesce(2))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdrowin"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, grp) IN " +
+      s"(SELECT rid, rgrp FROM $cat.ref)")
+    val left = s.sql(s"SELECT id FROM $cat.t1").collect().map(_.getLong(0))
+    assert(left.length == 6000 && left.forall(_ % 2 == 1),
+      s"6,000-tuple row-IN must delete exactly the even ids: " +
+        s"${left.length} rows left")
+  }
+
+  test("over-cap key sets execute as a JOIN: no literal ceiling on IN/NOT IN/EXISTS DML") {
+    // the 100 TB shape: a GDPR-style DELETE whose key subquery yields
+    // MORE than MaxKeys (100,000) keys must not refuse or materialize
+    // a literal — the counting planner joins the key frame instead
+    val root = Files.createTempDirectory("graft-upd-semi-").toString
+    val log = SnapshotLog.withChangeFeed(spark, s"$root/t1",
+      statsColumns = Seq("id"))
+    log.append((0L until 10000L).map(i => (i, s"v$i"))
+      .toDF("id", "v").coalesce(2))
+    // 150,000 distinct even keys — 1.5× past the cap
+    SnapshotLog(spark, s"$root/keys").append(
+      (0L until 150000L).map(i => (i * 2, s"w$i")).toDF("k", "w")
+        .coalesce(2))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdsemi"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"DELETE FROM $cat.t1 WHERE id IN (SELECT k FROM $cat.keys)")
+    val m1 = s.sql(s"SELECT id FROM $cat.t1").collect().map(_.getLong(0))
+    assert(m1.length == 5000 && m1.forall(_ % 2 == 1),
+      s"over-cap IN must delete the even ids: ${m1.length} left")
+    // the join is not renderable SQL — the change feed records
+    // rows-only images (mirror resync contract), never a WIDER replay
+    assert(log.snapshot().changes.exists(_.predSql.isEmpty),
+      "an over-cap delete must not record predicate SQL")
+    // NOT IN past the cap: null-free key set → exact anti-join
+    s.sql(s"UPDATE $cat.t1 SET v = 'ODD' WHERE id NOT IN " +
+      s"(SELECT k FROM $cat.keys)")
+    val m2 = s.sql(s"SELECT count(*) FROM $cat.t1 WHERE v = 'ODD'")
+      .head().getLong(0)
+    assert(m2 == 5000, s"over-cap NOT IN must update all survivors: $m2")
+    // NOT IN whose over-cap key set carries a NULL is never TRUE — the
+    // whole statement is a provable no-op, not a wrong answer
+    SnapshotLog(spark, s"$root/keysn").append(
+      ((0L until 150000L).map(i => (Some(i * 2), s"w$i")) :+
+        ((None: Option[Long], "null-row")))
+        .toDF("k", "w").coalesce(2))
+    s.sql(s"DELETE FROM $cat.t1 WHERE id NOT IN (SELECT k FROM $cat.keysn)")
+    assert(s.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 5000,
+      "NOT IN over a NULL-carrying key set matches nothing")
+    // correlated EXISTS whose decorrelated key set is over-cap rides
+    // the same join arm (coalesce polarity: NULL-safe both ways)
+    s.sql(s"UPDATE $cat.t1 t SET v = concat(v, '+') WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.keys g WHERE g.k = t.id + 1)")
+    // ids where id+1 is even → all odd ids (+1 ≤ 299998) → every row
+    val m3 = s.sql(s"SELECT count(*) FROM $cat.t1 WHERE v LIKE '%+'")
+      .head().getLong(0)
+    assert(m3 == 5000, s"over-cap decorrelated EXISTS must match: $m3")
+    s.sql(s"DELETE FROM $cat.t1 t WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM $cat.keys g WHERE g.k = t.id + 1)")
+    assert(s.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 5000,
+      "over-cap NOT EXISTS matches nothing here (every id+1 is even)")
+    // multi-column row-IN past MaxTupleKeys joins on the tuple
+    SnapshotLog(spark, s"$root/pairs").append(
+      (0L until 12000L).map(i => (i, s"v$i")).toDF("p1", "p2").coalesce(2))
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, v) IN " +
+      s"(SELECT p1, p2 FROM $cat.pairs)")
+    // survivors all carry v='...+' suffixes → tuples never match v$i
+    assert(s.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 5000,
+      "tuple values must not match the suffixed rows")
+    s.sql(s"UPDATE $cat.t1 SET v = concat('v', CAST(id AS STRING)) " +
+      "WHERE id IS NOT NULL")
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, v) IN " +
+      s"(SELECT p1, p2 FROM $cat.pairs)")
+    assert(s.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 0,
+      "over-cap tuple-IN must delete every matching row")
+    // multi-column NOT IN past the cap is the one remaining refusal
+    val ex = intercept[Exception] {
+      s.sql(s"DELETE FROM $cat.keys WHERE (k, w) NOT IN " +
+        s"(SELECT p1, p2 FROM $cat.pairs)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("multi-column NOT IN")),
+      msgs(ex).mkString(" | "))
+  }
+
+  test("row-IN NULL semantics: partial-match dispatch and NULL-carrying tuples are ANSI-exact") {
+    val root = Files.createTempDirectory("graft-upd-rowin3v-").toString
+    // t1 rows exercise every left-side shape: full match, left-NULL
+    // with a partial id match (ANSI: IN is NULL), left-NULL with no
+    // partial match (ANSI: IN is FALSE — observable under NOT IN),
+    // plain miss
+    SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id")).append(
+      Seq((1L, Some("x"), "a"), (2L, None, "b"), (4L, None, "c"),
+        (6L, Some("q"), "d")).toDF("id", "grp", "v").coalesce(1))
+    SnapshotLog(spark, s"$root/ref").append(
+      Seq((1L, "x"), (4L, "w")).toDF("rid", "rgrp").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gupdrowin3v"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // NOT IN over a NULL-free list: (1,x) IN → kept; (2,NULL) has no
+    // tuple matching id=2 → IN FALSE → deleted; (4,NULL) partially
+    // matches (4,w) on the non-NULL position → IN NULL → kept (a
+    // struct-equality-only row-IN would wrongly delete it); (6,q)
+    // FALSE → deleted
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, grp) NOT IN " +
+      s"(SELECT rid, rgrp FROM $cat.ref)")
+    val m1 = s.sql(s"SELECT id FROM $cat.t1").collect().map(_.getLong(0)).toSet
+    assert(m1 == Set(1L, 4L),
+      s"ANSI NOT IN must delete ids 2 and 6 only, kept: $m1")
+    // a NULL-carrying LIST tuple can only answer NULL or FALSE: with
+    // (NULL, y) in the list, (3,y) gets IN = NULL (kept by both IN and
+    // NOT IN deletes); (7,z) gets FALSE → NOT IN deletes it
+    SnapshotLog(spark, s"$root/t2").append(
+      Seq((3L, "y", "e"), (7L, "z", "f")).toDF("id", "grp", "v")
+        .coalesce(1))
+    SnapshotLog(spark, s"$root/refn").append(
+      Seq((Some(1L), "x"), (None, "y")).toDF("rid", "rgrp").coalesce(1))
+    s.sql(s"DELETE FROM $cat.t2 WHERE (id, grp) NOT IN " +
+      s"(SELECT rid, rgrp FROM $cat.refn)")
+    val m2 = s.sql(s"SELECT id FROM $cat.t2").collect().map(_.getLong(0)).toSet
+    assert(m2 == Set(3L),
+      s"a NULL-keyed list tuple must shield (3,y) but not (7,z): $m2")
+    // arity > 4 takes the balanced-fold arm (no 2^k dispatch): still
+    // exact on a plain match
+    SnapshotLog(spark, s"$root/t3").append(
+      Seq((1L, 1L, 1L, 1L, 1L, "hit"), (1L, 1L, 1L, 1L, 2L, "miss"))
+        .toDF("a", "b", "c", "d", "e", "v").coalesce(1))
+    SnapshotLog(spark, s"$root/ref5").append(
+      Seq((1L, 1L, 1L, 1L, 1L)).toDF("ra", "rb", "rc", "rd", "re")
+        .coalesce(1))
+    s.sql(s"DELETE FROM $cat.t3 WHERE (a, b, c, d, e) IN " +
+      s"(SELECT ra, rb, rc, rd, re FROM $cat.ref5)")
+    val m3 = s.sql(s"SELECT v FROM $cat.t3").collect().map(_.getString(0))
+    assert(m3.toSeq == Seq("miss"), s"arity-5 row-IN must delete 'hit': $m3")
+  }
 
   private def rowsOf(s: org.apache.spark.sql.SparkSession,
       cat: String): Map[Long, String] = {
