@@ -124,6 +124,7 @@ object SparkEntry {
     "q59_log_sql_widen_type" -> (Relational.q59LogSqlWidenType _), // oracle: ALTER COLUMN TYPE widening (metadata-only epoch; old files cast up) == recomputed final state
     "q60_log_sql_correlated_dml" -> (Relational.q60LogSqlCorrelatedDml _), // oracle: correlated EXISTS/NOT EXISTS DML decorrelated to the materialized-key path == recomputed final state
     "q61_log_sql_composite_dml" -> (Relational.q61LogSqlCompositeDml _), // oracle: multi-column row-IN DELETE + composite-key correlated EXISTS UPDATE == recomputed final state
+    "q62_log_sql_notin_dml" -> (Relational.q62LogSqlNotInDml _), // oracle: correlated NOT IN DML (NULL-carrying inner side, composite left tuple) == ANSI truth-table expansion
     "prof_numeric" -> (graft.ops.Profiling.profNumeric _), // one-pass column profiling
     "prof_constraints" -> (graft.ops.Profiling.profConstraints _), // one-pass quality gate
     "prof_drift" -> (graft.ops.Profiling.profDrift _), // cross-run PSI drift gate
@@ -274,6 +275,7 @@ object SparkEntry {
     "q58_log_sql_subquery_dml" -> Relational.q58Oracle,
     "q60_log_sql_correlated_dml" -> Relational.q60Oracle,
     "q61_log_sql_composite_dml" -> Relational.q61Oracle,
+    "q62_log_sql_notin_dml" -> Relational.q62Oracle,
     "q59_log_sql_widen_type" -> Relational.q59Oracle,
     "prof_numeric" -> graft.ops.Profiling.profNumericOracle,
     "prof_constraints" -> graft.ops.Profiling.profConstraintsOracle,

@@ -1848,6 +1848,101 @@ object Relational {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Graded CORRELATED NOT IN DML ([[graft.table.SubqueryPred
+    * .rewriteCorrelatedNotIn]]): SQL's hardest subquery form — a NULL
+    * anywhere (left value, inner value, correlation key) flips matches
+    * to non-matches. The inner side is DELIBERATELY NULL-carrying
+    * (`CASE WHEN o_orderpriority LIKE '1%' THEN 'BUILDING' END` is NULL
+    * for 80% of orders), so a customer with any non-urgent big order is
+    * NULL-shielded from the DELETE; the UPDATE repeats the form with a
+    * composite (2-column) left tuple, exercising [[graft.table
+    * .SubqueryPred.rowIn]]'s null-pattern dispatch through the
+    * key-prefixed decorrelation. DuckDB cannot run the multi-column
+    * form natively (its struct-IN treats NULL fields as EQUAL — not
+    * ANSI row-wise IN), so the oracle states the ANSI semantics
+    * directly: `NOT IN` is TRUE iff NO tuple potentially matches
+    * (per-position: equal, or either side NULL) — a plain EXISTS both
+    * engines agree on. */
+  def q62LogSqlNotInDml(spark: SparkSession, dir: String): DataFrame = {
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val path = logFixtureDirs.computeIfAbsent(s"notin62:$dir", _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qlog-notin-")
+        .resolve("t").toString
+      graft.table.SnapshotLog(spark, tmp, statsColumns = Seq("c_custkey"))
+        .append(t(spark, dir, "customer").select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+          .coalesce(1))                                              // v1
+      withMountedCatalog(s, tmp) { tbl =>
+        t(s, dir, "orders").createOrReplaceTempView("q62_orders_src")
+        s.sql(                                                       // v2
+          s"""DELETE FROM $tbl t WHERE c_mktsegment NOT IN
+             |  (SELECT CASE WHEN o.o_orderpriority LIKE '1%'
+             |            THEN 'BUILDING' END
+             |   FROM q62_orders_src o
+             |   WHERE o.o_custkey = t.c_custkey
+             |     AND o.o_totalprice > 480000)""".stripMargin)
+        s.sql(                                                       // v3
+          s"""UPDATE $tbl t SET c_mktsegment = 'MIXED'
+             |WHERE (c_nationkey, c_mktsegment) NOT IN
+             |  (SELECT o.o_custkey % 25,
+             |     CASE WHEN o.o_orderpriority LIKE '2%'
+             |       THEN 'MACHINERY' END
+             |   FROM q62_orders_src o
+             |   WHERE o.o_custkey = t.c_custkey
+             |     AND o.o_totalprice > 480000)""".stripMargin)
+      }
+      require(graft.table.SnapshotLog(spark, tmp).snapshot().op == "update",
+        "q62 fixture: the DML chain must end on the composite NOT IN update")
+      tmp
+    })
+    withMountedCatalog(s, path) { tbl =>
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n_cust,
+           |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+           |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+           |FROM $tbl
+           |GROUP BY c_mktsegment
+           |ORDER BY c_mktsegment""".stripMargin)
+    }
+  }
+
+  /** ANSI row-wise NOT IN, stated as its truth-table expansion (see
+    * [[q62LogSqlNotInDml]]): matched ⟺ no inner tuple POTENTIALLY
+    * matches — i.e. survivors/non-updates are exactly the rows some
+    * tuple matches-or-NULLs against, position for position. */
+  def q62Oracle: String =
+    """WITH survivors AS (
+      |  SELECT * FROM customer t
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = t.c_custkey AND o.o_totalprice > 480000
+      |      AND (CASE WHEN o.o_orderpriority LIKE '1%' THEN 'BUILDING' END
+      |             = t.c_mktsegment
+      |           OR CASE WHEN o.o_orderpriority LIKE '1%' THEN 'BUILDING' END
+      |             IS NULL
+      |           OR t.c_mktsegment IS NULL))
+      |), final AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal,
+      |    CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = s.c_custkey AND o.o_totalprice > 480000
+      |        AND (o.o_custkey % 25 = s.c_nationkey
+      |             OR s.c_nationkey IS NULL)
+      |        AND (CASE WHEN o.o_orderpriority LIKE '2%' THEN 'MACHINERY' END
+      |               = s.c_mktsegment
+      |             OR CASE WHEN o.o_orderpriority LIKE '2%' THEN 'MACHINERY' END
+      |               IS NULL
+      |             OR s.c_mktsegment IS NULL))
+      |      THEN 'MIXED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM survivors s
+      |)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nat,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_bal
+      |FROM final
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   def q48Oracle: String =
     """WITH survivors AS (
       |  SELECT c_custkey, c_nationkey,

@@ -125,3 +125,11 @@ final case class JsonSource(path: String, schema: Option[StructType] = None)
 final case class OrcSource(path: String) extends SourceReader {
   override def read(spark: SparkSession): DataFrame = spark.read.orc(path)
 }
+
+/** Avro container-file source — schema off the file header, one Spark
+  * partition per file; see [[AvroFiles]] for the mapping and its
+  * bounds (the `spark-avro` connector is not on this classpath). */
+final case class AvroSource(path: String) extends SourceReader {
+  override def read(spark: SparkSession): DataFrame =
+    AvroFiles.read(spark, path)
+}

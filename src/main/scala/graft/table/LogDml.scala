@@ -700,12 +700,16 @@ private[graft] object SubqueryPred {
     // FROM s WHERE x = v AND corr)`) and decorrelates with it — sound
     // at the top of the AND tree, where WHERE semantics make NULL and
     // FALSE indistinguishable (the EXISTS form is 2-valued). Correlated
-    // NOT IN stays refused: a NULL inner value makes SQL's NOT IN
-    // match NOTHING, which NOT EXISTS over a null-filtered key list
-    // cannot reproduce.
+    // NOT IN takes the null-aware rewrite ([[rewriteCorrelatedNotIn]]):
+    // a NULL inner value makes SQL's NOT IN match NOTHING, which NOT
+    // EXISTS over a null-filtered key list cannot reproduce — the
+    // key-prefixed row-IN can, exactly.
     val canon = conjs(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.Not(
+          InSubquery(values, l: ListQuery)) if l.outerAttrs.nonEmpty =>
+        rewriteCorrelatedNotIn(values, l.plan, target, refuse)
       case InSubquery(values, l: ListQuery) if l.outerAttrs.nonEmpty =>
-        val (proj, fc, child) = l.plan match {
+        val (proj, fc, child) = collapseProjects(l.plan) match {
           case LProject(ps, LFilter(c, ch)) => (ps, c, ch)
           case _ => refuse("the correlated IN-subquery's shape is not " +
             "SELECT <exprs> FROM ... WHERE <correlation> — decorrelate " +
@@ -792,39 +796,7 @@ private[graft] object SubqueryPred {
       case _ => refuse("the correlated scalar subquery must select " +
         "exactly one aggregate")
     }
-    def conjsOf(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjsOf(l) ++ conjsOf(r)
-      case o         => Seq(o)
-    }
-    def hasOuter(e: Expression): Boolean =
-      e.exists(_.isInstanceOf[OuterReference])
-    val (correlated, inner) = conjsOf(fc).partition(hasOuter)
-    val pairs = correlated.map {
-      case eq @ EqualTo(l, r) =>
-        def outerSide(e: Expression): Option[Expression] = {
-          val outers = e.collect {
-            case OuterReference(a: AttributeReference) => a }
-          if (e.deterministic && outers.nonEmpty &&
-              e.references.isEmpty &&
-              outers.forall(target.outputSet.contains))
-            Some(e.transform {
-              case OuterReference(a: AttributeReference) => a })
-          else None
-        }
-        def innerSide(e: Expression): Boolean =
-          !hasOuter(e) && e.deterministic &&
-            e.references.subsetOf(child.outputSet)
-        (outerSide(l), outerSide(r)) match {
-          case (Some(v), None) if innerSide(r) => (r, v)
-          case (None, Some(v)) if innerSide(l) => (l, v)
-          case _ => refuse("the correlated scalar subquery's " +
-            s"predicate '${eq.sql}' does not split into one " +
-            "table-side expression and one inner-side expression; " +
-            "use the typed API")
-        }
-      case other => refuse("the correlated scalar subquery's " +
-        s"predicate '${other.sql}' is not an equality; use the typed API")
-    }
+    val (pairs, inner) = correlationSplit(fc, child, target, "scalar", refuse)
     val (innerKey, outerVal) = pairs match {
       case Seq(p) => p
       case _ => refuse("the correlated scalar subquery must correlate " +
@@ -867,7 +839,7 @@ private[graft] object SubqueryPred {
       refuse: String => Nothing): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Coalesce, EqualTo, InSubquery, IsNotNull, ListQuery, Literal, OuterReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
-    val (fc, child) = plan match {
+    val (fc, child) = collapseProjects(plan) match {
       case LProject(_, LFilter(c, ch)) => (c, ch)
       case LFilter(c, ch)              => (c, ch)
       case _ => refuse("the correlated EXISTS subquery's correlation " +
@@ -875,22 +847,46 @@ private[graft] object SubqueryPred {
         "decorrelate by hand (join the inner relation in), or use the " +
         "typed API")
     }
-    def conjs(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjs(l) ++ conjs(r)
+    val (pairs, inner) = correlationSplit(fc, child, target, "EXISTS", refuse)
+    // composite keys materialize as a multi-column row-IN (flat
+    // struct-IN, MaxTupleKeys-capped); the IsNotNull inner filter
+    // plus the coalesce(…, false) wrapper keep EXISTS's exact 2-valued
+    // truth table for any key arity (equality with NULL never
+    // witnesses an EXISTS)
+    val innerCond = (inner ++ pairs.map(p => IsNotNull(p._1): Expression))
+      .reduce(And(_, _))
+    val sub = LProject(
+      pairs.zipWithIndex.map { case ((k, _), i) =>
+        Alias(k, s"__graft_exists_key$i")(): org.apache.spark.sql.catalyst.expressions.NamedExpression },
+      LFilter(innerCond, child))
+    Coalesce(Seq(
+      InSubquery(pairs.map(_._2), ListQuery(sub)), Literal(false)))
+  }
+
+  /** Split a correlated subquery's WHERE into its key-equality
+    * correlation pairs (inner-side key expression → outer-side table
+    * expression) and the residual inner-only conjuncts. The OUTER side
+    * may be any deterministic expression over target columns only —
+    * the analyzer itself interposes casts (`int` key vs `bigint` inner
+    * side), and `t.id + 1`-style computed keys decorrelate just as
+    * soundly: the SAME expression becomes the row-IN's left value,
+    * evaluated against the counting frame. Leaf outer refs unwrap to
+    * bare attrs (re-anchored by name downstream). Non-equality
+    * correlation and keyless correlation refuse loudly. */
+  private def correlationSplit(fc: Expression, child: LogicalPlan,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      what: String, refuse: String => Nothing)
+      : (Seq[(Expression, Expression)], Seq[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    def conjsOf(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjsOf(l) ++ conjsOf(r)
       case o         => Seq(o)
     }
     def hasOuter(e: Expression): Boolean =
       e.exists(_.isInstanceOf[OuterReference])
-    val (correlated, inner) = conjs(fc).partition(hasOuter)
+    val (correlated, inner) = conjsOf(fc).partition(hasOuter)
     val pairs = correlated.map {
       case eq @ EqualTo(l, r) =>
-        // the OUTER side may be any deterministic expression over
-        // target columns only — the analyzer itself interposes casts
-        // (`int` key vs `bigint` inner side), and `t.id + 1`-style
-        // computed keys decorrelate just as soundly: the SAME
-        // expression becomes the row-IN's left value, evaluated
-        // against the counting frame. Leaf outer refs unwrap to bare
-        // attrs (re-anchored by name downstream).
         def outerSide(e: Expression): Option[Expression] = {
           val outers = e.collect {
             case OuterReference(a: AttributeReference) => a }
@@ -907,32 +903,118 @@ private[graft] object SubqueryPred {
         (outerSide(l), outerSide(r)) match {
           case (Some(v), None) if innerSide(r) => (r, v)
           case (None, Some(v)) if innerSide(l) => (l, v)
-          case _ => refuse("the correlated EXISTS subquery's " +
+          case _ => refuse(s"the correlated $what subquery's " +
             s"predicate '${eq.sql}' does not split into one " +
             "table-side expression and one inner-side expression — " +
             "only key equalities decorrelate to the materialized key " +
             "list; use the typed API")
         }
-      case other => refuse("the correlated EXISTS subquery's predicate " +
+      case other => refuse(s"the correlated $what subquery's predicate " +
         s"'${other.sql}' is not an equality — only pure key " +
         "equalities decorrelate; use the typed API")
     }
     if (pairs.isEmpty) refuse(
-      "the EXISTS subquery carries no key-equality correlation the " +
+      s"the $what subquery carries no key-equality correlation the " +
         "decorrelator can anchor on; use the typed API")
-    // composite keys materialize as a multi-column row-IN (flat
-    // struct-IN, MaxTupleKeys-capped); the IsNotNull inner filter
-    // plus the coalesce(…, false) wrapper keep EXISTS's exact 2-valued
-    // truth table for any key arity (equality with NULL never
-    // witnesses an EXISTS)
-    val innerCond = (inner ++ pairs.map(p => IsNotNull(p._1): Expression))
-      .reduce(And(_, _))
-    val sub = LProject(
-      pairs.zipWithIndex.map { case ((k, _), i) =>
-        Alias(k, s"__graft_exists_key$i")(): org.apache.spark.sql.catalyst.expressions.NamedExpression },
-      LFilter(innerCond, child))
-    Coalesce(Seq(
-      InSubquery(pairs.map(_._2), ListQuery(sub)), Literal(false)))
+    (pairs, inner)
+  }
+
+  /** Merge STACKED Projects (the analyzer's shape for a computed
+    * select list — an attribute-rename Project over the aliased
+    * expressions) into one, inlining inner aliases into the outer
+    * list, so the shape matchers see `SELECT <exprs> FROM ... WHERE`
+    * as a single Project over the Filter. */
+  private def collapseProjects(p: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project => LProject}
+    p match {
+      case LProject(ps1, LProject(ps2, ch)) =>
+        val byId = ps2.map(ne => ne.toAttribute.exprId -> (ne match {
+          case a: Alias => a.child
+          case o        => o: Expression
+        })).toMap
+        val merged = ps1.map { ne =>
+          (ne.transformUp {
+            case ar: AttributeReference if byId.contains(ar.exprId) =>
+              byId(ar.exprId)
+          }) match {
+            case n: NamedExpression => n
+            case e                  => Alias(e, ne.name)()
+          }
+        }
+        collapseProjects(LProject(merged, ch))
+      case other => other
+    }
+  }
+
+  /** Decorrelate a top-level `(v1..vk) NOT IN (SELECT x1..xk FROM s
+    * WHERE s.j = t.j [AND inner])` conjunct — SQL's hardest subquery
+    * form (a NULL anywhere flips matches to non-matches) — into the
+    * KEY-PREFIXED uncorrelated row-IN:
+    *
+    * {{{ (t.j IS NULL) OR NOT((t.j, v*) IN
+    *       (SELECT j, x* FROM s WHERE inner AND j IS NOT NULL)) }}}
+    *
+    * Exact at a WHERE top level (NULL ≡ FALSE) by cases on the
+    * per-row key set S_t = {x* : s.j = t.j AND inner}:
+    *  - an outer key NULL ⟹ S_t is empty (equality with NULL never
+    *    holds) ⟹ `NOT IN ()` is TRUE — the explicit IS NULL arm; the
+    *    row-IN alone could answer NULL here (a tuple matching on every
+    *    other position), which WHERE would wrongly drop;
+    *  - outer keys non-NULL: tuples with j ≠ t.j mismatch DEFINITELY
+    *    on the key prefix, contributing FALSE to the row-IN — exactly
+    *    their absence from S_t; tuples with j = t.j reduce the row-IN
+    *    to `v* IN S_t` position-for-position. [[rowIn]]'s null-pattern
+    *    dispatch then reproduces the full 3-valued algebra (NULL-free
+    *    mismatch everywhere → TRUE under NOT; any NULL-blocked
+    *    potential match → NULL → non-match) with no special casing.
+    *    Inner rows with a NULL key are filtered: they are not in S_t,
+    *    and leaving them would let a NULL key tuple turn a definite
+    *    FALSE into NULL.
+    *
+    * The rewritten conjunct sits under an OR, so it materializes via
+    * [[materialize]]'s literal fold ([[MaxTupleKeys]]-capped) rather
+    * than splitting to the join arm — unbounded correlated NOT IN
+    * stays on the typed-API contract. */
+  private def rewriteCorrelatedNotIn(values: Seq[Expression],
+      plan: LogicalPlan,
+      target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
+      refuse: String => Nothing): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, IsNotNull, IsNull, ListQuery, Not, OuterReference, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    val (proj, fc, child) = collapseProjects(plan) match {
+      case LProject(ps, LFilter(c, ch)) => (ps, c, ch)
+      case _ => refuse("the correlated NOT IN subquery's shape is not " +
+        "SELECT <exprs> FROM ... WHERE <correlation> — decorrelate by " +
+        "hand, or use the typed API")
+    }
+    if (proj.length != values.length) refuse(
+      "the correlated NOT IN subquery's select list does not match " +
+        "its left side")
+    values.foreach { v =>
+      if (!v.deterministic || !v.references.subsetOf(target.outputSet))
+        refuse("the correlated NOT IN subquery's left side " +
+          s"'$v' is not an expression over table columns; use the " +
+          "typed API")
+    }
+    val xs = proj.map(UpdateLogRule.stripAlias)
+    xs.foreach { x =>
+      if (x.exists(_.isInstanceOf[OuterReference]) || !x.deterministic ||
+          !x.references.subsetOf(child.outputSet))
+        refuse("the correlated NOT IN subquery's select list must be " +
+          s"inner-side expressions only (got '$x'); use the typed API")
+    }
+    val (pairs, inner) = correlationSplit(fc, child, target, "NOT IN", refuse)
+    val keyed = LProject(
+      (pairs.map(_._1) ++ xs).zipWithIndex.map { case (e, i) =>
+        Alias(e, s"__graft_nin_c$i")():
+          org.apache.spark.sql.catalyst.expressions.NamedExpression },
+      LFilter((inner ++ pairs.map(p => IsNotNull(p._1): Expression))
+        .reduce(And(_, _)), child))
+    val anyKeyNull = pairs.map(p => IsNull(p._2): Expression)
+      .reduce(Or(_, _))
+    Or(anyKeyNull,
+      Not(InSubquery(pairs.map(_._2) ++ values, ListQuery(keyed))))
   }
 
   /** Replace every UNCORRELATED subquery in `e` with its materialized
@@ -1007,8 +1089,11 @@ private[graft] object SubqueryPred {
     *    flat position-projected `In`; arity > 4 falls back to the
     *    balanced fold rather than build 2^k projections;
     *  - NULL-carrying LIST tuples (which can only answer NULL or
-    *    FALSE) keep the explicit equality fold, BALANCED (depth
-    *    log n), OR'd in under Catalyst's own 3-valued `Or`. */
+    *    FALSE) group by null pattern and test "some tuple potentially
+    *    matches" with flat position-projected `In`s (left NULLs
+    *    wildcard via the same dispatch) — NULL if so, FALSE otherwise,
+    *    OR'd in under Catalyst's own 3-valued `Or`; arity > 4 keeps
+    *    the balanced equality fold. */
   private[table] def rowIn(values: Seq[Expression], rows: Seq[Row],
       schema: org.apache.spark.sql.types.StructType): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{CreateStruct, If, In, IsNull, Or}
@@ -1035,8 +1120,8 @@ private[graft] object SubqueryPred {
       case a: AttributeReference   => a.name
       case _                       => s"c$i"
     }
-    def projIn(pos: Seq[Int]): Expression = {
-      val projected = clean.map(r => pos.map(r.get)).distinct
+    def projIn(tuples: Seq[Row], pos: Seq[Int]): Expression = {
+      val projected = tuples.map(r => pos.map(r.get)).distinct
       if (pos.length == 1)
         In(values(pos.head),
           projected.map(p => Lit.create(p.head, dts(pos.head))))
@@ -1055,14 +1140,49 @@ private[graft] object SubqueryPred {
         def dispatch(i: Int, nonNull: List[Int]): Expression =
           if (i == k) {
             val pos = nonNull.reverse
-            if (pos.length == k) projIn(pos) // no NULLs: strict row-IN
+            if (pos.length == k) projIn(clean, pos) // no NULLs: strict
             else if (pos.isEmpty) Lit.create(null, BooleanType)
-            else If(projIn(pos), Lit.create(null, BooleanType), Lit(false))
+            else If(projIn(clean, pos),
+              Lit.create(null, BooleanType), Lit(false))
           } else If(IsNull(values(i)), dispatch(i + 1, nonNull),
             dispatch(i + 1, i :: nonNull))
         dispatch(0, Nil)
       }
-    if (dirty.isEmpty) cleanExpr else Or(cleanExpr, foldOf(dirty))
+    // NULL-carrying LIST tuples can only answer NULL or FALSE: NULL iff
+    // some dirty tuple has NO definite mismatch ("potentially matches"
+    // — every non-null position equals-or-faces-a-NULL-left). The r16
+    // q62 lesson: an explicit equality fold here is O(tuples) expression
+    // NODES and NULL-heavy inner sides are the NORM for correlated NOT
+    // IN (a CASE-guarded select list is mostly NULL), so a few thousand
+    // dirty tuples blew whole-stage codegen past janino's method limit.
+    // Instead, group dirty tuples by their null PATTERN p and dispatch
+    // on the LEFT side's nulls within p: at leaf q (left-non-null ∩ p),
+    // potential-match ⟺ the q-projection of the left tuple is IN the
+    // group's q-projections — flat, InSet-convertible, O(2^k) nodes.
+    val dirtyExpr: Expression =
+      if (dirty.isEmpty) Lit(false)
+      else if (k > 4) foldOf(dirty) // matches the clean arm's cutoff
+      else {
+        val potential = dirty
+          .groupBy(r => (0 until k).filter(i => !r.isNullAt(i)))
+          .toSeq.sortBy(_._1.mkString(","))
+          .map { case (p, tuples) =>
+            def disp(rem: List[Int], nonNull: List[Int]): Expression =
+              rem match {
+                case Nil =>
+                  val q = nonNull.reverse
+                  if (q.isEmpty) Lit(true) // every position wildcarded
+                  else projIn(tuples, q)
+                case i :: rest =>
+                  If(IsNull(values(i)), disp(rest, nonNull),
+                    disp(rest, i :: nonNull))
+              }
+            disp(p.toList, Nil): Expression
+          }
+        If(balanced(potential, Or(_, _)),
+          Lit.create(null, BooleanType), Lit(false))
+      }
+    if (dirty.isEmpty) cleanExpr else Or(cleanExpr, dirtyExpr)
   }
 
   /** Fold the materialized subqueries into `base`, returning the full

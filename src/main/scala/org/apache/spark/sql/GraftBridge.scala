@@ -107,6 +107,19 @@ object GraftBridge {
   def asNullable(st: types.StructType): types.StructType =
     st.asNullable
 
+  /** The session's Hadoop conf in a serializable shell for
+    * executor-side filesystem access from library code
+    * (`SerializableConfiguration` is `private[spark]`). */
+  final class ShippableConf private[GraftBridge] (
+      c: org.apache.spark.util.SerializableConfiguration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = c.value
+  }
+
+  def shippableConf(spark: SparkSession): ShippableConf =
+    new ShippableConf(new org.apache.spark.util.SerializableConfiguration(
+      spark.asInstanceOf[classic.SparkSession].sessionState.newHadoopConf()))
+
   def parquetBatchScan(spark: SparkSession, files: Seq[String],
       dataSchema: types.StructType, readSchema: types.StructType,
       filters: Array[sources.Filter]): connector.read.Scan = {

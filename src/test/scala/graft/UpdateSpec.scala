@@ -405,10 +405,14 @@ class UpdateSpec extends AnyFunSuite {
     refused(s"DELETE FROM $cat.t1 t WHERE EXISTS " +
       s"(SELECT 1 FROM $cat.gdpr g WHERE g.uid + t.id = 9)",
       "does not split")
-    // correlated NOT IN stays refused (SQL's NULL-in-the-set semantics
-    // cannot ride the EXISTS translation)
-    refused(s"DELETE FROM $cat.t1 t WHERE t.id NOT IN " +
-      s"(SELECT g.uid FROM $cat.gdpr g WHERE g.why = t.v)", "subquer")
+    // correlated NOT IN decorrelates too (the r16 null-aware rewrite —
+    // see the dedicated 3-valued-corners test): every survivor's v is
+    // outside gdpr.why, so every per-row key set is EMPTY and
+    // `NOT IN ()` is TRUE — all rows delete
+    s.sql(s"DELETE FROM $cat.t1 t WHERE t.id NOT IN " +
+      s"(SELECT g.uid FROM $cat.gdpr g WHERE g.why = t.v)")
+    assert(rowsOf(s, cat).isEmpty,
+      "empty per-row key sets make correlated NOT IN match every row")
   }
 
   test("composite-key EXISTS, correlated IN, and multi-column IN decorrelate/materialize") {
@@ -721,6 +725,60 @@ class UpdateSpec extends AnyFunSuite {
       s"(SELECT ra, rb, rc, rd, re FROM $cat.ref5)")
     val m3 = s.sql(s"SELECT v FROM $cat.t3").collect().map(_.getString(0))
     assert(m3.toSeq == Seq("miss"), s"arity-5 row-IN must delete 'hit': $m3")
+  }
+
+  test("correlated NOT IN decorrelates null-aware: every 3-valued corner, both arities") {
+    val root = Files.createTempDirectory("graft-upd-corrnotin-").toString
+    // jk = nullable correlation key, grp = nullable left value
+    SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id")).append(
+      Seq((1L, Some(1L), Some("x"), "a"), (2L, Some(2L), Some("y"), "b"),
+        (3L, Some(3L), Some("z"), "c"), (4L, Some(1L), None, "d"),
+        (5L, Some(3L), None, "e"), (6L, None, Some("w"), "f"),
+        (7L, Some(4L), Some("z"), "g"), (8L, Some(4L), Some("a"), "h"))
+        .toDF("id", "jk", "grp", "v").coalesce(1))
+    SnapshotLog(spark, s"$root/ref").append(
+      Seq((1L, Some("x")), (2L, None), (4L, Some("z")), (4L, Some("q")))
+        .toDF("rk", "rv").coalesce(1))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gcorrnotin"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // ANSI per row: 1 → FALSE (exact hit) kept; 2 → NULL (NULL inner)
+    // kept; 3 → TRUE (empty group) deleted; 4 → NULL (NULL left, group
+    // nonempty) kept; 5 → TRUE (NULL left BUT empty group) deleted;
+    // 6 → TRUE (NULL correlation key ⟹ empty group) deleted;
+    // 7 → FALSE (hit in 2-value group) kept; 8 → TRUE (null-free
+    // group, no hit) deleted
+    s.sql(s"DELETE FROM $cat.t1 t WHERE grp NOT IN " +
+      s"(SELECT rv FROM $cat.ref r WHERE r.rk = t.jk)")
+    val kept = s.sql(s"SELECT id FROM $cat.t1").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 7L),
+      s"single-column correlated NOT IN must delete 3,5,6,8 — kept $kept")
+    // composite LEFT tuple: (grp, v) vs per-key (rv2, rw2) — the
+    // key-prefixed row-IN's null-pattern dispatch decides
+    SnapshotLog(spark, s"$root/ref2").append(
+      Seq((1L, Some("x"), "a"), (2L, None, "b"), (4L, Some("z"), "q"))
+        .toDF("rk", "rv2", "rw2").coalesce(1))
+    // 1 → exact hit FALSE kept; 2 → (NULL rv2, 'b'='b') NULL kept;
+    // 4 → NULL grp but 'd'≠'a' mismatches every tuple → TRUE updated;
+    // 7 → 'g'≠'q' → TRUE updated
+    s.sql(s"UPDATE $cat.t1 t SET v = 'M' WHERE (grp, v) NOT IN " +
+      s"(SELECT rv2, rw2 FROM $cat.ref2 r WHERE r.rk = t.jk)")
+    val vs = s.sql(s"SELECT id, v FROM $cat.t1").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vs == Map(1L -> "a", 2L -> "b", 4L -> "M", 7L -> "M"),
+      s"composite correlated NOT IN must update 4 and 7 only: $vs")
+    // non-equality correlation still refuses with the contract named
+    val ex = intercept[Exception] {
+      s.sql(s"DELETE FROM $cat.t1 t WHERE grp NOT IN " +
+        s"(SELECT rv FROM $cat.ref r WHERE r.rk > t.jk)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("not an equality")),
+      msgs(ex).mkString(" | "))
   }
 
   private def rowsOf(s: org.apache.spark.sql.SparkSession,
