@@ -47,8 +47,27 @@ object ScaleData {
     ordersTimesK(spark, src, dst, k)
     eventsTimesK(spark, src, dst, k)
     embeddingsTimesK(spark, src, dst, k)
-    println(s"[scaledata] wrote documents/orders/events/embeddings x$k to $dst")
+    customerTimesK(spark, src, dst, k)
+    println(s"[scaledata] wrote documents/orders/events/embeddings/" +
+      s"customer x$k to $dst")
     spark.stop()
+  }
+
+  /** `customer` ×K (the DML/merge probe table — q48/q54/q62 fixtures
+    * append it): replica r shifts `c_custkey` by a stride so keys stay
+    * distinct; every other column copies verbatim — per-key the merge/
+    * update/delete predicates see the SAME distribution, so a 10× run
+    * is 10× the rows of identical shape, not a different workload. */
+  private def customerTimesK(spark: SparkSession, src: String,
+      dst: String, k: Int): Unit = {
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val reps = (1 until k).map { r =>
+      cust.withColumn("c_custkey",
+        col("c_custkey") + lit(r.toLong * 10000000L))
+    }
+    reps.foldLeft(cust)(_ unionByName _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
   }
 
   /** `embeddings` ×K: replica k applies a cyclic rotation of k
