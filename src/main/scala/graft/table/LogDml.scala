@@ -502,9 +502,10 @@ private[graft] object UpdateLogRule {
         }
       }
     // every top-level IN-subquery conjunct splits — single- or
-    // multi-column, either polarity, and the decorrelated-EXISTS
-    // `coalesce(IN, false)` wrapper — so [[SubqueryPred.conjoin]] can
-    // pick literal fold vs join arm by materialized size
+    // multi-column, either polarity, the decorrelated-EXISTS
+    // `coalesce(IN, false)` wrapper, and CORRELATED NOT IN (which
+    // decorrelates here to the key-prefixed form) — so [[SubqueryPred
+    // .conjoin]] can pick literal fold vs join arm by materialized size
     val (subs, rest) = conjuncts(cond).partitionMap {
       case InSubquery(values, l: ListQuery) if l.outerAttrs.isEmpty =>
         Left(SubqueryPred(("in", anchored(values, "IN-subquery")),
@@ -512,6 +513,9 @@ private[graft] object UpdateLogRule {
       case Not(InSubquery(values, l: ListQuery)) if l.outerAttrs.isEmpty =>
         Left(SubqueryPred(("in", anchored(values, "NOT IN-subquery")),
           l.plan, negated = true))
+      case Not(InSubquery(values, l: ListQuery)) if l.outerAttrs.nonEmpty =>
+        Left(SubqueryPred.correlatedNotIn(values, l.plan, target,
+          v => anchored(Seq(v), "NOT IN-subquery").head, refuse))
       case Coalesce(Seq(InSubquery(values, l: ListQuery), Literal(false, _)))
           if l.outerAttrs.isEmpty =>
         Left(SubqueryPred(("in", anchored(values, "EXISTS key list")),
@@ -639,9 +643,15 @@ final class DeleteLogRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * subquery output column — multi-column row-IN supported),
   * tuple-wrapped like every stored DML expression. `nullCollapse`
   * marks the EXISTS translation's `coalesce(…, false)` wrapper (the
-  * 2-valued truth table), letting both polarities split and scale. */
+  * 2-valued truth table), letting both polarities split and scale.
+  * `keyArity > 0` marks a DECORRELATED NOT IN ([[SubqueryPred
+  * .correlatedNotIn]]): the first `keyArity` values are the
+  * correlation-key prefix — a NULL prefix value means the per-row key
+  * set is empty (`NOT IN ()` = TRUE), and the subquery plan's output
+  * is prefix-columns-then-select-list, prefix null-filtered. */
 final case class SubqueryPred(values: (String, Seq[Expression]),
-    plan: LogicalPlan, negated: Boolean, nullCollapse: Boolean = false)
+    plan: LogicalPlan, negated: Boolean, nullCollapse: Boolean = false,
+    keyArity: Int = 0)
 
 private[graft] object SubqueryPred {
   /** Key-list bound: past this, a literal IN-list stops being a
@@ -700,14 +710,12 @@ private[graft] object SubqueryPred {
     // FROM s WHERE x = v AND corr)`) and decorrelates with it — sound
     // at the top of the AND tree, where WHERE semantics make NULL and
     // FALSE indistinguishable (the EXISTS form is 2-valued). Correlated
-    // NOT IN takes the null-aware rewrite ([[rewriteCorrelatedNotIn]]):
-    // a NULL inner value makes SQL's NOT IN match NOTHING, which NOT
-    // EXISTS over a null-filtered key list cannot reproduce — the
-    // key-prefixed row-IN can, exactly.
+    // NOT IN passes through UNTOUCHED: [[UpdateLogRule.splitSubqueries]]
+    // splits it to the key-prefixed null-aware form
+    // ([[correlatedNotIn]]) with both a literal and a join arm — a NULL
+    // inner value makes SQL's NOT IN match NOTHING, which NOT EXISTS
+    // over a null-filtered key list cannot reproduce.
     val canon = conjs(cond).map {
-      case org.apache.spark.sql.catalyst.expressions.Not(
-          InSubquery(values, l: ListQuery)) if l.outerAttrs.nonEmpty =>
-        rewriteCorrelatedNotIn(values, l.plan, target, refuse)
       case InSubquery(values, l: ListQuery) if l.outerAttrs.nonEmpty =>
         val (proj, fc, child) = collapseProjects(l.plan) match {
           case LProject(ps, LFilter(c, ch)) => (ps, c, ch)
@@ -950,7 +958,7 @@ private[graft] object SubqueryPred {
   /** Decorrelate a top-level `(v1..vk) NOT IN (SELECT x1..xk FROM s
     * WHERE s.j = t.j [AND inner])` conjunct — SQL's hardest subquery
     * form (a NULL anywhere flips matches to non-matches) — into the
-    * KEY-PREFIXED uncorrelated row-IN:
+    * KEY-PREFIXED uncorrelated [[SubqueryPred]]:
     *
     * {{{ (t.j IS NULL) OR NOT((t.j, v*) IN
     *       (SELECT j, x* FROM s WHERE inner AND j IS NOT NULL)) }}}
@@ -965,22 +973,21 @@ private[graft] object SubqueryPred {
     *    on the key prefix, contributing FALSE to the row-IN — exactly
     *    their absence from S_t; tuples with j = t.j reduce the row-IN
     *    to `v* IN S_t` position-for-position. [[rowIn]]'s null-pattern
-    *    dispatch then reproduces the full 3-valued algebra (NULL-free
-    *    mismatch everywhere → TRUE under NOT; any NULL-blocked
-    *    potential match → NULL → non-match) with no special casing.
-    *    Inner rows with a NULL key are filtered: they are not in S_t,
-    *    and leaving them would let a NULL key tuple turn a definite
-    *    FALSE into NULL.
+    *    dispatch (literal arm) or the potential-match join
+    *    ([[graft.table.SemiTag]], past the cap) then reproduces the
+    *    full 3-valued algebra with no special casing. Inner rows with
+    *    a NULL key are filtered: they are not in S_t, and leaving them
+    *    would let a NULL key tuple turn a definite FALSE into NULL.
     *
-    * The rewritten conjunct sits under an OR, so it materializes via
-    * [[materialize]]'s literal fold ([[MaxTupleKeys]]-capped) rather
-    * than splitting to the join arm — unbounded correlated NOT IN
-    * stays on the typed-API contract. */
-  private def rewriteCorrelatedNotIn(values: Seq[Expression],
+    * [[conjoin]] picks the arm by materialized size — correlated NOT
+    * IN scales to unbounded inner sides exactly like every other
+    * subquery-DML conjunct. */
+  private[table] def correlatedNotIn(values: Seq[Expression],
       plan: LogicalPlan,
       target: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation,
-      refuse: String => Nothing): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, InSubquery, IsNotNull, IsNull, ListQuery, Not, OuterReference, Or}
+      anchor: Expression => Expression,
+      refuse: String => Nothing): SubqueryPred = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, IsNotNull, OuterReference}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
     val (proj, fc, child) = collapseProjects(plan) match {
       case LProject(ps, LFilter(c, ch)) => (ps, c, ch)
@@ -991,12 +998,6 @@ private[graft] object SubqueryPred {
     if (proj.length != values.length) refuse(
       "the correlated NOT IN subquery's select list does not match " +
         "its left side")
-    values.foreach { v =>
-      if (!v.deterministic || !v.references.subsetOf(target.outputSet))
-        refuse("the correlated NOT IN subquery's left side " +
-          s"'$v' is not an expression over table columns; use the " +
-          "typed API")
-    }
     val xs = proj.map(UpdateLogRule.stripAlias)
     xs.foreach { x =>
       if (x.exists(_.isInstanceOf[OuterReference]) || !x.deterministic ||
@@ -1011,10 +1012,9 @@ private[graft] object SubqueryPred {
           org.apache.spark.sql.catalyst.expressions.NamedExpression },
       LFilter((inner ++ pairs.map(p => IsNotNull(p._1): Expression))
         .reduce(And(_, _)), child))
-    val anyKeyNull = pairs.map(p => IsNull(p._2): Expression)
-      .reduce(Or(_, _))
-    Or(anyKeyNull,
-      Not(InSubquery(pairs.map(_._2) ++ values, ListQuery(keyed))))
+    SubqueryPred(("in", (pairs.map(_._2) ++ values).map(anchor)),
+      keyed, negated = true, nullCollapse = false,
+      keyArity = pairs.length)
   }
 
   /** Replace every UNCORRELATED subquery in `e` with its materialized
@@ -1199,9 +1199,10 @@ private[graft] object SubqueryPred {
     *    ([[SnapshotLog]] broadcast or shuffle, Spark's choice), which
     *    is the only shape that survives a 10M-key GDPR delete. The
     *    pruning hint still derives from a min/max AGGREGATE of the key
-    *    frame (two scalars, never the keys themselves). The one refusal
-    *    left: multi-column NOT IN past the cap (its 3-valued NULL
-    *    semantics need the literal partial-match dispatch). */
+    *    frame (two scalars, never the keys themselves). Multi-column
+    *    and decorrelated-correlated NOT IN past the cap ride the
+    *    "no potential match" join ([[graft.table.SemiTag]] `potential`)
+    *    — NO size refusal remains on any subquery-DML shape. */
   def conjoin(spark: SparkSession, base: org.apache.spark.sql.Column,
       subs: Seq[SubqueryPred])
       : (org.apache.spark.sql.Column, Seq[(String, Any, Any)],
@@ -1222,15 +1223,22 @@ private[graft] object SubqueryPred {
       val rows = df.limit(cap + 1).collect()
       val inC: org.apache.spark.sql.Column = if (rows.length > cap) {
         // ---- join arm: the key set never materializes on the driver
-        if (s.negated && !s.nullCollapse && arity > 1)
-          throw new UnsupportedOperationException(
-            s"multi-column NOT IN materialized more than $cap tuples — " +
-              "its NULL semantics need the literal partial-match form; " +
-              "use the typed API for unbounded negated tuple sets")
-        if (s.negated && !s.nullCollapse &&
+        if (s.negated && !s.nullCollapse && (arity > 1 || s.keyArity > 0)) {
+          // multi-column (or decorrelated-correlated) NOT IN: the
+          // "no potential match" join — DISTINCT keys WITH their NULLs
+          // (a NULL wildcards; a NULL-carrying key row potentially
+          // matches everything, so the conjunct correctly matches
+          // nothing) — checkpointed so every planner pass sees
+          // identical keys
+          val keys = df.distinct().localCheckpoint(true)
+          tags += graft.table.SemiTag(vexprs.map(toC), keys,
+            negated = true, nullCollapse = false,
+            potential = true, keyPrefix = s.keyArity)
+          lit(true) // matching happens through the SemiTag flag
+        } else if (s.negated && !s.nullCollapse &&
             df.where(col("k0").isNull).limit(1).count() > 0)
-          // NOT IN over a set containing NULL is never TRUE (SQL
-          // 3-valued) — the conjunct short-circuits the whole DML
+          // single-column NOT IN over a set containing NULL is never
+          // TRUE (SQL 3-valued) — the conjunct short-circuits the DML
           lit(false)
         else {
           // distinct + null-free (a NULL key can never equal anything;
@@ -1292,7 +1300,17 @@ private[graft] object SubqueryPred {
         // 3-valued row-wise semantics via the null-pattern dispatch)
         val raw = toC(rowIn(vexprs, rows.toSeq, df0.schema))
         val wrapped = if (s.nullCollapse) coalesce(raw, lit(false)) else raw
-        if (s.negated) !wrapped else wrapped
+        val neg = if (s.negated) !wrapped else wrapped
+        if (s.keyArity == 0) neg
+        else {
+          // decorrelated NOT IN: a NULL correlation-key prefix value
+          // means the per-row key set is EMPTY — NOT IN () is TRUE
+          // (the row-IN alone would answer NULL there, and WHERE
+          // would wrongly drop the row)
+          val anyKeyNull = vexprs.take(s.keyArity)
+            .map(e => toC(e).isNull).reduce(_ || _)
+          anyKeyNull || neg
+        }
       }
       acc && inC
     }

@@ -307,12 +307,12 @@ final case class ChangeSet(files: Seq[String] = Nil,
       * of refusing to the resync contract. */
     predSql: String = "")
 
-/** One OVER-CAP `IN (SELECT ...)` / EXISTS conjunct of a general DML
-  * predicate, executed as a JOIN against the materialized key frame
-  * instead of a literal fold — the scale arm past
+/** One OVER-CAP `IN (SELECT ...)` / EXISTS / NOT IN conjunct of a
+  * general DML predicate, executed as a JOIN against the materialized
+  * key frame instead of a literal fold — the scale arm past
   * [[graft.table.SubqueryPred.MaxKeys]]: a 10M-key GDPR delete joins
   * (broadcast or shuffle, Spark's choice) rather than building a 10M-
-  * literal predicate on the driver. `keys` is the DISTINCT, null-free,
+  * literal predicate on the driver. `keys` is the DISTINCT,
   * locally-checkpointed key frame (checkpointed so the planner's
   * counting, staging and CDC passes see byte-identical keys); `values`
   * are the re-anchored left-side expressions, one per key column.
@@ -320,11 +320,24 @@ final case class ChangeSet(files: Seq[String] = Nil,
   * `negated=true, nullCollapse=true` (NOT EXISTS) → matched means
   * absent, any left NULL counts as absent-by-coalesce; `negated=true,
   * nullCollapse=false` (single-column NOT IN, pre-checked null-free
-  * key set) → matched means left non-NULL and absent. The change feed
-  * cannot render a join as predicate SQL, so mirrors degrade to
-  * rows-only images + the resync contract. */
+  * key set) → matched means left non-NULL and absent.
+  *
+  * `potential=true` is the NOT IN "no potential match" form — ANSI
+  * row-wise `(j*, v*) NOT IN keys` is TRUE iff NO key row POTENTIALLY
+  * matches (per position past the `keyPrefix` equality columns: equal,
+  * or EITHER side NULL), so matched = any-prefix-NULL OR no-potential-
+  * match. Key rows here keep their NULLs (they wildcard); the first
+  * `keyPrefix` columns are a decorrelated correlation-key prefix
+  * compared by plain equality (the key list is prefix-null-filtered at
+  * build). This one form is exact for every NOT IN arity — including
+  * NULL-carrying key sets, where a NULL key row potentially matches
+  * everything and the conjunct correctly matches nothing.
+  *
+  * The change feed cannot render a join as predicate SQL, so mirrors
+  * degrade to rows-only images + the resync contract. */
 final case class SemiTag(values: Seq[org.apache.spark.sql.Column],
-    keys: DataFrame, negated: Boolean, nullCollapse: Boolean)
+    keys: DataFrame, negated: Boolean, nullCollapse: Boolean,
+    potential: Boolean = false, keyPrefix: Int = 0)
 
 /** One WHEN clause of a general merge ([[SnapshotLog.mergeClauses]]).
   * `cond` is evaluated over the JOINED row: target columns under their
@@ -2768,18 +2781,39 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
   private def semiFlag(i: Int): String = s"__graft_semi_flag_$i"
 
   /** Left-join each [[SemiTag]]'s key frame onto `df`, adding one
-    * boolean flag column per tag (true = key present) and dropping the
-    * key columns. Row-count-preserving by construction: the key frames
-    * are DISTINCT and null-free, so a left row joins at most one key
-    * row — the exact-counting planner's row accounting stays sound. */
+    * boolean flag column per tag (true = key present / potentially
+    * matched) and dropping the key columns. Row-count-preserving by
+    * construction: equality tags join DISTINCT null-free key frames
+    * (≤1 match per left row); potential-match tags — where one left
+    * row CAN match many key rows through NULL wildcards — go through a
+    * row-identity two-step: a LEFT SEMI join collects the matched
+    * (file, pos) ids, then one equality left-join flags them, so the
+    * exact-counting planner's row accounting stays sound. */
   private def tagSemis(df: DataFrame, semis: Seq[SemiTag]): DataFrame =
     semis.zipWithIndex.foldLeft(df) { case (acc, (t, i)) =>
       val kcols = t.values.indices.map(j => s"__graft_semi_${i}_k$j")
-      val keyed = t.keys.toDF(kcols: _*)
-        .withColumn(semiFlag(i), lit(true))
-      val cond = t.values.zip(kcols).map { case (v, k) =>
-        v === keyed(k) }.reduce(_ && _)
-      acc.join(keyed, cond, "left").drop(kcols: _*)
+      if (!t.potential) {
+        val keyed = t.keys.toDF(kcols: _*)
+          .withColumn(semiFlag(i), lit(true))
+        val cond = t.values.zip(kcols).map { case (v, k) =>
+          v === keyed(k) }.reduce(_ && _)
+        acc.join(keyed, cond, "left").drop(kcols: _*)
+      } else {
+        val keyed = t.keys.toDF(kcols: _*)
+        val cond = t.values.zip(kcols).zipWithIndex.map { case ((v, k), j) =>
+          if (j < t.keyPrefix) v === keyed(k) // correlation prefix: equality
+          else (v === keyed(k)) || v.isNull || keyed(k).isNull
+        }.reduce(_ && _)
+        val fcol = s"__graft_semi_${i}_f"
+        val pcol = s"__graft_semi_${i}_p"
+        val hit = acc.join(keyed, cond, "left_semi")
+          .select(col(DvFileCol).as(fcol), col(DvPosCol).as(pcol))
+          .distinct()
+          .withColumn(semiFlag(i), lit(true))
+        acc.join(hit,
+          acc(DvFileCol) === hit(fcol) && acc(DvPosCol) === hit(pcol),
+          "left").drop(fcol, pcol)
+      }
     }
 
   /** The i-th [[SemiTag]]'s contribution to the planner's `matches`
@@ -2788,7 +2822,16 @@ final class SnapshotLog(spark: SparkSession, val tableDir: String,
     * NULL condition never matches, like every planner predicate). */
   private def semiMatch(t: SemiTag, i: Int): Column = {
     val flag = coalesce(col(semiFlag(i)), lit(false))
-    if (!t.negated) flag // IN / EXISTS: present means matched
+    if (t.potential) {
+      // NOT IN via "no potential match": TRUE iff no key row could
+      // equal this row — plus the decorrelated form's prefix rule (a
+      // NULL correlation key ⟹ empty per-row set ⟹ NOT IN () = TRUE)
+      val anyPrefixNull =
+        if (t.keyPrefix == 0) lit(false)
+        else t.values.take(t.keyPrefix).map(_.isNull).reduce(_ || _)
+      anyPrefixNull || !flag
+    }
+    else if (!t.negated) flag // IN / EXISTS: present means matched
     else if (t.nullCollapse) !flag // NOT EXISTS: 2-valued by coalesce
     else // single-column NOT IN over a pre-checked null-free key set:
       // a NULL left value makes SQL's NOT IN unknown → never matched

@@ -164,6 +164,37 @@ class LogStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("unlimited admission reports versions arithmetically, files as -1 (not counted)") {
+    // the r16 contract: with no rate limit, latestOffset derives the
+    // admitted-version count without walking a single manifest — the
+    // file tally is only known to capped triggers and reports -1
+    val table = freshDir("graft-feed-met2-") + "/t"
+    val log = SnapshotLog(spark, table)
+    (0 until 3).foreach(run =>
+      log.append(mkRows(run, 3).toDF("id", "payload").coalesce(1)))
+    val q = LogChangeFeed
+      .readChangesStream(spark, table) // no caps — the unlimited path
+      .writeStream
+      .option("checkpointLocation", freshDir("graft-feed-met2-ckpt-"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect(); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => p.sources.toSeq)
+        .map(_.metrics)
+        .filter(m => m != null && !m.isEmpty)
+      assert(metrics.exists(m =>
+        m.get("versionsAdmitted") == "3" && m.get("filesAdmitted") == "-1"),
+        s"expected an unlimited-admission tick (3 versions, files -1) " +
+          s"in: $metrics")
+      assert(metrics.forall(m => m.get("backlogVersions") == "0"),
+        s"unlimited admission leaves no backlog: $metrics")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains a capped backlog in BOUNDED batches, then stops") {
     val table = freshDir("graft-feed-an-") + "/t"
     val log = SnapshotLog(spark, table)

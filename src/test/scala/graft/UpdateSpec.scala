@@ -663,15 +663,62 @@ class UpdateSpec extends AnyFunSuite {
       s"(SELECT p1, p2 FROM $cat.pairs)")
     assert(s.sql(s"SELECT count(*) FROM $cat.t1").head().getLong(0) == 0,
       "over-cap tuple-IN must delete every matching row")
-    // multi-column NOT IN past the cap is the one remaining refusal
-    val ex = intercept[Exception] {
-      s.sql(s"DELETE FROM $cat.keys WHERE (k, w) NOT IN " +
-        s"(SELECT p1, p2 FROM $cat.pairs)")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
-    assert(msgs(ex).exists(_.contains("multi-column NOT IN")),
-      msgs(ex).mkString(" | "))
+    // multi-column NOT IN past the cap rides the "no potential match"
+    // join (r16): every keys row mismatches every pair tuple on the w
+    // position (w… vs v…), so NOT IN is TRUE everywhere — full delete
+    s.sql(s"DELETE FROM $cat.keys WHERE (k, w) NOT IN " +
+      s"(SELECT p1, p2 FROM $cat.pairs)")
+    assert(s.sql(s"SELECT count(*) FROM $cat.keys").head().getLong(0) == 0,
+      "over-cap multi-column NOT IN must delete every definite-mismatch row")
+  }
+
+  test("over-cap NOT IN joins are null-aware: wildcard tuples and correlated prefixes") {
+    val root = Files.createTempDirectory("graft-upd-pmjoin-").toString
+    SnapshotLog(spark, s"$root/t1", statsColumns = Seq("id")).append(
+      (0L until 20000L).map(i => (i, s"g${i % 4}", "x"))
+        .toDF("id", "grp", "v").coalesce(2))
+    // 12,000 exact tuples + one (NULL, 'g1') wildcard — past
+    // MaxTupleKeys, so the literal partial-match dispatch never builds
+    SnapshotLog(spark, s"$root/pairsN").append(
+      ((0L until 12000L).map(i => (Some(i), s"g${i % 4}")) :+
+        ((None: Option[Long]) -> "g1"))
+        .toDF("p1", "p2").coalesce(2))
+    val s = org.apache.spark.sql.GraftBridge
+      .sessionWithExtensions(spark, new graft.plans.GraftExtensions()(_))
+    val cat = "gpmjoin"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // ANSI: a row is deleted iff NO tuple potentially matches — exact
+    // tuples cover id < 12000; the (NULL, 'g1') tuple wildcards the id
+    // and shields every grp='g1' row; deleted = id ≥ 12000 ∧ grp ≠ 'g1'
+    s.sql(s"DELETE FROM $cat.t1 WHERE (id, grp) NOT IN " +
+      s"(SELECT p1, p2 FROM $cat.pairsN)")
+    val kept = s.sql(
+      s"SELECT count(*), count(CASE WHEN id >= 12000 THEN 1 END) " +
+        s"FROM $cat.t1").head()
+    assert(kept.getLong(0) == 14000 && kept.getLong(1) == 2000,
+      s"NULL-wildcard over-cap NOT IN must keep 12000 exact + 2000 " +
+        s"shielded rows: $kept")
+    // CORRELATED NOT IN whose materialized (key, value) set is past the
+    // cap rides the same join with the key-prefix equality: per row,
+    // S = {rg : rk = id} — a NULL rg shields (id%3=0), a mismatching
+    // singleton updates, an EMPTY S (id ≥ 15000, and the NULL id row)
+    // updates via NOT IN () = TRUE
+    SnapshotLog(spark, s"$root/t2").append(
+      ((0L until 20000L).map(i => (Some(i), s"g${i % 4}", "x")) :+
+        ((None: Option[Long], "g9", "x")))
+        .toDF("id", "grp", "v").coalesce(2))
+    SnapshotLog(spark, s"$root/ref").append(
+      (0L until 15000L).map(i =>
+        (i, if (i % 3 == 0) None else Some(s"g${(i + 1) % 4}")))
+        .toDF("rk", "rg").coalesce(2))
+    s.sql(s"UPDATE $cat.t2 t SET v = 'M' WHERE grp NOT IN " +
+      s"(SELECT r.rg FROM $cat.ref r WHERE r.rk = t.id)")
+    val m = s.sql(s"SELECT count(CASE WHEN v = 'M' THEN 1 END), " +
+      s"count(CASE WHEN v = 'x' THEN 1 END) FROM $cat.t2").head()
+    assert(m.getLong(0) == 15001 && m.getLong(1) == 5000,
+      s"over-cap correlated NOT IN: 10000 mismatch + 5000 empty-S + 1 " +
+        s"NULL-key rows update, 5000 NULL-shielded keep: $m")
   }
 
   test("row-IN NULL semantics: partial-match dispatch and NULL-carrying tuples are ANSI-exact") {
