@@ -442,6 +442,20 @@ object GraftFunctions {
     GraftBridge.toCol(ShingleGenerator(GraftBridge.toExpr(c),
       org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
+  /** [[shingles]] with per-row dedup: each DISTINCT n-gram of the input
+    * once. Since one row's shingles never span partitions, this equals
+    * `shingles(...)` + a global `(row key, g)` distinct — minus the
+    * distinct's full shuffle of every shingle occurrence. */
+  def shingles_distinct(c: Column, n: Int): Column =
+    GraftBridge.toCol(ShingleGenerator(GraftBridge.toExpr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(n), dedup = true))
+
+  /** Distinct sliding word n-grams of a string column (see
+    * [[WordGramGenerator]]) — one output row per distinct gram. */
+  def word_grams_distinct(c: Column, n: Int): Column =
+    GraftBridge.toCol(WordGramGenerator(GraftBridge.toExpr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** Register as SQL functions (`cosine_similarity`, `text_fingerprint`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

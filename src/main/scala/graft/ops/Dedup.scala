@@ -274,27 +274,33 @@ object Dedup {
        |ORDER BY t.doc_id""".stripMargin
 
   /** Character 5-gram shingle set per document, distinct, exploded.
-    * Shared shingle-generation for jaccard + minhash.
-    *
-    * Shape: explode a codegen'd index sequence, substr per index, then
-    * dedup (doc_id, g) with a distinct (partial agg dedups map-side, so
-    * the shuffle carries the distinct set — same effect as a per-doc
-    * array_distinct but WITHOUT an interpreted `transform` lambda, which
-    * doesn't enter whole-stage codegen and dominated this operator's
-    * runtime when rebuilt several times per query). */
+    * Shared shingle-generation for jaccard + minhash. Generated
+    * shuffle-free by the dedup'ing [[graft.functions.ShingleGenerator]]
+    * (see [[shingledOf]] for the r16 plan rationale). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOf(t(spark, dir, "documents"))
 
   /** [[shingled]] over an arbitrary `(doc_id, text, …)` batch — the
     * incremental entry point ([[incrementalNearSurvivors]]) shingles one
-    * run at a time, not the whole table. */
+    * run at a time, not the whole table.
+    *
+    * r16: the former explode+substr+`distinct()` shape paid a full
+    * (doc_id, g) shuffle of every distinct shingle occurrence (~200 rows
+    * per document) purely to dedup rows that are PARTITION-LOCAL by
+    * construction — a document's shingles never leave its scan task
+    * before the dedup. [[graft.functions.Functions.shingles_distinct]]
+    * dedups inside the generator in the scan stage instead, removing
+    * that corpus-sized Exchange from every consumer (jaccard ×2 passes,
+    * coverage, hot-shingles, and the minhash signature aggregate, whose
+    * per-doc partial agg now completes map-side — guide §2.4). Output
+    * rows are identical; only the physical partitioning differs (scan
+    * partitioning instead of hash(doc_id, g) — no consumer relied on
+    * it: every downstream op re-keys by g or doc_id anyway). */
   private def shingledOf(docs: DataFrame): DataFrame =
-    docs
+    Relational.fanned(docs, "doc_id")
       .filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - 4)).as("i"))
-      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
-      .distinct()
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingles_distinct(col("text"), 5).as("g"))
 
   /** Document-frequency cap for the jaccard inverted index: shingles in
     * more than this many documents are dropped before the self-join. At
@@ -487,12 +493,18 @@ object Dedup {
       // cheap aggregate over the checkpointed result replaces the extra
       // label⋈label join + count a separate convergence check would cost,
       // halving the per-round stage count of the iteration
+      // LAZY checkpoint: the convergence aggregate right below is the
+      // round's ONE action — it materializes `next` and sums `chg` in the
+      // same job (an eager checkpoint here ran a second, separate
+      // materialization job per round; the loop is job-count bound, not
+      // data bound). Lineage still truncates at first use, so round N+1
+      // never replays round N's join.
       val next = labels.join(prop, labels("id") === prop("pid"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           (coalesce(col("nbr_label"), col("label")) < col("label"))
             .cast("long").as("chg"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.agg(coalesce(sum(col("chg")), lit(0L))).collect()(0).getLong(0)
       labels = next.select(col("id"), col("label"))
     }
@@ -1072,13 +1084,14 @@ object Dedup {
   /** DISTINCT (doc_id, sliding-word-8-gram) pairs — shared by both
     * contamination formulations so their outputs are definitionally
     * identical (and graded against the same oracle). */
-  private def wordGrams8(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), split(col("text"), " ").as("l"))
-    .filter(size(col("l")) >= 8)
+  private def wordGrams8(df: DataFrame): DataFrame = Relational.fanned(df, "doc_id")
+    // r16: generated by the dedup'ing WordGramGenerator — the former
+    // explode+slice+array_join+`distinct()` shape shuffled every
+    // multi-word gram string once per occurrence purely to dedup rows
+    // that are partition-local by construction (same argument and plan
+    // diff as [[shingledOf]]; guide §2.4). Rows identical.
     .select(col("doc_id"),
-      explode(sequence(lit(1), size(col("l")) - 7)).as("i"), col("l"))
-    .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(8)), " ").as("g"))
-    .distinct()
+      graft.functions.GraftFunctions.word_grams_distinct(col("text"), 8).as("g"))
 
   def ddContamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")

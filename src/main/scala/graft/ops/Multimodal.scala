@@ -139,10 +139,26 @@ object Multimodal {
     * [[audioDurMs]]). Encoding happens per-partition (codec init
     * amortized), and at 100 TB this whole step is a read-side concern —
     * real deployments read binary-column parquet directly. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+  def mediaTable(spark: SparkSession, dir: String,
+      only: Option[String] = None): Dataset[MediaRecord] = {
     import spark.implicits._
-    t(spark, dir, "documents")
-      .select(col("doc_id"))
+    // Modality is a pure function of doc_id, so a consumer that reads one
+    // modality pushes the filter BELOW the synthesis/decode (mapPartitions
+    // is opaque to Catalyst — a .filter(modality = …) placed after it
+    // still pays the other modality's encode+decode for every row; §2.3
+    // "project before the exchange" applied to per-row compute). The
+    // predicate itself pushes into the parquet scan.
+    val ids = t(spark, dir, "documents").select(col("doc_id"))
+    val wanted = only match {
+      case Some("image") => ids.filter(col("doc_id") % 2 === 0)
+      case Some("audio") => ids.filter(col("doc_id") % 2 === 1)
+      case _ => ids
+    }
+    // fan the id list to cluster parallelism before the per-row codecs:
+    // a single-split documents scan otherwise serializes every encode
+    // AND every downstream decode onto one core (§2.5; no-op when the
+    // scan is already parallel — see Relational.fanned)
+    Relational.fanned(wanted, "doc_id")
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -160,9 +176,26 @@ object Multimodal {
     * partition. Image dims come from a REAL `javax.imageio` decode,
     * audio duration from a REAL `javax.sound.sampled` container parse.
     * Payload is dropped before any downstream shuffle. */
-  def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    mmFeaturesOf(spark, dir, None).orderBy(col("media_id"))
+
+  /** [[mmFeatures]] restricted to one modality at the SOURCE: single-
+    * modality consumers ([[mmResize]], [[mmFrameSample]],
+    * [[mmImageStats]]) skip the other modality's encode+decode entirely
+    * instead of filtering rows that were already paid for. Output rows
+    * are identical to filtering [[mmFeatures]] by modality.
+    *
+    * The extracted metadata is localCheckpoint'd before the presentation
+    * sort: a global `orderBy` is a RANGE exchange, and RangePartitioner
+    * bounds come from a SAMPLING pass that executes the child — i.e.
+    * the whole encode+decode pipeline — a second time. Materializing the
+    * payload-free metadata (a few small columns per media row) makes the
+    * decode run once; the sort then reads memory (§1.2 "don't compute
+    * things you throw away"). */
+  private def mmFeaturesOf(spark: SparkSession, dir: String,
+      only: Option[String]): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaTable(spark, dir, only)
       .mapPartitions { it =>
         it.map { r =>
           val (w, h) =
@@ -179,7 +212,7 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy(col("media_id"))
+      .localCheckpoint() // unsorted; each consumer adds its own presentation sort
   }
 
   /** Aggregate over extracted metadata: per-modality counts and decoded
@@ -190,7 +223,7 @@ object Multimodal {
     * mm_bytes_by_modality, whose byte totals stopped being
     * SQL-predictable once image payloads became real PNGs.) */
   def mmMediaSummary(spark: SparkSession, dir: String): DataFrame =
-    mmFeatures(spark, dir)
+    mmFeaturesOf(spark, dir, None) // unsorted: the aggregate needs no order
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("width").cast("bigint") * col("height")).as("total_pixels"),
@@ -224,7 +257,7 @@ object Multimodal {
     * only 4 small columns per image reach the output. */
   def mmImageStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaTable(spark, dir, Some("image"))
       .filter(col("modality") === "image")
       .mapPartitions { it =>
         it.map { r =>
@@ -246,6 +279,7 @@ object Multimodal {
         }
       }
       .toDF("media_id", "r", "g", "b")
+      .localCheckpoint() // sort samples would otherwise re-run the pixel scan
       .select(col("media_id"),
         round(col("r"), 4).as("avg_r"),
         round(col("g"), 4).as("avg_g"),
@@ -283,7 +317,7 @@ object Multimodal {
     * arithmetic. A real implementation would emit the resampled bytes
     * inside the same mapPartitions as [[mmFeatures]]. */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
-    mmFeatures(spark, dir)
+    mmFeaturesOf(spark, dir, Some("image"))
       .filter(col("modality") === "image")
       .withColumn("scale",
         least(lit(MaxW) / col("width"), lit(MaxH) / col("height"), lit(1.0)))
@@ -312,7 +346,7 @@ object Multimodal {
     * replays the planted duration formula, so a WAV header-parse
     * regression hash-mismatches here. */
   def mmFrameSample(spark: SparkSession, dir: String, nFrames: Int = 4): DataFrame =
-    mmFeatures(spark, dir)
+    mmFeaturesOf(spark, dir, Some("audio"))
       .filter(col("duration_ms") > 0)
       .select(col("media_id"), col("duration_ms"),
         posexplode(sequence(lit(0), lit(nFrames - 1))).as(Seq("frame_idx", "i")))

@@ -22,6 +22,25 @@ object Relational {
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a frame out to cluster parallelism BEFORE expensive per-row
+    * work, but only when its current parallelism is actually below that
+    * (guide §2.5 "input skew: one huge unsplittable file … repartition
+    * immediately after the read"). A small input often arrives as ONE
+    * scan split (`maxPartitionBytes` ≫ file size), which serializes
+    * every downstream map-side stage — codec decodes, hash signatures,
+    * generators — onto one core; the repartition moves the SMALL
+    * pre-fan-out rows once, far cheaper than what it parallelizes. At
+    * production scale the scan has ≥ cluster-parallelism splits and this
+    * is a provable no-op (the condition, not a tuning constant, carries
+    * the scale story — nothing here is sized to the bench). Hash on
+    * `key` (not round-robin) so no sort-before-repartition pass is paid
+    * and the placement is retry-deterministic. */
+  private[graft] def fanned(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Normalize an events frame's `ts` to TimestampType microseconds,
     * adapting to whatever physical type the fixture carries:
     *  - TIMESTAMP(NANOS) fixtures read as raw nanos (LongType, under

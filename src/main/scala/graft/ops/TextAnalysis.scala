@@ -563,10 +563,33 @@ object TextAnalysis {
   def txBpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrain(spark, t(spark, dir, "documents"), BpeTrainMerges)
 
-  def bpeTrain(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame = {
+  /** Shuffle width for the BPE training loop — the loop's tables are
+    * VOCABULARY-sized (the word histogram, its pair counts), so sizing
+    * its exchanges to the batch shuffle default (= core count) makes
+    * every one of the K training rounds schedule core-count near-empty
+    * tasks per stage; at 30 rounds that task-dispatch overhead WAS the
+    * operator's cost (vocab at sf0.1 is 31 rows). Same deliberate-sizing
+    * argument as `EventStreams.withStreamShuffle`: the right width is
+    * state-volume-driven (rows per round ≈ vocab), not core-count
+    * driven, at any corpus scale — production tunes via the env knob. */
+  private val VocabShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_VOCAB_SHUFFLE", "4").toInt
+
+  private def withVocabShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, VocabShufflePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  def bpeTrain(spark: SparkSession, docs: DataFrame, merges: Int): DataFrame =
+    withVocabShuffle(spark) { bpeTrainBody(spark, docs, merges) }
+
+  private def bpeTrainBody(spark: SparkSession, docs: DataFrame,
+      merges: Int): DataFrame = {
     import spark.implicits._
     // ONE corpus-sized pass; everything below is vocabulary-sized
-    var vocab = docs
+    var vocab = Relational.fanned(docs, "text") // bpeTrain's only input contract is `text`
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -577,11 +600,15 @@ object TextAnalysis {
     var rank = 0
     var done = merges <= 0
     while (!done) {
+      // adjacent pairs via arrays_zip of two slices — codegen'd collection
+      // expressions end to end (the former `transform(...)` HOF lambda is
+      // interpreted, and at 30 rounds per train its per-element eval was
+      // the round's dominant cost, not the job overhead)
       val top = vocab
         .select(col("cnt"), explode(expr(
-          "transform(slice(syms, 1, size(syms)-1), (s, i) -> struct(s AS l, syms[i+1] AS r))"))
+          "arrays_zip(slice(syms, 1, size(syms)-1), slice(syms, 2, size(syms)-1))"))
           .as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
         .agg(sum(col("cnt")).as("freq"))
         .orderBy(col("freq").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
@@ -599,7 +626,15 @@ object TextAnalysis {
           }
           out.toSeq
         }
-        vocab = vocab.withColumn("syms", applyMerge(col("syms"))).localCheckpoint()
+        // LAZY checkpoint: the rewritten vocab materializes inside the NEXT
+        // round's argmax job (one job per round instead of an eager
+        // materialization job + the argmax job — the loop is job-count
+        // bound, not data bound: the vocab table is control-plane-sized at
+        // every corpus scale). Lineage still truncates at first use, so
+        // round N+1's plan never replays round N's UDF; the final round's
+        // rewrite is never materialized at all (nothing reads it).
+        vocab = vocab.withColumn("syms", applyMerge(col("syms")))
+          .localCheckpoint(eager = false)
         rank += 1
         if (rank >= merges) done = true
       }

@@ -186,6 +186,56 @@ class FunctionsSpec extends AnyFunSuite {
     assert(!viaGenerator.exists(t => t._1 == 2L || t._1 == 3L))
   }
 
+  test("dedup shingle generator equals explode+substr+distinct (the r16 shuffle-free shape)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // repeats inside a row ("ababab…") exercise the per-row dedup;
+    // multiple rows sharing shingles pin that dedup stays PER ROW
+    val docs = Seq((1L, "abababababab"), (2L, "abababab"), (3L, "abcdefgh"),
+      (4L, null.asInstanceOf[String]), (5L, "abc"), (6L, "xxxxx"))
+      .toDF("doc_id", "text")
+    val viaGenerator = docs
+      .select(col("doc_id"), GraftFunctions.shingles_distinct(col("text"), 5).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaDistinct = docs
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - 4)).as("i"), col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(5)).as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGenerator.nonEmpty)
+    assert(viaGenerator == viaDistinct,
+      s"dedup generator and distinct paths drifted:\n$viaGenerator\n$viaDistinct")
+  }
+
+  test("word-gram generator equals explode+slice+array_join+distinct") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"),          // repeated grams within the row
+      (2L, "one two three"),            // shorter than n → zero rows
+      (3L, "w x  y z double  space q"), // consecutive spaces → empty tokens
+      (4L, null.asInstanceOf[String]),
+      (5L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = 4
+    val viaGenerator = docs
+      .select(col("doc_id"), GraftFunctions.word_grams_distinct(col("text"), n).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val viaDistinct = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("l")) - (n - 1))).as("i"), col("l"))
+      .select(col("doc_id"), array_join(slice(col("l"), col("i"), lit(n)), " ").as("g"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(viaGenerator.nonEmpty)
+    assert(viaGenerator == viaDistinct,
+      s"word-gram generator and relational paths drifted:\n$viaGenerator\n$viaDistinct")
+  }
+
   test("SQL registration: both functions callable from spark.sql") {
     val spark = TestSpark.spark
     GraftFunctions.register(spark)
