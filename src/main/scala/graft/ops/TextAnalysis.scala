@@ -236,7 +236,10 @@ object TextAnalysis {
   def txTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val n = docs.count() // control-plane scalar: corpus size for the idf
-    val tf = docs
+    // (r16: a localCheckpoint of tf to dedup its two consumers was
+    // MEASURED WORSE — 1.0 → 1.3 s — the materialization job costs more
+    // than the duplicated subtree; the df build's copy prunes columns)
+    val tf = Relational.fanned(docs, "doc_id")
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -329,13 +332,18 @@ object TextAnalysis {
     * Zipf curve carries the signal) and the join flips from broadcast to
     * shuffle past the threshold. */
   def txBigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val words = t(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos").asc)
-    val bigrams = words
-      .withColumn("nxt", lead(col("word"), 1).over(byPos))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), col("word").as("prev"), col("nxt").as("cur"))
+    // r16: adjacent-token pairs come straight from the token array via
+    // codegen'd arrays_zip(slice, slice) — the former posexplode +
+    // window-`lead` shape paid a full (doc_id, pos) Exchange + sort over
+    // every token, TWICE (the bigram subtree feeds both the transition
+    // histogram and the scoring join). A row's adjacent pairs are a
+    // per-row computation; no shuffle is fundamental to it (§2.4). Rows
+    // identical: lead over (doc, pos) ordering IS the array adjacency.
+    val bigrams = Relational.fanned(t(spark, dir, "documents"), "doc_id")
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), " +
+          "slice(split(text, ' '), 2, size(split(text, ' ')) - 1))")).as("p"))
+      .select(col("doc_id"), col("p.0").as("prev"), col("p.1").as("cur"))
     val trans = bigrams.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("cbg"))
     val prefix = trans.groupBy(col("prev")).agg(sum(col("cbg")).as("cpre"))
