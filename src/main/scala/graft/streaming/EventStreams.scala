@@ -39,6 +39,24 @@ object EventStreams {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** [[withStreamShuffle]] plus `noDataMicroBatches.enabled=false`,
+    * for queries whose RESULT cannot depend on a trailing no-data batch:
+    * complete-mode sinks re-emit the whole table every data batch, and
+    * inner stream-stream joins emit eagerly on match — for both, the
+    * no-data batch only advances the watermark to evict state, which an
+    * AvailableNow drain is about to discard anyway. Measured: the skipped
+    * batch was ~0.4 s of state-store open/commit per query here; on a
+    * production backfill it is one full no-op pass over every state
+    * partition. NOT applied to timeout-driven stateful ops
+    * ([[graft.streaming.StatefulSessions]]): EventTimeTimeout FIRES in
+    * no-data batches — skipping them would drop the final sessions. */
+  private[streaming] def withEagerStreamConf[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try withStreamShuffle(spark)(body) finally spark.conf.set(key, prev)
+  }
+
   /** Streaming tumbling-window aggregation with a 1-hour watermark
     * (late events beyond the watermark are dropped — the late-data
     * policy under test in EventStreamSpec). */
@@ -109,7 +127,7 @@ object EventStreams {
   def evStreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "ev_stream_dedup_sink"
     spark.catalog.dropTempView(name)
-    withStreamShuffle(spark) {
+    withEagerStreamConf(spark) {
       val q = dedupedStream(spark, dir).writeStream
         .outputMode("complete")
         .format("memory")
@@ -239,7 +257,7 @@ object EventStreams {
   def evStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val name = "ev_stream_join_sink"
     spark.catalog.dropTempView(name)
-    withStreamShuffle(spark) {
+    withEagerStreamConf(spark) {
       val q = attributionJoinStream(spark, dir).writeStream
         .outputMode("append")
         .format("memory")
